@@ -1,0 +1,107 @@
+package graft.spatial
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.MetadataBuilder
+
+/**
+ * GeoParquet ingestion.
+ *
+ * The reference relies on DataFusion keeping parquet key-value metadata in
+ * the table schema (`skip_metadata=false`, reference: examples/main.rs:18)
+ * and a plan rule that threads `geo` metadata into every ST_* call
+ * (reference: src/rules.rs:20-170). Spark drops parquet footer key-value
+ * metadata from `spark.read.parquet` schemas, so we read the footer
+ * ourselves via parquet-hadoop (ships with Spark) and convert any
+ * GeoArrow-native geometry columns to canonical WKB at load — after which
+ * no metadata threading is needed anywhere in the plan.
+ *
+ * The `geo` JSON shape (reference: data/generate_test_data.py:26-35):
+ * {"version":"1.1.0","primary_column":"geometry",
+ *  "columns":{"geometry":{"encoding":"WKB"|"point"|…,"geometry_types":[…]}}}
+ */
+object GeoIO {
+
+  case class GeoColumn(name: String, encoding: String, geometryTypes: Seq[String]) {
+    /** 0 → Unknown, 1 → that type, >1 → Mixed (reference: src/rules.rs:143-147). */
+    def geometryType: String = geometryTypes match {
+      case Seq() => "Unknown"
+      case Seq(one) => one
+      case _ => "Mixed"
+    }
+  }
+
+  /** Minimal JSON scrape of the `geo` document — no JSON library dependency.
+    * Extracts per-column `encoding` and `geometry_types`. */
+  private[spatial] def parseGeoJson(json: String): Seq[GeoColumn] = {
+    val colsIdx = json.indexOf("\"columns\"")
+    if (colsIdx < 0) return Seq.empty
+    // match  "<name>" : { ... "encoding" : "<enc>" ... }
+    val colRe = """"([^"]+)"\s*:\s*\{([^{}]*)\}""".r
+    colRe.findAllMatchIn(json.substring(colsIdx)).flatMap { m =>
+      val name = m.group(1)
+      val body = m.group(2)
+      val encRe = """"encoding"\s*:\s*"([^"]+)"""".r
+      encRe.findFirstMatchIn(body).map { em =>
+        val typesRe = """"geometry_types"\s*:\s*\[([^\]]*)\]""".r
+        val types = typesRe.findFirstMatchIn(body).map { tm =>
+          """"([^"]+)"""".r.findAllMatchIn(tm.group(1)).map(_.group(1)).toSeq
+        }.getOrElse(Seq.empty)
+        GeoColumn(name, em.group(1), types)
+      }
+    }.toSeq
+  }
+
+  /** Read the `geo` key-value metadata from the first parquet footer under `path`. */
+  def readGeoMetadata(spark: SparkSession, path: String): Seq[GeoColumn] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalArgumentException(s"no parquet files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      Option(kv.get("geo")).map(parseGeoJson).getOrElse(Seq.empty)
+    } finally reader.close()
+  }
+
+  /**
+   * Read a (Geo)Parquet file; geometry columns become WKB `BinaryType`
+   * with `{encoding, geometryType}` recorded as column metadata. WKB-encoded
+   * columns pass through; GeoArrow-native nested columns are converted by
+   * [[StNativeAsWkb]]. Plain parquet (no `geo` footer) reads unchanged.
+   */
+  def readGeoParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val geoCols = readGeoMetadata(spark, path)
+    if (geoCols.isEmpty) return df
+    val byName = geoCols.map(c => c.name -> c).toMap
+    val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(gc) =>
+          val meta = new MetadataBuilder()
+            .putString("encoding", "WKB")
+            .putString("sourceEncoding", gc.encoding)
+            .putString("geometryType", gc.geometryType)
+            .build()
+          val converted =
+            if (gc.encoding.equalsIgnoreCase("WKB"))
+              GraftShim.column(StGeomFromWkb(GraftShim.expression(col(f.name))))
+            else
+              GraftShim.column(StNativeAsWkb(GraftShim.expression(col(f.name)), gc.encoding))
+          converted.as(f.name, meta)
+        case None => col(f.name)
+      }
+    }
+    df.select(projected: _*)
+  }
+}

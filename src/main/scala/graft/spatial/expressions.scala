@@ -1,0 +1,544 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+// NOTE: no wildcard import — Spark 4.1's experimental
+// org.apache.spark.sql.types.Geometry would shadow graft.spatial.Geometry.
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType,
+  DataType, DoubleType, IntegerType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions for the ST_* function surface.
+ *
+ * Geometries are carried between expressions as ISO WKB in `BinaryType`
+ * columns — one opaque binary column composes with every built-in Spark
+ * operator (parquet scan/write, shuffle, join, agg) and needs no custom
+ * data types. This replaces the reference's dual WKB/GeoArrow-native
+ * dispatch (reference: src/udfs/as_text.rs:60-64) with a single canonical
+ * encoding; native GeoArrow columns are converted to WKB at load time by
+ * [[StNativeAsWkb]] / [[GeoIO]].
+ *
+ * All expressions are null-safe (`null → null`), deterministic and
+ * foldable-under-constant-inputs, so Catalyst constant-folds literal calls —
+ * the same effect as the reference's `Volatility::Immutable`
+ * (reference: src/udfs/as_text.rs:30-33).
+ */
+object geomutil {
+  @inline def fromWkb(v: Any): Geometry = WKB.readOrNull(v.asInstanceOf[Array[Byte]])
+  @inline def toWkb(g: Geometry): Array[Byte] = WKB.write(g)
+}
+
+import geomutil._
+
+// ------------------------------------------------------------ constructors
+
+/** ST_Point(x, y) → WKB point. */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_point"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    toWkb(Point.xy(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_MakePointZ(x, y, z) → WKB XYZ point. */
+case class StPointZ(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_makepointz"
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    toWkb(Point(Array(x.asInstanceOf[Double], y.asInstanceOf[Double], z.asInstanceOf[Double]), 3))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** ST_GeomFromText(wkt) → WKB; null on malformed input. */
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromtext"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = WKT.readOrNull(v.asInstanceOf[UTF8String].toString)
+    if (g == null) null else toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_GeomFromWKB(bin) → validated canonical (little-endian ISO) WKB. */
+case class StGeomFromWkb(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromwkb"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) null else toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_MakeEnvelope(xmin, ymin, xmax, ymax) → WKB polygon. */
+case class StMakeEnvelope(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4, "ST_MakeEnvelope takes 4 arguments")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_makeenvelope"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else {
+      val e = new Envelope
+      e.add(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double])
+      e.add(vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+      toWkb(e.toPolygon)
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+// -------------------------------------------------------------- accessors
+
+abstract class GeomUnary extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def evalGeom(g: Geometry): Any
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) null else evalGeom(g)
+  }
+}
+
+/**
+ * ST_AsText(geom) → WKT string (reference: src/udfs/as_text.rs:39-131).
+ */
+case class StAsText(child: Expression) extends GeomUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+  override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(WKT.write(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_AsBinary(geom) → the WKB bytes themselves. */
+case class StAsBinary(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_asbinary"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def evalGeom(g: Geometry): Any = toWkb(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * ST_GeometryType(geom) → "ST_Point" | … | "ST_MultiPolygonZM"
+ * (reference: src/udfs/geometry_type.rs:119-146). Reads only the 5-byte WKB
+ * header — no geometry materialization.
+ */
+case class StGeometryType(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometrytype"
+  override protected def nullSafeEval(v: Any): Any =
+    try UTF8String.fromString(WKB.geometryTypeTag(v.asInstanceOf[Array[Byte]]))
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * ST_Envelope(geom) → bounding box as WKB polygon, CCW ring, POLYGON EMPTY
+ * for empty input (reference: src/udfs/envelope.rs:66-80,328-351). Single
+ * streaming pass over the WKB — no geometry materialization.
+ */
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_envelope"
+  override protected def nullSafeEval(v: Any): Any =
+    try {
+      val e = new Envelope
+      WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], e)
+      toWkb(e.toPolygon)
+    } catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared base for the four bbox ordinate accessors — streaming WKB scan. */
+abstract class BoundExpr extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def pick(e: Envelope): Double
+  override protected def nullSafeEval(v: Any): Any =
+    try {
+      val e = new Envelope
+      WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], e)
+      if (e.isEmpty) null else pick(e)
+    } catch { case _: Exception => null }
+}
+case class StXMin(child: Expression) extends BoundExpr {
+  override def prettyName: String = "st_xmin"
+  override protected def pick(e: Envelope): Double = e.xmin
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StYMin(child: Expression) extends BoundExpr {
+  override def prettyName: String = "st_ymin"
+  override protected def pick(e: Envelope): Double = e.ymin
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StXMax(child: Expression) extends BoundExpr {
+  override def prettyName: String = "st_xmax"
+  override protected def pick(e: Envelope): Double = e.xmax
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StYMax(child: Expression) extends BoundExpr {
+  override def prettyName: String = "st_ymax"
+  override protected def pick(e: Envelope): Double = e.ymax
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_X / ST_Y / ST_Z — point ordinate; null for non-points/empties. */
+case class StX(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_x"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case p: Point if !p.isEmpty => p.x
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StY(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_y"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case p: Point if !p.isEmpty => p.y
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StZ(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_z"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case p: Point if !p.isEmpty && p.hasZ => p.z
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_IsEmpty(geom) → boolean (reference: README.md:14, roadmap item). */
+case class StIsEmpty(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isempty"
+  override protected def evalGeom(g: Geometry): Any = g.isEmpty
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_Dimension(geom) → topological dimension 0/1/2. */
+case class StDimension(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_dimension"
+  override protected def evalGeom(g: Geometry): Any = g.topoDim
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_NPoints(geom) → vertex count. */
+case class StNPoints(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_npoints"
+  override protected def evalGeom(g: Geometry): Any = g.numPoints
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_NumGeometries(geom) → member count (1 for simple types). */
+case class StNumGeometries(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_numgeometries"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case mp: MultiPoint => mp.points.length
+    case ml: MultiLineString => ml.lines.length
+    case mpg: MultiPolygon => mpg.polygons.length
+    case gc: GeometryCollection => gc.geoms.length
+    case other => if (other.isEmpty) 0 else 1
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_SRID(geom) → 0 (no CRS support, matching the reference's planar model). */
+case class StSrid(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_srid"
+  override protected def evalGeom(g: Geometry): Any = 0
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+// ---------------------------------------------------------------- measures
+
+case class StArea(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_area"
+  override protected def evalGeom(g: Geometry): Any = GeomOps.area(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StLength(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_length"
+  override protected def evalGeom(g: Geometry): Any = GeomOps.length(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StPerimeter(child: Expression) extends GeomUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_perimeter"
+  override protected def evalGeom(g: Geometry): Any = GeomOps.perimeter(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StCentroid(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_centroid"
+  override protected def evalGeom(g: Geometry): Any = toWkb(GeomOps.centroid(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StConvexHull(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_convexhull"
+  override protected def evalGeom(g: Geometry): Any = toWkb(GeomOps.convexHull(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(v: Any, tol: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) null else toWkb(GeomOps.simplify(g, tol.asInstanceOf[Double]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+abstract class GeomBinary extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def evalGeoms(a: Geometry, b: Geometry): Any
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = fromWkb(l); val b = fromWkb(r)
+    if (a == null || b == null) null else evalGeoms(a, b)
+  }
+}
+
+case class StDistance(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_distance"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = {
+    val d = GeomOps.distance(a, b)
+    if (d.isNaN) null else d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+// -------------------------------------------------------------- predicates
+
+case class StIntersects(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_intersects"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomOps.intersects(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StDisjoint(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_disjoint"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = !GeomOps.intersects(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StContains(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomOps.contains(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StWithin(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_within"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomOps.within(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+/** bbox-only intersection test — the cheap pre-filter for spatial joins. */
+case class StEnvIntersects(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_env_intersects"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    a.envelope.intersects(b.envelope)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_dwithin"
+  override protected def nullSafeEval(l: Any, r: Any, d: Any): Any = {
+    val a = fromWkb(l); val b = fromWkb(r)
+    if (a == null || b == null) null else GeomOps.dwithin(a, b, d.asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+// ------------------------------------------------- native-layout conversion
+
+/**
+ * Convert a GeoArrow-native nested column to WKB, given the declared
+ * geometry class (from GeoParquet `geo` metadata — the Spark-idiomatic
+ * replacement for the reference's hidden-literal-arg threading,
+ * reference: src/rules.rs:131-170).
+ *
+ * Accepted layouts (reference fixtures, FIXTURES.md §1):
+ *   Point            struct&lt;x,y[,z]&gt;
+ *   LineString       array&lt;struct&gt;        MultiPoint        array&lt;struct&gt;
+ *   Polygon          array&lt;array&lt;struct&gt;&gt; MultiLineString  array&lt;array&lt;struct&gt;&gt;
+ *   MultiPolygon     array&lt;array&lt;array&lt;struct&gt;&gt;&gt;
+ * plus interleaved `array&lt;double&gt;` coords at the innermost level.
+ */
+case class StNativeAsWkb(child: Expression, geometryType: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_native_as_wkb"
+
+  private lazy val converter: Any => Geometry = NativeLayout.converter(child.dataType, geometryType)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = converter(v)
+    if (g == null) null else geomutil.toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Decoders from Spark nested values (InternalRow/ArrayData) to [[Geometry]]. */
+object NativeLayout {
+
+  /** dim and a coord extractor from a struct or interleaved layout. */
+  private def coordReader(dt: DataType): (Int, Any => Array[Double]) = dt match {
+    case st: StructType =>
+      val dim = st.fields.length
+      (dim, { v =>
+        val row = v.asInstanceOf[InternalRow]
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { out(i) = row.getDouble(i); i += 1 }
+        out
+      })
+    case ArrayType(DoubleType, _) =>
+      (2, { v => v.asInstanceOf[ArrayData].toDoubleArray() })
+    case other => throw new IllegalArgumentException(s"not a coord layout: $other")
+  }
+
+  def converter(dt: DataType, geometryType: String): Any => Geometry = {
+    val gt = geometryType.toLowerCase
+    gt match {
+      case "point" =>
+        val (dim, rd) = coordReader(dt)
+        v => {
+          val c = rd(v)
+          if (c.length == 0 || c(0).isNaN) Point(Array.empty[Double], dim) else Point(c, dim)
+        }
+      case "linestring" | "multipoint" =>
+        val ArrayType(inner, _) = dt: @unchecked
+        val (dim, rd) = coordReader(inner)
+        if (gt == "linestring")
+          v => LineString(flatSeqOf(v, dim, rd, inner), dim)
+        else
+          v => {
+            val arr = v.asInstanceOf[ArrayData]
+            val pts = new Array[Point](arr.numElements())
+            var i = 0
+            while (i < pts.length) {
+              val c = readElem(arr, i, inner, rd)
+              pts(i) = if (c == null || c.length == 0 || c(0).isNaN) Point(Array.empty[Double], dim) else Point(c, dim)
+              i += 1
+            }
+            MultiPoint(pts, dim)
+          }
+      case "polygon" | "multilinestring" =>
+        val ArrayType(mid @ ArrayType(inner, _), _) = dt: @unchecked
+        val (dim, rd) = coordReader(inner)
+        if (gt == "polygon")
+          v => {
+            val arr = v.asInstanceOf[ArrayData]
+            val rings = new Array[Array[Double]](arr.numElements())
+            var i = 0
+            while (i < rings.length) {
+              rings(i) = flatSeqOf(arr.get(i, mid), dim, rd, inner)
+              i += 1
+            }
+            Polygon(rings, dim)
+          }
+        else
+          v => {
+            val arr = v.asInstanceOf[ArrayData]
+            val lines = new Array[LineString](arr.numElements())
+            var i = 0
+            while (i < lines.length) {
+              lines(i) = LineString(flatSeqOf(arr.get(i, mid), dim, rd, inner), dim)
+              i += 1
+            }
+            MultiLineString(lines, dim)
+          }
+      case "multipolygon" =>
+        val ArrayType(mid @ ArrayType(mid2 @ ArrayType(inner, _), _), _) = dt: @unchecked
+        val (dim, rd) = coordReader(inner)
+        v => {
+          val arr = v.asInstanceOf[ArrayData]
+          val polys = new Array[Polygon](arr.numElements())
+          var i = 0
+          while (i < polys.length) {
+            val rs = arr.get(i, mid).asInstanceOf[ArrayData]
+            val rings = new Array[Array[Double]](rs.numElements())
+            var j = 0
+            while (j < rings.length) {
+              rings(j) = flatSeqOf(rs.get(j, mid2), dim, rd, inner)
+              j += 1
+            }
+            polys(i) = Polygon(rings, dim)
+            i += 1
+          }
+          MultiPolygon(polys, dim)
+        }
+      case other => throw new IllegalArgumentException(s"unknown native geometry type: $other")
+    }
+  }
+
+  private def readElem(arr: ArrayData, i: Int, elemType: DataType, rd: Any => Array[Double]): Array[Double] = {
+    if (arr.isNullAt(i)) null else rd(arr.get(i, elemType))
+  }
+
+  private def flatSeqOf(v: Any, dim: Int, rd: Any => Array[Double], elemType: DataType): Array[Double] = {
+    if (v == null) return Array.empty[Double]
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      val c = rd(arr.get(i, elemType))
+      System.arraycopy(c, 0, out, i * dim, math.min(dim, c.length))
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,128 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.GraftShim.{column => toCol}
+import org.apache.spark.sql.functions.{min, max, struct, udaf}
+
+/**
+ * Column-API spatial function surface (the DataFrame-side analogue of the
+ * reference's registered UDFs, reference: examples/main.rs:21-25).
+ *
+ * Geometry columns are WKB `BinaryType`; see [[graft.spatial.StAsText]] et al.
+ */
+object functions {
+
+  private def expr(c: Column): Expression = org.apache.spark.sql.GraftShim.expression(c)
+
+  // constructors
+  def st_point(x: Column, y: Column): Column = toCol(StPoint(expr(x), expr(y)))
+  def st_makepoint(x: Column, y: Column, z: Column): Column =
+    toCol(StPointZ(expr(x), expr(y), expr(z)))
+  def st_geomfromtext(wkt: Column): Column = toCol(StGeomFromText(expr(wkt)))
+  def st_geomfromwkb(wkb: Column): Column = toCol(StGeomFromWkb(expr(wkb)))
+  def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    toCol(StMakeEnvelope(Seq(expr(xmin), expr(ymin), expr(xmax), expr(ymax))))
+
+  // accessors
+  def st_astext(g: Column): Column = toCol(StAsText(expr(g)))
+  def st_asbinary(g: Column): Column = toCol(StAsBinary(expr(g)))
+  def st_geometrytype(g: Column): Column = toCol(StGeometryType(expr(g)))
+  def st_envelope(g: Column): Column = toCol(StEnvelope(expr(g)))
+  def st_x(g: Column): Column = toCol(StX(expr(g)))
+  def st_y(g: Column): Column = toCol(StY(expr(g)))
+  def st_z(g: Column): Column = toCol(StZ(expr(g)))
+  def st_xmin(g: Column): Column = toCol(StXMin(expr(g)))
+  def st_ymin(g: Column): Column = toCol(StYMin(expr(g)))
+  def st_xmax(g: Column): Column = toCol(StXMax(expr(g)))
+  def st_ymax(g: Column): Column = toCol(StYMax(expr(g)))
+  def st_isempty(g: Column): Column = toCol(StIsEmpty(expr(g)))
+  def st_dimension(g: Column): Column = toCol(StDimension(expr(g)))
+  def st_npoints(g: Column): Column = toCol(StNPoints(expr(g)))
+  def st_numgeometries(g: Column): Column = toCol(StNumGeometries(expr(g)))
+  def st_srid(g: Column): Column = toCol(StSrid(expr(g)))
+
+  // measures
+  def st_area(g: Column): Column = toCol(StArea(expr(g)))
+  def st_length(g: Column): Column = toCol(StLength(expr(g)))
+  def st_perimeter(g: Column): Column = toCol(StPerimeter(expr(g)))
+  def st_centroid(g: Column): Column = toCol(StCentroid(expr(g)))
+  def st_convexhull(g: Column): Column = toCol(StConvexHull(expr(g)))
+  def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), expr(tol)))
+  def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
+
+  // predicates
+  def st_intersects(a: Column, b: Column): Column = toCol(StIntersects(expr(a), expr(b)))
+  def st_disjoint(a: Column, b: Column): Column = toCol(StDisjoint(expr(a), expr(b)))
+  def st_contains(a: Column, b: Column): Column = toCol(StContains(expr(a), expr(b)))
+  def st_within(a: Column, b: Column): Column = toCol(StWithin(expr(a), expr(b)))
+  def st_env_intersects(a: Column, b: Column): Column = toCol(StEnvIntersects(expr(a), expr(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    toCol(StDWithin(expr(a), expr(b), expr(d)))
+
+  /**
+   * ST_Extent as a *declarative* aggregate: a struct of built-in min/max over
+   * the streaming bbox accessors. Fully codegen'd, partial-aggregated
+   * map-side, no UDAF object serialization — the fastest form at scale.
+   * (Semantics: reference src/udafs/extent.rs:46-229, with merge bugs fixed.)
+   */
+  def st_extent(g: Column): Column =
+    struct(
+      min(st_xmin(g)).as("xmin"), min(st_ymin(g)).as("ymin"),
+      max(st_xmax(g)).as("xmax"), max(st_ymax(g)).as("ymax"))
+
+  /** The typed-Aggregator form of ST_Extent, for udaf registration. */
+  lazy val extentUdaf = udaf(new ExtentAggregator, org.apache.spark.sql.Encoders.BINARY)
+
+  /** Register every ST_* function for SQL use (`spark.sql("… ST_AsText(g) …")`).
+    * Mirrors the reference's UDF registration (examples/main.rs:21-27);
+    * names are case-insensitive in Spark SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r1(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+    def r2(name: String, f: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "built-in")
+    def r3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1), es(2)), "built-in")
+
+    r2("st_point", StPoint.apply)
+    r3("st_makepointz", StPointZ.apply)
+    r1("st_geomfromtext", StGeomFromText.apply)
+    r1("st_geometryfromtext", StGeomFromText.apply)
+    r1("st_geomfromwkb", StGeomFromWkb.apply)
+    reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es), "built-in")
+    r1("st_astext", StAsText.apply)
+    r1("st_asbinary", StAsBinary.apply)
+    r1("st_geometrytype", StGeometryType.apply)
+    r1("st_envelope", StEnvelope.apply)
+    r1("st_x", StX.apply)
+    r1("st_y", StY.apply)
+    r1("st_z", StZ.apply)
+    r1("st_xmin", StXMin.apply)
+    r1("st_ymin", StYMin.apply)
+    r1("st_xmax", StXMax.apply)
+    r1("st_ymax", StYMax.apply)
+    r1("st_isempty", StIsEmpty.apply)
+    r1("st_dimension", StDimension.apply)
+    r1("st_npoints", StNPoints.apply)
+    r1("st_numpoints", StNPoints.apply)
+    r1("st_numgeometries", StNumGeometries.apply)
+    r1("st_srid", StSrid.apply)
+    r1("st_area", StArea.apply)
+    r1("st_length", StLength.apply)
+    r1("st_perimeter", StPerimeter.apply)
+    r1("st_centroid", StCentroid.apply)
+    r1("st_convexhull", StConvexHull.apply)
+    r2("st_simplify", StSimplify.apply)
+    r2("st_distance", StDistance.apply)
+    r2("st_intersects", StIntersects.apply)
+    r2("st_disjoint", StDisjoint.apply)
+    r2("st_contains", StContains.apply)
+    r2("st_within", StWithin.apply)
+    r2("st_env_intersects", StEnvIntersects.apply)
+    r3("st_dwithin", StDWithin.apply)
+    // aggregate: typed Aggregator via UDF registry
+    spark.udf.register("st_extent", extentUdaf)
+  }
+}

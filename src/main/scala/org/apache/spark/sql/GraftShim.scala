@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge to Spark's package-private Expression <-> Column conversions
+ * (`org.apache.spark.sql.classic.ExpressionUtils`). Spark 4 hides the
+ * Column(expr) constructor behind the classic/connect split; extension
+ * libraries host a small shim in this package to reach it.
+ */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,120 @@
+package graft.spatial
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spatial.{functions => G}
+
+/** End-to-end Spark tests of the ST_* surface over the reference's own
+  * fixture files (read-only at /root/reference/data). */
+class SparkSpatialSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    functions.register(s)
+    s
+  }
+
+  private val dataDir = "/root/reference/data"
+
+  private def wkts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(G.st_astext(col("geometry")).as("wkt"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+
+  test("geo metadata parse") {
+    val cols = GeoIO.readGeoMetadata(spark, s"$dataDir/data-point-encoding_native.parquet")
+    assert(cols == Seq(GeoIO.GeoColumn("geometry", "point", Seq("Point"))))
+    val wkb = GeoIO.readGeoMetadata(spark, s"$dataDir/data-multipolygon-encoding_wkb.parquet")
+    assert(wkb == Seq(GeoIO.GeoColumn("geometry", "WKB", Seq("MultiPolygon"))))
+  }
+
+  test("point fixture native → ST_AsText matches reference content (generate_test_data.py:65-70)") {
+    val df = GeoIO.readGeoParquet(spark, s"$dataDir/data-point-encoding_native.parquet")
+    assert(wkts(df) == Seq("POINT (30.0 10.0)", "POINT EMPTY", null, "POINT (40.0 40.0)"))
+  }
+
+  test("all six geometry classes: native and wkb encodings agree") {
+    for (cls <- Seq("point", "linestring", "polygon", "multipoint", "multilinestring", "multipolygon")) {
+      val native = GeoIO.readGeoParquet(spark, s"$dataDir/data-$cls-encoding_native.parquet")
+      val wkb = GeoIO.readGeoParquet(spark, s"$dataDir/data-$cls-encoding_wkb.parquet")
+      assert(wkts(native) == wkts(wkb), s"class $cls")
+    }
+  }
+
+  test("wkt csv fixtures roundtrip through ST_GeomFromText") {
+    for (cls <- Seq("point", "linestring", "polygon", "multipoint", "multilinestring", "multipolygon")) {
+      val csv = spark.read.option("header", "true").csv(s"$dataDir/data-$cls-wkt.csv")
+      val viaText = csv.select(G.st_astext(G.st_geomfromtext(col("geometry"))).as("wkt"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      val native = GeoIO.readGeoParquet(spark, s"$dataDir/data-$cls-encoding_native.parquet")
+      assert(viaText == wkts(native), s"class $cls")
+    }
+  }
+
+  test("ST_GeometryType over wkb fixture (examples/main.rs query 1 shape)") {
+    val df = GeoIO.readGeoParquet(spark, s"$dataDir/data-multipolygon-encoding_wkb.parquet")
+    val types = df.select(G.st_geometrytype(col("geometry"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(types.toSet == Set("ST_MultiPolygon", null))
+  }
+
+  test("ST_Envelope + ST_Extent over fixtures (examples/main.rs:50-61)") {
+    val df = GeoIO.readGeoParquet(spark, s"$dataDir/data-linestring-encoding_native.parquet")
+    val env = df.select(G.st_astext(G.st_envelope(col("geometry"))).as("e"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(env == Seq(
+      "POLYGON ((10.0 10.0,40.0 10.0,40.0 40.0,10.0 40.0,10.0 10.0))",
+      "POLYGON EMPTY", null))
+    val ext = df.agg(G.st_extent(col("geometry")).as("extent")).selectExpr(
+      "extent.xmin", "extent.ymin", "extent.xmax", "extent.ymax").head()
+    assert(ext.getDouble(0) == 10.0 && ext.getDouble(1) == 10.0 &&
+      ext.getDouble(2) == 40.0 && ext.getDouble(3) == 40.0)
+  }
+
+  test("SQL registration: full query through spark.sql") {
+    GeoIO.readGeoParquet(spark, s"$dataDir/data-polygon-encoding_native.parquet")
+      .createOrReplaceTempView("polys")
+    val rows = spark.sql(
+      """SELECT ST_AsText(ST_Envelope(geometry)) AS env,
+        |       ST_GeometryType(geometry) AS gt,
+        |       ST_Area(geometry) AS area,
+        |       ST_NPoints(geometry) AS np
+        |FROM polys WHERE geometry IS NOT NULL""".stripMargin).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSet == Set("ST_Polygon"))
+    // udaf form of extent
+    val ext = spark.sql("SELECT st_extent(geometry) AS e FROM polys").head().getStruct(0)
+    assert(!ext.isNullAt(0))
+  }
+
+  test("predicates & measures through SQL") {
+    functions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  ST_Intersects(ST_GeomFromText('POLYGON ((0 0,10 0,10 10,0 10,0 0))'),
+        |                ST_Point(5.0D, 5.0D)) AS i,
+        |  ST_Contains(ST_GeomFromText('POLYGON ((0 0,10 0,10 10,0 10,0 0))'),
+        |              ST_GeomFromText('POLYGON ((2 2,4 2,4 4,2 4,2 2))')) AS c,
+        |  ST_Distance(ST_Point(0.0D, 0.0D), ST_Point(3.0D, 4.0D)) AS d,
+        |  ST_DWithin(ST_Point(0.0D, 0.0D), ST_Point(3.0D, 4.0D), 5.0D) AS dw,
+        |  ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))'))) AS ctr
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "POINT (2.0 2.0)")
+  }
+
+  test("expressions constant-fold (foldable) like Volatility::Immutable") {
+    val df = spark.sql("SELECT ST_AsText(ST_Point(1.0D, 2.0D)) AS t")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("POINT (1.0 2.0)"), s"not folded:\n$plan")
+  }
+}
