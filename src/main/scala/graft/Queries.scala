@@ -1,0 +1,578 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spatial.{functions => G}
+import graft.pipeline.{Dedup, Multimodal, Sessions, Similarity, Text}
+
+/**
+ * The declared operator surface: every entry is one operator/capability from
+ * SURVEY.md §2 (reference-inherited relational surface + the ST_* functions)
+ * or §7.6 (LLM-pipeline operators), with a DuckDB oracle where ANSI SQL can
+ * express the same semantics.
+ *
+ * Oracle-parity rules used throughout (so result hashes match bit-for-bit):
+ *  - every aggregate over 2-decimal money columns goes through
+ *    `CAST(... AS DECIMAL(18,2))` → exact sum in any order → `CAST(AS DOUBLE)`;
+ *  - integral-valued doubles (quantities, counts) sum exactly as doubles;
+ *  - per-row double arithmetic (sqrt, ratios) is identical IEEE in both
+ *    engines when the expression tree is identical;
+ *  - timestamps compare as `unix_micros`/`epoch_us` BIGINT;
+ *  - every query ends in a total ORDER BY on a unique key set;
+ *  - result column names are identical on both sides.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 rejects unless read as long — convert ns → µs TimestampType
+    * (exact: the generator emits µs-aligned values). */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — ns epochs exceed double's exact range
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  private def prep(spark: SparkSession, sfDir: String, names: String*): Unit = {
+    graft.spatial.functions.register(spark)
+    graft.pipeline.Text.register(spark)
+    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  }
+
+  // =============================================================== queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational surface (inherited operators, SURVEY §2.3-2.8) ----
+
+    "q01_pricing_summary" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_quantity < 50
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    "q02_topk_orders" -> ((s, d) => {
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+    }),
+
+    "q03_revenue_by_customer" -> ((s, d) => {
+      prep(s, d, "customer", "orders", "lineitem")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1.0 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    }),
+
+    "q04_orders_per_region" -> ((s, d) => {
+      prep(s, d, "region", "nation", "customer", "orders")
+      s.sql("""
+        SELECT r.r_name, count(*) AS n_orders
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name ORDER BY r.r_name""")
+    }),
+
+    "q05_semi_anti_join" -> ((s, d) => {
+      prep(s, d, "nation", "customer", "orders")
+      s.sql("""
+        SELECT n.n_name,
+               count(CASE WHEN o.has_o IS NOT NULL THEN 1 END) AS active_custs,
+               count(CASE WHEN o.has_o IS NULL THEN 1 END) AS inactive_custs
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT DISTINCT o_custkey, 1 AS has_o FROM orders) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name ORDER BY n.n_name""")
+    }),
+
+    "q06_distinct_counts" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT count(DISTINCT l_partkey) AS d_parts,
+               count(DISTINCT l_suppkey) AS d_supps,
+               count(DISTINCT l_orderkey) AS d_orders
+        FROM lineitem""")
+    }),
+
+    "q07_window_rank" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+          FROM lineitem) x
+        WHERE rnk <= 3
+        ORDER BY l_returnflag, rnk""")
+    }),
+
+    "q08_union_segments" -> ((s, d) => {
+      prep(s, d, "customer", "orders")
+      s.sql("""
+        SELECT custkey FROM (
+          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+          UNION
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') u
+        ORDER BY custkey""")
+    }),
+
+    "q09_except_inactive" -> ((s, d) => {
+      prep(s, d, "customer", "orders")
+      s.sql("""
+        SELECT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer
+          EXCEPT
+          SELECT DISTINCT o_custkey AS custkey FROM orders) e
+        ORDER BY custkey""")
+    }),
+
+    "q10_event_sessions" -> ((s, d) => {
+      // library operator (window-function sessionization, gap 30 min)
+      Sessions.sessionStats(events(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q11_orders_by_month" -> ((s, d) => {
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT unix_micros(date_trunc('month', o_orderdate)) AS month_us,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // ------------------- spatial surface (SURVEY §2.1) -------------------
+
+    "q12_st_astext_points" -> ((s, d) => {
+      prep(s, d, "customer")
+      s.sql("""
+        SELECT c_custkey,
+               ST_AsText(ST_Point(c_acctbal, CAST(c_nationkey AS DOUBLE))) AS wkt
+        FROM customer ORDER BY c_custkey""")
+    }),
+
+    "q13_st_extent" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      t(s, d, "lineitem")
+        .agg(G.st_extent(G.st_point(col("l_extendedprice"), col("l_quantity"))).as("e"))
+        .select(col("e.xmin").as("xmin"), col("e.ymin").as("ymin"),
+          col("e.xmax").as("xmax"), col("e.ymax").as("ymax"))
+    }),
+
+    "q14_st_envelope_area" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               ST_Area(ST_MakeEnvelope(min(l_extendedprice), min(l_quantity),
+                                       max(l_extendedprice), max(l_quantity))) AS area
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
+    }),
+
+    "q15_st_contains_filter" -> ((s, d) => {
+      prep(s, d, "customer")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_inside
+        FROM customer
+        WHERE ST_Contains(
+                ST_GeomFromText('POLYGON ((1000 2, 8000 2, 8000 20, 1000 20, 1000 2))'),
+                ST_Point(c_acctbal, CAST(c_nationkey AS DOUBLE)))
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
+    "q16_spatial_join" -> ((s, d) => {
+      prep(s, d, "customer", "supplier")
+      // bbox per market segment from customer points; suppliers within bbox
+      // → broadcast the 5-row bbox dim side (spatial predicate join)
+      s.sql("""
+        SELECT b.c_mktsegment, count(*) AS n_supp
+        FROM (
+          SELECT c_mktsegment,
+                 ST_MakeEnvelope(min(c_acctbal), CAST(min(c_nationkey) AS DOUBLE),
+                                 max(c_acctbal), CAST(max(c_nationkey) AS DOUBLE)) AS bbox
+          FROM customer GROUP BY c_mktsegment) b
+        JOIN supplier sp
+          ON ST_Contains(b.bbox, ST_Point(sp.s_acctbal, CAST(sp.s_nationkey AS DOUBLE)))
+        GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment""")
+    }),
+
+    "q17_st_distance" -> ((s, d) => {
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               ST_Distance(ST_Point(l_extendedprice, l_quantity),
+                           ST_Point(0.0D, 0.0D)) AS dist
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    "q18_st_geometrytype" -> ((s, d) => {
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT ST_GeometryType(ST_GeomFromText(
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'POINT (1 2)'
+                      WHEN o_orderkey % 3 = 1 THEN 'LINESTRING (0 0, 1 1)'
+                      ELSE 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' END)) AS gtype,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
+    "q19_st_hull_centroid" -> ((s, d) => {
+      // convex hull + centroid per order's point cloud — no SQL oracle
+      // (computational geometry); rows-only check
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               ST_AsText(ST_ConvexHull(ST_GeomFromText(
+                 concat('MULTIPOINT (', concat_ws(',',
+                   collect_list(concat('(', l_extendedprice, ' ', l_quantity, ')'))), ')')))) AS hull,
+               ST_NPoints(ST_ConvexHull(ST_GeomFromText(
+                 concat('MULTIPOINT (', concat_ws(',',
+                   collect_list(concat('(', l_extendedprice, ' ', l_quantity, ')'))), ')')))) AS hull_pts
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
+    }),
+
+    // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
+
+    "q20_doc_stats" -> ((s, d) => {
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+          Text.charCount(col("text")).as("n_chars"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.alphaRatio(col("text")).as("alpha_ratio"),
+          Text.avgWordLen(col("text")).as("avg_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q21_dedup_exact" -> ((s, d) => {
+      prep(s, d, "documents")
+      Dedup.exactDuplicateGroups(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("content_key")
+    }),
+
+    "q22_quality_filter" -> ((s, d) => {
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") > 0.5)
+        .orderBy("doc_id")
+    }),
+
+    "q23_lang_id" -> ((s, d) => {
+      // heuristic language ID — no SQL oracle; rows-only check
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q24_fingerprint_minhash" -> ((s, d) => {
+      // content sketches — no SQL oracle; rows-only check
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+          Text.fingerprint64(col("text")).as("fp64"),
+          Text.simhash64(col("text")).as("sh64"),
+          xxhash64(Text.minhash(col("text"), 64, 3)).as("minhash_key"))
+        .orderBy("doc_id")
+    }),
+
+    "q25_minhash_neardup" -> ((s, d) => {
+      // MinHash-LSH near-dup candidate pairs — no SQL oracle; rows-only
+      prep(s, d, "documents")
+      Dedup.minhashCandidatePairs(t(s, d, "documents"), "text", "doc_id")
+        .filter(col("est_jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q26_cosine_topk" -> ((s, d) => {
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q27_embedding_neardup" -> ((s, d) => {
+      // LSH-bucketed near-dup pairs — approximate; rows-only check
+      prep(s, d, "embeddings")
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.95, nBits = 6)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q28_embedding_norms" -> ((s, d) => {
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      emb.select(col("vec_id"), col("label"),
+          round(Similarity.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    "q29_multimodal_decode" -> ((s, d) => {
+      prep(s, d, "documents")
+      val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
+      media.select(col("media_id"), Multimodal.decodeImageStub(col("payload")).as("img"))
+        .select(col("img.width").as("width"))
+        .groupBy("width").agg(count(lit(1)).as("n"))
+        .orderBy("width")
+    })
+  )
+
+  // ================================================================ oracle
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+             avg(l_quantity) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_quantity < 50
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_topk_orders" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q03_revenue_by_customer" -> """
+      SELECT c.c_custkey, c.c_name,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q04_orders_per_region" -> """
+      SELECT r.r_name, count(*) AS n_orders
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY r.r_name ORDER BY r.r_name""",
+
+    "q05_semi_anti_join" -> """
+      SELECT n.n_name,
+             count(CASE WHEN o.has_o IS NOT NULL THEN 1 END) AS active_custs,
+             count(CASE WHEN o.has_o IS NULL THEN 1 END) AS inactive_custs
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN (SELECT DISTINCT o_custkey, 1 AS has_o FROM orders) o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name ORDER BY n.n_name""",
+
+    "q06_distinct_counts" -> """
+      SELECT count(DISTINCT l_partkey) AS d_parts,
+             count(DISTINCT l_suppkey) AS d_supps,
+             count(DISTINCT l_orderkey) AS d_orders
+      FROM lineitem""",
+
+    "q07_window_rank" -> """
+      SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        FROM lineitem) x
+      WHERE rnk <= 3
+      ORDER BY l_returnflag, rnk""",
+
+    "q08_union_segments" -> """
+      SELECT custkey FROM (
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') u
+      ORDER BY custkey""",
+
+    "q09_except_inactive" -> """
+      SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders) e
+      ORDER BY custkey""",
+
+    "q10_event_sessions" -> """
+      WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM lagged),
+      sessions AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq,
+             min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+
+    "q11_orders_by_month" -> """
+      SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q12_st_astext_points" -> """
+      SELECT c_custkey,
+             'POINT (' || CAST(c_acctbal AS VARCHAR) || ' ' ||
+             CAST(CAST(c_nationkey AS DOUBLE) AS VARCHAR) || ')' AS wkt
+      FROM customer ORDER BY c_custkey""",
+
+    "q13_st_extent" -> """
+      SELECT min(l_extendedprice) AS xmin, min(l_quantity) AS ymin,
+             max(l_extendedprice) AS xmax, max(l_quantity) AS ymax
+      FROM lineitem""",
+
+    // replicates the envelope-polygon shoelace evaluation order (5-point
+    // CCW ring, left-associated sum, /2.0, abs) for bit-exact parity
+    "q14_st_envelope_area" -> """
+      WITH b AS (
+        SELECT l_orderkey,
+               min(l_extendedprice) AS x0, min(l_quantity) AS y0,
+               max(l_extendedprice) AS x1, max(l_quantity) AS y1
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             abs(((x0 * y0 - x1 * y0) + (x1 * y1 - x1 * y0) +
+                  (x1 * y1 - x0 * y1) + (x0 * y0 - x0 * y1) +
+                  (x0 * y0 - x0 * y0)) / 2.0) AS area
+      FROM b ORDER BY l_orderkey""",
+
+    "q15_st_contains_filter" -> """
+      SELECT c_nationkey, count(*) AS n_inside
+      FROM customer
+      WHERE c_acctbal BETWEEN 1000 AND 8000
+        AND CAST(c_nationkey AS DOUBLE) BETWEEN 2 AND 20
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q16_spatial_join" -> """
+      SELECT b.c_mktsegment, count(*) AS n_supp
+      FROM (
+        SELECT c_mktsegment,
+               min(c_acctbal) AS xmin, CAST(min(c_nationkey) AS DOUBLE) AS ymin,
+               max(c_acctbal) AS xmax, CAST(max(c_nationkey) AS DOUBLE) AS ymax
+        FROM customer GROUP BY c_mktsegment) b
+      JOIN supplier sp
+        ON sp.s_acctbal BETWEEN b.xmin AND b.xmax
+       AND CAST(sp.s_nationkey AS DOUBLE) BETWEEN b.ymin AND b.ymax
+      GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment""",
+
+    "q17_st_distance" -> """
+      SELECT l_orderkey, l_linenumber,
+             sqrt(l_extendedprice * l_extendedprice + l_quantity * l_quantity) AS dist
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q18_st_geometrytype" -> """
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'ST_Point'
+                  WHEN o_orderkey % 3 = 1 THEN 'ST_LineString'
+                  ELSE 'ST_Polygon' END AS gtype,
+             count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q20_doc_stats" -> """
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS alpha_ratio,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')) END AS avg_word_len
+      FROM documents ORDER BY doc_id""",
+
+    "q21_dedup_exact" -> """
+      SELECT md5(text) AS content_key, count(*) AS dup_count,
+             min(doc_id) AS keeper_id
+      FROM documents GROUP BY md5(text) ORDER BY content_key""",
+
+    "q22_quality_filter" -> """
+      WITH m AS (
+        SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS alpha,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS digit
+        FROM documents)
+      SELECT doc_id,
+             greatest(least(len_score * 0.3 + alpha * 0.7 - (punct + digit) * 0.5, 1.0), 0.0) AS quality
+      FROM m
+      WHERE greatest(least(len_score * 0.3 + alpha * 0.7 - (punct + digit) * 0.5, 1.0), 0.0) > 0.5
+      ORDER BY doc_id""",
+
+    "q26_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q28_embedding_norms" -> """
+      SELECT vec_id, label,
+             round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+      FROM embeddings ORDER BY vec_id""",
+
+    "q29_multimodal_decode" -> """
+      SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n
+      FROM documents GROUP BY 1 ORDER BY 1"""
+  )
+}

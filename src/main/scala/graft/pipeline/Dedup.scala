@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators for training-data pipelines, designed for the
+ * 100 TB regime:
+ *
+ *  - exact:   one hash-shuffle on a 16-byte digest (never on raw text);
+ *             map-side partial aggregation applies.
+ *  - minhash: shingle → signature → LSH band explode → shuffle on
+ *             (band, bucket-hash) → within-bucket candidate pairs →
+ *             exact-similarity verify. The only shuffle key is a short
+ *             bucket hash; bucket skew is bounded because identical bands
+ *             imply near-identical docs.
+ *  - simhash: 64-bit sketch, banded into 4×16-bit chunks (Hamming ≤3 ⇒
+ *             at least one identical chunk) → bucket join → Hamming verify.
+ *
+ * All return DataFrames lazily — no driver-side collection anywhere.
+ */
+object Dedup {
+
+  /** Stable 128-bit content key — shuffle/dedup on this, not raw text. */
+  def contentKey(text: Column): Column = md5(text)
+
+  /**
+   * Exact dedup: keep the lowest-id row per identical content.
+   * One shuffle, on the digest.
+   */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact duplicate groups: (content_key, dup_count, keeper_id). */
+  def exactDuplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper_id"))
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs.
+   *
+   * @param numHashes  signature length (bands × rowsPerBand)
+   * @param bands      LSH bands; P(candidate) = 1-(1-s^r)^b for Jaccard s
+   * @param shingle    tokens per shingle
+   * @return (id_a, id_b, est_jaccard) with id_a < id_b — estimated Jaccard
+   *         from signature agreement of the full signatures.
+   */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingle: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+    // band b = hash(sig[b*rows .. (b+1)*rows)); explode to (band, bucket, id, sig)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /**
+   * Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming` (≤ 3
+   * guaranteed found with the 4-chunk banding; larger distances may be
+   * missed — standard LSH recall trade-off).
+   */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), Text.simhash64(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for given candidate pairs (or all pairs
+   * of a small df via self-join) — array built-ins only, fully codegen'd.
+   */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String, n: Int = 3,
+                   minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("grams"))
+    val a = sh.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val b = sh.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over embedding columns (`array<float>` / `array<double>`).
+ *
+ * Scale design:
+ *  - cosine/dot are built-in `zip_with` + `aggregate` expressions — codegen'd,
+ *    no UDF serialization;
+ *  - brute-force top-k broadcasts the (small) query set and computes
+ *    per-partition over the corpus, then a single top-k window per query —
+ *    a map-side scan of the corpus, one shuffle of k·|queries| rows;
+ *  - the LSH (random-hyperplane) variant buckets the corpus once (cheap,
+ *    deterministic signatures), joins queries by bucket, and re-ranks
+ *    exactly within buckets — the 100 TB path where a full scan per query
+ *    batch is too expensive.
+ */
+object Similarity {
+
+  /** Dot product of two equal-length numeric arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe on zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(d / (na * nb))
+  }
+
+  /**
+   * Brute-force exact cosine top-k.
+   *
+   * @param corpus  (idCol, vecCol) — the large side, scanned once
+   * @param queries (idCol, vecCol) — the small side, broadcast
+   * @return (query_id, neighbor_id, sim, rank) with rank 1..k per query,
+   *         ties broken by neighbor id for determinism. Self-matches excluded.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Deterministic random-hyperplane signature: bit j of the result is the
+   * sign of <v, h_j> where plane h_j's component i is a fixed hash-derived
+   * pseudo-gaussian. Same family on corpus and queries ⇒ near vectors
+   * collide with high probability (cosine LSH).
+   */
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long = 42L): Column = {
+    require(nBits >= 1 && nBits <= 32)
+    val bits: Seq[Column] = (0 until nBits).map { j =>
+      // h_j·v  = Σ_i v_i · g(j,i); g from xxhash64 of (seed, j, i) scaled to [-1,1]
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") *
+            (xxhash64(lit(seed), lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate cosine top-k: bucket by hyperplane signature,
+   * join queries to corpus within the bucket (and optionally neighboring
+   * buckets via multiple probes), re-rank exactly. Recall < 1; use
+   * `nBits` ≈ log2(|corpus|/avg_bucket_size).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, nBits: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= minCosine)
+      .distinct()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-quality metrics composed from built-in (codegen'd) functions wherever
+ * SQL can express them — only the sketches (lang-id/simhash/minhash/
+ * fingerprint) are custom expressions. Composition keeps everything inside
+ * whole-stage codegen and lets Catalyst push projections into the scan.
+ */
+object Text {
+
+  /** Whitespace token count; 0 for blank/empty. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") / length(text))
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
+
+  /** Word n-gram shingles as array<string> (consecutive-token join). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    // shingle i = tokens[i..i+n) joined — via transform over index range
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards mid-length docs with high
+   * letter content and penalizes punctuation/digit noise. A cheap, fully
+   * codegen'd scan-side metric for corpus filtering.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val noise = punctRatio(text) + digitRatio(text)
+    greatest(least(lenScore * 0.3 + alpha * 0.7 - noise * 0.5, lit(1.0)), lit(0.0))
+  }
+
+  // custom-expression wrappers
+  def langId(text: Column): Column = toCol(LangId(toExpr(text)))
+  def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))
+  def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
+  def minhash(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    toCol(MinHash(toExpr(text), numHashes, shingleSize))
+
+  /** Register the custom text expressions for SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash", {
+      case Seq(e) => MinHash(e, 64, 3)
+      case Seq(e, n, k) =>
+        MinHash(e,
+          n.eval().asInstanceOf[Number].intValue(),
+          k.eval().asInstanceOf[Number].intValue())
+      case es => MinHash(es.head, 64, 3)
+    }, "built-in")
+  }
+}

@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Text-analysis Catalyst expressions for large-scale training-data pipelines:
+ * language identification, document fingerprinting, SimHash, and MinHash
+ * signatures. All are deterministic, null-safe scalar expressions — they
+ * partition trivially, never shuffle by themselves, and stay inside
+ * whole-stage codegen via CodegenFallback eval calls.
+ *
+ * (Beyond-reference scope mandated by the harness: SURVEY.md §7.6 /
+ * BASELINE.json north_star — the reference itself has no text surface.)
+ */
+object TextUtil {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the shared base hash. */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def fnv1a64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fnv1a64(b, 0, b.length)
+  }
+
+  /** splitmix64 — seeds the per-permutation hash families. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Lowercased word tokens (letters/digits runs). */
+  def tokenize(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](32)
+    val n = s.length
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isWord = i < n && Character.isLetterOrDigit(s.charAt(i))
+      if (isWord && start < 0) start = i
+      else if (!isWord && start >= 0) {
+        out += s.substring(start, i).toLowerCase
+        start = -1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  // ----------------------------------------------------------- language id
+
+  /** Top stopwords per language (public-knowledge frequency lists). */
+  private val profiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "for", "it", "as",
+      "was", "with", "be", "by", "on", "not", "this", "are", "or", "his", "from",
+      "at", "which", "but", "have", "an", "they", "you", "were", "her"),
+    "de" -> Set("der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+      "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als",
+      "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "bei"),
+    "fr" -> Set("de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+      "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au", "sur",
+      "ne", "se", "ce", "il", "sont", "aux", "avec", "son", "mais", "nous"),
+    "es" -> Set("de", "la", "que", "el", "en", "los", "del", "se", "las", "por",
+      "un", "para", "con", "no", "una", "su", "al", "lo", "como", "más", "pero",
+      "sus", "le", "ya", "o", "este", "sí", "porque", "esta", "entre"),
+    "it" -> Set("di", "il", "che", "la", "per", "in", "un", "una", "sono",
+      "con", "non", "le", "si", "da", "del", "lo", "al", "dei", "nel", "alla",
+      "più", "anche", "come", "ma", "questo"),
+    "pt" -> Set("de", "que", "do", "da", "em", "um", "para", "é", "com", "não",
+      "uma", "os", "no", "se", "na", "por", "mais", "as", "dos", "como",
+      "mas", "foi", "ao", "ele", "das"),
+    "nl" -> Set("de", "van", "het", "een", "en", "dat", "op", "te", "zijn",
+      "met", "die", "voor", "niet", "aan", "er", "om", "ook", "als", "dan",
+      "maar", "bij", "uit", "naar", "heeft", "worden"))
+
+  /**
+   * Heuristic language ID: script detection for non-Latin scripts
+   * (zh/ja/ko/ru/ar/hi), stopword-profile voting for Latin-script languages.
+   * Returns ISO-639-1 code or "und".
+   */
+  def langId(s: String): String = {
+    if (s == null || s.isEmpty) return "und"
+    // script histogram over at most the first 4096 chars
+    val n = math.min(s.length, 4096)
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0
+    var deva = 0; var latin = 0; var letters = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        b match {
+          case Character.UnicodeScript.HAN => han += 1
+          case Character.UnicodeScript.HIRAGANA | Character.UnicodeScript.KATAKANA => kana += 1
+          case Character.UnicodeScript.HANGUL => hangul += 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1
+          case Character.UnicodeScript.ARABIC => arab += 1
+          case Character.UnicodeScript.DEVANAGARI => deva += 1
+          case Character.UnicodeScript.LATIN => latin += 1
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    if (letters == 0) return "und"
+    if (kana * 5 > letters) return "ja"
+    if (han * 2 > letters) return "zh"
+    if (hangul * 2 > letters) return "ko"
+    if (cyr * 2 > letters) return "ru"
+    if (arab * 2 > letters) return "ar"
+    if (deva * 2 > letters) return "hi"
+    // Latin script: stopword voting
+    val toks = tokenize(if (s.length > 4096) s.substring(0, 4096) else s)
+    if (toks.isEmpty) return "und"
+    var bestLang = "und"
+    var bestHits = 0
+    profiles.foreach { case (lang, words) =>
+      var hits = 0
+      var t = 0
+      while (t < toks.length) { if (words.contains(toks(t))) hits += 1; t += 1 }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+    }
+    // require a minimal stopword density to claim a language
+    if (bestHits * 20 >= toks.length) bestLang else "und"
+  }
+
+  // ------------------------------------------------------------- sketches
+
+  /** 64-bit SimHash over token unigrams (bitwise majority vote of hashes). */
+  def simhash64(s: String): Long = {
+    val toks = tokenize(s)
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = fnv1a64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * MinHash signature: `numHashes` permutations over `shingleSize`-token
+   * shingles. Permutation i applies the affine family
+   * h_i(x) = splitmix(seed_i) * x + splitmix(seed_i ^ mix) with fixed seeds,
+   * so signatures are reproducible across executors and runs.
+   */
+  def minhash(s: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val toks = tokenize(s)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (toks.length < shingleSize) return sig
+    // base hashes of each shingle
+    val nSh = toks.length - shingleSize + 1
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < shingleSize) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val base = fnv1a64(sb.toString)
+      var j = 0
+      while (j < numHashes) {
+        val a = splitmix64(0x5851f42d4c957f2dL + j) | 1L // odd multiplier
+        val b = splitmix64(0x14057b7ef767814fL ^ j)
+        val h = a * base + b
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit content fingerprint: FNV-1a over whitespace-normalized tokens. */
+  def fingerprint64(s: String): Long = {
+    val toks = tokenize(s)
+    var h = 0xcbf29ce484222325L
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var i = 0
+      while (i < tok.length) {
+        h ^= (tok.charAt(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= ' ' & 0xffL
+      h *= 0x100000001b3L
+      t += 1
+    }
+    h
+  }
+}
+
+abstract class TextUnary extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def evalText(s: String): Any
+  override protected def nullSafeEval(v: Any): Any = evalText(v.asInstanceOf[UTF8String].toString)
+}
+
+/** lang_id(text) → ISO code string ("en", "zh", … or "und"). */
+case class LangId(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def evalText(s: String): Any = UTF8String.fromString(TextUtil.langId(s))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** fingerprint64(text) → 64-bit token-stream fingerprint. */
+case class Fingerprint64(child: Expression) extends TextUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  override protected def evalText(s: String): Any = TextUtil.fingerprint64(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(text) → 64-bit near-duplicate sketch. */
+case class SimHash64(child: Expression) extends TextUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def evalText(s: String): Any = TextUtil.simhash64(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash(text, numHashes, shingleSize) → array<long> signature. */
+case class MinHash(child: Expression, numHashes: Int, shingleSize: Int) extends TextUnary {
+  require(numHashes > 0 && shingleSize > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash"
+  override protected def evalText(s: String): Any =
+    new GenericArrayData(TextUtil.minhash(s, numHashes, shingleSize))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

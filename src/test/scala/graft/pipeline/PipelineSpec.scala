@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  import scala.jdk.CollectionConverters._
+
+  // ------------------------------------------------------------- lang id
+
+  test("langId on real-language samples") {
+    assert(TextUtil.langId("The quick brown fox jumps over the lazy dog and it was not the end of this") == "en")
+    assert(TextUtil.langId("Der schnelle braune Fuchs springt über den faulen Hund und das ist nicht das Ende") == "de")
+    assert(TextUtil.langId("Le renard brun rapide saute par-dessus le chien paresseux et ce n'est pas la fin de la journée") == "fr")
+    assert(TextUtil.langId("El rápido zorro marrón salta sobre el perro perezoso y no es el final de la semana para los niños") == "es")
+    assert(TextUtil.langId("这是一个中文句子，用来测试语言识别功能。") == "zh")
+    assert(TextUtil.langId("Это русское предложение для проверки определения языка") == "ru")
+    assert(TextUtil.langId("これはひらがなとカタカナのテストです") == "ja")
+    assert(TextUtil.langId("") == "und")
+    assert(TextUtil.langId("12345 67890 !!!") == "und")
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val a = TextUtil.simhash64("the quick brown fox jumps over the lazy dog near the river bank today")
+    val b = TextUtil.simhash64("the quick brown fox jumps over the lazy dog near the river bank tonight")
+    val c = TextUtil.simhash64("completely different subject matter about databases and query optimization")
+    assert(TextUtil.hamming64(a, b) < 12)
+    assert(TextUtil.hamming64(a, c) > TextUtil.hamming64(a, b))
+  }
+
+  test("minhash: jaccard estimate tracks true overlap") {
+    val t1 = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 60).map(i => if (i <= 54) s"tok$i" else s"other$i").mkString(" ") // ~90% shared
+    val t3 = (1 to 60).map(i => s"unrelated$i").mkString(" ")
+    val s1 = TextUtil.minhash(t1, 128, 3)
+    val s2 = TextUtil.minhash(t2, 128, 3)
+    val s3 = TextUtil.minhash(t3, 128, 3)
+    def est(a: Array[Long], b: Array[Long]) = a.zip(b).count { case (x, y) => x == y } / 128.0
+    assert(est(s1, s2) > 0.6)
+    assert(est(s1, s3) < 0.1)
+    // determinism
+    assert(TextUtil.minhash(t1, 128, 3).sameElements(s1))
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("exact dedup keeps lowest id per content") {
+    val df = docs(Seq(1L -> "aaa bbb", 2L -> "ccc ddd", 3L -> "aaa bbb", 4L -> "eee"))
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+    val groups = Dedup.exactDuplicateGroups(df, "text", "doc_id")
+      .filter(col("dup_count") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 80).map(i => s"z$i").mkString(" ")
+    val df = docs(Seq(10L -> base, 20L -> near, 30L -> far))
+    val pairs = Dedup.minhashCandidatePairs(df, "text", "doc_id")
+      .filter(col("est_jaccard") > 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 20L)))
+  }
+
+  test("simhash near-dup pairs finds planted pair") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val near = (1 to 100).map(i => if (i == 50) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 100).map(i => s"q$i").mkString(" ")
+    val df = docs(Seq(1L -> base, 2L -> near, 3L -> far))
+    val pairs = Dedup.simhashNearDupPairs(df, "text", "doc_id", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard exact") {
+    val df = docs(Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v"))
+    val j = Dedup.ngramJaccard(df, "text", "doc_id", n = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // bigrams of 1: {ab,bc,cd,de}, of 2: {ab,bc,cd,df} → |∩|=3, |∪|=5
+    assert(math.abs(j((1L, 2L)) - 0.6) < 1e-9)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("text metrics") {
+    val df = docs(Seq(1L -> "Hello world, 42 things!", 2L -> ""))
+    val r = df.select(
+      Text.tokenCount(col("text")), Text.alphaRatio(col("text")),
+      Text.digitRatio(col("text")), Text.punctRatio(col("text")),
+      Text.qualityScore(col("text"))).collect()
+    assert(r(0).getInt(0) == 4)
+    assert(r(0).getDouble(1) > 0.5)
+    assert(r(0).getDouble(2) > 0.0)
+    assert(r(0).getDouble(3) > 0.0)
+    assert(r(1).getInt(0) == 0)
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  test("brute-force cosine top-k matches manual computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val got = topk.filter(col("query_id") === 0).orderBy(col("rank"))
+      .select("neighbor_id", "sim").collect()
+    assert(got.length == 5)
+    // manual: compute cosine of vec 0 against all, in scala
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v.map(_.toDouble))) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == expect.toSeq)
+  }
+
+  test("lsh top-k returns plausible neighbors with exact rerank") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+    val r = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3, nBits = 4).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Int]("rank") <= 3))
+  }
+
+  // -------------------------------------------------------------- events
+
+  test("sessionization splits on gap") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2026-01-01 10:10:00"), 2.0),
+      (1L, Timestamp.valueOf("2026-01-01 12:00:00"), 3.0), // gap > 30min → new session
+      (2L, Timestamp.valueOf("2026-01-01 10:00:00"), 4.0))
+    val df = spark.createDataFrame(rows).toDF("user_id", "ts", "value")
+    val sess = Sessions.sessionize(df)
+    val got = sess.select("user_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(got(1L) == 2L)
+    assert(got(2L) == 1L)
+    val stats = Sessions.sessionStats(df).filter(col("user_id") === 1 && col("session_seq") === 1).head()
+    assert(stats.getAs[Long]("n_events") == 2L)
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal stub plumbing: decode, featurize, frames") {
+    val base = spark.range(10).toDF("id")
+    val media = Multimodal.syntheticMedia(base, "id")
+    val decoded = media.select(col("media_id"), Multimodal.decodeImageStub(col("payload")).as("img"))
+      .select(col("media_id"), col("img.width"), col("img.height"), col("img.n_pixels"))
+      .collect()
+    assert(decoded.forall { r =>
+      val id = r.getLong(0)
+      r.getInt(1) == 64 + (id % 64).toInt && r.getInt(2) == 64 + (id % 48).toInt
+    })
+    val feats = media.select(Multimodal.featurizeStub(col("payload"), 16).as("f")).head().getSeq[Float](0)
+    assert(feats.length == 16 && feats.forall(f => f >= -1.0f && f <= 1.0f))
+    val frames = Multimodal.sampleFrames(media, "payload", frameCount = 8, everyN = 2)
+    assert(frames.count() == 10 * 4)
+  }
+}
