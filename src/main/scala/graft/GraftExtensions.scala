@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.spatial._
+import graft.pipeline.{Fingerprint64, LangId, MinHash, SimHash64}
+
+/**
+ * SparkSessionExtensions provider: makes every graft function available in
+ * SQL cluster-wide via configuration —
+ *
+ *   spark.sql.extensions=graft.GraftExtensions
+ *
+ * — the Spark analogue of the reference's per-session registration
+ * (reference: examples/main.rs:16-27: register_udf × 3, register_udaf,
+ * add_analyzer_rule). No analyzer rule is injected: the reference's rule
+ * exists only to thread GeoParquet metadata into UDF calls
+ * (reference: src/rules.rs:20-170), which this engine replaces with
+ * load-time conversion to canonical WKB ([[graft.spatial.GeoIO]]).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  private def inject(e: SparkSessionExtensions, name: String,
+                     builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // constructors
+    inject(e, "st_point", es => StPoint(es(0), es(1)))
+    inject(e, "st_makepointz", es => StPointZ(es(0), es(1), es(2)))
+    inject(e, "st_geomfromtext", es => StGeomFromText(es.head))
+    inject(e, "st_geometryfromtext", es => StGeomFromText(es.head))
+    inject(e, "st_geomfromwkb", es => StGeomFromWkb(es.head))
+    inject(e, "st_makeenvelope", es => StMakeEnvelope(es))
+    // accessors
+    inject(e, "st_astext", es => StAsText(es.head))
+    inject(e, "st_asbinary", es => StAsBinary(es.head))
+    inject(e, "st_geometrytype", es => StGeometryType(es.head))
+    inject(e, "st_envelope", es => StEnvelope(es.head))
+    inject(e, "st_x", es => StX(es.head))
+    inject(e, "st_y", es => StY(es.head))
+    inject(e, "st_z", es => StZ(es.head))
+    inject(e, "st_xmin", es => StXMin(es.head))
+    inject(e, "st_ymin", es => StYMin(es.head))
+    inject(e, "st_xmax", es => StXMax(es.head))
+    inject(e, "st_ymax", es => StYMax(es.head))
+    inject(e, "st_isempty", es => StIsEmpty(es.head))
+    inject(e, "st_dimension", es => StDimension(es.head))
+    inject(e, "st_npoints", es => StNPoints(es.head))
+    inject(e, "st_numpoints", es => StNPoints(es.head))
+    inject(e, "st_numgeometries", es => StNumGeometries(es.head))
+    inject(e, "st_srid", es => StSrid(es.head))
+    // measures
+    inject(e, "st_area", es => StArea(es.head))
+    inject(e, "st_length", es => StLength(es.head))
+    inject(e, "st_perimeter", es => StPerimeter(es.head))
+    inject(e, "st_centroid", es => StCentroid(es.head))
+    inject(e, "st_convexhull", es => StConvexHull(es.head))
+    inject(e, "st_simplify", es => StSimplify(es(0), es(1)))
+    inject(e, "st_distance", es => StDistance(es(0), es(1)))
+    // predicates
+    inject(e, "st_intersects", es => StIntersects(es(0), es(1)))
+    inject(e, "st_disjoint", es => StDisjoint(es(0), es(1)))
+    inject(e, "st_contains", es => StContains(es(0), es(1)))
+    inject(e, "st_within", es => StWithin(es(0), es(1)))
+    inject(e, "st_env_intersects", es => StEnvIntersects(es(0), es(1)))
+    inject(e, "st_dwithin", es => StDWithin(es(0), es(1), es(2)))
+    inject(e, "st_equals", es => StEquals(es(0), es(1)))
+    inject(e, "st_touches", es => StTouches(es(0), es(1)))
+    inject(e, "st_crosses", es => StCrosses(es(0), es(1)))
+    inject(e, "st_overlaps", es => StOverlaps(es(0), es(1)))
+    inject(e, "st_relate", es => StRelate(es(0), es(1)))
+    inject(e, "st_issimple", es => StIsSimple(es.head))
+    inject(e, "st_boundary", es => StBoundary(es.head))
+    // set-theoretic / constructive
+    inject(e, "st_intersection", es => StIntersection(es(0), es(1)))
+    inject(e, "st_difference", es => StDifference(es(0), es(1)))
+    inject(e, "st_union", es => StUnion(es(0), es(1)))
+    inject(e, "st_symdifference", es => StSymDifference(es(0), es(1)))
+    inject(e, "st_buffer", es => StBuffer(es(0), es(1)))
+    // text pipeline
+    inject(e, "lang_id", es => LangId(es.head))
+    inject(e, "fingerprint64", es => Fingerprint64(es.head))
+    inject(e, "simhash64", es => SimHash64(es.head))
+    inject(e, "minhash", {
+      case Seq(x) => MinHash(x, 64, 3)
+      case Seq(x, n, k) => MinHash(x,
+        n.eval().asInstanceOf[Number].intValue(),
+        k.eval().asInstanceOf[Number].intValue())
+      case es => MinHash(es.head, 64, 3)
+    })
+  }
+}

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,20 +21,14 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length numeric arrays, in double
+    * (native expression — see [[VecDot]] for why not zip_with/aggregate). */
+  def dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = toCol(VecNorm(toExpr(a)))
 
   /** Cosine similarity; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(d / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column = toCol(VecCosine(toExpr(a), toExpr(b)))
 
   /**
    * Brute-force exact cosine top-k.
@@ -62,19 +57,8 @@ object Similarity {
    * pseudo-gaussian. Same family on corpus and queries ⇒ near vectors
    * collide with high probability (cosine LSH).
    */
-  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long = 42L): Column = {
-    require(nBits >= 1 && nBits <= 32)
-    val bits: Seq[Column] = (0 until nBits).map { j =>
-      // h_j·v  = Σ_i v_i · g(j,i); g from xxhash64 of (seed, j, i) scaled to [-1,1]
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-          v.cast("double") *
-            (xxhash64(lit(seed), lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long = 42L): Column =
+    toCol(HyperplaneSig(toExpr(vec), nBits, seed))
 
   /**
    * LSH-bucketed approximate cosine top-k: bucket by hyperplane signature,

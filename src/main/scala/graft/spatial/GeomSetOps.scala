@@ -1,0 +1,616 @@
+package graft.spatial
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Set-theoretic / constructive operations and the remaining relationship
+ * predicates from the reference's declared scope (reference: README.md:8-39 —
+ * all unchecked `[ ]` there; this is the extension roadmap SURVEY §7.6).
+ *
+ * Implementation envelope (documented limitations, planar/simple-feature):
+ *  - polygon×polygon overlay (intersection/difference/union/symdifference)
+ *    requires at least ONE CONVEX operand: intersection is Sutherland–
+ *    Hodgman clipping; difference decomposes the convex operand into
+ *    half-planes. Non-convex × non-convex returns null (SQL NULL).
+ *  - union/symdifference emit non-dissolved MultiPolygons (area-correct,
+ *    piecewise-disjoint; shared boundaries are not merged).
+ *  - buffer: disks for points, capsules (hull of endpoint disks) for
+ *    segments, `quadSegs`×4-gon circle approximation; polygon buffer =
+ *    polygon ⊎ boundary capsules (approximate).
+ */
+object GeomSetOps {
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Ring as (x,y) pairs without the closing duplicate. */
+  private def openRing(cs: Array[Double], dim: Int): Array[(Double, Double)] = {
+    val n = cs.length / dim
+    val out = new ArrayBuffer[(Double, Double)](n)
+    var i = 0
+    while (i < n) {
+      out += ((cs(i * dim), cs(i * dim + 1)))
+      i += 1
+    }
+    while (out.length > 1 && out.head == out.last) out.remove(out.length - 1)
+    out.toArray
+  }
+
+  private def closeRing(pts: Array[(Double, Double)]): Array[Double] = {
+    val out = new Array[Double]((pts.length + 1) * 2)
+    var i = 0
+    while (i < pts.length) { out(i * 2) = pts(i)._1; out(i * 2 + 1) = pts(i)._2; i += 1 }
+    out(pts.length * 2) = pts(0)._1
+    out(pts.length * 2 + 1) = pts(0)._2
+    out
+  }
+
+  /** Is this single-ring polygon convex? (holes → not convex) */
+  def isConvex(pg: Polygon): Boolean = {
+    if (pg.isEmpty || pg.rings.length != 1) return false
+    val r = openRing(pg.rings(0), pg.dim)
+    if (r.length < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < r.length) {
+      val a = r(i); val b = r((i + 1) % r.length); val c = r((i + 2) % r.length)
+      val o = orient(a._1, a._2, b._1, b._2, c._1, c._2)
+      if (o != 0) {
+        val s = if (o > 0) 1 else -1
+        if (sign == 0) sign = s
+        else if (sign != s) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** CCW-oriented open ring of a convex polygon. */
+  private def ccwRing(pg: Polygon): Array[(Double, Double)] = {
+    val r = openRing(pg.rings(0), pg.dim)
+    var area2 = 0.0
+    var i = 0
+    while (i < r.length) {
+      val j = (i + 1) % r.length
+      area2 += r(i)._1 * r(j)._2 - r(j)._1 * r(i)._2
+      i += 1
+    }
+    if (area2 < 0) r.reverse else r
+  }
+
+  /** Sutherland–Hodgman: clip `subject` ring by CCW convex ring `clip`. */
+  private def clipRing(subject: Array[(Double, Double)],
+                       clip: Array[(Double, Double)]): Array[(Double, Double)] = {
+    var out = subject
+    var e = 0
+    while (e < clip.length && out.length > 0) {
+      val a = clip(e); val b = clip((e + 1) % clip.length)
+      out = clipHalfPlane(out, a._1, a._2, b._1, b._2)
+      e += 1
+    }
+    out
+  }
+
+  /** Keep the part of `ring` on/left of directed line (ax,ay)→(bx,by). */
+  private def clipHalfPlane(ring: Array[(Double, Double)],
+                            ax: Double, ay: Double, bx: Double, by: Double): Array[(Double, Double)] = {
+    if (ring.isEmpty) return ring
+    val out = new ArrayBuffer[(Double, Double)](ring.length + 4)
+    var i = 0
+    while (i < ring.length) {
+      val cur = ring(i)
+      val prev = ring((i + ring.length - 1) % ring.length)
+      val curIn = orient(ax, ay, bx, by, cur._1, cur._2) >= 0
+      val prevIn = orient(ax, ay, bx, by, prev._1, prev._2) >= 0
+      if (curIn) {
+        if (!prevIn) out += lineIntersect(prev, cur, (ax, ay), (bx, by))
+        out += cur
+      } else if (prevIn) {
+        out += lineIntersect(prev, cur, (ax, ay), (bx, by))
+      }
+      i += 1
+    }
+    // drop consecutive duplicates
+    val ded = new ArrayBuffer[(Double, Double)](out.length)
+    out.foreach { p => if (ded.isEmpty || ded.last != p) ded += p }
+    while (ded.length > 1 && ded.head == ded.last) ded.remove(ded.length - 1)
+    if (ded.length < 3) Array.empty else ded.toArray
+  }
+
+  /** Intersection of segment p→q with infinite line a→b. */
+  private def lineIntersect(p: (Double, Double), q: (Double, Double),
+                            a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+    val dx = q._1 - p._1; val dy = q._2 - p._2
+    val ex = b._1 - a._1; val ey = b._2 - a._2
+    val denom = dx * ey - dy * ex
+    if (denom == 0) return q
+    val t = ((a._1 - p._1) * ey - (a._2 - p._2) * ex) / denom
+    (p._1 + t * dx, p._2 + t * dy)
+  }
+
+  private def ringToPolygon(r: Array[(Double, Double)]): Option[Polygon] =
+    if (r.length < 3) None
+    else {
+      var area2 = 0.0
+      var i = 0
+      while (i < r.length) {
+        val j = (i + 1) % r.length
+        area2 += r(i)._1 * r(j)._2 - r(j)._1 * r(i)._2
+        i += 1
+      }
+      if (area2 == 0) None else Some(Polygon(Array(closeRing(r)), 2))
+    }
+
+  private def asConvexFirst(a: Polygon, b: Polygon): Option[(Polygon, Polygon, Boolean)] =
+    if (isConvex(a)) Some((a, b, false))
+    else if (isConvex(b)) Some((b, a, true))
+    else None
+
+  /** polygon ∩ polygon; requires one convex operand. */
+  def intersectConvex(a: Polygon, b: Polygon): Option[Geometry] =
+    asConvexFirst(a, b).map { case (convex, other, _) =>
+      if (other.rings.length != 1) {
+        // holes in subject: clip outer, subtract clipped holes via difference
+        val outer = clipRing(openRing(other.rings(0), other.dim), ccwRing(convex))
+        ringToPolygon(outer) match {
+          case None => Polygon(Array.empty, 2)
+          case Some(p) => p // hole interaction ignored in clip output
+        }
+      } else {
+        val res = clipRing(openRing(other.rings(0), other.dim), ccwRing(convex))
+        ringToPolygon(res).getOrElse(Polygon(Array.empty, 2))
+      }
+    }
+
+  /**
+   * subject − convex: decompose the convex polygon's complement into
+   * half-plane wedges: piece_i = subject ∩ outside(e_i) ∩ inside(e_1..i-1).
+   * Pieces are pairwise disjoint → MultiPolygon.
+   */
+  def differenceByConvex(subject: Polygon, convex: Polygon): MultiPolygon = {
+    val clip = ccwRing(convex)
+    val subj = openRing(subject.rings(0), subject.dim)
+    val pieces = new ArrayBuffer[Polygon]
+    var i = 0
+    while (i < clip.length) {
+      var piece = subj
+      // inside previous edges
+      var j = 0
+      while (j < i && piece.nonEmpty) {
+        val a = clip(j); val b = clip((j + 1) % clip.length)
+        piece = clipHalfPlane(piece, a._1, a._2, b._1, b._2)
+        j += 1
+      }
+      // outside edge i (reverse the directed edge → opposite half-plane)
+      if (piece.nonEmpty) {
+        val a = clip(i); val b = clip((i + 1) % clip.length)
+        piece = clipHalfPlane(piece, b._1, b._2, a._1, a._2)
+      }
+      ringToPolygon(piece).foreach(pieces += _)
+      i += 1
+    }
+    MultiPolygon(pieces.toArray, 2)
+  }
+
+  /** General dispatch: intersection across geometry classes. */
+  def intersection(a: Geometry, b: Geometry): Option[Geometry] = {
+    if (a.isEmpty || b.isEmpty) return Some(GeometryCollection(Array.empty, 2))
+    (a, b) match {
+      case (p: Point, g) => Some(if (GeomOps.intersects(p, g)) p else Point.empty)
+      case (g, p: Point) => Some(if (GeomOps.intersects(p, g)) p else Point.empty)
+      case (mp: MultiPoint, g) =>
+        Some(MultiPoint(mp.points.filter(p => !p.isEmpty && GeomOps.intersects(p, g)), mp.dim))
+      case (g, mp: MultiPoint) =>
+        Some(MultiPoint(mp.points.filter(p => !p.isEmpty && GeomOps.intersects(p, g)), mp.dim))
+      case (pa: Polygon, pb: Polygon) => intersectConvex(pa, pb)
+      case (pa: Polygon, mb: MultiPolygon) =>
+        val parts = mb.polygons.flatMap(p => intersectConvex(pa, p)).collect {
+          case p: Polygon if !p.isEmpty => p
+        }
+        Some(MultiPolygon(parts, 2))
+      case (ma: MultiPolygon, pb: Polygon) => intersection(pb, ma)
+      case _ => None // line overlay not supported
+    }
+  }
+
+  def difference(a: Geometry, b: Geometry): Option[Geometry] = {
+    if (a.isEmpty) return Some(GeometryCollection(Array.empty, 2))
+    if (b.isEmpty) return Some(a)
+    (a, b) match {
+      case (p: Point, g) => Some(if (GeomOps.intersects(p, g)) Point.empty else p)
+      case (mp: MultiPoint, g) =>
+        Some(MultiPoint(mp.points.filter(p => !p.isEmpty && !GeomOps.intersects(p, g)), mp.dim))
+      case (pa: Polygon, pb: Polygon) if isConvex(pb) => Some(differenceByConvex(pa, pb))
+      case _ => None
+    }
+  }
+
+  /** Union: A ⊎ (B − A) when a convex operand allows difference; else
+    * disjoint inputs become a MultiPolygon/collection. Non-dissolved. */
+  def union(a: Geometry, b: Geometry): Option[Geometry] = {
+    if (a.isEmpty) return Some(b)
+    if (b.isEmpty) return Some(a)
+    (a, b) match {
+      case (pa: Polygon, pb: Polygon) =>
+        if (!GeomOps.intersects(pa, pb)) Some(MultiPolygon(Array(pa, pb), 2))
+        else if (isConvex(pa))
+          Some(MultiPolygon(Array(pa) ++ differenceByConvex(pb, pa).polygons, 2))
+        else if (isConvex(pb))
+          Some(MultiPolygon(Array(pb) ++ differenceByConvex(pa, pb).polygons, 2))
+        else None
+      case (p1: Point, p2: Point) =>
+        Some(if (p1.x == p2.x && p1.y == p2.y) p1 else MultiPoint(Array(p1, p2), 2))
+      case _ => None
+    }
+  }
+
+  def symDifference(a: Geometry, b: Geometry): Option[Geometry] = {
+    (a, b) match {
+      case (pa: Polygon, pb: Polygon) =>
+        if (!GeomOps.intersects(pa, pb)) Some(MultiPolygon(Array(pa, pb), 2))
+        else if (isConvex(pa)) {
+          val bMinusA = differenceByConvex(pb, pa).polygons
+          difference(pa, pb) match {
+            case Some(mp: MultiPolygon) => Some(MultiPolygon(mp.polygons ++ bMinusA, 2))
+            case Some(p: Polygon) if !p.isEmpty => Some(MultiPolygon(Array(p) ++ bMinusA, 2))
+            case _ if isConvex(pb) =>
+              Some(MultiPolygon(differenceByConvex(pa, pb).polygons ++ bMinusA, 2))
+            case _ => None
+          }
+        } else if (isConvex(pb)) symDifference(pb, pa)
+        else None
+      case _ => None
+    }
+  }
+
+  // ---------------------------------------------------------------- buffer
+
+  /** N-gon disk around (cx,cy); CCW, closed ring. */
+  private def disk(cx: Double, cy: Double, r: Double, segs: Int): Array[(Double, Double)] = {
+    val out = new Array[(Double, Double)](segs)
+    var i = 0
+    while (i < segs) {
+      val t = 2.0 * math.Pi * i / segs
+      out(i) = (cx + r * math.cos(t), cy + r * math.sin(t))
+      i += 1
+    }
+    out
+  }
+
+  private def hullOf(pts: Array[(Double, Double)]): Polygon =
+    GeomOps.convexHull(MultiPoint(pts.map(p => Point.xy(p._1, p._2)), 2)) match {
+      case p: Polygon => p
+      case other => Polygon(Array.empty, 2) // degenerate
+    }
+
+  /**
+   * ST_Buffer with `quadSegs` segments per quarter circle (PostGIS default 8).
+   * Points/multipoints: exact N-gon disks. Lines: per-segment capsules
+   * (convex hull of endpoint disks — exact capsule up to N-gon error).
+   * Polygons: polygon ⊎ boundary capsules (approximate outward buffer).
+   * Negative distances are unsupported (null).
+   */
+  def buffer(g: Geometry, dist: Double, quadSegs: Int = 8): Option[Geometry] = {
+    if (dist < 0) return None
+    if (g.isEmpty) return Some(Polygon(Array.empty, 2))
+    if (dist == 0) return Some(g)
+    val segs = math.max(quadSegs * 4, 8)
+    g match {
+      case p: Point => Some(Polygon(Array(closeRing(disk(p.x, p.y, dist, segs))), 2))
+      case mp: MultiPoint =>
+        Some(MultiPolygon(mp.points.filter(!_.isEmpty)
+          .map(p => Polygon(Array(closeRing(disk(p.x, p.y, dist, segs))), 2)), 2))
+      case l: LineString => Some(MultiPolygon(segmentCapsules(l, dist, segs), 2))
+      case ml: MultiLineString =>
+        Some(MultiPolygon(ml.lines.flatMap(segmentCapsules(_, dist, segs)), 2))
+      case pg: Polygon =>
+        val capsules = pg.rings.flatMap { ring =>
+          segmentCapsules(LineString(ring, pg.dim), dist, segs)
+        }
+        Some(MultiPolygon(Array(Polygon(pg.rings, pg.dim)) ++ capsules, 2))
+      case mpg: MultiPolygon =>
+        val parts = mpg.polygons.flatMap(p => buffer(p, dist, quadSegs) match {
+          case Some(m: MultiPolygon) => m.polygons
+          case Some(p2: Polygon) => Array(p2)
+          case _ => Array.empty[Polygon]
+        })
+        Some(MultiPolygon(parts, 2))
+      case gc: GeometryCollection =>
+        val parts = gc.geoms.flatMap(x => buffer(x, dist, quadSegs) match {
+          case Some(m: MultiPolygon) => m.polygons
+          case Some(p2: Polygon) => Array(p2)
+          case _ => Array.empty[Polygon]
+        })
+        Some(MultiPolygon(parts, 2))
+    }
+  }
+
+  private def segmentCapsules(l: LineString, dist: Double, segs: Int): Array[Polygon] = {
+    val dim = l.dim
+    val n = l.coords.length / dim
+    if (n == 1)
+      return Array(Polygon(Array(closeRing(disk(l.coords(0), l.coords(1), dist, segs))), 2))
+    val out = new ArrayBuffer[Polygon](n - 1)
+    var i = 1
+    while (i < n) {
+      val x0 = l.coords((i - 1) * dim); val y0 = l.coords((i - 1) * dim + 1)
+      val x1 = l.coords(i * dim); val y1 = l.coords(i * dim + 1)
+      out += hullOf(disk(x0, y0, dist, segs) ++ disk(x1, y1, dist, segs))
+      i += 1
+    }
+    out.toArray
+  }
+
+  // --------------------------------------------- remaining predicates
+
+  /** ST_Equals: identical point sets (mutual containment for areal; exact
+    * coordinate-multiset comparison for puntal; sequence or reverse for lineal). */
+  def equalsGeom(a: Geometry, b: Geometry): Boolean = {
+    if (a.isEmpty && b.isEmpty) return a.topoDim == b.topoDim
+    if (a.isEmpty || b.isEmpty) return false
+    (a.topoDim, b.topoDim) match {
+      case (0, 0) =>
+        def pts(g: Geometry): Set[(Double, Double)] = g match {
+          case p: Point => Set((p.x, p.y))
+          case mp: MultiPoint => mp.points.filter(!_.isEmpty).map(p => (p.x, p.y)).toSet
+          case _ => Set.empty
+        }
+        pts(a) == pts(b)
+      case (1, 1) =>
+        def seqs(g: Geometry): Seq[Seq[(Double, Double)]] = g match {
+          case l: LineString => Seq(pairsOf(l.coords, l.dim))
+          case ml: MultiLineString => ml.lines.map(l => pairsOf(l.coords, l.dim)).toSeq
+          case _ => Seq.empty
+        }
+        val sa = seqs(a).map(canonicalLine).sortBy(_.toString)
+        val sb = seqs(b).map(canonicalLine).sortBy(_.toString)
+        sa == sb
+      case (2, 2) => GeomOps.contains(a, b) && GeomOps.contains(b, a)
+      case _ => false
+    }
+  }
+
+  private def pairsOf(cs: Array[Double], dim: Int): Seq[(Double, Double)] =
+    (0 until cs.length / dim).map(i => (cs(i * dim), cs(i * dim + 1)))
+
+  private def canonicalLine(s: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    if (s.isEmpty || s <= s.reverse) s else s.reverse
+
+  private implicit class SeqCmp(val s: Seq[(Double, Double)]) {
+    def <=(o: Seq[(Double, Double)]): Boolean = s.toString <= o.toString
+  }
+
+  /** Does any vertex of `b` lie strictly inside areal geometry `a`? */
+  private def anyVertexStrictlyInside(a: Geometry, b: Geometry): Boolean = {
+    var found = false
+    b.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (!found && i + 1 < cs.length) {
+        val x = cs(i); val y = cs(i + 1)
+        if (!x.isNaN && pointStrictlyInside(a, x, y)) found = true
+        i += dim
+      }
+    }
+    found
+  }
+
+  private def pointStrictlyInside(g: Geometry, x: Double, y: Double): Boolean = g match {
+    case pg: Polygon =>
+      GeomOps.polygonContainsPoint(pg, x, y) && !onBoundary(pg, x, y)
+    case mpg: MultiPolygon => mpg.polygons.exists(pointStrictlyInside(_, x, y))
+    case gc: GeometryCollection => gc.geoms.exists(pointStrictlyInside(_, x, y))
+    case _ => false
+  }
+
+  private def onBoundary(g: Geometry, x: Double, y: Double): Boolean = {
+    var found = false
+    g.foreachSeq { (cs, dim) =>
+      val n = cs.length / dim
+      var i = 1
+      while (!found && i < n) {
+        val ax = cs((i - 1) * dim); val ay = cs((i - 1) * dim + 1)
+        val bx = cs(i * dim); val by = cs(i * dim + 1)
+        if (orient(ax, ay, bx, by, x, y) == 0 &&
+            math.min(ax, bx) <= x && x <= math.max(ax, bx) &&
+            math.min(ay, by) <= y && y <= math.max(ay, by)) found = true
+        i += 1
+      }
+    }
+    found
+  }
+
+  private def properCrossing(a: Geometry, b: Geometry): Boolean = {
+    var found = false
+    foreachSeg(a) { (ax, ay, bx, by) =>
+      if (!found) foreachSeg(b) { (cx, cy, dx, dy) =>
+        if (!found) {
+          val d1 = orient(cx, cy, dx, dy, ax, ay)
+          val d2 = orient(cx, cy, dx, dy, bx, by)
+          val d3 = orient(ax, ay, bx, by, cx, cy)
+          val d4 = orient(ax, ay, bx, by, dx, dy)
+          if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+              ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) found = true
+        }
+      }
+    }
+    found
+  }
+
+  private def foreachSeg(g: Geometry)(f: (Double, Double, Double, Double) => Unit): Unit =
+    g match {
+      case _: Point | _: MultiPoint => ()
+      case gc: GeometryCollection => gc.geoms.foreach(foreachSeg(_)(f))
+      case other => other.foreachSeq { (cs, dim) =>
+        val n = cs.length / dim
+        var i = 1
+        while (i < n) {
+          f(cs((i - 1) * dim), cs((i - 1) * dim + 1), cs(i * dim), cs(i * dim + 1))
+          i += 1
+        }
+      }
+    }
+
+  /** Interiors intersect? (areal: strict-inside probe or proper crossing) */
+  private def interiorsIntersect(a: Geometry, b: Geometry): Boolean = {
+    (a.topoDim, b.topoDim) match {
+      case (0, _) => a match {
+        case p: Point => pointStrictlyInteriorTo(p, b)
+        case mp: MultiPoint => mp.points.exists(p => !p.isEmpty && pointStrictlyInteriorTo(p, b))
+        case _ => false
+      }
+      case (_, 0) => interiorsIntersect(b, a)
+      case _ =>
+        properCrossing(a, b) ||
+          anyVertexStrictlyInside(a, b) || anyVertexStrictlyInside(b, a)
+    }
+  }
+
+  private def pointStrictlyInteriorTo(p: Point, g: Geometry): Boolean = g.topoDim match {
+    case 2 => pointStrictlyInside(g, p.x, p.y)
+    case 1 => onBoundary(g, p.x, p.y) // interior of a line = line minus endpoints (approx)
+    case 0 => GeomOps.intersects(p, g)
+  }
+
+  /** ST_Touches: geometries intersect but interiors do not. */
+  def touches(a: Geometry, b: Geometry): Boolean =
+    !a.isEmpty && !b.isEmpty && GeomOps.intersects(a, b) && !interiorsIntersect(a, b)
+
+  /** ST_Crosses: interiors intersect, neither contains the other, and the
+    * intersection has lower dimension than the max operand (line/line point
+    * crossing, line/polygon pass-through). */
+  def crosses(a: Geometry, b: Geometry): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    (a.topoDim, b.topoDim) match {
+      case (1, 1) => properCrossing(a, b)
+      case (1, 2) => interiorsIntersect(a, b) && hasVertexOutside(a, b)
+      case (2, 1) => crosses(b, a)
+      case (0, _) | (_, 0) =>
+        GeomOps.intersects(a, b) && !GeomOps.contains(b, a) && !GeomOps.contains(a, b)
+      case _ => false
+    }
+  }
+
+  private def hasVertexOutside(a: Geometry, areal: Geometry): Boolean = {
+    var found = false
+    a.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (!found && i + 1 < cs.length) {
+        val x = cs(i); val y = cs(i + 1)
+        if (!x.isNaN) {
+          val inside = areal match {
+            case pg: Polygon => GeomOps.polygonContainsPoint(pg, x, y)
+            case mpg: MultiPolygon => mpg.polygons.exists(GeomOps.polygonContainsPoint(_, x, y))
+            case _ => false
+          }
+          if (!inside) found = true
+        }
+        i += dim
+      }
+    }
+    found
+  }
+
+  /** ST_Overlaps: same dimension, interiors intersect, neither contains the other. */
+  def overlaps(a: Geometry, b: Geometry): Boolean =
+    !a.isEmpty && !b.isEmpty && a.topoDim == b.topoDim &&
+      interiorsIntersect(a, b) &&
+      !GeomOps.contains(a, b) && !GeomOps.contains(b, a)
+
+  /** ST_IsSimple: no self-intersections (lines), valid ring structure
+    * (polygons); puntal geometries: no repeated points. */
+  def isSimple(g: Geometry): Boolean = g match {
+    case _: Point => true
+    case mp: MultiPoint =>
+      val pts = mp.points.filter(!_.isEmpty).map(p => (p.x, p.y))
+      pts.distinct.length == pts.length
+    case l: LineString => !selfIntersects(l.coords, l.dim)
+    case ml: MultiLineString => ml.lines.forall(l => !selfIntersects(l.coords, l.dim))
+    case pg: Polygon => pg.rings.forall(r => !selfIntersects(r, pg.dim))
+    case mpg: MultiPolygon => mpg.polygons.forall(isSimple)
+    case gc: GeometryCollection => gc.geoms.forall(isSimple)
+  }
+
+  /** O(n²) non-adjacent segment intersection check. */
+  private def selfIntersects(cs: Array[Double], dim: Int): Boolean = {
+    val n = cs.length / dim
+    if (n < 4) return false
+    val closed = cs(0) == cs((n - 1) * dim) && cs(1) == cs((n - 1) * dim + 1)
+    val m = n - 1 // segments
+    var i = 0
+    while (i < m) {
+      var j = i + 2
+      while (j < m) {
+        val adjacentWrap = closed && i == 0 && j == m - 1
+        if (!adjacentWrap) {
+          if (GeomOps.segIntersects(
+            cs(i * dim), cs(i * dim + 1), cs((i + 1) * dim), cs((i + 1) * dim + 1),
+            cs(j * dim), cs(j * dim + 1), cs((j + 1) * dim), cs((j + 1) * dim + 1)))
+            return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** ST_Boundary: polygon → rings as MultiLineString; line → endpoint
+    * MultiPoint (empty for closed); point → empty collection. */
+  def boundary(g: Geometry): Geometry = g match {
+    case _: Point | _: MultiPoint => GeometryCollection(Array.empty, 2)
+    case l: LineString =>
+      if (l.isEmpty) MultiPoint(Array.empty, 2)
+      else {
+        val n = l.coords.length / l.dim
+        val closed = l.coords(0) == l.coords((n - 1) * l.dim) &&
+          l.coords(1) == l.coords((n - 1) * l.dim + 1)
+        if (closed) MultiPoint(Array.empty, 2)
+        else MultiPoint(Array(
+          Point.xy(l.coords(0), l.coords(1)),
+          Point.xy(l.coords((n - 1) * l.dim), l.coords((n - 1) * l.dim + 1))), 2)
+      }
+    case ml: MultiLineString =>
+      val pts = ml.lines.flatMap { l =>
+        boundary(l) match {
+          case mp: MultiPoint => mp.points
+          case _ => Array.empty[Point]
+        }
+      }
+      // mod-2 rule: points appearing an even number of times are not boundary
+      val counted = pts.groupBy(p => (p.x, p.y)).collect {
+        case (_, v) if v.length % 2 == 1 => v.head
+      }
+      MultiPoint(counted.toArray, 2)
+    case pg: Polygon =>
+      MultiLineString(pg.rings.map(r => LineString(r, pg.dim)), pg.dim)
+    case mpg: MultiPolygon =>
+      MultiLineString(mpg.polygons.flatMap(p => p.rings.map(r => LineString(r, p.dim))), 2)
+    case gc: GeometryCollection =>
+      GeometryCollection(gc.geoms.map(boundary), 2)
+  }
+
+  /**
+   * ST_Relate: DE-9IM matrix as a 9-char string (I/B/E × I/B/E, values
+   * dimension or F). Computed from our predicate probes — exact for the
+   * point/line/polygon cases the probes cover; entries use the standard
+   * 'T'-collapse only when dimension is ambiguous.
+   */
+  def relate(a: Geometry, b: Geometry): String = {
+    if (a.isEmpty || b.isEmpty) {
+      // empties: everything false except EE
+      return "FFFFFFFF2"
+    }
+    def dimChar(d: Int): Char = if (d < 0) 'F' else ('0' + d).toChar
+    val ii = if (interiorsIntersect(a, b)) dimChar(math.min(a.topoDim, b.topoDim)) else 'F'
+    val boundsTouch = GeomOps.intersects(a, b) && !interiorsIntersect(a, b)
+    val bb = if (boundsTouch || (GeomOps.intersects(boundary(a), boundary(b)))) '0' else 'F'
+    val ib = if (GeomOps.intersects(a, boundary(b))) dimChar(math.min(a.topoDim, math.max(b.topoDim - 1, 0))) else 'F'
+    val bi = if (GeomOps.intersects(boundary(a), b)) dimChar(math.min(math.max(a.topoDim - 1, 0), b.topoDim)) else 'F'
+    val ie = if (!GeomOps.contains(b, a)) dimChar(a.topoDim) else 'F'
+    val ei = if (!GeomOps.contains(a, b)) dimChar(b.topoDim) else 'F'
+    val be = if (a.topoDim > 0) dimChar(math.max(a.topoDim - 1, 0)) else 'F'
+    val eb = if (b.topoDim > 0) dimChar(math.max(b.topoDim - 1, 0)) else 'F'
+    s"$ii$ib$ie$bi$bb$be$ei$eb" + "2"
+  }
+}

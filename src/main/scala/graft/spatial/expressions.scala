@@ -542,3 +542,108 @@ object NativeLayout {
     out
   }
 }
+
+// ------------------------- declared-scope extensions (README.md:8-39) ------
+
+/** ST_IsSimple(geom) — no self-intersections / repeated points. */
+case class StIsSimple(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_issimple"
+  override protected def evalGeom(g: Geometry): Any = GeomSetOps.isSimple(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_Boundary(geom) — combinatorial boundary. */
+case class StBoundary(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_boundary"
+  override protected def evalGeom(g: Geometry): Any = toWkb(GeomSetOps.boundary(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StEquals(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_equals"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomSetOps.equalsGeom(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StTouches(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_touches"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomSetOps.touches(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StCrosses(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_crosses"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomSetOps.crosses(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StOverlaps(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_overlaps"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomSetOps.overlaps(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StRelate(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_relate"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    UTF8String.fromString(GeomSetOps.relate(a, b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Set-theoretic ops: null when the operand combination is outside the
+  * supported envelope (see [[GeomSetOps]] scaladoc). */
+case class StIntersection(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_intersection"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomSetOps.intersection(a, b).map(toWkb).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StDifference(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_difference"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomSetOps.difference(a, b).map(toWkb).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StUnion(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_union"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomSetOps.union(a, b).map(toWkb).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+case class StSymDifference(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_symdifference"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomSetOps.symDifference(a, b).map(toWkb).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Buffer(geom, dist) — see [[GeomSetOps.buffer]] for the approximation. */
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_buffer"
+  override protected def nullSafeEval(v: Any, d: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) null
+    else GeomSetOps.buffer(g, d.asInstanceOf[Double]).map(toWkb).orNull
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

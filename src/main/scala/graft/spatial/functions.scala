@@ -51,6 +51,20 @@ object functions {
   def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), expr(tol)))
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
 
+  // declared-scope extensions
+  def st_issimple(g: Column): Column = toCol(StIsSimple(expr(g)))
+  def st_boundary(g: Column): Column = toCol(StBoundary(expr(g)))
+  def st_equals(a: Column, b: Column): Column = toCol(StEquals(expr(a), expr(b)))
+  def st_touches(a: Column, b: Column): Column = toCol(StTouches(expr(a), expr(b)))
+  def st_crosses(a: Column, b: Column): Column = toCol(StCrosses(expr(a), expr(b)))
+  def st_overlaps(a: Column, b: Column): Column = toCol(StOverlaps(expr(a), expr(b)))
+  def st_relate(a: Column, b: Column): Column = toCol(StRelate(expr(a), expr(b)))
+  def st_intersection(a: Column, b: Column): Column = toCol(StIntersection(expr(a), expr(b)))
+  def st_difference(a: Column, b: Column): Column = toCol(StDifference(expr(a), expr(b)))
+  def st_union(a: Column, b: Column): Column = toCol(StUnion(expr(a), expr(b)))
+  def st_symdifference(a: Column, b: Column): Column = toCol(StSymDifference(expr(a), expr(b)))
+  def st_buffer(g: Column, d: Column): Column = toCol(StBuffer(expr(g), expr(d)))
+
   // predicates
   def st_intersects(a: Column, b: Column): Column = toCol(StIntersects(expr(a), expr(b)))
   def st_disjoint(a: Column, b: Column): Column = toCol(StDisjoint(expr(a), expr(b)))
@@ -122,6 +136,18 @@ object functions {
     r2("st_within", StWithin.apply)
     r2("st_env_intersects", StEnvIntersects.apply)
     r3("st_dwithin", StDWithin.apply)
+    r1("st_issimple", StIsSimple.apply)
+    r1("st_boundary", StBoundary.apply)
+    r2("st_equals", StEquals.apply)
+    r2("st_touches", StTouches.apply)
+    r2("st_crosses", StCrosses.apply)
+    r2("st_overlaps", StOverlaps.apply)
+    r2("st_relate", StRelate.apply)
+    r2("st_intersection", StIntersection.apply)
+    r2("st_difference", StDifference.apply)
+    r2("st_union", StUnion.apply)
+    r2("st_symdifference", StSymDifference.apply)
+    r2("st_buffer", StBuffer.apply)
     // aggregate: typed Aggregator via UDF registry
     spark.udf.register("st_extent", extentUdaf)
   }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/**
+ * Structured Streaming operators over the `events` schema
+ * (event_id, ts, user_id, event_type, value, props).
+ *
+ * The reference is batch-only (SURVEY §2.10); this is harness-mandated
+ * extension scope. Designed for the standard production shape:
+ * `readStream` → watermark → windowed agg / stateful sessions →
+ * `writeStream` with checkpointing. State is partitioned by user_id —
+ * scales horizontally with executors; watermark bounds state size.
+ */
+object StreamOps {
+
+  /** Tumbling-window event counts + value sums per event_type.
+    * Late data beyond `watermarkDelay` is dropped (state is bounded). */
+  def windowedEventStats(events: DataFrame,
+                         windowLen: String = "5 minutes",
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /**
+   * Gap-based streaming sessionization via flatMapGroupsWithState:
+   * a session closes when no event arrives for `gapMinutes` (event-time via
+   * watermark + processing-time timeout). Emits one row per closed session.
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId,
+              new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId,
+                    new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

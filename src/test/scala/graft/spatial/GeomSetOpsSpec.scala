@@ -1,0 +1,152 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeomSetOpsSpec extends AnyFunSuite {
+
+  private def poly(wkt: String) = WKT.read(wkt).asInstanceOf[Polygon]
+
+  val sq10 = poly("POLYGON ((0 0,10 0,10 10,0 10,0 0))")      // convex
+  val sq5 = poly("POLYGON ((5 5,15 5,15 15,5 15,5 5))")       // convex, overlaps sq10
+  val inner = poly("POLYGON ((2 2,4 2,4 4,2 4,2 2))")         // inside sq10
+  val far = poly("POLYGON ((100 100,110 100,110 110,100 110,100 100))")
+  val lShape = poly("POLYGON ((0 0,6 0,6 2,2 2,2 6,0 6,0 0))") // non-convex
+
+  test("isConvex") {
+    assert(GeomSetOps.isConvex(sq10))
+    assert(!GeomSetOps.isConvex(lShape))
+  }
+
+  test("intersection of overlapping convex squares") {
+    val r = GeomSetOps.intersection(sq10, sq5).get
+    assert(GeomOps.area(r) == 25.0)
+    val e = r.envelope
+    assert(e.xmin == 5 && e.ymin == 5 && e.xmax == 10 && e.ymax == 10)
+  }
+
+  test("intersection with contained polygon = contained polygon") {
+    val r = GeomSetOps.intersection(sq10, inner).get
+    assert(GeomOps.area(r) == 4.0)
+  }
+
+  test("intersection of disjoint polygons is empty") {
+    val r = GeomSetOps.intersection(sq10, far).get
+    assert(r.isEmpty || GeomOps.area(r) == 0.0)
+  }
+
+  test("intersection involving non-convex works when other side is convex") {
+    val r = GeomSetOps.intersection(lShape, sq10).get // sq10 convex
+    assert(GeomOps.area(r) == GeomOps.area(lShape)) // lShape inside sq10
+  }
+
+  test("difference: area identity A−B = area(A) − area(A∩B)") {
+    val d = GeomSetOps.difference(sq10, sq5).get
+    assert(math.abs(GeomOps.area(d) - (100.0 - 25.0)) < 1e-9)
+    val d2 = GeomSetOps.difference(sq10, inner).get
+    assert(math.abs(GeomOps.area(d2) - 96.0) < 1e-9)
+  }
+
+  test("union: area identity A∪B = A + B − A∩B") {
+    val u = GeomSetOps.union(sq10, sq5).get
+    assert(math.abs(GeomOps.area(u) - 175.0) < 1e-9)
+    val disjoint = GeomSetOps.union(sq10, far).get
+    assert(GeomOps.area(disjoint) == 200.0)
+  }
+
+  test("symDifference area = A + B − 2·A∩B") {
+    val s = GeomSetOps.symDifference(sq10, sq5).get
+    assert(math.abs(GeomOps.area(s) - 150.0) < 1e-9)
+  }
+
+  test("non-convex × non-convex overlay unsupported → None") {
+    val l2 = poly("POLYGON ((3 3,9 3,9 5,5 5,5 9,3 9,3 3))")
+    assert(GeomSetOps.intersection(lShape, l2).isEmpty)
+  }
+
+  test("point/multipoint set ops") {
+    val p = WKT.read("POINT (5 5)")
+    val mp = WKT.read("MULTIPOINT ((5 5),(50 50))")
+    assert(!GeomSetOps.intersection(p, sq10).get.isEmpty)
+    assert(GeomSetOps.intersection(WKT.read("POINT (50 50)"), sq10).get.isEmpty)
+    val mpIn = GeomSetOps.intersection(mp, sq10).get.asInstanceOf[MultiPoint]
+    assert(mpIn.points.length == 1)
+    val mpDiff = GeomSetOps.difference(mp, sq10).get.asInstanceOf[MultiPoint]
+    assert(mpDiff.points.length == 1 && mpDiff.points(0).x == 50)
+  }
+
+  test("buffer of point: ~circle area, contains center ring") {
+    val b = GeomSetOps.buffer(WKT.read("POINT (0 0)"), 10.0).get
+    val a = GeomOps.area(b)
+    assert(math.abs(a - math.Pi * 100) / (math.Pi * 100) < 0.01) // 32-gon ≈ 99.4%
+    assert(GeomOps.contains(b, WKT.read("POINT (9 0)")))
+    assert(!GeomOps.intersects(b, WKT.read("POINT (11 0)")))
+  }
+
+  test("buffer of linestring: capsule covers the line") {
+    val l = WKT.read("LINESTRING (0 0,10 0)")
+    val b = GeomSetOps.buffer(l, 2.0).get
+    assert(GeomOps.intersects(b, WKT.read("POINT (5 1.9)")))
+    assert(!GeomOps.intersects(b, WKT.read("POINT (5 2.5)")))
+    assert(GeomOps.intersects(b, WKT.read("POINT (-1.5 0)"))) // end cap
+  }
+
+  test("equals") {
+    val sq10b = poly("POLYGON ((10 0,10 10,0 10,0 0,10 0))") // rotated start
+    assert(GeomSetOps.equalsGeom(sq10, sq10b))
+    assert(!GeomSetOps.equalsGeom(sq10, sq5))
+    assert(GeomSetOps.equalsGeom(WKT.read("POINT (1 2)"), WKT.read("POINT (1 2)")))
+    assert(GeomSetOps.equalsGeom(
+      WKT.read("LINESTRING (0 0,1 1)"), WKT.read("LINESTRING (1 1,0 0)")))
+  }
+
+  test("touches") {
+    val adjacent = poly("POLYGON ((10 0,20 0,20 10,10 10,10 0))") // shares edge x=10
+    assert(GeomSetOps.touches(sq10, adjacent))
+    assert(!GeomSetOps.touches(sq10, sq5))      // overlap, not touch
+    assert(!GeomSetOps.touches(sq10, far))      // disjoint
+    val cornerPt = WKT.read("POINT (10 10)")
+    assert(GeomSetOps.touches(sq10, cornerPt))  // boundary point
+    val insidePt = WKT.read("POINT (5 5)")
+    assert(!GeomSetOps.touches(sq10, insidePt))
+  }
+
+  test("crosses") {
+    val through = WKT.read("LINESTRING (-5 5,15 5)")
+    assert(GeomSetOps.crosses(through, sq10))
+    val insideLine = WKT.read("LINESTRING (2 2,8 8)")
+    assert(!GeomSetOps.crosses(insideLine, sq10)) // fully within, no exit
+    val l1 = WKT.read("LINESTRING (0 0,10 10)")
+    val l2 = WKT.read("LINESTRING (0 10,10 0)")
+    assert(GeomSetOps.crosses(l1, l2))
+  }
+
+  test("overlaps") {
+    assert(GeomSetOps.overlaps(sq10, sq5))
+    assert(!GeomSetOps.overlaps(sq10, inner))   // containment, not overlap
+    assert(!GeomSetOps.overlaps(sq10, far))
+    assert(!GeomSetOps.overlaps(sq10, WKT.read("LINESTRING (-5 5,15 5)"))) // dim mismatch
+  }
+
+  test("isSimple") {
+    assert(GeomSetOps.isSimple(WKT.read("LINESTRING (0 0,1 1,2 0)")))
+    assert(!GeomSetOps.isSimple(WKT.read("LINESTRING (0 0,10 10,10 0,0 10)"))) // bowtie
+    assert(GeomSetOps.isSimple(sq10))
+    assert(!GeomSetOps.isSimple(WKT.read("MULTIPOINT ((1 1),(1 1))")))
+  }
+
+  test("boundary") {
+    assert(WKT.write(GeomSetOps.boundary(sq10)) ==
+      "MULTILINESTRING ((0.0 0.0,10.0 0.0,10.0 10.0,0.0 10.0,0.0 0.0))")
+    assert(WKT.write(GeomSetOps.boundary(WKT.read("LINESTRING (0 0,5 5)"))) ==
+      "MULTIPOINT ((0.0 0.0),(5.0 5.0))")
+    assert(GeomSetOps.boundary(WKT.read("POINT (1 1)")).isEmpty)
+  }
+
+  test("relate matrix basics") {
+    val m = GeomSetOps.relate(sq10, inner) // contains
+    assert(m.length == 9)
+    assert(m(0) == '2') // interiors intersect, areal
+    val disj = GeomSetOps.relate(sq10, far)
+    assert(disj(0) == 'F')
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-stream-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed event stats over a micro-batch stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val agg = StreamOps.windowedEventStats(input.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winstats").start()
+    try {
+      input.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:30"), 1, "click", 1.0),
+        StreamOps.Event(2, ts("2026-01-01 10:01:30"), 2, "click", 2.0),
+        StreamOps.Event(3, ts("2026-01-01 10:07:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, total_value FROM winstats ORDER BY event_type")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(0) == "click" && rows(0).getLong(1) == 2)
+      assert(rows(1).getString(0) == "view" && rows(1).getLong(1) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap + watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMinutes = 30, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // session 1 for user 7: two events 10 min apart
+      input.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+        StreamOps.Event(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // next event 2 hours later → closes session 1 within the same group batch
+      input.addData(StreamOps.Event(3, ts("2026-01-01 12:10:00"), 7, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out session 2
+      input.addData(StreamOps.Event(4, ts("2026-01-01 15:00:00"), 8, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(5, ts("2026-01-01 18:00:00"), 8, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sessions WHERE user_id = 7 ORDER BY session_start")
+        .collect()
+      assert(rows.length >= 1)
+      assert(rows(0).getLong(0) == 7 && rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+}
