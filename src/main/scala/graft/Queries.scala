@@ -339,6 +339,55 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "q30_st_setops" -> ((s, d) => {
+      // rect∩rect / rect−rect / rect∪rect via the convex overlay; coords are
+      // powers of two so every clip intersection is IEEE-exact → plain
+      // arithmetic oracle with no rounding
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               ST_Area(ST_Intersection(
+                 ST_MakeEnvelope(CAST(n_nationkey AS DOUBLE) * 128.0D, 0.0D,
+                                 CAST(n_nationkey AS DOUBLE) * 128.0D + 512.0D, 256.0D),
+                 ST_MakeEnvelope(1024.0D, 64.0D, 1792.0D, 192.0D))) AS inter_area,
+               ST_Area(ST_Difference(
+                 ST_MakeEnvelope(CAST(n_nationkey AS DOUBLE) * 128.0D, 0.0D,
+                                 CAST(n_nationkey AS DOUBLE) * 128.0D + 512.0D, 256.0D),
+                 ST_MakeEnvelope(1024.0D, 64.0D, 1792.0D, 192.0D))) AS diff_area,
+               ST_Area(ST_Union(
+                 ST_MakeEnvelope(CAST(n_nationkey AS DOUBLE) * 128.0D, 0.0D,
+                                 CAST(n_nationkey AS DOUBLE) * 128.0D + 512.0D, 256.0D),
+                 ST_MakeEnvelope(1024.0D, 64.0D, 1792.0D, 192.0D))) AS union_area
+        FROM nation ORDER BY n_nationkey""")
+    }),
+
+    "q31_st_touches_chain" -> ((s, d) => {
+      // adjacent unit rects per nation: touch exactly when keys differ by 1
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b
+        FROM nation a JOIN nation b
+          ON a.n_nationkey < b.n_nationkey
+         AND ST_Touches(
+               ST_MakeEnvelope(CAST(a.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                               CAST(a.n_nationkey AS DOUBLE) * 64.0D + 64.0D, 64.0D),
+               ST_MakeEnvelope(CAST(b.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                               CAST(b.n_nationkey AS DOUBLE) * 64.0D + 64.0D, 64.0D))
+        ORDER BY key_a, key_b""")
+    }),
+
+    "q32_st_dwithin_pairs" -> ((s, d) => {
+      // distance-bounded point pairs across small dims (supplier × nation)
+      prep(s, d, "supplier", "nation")
+      s.sql("""
+        SELECT sp.s_suppkey, n.n_nationkey
+        FROM supplier sp JOIN nation n
+          ON ST_DWithin(ST_Point(sp.s_acctbal, CAST(sp.s_nationkey AS DOUBLE)),
+                        ST_Point(CAST(n.n_nationkey AS DOUBLE) * 200.0D,
+                                 CAST(n.n_nationkey AS DOUBLE)), 500.0D)
+        ORDER BY s_suppkey, n_nationkey""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -570,6 +619,42 @@ object Queries {
              round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
       FROM embeddings ORDER BY vec_id""",
+
+    "q30_st_setops" -> """
+      WITH r AS (
+        SELECT n_nationkey,
+               CAST(n_nationkey AS DOUBLE) * 128.0 AS ax0, 0.0 AS ay0,
+               CAST(n_nationkey AS DOUBLE) * 128.0 + 512.0 AS ax1, 256.0 AS ay1,
+               1024.0 AS bx0, 64.0 AS by0, 1792.0 AS bx1, 192.0 AS by1
+        FROM nation),
+      m AS (
+        SELECT n_nationkey,
+               (ax1 - ax0) * (ay1 - ay0) AS area_a,
+               (bx1 - bx0) * (by1 - by0) AS area_b,
+               greatest(0.0, least(ax1, bx1) - greatest(ax0, bx0)) *
+               greatest(0.0, least(ay1, by1) - greatest(ay0, by0)) AS inter_area
+        FROM r)
+      SELECT n_nationkey, inter_area,
+             area_a - inter_area AS diff_area,
+             area_a + area_b - inter_area AS union_area
+      FROM m ORDER BY n_nationkey""",
+
+    "q31_st_touches_chain" -> """
+      SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b
+      FROM nation a JOIN nation b
+        ON a.n_nationkey < b.n_nationkey
+       AND b.n_nationkey - a.n_nationkey = 1
+      ORDER BY key_a, key_b""",
+
+    "q32_st_dwithin_pairs" -> """
+      SELECT sp.s_suppkey, n.n_nationkey
+      FROM supplier sp JOIN nation n
+        ON sqrt((sp.s_acctbal - CAST(n.n_nationkey AS DOUBLE) * 200.0) *
+                (sp.s_acctbal - CAST(n.n_nationkey AS DOUBLE) * 200.0) +
+                (CAST(sp.s_nationkey AS DOUBLE) - CAST(n.n_nationkey AS DOUBLE)) *
+                (CAST(sp.s_nationkey AS DOUBLE) - CAST(n.n_nationkey AS DOUBLE)))
+            <= 500.0
+      ORDER BY s_suppkey, n_nationkey""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n
