@@ -214,7 +214,7 @@ object Queries {
       // bbox per market segment from customer points; suppliers within bbox
       // → broadcast the 5-row bbox dim side (spatial predicate join)
       s.sql("""
-        SELECT b.c_mktsegment, count(*) AS n_supp
+        SELECT /*+ BROADCAST(b) */ b.c_mktsegment, count(*) AS n_supp
         FROM (
           SELECT c_mktsegment,
                  ST_MakeEnvelope(min(c_acctbal), CAST(min(c_nationkey) AS DOUBLE),
@@ -380,7 +380,7 @@ object Queries {
       // distance-bounded point pairs across small dims (supplier × nation)
       prep(s, d, "supplier", "nation")
       s.sql("""
-        SELECT sp.s_suppkey, n.n_nationkey
+        SELECT /*+ BROADCAST(n) */ sp.s_suppkey, n.n_nationkey
         FROM supplier sp JOIN nation n
           ON ST_DWithin(ST_Point(sp.s_acctbal, CAST(sp.s_nationkey AS DOUBLE)),
                         ST_Point(CAST(n.n_nationkey AS DOUBLE) * 200.0D,

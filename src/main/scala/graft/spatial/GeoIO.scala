@@ -75,6 +75,30 @@ object GeoIO {
   }
 
   /**
+   * Write a DataFrame whose geometry columns are WKB `BinaryType`, recording
+   * geometry-column names + types as `StructField` metadata (Spark persists
+   * field metadata in its own parquet footer key,
+   * `org.apache.spark.sql.parquet.row.metadata`, so [[readGeoParquet]] /
+   * plain `spark.read.parquet` round-trips it). The reference has no write
+   * path at all (SURVEY §2.2 — sinks: none); this completes the story.
+   */
+  def writeGeoParquet(df: DataFrame, path: String,
+                      geometryColumns: Map[String, String]): Unit = {
+    val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      geometryColumns.get(f.name) match {
+        case Some(gtype) =>
+          val meta = new MetadataBuilder()
+            .putString("encoding", "WKB")
+            .putString("geometryType", gtype)
+            .build()
+          col(f.name).as(f.name, meta)
+        case None => col(f.name)
+      }
+    }
+    df.select(projected: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /**
    * Read a (Geo)Parquet file; geometry columns become WKB `BinaryType`
    * with `{encoding, geometryType}` recorded as column metadata. WKB-encoded
    * columns pass through; GeoArrow-native nested columns are converted by

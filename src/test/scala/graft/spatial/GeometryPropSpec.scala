@@ -1,0 +1,134 @@
+package graft.spatial
+
+import org.scalacheck.{Arbitrary, Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY §5c): envelope containment, extent-as-fold,
+  * codec roundtrips, hull invariants. */
+object GeometryPropSpec extends Properties("geometry") {
+
+  private val coord: Gen[Double] =
+    Gen.chooseNum(-1000.0, 1000.0).map(d => math.rint(d * 100) / 100)
+
+  private val genPoint: Gen[Point] =
+    for { x <- coord; y <- coord } yield Point.xy(x, y)
+
+  private val genLine: Gen[LineString] =
+    for {
+      n <- Gen.chooseNum(2, 12)
+      cs <- Gen.listOfN(n * 2, coord)
+    } yield LineString(cs.toArray, 2)
+
+  private val genRing: Gen[Array[Double]] =
+    for {
+      cx <- coord; cy <- coord
+      n <- Gen.chooseNum(3, 10)
+      r <- Gen.chooseNum(1.0, 100.0)
+    } yield {
+      // star-shaped valid ring around (cx, cy)
+      val pts = (0 until n).map { i =>
+        val a = 2 * math.Pi * i / n
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      (pts :+ pts.head).flatMap(p => Seq(p._1, p._2)).toArray
+    }
+
+  private val genPolygon: Gen[Polygon] = genRing.map(r => Polygon(Array(r), 2))
+
+  private val genMultiPoint: Gen[MultiPoint] =
+    Gen.nonEmptyListOf(genPoint).map(ps => MultiPoint(ps.toArray, 2))
+
+  private val genGeom: Gen[Geometry] =
+    Gen.oneOf(genPoint, genLine, genPolygon, genMultiPoint)
+
+  property("envelope contains every vertex") = forAll(genGeom) { g =>
+    val e = g.envelope
+    var ok = true
+    g.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (i + 1 < cs.length) {
+        if (!cs(i).isNaN && !e.containsPoint(cs(i), cs(i + 1))) ok = false
+        i += dim
+      }
+    }
+    ok
+  }
+
+  property("wkb roundtrip preserves wkt") = forAll(genGeom) { g =>
+    WKT.write(WKB.read(WKB.write(g))) == WKT.write(g)
+  }
+
+  property("wkt roundtrip preserves wkt") = forAll(genGeom) { g =>
+    WKT.write(WKT.read(WKT.write(g))) == WKT.write(g)
+  }
+
+  property("streaming wkb envelope == object envelope") = forAll(genGeom) { g =>
+    val e1 = g.envelope
+    val e2 = new Envelope
+    WKB.foldEnvelope(WKB.write(g), e2)
+    e1.xmin == e2.xmin && e1.ymin == e2.ymin && e1.xmax == e2.xmax && e1.ymax == e2.ymax
+  }
+
+  property("extent aggregator == fold of envelopes") = forAll(Gen.nonEmptyListOf(genGeom)) { gs =>
+    val agg = new ExtentAggregator
+    val buf = gs.foldLeft(agg.zero)((b, g) => agg.reduce(b, WKB.write(g)))
+    val ext = agg.finish(buf)
+    val manual = new Envelope
+    gs.foreach(_.foldEnvelope(manual))
+    if (manual.isEmpty) ext == null
+    else ext == Extent(manual.xmin, manual.ymin, manual.xmax, manual.ymax)
+  }
+
+  property("extent merge is order-independent (the reference's merge bug)") =
+    forAll(Gen.nonEmptyListOf(genGeom), Gen.nonEmptyListOf(genGeom)) { (as, bs) =>
+      val agg = new ExtentAggregator
+      def fold(gs: List[Geometry]) = gs.foldLeft(agg.zero)((b, g) => agg.reduce(b, WKB.write(g)))
+      val m1 = agg.finish(agg.merge(fold(as), fold(bs)))
+      val m2 = agg.finish(agg.merge(fold(bs), fold(as)))
+      m1 == m2
+    }
+
+  property("convex hull contains all input vertices") = forAll(genMultiPoint) { mp =>
+    val hull = GeomOps.convexHull(mp)
+    hull match {
+      case p: Polygon =>
+        mp.points.forall(pt => pt.isEmpty || GeomOps.polygonContainsPoint(p, pt.x, pt.y))
+      case _ => true // degenerate collinear/single-point cases
+    }
+  }
+
+  property("distance is symmetric and nonnegative") = forAll(genGeom, genGeom) { (a, b) =>
+    val d1 = GeomOps.distance(a, b)
+    val d2 = GeomOps.distance(b, a)
+    (d1.isNaN && d2.isNaN) || (d1 == d2 && d1 >= 0.0)
+  }
+
+  property("intersects is symmetric") = forAll(genGeom, genGeom) { (a, b) =>
+    GeomOps.intersects(a, b) == GeomOps.intersects(b, a)
+  }
+
+  property("buffer contains the original (points/lines)") =
+    forAll(Gen.oneOf(genPoint: Gen[Geometry], genLine: Gen[Geometry]), Gen.chooseNum(0.5, 50.0)) { (g, d) =>
+      GeomSetOps.buffer(g, d) match {
+        case Some(buf) =>
+          var ok = true
+          g.foreachSeq { (cs, dim) =>
+            var i = 0
+            while (i + 1 < cs.length) {
+              if (!cs(i).isNaN) {
+                val inside = buf match {
+                  case p: Polygon => GeomOps.polygonContainsPoint(p, cs(i), cs(i + 1))
+                  case mp: MultiPolygon =>
+                    mp.polygons.exists(GeomOps.polygonContainsPoint(_, cs(i), cs(i + 1)))
+                  case _ => false
+                }
+                if (!inside) ok = false
+              }
+              i += dim
+            }
+          }
+          ok
+        case None => false
+      }
+    }
+}

@@ -112,6 +112,19 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.getString(4) == "POINT (2.0 2.0)")
   }
 
+  test("geoparquet write roundtrip preserves geometry metadata + content") {
+    val df = GeoIO.readGeoParquet(spark, s"$dataDir/data-polygon-encoding_native.parquet")
+    val out = "/tmp/graft_geo_roundtrip"
+    GeoIO.writeGeoParquet(df, out, Map("geometry" -> "Polygon"))
+    val back = spark.read.parquet(out)
+    assert(back.schema("geometry").metadata.getString("encoding") == "WKB")
+    assert(back.schema("geometry").metadata.getString("geometryType") == "Polygon")
+    val a = wkts(df).map(Option(_).getOrElse("")).sorted
+    val b = back.select(G.st_astext(col("geometry")).as("w"))
+      .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0)).toSeq.sorted
+    assert(a == b)
+  }
+
   test("expressions constant-fold (foldable) like Volatility::Immutable") {
     val df = spark.sql("SELECT ST_AsText(ST_Point(1.0D, 2.0D)) AS t")
     val plan = df.queryExecution.optimizedPlan.toString
