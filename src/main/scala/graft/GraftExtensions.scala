@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.spatial._
-import graft.pipeline.{Fingerprint64, LangId, MinHash, SimHash64}
+import graft.pipeline.{Fingerprint64, LangId, MinHash, SimHash64, VecCosine, VecDot, VecNorm}
 
 /**
  * SparkSessionExtensions provider: makes every graft function available in
@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "lang_id", es => LangId(es.head))
     inject(e, "fingerprint64", es => Fingerprint64(es.head))
     inject(e, "simhash64", es => SimHash64(es.head))
+    inject(e, "vec_dot", es => VecDot(es(0), es(1)))
+    inject(e, "vec_norm", es => VecNorm(es.head))
+    inject(e, "vec_cosine", es => VecCosine(es(0), es(1)))
     inject(e, "minhash", {
       case Seq(x) => MinHash(x, 64, 3)
       case Seq(x, n, k) => MinHash(x,

@@ -82,6 +82,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the other standard ANN scale
+   * path next to LSH:
+   *
+   *  1. pick `nLists` centroids deterministically (hash-ordered sample —
+   *     no iterative k-means needed for routing quality at this granularity);
+   *  2. assign every corpus vector to its nearest centroid — ONE corpus
+   *     scan, centroids broadcast;
+   *  3. at query time, probe the `nProbe` nearest lists per query and
+   *     re-rank exactly within them.
+   *
+   * At 100 TB the assignment is a write-once partitioning (store
+   * `list_id` as a partition column); queries then touch nProbe/nLists
+   * of the data. Recall < 1 (probe-limited), tunable via nProbe.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    // 1. deterministic centroid sample: smallest xxhash64(id) wins
+    val centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(nLists)
+      .drop("__h")
+
+    // 2. one-scan assignment: nearest centroid per corpus vector
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        col("centroid_id"), cosine(col(vecCol), col("cvec")).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("r") === 1)
+      .select(col("neighbor_id"), col("nvec"), col("centroid_id").as("list_id"))
+
+    // 3. route queries to their nProbe nearest lists
+    val routed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("centroid_id").as("list_id"))
+
+    // exact re-rank within probed lists
+    val scored = assigned.join(broadcast(routed), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nBits: Int = 8): DataFrame = {

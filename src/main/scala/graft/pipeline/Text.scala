@@ -73,6 +73,9 @@ object Text {
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash", {
       case Seq(e) => MinHash(e, 64, 3)
       case Seq(e, n, k) =>

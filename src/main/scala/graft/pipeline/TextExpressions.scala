@@ -173,23 +173,32 @@ object TextUtil {
     val toks = tokenize(s)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (toks.length < shingleSize) return sig
-    // base hashes of each shingle
+    // per-token hashes once; shingle base = polynomial combine (no string
+    // concatenation in the hot loop)
+    val th = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) { th(t) = fnv1a64(toks(t)); t += 1 }
+    // per-permutation affine coefficients hoisted out of the shingle loop
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = splitmix64(0x5851f42d4c957f2dL + j) | 1L // odd multiplier
+      bs(j) = splitmix64(0x14057b7ef767814fL ^ j)
+      j += 1
+    }
     val nSh = toks.length - shingleSize + 1
     var i = 0
     while (i < nSh) {
-      val sb = new java.lang.StringBuilder
+      var base = 0xcbf29ce484222325L
       var k = 0
       while (k < shingleSize) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
+        base = (base ^ th(i + k)) * 0x100000001b3L
         k += 1
       }
-      val base = fnv1a64(sb.toString)
-      var j = 0
+      j = 0
       while (j < numHashes) {
-        val a = splitmix64(0x5851f42d4c957f2dL + j) | 1L // odd multiplier
-        val b = splitmix64(0x14057b7ef767814fL ^ j)
-        val h = a * base + b
+        val h = as(j) * base + bs(j)
         if (h < sig(j)) sig(j) = h
         j += 1
       }

@@ -140,6 +140,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == expect.toSeq)
   }
 
+  test("ivf top-k recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nLists = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the lists should recover a solid share of the exact set
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall too low: $recall")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("lsh top-k returns plausible neighbors with exact rerank") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2)
