@@ -147,6 +147,102 @@ object GeomSetOps {
     else if (isConvex(b)) Some((b, a, true))
     else None
 
+  // ------------------------------------------------ ear-clipping triangulation
+
+  /**
+   * Triangulate a simple polygon's outer ring (ear clipping, O(n²)) into
+   * convex pieces that partition it — the bridge from the convex-only
+   * overlay to general simple polygons: clip/difference against each
+   * triangle and combine. Holes are not triangulated (outer ring only).
+   */
+  def triangulate(pg: Polygon): Array[Polygon] = {
+    if (pg.isEmpty) return Array.empty
+    var r = ccwRing(pg)
+    // drop consecutive duplicates
+    r = r.zipWithIndex.filter { case (p, i) => i == 0 || p != r(i - 1) }.map(_._1)
+    if (r.length < 3) return Array.empty
+    if (r.length == 3) return Array(Polygon(Array(closeRing(r)), 2))
+    val verts = scala.collection.mutable.ArrayBuffer(r.toIndexedSeq: _*)
+    val out = new ArrayBuffer[Polygon]
+    var guard = 0
+    val guardMax = verts.length * verts.length + 16
+    while (verts.length > 3 && guard < guardMax) {
+      guard += 1
+      var clipped = false
+      var i = 0
+      while (i < verts.length && !clipped) {
+        val n = verts.length
+        val a = verts((i + n - 1) % n); val b = verts(i); val c = verts((i + 1) % n)
+        val cross = orient(a._1, a._2, b._1, b._2, c._1, c._2)
+        if (cross > 0) { // convex corner (CCW)
+          // ear if no other vertex strictly inside triangle abc
+          var inside = false
+          var j = 0
+          while (j < n && !inside) {
+            if (j != (i + n - 1) % n && j != i && j != (i + 1) % n) {
+              val p = verts(j)
+              if (pointInTriStrict(a, b, c, p)) inside = true
+            }
+            j += 1
+          }
+          if (!inside) {
+            out += Polygon(Array(closeRing(Array(a, b, c))), 2)
+            verts.remove(i)
+            clipped = true
+          }
+        }
+        i += 1
+      }
+      if (!clipped) {
+        // degenerate (collinear run) — drop a zero-turn vertex and retry
+        val n = verts.length
+        var dropped = false
+        var i2 = 0
+        while (i2 < n && !dropped) {
+          val a = verts((i2 + n - 1) % n); val b = verts(i2); val c = verts((i2 + 1) % n)
+          if (orient(a._1, a._2, b._1, b._2, c._1, c._2) == 0) { verts.remove(i2); dropped = true }
+          i2 += 1
+        }
+        if (!dropped) return out.toArray // give up on pathological input
+      }
+    }
+    if (verts.length == 3)
+      out += Polygon(Array(closeRing(verts.toArray)), 2)
+    out.toArray
+  }
+
+  private def pointInTriStrict(a: (Double, Double), b: (Double, Double),
+                               c: (Double, Double), p: (Double, Double)): Boolean = {
+    val d1 = orient(a._1, a._2, b._1, b._2, p._1, p._2)
+    val d2 = orient(b._1, b._2, c._1, c._2, p._1, p._2)
+    val d3 = orient(c._1, c._2, a._1, a._2, p._1, p._2)
+    d1 > 0 && d2 > 0 && d3 > 0
+  }
+
+  /** General simple-polygon intersection: triangulate `b`, clip `a` by each
+    * triangle; triangles partition b ⇒ pieces are disjoint ⇒ area-correct. */
+  private def intersectByTriangulation(a: Polygon, b: Polygon): MultiPolygon = {
+    val tris = triangulate(b)
+    val subj = openRing(a.rings(0), a.dim)
+    val pieces = new ArrayBuffer[Polygon]
+    tris.foreach { tri =>
+      val res = clipRing(subj, ccwRing(tri))
+      ringToPolygon(res).foreach(pieces += _)
+    }
+    MultiPolygon(pieces.toArray, 2)
+  }
+
+  /** General simple-polygon difference: subtract each triangle of `b` in
+    * turn from the running piece set (each triangle is convex). */
+  private def differenceByTriangulation(a: Polygon, b: Polygon): MultiPolygon = {
+    val tris = triangulate(b)
+    var pieces: Array[Polygon] = Array(Polygon(Array(a.rings(0)), a.dim))
+    tris.foreach { tri =>
+      pieces = pieces.flatMap(p => differenceByConvex(p, tri).polygons)
+    }
+    MultiPolygon(pieces, 2)
+  }
+
   /** polygon ∩ polygon; requires one convex operand. */
   def intersectConvex(a: Polygon, b: Polygon): Option[Geometry] =
     asConvexFirst(a, b).map { case (convex, other, _) =>
@@ -203,10 +299,13 @@ object GeomSetOps {
         Some(MultiPoint(mp.points.filter(p => !p.isEmpty && GeomOps.intersects(p, g)), mp.dim))
       case (g, mp: MultiPoint) =>
         Some(MultiPoint(mp.points.filter(p => !p.isEmpty && GeomOps.intersects(p, g)), mp.dim))
-      case (pa: Polygon, pb: Polygon) => intersectConvex(pa, pb)
+      case (pa: Polygon, pb: Polygon) =>
+        intersectConvex(pa, pb).orElse(Some(intersectByTriangulation(pa, pb)))
       case (pa: Polygon, mb: MultiPolygon) =>
-        val parts = mb.polygons.flatMap(p => intersectConvex(pa, p)).collect {
-          case p: Polygon if !p.isEmpty => p
+        val parts = mb.polygons.flatMap(p => intersection(pa, p)).flatMap {
+          case p: Polygon if !p.isEmpty => Array(p)
+          case m: MultiPolygon => m.polygons
+          case _ => Array.empty[Polygon]
         }
         Some(MultiPolygon(parts, 2))
       case (ma: MultiPolygon, pb: Polygon) => intersection(pb, ma)
@@ -221,7 +320,9 @@ object GeomSetOps {
       case (p: Point, g) => Some(if (GeomOps.intersects(p, g)) Point.empty else p)
       case (mp: MultiPoint, g) =>
         Some(MultiPoint(mp.points.filter(p => !p.isEmpty && !GeomOps.intersects(p, g)), mp.dim))
-      case (pa: Polygon, pb: Polygon) if isConvex(pb) => Some(differenceByConvex(pa, pb))
+      case (pa: Polygon, pb: Polygon) =>
+        if (isConvex(pb)) Some(differenceByConvex(pa, pb))
+        else Some(differenceByTriangulation(pa, pb))
       case _ => None
     }
   }
@@ -234,11 +335,12 @@ object GeomSetOps {
     (a, b) match {
       case (pa: Polygon, pb: Polygon) =>
         if (!GeomOps.intersects(pa, pb)) Some(MultiPolygon(Array(pa, pb), 2))
-        else if (isConvex(pa))
-          Some(MultiPolygon(Array(pa) ++ differenceByConvex(pb, pa).polygons, 2))
-        else if (isConvex(pb))
-          Some(MultiPolygon(Array(pb) ++ differenceByConvex(pa, pb).polygons, 2))
-        else None
+        else difference(pb, pa) match {
+          case Some(mp: MultiPolygon) => Some(MultiPolygon(Array(pa) ++ mp.polygons, 2))
+          case Some(p: Polygon) if !p.isEmpty => Some(MultiPolygon(Array(pa, p), 2))
+          case Some(_) => Some(pa)
+          case None => None
+        }
       case (p1: Point, p2: Point) =>
         Some(if (p1.x == p2.x && p1.y == p2.y) p1 else MultiPoint(Array(p1, p2), 2))
       case _ => None
@@ -249,17 +351,17 @@ object GeomSetOps {
     (a, b) match {
       case (pa: Polygon, pb: Polygon) =>
         if (!GeomOps.intersects(pa, pb)) Some(MultiPolygon(Array(pa, pb), 2))
-        else if (isConvex(pa)) {
-          val bMinusA = differenceByConvex(pb, pa).polygons
-          difference(pa, pb) match {
-            case Some(mp: MultiPolygon) => Some(MultiPolygon(mp.polygons ++ bMinusA, 2))
-            case Some(p: Polygon) if !p.isEmpty => Some(MultiPolygon(Array(p) ++ bMinusA, 2))
-            case _ if isConvex(pb) =>
-              Some(MultiPolygon(differenceByConvex(pa, pb).polygons ++ bMinusA, 2))
-            case _ => None
+        else {
+          def pieces(o: Option[Geometry]): Option[Array[Polygon]] = o.map {
+            case mp: MultiPolygon => mp.polygons
+            case p: Polygon if !p.isEmpty => Array(p)
+            case _ => Array.empty[Polygon]
           }
-        } else if (isConvex(pb)) symDifference(pb, pa)
-        else None
+          for {
+            ab <- pieces(difference(pa, pb))
+            ba <- pieces(difference(pb, pa))
+          } yield MultiPolygon(ab ++ ba, 2)
+        }
       case _ => None
     }
   }

@@ -58,9 +58,26 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(math.abs(GeomOps.area(s) - 150.0) < 1e-9)
   }
 
-  test("non-convex × non-convex overlay unsupported → None") {
-    val l2 = poly("POLYGON ((3 3,9 3,9 5,5 5,5 9,3 9,3 3))")
-    assert(GeomSetOps.intersection(lShape, l2).isEmpty)
+  test("ear-clipping triangulation partitions the polygon") {
+    val tris = GeomSetOps.triangulate(lShape)
+    assert(tris.length == lShape.rings(0).length / 2 - 1 - 2) // n-2 triangles
+    assert(math.abs(tris.map(GeomOps.area).sum - GeomOps.area(lShape)) < 1e-9)
+    val sq = GeomSetOps.triangulate(sq10)
+    assert(math.abs(sq.map(GeomOps.area).sum - 100.0) < 1e-9)
+  }
+
+  test("non-convex × non-convex overlay via triangulation") {
+    val l2 = poly("POLYGON ((1 1,9 1,9 3,3 3,3 9,1 9,1 1))") // L, overlaps lShape
+    val aL = GeomOps.area(lShape)
+    val aL2 = GeomOps.area(l2)
+    val inter = GeomOps.area(GeomSetOps.intersection(lShape, l2).get)
+    val diff = GeomOps.area(GeomSetOps.difference(lShape, l2).get)
+    val uni = GeomOps.area(GeomSetOps.union(lShape, l2).get)
+    val sym = GeomOps.area(GeomSetOps.symDifference(lShape, l2).get)
+    assert(inter > 0)
+    assert(math.abs(diff - (aL - inter)) < 1e-9)
+    assert(math.abs(uni - (aL + aL2 - inter)) < 1e-9)
+    assert(math.abs(sym - (aL + aL2 - 2 * inter)) < 1e-9)
   }
 
   test("point/multipoint set ops") {

@@ -107,6 +107,39 @@ object GeometryPropSpec extends Properties("geometry") {
     GeomOps.intersects(a, b) == GeomOps.intersects(b, a)
   }
 
+  private val genStarPolygon: Gen[Polygon] =
+    for {
+      cx <- Gen.chooseNum(-50.0, 50.0)
+      cy <- Gen.chooseNum(-50.0, 50.0)
+      n <- Gen.chooseNum(5, 9)
+      radii <- Gen.listOfN(n, Gen.chooseNum(5.0, 60.0))
+    } yield {
+      // star-shaped (generally non-convex) simple polygon
+      val pts = radii.zipWithIndex.map { case (r, i) =>
+        val a = 2 * math.Pi * i / n
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      Polygon(Array((pts :+ pts.head).flatMap(p => Seq(p._1, p._2)).toArray), 2)
+    }
+
+  property("triangulation partitions area") = forAll(genStarPolygon) { pg =>
+    val tris = GeomSetOps.triangulate(pg)
+    math.abs(tris.map(GeomOps.area).sum - GeomOps.area(pg)) < 1e-6 * math.max(1.0, GeomOps.area(pg))
+  }
+
+  property("overlay area identities on non-convex pairs") =
+    forAll(genStarPolygon, genStarPolygon) { (a, b) =>
+      val inter = GeomSetOps.intersection(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val diff = GeomSetOps.difference(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val union = GeomSetOps.union(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val aa = GeomOps.area(a)
+      val ab = GeomOps.area(b)
+      val tol = 1e-6 * math.max(1.0, aa + ab)
+      inter >= -tol && diff >= -tol && union >= -tol &&
+        math.abs(diff - (aa - inter)) < tol &&
+        math.abs(union - (aa + ab - inter)) < tol
+    }
+
   property("buffer contains the original (points/lines)") =
     forAll(Gen.oneOf(genPoint: Gen[Geometry], genLine: Gen[Geometry]), Gen.chooseNum(0.5, 50.0)) { (g, d) =>
       GeomSetOps.buffer(g, d) match {
