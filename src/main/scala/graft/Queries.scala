@@ -388,6 +388,23 @@ object Queries {
         ORDER BY s_suppkey, n_nationkey""")
     }),
 
+    "q33_grid_spatial_join" -> ((s, d) => {
+      // grid-partitioned spatial join (equi-join on covering cells) — the
+      // no-broadcast path for large×large spatial joins
+      prep(s, d, "nation", "customer")
+      val rects = t(s, d, "nation").select(col("n_nationkey"),
+        G.st_makeenvelope(
+          col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+          col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+        ).as("rect"))
+      val pts = t(s, d, "customer").select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.spatial.SpatialJoin.join(rects, pts, col("rect"), col("pt"),
+          Seq("n_nationkey"), Seq("c_custkey"), G.st_contains, cellSize = 500.0)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n_pts"))
+        .orderBy("n_nationkey")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -655,6 +672,15 @@ object Queries {
                 (CAST(sp.s_nationkey AS DOUBLE) - CAST(n.n_nationkey AS DOUBLE)))
             <= 500.0
       ORDER BY s_suppkey, n_nationkey""",
+
+    "q33_grid_spatial_join" -> """
+      SELECT n.n_nationkey, count(*) AS n_pts
+      FROM nation n JOIN customer c
+        ON c.c_acctbal BETWEEN CAST(n.n_nationkey AS DOUBLE) * 300.0
+                           AND CAST(n.n_nationkey AS DOUBLE) * 300.0 + 2000.0
+       AND CAST(c.c_nationkey AS DOUBLE) BETWEEN CAST(n.n_nationkey AS DOUBLE) - 3.0
+                                             AND CAST(n.n_nationkey AS DOUBLE) + 3.0
+      GROUP BY n.n_nationkey ORDER BY n.n_nationkey""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

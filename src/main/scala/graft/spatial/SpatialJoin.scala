@@ -1,0 +1,90 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/**
+ * Grid-partitioned spatial join — the scale path for spatial predicates.
+ *
+ * A broadcast nested-loop join (what Catalyst picks for an ST_* theta join)
+ * is right when one side fits in memory; at 100 TB neither side does. The
+ * standard fix is a uniform grid: each geometry is exploded to the cells
+ * its envelope covers, the join becomes an EQUI-join on cell id (hash
+ * shuffle, both sides partitioned by the same key — no broadcast, no NL),
+ * and the exact predicate filters within cells. Duplicate candidate pairs
+ * (envelopes spanning several shared cells) are removed by a distinct on
+ * the caller's row keys.
+ *
+ * Cell size is the tuning knob: ≈ the median geometry envelope size keeps
+ * the per-cell fan-out near 1. Skewed cells (a hot spot of geometries)
+ * are handled by AQE skew-join splitting since the join is a plain
+ * shuffled hash join.
+ */
+object SpatialJoin {
+
+  /** st_covering_cells(geom): packed (ix,iy) cell ids covering the envelope. */
+  case class StCoveringCells(child: Expression, cellSize: Double, maxCells: Int = 4096)
+      extends UnaryExpression with CodegenFallback {
+    require(cellSize > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "st_covering_cells"
+    override protected def nullSafeEval(v: Any): Any = {
+      val env = new Envelope
+      try WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], env)
+      catch { case _: Exception => return null }
+      if (env.isEmpty) return new GenericArrayData(Array.empty[Long])
+      val ix0 = math.floor(env.xmin / cellSize).toLong
+      val ix1 = math.floor(env.xmax / cellSize).toLong
+      val iy0 = math.floor(env.ymin / cellSize).toLong
+      val iy1 = math.floor(env.ymax / cellSize).toLong
+      val nx = ix1 - ix0 + 1
+      val ny = iy1 - iy0 + 1
+      if (nx * ny > maxCells) return null // degenerate envelope vs cell size
+      val out = new Array[Long]((nx * ny).toInt)
+      var k = 0
+      var ix = ix0
+      while (ix <= ix1) {
+        var iy = iy0
+        while (iy <= iy1) {
+          out(k) = (ix << 32) | (iy & 0xffffffffL)
+          k += 1
+          iy += 1
+        }
+        ix += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def st_covering_cells(g: Column, cellSize: Double): Column =
+    toCol(StCoveringCells(toExpr(g), cellSize))
+
+  /**
+   * Inner spatial join on `predicate` (e.g. st_intersects/st_contains)
+   * using grid partitioning.
+   *
+   * @param left/right   inputs; all their columns survive
+   * @param leftGeom/rightGeom  WKB geometry columns
+   * @param leftKeys/rightKeys  unique row keys (for candidate dedup)
+   * @param cellSize     grid pitch in coordinate units
+   */
+  def join(left: DataFrame, right: DataFrame,
+           leftGeom: Column, rightGeom: Column,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           predicate: (Column, Column) => Column,
+           cellSize: Double): DataFrame = {
+    val l = left.withColumn("__cell", explode(st_covering_cells(leftGeom, cellSize)))
+    val r = right.withColumn("__cell", explode(st_covering_cells(rightGeom, cellSize)))
+    l.join(r, Seq("__cell"))
+      .filter(predicate(leftGeom, rightGeom))
+      .drop("__cell")
+      .dropDuplicates(leftKeys ++ rightKeys)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.spatial
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spatial.{functions => G}
+
+class SpatialJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-spatialjoin-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("grid join == broadcast-NL join on contains predicate") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    // one rect per nation: x ∈ [nk*300, nk*300+2000], y ∈ [nk-3, nk+3]
+    val rects = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"),
+        G.st_makeenvelope(
+          col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+          col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+        ).as("rect"))
+
+    val expected = rects.crossJoin(cust)
+      .filter(G.st_contains(col("rect"), col("pt")))
+      .select("n_nationkey", "c_custkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+
+    val grid = SpatialJoin.join(rects, cust, col("rect"), col("pt"),
+        Seq("n_nationkey"), Seq("c_custkey"), G.st_contains, cellSize = 500.0)
+      .select("n_nationkey", "c_custkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(grid == expected)
+  }
+
+  test("grid join plans as an equi-join, not broadcast nested loop") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val rects = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"),
+        G.st_makeenvelope(lit(0.0), lit(0.0), lit(1000.0), lit(10.0)).as("rect"))
+    val joined = SpatialJoin.join(rects, cust, col("rect"), col("pt"),
+      Seq("n_nationkey"), Seq("c_custkey"), G.st_intersects, cellSize = 500.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("Join"), plan.take(500))
+  }
+
+  test("covering cells cap degenerate envelopes") {
+    val df = spark.range(1).select(
+      G.st_makeenvelope(lit(0.0), lit(0.0), lit(1e9), lit(1e9)).as("g"))
+    val cells = df.select(SpatialJoin.st_covering_cells(col("g"), 1.0).as("c")).head()
+    assert(cells.isNullAt(0)) // > maxCells → null (caller must coarsen)
+  }
+}
