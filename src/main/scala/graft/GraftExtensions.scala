@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // accessors
     inject(e, "st_astext", es => StAsText(es.head))
     inject(e, "st_asbinary", es => StAsBinary(es.head))
+    inject(e, "st_asgeojson", es => StAsGeoJson(es.head))
     inject(e, "st_geometrytype", es => StGeometryType(es.head))
     inject(e, "st_envelope", es => StEnvelope(es.head))
     inject(e, "st_x", es => StX(es.head))

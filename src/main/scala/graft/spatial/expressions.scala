@@ -647,3 +647,11 @@ case class StBuffer(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** ST_AsGeoJSON(geom) → RFC 7946 geometry object (no CRS member). */
+case class StAsGeoJson(child: Expression) extends GeomUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgeojson"
+  override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(GeoJson.write(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

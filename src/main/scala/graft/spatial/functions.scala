@@ -27,6 +27,7 @@ object functions {
   // accessors
   def st_astext(g: Column): Column = toCol(StAsText(expr(g)))
   def st_asbinary(g: Column): Column = toCol(StAsBinary(expr(g)))
+  def st_asgeojson(g: Column): Column = toCol(StAsGeoJson(expr(g)))
   def st_geometrytype(g: Column): Column = toCol(StGeometryType(expr(g)))
   def st_envelope(g: Column): Column = toCol(StEnvelope(expr(g)))
   def st_x(g: Column): Column = toCol(StX(expr(g)))
@@ -108,6 +109,7 @@ object functions {
     reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es), "built-in")
     r1("st_astext", StAsText.apply)
     r1("st_asbinary", StAsBinary.apply)
+    r1("st_asgeojson", StAsGeoJson.apply)
     r1("st_geometrytype", StGeometryType.apply)
     r1("st_envelope", StEnvelope.apply)
     r1("st_x", StX.apply)

@@ -180,6 +180,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_events") == 2L)
   }
 
+  test("salted join equals plain join") {
+    val fact = spark.range(1000).toDF("id")
+      .withColumn("k", (col("id") % 3).cast("int")) // 3 hot keys
+    val dim = spark.range(3).toDF("k").withColumn("k", col("k").cast("int"))
+      .withColumn("name", concat(lit("key"), col("k")))
+    val plain = fact.join(dim, Seq("k")).select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", nSalts = 8).select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal stub plumbing: decode, featurize, frames") {

@@ -216,6 +216,19 @@ class GeometryCoreSpec extends AnyFunSuite {
     assert(keep.numPoints == 5)
   }
 
+  test("geojson writer") {
+    assert(GeoJson.write(WKT.read("POINT (30 10)")) ==
+      """{"type":"Point","coordinates":[30,10]}""")
+    assert(GeoJson.write(WKT.read("LINESTRING (30 10, 10 30)")) ==
+      """{"type":"LineString","coordinates":[[30,10],[10,30]]}""")
+    assert(GeoJson.write(WKT.read("POLYGON ((0 0,4 0,2 4,0 0))")) ==
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[2,4],[0,0]]]}""")
+    assert(GeoJson.write(WKT.read("MULTIPOLYGON (((0 0,4 0,2 4,0 0)))")) ==
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[2,4],[0,0]]]]}""")
+    assert(GeoJson.write(WKT.read("POINT (1.5 -2.25)")) ==
+      """{"type":"Point","coordinates":[1.5,-2.25]}""")
+  }
+
   test("extent aggregator semantics incl. merge fix (extent.rs:210-224)") {
     val agg = new ExtentAggregator
     val b1 = agg.reduce(agg.zero, WKB.write(Point.xy(0, 5)))
