@@ -405,6 +405,20 @@ object Queries {
         .orderBy("n_nationkey")
     }),
 
+    "q34_asof_join" -> ((s, d) => {
+      // as-of join: for each click, the user's latest at-or-before purchase
+      // (DuckDB's native ASOF JOIN is the oracle)
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id")) // unique (user, ts)
+      graft.pipeline.AsOf.join(clicks, purchases, Seq("user_id"), "ts")
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -681,6 +695,17 @@ object Queries {
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN CAST(n.n_nationkey AS DOUBLE) - 3.0
                                              AND CAST(n.n_nationkey AS DOUBLE) + 3.0
       GROUP BY n.n_nationkey ORDER BY n.n_nationkey""",
+
+    "q34_asof_join" -> """
+      WITH clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.click_id, p.purchase_id
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.click_id""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -239,6 +239,8 @@ case class LangId(child: Expression) extends TextUnary {
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
   override protected def evalText(s: String): Any = UTF8String.fromString(TextUtil.langId(s))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.langId($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -247,6 +249,8 @@ case class Fingerprint64(child: Expression) extends TextUnary {
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
   override protected def evalText(s: String): Any = TextUtil.fingerprint64(s)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.fingerprint64($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -255,6 +259,8 @@ case class SimHash64(child: Expression) extends TextUnary {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def evalText(s: String): Any = TextUtil.simhash64(s)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.simhash64($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

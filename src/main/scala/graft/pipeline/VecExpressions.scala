@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -48,6 +48,8 @@ case class VecDot(left: Expression, right: Expression) extends VecBinary {
   override def prettyName: String = "vec_dot"
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecUtil.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spatial.Kernels.vecDot($a, $b, $isFloat)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -65,6 +67,8 @@ case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallba
     val a = v.asInstanceOf[ArrayData]
     math.sqrt(VecUtil.dot(a, a, isFloat))
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.spatial.Kernels.vecNorm($a, $isFloat)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -80,6 +84,11 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinary {
     val nb = math.sqrt(VecUtil.dot(b, b, isFloat))
     if (na == 0.0 || nb == 0.0) null else d / (na * nb)
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.spatial.Kernels.vecCosine($a, $b, $isFloat);
+      if (Double.isNaN(${ev.value})) ${ev.isNull} = true;
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -1,0 +1,98 @@
+package graft.spatial
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernels invoked from generated (whole-stage codegen) Java.
+ *
+ * A top-level Scala object emits static forwarders, so generated code calls
+ * `graft.spatial.Kernels.xmin(bytes)` directly — no boxing, no
+ * `references[i].eval(row)` indirection like CodegenFallback. Null results
+ * are signalled by sentinel values (NaN for doubles, null for references,
+ * (byte) -1 for tri-state booleans) and translated to SQL NULL by the
+ * generated wrapper in each expression's doGenCode.
+ */
+object Kernels {
+
+  def pointWkb(x: Double, y: Double): Array[Byte] = WKB.write(Point.xy(x, y))
+
+  // bbox ordinates: NaN = empty/invalid → NULL
+  def xmin(b: Array[Byte]): Double = bound(b, 0)
+  def ymin(b: Array[Byte]): Double = bound(b, 1)
+  def xmax(b: Array[Byte]): Double = bound(b, 2)
+  def ymax(b: Array[Byte]): Double = bound(b, 3)
+
+  private def bound(b: Array[Byte], which: Int): Double = {
+    val e = new Envelope
+    try WKB.foldEnvelope(b, e) catch { case _: Exception => return Double.NaN }
+    if (e.isEmpty) Double.NaN
+    else which match {
+      case 0 => e.xmin
+      case 1 => e.ymin
+      case 2 => e.xmax
+      case _ => e.ymax
+    }
+  }
+
+  def asText(b: Array[Byte]): UTF8String = {
+    val g = WKB.readOrNull(b)
+    if (g == null) null else UTF8String.fromString(WKT.write(g))
+  }
+
+  def geometryType(b: Array[Byte]): UTF8String =
+    try UTF8String.fromString(WKB.geometryTypeTag(b))
+    catch { case _: Exception => null }
+
+  def envelope(b: Array[Byte]): Array[Byte] =
+    try {
+      val e = new Envelope
+      WKB.foldEnvelope(b, e)
+      WKB.write(e.toPolygon)
+    } catch { case _: Exception => null }
+
+  /** NaN = parse failure or empty operand → NULL. */
+  def distance(a: Array[Byte], b: Array[Byte]): Double = {
+    val ga = WKB.readOrNull(a)
+    val gb = WKB.readOrNull(b)
+    if (ga == null || gb == null) Double.NaN
+    else GeomOps.distance(ga, gb)
+  }
+
+  /** -1 = NULL, 0 = false, 1 = true. */
+  def intersects(a: Array[Byte], b: Array[Byte]): Byte = {
+    val ga = WKB.readOrNull(a)
+    val gb = WKB.readOrNull(b)
+    if (ga == null || gb == null) -1
+    else if (GeomOps.intersects(ga, gb)) 1
+    else 0
+  }
+
+  def contains(a: Array[Byte], b: Array[Byte]): Byte = {
+    val ga = WKB.readOrNull(a)
+    val gb = WKB.readOrNull(b)
+    if (ga == null || gb == null) -1
+    else if (GeomOps.contains(ga, gb)) 1
+    else 0
+  }
+
+  // vector kernels (NaN → NULL)
+  def vecDot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double =
+    graft.pipeline.VecUtil.dot(a, b, isFloat)
+
+  def vecNorm(a: ArrayData, isFloat: Boolean): Double =
+    math.sqrt(graft.pipeline.VecUtil.dot(a, a, isFloat))
+
+  def vecCosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val d = graft.pipeline.VecUtil.dot(a, b, isFloat)
+    val na = math.sqrt(graft.pipeline.VecUtil.dot(a, a, isFloat))
+    val nb = math.sqrt(graft.pipeline.VecUtil.dot(b, b, isFloat))
+    if (na == 0.0 || nb == 0.0) Double.NaN else d / (na * nb)
+  }
+
+  // text kernels
+  def simhash64(s: UTF8String): Long = graft.pipeline.TextUtil.simhash64(s.toString)
+  def fingerprint64(s: UTF8String): Long = graft.pipeline.TextUtil.fingerprint64(s.toString)
+  def langId(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.pipeline.TextUtil.langId(s.toString))
+}

@@ -2,7 +2,7 @@ package graft.spatial
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 // NOTE: no wildcard import — Spark 4.1's experimental
 // org.apache.spark.sql.types.Geometry would shadow graft.spatial.Geometry.
@@ -43,6 +43,8 @@ case class StPoint(left: Expression, right: Expression)
   override def prettyName: String = "st_point"
   override protected def nullSafeEval(x: Any, y: Any): Any =
     toWkb(Point.xy(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.spatial.Kernels.pointWkb($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -126,6 +128,11 @@ case class StAsText(child: Expression) extends GeomUnary {
   override def dataType: DataType = StringType
   override def prettyName: String = "st_astext"
   override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(WKT.write(g))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.spatial.Kernels.asText($c);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -151,6 +158,11 @@ case class StGeometryType(child: Expression)
   override protected def nullSafeEval(v: Any): Any =
     try UTF8String.fromString(WKB.geometryTypeTag(v.asInstanceOf[Array[Byte]]))
     catch { case _: Exception => null }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.spatial.Kernels.geometryType($c);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -170,6 +182,11 @@ case class StEnvelope(child: Expression)
       WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], e)
       toWkb(e.toPolygon)
     } catch { case _: Exception => null }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.spatial.Kernels.envelope($c);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -178,30 +195,40 @@ abstract class BoundExpr extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   protected def pick(e: Envelope): Double
+  protected def kernel: String
   override protected def nullSafeEval(v: Any): Any =
     try {
       val e = new Envelope
       WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], e)
       if (e.isEmpty) null else pick(e)
     } catch { case _: Exception => null }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.spatial.Kernels.$kernel($c);
+      if (Double.isNaN(${ev.value})) ${ev.isNull} = true;
+    """)
 }
 case class StXMin(child: Expression) extends BoundExpr {
   override def prettyName: String = "st_xmin"
+  override protected def kernel: String = "xmin"
   override protected def pick(e: Envelope): Double = e.xmin
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StYMin(child: Expression) extends BoundExpr {
   override def prettyName: String = "st_ymin"
+  override protected def kernel: String = "ymin"
   override protected def pick(e: Envelope): Double = e.ymin
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StXMax(child: Expression) extends BoundExpr {
   override def prettyName: String = "st_xmax"
+  override protected def kernel: String = "xmax"
   override protected def pick(e: Envelope): Double = e.xmax
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StYMax(child: Expression) extends BoundExpr {
   override def prettyName: String = "st_ymax"
+  override protected def kernel: String = "ymax"
   override protected def pick(e: Envelope): Double = e.ymax
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -343,6 +370,11 @@ case class StDistance(left: Expression, right: Expression) extends GeomBinary {
     val d = GeomOps.distance(a, b)
     if (d.isNaN) null else d
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.spatial.Kernels.distance($a, $b);
+      if (Double.isNaN(${ev.value})) ${ev.isNull} = true;
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -353,6 +385,15 @@ case class StIntersects(left: Expression, right: Expression) extends GeomBinary 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "st_intersects"
   override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomOps.intersects(a, b)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("tri")
+      s"""
+      byte $t = graft.spatial.Kernels.intersects($a, $b);
+      ${ev.value} = $t == (byte) 1;
+      if ($t < 0) ${ev.isNull} = true;
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -367,6 +408,15 @@ case class StContains(left: Expression, right: Expression) extends GeomBinary {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "st_contains"
   override protected def evalGeoms(a: Geometry, b: Geometry): Any = GeomOps.contains(a, b)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("tri")
+      s"""
+      byte $t = graft.spatial.Kernels.contains($a, $b);
+      ${ev.value} = $t == (byte) 1;
+      if ($t < 0) ${ev.isNull} = true;
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

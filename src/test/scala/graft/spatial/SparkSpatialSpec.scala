@@ -19,6 +19,7 @@ class SparkSpatialSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.register(s)
+    graft.pipeline.Text.register(s)
     s
   }
 
@@ -123,6 +124,32 @@ class SparkSpatialSpec extends AnyFunSuite {
     val b = back.select(G.st_astext(col("geometry")).as("w"))
       .collect().map(r => if (r.isNullAt(0)) "" else r.getString(0)).toSeq.sorted
     assert(a == b)
+  }
+
+  test("doGenCode paths compile under CODEGEN_ONLY (no fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(1000).selectExpr(
+        "id",
+        "st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE) + 1.0) AS g",
+        "CAST(id AS STRING) AS txt")
+      val out = df.selectExpr(
+        "st_astext(g)", "st_geometrytype(g)", "st_xmin(g)", "st_ymax(g)",
+        "st_astext(st_envelope(g))",
+        "st_distance(g, st_point(0.0D, 0.0D))",
+        "st_intersects(g, st_geomfromtext('POLYGON ((0 0,100 0,100 100,0 100,0 0))'))",
+        "st_contains(st_geomfromtext('POLYGON ((0 0,100 0,100 100,0 100,0 0))'), g)",
+        "simhash64(txt)", "fingerprint64(txt)", "lang_id(txt)",
+        "vec_cosine(array(CAST(id AS DOUBLE), 1.0D), array(1.0D, 1.0D))")
+      assert(out.collect().length == 1000)
+      // null-sentinel paths: empty geometry bbox → NULL
+      val n = spark.sql("SELECT st_xmin(st_geomfromtext('POINT EMPTY')) AS v").head()
+      assert(n.isNullAt(0))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("expressions constant-fold (foldable) like Volatility::Immutable") {
