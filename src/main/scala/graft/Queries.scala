@@ -246,17 +246,13 @@ object Queries {
     }),
 
     "q19_st_hull_centroid" -> ((s, d) => {
-      // convex hull + centroid per order's point cloud — no SQL oracle
-      // (computational geometry); rows-only check
+      // convex hull per order's point cloud via the ST_Collect aggregate —
+      // no SQL oracle (computational geometry); rows-only check
       prep(s, d, "lineitem")
       s.sql("""
         SELECT l_orderkey,
-               ST_AsText(ST_ConvexHull(ST_GeomFromText(
-                 concat('MULTIPOINT (', concat_ws(',',
-                   collect_list(concat('(', l_extendedprice, ' ', l_quantity, ')'))), ')')))) AS hull,
-               ST_NPoints(ST_ConvexHull(ST_GeomFromText(
-                 concat('MULTIPOINT (', concat_ws(',',
-                   collect_list(concat('(', l_extendedprice, ' ', l_quantity, ')'))), ')')))) AS hull_pts
+               ST_AsText(ST_ConvexHull(st_collect(ST_Point(l_extendedprice, l_quantity)))) AS hull,
+               ST_NPoints(ST_ConvexHull(st_collect(ST_Point(l_extendedprice, l_quantity)))) AS hull_pts
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
     }),
 

@@ -89,6 +89,10 @@ object functions {
   /** The typed-Aggregator form of ST_Extent, for udaf registration. */
   lazy val extentUdaf = udaf(new ExtentAggregator, org.apache.spark.sql.Encoders.BINARY)
 
+  /** ST_Collect aggregate (multi-geometry assembly). */
+  lazy val collectUdaf = udaf(new CollectAggregator, org.apache.spark.sql.Encoders.BINARY)
+  def st_collect(g: Column): Column = collectUdaf(g)
+
   /** Register every ST_* function for SQL use (`spark.sql("… ST_AsText(g) …")`).
     * Mirrors the reference's UDF registration (examples/main.rs:21-27);
     * names are case-insensitive in Spark SQL. */
@@ -152,5 +156,6 @@ object functions {
     r2("st_buffer", StBuffer.apply)
     // aggregate: typed Aggregator via UDF registry
     spark.udf.register("st_extent", extentUdaf)
+    spark.udf.register("st_collect", collectUdaf)
   }
 }
