@@ -14,7 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
-    val wh = "/tmp/graft_warehouse"
+    // fresh warehouse per JVM: the metastore is ephemeral (in-memory derby)
+    // but saveAsTable refuses a pre-existing managed-table location
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-bucketing-test")
