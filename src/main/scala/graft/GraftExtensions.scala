@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_numpoints", es => StNPoints(es.head))
     inject(e, "st_numgeometries", es => StNumGeometries(es.head))
     inject(e, "st_srid", es => StSrid(es.head))
+    inject(e, "st_pointn", es => StPointN(es(0), es(1)))
+    inject(e, "st_startpoint", es => StStartPoint(es.head))
+    inject(e, "st_endpoint", es => StEndPoint(es.head))
+    inject(e, "st_exteriorring", es => StExteriorRing(es.head))
+    inject(e, "st_interiorringn", es => StInteriorRingN(es(0), es(1)))
+    inject(e, "st_geometryn", es => StGeometryN(es(0), es(1)))
+    inject(e, "st_reverse", es => StReverse(es.head))
+    inject(e, "st_translate", es => StTranslate(es(0), es(1), es(2)))
+    inject(e, "st_scale", es => StScale(es(0), es(1), es(2)))
     // measures
     inject(e, "st_area", es => StArea(es.head))
     inject(e, "st_length", es => StLength(es.head))

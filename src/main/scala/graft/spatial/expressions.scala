@@ -705,3 +705,184 @@ case class StAsGeoJson(child: Expression) extends GeomUnary {
   override protected def evalGeom(g: Geometry): Any = UTF8String.fromString(GeoJson.write(g))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+// ----------------------------- structural accessors (PostGIS-standard) -----
+
+/** ST_PointN(line, n) — 1-based nth vertex of a LineString; null otherwise. */
+case class StPointN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointn"
+  override protected def nullSafeEval(v: Any, nv: Any): Any = {
+    val g = fromWkb(v)
+    val n = nv.asInstanceOf[Number].intValue()
+    g match {
+      case l: LineString if n >= 1 && n <= l.numPoints =>
+        val off = (n - 1) * l.dim
+        toWkb(Point(java.util.Arrays.copyOfRange(l.coords, off, off + l.dim), l.dim))
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_StartPoint / ST_EndPoint of a LineString. */
+case class StStartPoint(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_startpoint"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case l: LineString if !l.isEmpty =>
+      toWkb(Point(java.util.Arrays.copyOfRange(l.coords, 0, l.dim), l.dim))
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StEndPoint(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_endpoint"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case l: LineString if !l.isEmpty =>
+      val off = l.coords.length - l.dim
+      toWkb(Point(java.util.Arrays.copyOfRange(l.coords, off, off + l.dim), l.dim))
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_ExteriorRing(polygon) → LineString; null for non-polygons. */
+case class StExteriorRing(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_exteriorring"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case p: Polygon if !p.isEmpty => toWkb(LineString(p.rings(0), p.dim))
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_InteriorRingN(polygon, n) — 1-based nth hole as LineString. */
+case class StInteriorRingN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_interiorringn"
+  override protected def nullSafeEval(v: Any, nv: Any): Any = {
+    val g = fromWkb(v)
+    val n = nv.asInstanceOf[Number].intValue()
+    g match {
+      case p: Polygon if n >= 1 && n < p.rings.length => toWkb(LineString(p.rings(n), p.dim))
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_GeometryN(multi, n) — 1-based nth member geometry. */
+case class StGeometryN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometryn"
+  override protected def nullSafeEval(v: Any, nv: Any): Any = {
+    val g = fromWkb(v)
+    val n = nv.asInstanceOf[Number].intValue()
+    g match {
+      case mp: MultiPoint if n >= 1 && n <= mp.points.length => toWkb(mp.points(n - 1))
+      case ml: MultiLineString if n >= 1 && n <= ml.lines.length => toWkb(ml.lines(n - 1))
+      case mpg: MultiPolygon if n >= 1 && n <= mpg.polygons.length => toWkb(mpg.polygons(n - 1))
+      case gc: GeometryCollection if n >= 1 && n <= gc.geoms.length => toWkb(gc.geoms(n - 1))
+      case simple if n == 1 && !simple.isEmpty => toWkb(simple)
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Reverse — reverse vertex order of every coordinate sequence. */
+case class StReverse(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_reverse"
+  private def rev(cs: Array[Double], dim: Int): Array[Double] = {
+    val n = cs.length / dim
+    val out = new Array[Double](cs.length)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(cs, (n - 1 - i) * dim, out, i * dim, dim)
+      i += 1
+    }
+    out
+  }
+  private def revGeom(g: Geometry): Geometry = g match {
+    case l: LineString => LineString(rev(l.coords, l.dim), l.dim)
+    case p: Polygon => Polygon(p.rings.map(rev(_, p.dim)), p.dim)
+    case ml: MultiLineString => MultiLineString(ml.lines.map(l => LineString(rev(l.coords, l.dim), l.dim)), ml.dim)
+    case mpg: MultiPolygon => MultiPolygon(mpg.polygons.map(p => Polygon(p.rings.map(rev(_, p.dim)), p.dim)), mpg.dim)
+    case gc: GeometryCollection => GeometryCollection(gc.geoms.map(revGeom), gc.dim)
+    case other => other
+  }
+  override protected def evalGeom(g: Geometry): Any = toWkb(revGeom(g))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_Translate(geom, dx, dy) — affine shift. */
+case class StTranslate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_translate"
+  override protected def nullSafeEval(v: Any, dxv: Any, dyv: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) return null
+    val dx = dxv.asInstanceOf[Double]
+    val dy = dyv.asInstanceOf[Double]
+    toWkb(Affine.map(g, (x, y) => (x + dx, y + dy)))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** ST_Scale(geom, sx, sy) — affine scale about the origin. */
+case class StScale(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_scale"
+  override protected def nullSafeEval(v: Any, sxv: Any, syv: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) return null
+    val sx = sxv.asInstanceOf[Double]
+    val sy = syv.asInstanceOf[Double]
+    toWkb(Affine.map(g, (x, y) => (x * sx, y * sy)))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Shared coordinate-wise affine transformer. */
+object Affine {
+  def map(g: Geometry, f: (Double, Double) => (Double, Double)): Geometry = {
+    def seq(cs: Array[Double], dim: Int): Array[Double] = {
+      val out = cs.clone()
+      var i = 0
+      while (i + 1 < out.length) {
+        val (nx, ny) = f(out(i), out(i + 1))
+        out(i) = nx; out(i + 1) = ny
+        i += dim
+      }
+      out
+    }
+    g match {
+      case p: Point => if (p.isEmpty) p else Point(seq(p.coords, p.dim), p.dim)
+      case l: LineString => LineString(seq(l.coords, l.dim), l.dim)
+      case pg: Polygon => Polygon(pg.rings.map(seq(_, pg.dim)), pg.dim)
+      case mp: MultiPoint => MultiPoint(mp.points.map(p => if (p.isEmpty) p else Point(seq(p.coords, p.dim), p.dim)), mp.dim)
+      case ml: MultiLineString => MultiLineString(ml.lines.map(l => LineString(seq(l.coords, l.dim), l.dim)), ml.dim)
+      case mpg: MultiPolygon => MultiPolygon(mpg.polygons.map(p => Polygon(p.rings.map(seq(_, p.dim)), p.dim)), mpg.dim)
+      case gc: GeometryCollection => GeometryCollection(gc.geoms.map(map(_, f)), gc.dim)
+    }
+  }
+}

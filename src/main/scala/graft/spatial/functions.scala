@@ -43,6 +43,17 @@ object functions {
   def st_numgeometries(g: Column): Column = toCol(StNumGeometries(expr(g)))
   def st_srid(g: Column): Column = toCol(StSrid(expr(g)))
 
+  // structural accessors
+  def st_pointn(g: Column, n: Column): Column = toCol(StPointN(expr(g), expr(n)))
+  def st_startpoint(g: Column): Column = toCol(StStartPoint(expr(g)))
+  def st_endpoint(g: Column): Column = toCol(StEndPoint(expr(g)))
+  def st_exteriorring(g: Column): Column = toCol(StExteriorRing(expr(g)))
+  def st_interiorringn(g: Column, n: Column): Column = toCol(StInteriorRingN(expr(g), expr(n)))
+  def st_geometryn(g: Column, n: Column): Column = toCol(StGeometryN(expr(g), expr(n)))
+  def st_reverse(g: Column): Column = toCol(StReverse(expr(g)))
+  def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), expr(dx), expr(dy)))
+  def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), expr(sx), expr(sy)))
+
   // measures
   def st_area(g: Column): Column = toCol(StArea(expr(g)))
   def st_length(g: Column): Column = toCol(StLength(expr(g)))
@@ -129,6 +140,15 @@ object functions {
     r1("st_numpoints", StNPoints.apply)
     r1("st_numgeometries", StNumGeometries.apply)
     r1("st_srid", StSrid.apply)
+    r2("st_pointn", StPointN.apply)
+    r1("st_startpoint", StStartPoint.apply)
+    r1("st_endpoint", StEndPoint.apply)
+    r1("st_exteriorring", StExteriorRing.apply)
+    r2("st_interiorringn", StInteriorRingN.apply)
+    r2("st_geometryn", StGeometryN.apply)
+    r1("st_reverse", StReverse.apply)
+    r3("st_translate", StTranslate.apply)
+    r3("st_scale", StScale.apply)
     r1("st_area", StArea.apply)
     r1("st_length", StLength.apply)
     r1("st_perimeter", StPerimeter.apply)

@@ -152,6 +152,33 @@ class SparkSpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("structural accessors + affine transforms through SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING (1 2, 3 4, 5 6)'), 2)) AS p2,
+        |  ST_AsText(ST_StartPoint(ST_GeomFromText('LINESTRING (1 2, 3 4)'))) AS sp,
+        |  ST_AsText(ST_EndPoint(ST_GeomFromText('LINESTRING (1 2, 3 4)'))) AS ep,
+        |  ST_AsText(ST_ExteriorRing(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))'))) AS ring,
+        |  ST_AsText(ST_InteriorRingN(ST_GeomFromText(
+        |    'POLYGON ((0 0,9 0,9 9,0 9,0 0),(2 2,3 2,3 3,2 3,2 2))'), 1)) AS hole,
+        |  ST_AsText(ST_GeometryN(ST_GeomFromText('MULTIPOINT ((1 1),(2 2))'), 2)) AS g2,
+        |  ST_AsText(ST_Reverse(ST_GeomFromText('LINESTRING (1 2, 3 4)'))) AS rv,
+        |  ST_AsText(ST_Translate(ST_Point(1.0D, 2.0D), 10.0D, 20.0D)) AS tr,
+        |  ST_AsText(ST_Scale(ST_Point(2.0D, 3.0D), 2.0D, 10.0D)) AS sc,
+        |  ST_PointN(ST_GeomFromText('LINESTRING (1 2, 3 4)'), 9) AS oob
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POINT (3.0 4.0)")
+    assert(r.getString(1) == "POINT (1.0 2.0)")
+    assert(r.getString(2) == "POINT (3.0 4.0)")
+    assert(r.getString(3) == "LINESTRING (0.0 0.0,4.0 0.0,4.0 4.0,0.0 4.0,0.0 0.0)")
+    assert(r.getString(4) == "LINESTRING (2.0 2.0,3.0 2.0,3.0 3.0,2.0 3.0,2.0 2.0)")
+    assert(r.getString(5) == "POINT (2.0 2.0)")
+    assert(r.getString(6) == "LINESTRING (3.0 4.0,1.0 2.0)")
+    assert(r.getString(7) == "POINT (11.0 22.0)")
+    assert(r.getString(8) == "POINT (4.0 30.0)")
+    assert(r.isNullAt(9))
+  }
+
   test("expressions constant-fold (foldable) like Volatility::Immutable") {
     val df = spark.sql("SELECT ST_AsText(ST_Point(1.0D, 2.0D)) AS t")
     val plan = df.queryExecution.optimizedPlan.toString
