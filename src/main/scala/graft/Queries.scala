@@ -415,6 +415,16 @@ object Queries {
         .orderBy("click_id")
     }),
 
+    "q35_range_window" -> ((s, d) => {
+      // sliding event-time frame: events in the trailing hour per user
+      events(s, d).createOrReplaceTempView("events_us")
+      s.sql("""
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events_us ORDER BY user_id, event_id""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -702,6 +712,12 @@ object Queries {
       FROM clicks c ASOF LEFT JOIN purchases p
         ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.click_id""",
+
+    "q35_range_window" -> """
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+      FROM events ORDER BY user_id, event_id""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

@@ -27,6 +27,14 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id within
+    * the watermark horizon (bounded state — the streaming face of
+    * [[graft.pipeline.Dedup]]). */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

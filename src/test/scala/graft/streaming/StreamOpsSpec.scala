@@ -43,6 +43,26 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val deduped = StreamOps.dedupEvents(input.toDF(), Seq("event_id"), "1 minute")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      input.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0), // duplicate
+        StreamOps.Event(2, ts("2026-01-01 10:00:05"), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0)) // redelivery
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup").head().getLong(0)
+      assert(n == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap + watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
