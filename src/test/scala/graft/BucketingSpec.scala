@@ -33,6 +33,19 @@ class BucketingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // when another suite already owns the session, our warehouse config is
+    // ignored — clean the actual warehouse locations of leftover dirs
+    val whDir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(whDir, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     spark.read.parquet(s"$sf/lineitem.parquet")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
