@@ -219,29 +219,64 @@ object GeomSetOps {
     d1 > 0 && d2 > 0 && d3 > 0
   }
 
-  /** General simple-polygon intersection: triangulate `b`, clip `a` by each
-    * triangle; triangles partition b ⇒ pieces are disjoint ⇒ area-correct. */
-  private def intersectByTriangulation(a: Polygon, b: Polygon): MultiPolygon = {
-    val tris = triangulate(b)
-    val subj = openRing(a.rings(0), a.dim)
-    val pieces = new ArrayBuffer[Polygon]
-    tris.foreach { tri =>
-      val res = clipRing(subj, ccwRing(tri))
-      ringToPolygon(res).foreach(pieces += _)
+  // ------------------------------------------- piece-level overlay engine
+
+  /** Clip a set of simple (single-ring) pieces by a single-ring polygon:
+    * convex clip → direct Sutherland–Hodgman; else per-triangle. */
+  private def clipPieces(pieces: Array[Polygon], clip: Polygon): Array[Polygon] = {
+    val clips: Array[Array[(Double, Double)]] =
+      if (isConvex(clip)) Array(ccwRing(clip))
+      else triangulate(clip).map(ccwRing)
+    pieces.flatMap { p =>
+      val subj = openRing(p.rings(0), p.dim)
+      clips.flatMap(c => ringToPolygon(clipRing(subj, c)))
     }
-    MultiPolygon(pieces.toArray, 2)
   }
 
-  /** General simple-polygon difference: subtract each triangle of `b` in
-    * turn from the running piece set (each triangle is convex). */
-  private def differenceByTriangulation(a: Polygon, b: Polygon): MultiPolygon = {
-    val tris = triangulate(b)
-    var pieces: Array[Polygon] = Array(Polygon(Array(a.rings(0)), a.dim))
-    tris.foreach { tri =>
-      pieces = pieces.flatMap(p => differenceByConvex(p, tri).polygons)
-    }
-    MultiPolygon(pieces, 2)
+  /** Subtract a single-ring polygon from every piece. */
+  private def subtractPieces(pieces: Array[Polygon], sub: Polygon): Array[Polygon] = {
+    val subs: Array[Polygon] =
+      if (isConvex(sub)) Array(sub) else triangulate(sub)
+    subs.foldLeft(pieces)((ps, s) => ps.flatMap(p => differenceByConvex(p, s).polygons))
   }
+
+  /** Decompose a polygon (holes allowed) into disjoint simple pieces. */
+  private def piecesOf(p: Polygon): Array[Polygon] = {
+    var pieces: Array[Polygon] = Array(Polygon(Array(p.rings(0)), p.dim))
+    var r = 1
+    while (r < p.rings.length) {
+      pieces = subtractPieces(pieces, Polygon(Array(p.rings(r)), p.dim))
+      r += 1
+    }
+    pieces
+  }
+
+  /** Hole-aware polygon ∩ polygon: (pieces of a) ∩ outer_b, minus b's holes. */
+  private def polygonIntersectionPieces(a: Polygon, b: Polygon): Array[Polygon] = {
+    var pieces = clipPieces(piecesOf(a), Polygon(Array(b.rings(0)), b.dim))
+    var r = 1
+    while (r < b.rings.length) {
+      pieces = subtractPieces(pieces, Polygon(Array(b.rings(r)), b.dim))
+      r += 1
+    }
+    pieces
+  }
+
+  /** Hole-aware polygon − polygon: (a − outer_b) ∪ (a ∩ hole_b) per hole. */
+  private def polygonDifferencePieces(a: Polygon, b: Polygon): Array[Polygon] = {
+    val aPieces = piecesOf(a)
+    val minusOuter = subtractPieces(aPieces, Polygon(Array(b.rings(0)), b.dim))
+    val holeParts = (1 until b.rings.length).flatMap { r =>
+      clipPieces(aPieces, Polygon(Array(b.rings(r)), b.dim))
+    }
+    minusOuter ++ holeParts
+  }
+
+  private def intersectByTriangulation(a: Polygon, b: Polygon): MultiPolygon =
+    MultiPolygon(polygonIntersectionPieces(a, b), 2)
+
+  private def differenceByTriangulation(a: Polygon, b: Polygon): MultiPolygon =
+    MultiPolygon(polygonDifferencePieces(a, b), 2)
 
   /** polygon ∩ polygon; requires one convex operand. */
   def intersectConvex(a: Polygon, b: Polygon): Option[Geometry] =
@@ -300,7 +335,9 @@ object GeomSetOps {
       case (g, mp: MultiPoint) =>
         Some(MultiPoint(mp.points.filter(p => !p.isEmpty && GeomOps.intersects(p, g)), mp.dim))
       case (pa: Polygon, pb: Polygon) =>
-        intersectConvex(pa, pb).orElse(Some(intersectByTriangulation(pa, pb)))
+        if (pa.rings.length > 1 || pb.rings.length > 1)
+          Some(intersectByTriangulation(pa, pb)) // hole-aware piece engine
+        else intersectConvex(pa, pb).orElse(Some(intersectByTriangulation(pa, pb)))
       case (pa: Polygon, mb: MultiPolygon) =>
         val parts = mb.polygons.flatMap(p => intersection(pa, p)).flatMap {
           case p: Polygon if !p.isEmpty => Array(p)
@@ -321,8 +358,9 @@ object GeomSetOps {
       case (mp: MultiPoint, g) =>
         Some(MultiPoint(mp.points.filter(p => !p.isEmpty && !GeomOps.intersects(p, g)), mp.dim))
       case (pa: Polygon, pb: Polygon) =>
-        if (isConvex(pb)) Some(differenceByConvex(pa, pb))
-        else Some(differenceByTriangulation(pa, pb))
+        if (pa.rings.length == 1 && pb.rings.length == 1 && isConvex(pb))
+          Some(differenceByConvex(pa, pb))
+        else Some(differenceByTriangulation(pa, pb)) // hole-aware piece engine
       case _ => None
     }
   }

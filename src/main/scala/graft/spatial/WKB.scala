@@ -62,6 +62,14 @@ object WKB {
     (base, dim)
   }
 
+  /** Reject counts that cannot fit in the remaining bytes — corrupt inputs
+    * must fail fast with an exception (→ SQL NULL), not allocate GBs. */
+  @inline private def checkCount(n: Int, buf: ByteBuffer, minBytesPer: Int): Int = {
+    if (n < 0 || n.toLong * minBytesPer > buf.remaining())
+      throw new IllegalArgumentException(s"implausible WKB element count $n")
+    n
+  }
+
   private def readGeom(buf: ByteBuffer): Geometry = {
     val order = if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
@@ -76,7 +84,7 @@ object WKB {
       case LineStringT => LineString(readSeq(buf, dim), dim)
       case PolygonT    => Polygon(readRings(buf, dim), dim)
       case MultiPointT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 21)
         val pts = new Array[Point](n)
         var i = 0
         while (i < n) {
@@ -88,7 +96,7 @@ object WKB {
         }
         MultiPoint(pts, dim)
       case MultiLineStringT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 9)
         val ls = new Array[LineString](n)
         var i = 0
         while (i < n) {
@@ -100,7 +108,7 @@ object WKB {
         }
         MultiLineString(ls, dim)
       case MultiPolygonT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 9)
         val ps = new Array[Polygon](n)
         var i = 0
         while (i < n) {
@@ -112,7 +120,7 @@ object WKB {
         }
         MultiPolygon(ps, dim)
       case GeometryCollectionT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 5)
         val gs = new Array[Geometry](n)
         var i = 0; while (i < n) { gs(i) = readGeom(buf); i += 1 }
         GeometryCollection(gs, dim)
@@ -121,14 +129,14 @@ object WKB {
   }
 
   private def readSeq(buf: ByteBuffer, dim: Int): Array[Double] = {
-    val n = buf.getInt()
+    val n = checkCount(buf.getInt(), buf, dim * 8)
     val cs = new Array[Double](n * dim)
     var i = 0; while (i < cs.length) { cs(i) = buf.getDouble(); i += 1 }
     cs
   }
 
   private def readRings(buf: ByteBuffer, dim: Int): Array[Array[Double]] = {
-    val n = buf.getInt()
+    val n = checkCount(buf.getInt(), buf, 4)
     val rs = new Array[Array[Double]](n)
     var i = 0; while (i < n) { rs(i) = readSeq(buf, dim); i += 1 }
     rs
@@ -158,17 +166,17 @@ object WKB {
         env.add(x, y)
       case LineStringT => scanSeq(buf, dim, env)
       case PolygonT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 4)
         var i = 0; while (i < n) { scanSeq(buf, dim, env); i += 1 }
       case MultiPointT | MultiLineStringT | MultiPolygonT | GeometryCollectionT =>
-        val n = buf.getInt()
+        val n = checkCount(buf.getInt(), buf, 5)
         var i = 0; while (i < n) { scanGeom(buf, env); i += 1 }
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
   }
 
   private def scanSeq(buf: ByteBuffer, dim: Int, env: Envelope): Unit = {
-    val n = buf.getInt()
+    val n = checkCount(buf.getInt(), buf, dim * 8)
     var i = 0
     while (i < n) {
       val x = buf.getDouble(); val y = buf.getDouble()

@@ -80,6 +80,23 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(math.abs(sym - (aL + aL2 - 2 * inter)) < 1e-9)
   }
 
+  test("hole-aware overlay: holes excluded from intersection, restored in difference") {
+    val holed = poly("POLYGON ((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))") // area 96
+    val clip = poly("POLYGON ((3 3,7 3,7 7,3 7,3 3))")                              // area 16
+    // a∩b excludes the hole: 16 − 4 = 12
+    val inter = GeomOps.area(GeomSetOps.intersection(holed, clip).get)
+    assert(math.abs(inter - 12.0) < 1e-9)
+    // a−b: 96 − 12 = 84
+    val diff = GeomOps.area(GeomSetOps.difference(holed, clip).get)
+    assert(math.abs(diff - 84.0) < 1e-9)
+    // b−a: parts of clip inside a's hole survive: 16 − 12 = 4
+    val diff2 = GeomOps.area(GeomSetOps.difference(clip, holed).get)
+    assert(math.abs(diff2 - 4.0) < 1e-9)
+    // union area: 96 + 16 − 12 = 100
+    val uni = GeomOps.area(GeomSetOps.union(holed, clip).get)
+    assert(math.abs(uni - 100.0) < 1e-9)
+  }
+
   test("point/multipoint set ops") {
     val p = WKT.read("POINT (5 5)")
     val mp = WKT.read("MULTIPOINT ((5 5),(50 50))")

@@ -140,6 +140,32 @@ object GeometryPropSpec extends Properties("geometry") {
         math.abs(union - (aa + ab - inter)) < tol
     }
 
+  property("arbitrary bytes never crash the WKB reader (corrupt rows → null)") =
+    forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) { bytes =>
+      // must return null or a geometry — never throw
+      WKB.readOrNull(bytes) match {
+        case null => true
+        case g => WKT.write(g) != null
+      }
+    }
+
+  property("truncated valid WKB never crashes") = forAll(genGeom, Gen.chooseNum(0, 64)) { (g, cut) =>
+    val full = WKB.write(g)
+    val truncated = full.take(math.min(cut, full.length))
+    WKB.readOrNull(truncated) match {
+      case null => true
+      case g2 => g2 != null
+    }
+  }
+
+  property("arbitrary strings never crash the WKT reader") =
+    forAll(Arbitrary.arbitrary[String]) { s =>
+      WKT.readOrNull(s) match {
+        case null => true
+        case g => WKB.write(g) != null
+      }
+    }
+
   property("buffer contains the original (points/lines)") =
     forAll(Gen.oneOf(genPoint: Gen[Geometry], genLine: Gen[Geometry]), Gen.chooseNum(0.5, 50.0)) { (g, d) =>
       GeomSetOps.buffer(g, d) match {
