@@ -425,6 +425,18 @@ object Queries {
         FROM events_us ORDER BY user_id, event_id""")
     }),
 
+    "q36_union_agg" -> ((s, d) => {
+      // dissolved union of per-nation rects per segment; disjoint
+      // power-of-two rects → union area = 16384 × distinct nations
+      prep(s, d, "customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               ST_Area(st_union_agg(ST_MakeEnvelope(
+                 CAST(c_nationkey AS DOUBLE) * 128.0D, 0.0D,
+                 CAST(c_nationkey AS DOUBLE) * 128.0D + 128.0D, 128.0D))) AS union_area
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -718,6 +730,11 @@ object Queries {
              count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
       FROM events ORDER BY user_id, event_id""",
+
+    "q36_union_agg" -> """
+      SELECT c_mktsegment,
+             16384.0 * count(DISTINCT c_nationkey) AS union_area
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

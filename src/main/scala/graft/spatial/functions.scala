@@ -104,6 +104,10 @@ object functions {
   lazy val collectUdaf = udaf(new CollectAggregator, org.apache.spark.sql.Encoders.BINARY)
   def st_collect(g: Column): Column = collectUdaf(g)
 
+  /** ST_Union aggregate (area-dissolved union of grouped polygons). */
+  lazy val unionUdaf = udaf(new UnionAggregator, org.apache.spark.sql.Encoders.BINARY)
+  def st_union_agg(g: Column): Column = unionUdaf(g)
+
   /** Register every ST_* function for SQL use (`spark.sql("… ST_AsText(g) …")`).
     * Mirrors the reference's UDF registration (examples/main.rs:21-27);
     * names are case-insensitive in Spark SQL. */
@@ -177,5 +181,6 @@ object functions {
     // aggregate: typed Aggregator via UDF registry
     spark.udf.register("st_extent", extentUdaf)
     spark.udf.register("st_collect", collectUdaf)
+    spark.udf.register("st_union_agg", unionUdaf)
   }
 }

@@ -97,6 +97,19 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(math.abs(uni - 100.0) < 1e-9)
   }
 
+  test("union aggregator dissolves overlapping polygons (area)") {
+    val agg = new UnionAggregator
+    val p1 = WKB.write(poly("POLYGON ((0 0,10 0,10 10,0 10,0 0))"))  // 100
+    val p2 = WKB.write(poly("POLYGON ((5 5,15 5,15 15,5 15,5 5))"))  // 100, overlap 25
+    val p3 = WKB.write(poly("POLYGON ((100 100,101 100,101 101,100 101,100 100))")) // 1, disjoint
+    val b = agg.reduce(agg.reduce(agg.reduce(agg.zero, p1), p2), p3)
+    val u = WKB.read(agg.finish(b))
+    assert(math.abs(GeomOps.area(u) - 176.0) < 1e-9)
+    // idempotent: unioning the same polygon twice adds nothing
+    val b2 = agg.reduce(agg.reduce(agg.zero, p1), p1)
+    assert(math.abs(GeomOps.area(WKB.read(agg.finish(b2))) - 100.0) < 1e-9)
+  }
+
   test("point/multipoint set ops") {
     val p = WKT.read("POINT (5 5)")
     val mp = WKT.read("MULTIPOINT ((5 5),(50 50))")
