@@ -886,3 +886,54 @@ object Affine {
     }
   }
 }
+
+/**
+ * ST_GeoHash(point, precision) — standard base-32 geohash of a lon/lat
+ * point (x = longitude, y = latitude, clamped to valid ranges); null for
+ * non-points. Useful as a storage partition key for geo data.
+ */
+case class StGeoHash(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geohash"
+  override protected def nullSafeEval(v: Any, pv: Any): Any = {
+    val g = fromWkb(v)
+    val precision = math.min(math.max(pv.asInstanceOf[Number].intValue(), 1), 20)
+    g match {
+      case p: Point if !p.isEmpty =>
+        UTF8String.fromString(GeoHash.encode(p.x, p.y, precision))
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Base-32 geohash encoder (public algorithm; x=lon, y=lat). */
+object GeoHash {
+  private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  def encode(lonRaw: Double, latRaw: Double, precision: Int): String = {
+    val lon = math.max(-180.0, math.min(180.0, lonRaw))
+    val lat = math.max(-90.0, math.min(90.0, latRaw))
+    val sb = new java.lang.StringBuilder(precision)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isEven = true
+    var bit = 0
+    var ch = 0
+    while (sb.length < precision) {
+      if (isEven) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+      }
+      isEven = !isEven
+      bit += 1
+      if (bit == 5) { sb.append(base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+}

@@ -54,6 +54,8 @@ object functions {
   def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), expr(dx), expr(dy)))
   def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), expr(sx), expr(sy)))
 
+  def st_geohash(g: Column, precision: Column): Column = toCol(StGeoHash(expr(g), expr(precision)))
+
   // measures
   def st_area(g: Column): Column = toCol(StArea(expr(g)))
   def st_length(g: Column): Column = toCol(StLength(expr(g)))
@@ -153,6 +155,7 @@ object functions {
     r1("st_reverse", StReverse.apply)
     r3("st_translate", StTranslate.apply)
     r3("st_scale", StScale.apply)
+    r2("st_geohash", StGeoHash.apply)
     r1("st_area", StArea.apply)
     r1("st_length", StLength.apply)
     r1("st_perimeter", StPerimeter.apply)

@@ -179,6 +179,18 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.isNullAt(9))
   }
 
+  test("geohash known values") {
+    // canonical example: lat 42.605, lon -5.603 → ezs42
+    val r = spark.sql(
+      """SELECT st_geohash(ST_Point(-5.603D, 42.605D), 5) AS g1,
+        |       st_geohash(ST_Point(-0.0834D, 51.5048D), 6) AS g2,
+        |       st_geohash(ST_GeomFromText('LINESTRING (0 0,1 1)'), 5) AS nonpoint
+        |""".stripMargin).head()
+    assert(r.getString(0) == "ezs42")
+    assert(r.getString(1) == "gcpvn0")
+    assert(r.isNullAt(2))
+  }
+
   test("expressions constant-fold (foldable) like Volatility::Immutable") {
     val df = spark.sql("SELECT ST_AsText(ST_Point(1.0D, 2.0D)) AS t")
     val plan = df.queryExecution.optimizedPlan.toString
