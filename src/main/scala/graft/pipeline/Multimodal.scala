@@ -94,6 +94,49 @@ object Multimodal {
       .withColumn("frame_bytes",
         substring(col(payloadCol), (col("frame_idx") * 4 + 13).cast("int"), lit(4)))
 
+  /**
+   * Per-partition batched decode — the execution shape for real codecs:
+   * the (stub) decoder is constructed ONCE per partition (where a native
+   * decoder would be initialized), then applied row-by-row over the
+   * partition iterator. Output schema: media_id, width, height, n_pixels.
+   */
+  def decodeBatched(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      // STUB decoder instance: one per task, like a native codec handle
+      val decoder = new StubDecoder
+      rows.map { internal =>
+        val id = internal.getLong(idIdx)
+        val payload = if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        decoder.decode(payload) match {
+          case Some((w, h)) =>
+            org.apache.spark.sql.catalyst.InternalRow(id, w, h, w.toLong * h.toLong)
+          case None =>
+            org.apache.spark.sql.catalyst.InternalRow(id, null, null, null)
+        }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  /** STUB decoder object — stands in for a per-task native codec handle. */
+  final class StubDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int)] = {
+      if (payload == null || payload.length < 12) return None
+      if (!(payload(0) == 'G' && payload(1) == 'R' && payload(2) == 'F' && payload(3) == 'T')) return None
+      val buf = java.nio.ByteBuffer.wrap(payload, 4, 8)
+      Some((buf.getInt(), buf.getInt()))
+    }
+  }
+
   /** Demo media table derived from any id column — used by tests/bench. */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame = {
     val mkPayload = udf((id: Long) =>

@@ -67,6 +67,25 @@ object SpatialJoin {
     toCol(StCoveringCells(toExpr(g), cellSize))
 
   /**
+   * K-nearest-neighbor join: for each left row, the k nearest right rows by
+   * planar ST_Distance. The right side is broadcast (dimension-sized); for
+   * large×large KNN, pre-bucket both sides with [[st_covering_cells]] at a
+   * pitch ≥ the expected kth-neighbor distance and run this per cell.
+   */
+  def knnJoin(left: DataFrame, right: DataFrame,
+              leftGeom: Column, rightGeom: Column,
+              leftKeys: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = left.crossJoin(broadcast(right))
+      .withColumn("__dist", graft.spatial.functions.st_distance(leftGeom, rightGeom))
+      .filter(col("__dist").isNotNull)
+    val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(col("__dist").asc)
+    joined.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .withColumnRenamed("__dist", "knn_dist")
+  }
+
+  /**
    * Inner spatial join on `predicate` (e.g. st_intersects/st_contains)
    * using grid partitioning.
    *

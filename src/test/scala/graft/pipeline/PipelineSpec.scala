@@ -194,6 +194,17 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- multimodal
 
+  test("multimodal batched per-partition decode") {
+    val media = Multimodal.syntheticMedia(spark.range(20).toDF("id"), "id")
+    val decoded = Multimodal.decodeBatched(media).collect()
+    assert(decoded.length == 20)
+    assert(decoded.forall { r =>
+      val id = r.getLong(0)
+      r.getInt(1) == 64 + (id % 64).toInt && r.getInt(2) == 64 + (id % 48).toInt &&
+        r.getLong(3) == r.getInt(1).toLong * r.getInt(2)
+    })
+  }
+
   test("multimodal stub plumbing: decode, featurize, frames") {
     val base = spark.range(10).toDF("id")
     val media = Multimodal.syntheticMedia(base, "id")

@@ -140,6 +140,16 @@ object GeometryPropSpec extends Properties("geometry") {
         math.abs(union - (aa + ab - inter)) < tol
     }
 
+  property("overlay symmetry: |A∩B| == |B∩A| and |A∪B| == |B∪A|") =
+    forAll(genStarPolygon, genStarPolygon) { (a, b) =>
+      val tol = 1e-6 * math.max(1.0, GeomOps.area(a) + GeomOps.area(b))
+      val iAB = GeomSetOps.intersection(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val iBA = GeomSetOps.intersection(b, a).map(GeomOps.area).getOrElse(-2.0)
+      val uAB = GeomSetOps.union(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val uBA = GeomSetOps.union(b, a).map(GeomOps.area).getOrElse(-2.0)
+      math.abs(iAB - iBA) < tol && math.abs(uAB - uBA) < tol
+    }
+
   property("arbitrary bytes never crash the WKB reader (corrupt rows → null)") =
     forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) { bytes =>
       // must return null or a geometry — never throw

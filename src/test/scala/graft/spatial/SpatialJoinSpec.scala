@@ -59,6 +59,29 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(500))
   }
 
+  test("knn join finds the k nearest by distance") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"),
+        G.st_point(col("n_nationkey").cast("double") * 300.0,
+          col("n_nationkey").cast("double")).as("npt"))
+    val knn = SpatialJoin.knnJoin(cust, nations, col("pt"), col("npt"),
+      Seq("c_custkey"), k = 3)
+    val counts = knn.groupBy("c_custkey").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSeq == Seq(3L))
+    // spot-check one row against manual computation
+    val row = spark.read.parquet(s"$sf/customer.parquet").filter(col("c_custkey") === 1).head()
+    val (px, py) = (row.getDouble(3), row.getInt(2).toDouble)
+    val expect = (0 until 25).map(nk => (nk, math.hypot(px - nk * 300.0, py - nk)))
+      .sortBy(_._2).take(3).map(_._1).toSet
+    val got = knn.filter(col("c_custkey") === 1).select("n_nationkey")
+      .collect().map(_.getInt(0)).toSet
+    assert(got == expect)
+  }
+
   test("covering cells cap degenerate envelopes") {
     val df = spark.range(1).select(
       G.st_makeenvelope(lit(0.0), lit(0.0), lit(1e9), lit(1e9)).as("g"))
