@@ -91,8 +91,32 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard similarity for given candidate pairs (or all pairs
-   * of a small df via self-join) — array built-ins only, fully codegen'd.
+   * The composed near-duplicate pipeline, scale-correct end to end:
+   * MinHash-LSH candidate generation (no quadratic stage) → join texts
+   * back by id → EXACT n-gram Jaccard verification ≥ `threshold`.
+   * This is the shape to run at 100 TB: the only all-pairs work happens
+   * within LSH buckets.
+   */
+  def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, n: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val candidates = minhashCandidatePairs(df, textCol, idCol, numHashes, bands, n)
+      .select("id_a", "id_b")
+    val grams = df.select(col(idCol).as("__gid"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("__grams"))
+    candidates
+      .join(grams.withColumnRenamed("__gid", "id_a").withColumnRenamed("__grams", "grams_a"), Seq("id_a"))
+      .join(grams.withColumnRenamed("__gid", "id_b").withColumnRenamed("__grams", "grams_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for ALL pairs via cross join — array
+   * built-ins only, fully codegen'd. QUADRATIC: use only on small inputs;
+   * at scale use [[nearDuplicatePairs]] (LSH candidates → exact verify).
    */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String, n: Int = 3,
                    minJaccard: Double = 0.0): DataFrame = {

@@ -96,6 +96,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("composed near-dup pipeline: LSH candidates + exact jaccard verify") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 80).map(i => s"z$i").mkString(" ")
+    val df = docs(Seq(10L -> base, 20L -> near, 30L -> far))
+    val pairs = Dedup.nearDuplicatePairs(df, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((10L, 20L)))
+    // exact jaccard of the planted pair: shingles differ in a 3-window
+    assert(pairs((10L, 20L)) > 0.85 && pairs((10L, 20L)) < 1.0)
+  }
+
   test("ngram jaccard exact") {
     val df = docs(Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v"))
     val j = Dedup.ngramJaccard(df, "text", "doc_id", n = 2)
