@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(name), info(name), builder))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer: ST_Intersects theta joins → grid equi-joins (opt-in via
+    // spark.graft.spatialJoin.cellSize)
+    e.injectOptimizerRule(session => graft.spatial.GridSpatialJoinRule(session))
     // constructors
     inject(e, "st_point", es => StPoint(es(0), es(1)))
     inject(e, "st_makepointz", es => StPointZ(es(0), es(1), es(2)))

@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -67,6 +67,39 @@ object SpatialJoin {
     toCol(StCoveringCells(toExpr(g), cellSize))
 
   /**
+   * Canonical joint cell of two geometries: the cell containing the
+   * min-corner of their envelope intersection. Every qualifying pair meets
+   * in exactly one grid cell that equals this value — emitting a pair only
+   * from its reference cell deduplicates candidates WITHOUT a distinct
+   * (no extra shuffle), the standard trick for grid spatial joins.
+   */
+  case class StRefCell(left: Expression, right: Expression, cellSize: Double)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "st_ref_cell"
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val ea = new Envelope
+      val eb = new Envelope
+      try {
+        WKB.foldEnvelope(l.asInstanceOf[Array[Byte]], ea)
+        WKB.foldEnvelope(r.asInstanceOf[Array[Byte]], eb)
+      } catch { case _: Exception => return null }
+      if (ea.isEmpty || eb.isEmpty) return null
+      val xlo = math.max(ea.xmin, eb.xmin)
+      val ylo = math.max(ea.ymin, eb.ymin)
+      val ix = math.floor(xlo / cellSize).toLong
+      val iy = math.floor(ylo / cellSize).toLong
+      (ix << 32) | (iy & 0xffffffffL)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def st_ref_cell(a: Column, b: Column, cellSize: Double): Column =
+    toCol(StRefCell(toExpr(a), toExpr(b), cellSize))
+
+  /**
    * K-nearest-neighbor join: for each left row, the k nearest right rows by
    * planar ST_Distance. The right side is broadcast (dimension-sized); for
    * large×large KNN, pre-bucket both sides with [[st_covering_cells]] at a
@@ -102,8 +135,8 @@ object SpatialJoin {
     val l = left.withColumn("__cell", explode(st_covering_cells(leftGeom, cellSize)))
     val r = right.withColumn("__cell", explode(st_covering_cells(rightGeom, cellSize)))
     l.join(r, Seq("__cell"))
+      .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, cellSize))
       .filter(predicate(leftGeom, rightGeom))
       .drop("__cell")
-      .dropDuplicates(leftKeys ++ rightKeys)
   }
 }

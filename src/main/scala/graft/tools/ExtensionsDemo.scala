@@ -31,6 +31,29 @@ object ExtensionsDemo {
     assert(r.getString(4) == "en", r)
     assert(r.getDouble(6) == 1.0, r)
     println("EXTENSIONS_OK " + r)
+
+    // optimizer rule: ST_Intersects inner join rewrites to a grid equi-join
+    import org.apache.spark.sql.functions._
+    import graft.spatial.{functions => G}
+    val pts = spark.range(500).select(col("id"),
+      G.st_point((col("id") % 100).cast("double"), (col("id") % 50).cast("double")).as("pt"))
+    val rects = spark.range(20).select(col("id").as("rid"),
+      G.st_makeenvelope((col("id") * 5).cast("double"), lit(0.0),
+        (col("id") * 5 + 10).cast("double"), lit(25.0)).as("rect"))
+    pts.createOrReplaceTempView("pts")
+    rects.createOrReplaceTempView("rects")
+    val q = "SELECT count(*) AS n FROM pts JOIN rects ON ST_Intersects(rect, pt)"
+    val baseline = spark.sql(q).head().getLong(0) // no conf → BNLJ plan
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
+    val rewritten = spark.sql(q)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "rule did not rewrite: " + plan.take(1500))
+    assert(plan.contains("Generate"), plan.take(500))
+    val n = rewritten.head().getLong(0)
+    assert(n == baseline, s"grid=$n nl=$baseline")
+    spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    println(s"GRID_JOIN_RULE_OK n=$n")
     spark.stop()
   }
 }
