@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_translate", es => StTranslate(es(0), es(1), es(2)))
     inject(e, "st_scale", es => StScale(es(0), es(1), es(2)))
     inject(e, "st_geohash", es => StGeoHash(es(0), es(1)))
+    inject(e, "st_azimuth", es => StAzimuth(es(0), es(1)))
+    inject(e, "st_lineinterpolatepoint", es => StLineInterpolatePoint(es(0), es(1)))
     // measures
     inject(e, "st_area", es => StArea(es.head))
     inject(e, "st_length", es => StLength(es.head))

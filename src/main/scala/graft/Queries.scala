@@ -437,6 +437,13 @@ object Queries {
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q37_term_stats" -> ((s, d) => {
+      // TF/DF term statistics (exact integer counts) for low-id docs
+      prep(s, d, "documents")
+      Text.termStats(t(s, d, "documents").filter(col("doc_id") < 50), "text", "doc_id")
+        .orderBy("doc_id", "term")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -735,6 +742,18 @@ object Queries {
       SELECT c_mktsegment,
              16384.0 * count(DISTINCT c_nationkey) AS union_area
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q37_term_stats" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE doc_id < 50),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT tf.term, tf.doc_id, tf.tf, dfreq.df
+      FROM tf JOIN dfreq USING (term)
+      ORDER BY doc_id, term""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

@@ -60,6 +60,29 @@ object Text {
     greatest(least(lenScore * 0.3 + alpha * 0.7 - noise * 0.5, lit(1.0)), lit(0.0))
   }
 
+  /**
+   * Corpus term statistics: one row per (doc, term) with term frequency,
+   * plus each term's document frequency — the exact-count substrate of
+   * TF-IDF. Two shuffles: one groupBy (doc, term), one term-level DF join
+   * (broadcastable when vocabulary is small).
+   */
+  def termStats(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+  }
+
+  /** TF-IDF scores from [[termStats]]: tf · (ln((N+1)/(df+1)) + 1). */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    termStats(df, textCol, idCol)
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+  }
+
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
   def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))

@@ -937,3 +937,57 @@ object GeoHash {
     sb.toString
   }
 }
+
+/** ST_Azimuth(a, b) — angle in radians clockwise from north, point args. */
+case class StAzimuth(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_azimuth"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any = (a, b) match {
+    case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty && (p.x != q.x || p.y != q.y) =>
+      val az = math.atan2(q.x - p.x, q.y - p.y)
+      if (az < 0) az + 2 * math.Pi else az
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_LineInterpolatePoint(line, fraction) — point at `fraction` ∈ [0,1]
+  * of the line's length. */
+case class StLineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_lineinterpolatepoint"
+  override protected def nullSafeEval(v: Any, fv: Any): Any = {
+    val g = fromWkb(v)
+    val f = fv.asInstanceOf[Double]
+    g match {
+      case l: LineString if !l.isEmpty && f >= 0.0 && f <= 1.0 =>
+        val total = GeomOps.length(l)
+        if (total == 0.0) {
+          toWkb(Point(java.util.Arrays.copyOfRange(l.coords, 0, l.dim), l.dim))
+        } else {
+          var target = f * total
+          val dim = l.dim
+          val n = l.coords.length / dim
+          var i = 1
+          while (i < n) {
+            val x0 = l.coords((i - 1) * dim); val y0 = l.coords((i - 1) * dim + 1)
+            val x1 = l.coords(i * dim); val y1 = l.coords(i * dim + 1)
+            val seg = math.hypot(x1 - x0, y1 - y0)
+            if (target <= seg || i == n - 1) {
+              val t = if (seg == 0) 0.0 else math.min(target / seg, 1.0)
+              return toWkb(Point.xy(x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+            }
+            target -= seg
+            i += 1
+          }
+          null
+        }
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

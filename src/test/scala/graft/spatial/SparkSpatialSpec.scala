@@ -179,6 +179,21 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.isNullAt(9))
   }
 
+  test("azimuth + line interpolate point") {
+    val r = spark.sql(
+      """SELECT st_azimuth(ST_Point(0.0D, 0.0D), ST_Point(1.0D, 0.0D)) AS east,
+        |       st_azimuth(ST_Point(0.0D, 0.0D), ST_Point(0.0D, 1.0D)) AS north,
+        |       ST_AsText(st_lineinterpolatepoint(
+        |         ST_GeomFromText('LINESTRING (0 0,10 0)'), 0.25D)) AS quarter,
+        |       ST_AsText(st_lineinterpolatepoint(
+        |         ST_GeomFromText('LINESTRING (0 0,4 0,4 4)'), 0.75D)) AS threeq
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - math.Pi / 2) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getString(2) == "POINT (2.5 0.0)")
+    assert(r.getString(3) == "POINT (4.0 2.0)")
+  }
+
   test("geohash known values") {
     // canonical example: lat 42.605, lon -5.603 → ezs42
     val r = spark.sql(
