@@ -69,6 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_scale", es => StScale(es(0), es(1), es(2)))
     inject(e, "st_geohash", es => StGeoHash(es(0), es(1)))
     inject(e, "st_azimuth", es => StAzimuth(es(0), es(1)))
+    inject(e, "st_makeline", es => StMakeLine(es.head))
+    inject(e, "st_dumppoints", es => StDumpPoints(es.head))
     inject(e, "st_lineinterpolatepoint", es => StLineInterpolatePoint(es(0), es(1)))
     // measures
     inject(e, "st_area", es => StArea(es.head))

@@ -991,3 +991,49 @@ case class StLineInterpolatePoint(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** ST_MakeLine(array<geometry>) — line through the given points (in order). */
+case class StMakeLine(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_makeline"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Double](n * 2)
+    var dim = 2
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        geomutil.fromWkb(arr.getBinary(i)) match {
+          case p: Point if !p.isEmpty =>
+            dim = p.dim
+            buf ++= p.coords
+          case _ => return null
+        }
+      }
+      i += 1
+    }
+    geomutil.toWkb(LineString(buf.toArray, dim))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_DumpPoints(geometry) — every vertex as an array of WKB points. */
+case class StDumpPoints(child: Expression) extends GeomUnary {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_dumppoints"
+  override protected def evalGeom(g: Geometry): Any = {
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    g.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (i + 1 < cs.length) {
+        if (!cs(i).isNaN)
+          out += geomutil.toWkb(Point(java.util.Arrays.copyOfRange(cs, i, i + dim), dim))
+        i += dim
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

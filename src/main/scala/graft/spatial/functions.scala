@@ -54,6 +54,8 @@ object functions {
   def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), expr(dx), expr(dy)))
   def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), expr(sx), expr(sy)))
 
+  def st_makeline(pts: Column): Column = toCol(StMakeLine(expr(pts)))
+  def st_dumppoints(g: Column): Column = toCol(StDumpPoints(expr(g)))
   def st_azimuth(a: Column, b: Column): Column = toCol(StAzimuth(expr(a), expr(b)))
   def st_lineinterpolatepoint(g: Column, f: Column): Column =
     toCol(StLineInterpolatePoint(expr(g), expr(f)))
@@ -160,6 +162,8 @@ object functions {
     r3("st_scale", StScale.apply)
     r2("st_geohash", StGeoHash.apply)
     r2("st_azimuth", StAzimuth.apply)
+    r1("st_makeline", StMakeLine.apply)
+    r1("st_dumppoints", StDumpPoints.apply)
     r2("st_lineinterpolatepoint", StLineInterpolatePoint.apply)
     r1("st_area", StArea.apply)
     r1("st_length", StLength.apply)

@@ -194,6 +194,17 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.getString(3) == "POINT (4.0 2.0)")
   }
 
+  test("makeline + dumppoints") {
+    val r = spark.sql(
+      """SELECT ST_AsText(st_makeline(array(ST_Point(0.0D,0.0D), ST_Point(1.0D,1.0D),
+        |                                   ST_Point(2.0D,0.0D)))) AS line,
+        |       transform(st_dumppoints(ST_GeomFromText('LINESTRING (5 6,7 8)')),
+        |                 p -> ST_AsText(p)) AS pts
+        |""".stripMargin).head()
+    assert(r.getString(0) == "LINESTRING (0.0 0.0,1.0 1.0,2.0 0.0)")
+    assert(r.getSeq[String](1) == Seq("POINT (5.0 6.0)", "POINT (7.0 8.0)"))
+  }
+
   test("geohash known values") {
     // canonical example: lat 42.605, lon -5.603 → ezs42
     val r = spark.sql(
