@@ -36,25 +36,31 @@ object GeoIO {
     }
   }
 
-  /** Minimal JSON scrape of the `geo` document — no JSON library dependency.
-    * Extracts per-column `encoding` and `geometry_types`. */
+  /** Parse the `geo` document (full JSON — handles nested `crs` objects and
+    * `bbox` arrays that appear in real GeoParquet 1.x metadata). */
   private[spatial] def parseGeoJson(json: String): Seq[GeoColumn] = {
-    val colsIdx = json.indexOf("\"columns\"")
-    if (colsIdx < 0) return Seq.empty
-    // match  "<name>" : { ... "encoding" : "<enc>" ... }
-    val colRe = """"([^"]+)"\s*:\s*\{([^{}]*)\}""".r
-    colRe.findAllMatchIn(json.substring(colsIdx)).flatMap { m =>
-      val name = m.group(1)
-      val body = m.group(2)
-      val encRe = """"encoding"\s*:\s*"([^"]+)"""".r
-      encRe.findFirstMatchIn(body).map { em =>
-        val typesRe = """"geometry_types"\s*:\s*\[([^\]]*)\]""".r
-        val types = typesRe.findFirstMatchIn(body).map { tm =>
-          """"([^"]+)"""".r.findAllMatchIn(tm.group(1)).map(_.group(1)).toSeq
-        }.getOrElse(Seq.empty)
-        GeoColumn(name, em.group(1), types)
-      }
-    }.toSeq
+    import MiniJson._
+    parse(json) match {
+      case Some(root: JObj) =>
+        root.get("columns") match {
+          case Some(cols: JObj) =>
+            cols.fields.toSeq.flatMap {
+              case (name, col: JObj) =>
+                col.get("encoding") match {
+                  case Some(JStr(enc)) =>
+                    val types = col.get("geometry_types") match {
+                      case Some(JArr(items)) => items.collect { case JStr(t) => t }.toSeq
+                      case _ => Seq.empty
+                    }
+                    Some(GeoColumn(name, enc, types))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
   }
 
   /** Read the `geo` key-value metadata from the first parquet footer under `path`. */

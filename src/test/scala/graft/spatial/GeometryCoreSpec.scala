@@ -216,6 +216,26 @@ class GeometryCoreSpec extends AnyFunSuite {
     assert(keep.numPoints == 5)
   }
 
+  test("geo metadata parser handles GeoParquet 1.x shapes (crs objects, bbox)") {
+    val realWorld = """{"version": "1.1.0", "primary_column": "geometry",
+      "columns": {
+        "geometry": {"encoding": "WKB", "geometry_types": ["Polygon", "MultiPolygon"],
+                     "crs": {"type": "GeographicCRS", "id": {"authority": "OGC", "code": "CRS84"}},
+                     "bbox": [-180.0, -90.0, 180.0, 90.0]},
+        "centroid": {"encoding": "point", "geometry_types": ["Point"]}
+      }}"""
+    val cols = GeoIO.parseGeoJson(realWorld)
+    assert(cols == Seq(
+      GeoIO.GeoColumn("geometry", "WKB", Seq("Polygon", "MultiPolygon")),
+      GeoIO.GeoColumn("centroid", "point", Seq("Point"))))
+    assert(cols.head.geometryType == "Mixed")
+    assert(GeoIO.parseGeoJson("not json at all").isEmpty)
+    assert(GeoIO.parseGeoJson("{}").isEmpty)
+    // escapes and unicode survive
+    val esc = GeoIO.parseGeoJson("""{"columns":{"geom":{"encoding":"WKB"}}}""")
+    assert(esc == Seq(GeoIO.GeoColumn("geom", "WKB", Seq.empty)))
+  }
+
   test("geojson writer") {
     assert(GeoJson.write(WKT.read("POINT (30 10)")) ==
       """{"type":"Point","coordinates":[30,10]}""")
