@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression guards: the scale properties of headline queries —
+ * pushdown reaching scans, broadcasts on dim sides, no nested-loop joins in
+ * the grid spatial join, partial aggregation before exchanges — must
+ * survive refactors. These assert on the optimized/executed plan text.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-planshape-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter pushdown reaches the parquet scan + partial aggregation") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,50.0)]"), plan.take(2000))
+    // partial agg before the exchange: at least two HashAggregates
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(1200))
+  }
+
+  test("q01: column pruning — unused columns never reach the scan") {
+    val plan = executedPlan("q01_pricing_summary")
+    val scanPart = plan.substring(plan.indexOf("FileScan"))
+    // pruned: keys/dates not referenced by the query
+    assert(!scanPart.contains("l_orderkey"), scanPart.take(400))
+    assert(!scanPart.contains("l_shipdate"), scanPart.take(400))
+    assert(scanPart.contains("l_quantity"), scanPart.take(400))
+  }
+
+  test("q03: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = executedPlan("q03_revenue_by_customer")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q33: grid spatial join is an equi-join — no nested loop") {
+    val plan = executedPlan("q33_grid_spatial_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q21: dedup shuffles the digest, not the text") {
+    val plan = executedPlan("q21_dedup_exact")
+    // the exchange key is the md5 expression output, and text is not in the
+    // post-aggregation schema
+    assert(plan.contains("md5"), plan.take(1200))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(1200))
+  }
+
+  test("q26: query side broadcasts; corpus is not exchanged before the join") {
+    val plan = executedPlan("q26_cosine_topk")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
+  test("constant folding: literal ST_ calls disappear from the optimized plan") {
+    graft.spatial.functions.register(spark)
+    val opt = spark.sql("SELECT ST_Area(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))')) AS a")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("16.0"), opt)
+    assert(!opt.toLowerCase.contains("st_area"), opt)
+  }
+}
