@@ -22,7 +22,6 @@ class BucketingSpec extends AnyFunSuite {
       .appName("graft-bucketing-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -31,6 +30,10 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed join on orderkey plans without Exchange") {
     val sf = "/root/testdata/sf0.001"
+    // force the non-broadcast path for this test only (shared session!)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     // when another suite already owns the session, our warehouse config is
@@ -74,5 +77,6 @@ class BucketingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     val got = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(got == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }
