@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_perimeter", es => StPerimeter(es.head))
     inject(e, "st_centroid", es => StCentroid(es.head))
     inject(e, "st_convexhull", es => StConvexHull(es.head))
+    inject(e, "st_minimumboundingcircle", es => StMinimumBoundingCircle(es.head))
     inject(e, "st_simplify", es => StSimplify(es(0), es(1)))
     inject(e, "st_distance", es => StDistance(es(0), es(1)))
     // predicates

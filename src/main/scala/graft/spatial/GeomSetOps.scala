@@ -7,11 +7,13 @@ import scala.collection.mutable.ArrayBuffer
  * predicates from the reference's declared scope (reference: README.md:8-39 —
  * all unchecked `[ ]` there; this is the extension roadmap SURVEY §7.6).
  *
- * Implementation envelope (documented limitations, planar/simple-feature):
+ * Implementation envelope (planar/simple-feature):
  *  - polygon×polygon overlay (intersection/difference/union/symdifference)
- *    requires at least ONE CONVEX operand: intersection is Sutherland–
- *    Hodgman clipping; difference decomposes the convex operand into
- *    half-planes. Non-convex × non-convex returns null (SQL NULL).
+ *    handles general simple polygons including holes: convex operands use
+ *    Sutherland–Hodgman clipping directly; non-convex operands are
+ *    ear-clipped into triangles and combined through the piece engine
+ *    (outer minus holes → disjoint simple pieces). Line×line overlay is
+ *    unsupported (SQL NULL).
  *  - union/symdifference emit non-dissolved MultiPolygons (area-correct,
  *    piecewise-disjoint; shared boundaries are not merged).
  *  - buffer: disks for points, capsules (hull of endpoint disks) for
@@ -752,5 +754,68 @@ object GeomSetOps {
     val be = if (a.topoDim > 0) dimChar(math.max(a.topoDim - 1, 0)) else 'F'
     val eb = if (b.topoDim > 0) dimChar(math.max(b.topoDim - 1, 0)) else 'F'
     s"$ii$ib$ie$bi$bb$be$ei$eb" + "2"
+  }
+}
+
+/**
+ * Minimum enclosing circle (Welzl's move-to-front algorithm, deterministic
+ * input order — expected O(n) on typical inputs).
+ */
+object MinCircle {
+  /** (cx, cy, r) of the smallest circle containing all vertices; None if empty. */
+  def of(g: Geometry): Option[(Double, Double, Double)] = {
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    g.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (i + 1 < cs.length) {
+        if (!cs(i).isNaN) pts += ((cs(i), cs(i + 1)))
+        i += dim
+      }
+    }
+    val uniq = pts.distinct
+    if (uniq.isEmpty) return None
+    var c = (uniq(0)._1, uniq(0)._2, 0.0)
+    var i = 1
+    while (i < uniq.length) {
+      if (!inside(c, uniq(i))) {
+        c = (uniq(i)._1, uniq(i)._2, 0.0)
+        var j = 0
+        while (j < i) {
+          if (!inside(c, uniq(j))) {
+            c = circle2(uniq(i), uniq(j))
+            var k = 0
+            while (k < j) {
+              if (!inside(c, uniq(k))) c = circle3(uniq(i), uniq(j), uniq(k))
+              k += 1
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    Some(c)
+  }
+
+  private def inside(c: (Double, Double, Double), p: (Double, Double)): Boolean =
+    math.hypot(p._1 - c._1, p._2 - c._2) <= c._3 * (1 + 1e-12) + 1e-12
+
+  private def circle2(a: (Double, Double), b: (Double, Double)): (Double, Double, Double) = {
+    val cx = (a._1 + b._1) / 2
+    val cy = (a._2 + b._2) / 2
+    (cx, cy, math.hypot(a._1 - cx, a._2 - cy))
+  }
+
+  private def circle3(a: (Double, Double), b: (Double, Double),
+                      c: (Double, Double)): (Double, Double, Double) = {
+    val d = 2 * (a._1 * (b._2 - c._2) + b._1 * (c._2 - a._2) + c._1 * (a._2 - b._2))
+    if (d == 0) return circle2(a, if (math.hypot(b._1 - a._1, b._2 - a._2) >
+      math.hypot(c._1 - a._1, c._2 - a._2)) b else c)
+    val a2 = a._1 * a._1 + a._2 * a._2
+    val b2 = b._1 * b._1 + b._2 * b._2
+    val c2 = c._1 * c._1 + c._2 * c._2
+    val ux = (a2 * (b._2 - c._2) + b2 * (c._2 - a._2) + c2 * (a._2 - b._2)) / d
+    val uy = (a2 * (c._1 - b._1) + b2 * (a._1 - c._1) + c2 * (b._1 - a._1)) / d
+    (ux, uy, math.hypot(a._1 - ux, a._2 - uy))
   }
 }

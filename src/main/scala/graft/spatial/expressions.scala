@@ -1037,3 +1037,21 @@ case class StDumpPoints(child: Expression) extends GeomUnary {
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** ST_MinimumBoundingCircle(g) — smallest enclosing circle as an N-gon
+  * polygon (32 segments), matching ST_Buffer's approximation style. */
+case class StMinimumBoundingCircle(child: Expression) extends GeomUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_minimumboundingcircle"
+  override protected def evalGeom(g: Geometry): Any =
+    MinCircle.of(g) match {
+      case None => toWkb(Polygon(Array.empty, 2))
+      case Some((cx, cy, r)) =>
+        if (r == 0) toWkb(Point.xy(cx, cy))
+        else GeomSetOps.buffer(Point.xy(cx, cy), r) match {
+          case Some(p) => toWkb(p)
+          case None => null
+        }
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

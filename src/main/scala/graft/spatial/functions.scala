@@ -67,6 +67,7 @@ object functions {
   def st_perimeter(g: Column): Column = toCol(StPerimeter(expr(g)))
   def st_centroid(g: Column): Column = toCol(StCentroid(expr(g)))
   def st_convexhull(g: Column): Column = toCol(StConvexHull(expr(g)))
+  def st_minimumboundingcircle(g: Column): Column = toCol(StMinimumBoundingCircle(expr(g)))
   def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), expr(tol)))
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
 
@@ -170,6 +171,7 @@ object functions {
     r1("st_perimeter", StPerimeter.apply)
     r1("st_centroid", StCentroid.apply)
     r1("st_convexhull", StConvexHull.apply)
+    r1("st_minimumboundingcircle", StMinimumBoundingCircle.apply)
     r2("st_simplify", StSimplify.apply)
     r2("st_distance", StDistance.apply)
     r2("st_intersects", StIntersects.apply)

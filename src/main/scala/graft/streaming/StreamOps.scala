@@ -35,6 +35,12 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. The static side is re-planned per micro-batch (broadcast when
+    * small) — the standard pattern for slowly-changing dimensions. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(dim, keys, "left")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

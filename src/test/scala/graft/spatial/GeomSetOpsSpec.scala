@@ -189,6 +189,27 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(GeomSetOps.boundary(WKT.read("POINT (1 1)")).isEmpty)
   }
 
+  test("minimum bounding circle (welzl)") {
+    // square corners: circle through diagonal, r = 5√2
+    val mp = WKT.read("MULTIPOINT ((0 0),(10 0),(10 10),(0 10))")
+    val Some((cx, cy, r)) = MinCircle.of(mp): @unchecked
+    assert(math.abs(cx - 5.0) < 1e-9 && math.abs(cy - 5.0) < 1e-9)
+    assert(math.abs(r - 5.0 * math.sqrt(2)) < 1e-9)
+    // collinear
+    val Some((cx2, _, r2)) = MinCircle.of(WKT.read("MULTIPOINT ((0 0),(4 0),(10 0))")): @unchecked
+    assert(math.abs(cx2 - 5.0) < 1e-9 && math.abs(r2 - 5.0) < 1e-9)
+    // circle contains all vertices of a random-ish polygon
+    val pg = WKT.read("POLYGON ((0 0,7 2,9 8,3 9,0 0))")
+    val Some((px, py, pr)) = MinCircle.of(pg): @unchecked
+    pg.foreachSeq { (cs, dim) =>
+      var i = 0
+      while (i + 1 < cs.length) {
+        assert(math.hypot(cs(i) - px, cs(i + 1) - py) <= pr + 1e-9)
+        i += dim
+      }
+    }
+  }
+
   test("relate matrix basics") {
     val m = GeomSetOps.relate(sq10, inner) // contains
     assert(m.length == 9)

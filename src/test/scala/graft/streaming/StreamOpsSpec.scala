@@ -43,6 +43,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[StreamOps.Event]
+    val enriched = StreamOps.enrich(input.toDF(), dim, Seq("user_id"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        StreamOps.Event(2, ts("2026-01-01 10:00:01"), 9, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id").collect()
+      assert(rows(0).getString(1) == "gold")
+      assert(rows(1).isNullAt(1)) // unknown user → left-join null
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
