@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.LongType
  *
  *   spark.graft.spatialJoin.cellSize=<coordinate units>
  *
+ * Register via `spark.sql.extensions=graft.GraftExtensions` (injected as an
+ * optimizer rule) or per-session with
+ * `spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))`.
+ *
  * Only bare ST_Intersects inner-join conditions are rewritten; compound
  * conditions and outer joins keep Catalyst's plan. Geometries whose
  * envelope covers more than `maxCells` cells are dropped by the rewrite

@@ -82,6 +82,41 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("GridSpatialJoinRule rewrites ST_Intersects joins (via extraOptimizations)") {
+    graft.spatial.functions.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "500.0")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"),
+          G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+        .createOrReplaceTempView("cust_pts")
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_nationkey"),
+          G.st_makeenvelope(
+            col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+            col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+          ).as("rect"))
+        .createOrReplaceTempView("nation_rects")
+      val df = spark.sql(
+        "SELECT count(*) AS n FROM nation_rects r JOIN cust_pts c ON ST_Intersects(r.rect, c.pt)")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      val n = df.head().getLong(0)
+      // equivalence vs un-rewritten plan
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+      val baseline = spark.sql(
+        "SELECT count(*) AS n FROM nation_rects r JOIN cust_pts c ON ST_Intersects(r.rect, c.pt)")
+        .head().getLong(0)
+      assert(n == baseline, s"grid=$n nl=$baseline")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
   test("covering cells cap degenerate envelopes") {
     val df = spark.range(1).select(
       G.st_makeenvelope(lit(0.0), lit(0.0), lit(1e9), lit(1e9)).as("g"))
