@@ -28,13 +28,15 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // timed pass
-    val results = names.map { name =>
+    // two timed passes; report the min (suppresses GC/JIT noise)
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val r1 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(r1(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

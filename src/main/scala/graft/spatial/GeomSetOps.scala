@@ -434,7 +434,14 @@ object GeomSetOps {
    * Negative distances are unsupported (null).
    */
   def buffer(g: Geometry, dist: Double, quadSegs: Int = 8): Option[Geometry] = {
-    if (dist < 0) return None
+    if (dist < 0) return g match {
+      // erosion: polygon minus the distance-d band around its boundary
+      // (boundary-segment capsules cover the band up to N-gon error)
+      case pg: Polygon => Some(erode(pg, -dist, quadSegs))
+      case mpg: MultiPolygon =>
+        Some(MultiPolygon(mpg.polygons.flatMap(p => erode(p, -dist, quadSegs).polygons), 2))
+      case _ => None // erosion of lower-dimensional geometry is empty-ish; unsupported
+    }
     if (g.isEmpty) return Some(Polygon(Array.empty, 2))
     if (dist == 0) return Some(g)
     val segs = math.max(quadSegs * 4, 8)
@@ -466,6 +473,18 @@ object GeomSetOps {
         })
         Some(MultiPolygon(parts, 2))
     }
+  }
+
+  private def erode(pg: Polygon, dist: Double, quadSegs: Int): MultiPolygon = {
+    if (pg.isEmpty) return MultiPolygon(Array.empty, 2)
+    val segs = math.max(quadSegs * 4, 8)
+    var pieces = piecesOf(pg)
+    pg.rings.foreach { ring =>
+      segmentCapsules(LineString(ring, pg.dim), dist, segs).foreach { capsule =>
+        pieces = pieces.flatMap(p => differenceByConvex(p, capsule).polygons)
+      }
+    }
+    MultiPolygon(pieces, 2)
   }
 
   private def segmentCapsules(l: LineString, dist: Double, segs: Int): Array[Polygon] = {

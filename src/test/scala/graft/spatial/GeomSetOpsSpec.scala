@@ -137,6 +137,18 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(GeomOps.intersects(b, WKT.read("POINT (-1.5 0)"))) // end cap
   }
 
+  test("negative buffer erodes the polygon") {
+    val sq = poly("POLYGON ((0 0,10 0,10 10,0 10,0 0))")
+    val eroded = GeomSetOps.buffer(sq, -2.0).get
+    // exact erosion = 6×6 = 36; capsule N-gon approximation is close
+    assert(math.abs(GeomOps.area(eroded) - 36.0) < 1.0)
+    assert(GeomOps.contains(sq, WKT.read("POINT (5 5)")))
+    assert(!GeomOps.intersects(eroded, WKT.read("POINT (1 1)"))) // within the band
+    // erode past the inradius → empty
+    val gone = GeomSetOps.buffer(sq, -6.0).get
+    assert(GeomOps.area(gone) < 1e-6)
+  }
+
   test("equals") {
     val sq10b = poly("POLYGON ((10 0,10 10,0 10,0 0,10 0))") // rotated start
     assert(GeomSetOps.equalsGeom(sq10, sq10b))
