@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_minimumboundingcircle", es => StMinimumBoundingCircle(es.head))
     inject(e, "st_simplify", es => StSimplify(es(0), es(1)))
     inject(e, "st_distance", es => StDistance(es(0), es(1)))
+    inject(e, "st_closestpoint", es => StClosestPoint(es(0), es(1)))
+    inject(e, "st_shortestline", es => StShortestLine(es(0), es(1)))
     // predicates
     inject(e, "st_intersects", es => StIntersects(es(0), es(1)))
     inject(e, "st_disjoint", es => StDisjoint(es(0), es(1)))

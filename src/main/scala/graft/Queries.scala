@@ -444,6 +444,18 @@ object Queries {
         .orderBy("doc_id", "term")
     }),
 
+    "q38_boundary_length" -> ((s, d) => {
+      // ST_Boundary + ST_Length over per-order envelopes; |dx|+|dy| doubles
+      // are IEEE-exact (sqrt of a square of a representable value)
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               ST_Length(ST_Boundary(ST_MakeEnvelope(
+                 min(l_extendedprice), min(l_quantity),
+                 max(l_extendedprice), max(l_quantity)))) AS boundary_len
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -754,6 +766,16 @@ object Queries {
       SELECT tf.term, tf.doc_id, tf.tf, dfreq.df
       FROM tf JOIN dfreq USING (term)
       ORDER BY doc_id, term""",
+
+    "q38_boundary_length" -> """
+      WITH b AS (
+        SELECT l_orderkey,
+               min(l_extendedprice) AS x0, min(l_quantity) AS y0,
+               max(l_extendedprice) AS x1, max(l_quantity) AS y1
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             (x1 - x0) + (y1 - y0) + (x1 - x0) + (y1 - y0) AS boundary_len
+      FROM b ORDER BY l_orderkey""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

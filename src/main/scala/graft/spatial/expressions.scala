@@ -1055,3 +1055,29 @@ case class StMinimumBoundingCircle(child: Expression) extends GeomUnary {
     }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** ST_ClosestPoint(a, b) — the point on `a` closest to `b`. */
+case class StClosestPoint(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_closestpoint"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomOps.closestPoints(a, b) match {
+      case Some(((ax, ay), _)) => toWkb(Point.xy(ax, ay))
+      case None => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_ShortestLine(a, b) — the line realizing the minimum distance. */
+case class StShortestLine(left: Expression, right: Expression) extends GeomBinary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_shortestline"
+  override protected def evalGeoms(a: Geometry, b: Geometry): Any =
+    GeomOps.closestPoints(a, b) match {
+      case Some(((ax, ay), (bx, by))) => toWkb(LineString(Array(ax, ay, bx, by), 2))
+      case None => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

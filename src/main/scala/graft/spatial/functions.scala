@@ -70,6 +70,8 @@ object functions {
   def st_minimumboundingcircle(g: Column): Column = toCol(StMinimumBoundingCircle(expr(g)))
   def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), expr(tol)))
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
+  def st_closestpoint(a: Column, b: Column): Column = toCol(StClosestPoint(expr(a), expr(b)))
+  def st_shortestline(a: Column, b: Column): Column = toCol(StShortestLine(expr(a), expr(b)))
 
   // declared-scope extensions
   def st_issimple(g: Column): Column = toCol(StIsSimple(expr(g)))
@@ -174,6 +176,8 @@ object functions {
     r1("st_minimumboundingcircle", StMinimumBoundingCircle.apply)
     r2("st_simplify", StSimplify.apply)
     r2("st_distance", StDistance.apply)
+    r2("st_closestpoint", StClosestPoint.apply)
+    r2("st_shortestline", StShortestLine.apply)
     r2("st_intersects", StIntersects.apply)
     r2("st_disjoint", StDisjoint.apply)
     r2("st_contains", StContains.apply)

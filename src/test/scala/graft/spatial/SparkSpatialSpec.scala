@@ -179,6 +179,20 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.isNullAt(9))
   }
 
+  test("closest point + shortest line") {
+    val r = spark.sql(
+      """SELECT ST_AsText(st_closestpoint(
+        |         ST_GeomFromText('LINESTRING (0 0,10 0)'), ST_Point(5.0D, 3.0D))) AS cp,
+        |       ST_AsText(st_shortestline(
+        |         ST_GeomFromText('POLYGON ((2 0,4 0,4 2,2 2,2 0))'), ST_Point(0.0D, 0.0D))) AS sl,
+        |       ST_Length(st_shortestline(
+        |         ST_Point(0.0D, 0.0D), ST_Point(3.0D, 4.0D))) AS len
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POINT (5.0 0.0)")
+    assert(r.getString(1) == "LINESTRING (2.0 0.0,0.0 0.0)")
+    assert(r.getDouble(2) == 5.0)
+  }
+
   test("azimuth + line interpolate point") {
     val r = spark.sql(
       """SELECT st_azimuth(ST_Point(0.0D, 0.0D), ST_Point(1.0D, 0.0D)) AS east,
