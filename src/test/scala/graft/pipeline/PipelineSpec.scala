@@ -29,6 +29,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextUtil.langId("这是一个中文句子，用来测试语言识别功能。") == "zh")
     assert(TextUtil.langId("Это русское предложение для проверки определения языка") == "ru")
     assert(TextUtil.langId("これはひらがなとカタカナのテストです") == "ja")
+    assert(TextUtil.langId("Il gatto dormiva sul divano con il sole che entrava dalla finestra e non si muoveva") == "it")
+    assert(TextUtil.langId("O cachorro correu para o parque com as crianças e não queria mais voltar para casa") == "pt")
+    assert(TextUtil.langId("De kat zat op de vensterbank en keek naar de vogels in de tuin met veel aandacht") == "nl")
     assert(TextUtil.langId("") == "und")
     assert(TextUtil.langId("12345 67890 !!!") == "und")
   }
