@@ -105,6 +105,38 @@ object GeoIO {
   }
 
   /**
+   * Write geo data partitioned by grid anchor cell (the cell of the
+   * envelope's min corner): a spatial filter then reads ONLY the matching
+   * cell partitions — storage-level partition pruning, the way to avoid
+   * full scans of a 100 TB geo corpus for windowed queries. Geometries
+   * larger than one cell anchor in their min-corner cell; readers expand
+   * the query window by `pad` ≥ the max geometry extent to not miss them.
+   */
+  def writePartitionedByCell(df: DataFrame, geomCol: String, cellSize: Double,
+                             path: String): Unit = {
+    val g = col(geomCol)
+    df.withColumn("cell",
+        SpatialJoin.st_ref_cell(g, g, cellSize))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Read only the cell partitions overlapping `env` expanded by `pad`,
+    * then apply the exact envelope filter. */
+  def readCellRange(spark: SparkSession, path: String, cellSize: Double,
+                    xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                    pad: Double = 0.0): DataFrame = {
+    val ix0 = math.floor((xmin - pad) / cellSize).toLong
+    val ix1 = math.floor((xmax + pad) / cellSize).toLong
+    val iy0 = math.floor((ymin - pad) / cellSize).toLong
+    val iy1 = math.floor((ymax + pad) / cellSize).toLong
+    require((ix1 - ix0 + 1) * (iy1 - iy0 + 1) <= 65536,
+      "query window covers too many cells; coarsen cellSize")
+    val cells = for (ix <- ix0 to ix1; iy <- iy0 to iy1)
+      yield (ix << 32) | (iy & 0xffffffffL)
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+  }
+
+  /**
    * Read a (Geo)Parquet file; geometry columns become WKB `BinaryType`
    * with `{encoding, geometryType}` recorded as column metadata. WKB-encoded
    * columns pass through; GeoArrow-native nested columns are converted by

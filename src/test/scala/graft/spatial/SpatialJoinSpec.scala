@@ -117,6 +117,30 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("cell-partitioned layout: pruned reads match full-scan filter") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val out = "/tmp/graft_cell_partitioned"
+    GeoIO.writePartitionedByCell(cust, "pt", 1000.0, out)
+
+    // query window: x ∈ [0, 2500], y ∈ [0, 12]
+    val pruned = GeoIO.readCellRange(spark, out, 1000.0, 0, 0, 2500, 12)
+      .filter(G.st_xmin(col("pt")).between(0, 2500) &&
+              G.st_ymin(col("pt")).between(0, 12))
+    val expected = cust
+      .filter(G.st_xmin(col("pt")).between(0, 2500) &&
+              G.st_ymin(col("pt")).between(0, 12))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val got = pruned.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // partition pruning is visible in the scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(1200))
+  }
+
   test("covering cells cap degenerate envelopes") {
     val df = spark.range(1).select(
       G.st_makeenvelope(lit(0.0), lit(0.0), lit(1e9), lit(1e9)).as("g"))
