@@ -65,6 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_interiorringn", es => StInteriorRingN(es(0), es(1)))
     inject(e, "st_geometryn", es => StGeometryN(es(0), es(1)))
     inject(e, "st_reverse", es => StReverse(es.head))
+    inject(e, "st_rotate", es => StRotate(es(0), es(1)))
+    inject(e, "st_numinteriorrings", es => StNumInteriorRings(es.head))
     inject(e, "st_translate", es => StTranslate(es(0), es(1), es(2)))
     inject(e, "st_scale", es => StScale(es(0), es(1), es(2)))
     inject(e, "st_geohash", es => StGeoHash(es(0), es(1)))

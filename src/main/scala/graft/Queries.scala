@@ -456,6 +456,13 @@ object Queries {
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
     }),
 
+    "q39_stopword_ratio" -> ((s, d) => {
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), Text.stopwordRatio(col("text")).as("sw_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -776,6 +783,15 @@ object Queries {
       SELECT l_orderkey,
              (x1 - x0) + (y1 - y0) + (x1 - x0) + (y1 - y0) AS boundary_len
       FROM b ORDER BY l_orderkey""",
+
+    "q39_stopword_ratio" -> """
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         t -> list_contains(['the','of','and','to','in','is','that','for','it','as','was','with','be','by','on','not','this','are','or','his','from','at','which','but','have','an','they','you','were','her'], t))) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')) END AS sw_ratio
+      FROM documents ORDER BY doc_id""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

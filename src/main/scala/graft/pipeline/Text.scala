@@ -39,6 +39,21 @@ object Text {
     when(tokenCount(text) === 0, lit(0.0))
       .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
 
+  /** English stopword list shared with the language-ID profile. */
+  val enStopwords: Seq[String] = Seq("the", "of", "and", "to", "in", "is",
+    "that", "for", "it", "as", "was", "with", "be", "by", "on", "not",
+    "this", "are", "or", "his", "from", "at", "which", "but", "have",
+    "an", "they", "you", "were", "her")
+
+  /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(array(enStopwords.map(lit): _*), t)))
+          .cast("double") / tokenCount(text))
+  }
+
   /** Word n-gram shingles as array<string> (consecutive-token join). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")

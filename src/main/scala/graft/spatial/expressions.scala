@@ -1081,3 +1081,31 @@ case class StShortestLine(left: Expression, right: Expression) extends GeomBinar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** ST_NumInteriorRings(polygon) — hole count; null for non-polygons. */
+case class StNumInteriorRings(child: Expression) extends GeomUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_numinteriorrings"
+  override protected def evalGeom(g: Geometry): Any = g match {
+    case p: Polygon if !p.isEmpty => p.rings.length - 1
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_Rotate(geom, radians) — CCW rotation about the origin. */
+case class StRotate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_rotate"
+  override protected def nullSafeEval(v: Any, rv: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) return null
+    val a = rv.asInstanceOf[Double]
+    val c = math.cos(a); val s = math.sin(a)
+    toWkb(Affine.map(g, (x, y) => (x * c - y * s, x * s + y * c)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -51,6 +51,8 @@ object functions {
   def st_interiorringn(g: Column, n: Column): Column = toCol(StInteriorRingN(expr(g), expr(n)))
   def st_geometryn(g: Column, n: Column): Column = toCol(StGeometryN(expr(g), expr(n)))
   def st_reverse(g: Column): Column = toCol(StReverse(expr(g)))
+  def st_rotate(g: Column, radians: Column): Column = toCol(StRotate(expr(g), expr(radians)))
+  def st_numinteriorrings(g: Column): Column = toCol(StNumInteriorRings(expr(g)))
   def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), expr(dx), expr(dy)))
   def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), expr(sx), expr(sy)))
 
@@ -161,6 +163,8 @@ object functions {
     r2("st_interiorringn", StInteriorRingN.apply)
     r2("st_geometryn", StGeometryN.apply)
     r1("st_reverse", StReverse.apply)
+    r2("st_rotate", StRotate.apply)
+    r1("st_numinteriorrings", StNumInteriorRings.apply)
     r3("st_translate", StTranslate.apply)
     r3("st_scale", StScale.apply)
     r2("st_geohash", StGeoHash.apply)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.spatial.{functions => G}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -34,6 +35,22 @@ object StreamOps {
                   watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
+
+  /** Windowed spatial extent of a geometry stream: per time window, the
+    * bounding box of all geometries seen (streaming face of ST_Extent —
+    * min/max aggregate state is constant-size per window). */
+  def windowedExtent(events: DataFrame, geomCol: String,
+                     windowLen: String = "5 minutes",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        min(G.st_xmin(col(geomCol))).as("xmin"),
+        min(G.st_ymin(col(geomCol))).as("ymin"),
+        max(G.st_xmax(col(geomCol))).as("xmax"),
+        max(G.st_ymax(col(geomCol))).as("ymax"),
+        count(lit(1)).as("n"))
 
   /** Stream-static enrichment join: attach dimension attributes to a
     * stream. The static side is re-planned per micro-batch (broadcast when

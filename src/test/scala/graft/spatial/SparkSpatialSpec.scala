@@ -219,6 +219,23 @@ class SparkSpatialSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) == Seq("POINT (5.0 6.0)", "POINT (7.0 8.0)"))
   }
 
+  test("rotate + interior ring count + stopword ratio") {
+    val r = spark.sql(
+      """SELECT ST_AsText(st_rotate(ST_Point(1.0D, 0.0D), pi() / 2)) AS rot,
+        |       st_numinteriorrings(ST_GeomFromText(
+        |         'POLYGON ((0 0,9 0,9 9,0 9,0 0),(2 2,3 2,3 3,2 3,2 2))')) AS holes,
+        |       st_numinteriorrings(ST_Point(1.0D, 1.0D)) AS notpoly
+        |""".stripMargin).head()
+    val rotated = graft.spatial.WKT.read(r.getString(0)).asInstanceOf[graft.spatial.Point]
+    assert(math.abs(rotated.x) < 1e-15 && math.abs(rotated.y - 1.0) < 1e-15)
+    assert(r.getInt(1) == 1)
+    assert(r.isNullAt(2))
+    import org.apache.spark.sql.functions.lit
+    val sw = spark.range(1).select(
+      graft.pipeline.Text.stopwordRatio(lit("the cat is on the mat")).as("r")).head().getDouble(0)
+    assert(math.abs(sw - 4.0 / 6.0) < 1e-12)
+  }
+
   test("geohash known values") {
     // canonical example: lat 42.605, lon -5.603 → ezs42
     val r = spark.sql(

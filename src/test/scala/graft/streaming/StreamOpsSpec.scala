@@ -43,6 +43,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed spatial extent over a geometry stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.spatial.functions.register(spark)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val geo = input.toDF().toDF("id", "ts", "wkt")
+      .withColumn("g", graft.spatial.functions.st_geomfromtext(col("wkt")))
+    val agg = StreamOps.windowedExtent(geo, "g", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("extents").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 10:00:10"), "POINT (10 20)"),
+        (2L, ts("2026-01-01 10:01:10"), "POINT (30 5)"),
+        (3L, ts("2026-01-01 10:02:10"), "LINESTRING (0 0, 15 40)"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT xmin, ymin, xmax, ymax, n FROM extents").head()
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+      assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 40.0)
+      assert(r.getLong(4) == 3)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
