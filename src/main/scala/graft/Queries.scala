@@ -463,6 +463,39 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q40_st_crosses" -> ((s, d) => {
+      // vertical line (x, 0)→(x, qty) vs the band y ∈ [10, 20]:
+      // crosses ⟺ the line's interior enters the band ⟺ qty > 10
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               ST_Crosses(
+                 ST_MakeLine(array(ST_Point(l_extendedprice, 0.0D),
+                                   ST_Point(l_extendedprice, l_quantity))),
+                 ST_GeomFromText('POLYGON ((0 10, 200000 10, 200000 20, 0 20, 0 10))')
+               ) AS crosses
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    "q41_st_overlaps_disjoint" -> ((s, d) => {
+      // stride-64 width-96 rects: |i−j|=1 → partial overlap; |i−j|≥2 → disjoint
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+               ST_Overlaps(
+                 ST_MakeEnvelope(CAST(a.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                                 CAST(a.n_nationkey AS DOUBLE) * 64.0D + 96.0D, 64.0D),
+                 ST_MakeEnvelope(CAST(b.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                                 CAST(b.n_nationkey AS DOUBLE) * 64.0D + 96.0D, 64.0D)) AS overlaps,
+               ST_Disjoint(
+                 ST_MakeEnvelope(CAST(a.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                                 CAST(a.n_nationkey AS DOUBLE) * 64.0D + 96.0D, 64.0D),
+                 ST_MakeEnvelope(CAST(b.n_nationkey AS DOUBLE) * 64.0D, 0.0D,
+                                 CAST(b.n_nationkey AS DOUBLE) * 64.0D + 96.0D, 64.0D)) AS disjoint
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        ORDER BY key_a, key_b""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -792,6 +825,18 @@ object Queries {
                          t -> list_contains(['the','of','and','to','in','is','that','for','it','as','was','with','be','by','on','not','this','are','or','his','from','at','which','but','have','an','they','you','were','her'], t))) AS DOUBLE)
                        / len(string_split_regex(trim(text), '\s+')) END AS sw_ratio
       FROM documents ORDER BY doc_id""",
+
+    "q40_st_crosses" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_quantity > 10.0 AS crosses
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q41_st_overlaps_disjoint" -> """
+      SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+             b.n_nationkey - a.n_nationkey = 1 AS overlaps,
+             b.n_nationkey - a.n_nationkey >= 2 AS disjoint
+      FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      ORDER BY key_a, key_b""",
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n

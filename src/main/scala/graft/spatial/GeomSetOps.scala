@@ -542,15 +542,23 @@ object GeomSetOps {
     def <=(o: Seq[(Double, Double)]): Boolean = s.toString <= o.toString
   }
 
-  /** Does any vertex of `b` lie strictly inside areal geometry `a`? */
+  /** Does any vertex OR segment midpoint of `b` lie strictly inside areal
+    * geometry `a`? (Midpoints catch segments whose endpoints sit on the
+    * boundary but whose interior passes through `a`.) */
   private def anyVertexStrictlyInside(a: Geometry, b: Geometry): Boolean = {
     var found = false
     b.foreachSeq { (cs, dim) =>
+      val n = cs.length / dim
       var i = 0
-      while (!found && i + 1 < cs.length) {
-        val x = cs(i); val y = cs(i + 1)
+      while (!found && i < n) {
+        val x = cs(i * dim); val y = cs(i * dim + 1)
         if (!x.isNaN && pointStrictlyInside(a, x, y)) found = true
-        i += dim
+        if (!found && i + 1 < n) {
+          val mx = (x + cs((i + 1) * dim)) / 2
+          val my = (y + cs((i + 1) * dim + 1)) / 2
+          if (!mx.isNaN && pointStrictlyInside(a, mx, my)) found = true
+        }
+        i += 1
       }
     }
     found
@@ -621,6 +629,16 @@ object GeomSetOps {
         case _ => false
       }
       case (_, 0) => interiorsIntersect(b, a)
+      case (2, 2) =>
+        // areal × areal: probe first (cheap), then decide by overlay area —
+        // robust when every vertex sits on a shared boundary
+        properCrossing(a, b) ||
+          anyVertexStrictlyInside(a, b) || anyVertexStrictlyInside(b, a) || {
+            intersection(a, b) match {
+              case Some(inter) => GeomOps.area(inter) > 0.0
+              case None => false
+            }
+          }
       case _ =>
         properCrossing(a, b) ||
           anyVertexStrictlyInside(a, b) || anyVertexStrictlyInside(b, a)

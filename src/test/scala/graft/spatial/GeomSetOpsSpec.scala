@@ -186,6 +186,20 @@ class GeomSetOpsSpec extends AnyFunSuite {
     assert(!GeomSetOps.overlaps(sq10, WKT.read("LINESTRING (-5 5,15 5)"))) // dim mismatch
   }
 
+  test("overlaps detected when all corners sit on shared boundaries") {
+    // stride-64 width-96 rects: corners of each lie on the other's edges
+    val r0 = poly("POLYGON ((0 0,96 0,96 64,0 64,0 0))")
+    val r1 = poly("POLYGON ((64 0,160 0,160 64,64 64,64 0))")
+    assert(GeomSetOps.overlaps(r0, r1))
+    assert(!GeomSetOps.touches(r0, r1))
+    val r2 = poly("POLYGON ((128 0,224 0,224 64,128 64,128 0))")
+    assert(!GeomSetOps.overlaps(r0, r2)) // gap of 32
+    // edge-adjacent (shared edge only) stays touches, not overlaps
+    val adj = poly("POLYGON ((96 0,192 0,192 64,96 64,96 0))")
+    assert(GeomSetOps.touches(r0, adj))
+    assert(!GeomSetOps.overlaps(r0, adj))
+  }
+
   test("isSimple") {
     assert(GeomSetOps.isSimple(WKT.read("LINESTRING (0 0,1 1,2 0)")))
     assert(!GeomSetOps.isSimple(WKT.read("LINESTRING (0 0,10 10,10 0,0 10)"))) // bowtie
