@@ -496,6 +496,25 @@ object Queries {
         ORDER BY key_a, key_b""")
     }),
 
+    "q42_st_equals_within" -> ((s, d) => {
+      // per-key nested rects: equals ⟺ same key; within ⟺ same key
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+               ST_Equals(
+                 ST_MakeEnvelope(CAST(a.n_nationkey AS DOUBLE) * 256.0D, 0.0D,
+                                 CAST(a.n_nationkey AS DOUBLE) * 256.0D + 256.0D, 256.0D),
+                 ST_MakeEnvelope(CAST(b.n_nationkey AS DOUBLE) * 256.0D, 0.0D,
+                                 CAST(b.n_nationkey AS DOUBLE) * 256.0D + 256.0D, 256.0D)) AS equal,
+               ST_Within(
+                 ST_MakeEnvelope(CAST(a.n_nationkey AS DOUBLE) * 256.0D + 64.0D, 64.0D,
+                                 CAST(a.n_nationkey AS DOUBLE) * 256.0D + 128.0D, 128.0D),
+                 ST_MakeEnvelope(CAST(b.n_nationkey AS DOUBLE) * 256.0D, 0.0D,
+                                 CAST(b.n_nationkey AS DOUBLE) * 256.0D + 256.0D, 256.0D)) AS within
+        FROM nation a JOIN nation b ON a.n_nationkey <= b.n_nationkey
+        ORDER BY key_a, key_b""")
+    }),
+
     "q29_multimodal_decode" -> ((s, d) => {
       prep(s, d, "documents")
       val media = Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id")
@@ -836,6 +855,13 @@ object Queries {
              b.n_nationkey - a.n_nationkey = 1 AS overlaps,
              b.n_nationkey - a.n_nationkey >= 2 AS disjoint
       FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      ORDER BY key_a, key_b""",
+
+    "q42_st_equals_within" -> """
+      SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+             a.n_nationkey = b.n_nationkey AS equal,
+             a.n_nationkey = b.n_nationkey AS within
+      FROM nation a JOIN nation b ON a.n_nationkey <= b.n_nationkey
       ORDER BY key_a, key_b""",
 
     "q29_multimodal_decode" -> """
