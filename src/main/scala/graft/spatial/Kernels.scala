@@ -35,6 +35,11 @@ object Kernels {
     }
   }
 
+  def geomFromText(s: UTF8String): Array[Byte] = {
+    val g = WKT.readOrNull(s.toString)
+    if (g == null) null else WKB.write(g)
+  }
+
   def asText(b: Array[Byte]): UTF8String = {
     val g = WKB.readOrNull(b)
     if (g == null) null else UTF8String.fromString(WKT.write(g))

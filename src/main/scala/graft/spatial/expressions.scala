@@ -71,6 +71,11 @@ case class StGeomFromText(child: Expression)
     val g = WKT.readOrNull(v.asInstanceOf[UTF8String].toString)
     if (g == null) null else toWkb(g)
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.spatial.Kernels.geomFromText($c);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
