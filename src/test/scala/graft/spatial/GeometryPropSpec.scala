@@ -150,6 +150,39 @@ object GeometryPropSpec extends Properties("geometry") {
       math.abs(iAB - iBA) < tol && math.abs(uAB - uBA) < tol
     }
 
+  private val genHoledPolygon: Gen[Polygon] =
+    for {
+      cx <- Gen.chooseNum(-30.0, 30.0)
+      cy <- Gen.chooseNum(-30.0, 30.0)
+      n <- Gen.chooseNum(5, 8)
+      radii <- Gen.listOfN(n, Gen.chooseNum(30.0, 60.0))
+      holeR <- Gen.chooseNum(2.0, 8.0)
+    } yield {
+      val outer = radii.zipWithIndex.map { case (r, i) =>
+        val a = 2 * math.Pi * i / n
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      // small CW square hole at the star's kernel (center) — always inside
+      val hole = Seq(
+        (cx - holeR, cy - holeR), (cx - holeR, cy + holeR),
+        (cx + holeR, cy + holeR), (cx + holeR, cy - holeR))
+      Polygon(Array(
+        (outer :+ outer.head).flatMap(p => Seq(p._1, p._2)).toArray,
+        (hole :+ hole.head).flatMap(p => Seq(p._1, p._2)).toArray), 2)
+    }
+
+  property("holed-polygon overlay area identities") =
+    forAll(genHoledPolygon, genStarPolygon) { (a, b) =>
+      val aa = GeomOps.area(a)
+      val ab = GeomOps.area(b)
+      val tol = 1e-6 * math.max(1.0, aa + ab)
+      val inter = GeomSetOps.intersection(a, b).map(GeomOps.area).getOrElse(-1.0)
+      val diff = GeomSetOps.difference(a, b).map(GeomOps.area).getOrElse(-1.0)
+      inter >= -tol && diff >= -tol &&
+        math.abs(diff - (aa - inter)) < tol &&
+        inter <= math.min(aa, ab) + tol
+    }
+
   property("arbitrary bytes never crash the WKB reader (corrupt rows → null)") =
     forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) { bytes =>
       // must return null or a geometry — never throw
