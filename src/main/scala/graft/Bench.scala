@@ -1,15 +1,26 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and prints
- * ONE JSON line {"metric":"total","value":<sec>,...}.
+ * ONE JSON line {"metric":"total","value":<sec>,...}. The same line is also
+ * written to BENCH_RESULT.json in the working directory, because sbt wraps
+ * program stdout in "[info] " prefixes that a line-oriented JSON parser
+ * rejects.
  *
  * Each query gets one untimed warmup execution (JIT + parquet footer cache +
- * catalog setup) followed by one timed run — steady-state numbers, the shape
- * a long-lived cluster would see. Queries execute via .count() to force full
- * materialization without driver-side collection.
+ * catalog setup) followed by two timed runs (min reported — suppresses
+ * GC/JIT noise). Materialization goes through `queryExecution.toRdd.count()`:
+ * the physical plan is already finalized at that point, so Catalyst cannot
+ * prune deterministic projections the way it can under a DataFrame
+ * `.count()` — every output column of every query is actually computed.
+ * Failures are NOT swallowed into the total: a failed query is reported in
+ * "failed" and its timing excluded, so a regression can only make the
+ * numbers worse, never better.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,24 +34,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup pass (untimed)
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // two timed passes; report the min (suppresses GC/JIT noise)
-    def timed(name: String): Double = {
+
+    // full materialization of the finalized physical plan; true on success
+    def run(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
+
+    def timed(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = run(name)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+
+    names.foreach(run) // warmup pass (untimed)
+
     val r1 = names.map(n => n -> timed(n)).toMap
-    val results = names.map(n => n -> math.min(r1(n), timed(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val (t2, ok2) = timed(n)
+      val (t1, ok1) = r1(n)
+      n -> (math.min(t1, t2), ok1 && ok2)
+    }
+    val failed = results.collect { case (n, (_, false)) => n }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.write(Paths.get("BENCH_RESULT.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -120,16 +120,19 @@ object Queries {
     }),
 
     "q07_window_rank" -> ((s, d) => {
+      // grouped top-3 over a 3-value partition key: the naive window would
+      // shuffle the whole fact table into 3 partitions; GroupedTopK
+      // prefilters each map partition to its local top-3 per flag first,
+      // so the exact window sees ≤ 3·numPartitions rows per flag
       prep(s, d, "lineitem")
-      s.sql("""
-        SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
-        FROM (
-          SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-                 row_number() OVER (PARTITION BY l_returnflag
-                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
-          FROM lineitem) x
-        WHERE rnk <= 3
-        ORDER BY l_returnflag, rnk""")
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.pipeline.GroupedTopK.topK(li, Seq("l_returnflag"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+          k = 3, rankCol = "rnk")
+        .select(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_returnflag", "rnk")
     }),
 
     "q08_union_segments" -> ((s, d) => {
@@ -522,6 +525,92 @@ object Queries {
         .select(col("img.width").as("width"))
         .groupBy("width").agg(count(lit(1)).as("n"))
         .orderBy("width")
+    }),
+
+    "q43_knn_join" -> ((s, d) => {
+      // large×large KNN: grid-bucketed candidates (equi-join on cell id) +
+      // exact residual — no full-right-side broadcast on the main path
+      prep(s, d, "supplier", "customer")
+      val supp = t(s, d, "supplier").select(col("s_suppkey"),
+        G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("cpt"))
+      graft.spatial.SpatialJoin.knnJoinGrid(supp, cust, col("spt"), col("cpt"),
+          Seq("s_suppkey"), Seq("c_custkey"), k = 3, cellSize = 512.0)
+        .select(col("s_suppkey"), col("knn_rank"), col("c_custkey"), col("knn_dist"))
+        .orderBy("s_suppkey", "knn_rank")
+    }),
+
+    "q44_st_accessors" -> ((s, d) => {
+      // structural accessors: dimension/srid/isempty as CASE constants,
+      // WKB length by construction (ISO little-endian), AsBinary→FromWKB→
+      // AsText round-trip against the literal WKT serialization
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               ST_Dimension(ST_GeomFromText(
+                 CASE WHEN n_nationkey % 3 = 0 THEN 'POINT (1 2)'
+                      WHEN n_nationkey % 3 = 1 THEN 'LINESTRING (0 0, 1 1)'
+                      ELSE 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' END)) AS dim,
+               ST_SRID(ST_Point(CAST(n_nationkey AS DOUBLE), 0.0D)) AS srid,
+               ST_IsEmpty(ST_GeomFromText(
+                 CASE WHEN n_nationkey % 2 = 0 THEN 'POINT EMPTY'
+                      ELSE 'POINT (3 4)' END)) AS empty,
+               octet_length(ST_AsBinary(ST_GeomFromText(
+                 CASE WHEN n_nationkey % 3 = 0 THEN 'POINT (1 2)'
+                      WHEN n_nationkey % 3 = 1 THEN 'LINESTRING (0 0, 1 1)'
+                      ELSE 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' END))) AS wkb_len,
+               ST_AsText(ST_GeomFromWKB(ST_AsBinary(
+                 ST_Point(CAST(n_nationkey AS DOUBLE), 2.0D)))) AS rt_wkt
+        FROM nation ORDER BY n_nationkey""")
+    }),
+
+    "q45_st_relate" -> ((s, d) => {
+      // exact DE-9IM matrices for every polygon-pair topology class, plus
+      // ST_IsSimple on a simple vs self-crossing linestring
+      prep(s, d, "nation")
+      s.sql("""
+        WITH g AS (
+          SELECT n_nationkey,
+                 CAST(n_nationkey AS DOUBLE) * 256.0D AS x0
+          FROM nation)
+        SELECT n_nationkey,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D)) AS rel_equal,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0 + 64.0D, 64.0D, x0 + 192.0D, 192.0D)) AS rel_overlap,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0 + 128.0D, 0.0D, x0 + 256.0D, 128.0D)) AS rel_edge,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0 + 128.0D, 128.0D, x0 + 256.0D, 256.0D)) AS rel_corner,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0 + 32.0D, 32.0D, x0 + 96.0D, 96.0D)) AS rel_contains,
+               ST_Relate(ST_MakeEnvelope(x0 + 32.0D, 32.0D, x0 + 96.0D, 96.0D),
+                         ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D)) AS rel_within,
+               ST_Relate(ST_MakeEnvelope(x0, 0.0D, x0 + 128.0D, 128.0D),
+                         ST_MakeEnvelope(x0 + 1024.0D, 1024.0D, x0 + 1152.0D, 1152.0D)) AS rel_disjoint,
+               ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 1 0, 2 1)')) AS simple_line,
+               ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 2 2, 2 0, 0 2)')) AS bowtie_simple
+        FROM g ORDER BY n_nationkey""")
+    }),
+
+    "q46_st_symdiff_buffer" -> ((s, d) => {
+      // symdifference area on power-of-two rects (IEEE-exact overlay) and
+      // buffer-disk containment probes far from the N-gon boundary
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               ST_Area(ST_SymDifference(
+                 ST_MakeEnvelope(CAST(n_nationkey AS DOUBLE) * 128.0D, 0.0D,
+                                 CAST(n_nationkey AS DOUBLE) * 128.0D + 512.0D, 256.0D),
+                 ST_MakeEnvelope(1024.0D, 64.0D, 1792.0D, 192.0D))) AS symdiff_area,
+               ST_Contains(
+                 ST_Buffer(ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D, 0.0D), 64.0D),
+                 ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D + 32.0D, 0.0D)) AS buf_near,
+               ST_Contains(
+                 ST_Buffer(ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D, 0.0D), 64.0D),
+                 ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D + 96.0D, 0.0D)) AS buf_far
+        FROM nation ORDER BY n_nationkey""")
     })
   )
 
@@ -614,8 +703,8 @@ object Queries {
         FROM lagged),
       sessions AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM flagged)
       SELECT user_id, session_seq,
              min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
@@ -866,6 +955,60 @@ object Queries {
 
     "q29_multimodal_decode" -> """
       SELECT CAST(64 + (doc_id % 64) AS INT) AS width, count(*) AS n
-      FROM documents GROUP BY 1 ORDER BY 1"""
+      FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // same IEEE tree as GeomOps.distance point-point: sqrt(dx*dx + dy*dy)
+    "q43_knn_join" -> """
+      WITH l AS (SELECT s_suppkey, s_acctbal AS lx, CAST(s_nationkey AS DOUBLE) AS ly
+                 FROM supplier),
+      r AS (SELECT c_custkey, c_acctbal AS rx, CAST(c_nationkey AS DOUBLE) AS ry
+            FROM customer),
+      scored AS (
+        SELECT l.s_suppkey, r.c_custkey,
+               sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) AS knn_dist
+        FROM l, r),
+      ranked AS (
+        SELECT s_suppkey, c_custkey, knn_dist,
+               row_number() OVER (PARTITION BY s_suppkey
+                 ORDER BY knn_dist ASC, c_custkey) AS knn_rank
+        FROM scored)
+      SELECT s_suppkey, knn_rank, c_custkey, knn_dist FROM ranked
+      WHERE knn_rank <= 3 ORDER BY s_suppkey, knn_rank""",
+
+    "q44_st_accessors" -> """
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 0
+                  WHEN n_nationkey % 3 = 1 THEN 1
+                  ELSE 2 END AS dim,
+             0 AS srid,
+             n_nationkey % 2 = 0 AS empty,
+             CASE WHEN n_nationkey % 3 = 0 THEN 21
+                  WHEN n_nationkey % 3 = 1 THEN 41
+                  ELSE 93 END AS wkb_len,
+             'POINT (' || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR) || ' 2.0)' AS rt_wkt
+      FROM nation ORDER BY n_nationkey""",
+
+    "q45_st_relate" -> """
+      SELECT n_nationkey,
+             '2FFF1FFF2' AS rel_equal,
+             '212101212' AS rel_overlap,
+             'FF2F11212' AS rel_edge,
+             'FF2F01212' AS rel_corner,
+             '212FF1FF2' AS rel_contains,
+             '2FF1FF212' AS rel_within,
+             'FF2FF1212' AS rel_disjoint,
+             TRUE AS simple_line,
+             FALSE AS bowtie_simple
+      FROM nation ORDER BY n_nationkey""",
+
+    "q46_st_symdiff_buffer" -> """
+      SELECT n_nationkey,
+             131072.0 + 98304.0 - 2.0 *
+               (GREATEST(LEAST(CAST(n_nationkey AS DOUBLE) * 128.0 + 512.0, 1792.0)
+                         - GREATEST(CAST(n_nationkey AS DOUBLE) * 128.0, 1024.0), 0.0)
+                * 128.0) AS symdiff_area,
+             TRUE AS buf_near,
+             FALSE AS buf_far
+      FROM nation ORDER BY n_nationkey"""
   )
 }

@@ -61,12 +61,18 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // A pair sharing m bands appears m times in the bucket join. Emit it only
+    // from the FIRST shared band (recomputed from the carried signatures) —
+    // exactly-once without a distinct() shuffle over the pair set.
+    val bandAgrees = transform(sequence(lit(0), lit(bands - 1)),
+      bb => xxhash64(slice(col("sig_a"), bb * rows + 1, lit(rows))) ===
+            xxhash64(slice(col("sig_b"), bb * rows + 1, lit(rows))))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === array_position(bandAgrees, true) - 1)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
   }
 
   /**
@@ -82,12 +88,16 @@ object Dedup {
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk", "key")))
     val a = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // first-shared-chunk emission: exactly-once per pair, no distinct() shuffle
+    val chunkAgrees = array((0 until 4).map(i =>
+      shiftrightunsigned(col("sh_a"), i * 16).bitwiseAND(lit(0xffffL)) ===
+      shiftrightunsigned(col("sh_b"), i * 16).bitwiseAND(lit(0xffffL))): _*)
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("chunk") === array_position(chunkAgrees, true) - 1)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /**

@@ -11,9 +11,11 @@ import org.apache.spark.sql.expressions.Window
  * Scale design:
  *  - cosine/dot are built-in `zip_with` + `aggregate` expressions — codegen'd,
  *    no UDF serialization;
- *  - brute-force top-k broadcasts the (small) query set and computes
- *    per-partition over the corpus, then a single top-k window per query —
- *    a map-side scan of the corpus, one shuffle of k·|queries| rows;
+ *  - brute-force top-k broadcasts the (small) query set, scores map-side
+ *    over the corpus, and re-ranks with the bounded [[TopKAgg]] aggregate:
+ *    partial aggregation keeps ≤ k rows per (query, partition) before the
+ *    exchange, so the shuffle carries ≤ k·numPartitions rows per query —
+ *    never the full scored relation into one partition per query;
  *  - the LSH (random-hyperplane) variant buckets the corpus once (cheap,
  *    deterministic signatures), joins queries by bucket, and re-ranks
  *    exactly within buckets — the 100 TB path where a full scan per query
@@ -45,10 +47,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perQuery(scored, k)
   }
 
   /**
@@ -76,10 +75,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perQuery(scored, k)
   }
 
   /**
@@ -135,10 +131,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("nvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */

@@ -769,17 +769,100 @@ object GeomSetOps {
       GeometryCollection(gc.geoms.map(boundary), 2)
   }
 
+  private def isPolygonal(g: Geometry): Boolean = g match {
+    case _: Polygon | _: MultiPolygon => true
+    case _ => false
+  }
+
+  /** Boundary segments of a polygonal geometry as (x1,y1,x2,y2) quads. */
+  private def polyBoundarySegs(g: Geometry): Array[Array[Double]] = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def ringSegs(r: Array[Double], dim: Int): Unit = {
+      val n = r.length / dim
+      var i = 0
+      while (i + 1 < n) {
+        segs += Array(r(i * dim), r(i * dim + 1), r((i + 1) * dim), r((i + 1) * dim + 1))
+        i += 1
+      }
+    }
+    g match {
+      case p: Polygon => p.rings.foreach(ringSegs(_, p.dim))
+      case mp: MultiPolygon => mp.polygons.foreach(p => p.rings.foreach(ringSegs(_, p.dim)))
+      case _ =>
+    }
+    segs.toArray
+  }
+
+  /** Exactly collinear segments sharing a positive-length overlap? */
+  private def collinearOverlap(s: Array[Double], t: Array[Double]): Boolean = {
+    val ux = s(2) - s(0); val uy = s(3) - s(1)
+    val c1 = ux * (t(1) - s(1)) - uy * (t(0) - s(0))
+    val c2 = ux * (t(3) - s(1)) - uy * (t(2) - s(0))
+    if (c1 != 0.0 || c2 != 0.0) return false
+    if (math.abs(ux) >= math.abs(uy)) {
+      val lo = math.max(math.min(s(0), s(2)), math.min(t(0), t(2)))
+      val hi = math.min(math.max(s(0), s(2)), math.max(t(0), t(2)))
+      hi > lo
+    } else {
+      val lo = math.max(math.min(s(1), s(3)), math.min(t(1), t(3)))
+      val hi = math.min(math.max(s(1), s(3)), math.max(t(1), t(3)))
+      hi > lo
+    }
+  }
+
+  /** Dimension of boundary(a) ∩ boundary(b) for polygonal inputs:
+    * -1 none, 0 point contact only, 1 collinear overlap. */
+  private def boundaryContactDim(a: Geometry, b: Geometry): Int = {
+    val sa = polyBoundarySegs(a)
+    val sb = polyBoundarySegs(b)
+    var d = -1
+    var i = 0
+    while (i < sa.length) {
+      val s = sa(i)
+      var j = 0
+      while (j < sb.length) {
+        val t = sb(j)
+        if (collinearOverlap(s, t)) return 1
+        if (d < 0 && GeomOps.segIntersects(s(0), s(1), s(2), s(3), t(0), t(1), t(2), t(3)))
+          d = 0
+        j += 1
+      }
+      i += 1
+    }
+    d
+  }
+
+  /** Exact DE-9IM for polygonal×polygonal via the exact predicate set:
+    * the pair's topological class (equal/disjoint/touch/contain/overlap)
+    * plus the boundary-contact dimension pins every matrix cell. */
+  private def relatePolygonal(a: Geometry, b: Geometry): String = {
+    if (equalsGeom(a, b)) return "2FFF1FFF2"
+    if (!GeomOps.intersects(a, b)) return "FF2FF1212"
+    val bb = boundaryContactDim(a, b) match {
+      case -1 => 'F'
+      case 0 => '0'
+      case _ => '1'
+    }
+    if (!interiorsIntersect(a, b)) return s"FF2F${bb}1212" // touches
+    if (GeomOps.contains(a, b)) return s"212F${bb}1FF2"
+    if (GeomOps.contains(b, a)) return s"2FF1${bb}F212"
+    s"2121${bb}1212" // overlap: interiors intersect, neither contains
+  }
+
   /**
    * ST_Relate: DE-9IM matrix as a 9-char string (I/B/E × I/B/E, values
-   * dimension or F). Computed from our predicate probes — exact for the
-   * point/line/polygon cases the probes cover; entries use the standard
-   * 'T'-collapse only when dimension is ambiguous.
+   * dimension or F). Polygonal×polygonal pairs dispatch to
+   * [[relatePolygonal]] — exact standard matrices. Mixed/lower-dimension
+   * pairs use predicate probes — exact for the point/line/polygon cases
+   * the probes cover; entries use the standard 'T'-collapse only when
+   * dimension is ambiguous.
    */
   def relate(a: Geometry, b: Geometry): String = {
     if (a.isEmpty || b.isEmpty) {
       // empties: everything false except EE
       return "FFFFFFFF2"
     }
+    if (isPolygonal(a) && isPolygonal(b)) return relatePolygonal(a, b)
     def dimChar(d: Int): Char = if (d < 0) 'F' else ('0' + d).toChar
     val ii = if (interiorsIntersect(a, b)) dimChar(math.min(a.topoDim, b.topoDim)) else 'F'
     val boundsTouch = GeomOps.intersects(a, b) && !interiorsIntersect(a, b)

@@ -25,26 +25,39 @@ import org.apache.spark.sql.types.LongType
  * `spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))`.
  *
  * Only bare ST_Intersects inner-join conditions are rewritten; compound
- * conditions and outer joins keep Catalyst's plan. Geometries whose
- * envelope covers more than `maxCells` cells are dropped by the rewrite
- * (documented [[SpatialJoin.StCoveringCells]] cap) — pick a pitch near the
- * median envelope size.
+ * conditions and outer joins keep Catalyst's plan. The rewrite is
+ * RESULT-PRESERVING: geometries whose envelope covers more than `maxCells`
+ * cells (where [[SpatialJoin.StCoveringCells]] returns null rather than
+ * exploding) are routed through exact theta-join fallback branches and
+ * unioned back in, so enabling the rule never drops matches — over-cap
+ * rows just don't get the grid speedup. Pick a pitch near the median
+ * envelope size to keep those branches empty.
  */
 case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def cellSize: Option[Double] =
     session.conf.getOption("spark.graft.spatialJoin.cellSize").map(_.toDouble)
 
+  /** The over-cap fallback joins this rule itself emits are recognizable by
+    * their StCoveringCells null-check filter children; without this guard
+    * the fixed-point batch would rewrite them again, forever. */
+  private def isOwnFallback(p: LogicalPlan): Boolean = p match {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[SpatialJoin.StCoveringCells])
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = cellSize match {
     case None => plan
     case Some(cs) =>
       plan.transformUp {
         case j @ Join(left, right, Inner, Some(StIntersects(lg, rg)), _)
-            if lg.references.subsetOf(left.outputSet) &&
+            if !isOwnFallback(left) && !isOwnFallback(right) &&
+              lg.references.subsetOf(left.outputSet) &&
               rg.references.subsetOf(right.outputSet) =>
           rewrite(j, left, right, lg, rg, cs)
         case j @ Join(left, right, Inner, Some(StIntersects(lg, rg)), _)
-            if lg.references.subsetOf(right.outputSet) &&
+            if !isOwnFallback(left) && !isOwnFallback(right) &&
+              lg.references.subsetOf(right.outputSet) &&
               rg.references.subsetOf(left.outputSet) =>
           rewrite(j, left, right, rg, lg, cs)
       }
@@ -52,18 +65,32 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       lg: Expression, rg: Expression, cs: Double): LogicalPlan = {
+    // Rows whose envelope exceeds the StCoveringCells cap yield a null cell
+    // array: they can't ride the grid path, but the rewrite must stay
+    // result-preserving, so they take exact theta fallback branches below.
+    val okLeft = Filter(IsNotNull(SpatialJoin.StCoveringCells(lg, cs)), left)
+    val okRight = Filter(IsNotNull(SpatialJoin.StCoveringCells(rg, cs)), right)
+    val bigLeft = Filter(IsNull(SpatialJoin.StCoveringCells(lg, cs)), left)
+    val bigRight = Filter(IsNull(SpatialJoin.StCoveringCells(rg, cs)), right)
+
     val cellL = AttributeReference("__cell_l", LongType, nullable = false)()
     val cellR = AttributeReference("__cell_r", LongType, nullable = false)()
     val genL = Generate(Explode(SpatialJoin.StCoveringCells(lg, cs)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(cellL), child = left)
+      generatorOutput = Seq(cellL), child = okLeft)
     val genR = Generate(Explode(SpatialJoin.StCoveringCells(rg, cs)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(cellR), child = right)
+      generatorOutput = Seq(cellR), child = okRight)
     val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), j.hint)
-    val filtered = Filter(
+    val grid = Project(j.output, Filter(
       And(EqualTo(cellL, SpatialJoin.StRefCell(lg, rg, cs)), StIntersects(lg, rg)),
-      joined)
-    Project(j.output, filtered)
+      joined))
+
+    // exact fallbacks, disjoint by construction:
+    //   (big left) × (all right)  ∪  (ok left) × (big right)
+    val cond = j.condition
+    val bigL = Project(j.output, Join(bigLeft, right, Inner, cond, j.hint))
+    val bigR = Project(j.output, Join(okLeft, bigRight, Inner, cond, j.hint))
+    Union(Seq(grid, bigL, bigR))
   }
 }

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
  */
 object SpatialJoin {
 
-  /** st_covering_cells(geom): packed (ix,iy) cell ids covering the envelope. */
-  case class StCoveringCells(child: Expression, cellSize: Double, maxCells: Int = 4096)
+  /** st_covering_cells(geom): packed (ix,iy) cell ids covering the envelope,
+    * optionally dilated by `dilate` rings of neighboring cells (used by the
+    * grid KNN join to pull in every geometry within one cell pitch). */
+  case class StCoveringCells(child: Expression, cellSize: Double, maxCells: Int = 4096,
+                             dilate: Int = 0)
       extends UnaryExpression with CodegenFallback {
     require(cellSize > 0)
+    require(dilate >= 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "st_covering_cells"
@@ -39,10 +43,10 @@ object SpatialJoin {
       try WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], env)
       catch { case _: Exception => return null }
       if (env.isEmpty) return new GenericArrayData(Array.empty[Long])
-      val ix0 = math.floor(env.xmin / cellSize).toLong
-      val ix1 = math.floor(env.xmax / cellSize).toLong
-      val iy0 = math.floor(env.ymin / cellSize).toLong
-      val iy1 = math.floor(env.ymax / cellSize).toLong
+      val ix0 = math.floor(env.xmin / cellSize).toLong - dilate
+      val ix1 = math.floor(env.xmax / cellSize).toLong + dilate
+      val iy0 = math.floor(env.ymin / cellSize).toLong - dilate
+      val iy1 = math.floor(env.ymax / cellSize).toLong + dilate
       val nx = ix1 - ix0 + 1
       val ny = iy1 - iy0 + 1
       if (nx * ny > maxCells) return null // degenerate envelope vs cell size
@@ -65,6 +69,9 @@ object SpatialJoin {
 
   def st_covering_cells(g: Column, cellSize: Double): Column =
     toCol(StCoveringCells(toExpr(g), cellSize))
+
+  def st_covering_cells(g: Column, cellSize: Double, dilate: Int): Column =
+    toCol(StCoveringCells(toExpr(g), cellSize, dilate = dilate))
 
   /**
    * Canonical joint cell of two geometries: the cell containing the
@@ -101,21 +108,82 @@ object SpatialJoin {
 
   /**
    * K-nearest-neighbor join: for each left row, the k nearest right rows by
-   * planar ST_Distance. The right side is broadcast (dimension-sized); for
-   * large×large KNN, pre-bucket both sides with [[st_covering_cells]] at a
-   * pitch ≥ the expected kth-neighbor distance and run this per cell.
+   * planar ST_Distance. The right side is broadcast — use only when it is
+   * dimension-sized; [[knnJoinGrid]] is the large×large path. Ties broken
+   * by `rightKeys` for determinism.
    */
   def knnJoin(left: DataFrame, right: DataFrame,
               leftGeom: Column, rightGeom: Column,
-              leftKeys: Seq[String], k: Int): DataFrame = {
+              leftKeys: Seq[String], rightKeys: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = left.crossJoin(broadcast(right))
       .withColumn("__dist", graft.spatial.functions.st_distance(leftGeom, rightGeom))
       .filter(col("__dist").isNotNull)
-    val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(col("__dist").asc)
+    val w = Window.partitionBy(leftKeys.map(col): _*)
+      .orderBy(col("__dist").asc +: rightKeys.map(col(_).asc): _*)
     joined.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
       .withColumnRenamed("__dist", "knn_dist")
+  }
+
+  /**
+   * Large×large KNN join — the 100 TB path. No broadcast of the full right
+   * side, no quadratic stage on the grid path:
+   *
+   *  1. each left row maps to the single grid cell of its envelope
+   *     min-corner; each right row explodes to its covering cells dilated
+   *     by one ring ([[StCoveringCells]] with `dilate = 1`), so every right
+   *     geometry within `cellSize` of a left row shares a cell with it;
+   *  2. candidates come from a plain shuffled EQUI-join on the cell id,
+   *     kept only while `dist ≤ cellSize` — within that radius the
+   *     candidate set is provably complete, so a left row that finds k
+   *     candidates there has its true k nearest;
+   *  3. per-left-row ranking is a window over the left keys — scale-safe
+   *     here (unlike a per-query re-rank over a whole corpus) because the
+   *     candidate fan-in per left row is bounded by local density in a
+   *     3×3-cell neighborhood, not by |right|;
+   *  4. left rows with fewer than k certified neighbors (sparse
+   *     neighborhoods — rare when `cellSize` ≥ the expected kth-neighbor
+   *     distance) fall back to the exact broadcast [[knnJoin]]; right rows
+   *     whose envelope exceeds the cell cap join every left row exactly.
+   *     Both residual branches are unioned in, so the result is EXACT for
+   *     any pitch — `cellSize` tunes performance, never correctness.
+   */
+  def knnJoinGrid(left: DataFrame, right: DataFrame,
+                  leftGeom: Column, rightGeom: Column,
+                  leftKeys: Seq[String], rightKeys: Seq[String],
+                  k: Int, cellSize: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
+
+    // envelope min-corner cell of the left geometry (exact for points)
+    val l = left.withColumn("__cell", st_ref_cell(leftGeom, leftGeom, cellSize))
+    val rCells = right.withColumn("__cells", st_covering_cells(rightGeom, cellSize, dilate = 1))
+    val rOk = rCells.filter(col("__cells").isNotNull)
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    val rBig = rCells.filter(col("__cells").isNull).drop("__cells") // over-cap: rare, exact path
+
+    val gridCand = l.join(rOk, Seq("__cell")).drop("__cell")
+      .withColumn("__dist", dist)
+    val bigCand = l.drop("__cell").crossJoin(broadcast(rBig))
+      .withColumn("__dist", dist)
+    val cand = gridCand.unionByName(bigCand)
+      .filter(col("__dist").isNotNull && col("__dist") <= lit(cellSize))
+
+    val w = Window.partitionBy(leftKeys.map(col): _*)
+      .orderBy(col("__dist").asc +: rightKeys.map(col(_).asc): _*)
+    val ranked = cand.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+
+    // certification: only left rows with a full k inside the radius are done
+    val resolved = ranked.groupBy(leftKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") === k)
+      .select(leftKeys.map(col): _*)
+    val certified = ranked.join(resolved, leftKeys, "left_semi")
+      .withColumnRenamed("__dist", "knn_dist")
+    val unresolvedLeft = left.join(resolved, leftKeys, "left_anti")
+    val residual = knnJoin(unresolvedLeft, right, leftGeom, rightGeom, leftKeys, rightKeys, k)
+    certified.unionByName(residual)
   }
 
   /**

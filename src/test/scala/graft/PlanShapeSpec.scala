@@ -68,6 +68,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
+  test("q26: scale-safe top-k — no per-query window, partial+final object agg") {
+    val plan = executedPlan("q26_cosine_topk")
+    // the re-rank must NOT be a window that funnels each query's full
+    // candidate set into a single partition
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q07: map-side top-k prefilter precedes the grouped window") {
+    val plan = executedPlan("q07_window_rank")
+    assert(plan.contains("MapPartitions"), plan.take(2500))
+    assert(plan.contains("Window"), plan.take(2500))
+  }
+
+  test("q43: grid knn candidates flow through a cell-id equi-join") {
+    val plan = executedPlan("q43_knn_join")
+    assert(plan.contains("__cell"), plan.take(3000))
+  }
+
+  test("q25: first-shared-band emission — no distinct re-shuffle of pairs") {
+    val plan = executedPlan("q25_minhash_neardup")
+    // one exchange for the band-bucket join; none for a trailing distinct
+    assert(!plan.contains("HashAggregate(keys=[id_a"), plan.take(2500))
+  }
+
   test("constant folding: literal ST_ calls disappear from the optimized plan") {
     graft.spatial.functions.register(spark)
     val opt = spark.sql("SELECT ST_Area(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))')) AS a")

@@ -69,7 +69,7 @@ class SpatialJoinSpec extends AnyFunSuite {
         G.st_point(col("n_nationkey").cast("double") * 300.0,
           col("n_nationkey").cast("double")).as("npt"))
     val knn = SpatialJoin.knnJoin(cust, nations, col("pt"), col("npt"),
-      Seq("c_custkey"), k = 3)
+      Seq("c_custkey"), Seq("n_nationkey"), k = 3)
     val counts = knn.groupBy("c_custkey").count().select("count").distinct().collect()
     assert(counts.map(_.getLong(0)).toSeq == Seq(3L))
     // spot-check one row against manual computation
@@ -103,7 +103,12 @@ class SpatialJoinSpec extends AnyFunSuite {
       val df = spark.sql(
         "SELECT count(*) AS n FROM nation_rects r JOIN cust_pts c ON ST_Intersects(r.rect, c.pt)")
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      // the main path is the cell-id equi-join; nested-loop joins may appear
+      // only in the (empty-at-runtime) over-cap fallback branches
+      assert(plan.contains("__cell_l"), plan.take(1500))
+      assert(plan.contains("BroadcastHashJoin [__cell_l") ||
+        plan.contains("SortMergeJoin [__cell_l") ||
+        plan.contains("ShuffledHashJoin [__cell_l"), plan.take(1500))
       val n = df.head().getLong(0)
       // equivalence vs un-rewritten plan
       spark.conf.unset("spark.graft.spatialJoin.cellSize")
@@ -139,6 +144,78 @@ class SpatialJoinSpec extends AnyFunSuite {
     // partition pruning is visible in the scan
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(1200))
+  }
+
+  test("grid knn join == broadcast knn join, any pitch") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+
+    val expected = SpatialJoin.knnJoin(cust, supp, col("pt"), col("spt"),
+        Seq("c_custkey"), Seq("s_suppkey"), k = 3)
+      .select("c_custkey", "s_suppkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // generous pitch (most rows certified on the grid path) and a tiny pitch
+    // (everything falls back) must both reproduce the exact result
+    for (pitch <- Seq(2000.0, 5.0)) {
+      val got = SpatialJoin.knnJoinGrid(cust, supp, col("pt"), col("spt"),
+          Seq("c_custkey"), Seq("s_suppkey"), k = 3, cellSize = pitch)
+        .select("c_custkey", "s_suppkey", "knn_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"pitch=$pitch")
+    }
+  }
+
+  test("grid knn join candidate path is an equi-join on the cell id") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+    val plan = SpatialJoin.knnJoinGrid(cust, supp, col("pt"), col("spt"),
+        Seq("c_custkey"), Seq("s_suppkey"), k = 3, cellSize = 2000.0)
+      .queryExecution.executedPlan.toString
+    // the grid candidate generation joins on __cell as a hash/merge equi-join
+    assert(plan.contains("__cell"), plan.take(1500))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("GridSpatialJoinRule keeps matches of over-cap geometries (result-preserving)") {
+    graft.spatial.functions.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "500.0")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"),
+          G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+        .createOrReplaceTempView("cust_pts2")
+      // one giant rect per nation covering the whole domain: at pitch 500 its
+      // envelope spans ≫ 4096 cells, so StCoveringCells nulls out and only
+      // the exact fallback branch can produce its matches
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_nationkey"),
+          G.st_makeenvelope(lit(-50000.0), lit(-50000.0), lit(50000.0), lit(50000.0)).as("rect"))
+        .createOrReplaceTempView("giant_rects")
+      val sql =
+        "SELECT count(*) AS n FROM giant_rects r JOIN cust_pts2 c ON ST_Intersects(r.rect, c.pt)"
+      val n = spark.sql(sql).head().getLong(0)
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+      val baseline = spark.sql(sql).head().getLong(0)
+      assert(n == baseline && n > 0, s"grid=$n nl=$baseline")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
   }
 
   test("covering cells cap degenerate envelopes") {

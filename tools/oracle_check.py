@@ -59,6 +59,18 @@ def main(sfdir, outdir):
         if list(s.columns) != list(d.columns):
             print(f"{qname}: SCHEMA mismatch spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1; continue
+        # Driver-strength dtype check: the driver hashes typed values, so an
+        # int64-vs-float64 column is a failure even when every value compares
+        # equal (e.g. DuckDB windowed sum -> HUGEINT -> pandas float64).
+        dtype_bad = [
+            (c, str(s[c].dtype), str(d[c].dtype))
+            for c in s.columns
+            if str(s[c].dtype) != str(d[c].dtype)
+        ]
+        if dtype_bad:
+            for c, sd, dd in dtype_bad:
+                print(f"{qname}: DTYPE mismatch col={c}: spark={sd} duck={dd}")
+            n_fail += 1; continue
         if len(s) != len(d):
             print(f"{qname}: ROWCOUNT mismatch spark={len(s)} duck={len(d)}")
             n_fail += 1; continue
