@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must reach a line-oriented parser unprefixed (the
+// bench/verify harness greps for one bare JSON line); the default
+// LoggedOutput strategy wraps every line in "[info] ". runMain shares run's
+// runner, so this covers both.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

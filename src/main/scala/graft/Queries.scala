@@ -130,7 +130,7 @@ object Queries {
       graft.pipeline.GroupedTopK.topK(li, Seq("l_returnflag"),
           Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
           k = 3, rankCol = "rnk")
-        .select(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+        .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice"))
         .orderBy("l_returnflag", "rnk")
     }),
@@ -265,8 +265,8 @@ object Queries {
       prep(s, d, "documents")
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"),
-          Text.charCount(col("text")).as("n_chars"),
-          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.charCount(col("text")).cast("long").as("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           Text.alphaRatio(col("text")).as("alpha_ratio"),
           Text.avgWordLen(col("text")).as("avg_word_len"))
         .orderBy("doc_id")
@@ -317,15 +317,24 @@ object Queries {
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
 
     "q27_embedding_neardup" -> ((s, d) => {
-      // LSH-bucketed near-dup pairs — approximate; rows-only check
+      // LSH-banded near-dup pairs, exact-verified against the quadratic
+      // oracle: planted exact-direction duplicates (×2 scaling is IEEE-exact,
+      // so every hyperplane dot product scales exactly and the signatures
+      // agree in all bands — recall 1 by construction) are the only pairs
+      // with cosine ≥ 0.9 (max natural pairwise cosine in the fixture ≈
+      // 0.51), so LSH-candidates ∩ verify ≡ all-pairs ∩ verify.
       prep(s, d, "embeddings")
-      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.95, nBits = 6)
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.embeddingNearDupPairs(base.unionByName(planted), "vec_id", "embedding",
+          minCosine = 0.9)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
@@ -537,7 +546,8 @@ object Queries {
         G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("cpt"))
       graft.spatial.SpatialJoin.knnJoinGrid(supp, cust, col("spt"), col("cpt"),
           Seq("s_suppkey"), Seq("c_custkey"), k = 3, cellSize = 512.0)
-        .select(col("s_suppkey"), col("knn_rank"), col("c_custkey"), col("knn_dist"))
+        .select(col("s_suppkey"), col("knn_rank").cast("long").as("knn_rank"),
+          col("c_custkey"), col("knn_dist"))
         .orderBy("s_suppkey", "knn_rank")
     }),
 
@@ -829,6 +839,18 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, neighbor_id FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q27_embedding_neardup" -> """
+      WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id < 20)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+      ORDER BY id_a, id_b""",
 
     "q28_embedding_norms" -> """
       SELECT vec_id, label,

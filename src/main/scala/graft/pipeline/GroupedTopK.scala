@@ -36,9 +36,17 @@ object GroupedTopK {
       case (null, null) => 0
       case (null, _) => -1
       case (_, null) => 1
+      // Spark's window orders strings as binary UTF-8 (UTF8String); Java
+      // String.compareTo orders UTF-16 code units — they disagree on
+      // supplementary-plane characters, which would prune a row the exact
+      // window downstream still wants. Compare the UTF-8 bytes.
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
       case (x: java.lang.Comparable[_], y) =>
         x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-      case _ => 0
+      case (x, _) => throw new IllegalArgumentException(
+        s"GroupedTopK: unsupported order-column type ${x.getClass.getName}")
     }
     val cmp: (Row, Row) => Int = (a, b) => {
       var r = 0

@@ -134,17 +134,38 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
+  /**
+   * Embedding near-duplicate pairs: cosine ≥ threshold over LSH candidates.
+   *
+   * `bands` independent hyperplane signatures of `nBits` bits each (distinct
+   * seeds): a pair is a candidate when ANY band agrees —
+   * P(candidate) = 1−(1−(1−θ/π)^nBits)^bands, so recall at high cosine is
+   * driven up by `bands` without widening every bucket the way fewer bits
+   * would. A pair sharing m bands meets in m bucket-join rows; it is emitted
+   * only from the FIRST shared band (recomputed from the carried signature
+   * arrays — `bands` longs per row), so the result is exactly-once with no
+   * distinct() shuffle over the pair set, same as the MinHash/SimHash paths.
+   * Pairs with identical direction (cosine 1) agree in every band by
+   * construction — recall 1 on true duplicates.
+   */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            minCosine: Double, nBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+                            minCosine: Double, nBits: Int = 8,
+                            bands: Int = 4): DataFrame = {
+    val sigArr = array((0 until bands).map(j =>
+      hyperplaneSignature(col("vec"), nBits, seed = 42L + 1001L * j)): _*)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sigs", sigArr)
+    val banded = sig.select(col("id"), col("vec"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"), col("sigs").as("sigs_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"), col("sigs").as("sigs_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("band") ===
+        array_position(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), true) - 1)
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minCosine)
-      .distinct()
   }
 }

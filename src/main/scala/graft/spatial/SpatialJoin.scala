@@ -80,7 +80,8 @@ object SpatialJoin {
    * from its reference cell deduplicates candidates WITHOUT a distinct
    * (no extra shuffle), the standard trick for grid spatial joins.
    */
-  case class StRefCell(left: Expression, right: Expression, cellSize: Double)
+  case class StRefCell(left: Expression, right: Expression, cellSize: Double,
+                       dilateRight: Int = 0)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -93,10 +94,14 @@ object SpatialJoin {
         WKB.foldEnvelope(r.asInstanceOf[Array[Byte]], eb)
       } catch { case _: Exception => return null }
       if (ea.isEmpty || eb.isEmpty) return null
-      val xlo = math.max(ea.xmin, eb.xmin)
-      val ylo = math.max(ea.ymin, eb.ymin)
-      val ix = math.floor(xlo / cellSize).toLong
-      val iy = math.floor(ylo / cellSize).toLong
+      // min shared cell of covering(env_l) ∩ dilated covering(env_r): max of
+      // the per-axis lower index bounds (floor is monotonic, so max-then-floor
+      // == max-of-floors when dilateRight == 0 — identical to the original
+      // min-corner-of-envelope-intersection formulation)
+      val ix = math.max(math.floor(ea.xmin / cellSize).toLong,
+                        math.floor(eb.xmin / cellSize).toLong - dilateRight)
+      val iy = math.max(math.floor(ea.ymin / cellSize).toLong,
+                        math.floor(eb.ymin / cellSize).toLong - dilateRight)
       (ix << 32) | (iy & 0xffffffffL)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -127,63 +132,109 @@ object SpatialJoin {
   }
 
   /**
-   * Large×large KNN join — the 100 TB path. No broadcast of the full right
-   * side, no quadratic stage on the grid path:
+   * Large×large KNN join — the 100 TB path. EXACT for any pitch and any
+   * left geometry class; the full right relation is NEVER force-broadcast:
    *
-   *  1. each left row maps to the single grid cell of its envelope
-   *     min-corner; each right row explodes to its covering cells dilated
-   *     by one ring ([[StCoveringCells]] with `dilate = 1`), so every right
-   *     geometry within `cellSize` of a left row shares a cell with it;
-   *  2. candidates come from a plain shuffled EQUI-join on the cell id,
-   *     kept only while `dist ≤ cellSize` — within that radius the
-   *     candidate set is provably complete, so a left row that finds k
-   *     candidates there has its true k nearest;
+   *  Round r (pitch p = cellSize·4^r, r < escalateRounds), over the left
+   *  rows still unresolved:
+   *  1. left rows explode over ALL covering cells of their envelope; right
+   *     rows explode over their covering cells dilated by one ring
+   *     ([[StCoveringCells]] `dilate = 1`). Completeness within radius p:
+   *     if dist(L,R) ≤ p there are points a∈L, b∈R with |a−b| ≤ p; a's cell
+   *     is covered by env(L), and per axis |Δcoord| ≤ p ⇒ |Δindex| ≤ 1, so
+   *     a's cell lies in the one-ring dilation of b's cell ⊆ R's emission.
+   *     (Round 1 of this operator mapped left rows to their envelope
+   *     min-corner cell only — complete for POINT lefts, silently lossy for
+   *     extended geometries whose far extent left the min-corner cell.)
+   *  2. candidates come from a plain shuffled EQUI-join on the cell id;
+   *     each pair is emitted once from its canonical shared cell
+   *     ([[StRefCell]] with `dilateRight = 1` — the min shared cell), so no
+   *     dedup shuffle is needed; kept only while `dist ≤ p`, where the set
+   *     is provably complete;
    *  3. per-left-row ranking is a window over the left keys — scale-safe
-   *     here (unlike a per-query re-rank over a whole corpus) because the
-   *     candidate fan-in per left row is bounded by local density in a
-   *     3×3-cell neighborhood, not by |right|;
-   *  4. left rows with fewer than k certified neighbors (sparse
-   *     neighborhoods — rare when `cellSize` ≥ the expected kth-neighbor
-   *     distance) fall back to the exact broadcast [[knnJoin]]; right rows
-   *     whose envelope exceeds the cell cap join every left row exactly.
-   *     Both residual branches are unioned in, so the result is EXACT for
-   *     any pitch — `cellSize` tunes performance, never correctness.
+   *     because fan-in per left row is bounded by local density in the
+   *     cell neighborhood, not by |right|; rows that find a full k within
+   *     radius p are certified done;
+   *  4. the rest escalate to the next round at 4× the pitch. The
+   *     unresolved set only shrinks; under AQE the (small) left side of the
+   *     later cell joins broadcasts automatically, so right is re-scanned
+   *     but never re-shuffled.
+   *
+   *  Terminal residual (rows uncertified after 4^(rounds−1)× pitch growth —
+   *  empty in practice): exact brute force scoring right against the SMALL
+   *  unresolved set, re-ranked by the map-side-bounded [[graft.pipeline.GroupedTopK]]
+   *  (≤ k rows per left row per partition reach the exchange). The cross
+   *  joins here and on the over-cap branch (right geometries spanning >
+   *  maxCells cells) carry NO broadcast hint — the planner/AQE broadcasts
+   *  the small side only when it actually fits, the explicit size gate.
+   *
+   *  `cellSize` tunes performance, never correctness. One caveat at the
+   *  margin: when |right| < k no row ever certifies (count < k), so every
+   *  round re-joins — callers should pick k ≤ |right|.
    */
   def knnJoinGrid(left: DataFrame, right: DataFrame,
                   leftGeom: Column, rightGeom: Column,
                   leftKeys: Seq[String], rightKeys: Seq[String],
-                  k: Int, cellSize: Double): DataFrame = {
+                  k: Int, cellSize: Double, escalateRounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(escalateRounds >= 1)
     val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
+    val orderCols = col("__dist").asc +: rightKeys.map(col(_).asc)
 
-    // envelope min-corner cell of the left geometry (exact for points)
-    val l = left.withColumn("__cell", st_ref_cell(leftGeom, leftGeom, cellSize))
-    val rCells = right.withColumn("__cells", st_covering_cells(rightGeom, cellSize, dilate = 1))
-    val rOk = rCells.filter(col("__cells").isNotNull)
-      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
-    val rBig = rCells.filter(col("__cells").isNull).drop("__cells") // over-cap: rare, exact path
+    // one grid round at `pitch`: (certified top-k rows, still-unresolved left rows)
+    def gridRound(unresolved: DataFrame, pitch: Double): (DataFrame, DataFrame) = {
+      val l = unresolved.withColumn("__cell", explode(st_covering_cells(leftGeom, pitch)))
+      val rCells = right.withColumn("__cells", st_covering_cells(rightGeom, pitch, dilate = 1))
+      val rOk = rCells.filter(col("__cells").isNotNull)
+        .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+      val rBig = rCells.filter(col("__cells").isNull).drop("__cells") // over-cap: rare, exact path
 
-    val gridCand = l.join(rOk, Seq("__cell")).drop("__cell")
+      val gridCand = l.join(rOk, Seq("__cell"))
+        .filter(col("__cell") ===
+          toCol(StRefCell(toExpr(leftGeom), toExpr(rightGeom), pitch, dilateRight = 1)))
+        .drop("__cell")
+        .withColumn("__dist", dist)
+      val bigCand = unresolved.crossJoin(rBig) // no hint: planner size-gates the broadcast
+        .withColumn("__dist", dist)
+      val cand = gridCand.unionByName(bigCand)
+        .filter(col("__dist").isNotNull && col("__dist") <= lit(pitch))
+
+      val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(orderCols: _*)
+      val ranked = cand.withColumn("knn_rank", row_number().over(w))
+        .filter(col("knn_rank") <= k)
+
+      // certification: only left rows with a full k inside the radius are done
+      val resolved = ranked.groupBy(leftKeys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") === k)
+        .select(leftKeys.map(col): _*)
+      val certified = ranked.join(resolved, leftKeys, "left_semi")
+        .withColumnRenamed("__dist", "knn_dist")
+      (certified, unresolved.join(resolved, leftKeys, "left_anti"))
+    }
+
+    var unresolved = left
+    var pitch = cellSize
+    val certifiedParts = Seq.newBuilder[DataFrame]
+    var r = 0
+    while (r < escalateRounds) {
+      val (certified, next) = gridRound(unresolved, pitch)
+      certifiedParts += certified
+      unresolved = next
+      pitch *= 4
+      r += 1
+    }
+
+    // terminal exact residual: right is the streamed side, the shrunken
+    // unresolved set the (planner-gated) broadcast side; GroupedTopK keeps
+    // ≤ k rows per left row per map partition before the only exchange
+    val residCand = right.crossJoin(unresolved)
       .withColumn("__dist", dist)
-    val bigCand = l.drop("__cell").crossJoin(broadcast(rBig))
-      .withColumn("__dist", dist)
-    val cand = gridCand.unionByName(bigCand)
-      .filter(col("__dist").isNotNull && col("__dist") <= lit(cellSize))
-
-    val w = Window.partitionBy(leftKeys.map(col): _*)
-      .orderBy(col("__dist").asc +: rightKeys.map(col(_).asc): _*)
-    val ranked = cand.withColumn("knn_rank", row_number().over(w))
-      .filter(col("knn_rank") <= k)
-
-    // certification: only left rows with a full k inside the radius are done
-    val resolved = ranked.groupBy(leftKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") === k)
-      .select(leftKeys.map(col): _*)
-    val certified = ranked.join(resolved, leftKeys, "left_semi")
+      .filter(col("__dist").isNotNull)
+    val residual = graft.pipeline.GroupedTopK.topK(residCand, leftKeys,
+        ("__dist", true) +: rightKeys.map(n => (n, true)), k, rankCol = "knn_rank")
       .withColumnRenamed("__dist", "knn_dist")
-    val unresolvedLeft = left.join(resolved, leftKeys, "left_anti")
-    val residual = knnJoin(unresolvedLeft, right, leftGeom, rightGeom, leftKeys, rightKeys, k)
-    certified.unionByName(residual)
+
+    (certifiedParts.result() :+ residual).reduce(_ unionByName _)
   }
 
   /**

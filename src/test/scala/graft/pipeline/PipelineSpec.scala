@@ -168,6 +168,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("embedding near-dup pairs: full recall on planted duplicates, exactly-once, no distinct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant exact-direction duplicates: ×2 is IEEE-exact, so every hyperplane
+    // dot product scales exactly → identical signatures in all bands
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val pairs = Similarity.embeddingNearDupPairs(emb.unionByName(planted),
+      "vec_id", "embedding", minCosine = 0.9)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // recall 1 on the planted pairs, nothing else qualifies at 0.9
+    // (max natural pairwise cosine in the fixture ≈ 0.48)
+    assert(got.toSet == (0L until 10L).map(i => (i, i + 100000)).toSet)
+    // exactly-once emission — no duplicates even when several bands agree
+    assert(got.length == got.toSet.size)
+    // first-shared-band emission replaced the distinct(): no Deduplicate node
+    assert(!pairs.queryExecution.optimizedPlan.toString.contains("Deduplicate"))
+  }
+
   test("lsh top-k returns plausible neighbors with exact rerank") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2)

@@ -161,13 +161,69 @@ class SpatialJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
     // generous pitch (most rows certified on the grid path) and a tiny pitch
-    // (everything falls back) must both reproduce the exact result
+    // (escalation + terminal residual do the work) must both reproduce the
+    // exact result
     for (pitch <- Seq(2000.0, 5.0)) {
       val got = SpatialJoin.knnJoinGrid(cust, supp, col("pt"), col("spt"),
           Seq("c_custkey"), Seq("s_suppkey"), k = 3, cellSize = pitch)
         .select("c_custkey", "s_suppkey", "knn_rank")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(got == expected, s"pitch=$pitch")
+    }
+  }
+
+  test("grid knn join is exact for non-point left geometries") {
+    // left = wide rects whose far extent is many cells from the min corner;
+    // a min-corner-cell-only mapping (round-1 behavior) would certify wrong
+    // neighbors for these. Compare against the brute-force result.
+    val sf = "/root/testdata/sf0.001"
+    val rects = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"),
+        G.st_makeenvelope(
+          col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+          col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+        ).as("rect"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+
+    val expected = SpatialJoin.knnJoin(rects, supp, col("rect"), col("spt"),
+        Seq("n_nationkey"), Seq("s_suppkey"), k = 3)
+      .select("n_nationkey", "s_suppkey", "knn_rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+
+    for (pitch <- Seq(400.0, 37.0)) {
+      val got = SpatialJoin.knnJoinGrid(rects, supp, col("rect"), col("spt"),
+          Seq("n_nationkey"), Seq("s_suppkey"), k = 3, cellSize = pitch)
+        .select("n_nationkey", "s_suppkey", "knn_rank")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"pitch=$pitch")
+    }
+  }
+
+  test("grid knn join never force-broadcasts the right relation") {
+    // with auto-broadcast disabled, a BroadcastExchange can only come from an
+    // explicit broadcast() hint — the round-2 residual had one on the FULL
+    // right side; the escalating-pitch design must have none anywhere
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"),
+          G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      val supp = spark.read.parquet(s"$sf/supplier.parquet")
+        .select(col("s_suppkey"),
+          G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+      val df = SpatialJoin.knnJoinGrid(cust, supp, col("pt"), col("spt"),
+        Seq("c_custkey"), Seq("s_suppkey"), k = 3, cellSize = 2000.0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan.take(3000))
+      // and the operator still runs end-to-end in this mode
+      assert(df.groupBy("c_custkey").count().filter(col("count") =!= 3).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 
