@@ -14,10 +14,13 @@ import graft.pipeline.{Fingerprint64, LangId, MinHash, SimHash64, VecCosine, Vec
  *
  * — the Spark analogue of the reference's per-session registration
  * (reference: examples/main.rs:16-27: register_udf × 3, register_udaf,
- * add_analyzer_rule). No analyzer rule is injected: the reference's rule
- * exists only to thread GeoParquet metadata into UDF calls
- * (reference: src/rules.rs:20-170), which this engine replaces with
- * load-time conversion to canonical WKB ([[graft.spatial.GeoIO]]).
+ * add_analyzer_rule). The reference's analyzer rule threads GeoParquet
+ * metadata into UDF calls (reference: src/rules.rs:20-170); this engine
+ * replaces the encoding half with load-time conversion to canonical WKB
+ * ([[graft.spatial.GeoIO]]) and keeps the geometry-type half as
+ * [[graft.spatial.GeometryTypeFoldRule]], a resolution rule that folds
+ * ST_GeometryType to a plan-time constant from recorded or re-derived
+ * column metadata.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -32,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer: ST_Intersects theta joins → grid equi-joins (opt-in via
     // spark.graft.spatialJoin.cellSize)
     e.injectOptimizerRule(session => graft.spatial.GridSpatialJoinRule(session))
+    // resolution: ST_GeometryType → plan-time constant when the geometry
+    // class is recorded in (or re-derivable from) column metadata
+    e.injectResolutionRule(session => graft.spatial.GeometryTypeFoldRule(session))
     // constructors
     inject(e, "st_point", es => StPoint(es(0), es(1)))
     inject(e, "st_makepointz", es => StPointZ(es(0), es(1), es(2)))

@@ -39,9 +39,17 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     session.conf.getOption("spark.graft.spatialJoin.cellSize").map(_.toDouble)
 
   /** The over-cap fallback joins this rule itself emits are recognizable by
-    * their StCoveringCells null-check filter children; without this guard
-    * the fixed-point batch would rewrite them again, forever. */
-  private def isOwnFallback(p: LogicalPlan): Boolean = p match {
+    * their StCoveringCells null-check filters; without this guard the
+    * fixed-point batch would rewrite them again, forever. The scan covers
+    * the WHOLE subtree, not just the immediate child: when the rule runs
+    * inside the main operator-optimization batch (the injectOptimizerRule
+    * path), PushDownPredicates interleaves and pushes the marker filter
+    * below projections between iterations — an immediate-child check then
+    * misses it and the rule re-rewrites its own fallbacks every iteration,
+    * growing the plan exponentially. Side effect: a join whose input
+    * already contains a covering-cells filter (e.g. the output of a prior
+    * grid join) is not rewritten again — acceptable, documented. */
+  private def isOwnFallback(p: LogicalPlan): Boolean = p.exists {
     case Filter(cond, _) => cond.exists(_.isInstanceOf[SpatialJoin.StCoveringCells])
     case _ => false
   }

@@ -47,13 +47,32 @@ object ExtensionsDemo {
     spark.conf.set("spark.graft.spatialJoin.cellSize", "10.0")
     val rewritten = spark.sql(q)
     val plan = rewritten.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "rule did not rewrite: " + plan.take(1500))
+    // main path must be the cell-id equi-join; nested-loop joins remain only
+    // in the (empty-at-runtime) over-cap fallback branches
+    assert(plan.contains("__cell_l"), "rule did not rewrite: " + plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin [__cell_l") ||
+      plan.contains("SortMergeJoin [__cell_l") ||
+      plan.contains("ShuffledHashJoin [__cell_l"), plan.take(1500))
     assert(plan.contains("Generate"), plan.take(500))
     val n = rewritten.head().getLong(0)
     assert(n == baseline, s"grid=$n nl=$baseline")
     spark.conf.unset("spark.graft.spatialJoin.cellSize")
     println(s"GRID_JOIN_RULE_OK n=$n")
+
+    // resolution rule: ST_GeometryType over a metadata-bearing geo column —
+    // and over a view that stripped the metadata — folds to a plan-time
+    // constant (no per-row header decode in the optimized plan)
+    val geo = graft.spatial.GeoIO.readGeoParquet(
+      spark, "/root/reference/data/data-point-encoding_wkb.parquet")
+    geo.select(col("col"),
+        when(col("col") >= 0, col("geometry")).otherwise(col("geometry")).as("g"))
+      .createOrReplaceTempView("geo_view")
+    val gt = spark.sql("SELECT ST_GeometryType(g) AS t FROM geo_view")
+    val gtPlan = gt.queryExecution.optimizedPlan.toString
+    assert(gtPlan.contains("ST_Point") && !gtPlan.contains("st_geometrytype"),
+      "geometry-type fold missing: " + gtPlan.take(800))
+    assert(gt.collect().flatMap(r => Option(r.getString(0))).toSet == Set("ST_Point"))
+    println("GEOMTYPE_FOLD_OK")
     spark.stop()
   }
 }
