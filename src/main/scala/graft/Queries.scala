@@ -259,6 +259,37 @@ object Queries {
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
     }),
 
+    "q47_hull_rect_oracle" -> ((s, d) => {
+      // convex hull with an analytically known answer: per nation, a point
+      // cloud of the four corners of the (n+1)×(n+1) square (products K·0
+      // and K·1 are IEEE-exact) plus strictly interior customer-derived fill
+      // (coords in [0.25K, 0.745K], ≥ 0.255K from every edge) ⇒ hull = the
+      // square, serialized CCW from the lexicographic min vertex — a string
+      // DuckDB can emit as a constant. First hash-matched hull coverage
+      // (q19 stays rows-only: no spatial oracle available for real clouds).
+      prep(s, d, "nation", "customer")
+      s.sql("""
+        WITH corners AS (
+          SELECT n_nationkey AS k,
+                 CAST(n_nationkey + 1 AS DOUBLE) * ux AS px,
+                 CAST(n_nationkey + 1 AS DOUBLE) * uy AS py
+          FROM nation
+          LATERAL VIEW explode(array(0.0D, 1.0D)) tx AS ux
+          LATERAL VIEW explode(array(0.0D, 1.0D)) ty AS uy),
+        interior AS (
+          SELECT c_nationkey AS k,
+                 CAST(c_nationkey + 1 AS DOUBLE)
+                   * (0.25D + 0.005D * CAST(c_custkey % 100 AS DOUBLE)) AS px,
+                 CAST(c_nationkey + 1 AS DOUBLE)
+                   * (0.25D + 0.005D * CAST(c_custkey % 97 AS DOUBLE)) AS py
+          FROM customer),
+        allpts AS (SELECT * FROM corners UNION ALL SELECT * FROM interior)
+        SELECT k,
+               ST_AsText(ST_ConvexHull(st_collect(ST_Point(px, py)))) AS hull,
+               CAST(ST_NPoints(ST_ConvexHull(st_collect(ST_Point(px, py)))) AS BIGINT) AS hull_pts
+        FROM allpts GROUP BY k ORDER BY k""")
+    }),
+
     // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
 
     "q20_doc_stats" -> ((s, d) => {
@@ -839,6 +870,16 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, neighbor_id FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q47_hull_rect_oracle" -> """
+      SELECT n_nationkey AS k,
+             'POLYGON ((0.0 0.0,' || kk || ' 0.0,' || kk || ' ' || kk ||
+               ',0.0 ' || kk || ',0.0 0.0))' AS hull,
+             CAST(5 AS BIGINT) AS hull_pts
+      FROM (SELECT n_nationkey,
+                   CAST(CAST(n_nationkey + 1 AS DOUBLE) AS VARCHAR) AS kk
+            FROM nation) t
+      ORDER BY k""",
 
     "q27_embedding_neardup" -> """
       WITH aug AS (

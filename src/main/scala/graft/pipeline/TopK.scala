@@ -26,9 +26,18 @@ case class TopKState(sims: Array[Double], ids: Array[Long])
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKState, TopKState] {
   require(k > 0, s"k must be positive, got $k")
 
-  // total order: higher sim wins, ties broken by smaller id
-  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // total order: higher sim wins, ties broken by smaller id. Plain `>`/`==`
+  // is NOT total for NaN (NaN beats nothing, nothing beats NaN — the result
+  // would depend on partition merge order); compare with Spark's sort
+  // semantics instead: NaN greater than everything, -0.0 == 0.0.
+  private def cmpSim(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1
+    else if (a == b) 0 // covers -0.0 == 0.0
+    else java.lang.Double.compare(a, b) // NaN cases only
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = cmpSim(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   override def zero: TopKState = TopKState(Array.empty, Array.empty)
 

@@ -832,9 +832,19 @@ object GeomSetOps {
     d
   }
 
-  /** Exact DE-9IM for polygonal×polygonal via the exact predicate set:
-    * the pair's topological class (equal/disjoint/touch/contain/overlap)
-    * plus the boundary-contact dimension pins every matrix cell. */
+  /** One connected polygonal component? (single-ring-set Polygon, or a
+    * MultiPolygon wrapper around exactly one.) */
+  private def singlePolygon(g: Geometry): Boolean = g match {
+    case _: Polygon => true
+    case mp: MultiPolygon => mp.polygons.length == 1
+    case _ => false
+  }
+
+  /** Exact DE-9IM for CONNECTED polygon×polygon via the exact predicate
+    * set: the pair's topological class (equal/disjoint/touch/contain/
+    * overlap) plus the boundary-contact dimension pins every matrix cell.
+    * (Connectedness matters: the overlap template fixes IB=BI=1, which a
+    * disconnected operand can violate — see dispatch guard in [[relate]].) */
   private def relatePolygonal(a: Geometry, b: Geometry): String = {
     if (equalsGeom(a, b)) return "2FFF1FFF2"
     if (!GeomOps.intersects(a, b)) return "FF2FF1212"
@@ -862,7 +872,11 @@ object GeomSetOps {
       // empties: everything false except EE
       return "FFFFFFFF2"
     }
-    if (isPolygonal(a) && isPolygonal(b)) return relatePolygonal(a, b)
+    // the exact template path assumes CONNECTED polygonal operands: for a
+    // disconnected MultiPolygon (one component inside the other operand,
+    // another disjoint) the overlap template's hardcoded IB=BI=1 cells are
+    // wrong — route multi-component inputs through the probe path
+    if (singlePolygon(a) && singlePolygon(b)) return relatePolygonal(a, b)
     def dimChar(d: Int): Char = if (d < 0) 'F' else ('0' + d).toChar
     val ii = if (interiorsIntersect(a, b)) dimChar(math.min(a.topoDim, b.topoDim)) else 'F'
     val boundsTouch = GeomOps.intersects(a, b) && !interiorsIntersect(a, b)

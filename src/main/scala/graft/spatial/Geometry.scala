@@ -32,7 +32,19 @@ sealed trait Geometry extends Serializable {
   def foreachSeq(f: (Array[Double], Int) => Unit): Unit
 
   final def envelope: Envelope = { val e = new Envelope; foldEnvelope(e); e }
-  final def hasZ: Boolean = dim >= 3
+
+  /**
+   * XYM marker: a dim-3 coordinate layout whose third ordinate is a measure,
+   * not elevation (WKB type codes +2000, WKT tag `M`). Kept OUTSIDE the case
+   * class constructors so the ADT's pattern matches stay binary/ternary; the
+   * flag is an I/O-fidelity concern (parse → serialize round trips), and
+   * geometry OPERATIONS neither read it nor promise to preserve it — like
+   * most engines, computed outputs drop the measure.
+   */
+  var measured: Boolean = false
+
+  final def hasZ: Boolean = dim == 4 || (dim == 3 && !measured)
+  final def hasM: Boolean = dim == 4 || (dim == 3 && measured)
 }
 
 /** Mutable 2D bounding box accumulator (reference: src/compute.rs:11-76). */

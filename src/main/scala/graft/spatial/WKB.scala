@@ -42,11 +42,14 @@ object WKB {
     val buf = ByteBuffer.wrap(bytes)
     val order = if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
-    decodeType(buf.getInt())
+    val (base, dim, _) = decodeType(buf.getInt())
+    (base, dim)
   }
 
-  /** (baseType, dim) from a raw WKB type code, incl. EWKB dimension flags. */
-  private def decodeType(code: Int): (Int, Int) = {
+  /** (baseType, dim, measured) from a raw WKB type code, incl. EWKB
+    * dimension flags. `measured` = stride-3 layout whose third ordinate is
+    * M, not Z (ISO +2000 range, or EWKB M without Z). */
+  private def decodeType(code: Int): (Int, Int, Boolean) = {
     // EWKB flags (PostGIS): 0x80000000 = Z, 0x40000000 = M
     val ewkbZ = (code & 0x80000000) != 0
     val ewkbM = (code & 0x40000000) != 0
@@ -59,7 +62,8 @@ object WKB {
       case _ => 2
     }
     val dim = if (ewkbZ && ewkbM) 4 else if (ewkbZ || ewkbM) 3 else isoDim
-    (base, dim)
+    val measured = (ewkbM && !ewkbZ) || (!ewkbZ && !ewkbM && c / 1000 == 2)
+    (base, dim, measured)
   }
 
   /** Reject counts that cannot fit in the remaining bytes — corrupt inputs
@@ -75,8 +79,8 @@ object WKB {
     buf.order(order)
     val rawCode = buf.getInt()
     if ((rawCode & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
-    val (base, dim) = decodeType(rawCode)
-    base match {
+    val (base, dim, m) = decodeType(rawCode)
+    val g: Geometry = base match {
       case PointT =>
         val cs = new Array[Double](dim)
         var i = 0; while (i < dim) { cs(i) = buf.getDouble(); i += 1 }
@@ -126,6 +130,8 @@ object WKB {
         GeometryCollection(gs, dim)
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
+    if (m && dim == 3) g.measured = true
+    g
   }
 
   private def readSeq(buf: ByteBuffer, dim: Int): Array[Double] = {
@@ -158,7 +164,7 @@ object WKB {
     buf.order(order)
     val rawCode = buf.getInt()
     if ((rawCode & 0x20000000) != 0) buf.getInt()
-    val (base, dim) = decodeType(rawCode)
+    val (base, dim, _) = decodeType(rawCode)
     base match {
       case PointT =>
         val x = buf.getDouble(); val y = buf.getDouble()
@@ -193,7 +199,7 @@ object WKB {
     val order = if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
     val raw = buf.getInt()
-    val (base, _) = decodeType(raw)
+    val (base, _, _) = decodeType(raw)
     val ewkbZ = (raw & 0x80000000) != 0
     val ewkbM = (raw & 0x40000000) != 0
     val c = raw & 0x0FFFFFFF
@@ -234,7 +240,11 @@ object WKB {
       case _: MultiPolygon       => MultiPolygonT
       case _: GeometryCollection => GeometryCollectionT
     }
-    base + (g.dim match { case 3 => 1000; case 4 => 3000; case _ => 0 })
+    base + (g.dim match {
+      case 3 => if (g.measured) 2000 else 1000 // XYM vs XYZ
+      case 4 => 3000
+      case _ => 0
+    })
   }
 
   private def byteSize(g: Geometry): Int = g match {

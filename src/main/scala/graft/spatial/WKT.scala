@@ -27,8 +27,8 @@ object WKT {
     sb.toString
   }
 
-  private def dimTag(dim: Int): String = dim match {
-    case 3 => "Z "
+  private def dimTag(g: Geometry): String = g.dim match {
+    case 3 => if (g.measured) "M " else "Z "
     case 4 => "ZM "
     case _ => ""
   }
@@ -61,14 +61,14 @@ object WKT {
 
   private def writeTo(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
     case p: Point =>
-      sb.append("POINT ").append(dimTag(p.dim))
+      sb.append("POINT ").append(dimTag(p))
       if (p.isEmpty) sb.append("EMPTY")
       else { sb.append('('); coord(sb, p.coords, 0, p.dim); sb.append(')') }
     case l: LineString =>
-      sb.append("LINESTRING ").append(dimTag(l.dim))
+      sb.append("LINESTRING ").append(dimTag(l))
       if (l.isEmpty) sb.append("EMPTY") else seq(sb, l.coords, l.dim)
     case pg: Polygon =>
-      sb.append("POLYGON ").append(dimTag(pg.dim))
+      sb.append("POLYGON ").append(dimTag(pg))
       if (pg.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
@@ -81,7 +81,7 @@ object WKT {
         sb.append(')')
       }
     case mp: MultiPoint =>
-      sb.append("MULTIPOINT ").append(dimTag(mp.dim))
+      sb.append("MULTIPOINT ").append(dimTag(mp))
       if (mp.isEmpty) sb.append("EMPTY")
       else {
         // Each member parenthesized: MULTIPOINT ((0.0 0.0),(4.0 0.0)) —
@@ -98,7 +98,7 @@ object WKT {
         sb.append(')')
       }
     case ml: MultiLineString =>
-      sb.append("MULTILINESTRING ").append(dimTag(ml.dim))
+      sb.append("MULTILINESTRING ").append(dimTag(ml))
       if (ml.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
@@ -111,7 +111,7 @@ object WKT {
         sb.append(')')
       }
     case mpg: MultiPolygon =>
-      sb.append("MULTIPOLYGON ").append(dimTag(mpg.dim))
+      sb.append("MULTIPOLYGON ").append(dimTag(mpg))
       if (mpg.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
@@ -132,7 +132,7 @@ object WKT {
         sb.append(')')
       }
     case gc: GeometryCollection =>
-      sb.append("GEOMETRYCOLLECTION ").append(dimTag(gc.dim))
+      sb.append("GEOMETRYCOLLECTION ").append(dimTag(gc))
       if (gc.isEmpty) sb.append("EMPTY")
       else {
         sb.append('(')
@@ -207,12 +207,14 @@ object WKT {
       java.lang.Double.parseDouble(s.substring(start, pos))
     }
 
-    /** Optional Z / M / ZM tag → coordinate dim (M folded into stride). */
+    /** Optional Z / M / ZM tag → coordinate dim (M folded into stride);
+      * records in [[mWasTag]] whether the tag was a bare `M` (XYM). */
+    private var mWasTag = false
     private def dimOf(): Int = peekWord() match {
-      case Some("ZM") => word(); 4
-      case Some("Z")  => word(); 3
-      case Some("M")  => word(); 3 // XYM: stride 3, M in the third slot
-      case _          => 2
+      case Some("ZM") => word(); mWasTag = false; 4
+      case Some("Z")  => word(); mWasTag = false; 3
+      case Some("M")  => word(); mWasTag = true; 3 // XYM: stride 3, M third
+      case _          => mWasTag = false; 2
     }
 
     private def isEmptyTag(): Boolean = peekWord() match {
@@ -240,11 +242,26 @@ object WKT {
       buf.toArray
     }
 
+    /** Recursively flag a parsed geometry (and members) as XYM. */
+    private def markMeasured(g: Geometry): Unit = {
+      g.measured = true
+      g match {
+        case mp: MultiPoint         => mp.points.foreach(_.measured = true)
+        case ml: MultiLineString    => ml.lines.foreach(_.measured = true)
+        case mpg: MultiPolygon      => mpg.polygons.foreach(_.measured = true)
+        case gc: GeometryCollection => gc.geoms.foreach(markMeasured)
+        case _                      => ()
+      }
+    }
+
     private def parseGeometry(): Geometry = {
       val tag = word()
-      tag match {
+      // the dim tag follows the keyword for every class — hoisted so the
+      // XYM flag can be captured before nested members overwrite it
+      val dim = dimOf()
+      val m = mWasTag
+      val g = tag match {
         case "POINT" =>
-          val dim = dimOf()
           if (isEmptyTag()) Point(Array.empty[Double], dim)
           else {
             val cs = coordSeq(dim)
@@ -252,15 +269,12 @@ object WKT {
             Point(cs, dim)
           }
         case "LINESTRING" =>
-          val dim = dimOf()
           if (isEmptyTag()) LineString(Array.empty[Double], dim)
           else LineString(coordSeq(dim), dim)
         case "POLYGON" =>
-          val dim = dimOf()
           if (isEmptyTag()) Polygon(Array.empty, dim)
           else Polygon(rings(dim), dim)
         case "MULTIPOINT" =>
-          val dim = dimOf()
           if (isEmptyTag()) MultiPoint(Array.empty, dim)
           else {
             expect('(')
@@ -289,7 +303,6 @@ object WKT {
             MultiPoint(pts.toArray, dim)
           }
         case "MULTILINESTRING" =>
-          val dim = dimOf()
           if (isEmptyTag()) MultiLineString(Array.empty, dim)
           else {
             expect('(')
@@ -302,7 +315,6 @@ object WKT {
             MultiLineString(ls.toArray, dim)
           }
         case "MULTIPOLYGON" =>
-          val dim = dimOf()
           if (isEmptyTag()) MultiPolygon(Array.empty, dim)
           else {
             expect('(')
@@ -317,7 +329,6 @@ object WKT {
             MultiPolygon(ps.toArray, dim)
           }
         case "GEOMETRYCOLLECTION" =>
-          val dim = dimOf()
           if (isEmptyTag()) GeometryCollection(Array.empty, dim)
           else {
             expect('(')
@@ -331,6 +342,8 @@ object WKT {
           }
         case other => fail(s"unknown geometry type $other")
       }
+      if (m && dim == 3) markMeasured(g)
+      g
     }
 
     private def padTo(c: Array[Double], dim: Int): Array[Double] =

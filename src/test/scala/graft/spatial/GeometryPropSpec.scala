@@ -41,6 +41,34 @@ object GeometryPropSpec extends Properties("geometry") {
   private val genGeom: Gen[Geometry] =
     Gen.oneOf(genPoint, genLine, genPolygon, genMultiPoint)
 
+  // XYM: stride-3 geometries whose third ordinate is M, not Z
+  private val genPointM: Gen[Point] =
+    for { x <- coord; y <- coord; m <- coord } yield {
+      val p = Point(Array(x, y, m), 3); p.measured = true; p
+    }
+  private val genXYMGeom: Gen[Geometry] = Gen.oneOf(
+    genPointM,
+    for { n <- Gen.chooseNum(2, 8); cs <- Gen.listOfN(n * 3, coord) } yield {
+      val l = LineString(cs.toArray, 3); l.measured = true; l
+    },
+    Gen.nonEmptyListOf(genPointM).map { ps =>
+      val mp = MultiPoint(ps.toArray, 3); mp.measured = true; mp
+    })
+
+  property("xym roundtrips: M WKT tag, +2000 WKB code, byte-stable") =
+    forAll(genXYMGeom) { g =>
+      val wkt = WKT.write(g)
+      val wkb = WKB.write(g)
+      val code = java.nio.ByteBuffer.wrap(wkb)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+      wkt.contains(" M ") &&
+        code / 1000 == 2 &&
+        WKT.write(WKB.read(wkb)) == wkt &&
+        WKT.write(WKT.read(wkt)) == wkt &&
+        java.util.Arrays.equals(WKB.write(WKB.read(wkb)), wkb) &&
+        java.util.Arrays.equals(WKB.write(WKT.read(wkt)), wkb)
+    }
+
   property("envelope contains every vertex") = forAll(genGeom) { g =>
     val e = g.envelope
     var ok = true
