@@ -51,6 +51,8 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     * grid join) is not rewritten again — acceptable, documented. */
   private def isOwnFallback(p: LogicalPlan): Boolean = p.exists {
     case Filter(cond, _) => cond.exists(_.isInstanceOf[SpatialJoin.StCoveringCells])
+    case Project(list, _) =>
+      list.exists(_.exists(_.isInstanceOf[SpatialJoin.StCoveringCells]))
     case _ => false
   }
 
@@ -73,20 +75,28 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       lg: Expression, rg: Expression, cs: Double): LogicalPlan = {
+    // The cell array is computed ONCE per row in a Project below the
+    // branches; the ok/big filters and the Generate all reference the
+    // attribute instead of re-evaluating the WKB-parsing expression.
+    val cellsL = Alias(SpatialJoin.StCoveringCells(lg, cs), "__cells_l")()
+    val cellsR = Alias(SpatialJoin.StCoveringCells(rg, cs), "__cells_r")()
+    val leftC = Project(left.output :+ cellsL, left)
+    val rightC = Project(right.output :+ cellsR, right)
+
     // Rows whose envelope exceeds the StCoveringCells cap yield a null cell
     // array: they can't ride the grid path, but the rewrite must stay
     // result-preserving, so they take exact theta fallback branches below.
-    val okLeft = Filter(IsNotNull(SpatialJoin.StCoveringCells(lg, cs)), left)
-    val okRight = Filter(IsNotNull(SpatialJoin.StCoveringCells(rg, cs)), right)
-    val bigLeft = Filter(IsNull(SpatialJoin.StCoveringCells(lg, cs)), left)
-    val bigRight = Filter(IsNull(SpatialJoin.StCoveringCells(rg, cs)), right)
+    val okLeft = Filter(IsNotNull(cellsL.toAttribute), leftC)
+    val okRight = Filter(IsNotNull(cellsR.toAttribute), rightC)
+    val bigLeft = Filter(IsNull(cellsL.toAttribute), leftC)
+    val bigRight = Filter(IsNull(cellsR.toAttribute), rightC)
 
     val cellL = AttributeReference("__cell_l", LongType, nullable = false)()
     val cellR = AttributeReference("__cell_r", LongType, nullable = false)()
-    val genL = Generate(Explode(SpatialJoin.StCoveringCells(lg, cs)),
+    val genL = Generate(Explode(cellsL.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellL), child = okLeft)
-    val genR = Generate(Explode(SpatialJoin.StCoveringCells(rg, cs)),
+    val genR = Generate(Explode(cellsR.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellR), child = okRight)
     val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), j.hint)

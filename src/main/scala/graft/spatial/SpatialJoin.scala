@@ -175,24 +175,41 @@ object SpatialJoin {
   def knnJoinGrid(left: DataFrame, right: DataFrame,
                   leftGeom: Column, rightGeom: Column,
                   leftKeys: Seq[String], rightKeys: Seq[String],
-                  k: Int, cellSize: Double, escalateRounds: Int = 3): DataFrame = {
+                  k: Int, cellSize: Double, escalateRounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(escalateRounds >= 1)
     val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
     val orderCols = col("__dist").asc +: rightKeys.map(col(_).asc)
+    // packed (ix,iy) arithmetic on cell ids — codegen'd longs, no WKB parse
+    def ixOf(c: Column) = shiftright(c, 32)
+    def iyOf(c: Column) = shiftright(shiftleft(c, 32), 32)
+    def pack(ix: Column, iy: Column) =
+      shiftleft(ix, 32).bitwiseOR(iy.bitwiseAND(lit(0xffffffffL)))
 
     // one grid round at `pitch`: (certified top-k rows, still-unresolved left rows)
     def gridRound(unresolved: DataFrame, pitch: Double): (DataFrame, DataFrame) = {
-      val l = unresolved.withColumn("__cell", explode(st_covering_cells(leftGeom, pitch)))
-      val rCells = right.withColumn("__cells", st_covering_cells(rightGeom, pitch, dilate = 1))
+      // each side's envelope min-corner cell, computed ONCE per row and
+      // carried as a long: the canonical-shared-cell dedup filter below is
+      // then pure integer arithmetic per candidate instead of re-parsing
+      // both WKB values per candidate row
+      val l = unresolved
+        .withColumn("__lc0", st_ref_cell(leftGeom, leftGeom, pitch))
+        .withColumn("__cell", explode(st_covering_cells(leftGeom, pitch)))
+      val rCells = right
+        .withColumn("__rc0", st_ref_cell(rightGeom, rightGeom, pitch))
+        .withColumn("__cells", st_covering_cells(rightGeom, pitch, dilate = 1))
       val rOk = rCells.filter(col("__cells").isNotNull)
         .withColumn("__cell", explode(col("__cells"))).drop("__cells")
-      val rBig = rCells.filter(col("__cells").isNull).drop("__cells") // over-cap: rare, exact path
+      val rBig = rCells.filter(col("__cells").isNull).drop("__cells", "__rc0") // over-cap: rare, exact path
 
+      // canonical shared cell = per-axis max of left's min index and right's
+      // min index dilated by one ring — exactly StRefCell(dilateRight = 1)
+      val canonical = pack(
+        greatest(ixOf(col("__lc0")), ixOf(col("__rc0")) - 1),
+        greatest(iyOf(col("__lc0")), iyOf(col("__rc0")) - 1))
       val gridCand = l.join(rOk, Seq("__cell"))
-        .filter(col("__cell") ===
-          toCol(StRefCell(toExpr(leftGeom), toExpr(rightGeom), pitch, dilateRight = 1)))
-        .drop("__cell")
+        .filter(col("__cell") === canonical)
+        .drop("__cell", "__lc0", "__rc0")
         .withColumn("__dist", dist)
       val bigCand = unresolved.crossJoin(rBig) // no hint: planner size-gates the broadcast
         .withColumn("__dist", dist)
