@@ -105,6 +105,36 @@ object GeoIO {
   }
 
   /**
+   * Write geometry columns in the GeoArrow separated NATIVE layout
+   * (point → struct<x,y>, linestring → list<struct>, … — the same nesting
+   * as the reference's native fixtures) instead of WKB. The layout is
+   * recorded as `{encoding: <class>, geometryType}` field metadata, which
+   * [[readGeoParquet]] honors when the `geo` footer key is absent, so the
+   * round trip converts back through [[StNativeAsWkb]]. The reference
+   * preserves native layouts through compute (src/udfs/envelope.rs:230-326);
+   * this engine canonicalizes to WKB for compute and materializes native
+   * at the sink.
+   *
+   * @param geometryColumns column → geometry class ("Point", "Polygon", …)
+   */
+  def writeGeoParquetNative(df: DataFrame, path: String,
+                            geometryColumns: Map[String, String]): Unit = {
+    val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      geometryColumns.get(f.name) match {
+        case Some(gtype) =>
+          val meta = new MetadataBuilder()
+            .putString("encoding", gtype.toLowerCase)
+            .putString("geometryType", gtype)
+            .build()
+          GraftShim.column(StWkbAsNative(GraftShim.expression(col(f.name)), gtype))
+            .as(f.name, meta)
+        case None => col(f.name)
+      }
+    }
+    df.select(projected: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /**
    * Write geo data partitioned by grid anchor cell (the cell of the
    * envelope's min corner): a spatial filter then reads ONLY the matching
    * cell partitions — storage-level partition pruning, the way to avoid
@@ -144,7 +174,17 @@ object GeoIO {
    */
   def readGeoParquet(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    val geoCols = readGeoMetadata(spark, path)
+    // `geo` footer key first (GeoParquet interop); fall back to Spark field
+    // metadata, the carrier used by this engine's own native/WKB writers
+    val footerCols = readGeoMetadata(spark, path)
+    val geoCols =
+      if (footerCols.nonEmpty) footerCols
+      else df.schema.fields.toSeq.collect {
+        case f if f.metadata.contains("encoding") && f.metadata.contains("geometryType") &&
+            !f.metadata.getString("encoding").equalsIgnoreCase("WKB") =>
+          GeoColumn(f.name, f.metadata.getString("encoding"),
+            Seq(f.metadata.getString("geometryType")))
+      }
     if (geoCols.isEmpty) return df
     val byName = geoCols.map(c => c.name -> c).toMap
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>

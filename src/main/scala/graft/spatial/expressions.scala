@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 // NOTE: no wildcard import — Spark 4.1's experimental
 // org.apache.spark.sql.types.Geometry would shadow graft.spatial.Geometry.
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType,
-  DataType, DoubleType, IntegerType, StringType, StructType}
+  DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -1113,4 +1113,82 @@ case class StRotate(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/**
+ * st_wkb_as_native(geom): WKB → GeoArrow separated native layout — the
+ * write-side inverse of [[StNativeAsWkb]]. Coordinates become
+ * `struct<x,y[,z[,m]]>` nested per class exactly like the reference's
+ * native fixtures (point: struct; linestring/multipoint: list<struct>;
+ * polygon/multilinestring: list<list<struct>>; multipolygon:
+ * list<list<list<struct>>>). Completes the native-GeoArrow OUTPUT path the
+ * reference computes on zero-copy (reference: src/udfs/envelope.rs:230-326
+ * preserves native layouts; this engine canonicalizes to WKB for compute
+ * and materializes native on write).
+ *
+ * Rows whose geometry class does not match the declared column class → SQL
+ * NULL (a native column holds exactly one class by construction). Empty
+ * points encode as all-NaN ordinates (reference convention:
+ * data/generate_test_data.py:79).
+ */
+case class StWkbAsNative(child: Expression, geometryType: String, dim: Int = 2)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 2 && dim <= 4)
+
+  private def coordType: StructType =
+    StructType(Seq("x", "y", "z", "m").take(dim)
+      .map(n => StructField(n, DoubleType, nullable = false)))
+
+  override def dataType: DataType = geometryType.toLowerCase match {
+    case "point"                      => coordType
+    case "linestring" | "multipoint"  => ArrayType(coordType, containsNull = false)
+    case "polygon" | "multilinestring" =>
+      ArrayType(ArrayType(coordType, containsNull = false), containsNull = false)
+    case "multipolygon" =>
+      ArrayType(ArrayType(ArrayType(coordType, containsNull = false),
+        containsNull = false), containsNull = false)
+    case other => throw new IllegalArgumentException(s"no native layout for $other")
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_wkb_as_native"
+
+  private def rowOf(cs: Array[Double], off: Int, gdim: Int): InternalRow = {
+    val vals = new Array[Any](dim)
+    var i = 0
+    while (i < dim) { vals(i) = if (i < gdim) cs(off + i) else Double.NaN; i += 1 }
+    new GenericInternalRow(vals)
+  }
+
+  private def seqOf(cs: Array[Double], gdim: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = cs.length / gdim
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = rowOf(cs, i * gdim, gdim); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = fromWkb(v)
+    if (g == null) return null
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (geometryType.toLowerCase, g) match {
+      case ("point", p: Point) =>
+        if (p.isEmpty) rowOf(Array.fill(dim)(Double.NaN), 0, dim)
+        else rowOf(p.coords, 0, p.dim)
+      case ("linestring", l: LineString) => seqOf(l.coords, l.dim)
+      case ("multipoint", mp: MultiPoint) =>
+        new GenericArrayData(mp.points.map(p =>
+          if (p.isEmpty) rowOf(Array.fill(dim)(Double.NaN), 0, dim)
+          else rowOf(p.coords, 0, p.dim)).toArray[Any])
+      case ("polygon", pg: Polygon) =>
+        new GenericArrayData(pg.rings.map(r => seqOf(r, pg.dim)).toArray[Any])
+      case ("multilinestring", ml: MultiLineString) =>
+        new GenericArrayData(ml.lines.map(l => seqOf(l.coords, l.dim)).toArray[Any])
+      case ("multipolygon", mpg: MultiPolygon) =>
+        new GenericArrayData(mpg.polygons.map(pg =>
+          new GenericArrayData(pg.rings.map(r => seqOf(r, pg.dim)).toArray[Any])).toArray[Any])
+      case _ => null // class mismatch for this native column
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
