@@ -9,12 +9,15 @@ import org.apache.spark.sql.types.LongType
 
 /**
  * Catalyst optimizer rule: rewrite an inner join whose condition is a bare
- * `ST_Intersects(a, b)` theta predicate into the grid-partitioned
- * equi-join (explode covering cells → join on cell id → reference-cell
- * dedup filter → exact predicate). Without this, Catalyst can only plan a
- * (broadcast) nested-loop join for the theta condition — quadratic and
- * broadcast-bound; with it, users keep writing the natural
- * `a JOIN b ON ST_Intersects(...)` and get the scale plan.
+ * spatial theta predicate into the grid-partitioned equi-join (explode
+ * covering cells → join on cell id → canonical-cell dedup filter → exact
+ * predicate). Covered predicates: every envelope-implied relationship
+ * (ST_Intersects, ST_EnvIntersects, ST_Contains, ST_Within, ST_Equals,
+ * ST_Touches, ST_Overlaps) and ST_DWithin with a foldable distance (the
+ * right side's cells dilate by enough rings to cover it). Without this,
+ * Catalyst can only plan a (broadcast) nested-loop join for the theta
+ * condition — quadratic and broadcast-bound; with it, users keep writing
+ * the natural `a JOIN b ON ST_Contains(...)` and get the scale plan.
  *
  * Opt-in by configuration (the cell pitch is data-dependent):
  *
@@ -24,7 +27,7 @@ import org.apache.spark.sql.types.LongType
  * optimizer rule) or per-session with
  * `spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))`.
  *
- * Only bare ST_Intersects inner-join conditions are rewritten; compound
+ * Only bare single-predicate inner-join conditions are rewritten; compound
  * conditions and outer joins keep Catalyst's plan. The rewrite is
  * RESULT-PRESERVING: geometries whose envelope covers more than `maxCells`
  * cells (where [[SpatialJoin.StCoveringCells]] returns null rather than
@@ -56,30 +59,57 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     case _ => false
   }
 
+  /** Geometry args + right-side cell dilation for a rewritable predicate:
+    * every envelope-implied predicate rides the grid at dilation 0;
+    * ST_DWithin(d) dilates the right side by enough rings to cover d
+    * (|Δcoord| ≤ d ⇒ |Δindex| ≤ ⌊d/cs⌋+1 per axis). */
+  private def rewritable(cond: Expression, cs: Double): Option[(Expression, Expression, Int)] =
+    cond match {
+      case StIntersects(a, b)    => Some((a, b, 0))
+      case StEnvIntersects(a, b) => Some((a, b, 0))
+      case StContains(a, b)      => Some((a, b, 0))
+      case StWithin(a, b)        => Some((a, b, 0))
+      case StEquals(a, b)        => Some((a, b, 0))
+      case StTouches(a, b)       => Some((a, b, 0))
+      case StOverlaps(a, b)      => Some((a, b, 0))
+      case StDWithin(a, b, d) if d.foldable =>
+        val dist = d.eval() match {
+          case n: Number => n.doubleValue()
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble // SQL `750.0` literal
+          case _ => -1.0
+        }
+        if (dist >= 0) Some((a, b, math.floor(dist / cs).toInt + 1)) else None
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = cellSize match {
     case None => plan
     case Some(cs) =>
       plan.transformUp {
-        case j @ Join(left, right, Inner, Some(StIntersects(lg, rg)), _)
-            if !isOwnFallback(left) && !isOwnFallback(right) &&
-              lg.references.subsetOf(left.outputSet) &&
-              rg.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, lg, rg, cs)
-        case j @ Join(left, right, Inner, Some(StIntersects(lg, rg)), _)
-            if !isOwnFallback(left) && !isOwnFallback(right) &&
-              lg.references.subsetOf(right.outputSet) &&
-              rg.references.subsetOf(left.outputSet) =>
-          rewrite(j, left, right, rg, lg, cs)
+        case j @ Join(left, right, Inner, Some(cond), _)
+            if rewritable(cond, cs).isDefined &&
+              !isOwnFallback(left) && !isOwnFallback(right) => {
+          val (a, b, dilate) = rewritable(cond, cs).get
+          // the predicate's args may reference the join sides in either order
+          if (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet))
+            rewrite(j, left, right, a, b, cs, dilate)
+          else if (a.references.subsetOf(right.outputSet) &&
+                   b.references.subsetOf(left.outputSet))
+            rewrite(j, left, right, b, a, cs, dilate)
+          else j
+        }
       }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      lg: Expression, rg: Expression, cs: Double): LogicalPlan = {
+                      lg: Expression, rg: Expression, cs: Double,
+                      dilate: Int = 0): LogicalPlan = {
     // The cell array is computed ONCE per row in a Project below the
     // branches; the ok/big filters and the Generate all reference the
     // attribute instead of re-evaluating the WKB-parsing expression.
     val cellsL = Alias(SpatialJoin.StCoveringCells(lg, cs), "__cells_l")()
-    val cellsR = Alias(SpatialJoin.StCoveringCells(rg, cs), "__cells_r")()
+    val cellsR = Alias(SpatialJoin.StCoveringCells(rg, cs, dilate = dilate), "__cells_r")()
     val leftC = Project(left.output :+ cellsL, left)
     val rightC = Project(right.output :+ cellsR, right)
 
@@ -100,8 +130,12 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellR), child = okRight)
     val joined = Join(genL, genR, Inner, Some(EqualTo(cellL, cellR)), j.hint)
+    // pair dedup via the canonical shared cell (dilation-aware), then the
+    // ORIGINAL predicate verbatim — correct for asymmetric predicates
+    // (contains/within) whichever side their args reference
     val grid = Project(j.output, Filter(
-      And(EqualTo(cellL, SpatialJoin.StRefCell(lg, rg, cs)), StIntersects(lg, rg)),
+      And(EqualTo(cellL, SpatialJoin.StRefCell(lg, rg, cs, dilateRight = dilate)),
+        j.condition.get),
       joined))
 
     // exact fallbacks, disjoint by construction:

@@ -449,7 +449,15 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "st_dwithin"
   override protected def nullSafeEval(l: Any, r: Any, d: Any): Any = {
     val a = fromWkb(l); val b = fromWkb(r)
-    if (a == null || b == null) null else GeomOps.dwithin(a, b, d.asInstanceOf[Double])
+    // the distance may arrive as any numeric type — a SQL literal like
+    // `750.0` is a Decimal (ExpectsInputTypes is private[sql], so no
+    // implicit cast is injected for us)
+    val dist = d match {
+      case n: java.lang.Number => n.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case other => other.asInstanceOf[Double]
+    }
+    if (a == null || b == null) null else GeomOps.dwithin(a, b, dist)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)

@@ -244,6 +244,45 @@ class SpatialJoinSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("GridSpatialJoinRule rewrites contains/dwithin joins (incl. reversed args)") {
+    graft.spatial.functions.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))
+    try {
+      val sf = "/root/testdata/sf0.001"
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"),
+          G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+        .createOrReplaceTempView("cust_pts3")
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_nationkey"),
+          G.st_makeenvelope(
+            col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+            col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+          ).as("rect"))
+        .createOrReplaceTempView("nation_rects3")
+      val qs = Seq(
+        // asymmetric predicate, both argument orders
+        "SELECT count(*) AS n FROM nation_rects3 r JOIN cust_pts3 c ON ST_Contains(r.rect, c.pt)",
+        "SELECT count(*) AS n FROM cust_pts3 c JOIN nation_rects3 r ON ST_Contains(r.rect, c.pt)",
+        // distance predicate: right cells dilate to cover the distance
+        "SELECT count(*) AS n FROM nation_rects3 r JOIN cust_pts3 c ON ST_DWithin(r.rect, c.pt, 750.0)")
+      for (q <- qs) {
+        spark.conf.set("spark.graft.spatialJoin.cellSize", "500.0")
+        val df = spark.sql(q)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__cell_l"), q + "\n" + plan.take(1200))
+        val n = df.head().getLong(0)
+        spark.conf.unset("spark.graft.spatialJoin.cellSize")
+        val baseline = spark.sql(q).head().getLong(0)
+        assert(n == baseline && n > 0, s"$q grid=$n nl=$baseline")
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
   test("GridSpatialJoinRule keeps matches of over-cap geometries (result-preserving)") {
     graft.spatial.functions.register(spark)
     val prev = spark.experimental.extraOptimizations
