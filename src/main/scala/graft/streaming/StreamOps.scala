@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import graft.spatial.{functions => G}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -57,6 +57,32 @@ object StreamOps {
     * small) — the standard pattern for slowly-changing dimensions. */
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(dim, keys, "left")
+
+  /**
+   * Streaming spatial enrichment: join a geometry stream against a static
+   * geo table on a spatial predicate, grid-bucketed — the streaming face
+   * of [[graft.spatial.SpatialJoin.join]]. A predicate theta join against
+   * a streaming side would need a per-batch nested loop; instead both
+   * sides explode over their covering cells and the join is a plain
+   * stream-static EQUI-join on the cell id (broadcast/hash per
+   * micro-batch), with canonical-cell pair dedup and the exact predicate
+   * as a filter. Static geometries whose envelope exceeds the covering
+   * cap at this pitch are dropped (choose `cellSize` ≳ the largest static
+   * envelope, or pre-split such geometries) — streaming cannot union an
+   * exact fallback branch without a second scan of every micro-batch.
+   */
+  def spatialEnrich(stream: DataFrame, static: DataFrame,
+                    streamGeom: Column, staticGeom: Column,
+                    predicate: (Column, Column) => Column,
+                    cellSize: Double): DataFrame = {
+    import graft.spatial.SpatialJoin.{st_covering_cells, st_ref_cell}
+    val s = stream.withColumn("__cell", explode(st_covering_cells(streamGeom, cellSize)))
+    val d = static.withColumn("__cell", explode(st_covering_cells(staticGeom, cellSize)))
+    s.join(d, Seq("__cell"))
+      .filter(col("__cell") === st_ref_cell(streamGeom, staticGeom, cellSize))
+      .filter(predicate(streamGeom, staticGeom))
+      .drop("__cell")
+  }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

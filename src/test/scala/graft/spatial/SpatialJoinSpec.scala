@@ -201,6 +201,37 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("grid knn join == broadcast knn join on random clouds (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered + uniform mix, with exact duplicate locations thrown in
+      val lpts = (0 until 200).map { i =>
+        val cl = rnd.nextInt(5) * 1000.0
+        (i.toLong, cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 100.0)
+      }
+      val rpts = (0 until 150).map { i =>
+        val cl = rnd.nextInt(5) * 1000.0
+        val (x, y) =
+          if (i % 17 == 0) (cl, 50.0) // repeated exact locations (distance ties)
+          else (cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 100.0)
+        (i.toLong, x, y)
+      }
+      val l = lpts.toDF("lid", "lx", "ly").select(col("lid"), G.st_point(col("lx"), col("ly")).as("lg"))
+      val r = rpts.toDF("rid", "rx", "ry").select(col("rid"), G.st_point(col("rx"), col("ry")).as("rg"))
+      val expected = SpatialJoin.knnJoin(l, r, col("lg"), col("rg"), Seq("lid"), Seq("rid"), k = 4)
+        .select("lid", "rid", "knn_rank")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      for (pitch <- Seq(30.0, 400.0)) {
+        val got = SpatialJoin.knnJoinGrid(l, r, col("lg"), col("rg"), Seq("lid"), Seq("rid"),
+            k = 4, cellSize = pitch)
+          .select("lid", "rid", "knn_rank")
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+        assert(got == expected, s"seed=$seed pitch=$pitch")
+      }
+    }
+  }
+
   test("grid knn join never force-broadcasts the right relation") {
     // with auto-broadcast disabled, a BroadcastExchange can only come from an
     // explicit broadcast() hint — the round-2 residual had one on the FULL

@@ -85,6 +85,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming spatial enrichment: grid equi-join against static polygons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.spatial.functions.register(spark)
+    val G = graft.spatial.functions
+    // static zones: unit squares at x ∈ [100z, 100z+50], z = 0,1,2
+    val zones = Seq(0, 1, 2).toDF("zone")
+      .withColumn("rect", G.st_makeenvelope(
+        col("zone").cast("double") * 100.0, lit(0.0),
+        col("zone").cast("double") * 100.0 + 50.0, lit(50.0)))
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("id", "x", "y")
+      .withColumn("pt", G.st_point(col("x"), col("y")))
+    val joined = StreamOps.spatialEnrich(pts, zones,
+      col("pt"), col("rect"), (p, rect) => G.st_contains(rect, p), cellSize = 60.0)
+    val q = joined.select("id", "zone").writeStream.outputMode("append")
+      .format("memory").queryName("zoned").start()
+    try {
+      input.addData((1L, 10.0, 10.0), (2L, 140.0, 25.0), (3L, 280.0, 10.0), (4L, 75.0, 10.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, zone FROM zoned").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // 3 (x=280) and 4 (x=75) fall in no zone
+      assert(got == Map(1L -> 0, 2L -> 1))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
