@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "st_astext", es => StAsText(es.head))
     inject(e, "st_asbinary", es => StAsBinary(es.head))
     inject(e, "st_asgeojson", es => StAsGeoJson(es.head))
+    inject(e, "st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
     inject(e, "st_geometrytype", es => StGeometryType(es.head))
     inject(e, "st_envelope", es => StEnvelope(es.head))
     inject(e, "st_x", es => StX(es.head))

@@ -99,4 +99,96 @@ object GeoJson {
       }
       sb.append("]}")
   }
+
+  // ---------------------------------------------------------------- reader
+
+  /** Parse RFC 7946 GeoJSON geometry; null on malformed input (SQL
+    * null-on-error semantics). Positions may be XY or XYZ; dim is taken
+    * from the first position of each coordinate sequence. */
+  def readOrNull(json: String): Geometry = {
+    import MiniJson._
+    parse(json) match {
+      case Some(o: JObj) => try geomOf(o) catch { case _: Exception => null }
+      case _ => null
+    }
+  }
+
+  private def numsOf(v: MiniJson.Value): Array[Double] = {
+    import MiniJson._
+    v match {
+      case JArr(items) => items.map {
+        case JNum(d) => d
+        case _ => throw new IllegalArgumentException("position must be numeric")
+      }.toArray
+      case _ => throw new IllegalArgumentException("not an array")
+    }
+  }
+
+  private def flatSeq(v: MiniJson.Value): (Array[Double], Int) = {
+    import MiniJson._
+    val JArr(items) = v: @unchecked
+    if (items.isEmpty) return (Array.empty[Double], 2)
+    val first = numsOf(items.head)
+    val dim = math.max(2, math.min(first.length, 4))
+    val out = new Array[Double](items.length * dim)
+    var i = 0
+    while (i < items.length) {
+      val c = numsOf(items(i))
+      var k = 0
+      while (k < dim) { out(i * dim + k) = if (k < c.length) c(k) else Double.NaN; k += 1 }
+      i += 1
+    }
+    (out, dim)
+  }
+
+  private def ringsOf(v: MiniJson.Value): (Array[Array[Double]], Int) = {
+    import MiniJson._
+    val JArr(items) = v: @unchecked
+    var dim = 2
+    val rs = items.map { r => val (cs, d) = flatSeq(r); if (cs.nonEmpty) dim = d; cs }.toArray
+    (rs, dim)
+  }
+
+  private def geomOf(o: MiniJson.JObj): Geometry = {
+    import MiniJson._
+    val tpe = o.get("type") match {
+      case Some(JStr(t)) => t
+      case _ => throw new IllegalArgumentException("missing type")
+    }
+    if (tpe == "GeometryCollection") {
+      val JArr(gs) = o.get("geometries").getOrElse(throw new IllegalArgumentException("missing geometries")): @unchecked
+      val members = gs.map { case g: JObj => geomOf(g); case _ => throw new IllegalArgumentException("bad member") }.toArray
+      val dim = if (members.isEmpty) 2 else members.map(_.dim).max
+      return GeometryCollection(members, dim)
+    }
+    val coords = o.get("coordinates").getOrElse(throw new IllegalArgumentException("missing coordinates"))
+    tpe match {
+      case "Point" =>
+        val c = numsOf(coords)
+        if (c.isEmpty) Point(Array.empty[Double], 2)
+        else Point(c.take(4), math.max(2, math.min(c.length, 4)))
+      case "LineString" =>
+        val (cs, dim) = flatSeq(coords); LineString(cs, dim)
+      case "Polygon" =>
+        val (rs, dim) = ringsOf(coords); Polygon(rs, dim)
+      case "MultiPoint" =>
+        val JArr(items) = coords: @unchecked
+        var dim = 2
+        val pts = items.map { pv =>
+          val c = numsOf(pv)
+          if (c.isEmpty) Point(Array.empty[Double], 2)
+          else { dim = math.max(dim, math.min(c.length, 4)); Point(c.take(4), math.max(2, math.min(c.length, 4))) }
+        }.toArray
+        MultiPoint(pts, dim)
+      case "MultiLineString" =>
+        val (ls, dim) = ringsOf(coords)
+        MultiLineString(ls.map(cs => LineString(cs, dim)), dim)
+      case "MultiPolygon" =>
+        val JArr(polys) = coords: @unchecked
+        var dim = 2
+        val ps = polys.map { pv => val (rs, d) = ringsOf(pv); if (rs.nonEmpty) dim = d; Polygon(rs, d) }.toArray
+        MultiPolygon(ps, dim)
+      case other => throw new IllegalArgumentException(s"unknown GeoJSON type $other")
+    }
+  }
 }

@@ -719,6 +719,20 @@ case class StAsGeoJson(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ST_GeomFromGeoJSON(json) → WKB; null on malformed input — the input
+  * face of [[StAsGeoJson]] (RFC 7946 geometries incl. collections). */
+case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromgeojson"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = GeoJson.readOrNull(v.toString)
+    if (g == null) null else geomutil.toWkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 // ----------------------------- structural accessors (PostGIS-standard) -----
 
 /** ST_PointN(line, n) — 1-based nth vertex of a LineString; null otherwise. */

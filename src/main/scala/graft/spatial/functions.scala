@@ -28,6 +28,7 @@ object functions {
   def st_astext(g: Column): Column = toCol(StAsText(expr(g)))
   def st_asbinary(g: Column): Column = toCol(StAsBinary(expr(g)))
   def st_asgeojson(g: Column): Column = toCol(StAsGeoJson(expr(g)))
+  def st_geomfromgeojson(j: Column): Column = toCol(StGeomFromGeoJson(expr(j)))
   def st_geometrytype(g: Column): Column = toCol(StGeometryType(expr(g)))
   def st_envelope(g: Column): Column = toCol(StEnvelope(expr(g)))
   def st_x(g: Column): Column = toCol(StX(expr(g)))
@@ -141,6 +142,7 @@ object functions {
     r1("st_astext", StAsText.apply)
     r1("st_asbinary", StAsBinary.apply)
     r1("st_asgeojson", StAsGeoJson.apply)
+    r1("st_geomfromgeojson", StGeomFromGeoJson.apply)
     r1("st_geometrytype", StGeometryType.apply)
     r1("st_envelope", StEnvelope.apply)
     r1("st_x", StX.apply)

@@ -69,6 +69,16 @@ object GeometryPropSpec extends Properties("geometry") {
         java.util.Arrays.equals(WKB.write(WKT.read(wkt)), wkb)
     }
 
+  property("geojson roundtrip preserves wkt") = forAll(genGeom) { g =>
+    val back = GeoJson.readOrNull(GeoJson.write(g))
+    back != null && WKT.write(back) == WKT.write(g)
+  }
+
+  property("arbitrary strings never crash the GeoJSON reader") =
+    forAll { (s: String) =>
+      GeoJson.readOrNull(s) match { case null => true; case g => g.typeName != null }
+    }
+
   property("envelope contains every vertex") = forAll(genGeom) { g =>
     val e = g.envelope
     var ok = true

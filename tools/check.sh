@@ -17,4 +17,4 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
   sbt -batch "runMain graft.Bench" | grep -oE '\{"metric".*'
 
 echo "== extensions + optimizer-rule demo =="
-sbt -batch "runMain graft.tools.ExtensionsDemo" | grep -E "EXTENSIONS_OK|GRID_JOIN_RULE_OK"
+sbt -batch "runMain graft.tools.ExtensionsDemo" | grep -E "EXTENSIONS_OK|GRID_JOIN_RULE_OK|GEOMTYPE_FOLD_OK"
