@@ -290,6 +290,23 @@ object Queries {
         FROM allpts GROUP BY k ORDER BY k""")
     }),
 
+    "q48_geojson_roundtrip" -> ((s, d) => {
+      // GeoJSON input face: build JSON from columns, parse, serialize —
+      // the oracle emits the equivalent WKT constants
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               ST_AsText(ST_GeomFromGeoJSON(CASE WHEN n_nationkey % 2 = 0
+                 THEN concat('{"type":"Point","coordinates":[',
+                             CAST(n_nationkey AS STRING), ',',
+                             CAST(n_regionkey AS STRING), ']}')
+                 ELSE concat('{"type":"LineString","coordinates":[[0,0],[',
+                             CAST(n_nationkey AS STRING), ',2]]}')
+                 END)) AS wkt,
+               ST_GeomFromGeoJSON('{bad json') IS NULL AS bad_is_null
+        FROM nation ORDER BY n_nationkey""")
+    }),
+
     // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
 
     "q20_doc_stats" -> ((s, d) => {
@@ -880,6 +897,17 @@ object Queries {
                    CAST(CAST(n_nationkey + 1 AS DOUBLE) AS VARCHAR) AS kk
             FROM nation) t
       ORDER BY k""",
+
+    "q48_geojson_roundtrip" -> """
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0
+               THEN 'POINT (' || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR)
+                 || ' ' || CAST(CAST(n_regionkey AS DOUBLE) AS VARCHAR) || ')'
+               ELSE 'LINESTRING (0.0 0.0,'
+                 || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR) || ' 2.0)'
+               END AS wkt,
+             TRUE AS bad_is_null
+      FROM nation ORDER BY n_nationkey""",
 
     "q27_embedding_neardup" -> """
       WITH aug AS (

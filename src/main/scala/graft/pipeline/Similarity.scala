@@ -95,15 +95,22 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    // 1. deterministic centroid sample: smallest xxhash64(id) wins
+    val (assigned, centroids) = ivfAssign(corpus, idCol, vecCol, nLists)
+    val routed = ivfRoute(queries, centroids, idCol, vecCol, nProbe)
+    ivfRerank(assigned, routed, k)
+  }
+
+  /** Steps 1–2: deterministic centroid sample (smallest xxhash64(id) wins)
+    * and one-scan nearest-centroid assignment. Returns
+    * (assigned(neighbor_id, nvec, list_id), centroids(centroid_id, cvec)). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nLists: Int): (DataFrame, DataFrame) = {
     val centroids = corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"))
       .limit(nLists)
       .drop("__h")
-
-    // 2. one-scan assignment: nearest centroid per corpus vector
     val assigned = corpus
       .crossJoin(broadcast(centroids))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
@@ -113,9 +120,14 @@ object Similarity {
           .orderBy(col("csim").desc, col("centroid_id").asc)))
       .filter(col("r") === 1)
       .select(col("neighbor_id"), col("nvec"), col("centroid_id").as("list_id"))
+    (assigned, centroids)
+  }
 
-    // 3. route queries to their nProbe nearest lists
-    val routed = queries
+  /** Step 3: each query's nProbe nearest lists →
+    * routed(query_id, qvec, list_id). */
+  def ivfRoute(queries: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, nProbe: Int): DataFrame =
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("centroid_id"),
@@ -126,12 +138,45 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("centroid_id").as("list_id"))
 
-    // exact re-rank within probed lists
+  /** Exact re-rank within probed lists. */
+  private def ivfRerank(assigned: DataFrame, routed: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(routed), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("nvec")).as("sim"))
     TopK.perQuery(scored, k)
+  }
+
+  /**
+   * Persist the IVF assignment as a PARTITIONED layout — one directory per
+   * inverted list, centroids alongside. This is the write-once 100 TB form
+   * of [[ivfTopK]]: query batches read only their probed lists via
+   * storage-level partition pruning instead of scanning the corpus.
+   */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nLists: Int = 16): Unit = {
+    val (assigned, centroids) = ivfAssign(corpus, idCol, vecCol, nLists)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * Query a persisted IVF index. The probed list ids of the query batch
+   * are collected (metadata-sized: ≤ |queries|·nProbe ints) into a literal
+   * partition filter, so the scan prunes to the probed directories —
+   * `PartitionFilters` in the plan, the ANN analogue of
+   * [[graft.spatial.GeoIO.readCellRange]].
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = ivfRoute(queries, centroids, idCol, vecCol, nProbe)
+    val listIds = probed.select("list_id").distinct()
+      .collect().map(_.getLong(0)) // metadata-sized
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(listIds: _*))
+    ivfRerank(lists, probed, k)
   }
 
   /**

@@ -189,6 +189,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.queryExecution.optimizedPlan.toString.contains("Deduplicate"))
   }
 
+  test("persisted IVF index: partition-pruned probe matches in-memory ivfTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = "/tmp/graft_ivf_index"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", path, nLists = 8)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    val inMemory = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 4)
+    val a = indexed.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = inMemory.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b && a.nonEmpty)
+    // the probed scan is partition-pruned to the probed list directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(1500))
+  }
+
   test("lsh top-k returns plausible neighbors with exact rerank") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2)
