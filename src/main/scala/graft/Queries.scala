@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Dedup, Multimodal, Sessions, Similarity, Text}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -305,6 +305,29 @@ object Queries {
                  END)) AS wkt,
                ST_GeomFromGeoJSON('{bad json') IS NULL AS bad_is_null
         FROM nation ORDER BY n_nationkey""")
+    }),
+
+    "q49_hash_split" -> ((s, d) => {
+      // deterministic train/val/test split: pure function of the key
+      // (md5 bucket), stable across runs/layouts — both engines recompute
+      // identical assignments
+      prep(s, d, "documents")
+      Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq(("train", 8000), ("val", 1000), ("test", 1000)))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q50_sequence_packing" -> ((s, d) => {
+      // stream-offset packing: per-shard token stream cut into 512-token
+      // chunks; each doc keyed by its starting chunk + offset
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        Text.tokenCount(col("text")).as("toks"))
+      Sampling.packSequences(docs, "shard", "doc_id", "toks", 512)
+        .select(col("doc_id"), col("pack_offset"), col("pack_id"))
+        .orderBy("doc_id")
     }),
 
     // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
@@ -908,6 +931,33 @@ object Queries {
                END AS wkt,
              TRUE AS bad_is_null
       FROM nation ORDER BY n_nationkey""",
+
+    "q49_hash_split" -> """
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 10000 AS b
+            FROM documents) t
+      ORDER BY doc_id""",
+
+    "q50_sequence_packing" -> """
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+                 AS BIGINT) AS off
+        FROM t)
+      SELECT doc_id, off AS pack_offset,
+             CAST(floor(off / 512) AS BIGINT) AS pack_id
+      FROM p ORDER BY doc_id""",
 
     "q27_embedding_neardup" -> """
       WITH aug AS (

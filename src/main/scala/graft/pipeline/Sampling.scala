@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic dataset splitting and sequence packing for training-data
+ * pipelines.
+ *
+ * `randomSplit` is the wrong tool at 100 TB: its assignment depends on
+ * partition layout and seed plumbing, so re-runs, retries, and appended
+ * data shuffle documents across splits. Hash splitting assigns every row
+ * by a pure function of its key — stable across runs, cluster layouts,
+ * and incremental loads, and any engine can reproduce it (the DuckDB
+ * oracle recomputes the same md5 buckets).
+ */
+object Sampling {
+
+  /** Bucket in [0, 10000) from the first 8 hex chars of md5(key) — a pure,
+    * engine-portable function of the key. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /**
+   * Deterministic train/validation/test split: adds `split` chosen by the
+   * key's hash bucket against cumulative weight thresholds. Weights are in
+   * basis points of 10000 (exact integer thresholds — no float boundary
+   * ambiguity between engines).
+   */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 10000, "weights must sum to 10000 bp")
+    val bucket = hashBucket(col(keyCol))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).foldRight(lit(null: String)) {
+      case (((name, _), hi), elseE) => when(bucket < hi, lit(name)).otherwise(elseE)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Group-aware variant: every row of a group lands in the same split
+    * (hash the group key, not the row key) — e.g. keep all documents of a
+    * source domain out of the eval set. */
+  def hashSplitByGroup(df: DataFrame, groupCol: String,
+                       splits: Seq[(String, Int)]): DataFrame =
+    hashSplit(df, groupCol, splits)
+
+  /**
+   * Stream-offset sequence packing (GPT-pretraining style): documents form
+   * a contiguous token stream per shard (deterministic order by
+   * `orderCol`), the stream is cut into `maxTokens` chunks, and each
+   * document is keyed by the chunk its first token lands in. Long
+   * documents span chunks; short ones share them — the packing used when
+   * the loader concatenates-and-cuts rather than bin-packs. (TRUE first-
+   * fit bin packing is a sequential recurrence — not expressible as
+   * window algebra; this closed form is, which also makes it exactly
+   * reproducible by any engine with window sums, including the oracle.)
+   *
+   * The cumulative sum runs as a window per shard — scale-safe because
+   * shard fan-in is |rows|/|shards|, set by the caller (pack per output
+   * file / per worker), never the whole corpus in one partition.
+   *
+   * Adds `pack_id` (0-based within shard) and `pack_offset` (the doc's
+   * starting token offset within the stream).
+   */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokenCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+    val prefix = sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long")
+    df.withColumn("pack_offset", prefix)
+      .withColumn("pack_id", floor(col("pack_offset") / maxTokens.toLong))
+  }
+}

@@ -218,6 +218,34 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- events
 
+  test("hash split: deterministic, complete, near-nominal fractions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splits = Seq(("train", 8000), ("val", 1000), ("test", 1000))
+    val a = Sampling.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stable across a second evaluation with a different partition layout
+    val b = Sampling.hashSplit(docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(Set("train", "val", "test")))
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, trainFrac)
+  }
+
+  test("sequence packing: offsets are a per-shard prefix sum, packs respect order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 0L, 300), (8L, 0L, 300), (16L, 0L, 300), // shard 0: offsets 0,300,600
+      (1L, 1L, 700), (9L, 1L, 100)                  // shard 1: offsets 0,700
+    ).toDF("doc_id", "shard", "toks")
+    val got = Sampling.packSequences(docs, "shard", "doc_id", "toks", 512)
+      .select("doc_id", "pack_offset", "pack_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0L)), 8L -> ((300L, 0L)), 16L -> ((600L, 1L)),
+      1L -> ((0L, 0L)), 9L -> ((700L, 1L))))
+  }
+
   test("sessionization splits on gap") {
     import java.sql.Timestamp
     val rows = Seq(
