@@ -330,6 +330,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q51_token_percentiles" -> ((s, d) => {
+      // exact grouped percentiles of the token-length distribution (corpus
+      // monitoring); Spark `percentile` and DuckDB `quantile_cont` share
+      // the type-7 linear interpolation definition — rounded to 4dp to
+      // absorb last-ulp expression-tree differences
+      prep(s, d, "documents")
+      t(s, d, "documents")
+        .select((col("doc_id") % 4).as("grp"),
+          Text.tokenCount(col("text")).cast("double").as("toks"))
+        .groupBy("grp")
+        .agg(expr("percentile(toks, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+        .select(col("grp"), posexplode(col("qs")).as(Seq("i", "v")))
+        .select(col("grp"), (col("i") + 1).cast("int").as("idx"),
+          round(col("v"), 4).as("v"))
+        .orderBy("grp", "idx")
+    }),
+
     // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
 
     "q20_doc_stats" -> ((s, d) => {
@@ -958,6 +975,19 @@ object Queries {
       SELECT doc_id, off AS pack_offset,
              CAST(floor(off / 512) AS BIGINT) AS pack_id
       FROM p ORDER BY doc_id""",
+
+    "q51_token_percentiles" -> """
+      WITH t AS (
+        SELECT doc_id % 4 AS grp,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks
+        FROM documents),
+      q AS (
+        SELECT grp, quantile_cont(toks, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM t GROUP BY grp)
+      SELECT grp, CAST(i AS INT) AS idx, round(qs[CAST(i AS INT)], 4) AS v
+      FROM q, generate_series(1, 5) s(i)
+      ORDER BY grp, idx""",
 
     "q27_embedding_neardup" -> """
       WITH aug AS (
