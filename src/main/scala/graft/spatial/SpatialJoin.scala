@@ -151,10 +151,12 @@ object SpatialJoin {
    *     ([[StRefCell]] with `dilateRight = 1` — the min shared cell), so no
    *     dedup shuffle is needed; kept only while `dist ≤ p`, where the set
    *     is provably complete;
-   *  3. per-left-row ranking is a window over the left keys — scale-safe
-   *     because fan-in per left row is bounded by local density in the
-   *     cell neighborhood, not by |right|; rows that find a full k within
-   *     radius p are certified done;
+   *  3. ranking AND certification happen in one bounded aggregate pass per
+   *     left key ([[graft.pipeline.BoundedTopK]] + count): partial
+   *     aggregation keeps ≤ k candidates per key per map partition before
+   *     the exchange, and a row is certified done iff ≥ k candidates exist
+   *     within radius p (within that radius the candidate set is complete,
+   *     so those are its true k nearest);
    *  4. the rest escalate to the next round at 4× the pitch. The
    *     unresolved set only shrinks; under AQE the (small) left side of the
    *     later cell joins broadcasts automatically, so right is re-scanned
@@ -176,10 +178,8 @@ object SpatialJoin {
                   leftGeom: Column, rightGeom: Column,
                   leftKeys: Seq[String], rightKeys: Seq[String],
                   k: Int, cellSize: Double, escalateRounds: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(escalateRounds >= 1)
     val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
-    val orderCols = col("__dist").asc +: rightKeys.map(col(_).asc)
     // packed (ix,iy) arithmetic on cell ids — codegen'd longs, no WKB parse
     def ixOf(c: Column) = shiftright(c, 32)
     def iyOf(c: Column) = shiftright(shiftleft(c, 32), 32)
@@ -216,16 +216,27 @@ object SpatialJoin {
       val cand = gridCand.unionByName(bigCand)
         .filter(col("__dist").isNotNull && col("__dist") <= lit(pitch))
 
-      val w = Window.partitionBy(leftKeys.map(col): _*).orderBy(orderCols: _*)
-      val ranked = cand.withColumn("knn_rank", row_number().over(w))
-        .filter(col("knn_rank") <= k)
+      // rank AND certify in ONE aggregate pass per left key: bounded top-k
+      // (map-side partial, ≤ k rows per key per partition before the
+      // exchange) plus the candidate count — a row is done iff ≥ k
+      // candidates exist inside the radius. Replaces the round-2 shape
+      // (window rank + groupBy count + semi join: three more exchanges of
+      // the same key).
+      val ordNames = "__dist" +: rightKeys
+      val ordFields = ordNames.zipWithIndex.map { case (n, i) => col(n).as(s"__o$i") }
+      val payload = struct(cand.columns.map(col).toIndexedSeq: _*).as("__row")
+      val packed = struct(ordFields :+ payload: _*)
+      val aggCol = toCol(graft.pipeline.BoundedTopK(toExpr(packed), k,
+        ordNames.map(_ => true)).toAggregateExpression())
+      val agged = cand.groupBy(leftKeys.map(col): _*)
+        .agg(aggCol.as("__topk"), count(lit(1)).as("__n"))
 
-      // certification: only left rows with a full k inside the radius are done
-      val resolved = ranked.groupBy(leftKeys.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") === k)
-        .select(leftKeys.map(col): _*)
-      val certified = ranked.join(resolved, leftKeys, "left_semi")
+      val certified = agged.filter(col("__n") >= k)
+        .select(posexplode(col("__topk")).as(Seq("__pos", "__e")))
+        .select(col("__e.__row.*") +:
+          Seq((col("__pos") + lit(1)).cast("int").as("knn_rank")): _*)
         .withColumnRenamed("__dist", "knn_dist")
+      val resolved = agged.filter(col("__n") >= k).select(leftKeys.map(col): _*)
       (certified, unresolved.join(resolved, leftKeys, "left_anti"))
     }
 
