@@ -246,6 +246,34 @@ class PipelineSpec extends AnyFunSuite {
       1L -> ((0L, 0L)), 9L -> ((700L, 1L))))
   }
 
+  test("curate: end-to-end dedup → gate → split → pack flow") {
+    import spark.implicits._
+    val good = "The quick brown fox jumps over the lazy dog and then it runs far away into the green hills. " * 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, good),            // planted survivor
+        (900002L, good),            // exact duplicate of it → dropped
+        (900003L, good + " Extra trailing words change little here truly.") // near-dup → dropped
+      ).toDF("doc_id", "text"))
+    val out = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(minQuality = 0.5, langs = Seq("en"), nearDupJaccard = 0.6,
+        splits = Seq(("train", 8000), ("val", 2000)), packTokens = 512, shards = 8))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(900001L) && !ids.contains(900002L) && !ids.contains(900003L))
+    // every survivor has a split, a shard, and a pack assignment
+    val row = out.filter(col("doc_id") === 900001L).head()
+    assert(Set("train", "val")(row.getAs[String]("split")))
+    assert(row.getAs[Long]("shard") >= 0 && row.getAs[Long]("shard") < 8)
+    assert(row.getAs[Long]("pack_id") >= 0)
+    // deterministic: second run identical
+    val again = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(minQuality = 0.5, langs = Seq("en"), nearDupJaccard = 0.6,
+        splits = Seq(("train", 8000), ("val", 2000)), packTokens = 512, shards = 8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("sessionization splits on gap") {
     import java.sql.Timestamp
     val rows = Seq(
