@@ -347,6 +347,18 @@ object Queries {
         .orderBy("grp", "idx")
     }),
 
+    "q52_bm25_scores" -> ((s, d) => {
+      // BM25 retrieval scores for a fixed term set — relevance-based
+      // quality filtering; formula reproduced exactly by the oracle
+      // (4dp rounding absorbs cross-engine ln/avg last-ulp noise)
+      prep(s, d, "documents")
+      Text.bm25(t(s, d, "documents"), "text", "doc_id",
+          Seq("join", "hash", "filter"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("bm25"), 4).as("score"))
+        .orderBy("doc_id", "term")
+    }),
+
     // ------------- LLM-pipeline operators (SURVEY §7.6) ------------------
 
     "q20_doc_stats" -> ((s, d) => {
@@ -988,6 +1000,29 @@ object Queries {
       SELECT grp, CAST(i AS INT) AS idx, round(qs[CAST(i AS INT)], 4) AS v
       FROM q, generate_series(1, 5) s(i)
       ORDER BY grp, idx""",
+
+    "q52_bm25_scores" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      dl AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS dl
+        FROM documents),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)), 4) AS score
+      FROM tf
+      JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+      WHERE term IN ('join', 'hash', 'filter')
+      ORDER BY doc_id, term""",
 
     "q27_embedding_neardup" -> """
       WITH aug AS (

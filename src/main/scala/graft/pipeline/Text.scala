@@ -94,6 +94,31 @@ object Text {
     tf.join(dfreq, Seq("term"))
   }
 
+  /**
+   * BM25 relevance of each document for each query term:
+   * idf(df)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the Robertson idf
+   * ln(1 + (N−df+0.5)/(df+0.5)). Corpus stats (N, avgdl) join in as a
+   * broadcast one-row aggregate — no driver-side action (unlike [[tfidf]]'s
+   * `count()`), so the operator composes lazily at any scale.
+   */
+  def bm25(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val stats = termStats(df, textCol, idCol) // (term, doc_id, tf, df)
+    val dl = df.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    stats.filter(col("term").isin(queryTerms: _*))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("bm25"))
+  }
+
   /** TF-IDF scores from [[termStats]]: tf · (ln((N+1)/(df+1)) + 1). */
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
     val n = df.count()
