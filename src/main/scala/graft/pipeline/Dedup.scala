@@ -53,25 +53,62 @@ object Dedup {
                             shingle: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // band b = hash(sig[b*rows .. (b+1)*rows)) — the band hashes are
+    // computed ONCE per doc (not per exploded row, and not re-sliced per
+    // candidate pair) and carried as a `bands`-long array next to the
+    // signature. A pair sharing m bands appears m times in the bucket
+    // join; it is emitted only from the FIRST shared band (a zip of the
+    // carried band-hash arrays) — exactly-once, no distinct() shuffle.
     val sig = df.select(col(idCol).as("id"),
-      Text.minhash(col(textCol), numHashes, shingle).as("sig"))
-    // band b = hash(sig[b*rows .. (b+1)*rows)); explode to (band, bucket, id, sig)
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // A pair sharing m bands appears m times in the bucket join. Emit it only
-    // from the FIRST shared band (recomputed from the carried signatures) —
-    // exactly-once without a distinct() shuffle over the pair set.
-    val bandAgrees = transform(sequence(lit(0), lit(bands - 1)),
-      bb => xxhash64(slice(col("sig_a"), bb * rows + 1, lit(rows))) ===
-            xxhash64(slice(col("sig_b"), bb * rows + 1, lit(rows))))
+        Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+    pairsFromSketches(sig, numHashes)
+  }
+
+  /**
+   * Persist the MinHash sketches (signature + band hashes) of a corpus —
+   * the write-once form of [[minhashCandidatePairs]] for the 100 TB
+   * regime: the text corpus is scanned ONCE at index build; candidate
+   * generation afterwards reads only the slim sketch table (~0.6 KB/doc
+   * vs the documents), so re-running dedup (or running it incrementally
+   * against a new batch's sketches) never re-tokenizes the corpus.
+   */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, numHashes: Int = 64, bands: Int = 16,
+                        shingle: Int = 3): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Candidate pairs from a persisted sketch index — same result as
+    * [[minhashCandidatePairs]] over the original corpus, no text scan. */
+  def minhashCandidatePairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame = {
+    val sig = spark.read.parquet(path)
+    val numHashes = sig.select(size(col("sig"))).head().getInt(0)
+    pairsFromSketches(sig, numHashes)
+  }
+
+  /** Banded bucket join + first-shared-band emission over (id, sig, bh). */
+  private def pairsFromSketches(sig: DataFrame, numHashes: Int): DataFrame = {
+    val banded = sig.select(col("id"), col("sig"), col("bh"),
+      posexplode(col("bh")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"), col("bh").as("bh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"), col("bh").as("bh_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === array_position(bandAgrees, true) - 1)
+      .filter(col("band") ===
+        array_position(zip_with(col("bh_a"), col("bh_b"), (x, y) => x === y), true) - 1)
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 

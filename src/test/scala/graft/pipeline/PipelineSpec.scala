@@ -246,6 +246,17 @@ class PipelineSpec extends AnyFunSuite {
       1L -> ((0L, 0L)), 9L -> ((700L, 1L))))
   }
 
+  test("persisted minhash sketch index reproduces in-memory candidate pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = "/tmp/graft_minhash_index"
+    Dedup.writeMinhashIndex(docs, "text", "doc_id", path)
+    val indexed = Dedup.minhashCandidatePairsIndexed(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == inMemory && indexed.nonEmpty)
+  }
+
   test("curate: end-to-end dedup → gate → split → pack flow") {
     import spark.implicits._
     val good = "The quick brown fox jumps over the lazy dog and then it runs far away into the green hills. " * 4
