@@ -79,19 +79,23 @@ object Dedup {
                         shingle: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("numHashes", numHashes).build()
     df.select(col(idCol).as("id"),
-        Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+        Text.minhash(col(textCol), numHashes, shingle).as("sig", meta))
       .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
       .write.mode("overwrite").parquet(path)
   }
 
   /** Candidate pairs from a persisted sketch index — same result as
-    * [[minhashCandidatePairs]] over the original corpus, no text scan. */
+    * [[minhashCandidatePairs]] over the original corpus, no text scan.
+    * The signature length travels as field metadata — reading it is a
+    * schema lookup, not a data action. */
   def minhashCandidatePairsIndexed(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
     val sig = spark.read.parquet(path)
-    val numHashes = sig.select(size(col("sig"))).head().getInt(0)
+    val numHashes = sig.schema("sig").metadata.getLong("numHashes").toInt
     pairsFromSketches(sig, numHashes)
   }
 
