@@ -79,12 +79,15 @@ object Dedup {
                         shingle: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("numHashes", numHashes).build()
+    val bhMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("bands", bands).build()
     df.select(col(idCol).as("id"),
-        Text.minhash(col(textCol), numHashes, shingle).as("sig", meta))
+        Text.minhash(col(textCol), numHashes, shingle).as("sig", sigMeta))
       .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("id"), col("sig"), col("bh").as("bh", bhMeta))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -97,6 +100,39 @@ object Dedup {
     val sig = spark.read.parquet(path)
     val numHashes = sig.schema("sig").metadata.getLong("numHashes").toInt
     pairsFromSketches(sig, numHashes)
+  }
+
+  /**
+   * Incremental dedup: near-dup candidate pairs between a NEW batch and a
+   * persisted corpus index — the corpus is never re-tokenized, only the
+   * batch is sketched. Returns (id_a = corpus id, id_b = batch id,
+   * est_jaccard); batch-internal duplicates are found separately with
+   * [[minhashCandidatePairs]] on the batch. Sketch parameters come from
+   * the index metadata so both sides band identically.
+   */
+  def minhashCandidatePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                        path: String, batch: DataFrame,
+                                        textCol: String, idCol: String,
+                                        shingle: Int = 3): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
+    val bands = corpus.schema("bh").metadata.getLong("bands").toInt
+    val rows = numHashes / bands
+    val batchSig = batch.select(col(idCol).as("id"),
+        Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+    def explodeSide(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("id"), col("sig"), col("bh"),
+          posexplode(col("bh")).as(Seq("band", "bucket")))
+        .select(col("band"), col("bucket"), col("id").as(s"id_$suffix"),
+          col("sig").as(s"sig_$suffix"), col("bh").as(s"bh_$suffix"))
+    explodeSide(corpus, "a").join(explodeSide(batchSig, "b"), Seq("band", "bucket"))
+      .filter(col("band") ===
+        array_position(zip_with(col("bh_a"), col("bh_b"), (x, y) => x === y), true) - 1)
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** Banded bucket join + first-shared-band emission over (id, sig, bh). */

@@ -257,6 +257,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed == inMemory && indexed.nonEmpty)
   }
 
+  test("incremental dedup: new batch vs persisted index finds planted cross-dups") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val path = "/tmp/graft_minhash_incr_index"
+    Dedup.writeMinhashIndex(docs, "text", "doc_id", path)
+    // the batch: one doc copied verbatim from the corpus + one fresh doc
+    val corpusText = docs.filter(col("doc_id") === 7L).head().getString(1)
+    val batch = Seq((500001L, corpusText),
+      (500002L, "completely novel content that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairsAgainstIndex(spark, path, batch, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 500001L)), pairs)
+    assert(!pairs.exists(_._2 == 500002L))
+  }
+
   test("curate: end-to-end dedup → gate → split → pack flow") {
     import spark.implicits._
     val good = "The quick brown fox jumps over the lazy dog and then it runs far away into the green hills. " * 4
