@@ -218,6 +218,31 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- events
 
+  test("bounded top-k aggregate == window rank on random data (nulls, strings, mixed dirs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { i =>
+        val grp = rnd.nextInt(7)
+        val v: java.lang.Double = if (rnd.nextInt(10) == 0) null else rnd.nextInt(50).toDouble
+        val s = s"s${rnd.nextInt(20)}"
+        (i.toLong, grp, v, s)
+      }
+      val df = rows.toDF("id", "grp", "v", "s").repartition(5)
+      val got = GroupedTopK.topK(df, Seq("grp"),
+          Seq(("v", false), ("s", true), ("id", true)), k = 4, rankCol = "rk")
+        .select("grp", "id", "rk")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("v").desc, col("s").asc, col("id").asc)
+      val expected = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+        .select("grp", "id", "rk")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("hash split: deterministic, complete, near-nominal fractions") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splits = Seq(("train", 8000), ("val", 1000), ("test", 1000))

@@ -205,16 +205,18 @@ class SpatialJoinSpec extends AnyFunSuite {
     import spark.implicits._
     for (seed <- Seq(7L, 23L)) {
       val rnd = new scala.util.Random(seed)
-      // clustered + uniform mix, with exact duplicate locations thrown in
+      // clustered + uniform mix straddling the origin (negative coords
+      // exercise the sign-extension of packed (ix,iy) cell ids), with
+      // exact duplicate locations thrown in
       val lpts = (0 until 200).map { i =>
-        val cl = rnd.nextInt(5) * 1000.0
-        (i.toLong, cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 100.0)
+        val cl = (rnd.nextInt(5) - 2) * 1000.0
+        (i.toLong, cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 200.0 - 100.0)
       }
       val rpts = (0 until 150).map { i =>
-        val cl = rnd.nextInt(5) * 1000.0
+        val cl = (rnd.nextInt(5) - 2) * 1000.0
         val (x, y) =
-          if (i % 17 == 0) (cl, 50.0) // repeated exact locations (distance ties)
-          else (cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 100.0)
+          if (i % 17 == 0) (cl, -50.0) // repeated exact locations (distance ties)
+          else (cl + rnd.nextDouble() * 80.0, rnd.nextDouble() * 200.0 - 100.0)
         (i.toLong, x, y)
       }
       val l = lpts.toDF("lid", "lx", "ly").select(col("lid"), G.st_point(col("lx"), col("ly")).as("lg"))
