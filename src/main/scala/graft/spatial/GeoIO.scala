@@ -118,7 +118,8 @@ object GeoIO {
    * @param geometryColumns column → geometry class ("Point", "Polygon", …)
    */
   def writeGeoParquetNative(df: DataFrame, path: String,
-                            geometryColumns: Map[String, String]): Unit = {
+                            geometryColumns: Map[String, String],
+                            interleaved: Boolean = false): Unit = {
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
       geometryColumns.get(f.name) match {
         case Some(gtype) =>
@@ -126,7 +127,8 @@ object GeoIO {
             .putString("encoding", gtype.toLowerCase)
             .putString("geometryType", gtype)
             .build()
-          GraftShim.column(StWkbAsNative(GraftShim.expression(col(f.name)), gtype))
+          GraftShim.column(StWkbAsNative(GraftShim.expression(col(f.name)), gtype,
+              interleaved = interleaved))
             .as(f.name, meta)
         case None => col(f.name)
       }

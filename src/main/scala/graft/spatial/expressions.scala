@@ -1153,12 +1153,17 @@ case class StRotate(left: Expression, right: Expression)
  * points encode as all-NaN ordinates (reference convention:
  * data/generate_test_data.py:79).
  */
-case class StWkbAsNative(child: Expression, geometryType: String, dim: Int = 2)
+case class StWkbAsNative(child: Expression, geometryType: String, dim: Int = 2,
+                         interleaved: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(dim >= 2 && dim <= 4)
+  // the interleaved reader infers stride 2 from array<double>; other dims
+  // would be ambiguous at read time, exactly why GeoArrow prefers separated
+  require(!interleaved || dim == 2, "interleaved layout supports XY only")
 
-  private def coordType: StructType =
-    StructType(Seq("x", "y", "z", "m").take(dim)
+  private def coordType: DataType =
+    if (interleaved) ArrayType(DoubleType, containsNull = false)
+    else StructType(Seq("x", "y", "z", "m").take(dim)
       .map(n => StructField(n, DoubleType, nullable = false)))
 
   override def dataType: DataType = geometryType.toLowerCase match {
@@ -1174,7 +1179,13 @@ case class StWkbAsNative(child: Expression, geometryType: String, dim: Int = 2)
   override def nullable: Boolean = true
   override def prettyName: String = "st_wkb_as_native"
 
-  private def rowOf(cs: Array[Double], off: Int, gdim: Int): InternalRow = {
+  private def rowOf(cs: Array[Double], off: Int, gdim: Int): Any = {
+    if (interleaved) {
+      val vals = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { vals(i) = if (i < gdim) cs(off + i) else Double.NaN; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+    }
     val vals = new Array[Any](dim)
     var i = 0
     while (i < dim) { vals(i) = if (i < gdim) cs(off + i) else Double.NaN; i += 1 }

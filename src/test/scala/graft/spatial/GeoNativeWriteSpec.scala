@@ -53,6 +53,24 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaved native write round-trips (XY flat-coord layout)") {
+    for ((fix, gclass) <- classes) {
+      val src = GeoIO.readGeoParquet(spark,
+        s"/root/reference/data/data-$fix-encoding_wkb.parquet")
+      val out = s"/tmp/graft_native_write_il_$fix"
+      GeoIO.writeGeoParquetNative(src, out, Map("geometry" -> gclass), interleaved = true)
+      // coords are array<double> at the innermost level, not struct
+      val dt = spark.read.parquet(out).schema("geometry").dataType.catalogString
+      assert(dt.contains("array<double>") && !dt.contains("struct"), s"$gclass: $dt")
+      val back = GeoIO.readGeoParquet(spark, out)
+      val a = src.select(col("col"), G.st_astext(col("geometry")).as("wkt"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = back.select(col("col"), G.st_astext(col("geometry")).as("wkt"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(a == b, s"class=$gclass")
+    }
+  }
+
   test("class-mismatched rows become null in a native column") {
     G.register(spark)
     val mixed = spark.sql("""
