@@ -72,4 +72,53 @@ object Sampling {
     df.withColumn("pack_offset", prefix)
       .withColumn("pack_id", floor(col("pack_offset") / maxTokens.toLong))
   }
+
+  /**
+   * TRUE greedy (next-fit) bin packing (the loader semantics when documents are
+   * never split and packs never overflow): walk each shard in `orderCol`
+   * order, open a new pack whenever the current document does not fit;
+   * documents longer than `maxTokens` get a pack of their own. This is a
+   * sequential recurrence — not expressible as window algebra (which is
+   * why [[packSequences]] exists as the closed-form alternative) — so it
+   * runs as a per-partition fold after `repartition(shard)` +
+   * `sortWithinPartitions`: one shuffle, constant state per open shard,
+   * no per-group materialization. The Row-codec hop is the cost of the
+   * recurrence, confined to this one operator.
+   *
+   * Adds `pack_id` (0-based within shard).
+   */
+  def packSequencesNextFit(df: DataFrame, shardCol: String, orderCol: String,
+                            tokenCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val schema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("pack_id", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val shardIdx = schema.fieldIndex(shardCol)
+    val tokIdx = schema.fieldIndex(tokenCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val max = maxTokens.toLong
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .mapPartitions { it =>
+        // rows of one shard are contiguous after the sort; track the open
+        // pack of the CURRENT shard only — constant memory
+        var curShard: Any = null
+        var first = true
+        var packId = -1L
+        var used = 0L
+        it.map { row =>
+          val shard = row.get(shardIdx)
+          val toks = row.get(tokIdx) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"token count must be numeric, got $other")
+          }
+          if (first || shard != curShard) { curShard = shard; first = false; packId = 0L; used = 0L }
+          else if (used + toks > max && used > 0L) { packId += 1L; used = 0L }
+          used += toks
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ packId)
+        }
+      }
+  }
 }

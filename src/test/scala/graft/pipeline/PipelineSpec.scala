@@ -300,6 +300,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(_._2 == 500002L))
   }
 
+  test("next-fit packing: docs never split, packs never overflow, oversized solo") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 0L, 300L), (1L, 0L, 300L), (2L, 0L, 200L), (3L, 0L, 700L), (4L, 0L, 100L),
+      (10L, 1L, 512L), (11L, 1L, 1L)
+    ).toDF("doc_id", "shard", "toks")
+    val got = Sampling.packSequencesNextFit(docs, "shard", "doc_id", "toks", 512)
+      .select("doc_id", "pack_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard 0: [300] fits; 300+300>512 → new pack [300,200]; 700 oversized solo;
+    //          100 opens the next pack. shard 1: exactly-full pack, then new.
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L), got)
+    // invariant on random data: no pack exceeds max unless it is a single
+    // oversized doc, and pack ids are contiguous per shard
+    val rnd = new scala.util.Random(5L)
+    val rand = (0 until 400).map(i => (i.toLong, (i % 7).toLong, (rnd.nextInt(400) + 1).toLong))
+      .toDF("doc_id", "shard", "toks")
+    val packs = Sampling.packSequencesNextFit(rand, "shard", "doc_id", "toks", 512)
+      .groupBy("shard", "pack_id")
+      .agg(sum("toks").as("total"), count(lit(1)).as("n"))
+      .collect()
+    assert(packs.forall(r => r.getLong(2) <= 512 || r.getLong(3) == 1))
+  }
+
   test("curate: end-to-end dedup → gate → split → pack flow") {
     import spark.implicits._
     val good = "The quick brown fox jumps over the lazy dog and then it runs far away into the green hills. " * 4
