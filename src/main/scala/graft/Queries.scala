@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -387,7 +387,13 @@ object Queries {
     }),
 
     "q23_lang_id" -> ((s, d) => {
-      // heuristic language ID — no SQL oracle; rows-only check
+      // heuristic language ID, hash-matched against a full SQL mirror of the
+      // Latin-script stopword-voting path: the corpus is pure-ASCII (checked
+      // per sf), so tokenize ≡ lower + split on [^a-z0-9]+ and the script-
+      // histogram branches never fire — DuckDB recomputes the 7 profile hit
+      // counts, the first-max-wins argmax, and the bestHits·20 ≥ nTokens
+      // density rule exactly. (The non-Latin script branches are covered by
+      // planted multi-script fixtures in PipelineSpec.)
       prep(s, d, "documents")
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
@@ -395,22 +401,57 @@ object Queries {
     }),
 
     "q24_fingerprint_minhash" -> ((s, d) => {
-      // content sketches — no SQL oracle; rows-only check
+      // content sketches, hash-matched against full SQL mirrors of the
+      // fnv1a64 → fingerprint64/simhash64 kernels (HUGEINT mod-2^64
+      // arithmetic in DuckDB — every 64-bit value certified exactly)
       prep(s, d, "documents")
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"),
           Text.fingerprint64(col("text")).as("fp64"),
-          Text.simhash64(col("text")).as("sh64"),
-          xxhash64(Text.minhash(col("text"), 64, 3)).as("minhash_key"))
+          Text.simhash64(col("text")).as("sh64"))
         .orderBy("doc_id")
     }),
 
     "q25_minhash_neardup" -> ((s, d) => {
-      // MinHash-LSH near-dup candidate pairs — no SQL oracle; rows-only
+      // the real near-dup pipeline: MinHash-LSH candidates → exact n-gram
+      // Jaccard verify ≥ 0.8, hash-matched against the quadratic DuckDB
+      // oracle. Sound because LSH recall at the fixture's similarities
+      // (every qualifying pair sits at j ≥ 0.85; nothing natural between
+      // 0.04 and 0.85) is 1 — verified per sf, miss probability < 1e-5/pair.
       prep(s, d, "documents")
-      Dedup.minhashCandidatePairs(t(s, d, "documents"), "text", "doc_id")
-        .filter(col("est_jaccard") >= 0.8)
+      Dedup.nearDuplicatePairs(t(s, d, "documents"), "text", "doc_id",
+          threshold = 0.8)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q53_minhash_sig" -> ((s, d) => {
+      // the raw MinHash signature, all 64 permutations exploded — certified
+      // value-exactly against the DuckDB mulmod mirror (see oracle)
+      prep(s, d, "documents")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.minhash(col("text"), 64, 3)).as(Seq("perm", "sigval")))
+        .select(col("doc_id"), col("perm").cast("long").as("perm"), col("sigval"))
+        .orderBy("doc_id", "perm")
+    }),
+
+    "q54_curate" -> ((s, d) => {
+      // the END-TO-END curation pipeline (exact dedup → LSH near-dup removal
+      // → quality + language gate → deterministic split → shard → pack),
+      // certified as ONE composed flow against a DuckDB CTE chain that
+      // recomputes every stage. Config chosen so each stage is oracle-
+      // expressible: τ=0.8 (LSH recall 1 on this fixture, like q25),
+      // lang gate via the q23 SQL mirror, md5 split/shard, 512-token packs.
+      prep(s, d, "documents")
+      Curate.curate(t(s, d, "documents"), "doc_id", "text",
+          Curate.Config(minQuality = 0.5, langs = Seq("en"),
+            nearDupJaccard = 0.8,
+            splits = Seq(("train", 8000), ("val", 1000), ("test", 1000)),
+            packTokens = 512, shards = 8))
+        .select(col("doc_id"), col("quality"), col("lang"), col("split"),
+          col("shard").cast("long").as("shard"), col("toks").cast("long").as("toks"),
+          col("pack_offset"), col("pack_id"))
+        .orderBy("doc_id")
     }),
 
     "q26_cosine_topk" -> ((s, d) => {
@@ -726,6 +767,88 @@ object Queries {
 
   // ================================================================ oracle
 
+  // ---- DuckDB mirrors of the custom hash kernels (valid for the ASCII
+  // corpus: tokenize ≡ lower + split [^a-z0-9]+, chars == UTF-8 bytes).
+  // All 64-bit arithmetic runs as HUGEINT mod 2^64; the FNV xor-step only
+  // touches the low byte so it stays in BIGINT range, while full-64-bit
+  // xors round-trip through signed BIGINT (bit pattern preserved).
+
+  private val U64 = "18446744073709551616" // 2^64
+  private val S63 = "9223372036854775808"  // 2^63
+
+  /** CTE list: `doc_id, t` (token list) and `doc_id, t, hashes`
+    * (per-token fnv1a64 as HUGEINT) over `from`. */
+  private def fnvTokenCtes(from: String): String = s"""
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM $from),
+      th AS (
+        SELECT doc_id, t,
+          list_transform(t, tok ->
+            list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(range(1, length(tok)+1),
+                               i -> CAST(ascii(substr(tok,i,1)) AS HUGEINT))),
+              (h, c) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                            CAST(c AS BIGINT)))
+                         * 1099511628211) % $U64)) AS hashes
+        FROM toks)"""
+
+  /** Unsigned-mod-2^64 HUGEINT expr → signed BIGINT expr. */
+  private def toSigned(e: String): String =
+    s"CAST(CASE WHEN $e >= $S63 THEN $e - $U64 ELSE $e END AS BIGINT)"
+
+  /** Full-64-bit xor of two HUGEINT-mod-2^64 exprs, back to HUGEINT. */
+  private def xor64(a: String, b: String): String =
+    s"(((xor(${toSigned(a)}, ${toSigned(b)}) % $U64) + $U64) % $U64)"
+
+  /** One fnv1a64 combine step over a full 64-bit value: (h ^ x) * prime. */
+  private def fnvStep(h: String, x: String): String =
+    s"((${xor64(h, x)}) * 1099511628211) % $U64"
+
+  /** Mirror of TextUtil.langId's Latin-script voting: CTEs `ltoks`,
+    * `lhits`, `langs(doc_id, lang)` over `from`. Generated from the SAME
+    * profile lists as the Scala implementation so the two cannot drift. */
+  private def langMirrorCtes(from: String): String = {
+    val langs = graft.pipeline.TextUtil.profiles.map(_._1)
+    val hitCols = graft.pipeline.TextUtil.profiles.map { case (lang, words) =>
+      val lst = words.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(lt, x -> list_contains([$lst], x))) AS h_$lang"
+    }.mkString(",\n               ")
+    val big = langs.map("h_" + _).mkString("greatest(", ", ", ")")
+    val whens = langs.init.map(l => s"WHEN h_$l = $big THEN '$l'")
+      .mkString("\n             ")
+    s"""
+      ltoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS lt
+        FROM $from),
+      lhits AS (
+        SELECT doc_id, len(lt) AS nt,
+               $hitCols
+        FROM ltoks),
+      langs AS (
+        SELECT doc_id,
+          CASE WHEN $big = 0 OR $big * 20 < nt THEN 'und'
+               $whens
+               ELSE '${langs.last}' END AS lang
+        FROM lhits)"""
+  }
+
+  /** CTEs `grams(doc_id, g)`: distinct word-3-gram shingles over `from`
+    * (whitespace tokens — mirrors Text.wordShingles, not TextUtil.tokenize). */
+  private def gramCtes(from: String): String = s"""
+      gtoks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wt FROM $from),
+      grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(wt)-2, 0)+1),
+                 i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS g
+        FROM gtoks)"""
+
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -921,6 +1044,164 @@ object Queries {
       FROM m
       WHERE greatest(least(len_score * 0.3 + alpha * 0.7 - (punct + digit) * 0.5, 1.0), 0.0) > 0.5
       ORDER BY doc_id""",
+
+    // Full SQL mirror of TextUtil.langId's Latin-script voting path
+    // (generated from the same profile lists — see langMirrorCtes).
+    "q23_lang_id" -> s"""
+      WITH ${langMirrorCtes("documents")}
+      SELECT doc_id, lang AS lang_pred
+      FROM langs ORDER BY doc_id""",
+
+    // Full SQL mirrors of the fingerprint64/simhash64 kernels: per-token
+    // fnv1a64 as HUGEINT mod-2^64, simhash = per-bit majority vote over the
+    // token-hash multiset, fingerprint = fnv over the "token space" stream.
+    "q24_fingerprint_minhash" -> s"""
+      WITH ${fnvTokenCtes("documents")},
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(hashes) = 0 THEN 0 ELSE
+            list_sum(list_transform(range(0, 64), b ->
+              CASE WHEN 2 * len(list_filter(hashes,
+                     h -> (h // (CAST(1 AS HUGEINT) << b)) % 2 = 1)) > len(hashes)
+                   THEN (CAST(1 AS HUGEINT) << b) ELSE 0 END)) END AS sh64u
+        FROM th),
+      fp AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(joined)+1),
+                             i -> CAST(ascii(substr(joined,i,1)) AS HUGEINT))),
+            (h, c) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                          CAST(c AS BIGINT)))
+                       * 1099511628211) % $U64) AS fp64u
+        FROM (SELECT doc_id,
+                CASE WHEN len(t) = 0 THEN ''
+                     ELSE array_to_string(t, ' ') || ' ' END AS joined
+              FROM toks))
+      SELECT sh.doc_id, ${toSigned("fp64u")} AS fp64, ${toSigned("sh64u")} AS sh64
+      FROM sh JOIN fp USING (doc_id) ORDER BY doc_id""",
+
+    // Quadratic exact n-gram Jaccard over all pairs — the LSH candidate
+    // stage provably (checked per sf: zero missed pairs at τ=0.8 with a
+    // miss probability < 1e-5 per pair at the fixture's ≥0.85 similarities)
+    // covers every qualifying pair, so candidates ∩ verify ≡ all-pairs.
+    "q25_minhash_neardup" -> s"""
+      WITH ${gramCtes("documents")}
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             len(list_distinct(list_cat(a.g, b.g))) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            len(list_distinct(list_cat(a.g, b.g))) >= 0.8
+      ORDER BY id_a, id_b""",
+
+    // Full SQL mirror of the MinHash signature: shingle bases are fnv1a64
+    // folds over three consecutive full-64-bit token hashes, permutation j
+    // applies a_j·base + b_j mod 2^64 (split mulmod: a_j is up to 2^64, so
+    // a_j·base is computed as low32·base + ((high32·(base mod 2^32)) mod
+    // 2^32)·2^32 to stay inside HUGEINT), and sig_j is the SIGNED min.
+    // The a_j/b_j constants are generated from TextUtil.splitmix64 — the
+    // same pure function the Scala kernel uses, so they cannot drift.
+    "q53_minhash_sig" -> {
+      val aLit = (0 until 64).map(j =>
+        s"CAST(${java.lang.Long.toUnsignedString(
+          graft.pipeline.TextUtil.splitmix64(0x5851f42d4c957f2dL + j) | 1L)} AS HUGEINT)")
+        .mkString(", ")
+      val bLit = (0 until 64).map(j =>
+        s"CAST(${java.lang.Long.toUnsignedString(
+          graft.pipeline.TextUtil.splitmix64(0x14057b7ef767814fL ^ j))} AS HUGEINT)")
+        .mkString(", ")
+      val b0 = "CAST(14695981039346656037 AS HUGEINT)"
+      val b1 = fnvStep(b0, "hashes[i]")
+      val b2 = fnvStep(s"($b1)", "hashes[i+1]")
+      val b3 = fnvStep(s"($b2)", "hashes[i+2]")
+      val hv = s"""((((c.aj % 4294967296) * base) % $U64 +
+                ((((c.aj // 4294967296) * (base % 4294967296)) % 4294967296)
+                 * 4294967296) % $U64 + c.bj) % $U64)"""
+      s"""
+      WITH ${fnvTokenCtes("documents")},
+      bases AS (
+        SELECT doc_id, len(t) AS ntk,
+          list_transform(range(1, greatest(len(t)-2, 0)+1), i -> $b3) AS bs
+        FROM th),
+      coef AS (
+        SELECT unnest(range(0, 64)) AS j,
+               unnest([$aLit]) AS aj,
+               unnest([$bLit]) AS bj),
+      sig AS (
+        SELECT b.doc_id, c.j,
+          CASE WHEN b.ntk < 3 THEN 9223372036854775807
+               ELSE list_min(list_transform(b.bs, base -> ${toSigned(hv)}))
+          END AS sigval
+        FROM bases b CROSS JOIN coef c)
+      SELECT doc_id, CAST(j AS BIGINT) AS perm, sigval
+      FROM sig ORDER BY doc_id, perm"""
+    },
+
+    // End-to-end Curate mirror: every pipeline stage recomputed in one CTE
+    // chain — exact dedup (keep lowest id per md5), near-dup removal (the
+    // quadratic Jaccard oracle standing in for LSH+verify, sound per q25),
+    // quality gate (q22 expression), language gate (q23 mirror), md5
+    // split/shard buckets (q49), stream-offset packing (q50).
+    "q54_curate" -> s"""
+      WITH ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents),
+      keep_exact AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+      ${gramCtes("keep_exact")},
+      losers AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      deduped AS (
+        SELECT k.doc_id, k.text FROM keep_exact k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)),
+      qual AS (
+        SELECT doc_id,
+               greatest(least(len_score * 0.3 + alpha * 0.7
+                              - (punct + digit) * 0.5, 1.0), 0.0) AS quality
+        FROM (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / length(text) END AS alpha,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                           / length(text) END AS punct,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                           / length(text) END AS digit
+          FROM deduped)),
+      ${langMirrorCtes("deduped")},
+      gated AS (
+        SELECT d.doc_id, d.text, q.quality, l.lang
+        FROM deduped d JOIN qual q USING (doc_id) JOIN langs l USING (doc_id)
+        WHERE q.quality >= 0.5 AND l.lang = 'en'),
+      enriched AS (
+        SELECT doc_id, quality, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % 10000 AS b10k,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % 8 AS BIGINT) AS shard,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+        FROM gated),
+      packed AS (
+        SELECT doc_id, quality, lang,
+               CASE WHEN b10k < 8000 THEN 'train'
+                    WHEN b10k < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               shard, toks,
+               CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+                 AS BIGINT) AS pack_offset
+        FROM enriched)
+      SELECT doc_id, quality, lang, split, shard, toks, pack_offset,
+             CAST(floor(pack_offset / 512) AS BIGINT) AS pack_id
+      FROM packed ORDER BY doc_id""",
 
     "q26_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

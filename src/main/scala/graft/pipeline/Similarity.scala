@@ -111,15 +111,33 @@ object Similarity {
       .orderBy(col("__h"))
       .limit(nLists)
       .drop("__h")
+    // the per-vector argmax centroid is a pure MAP, not a grouped re-rank:
+    // the centroids fold into a one-row ARRAY (broadcast — the same
+    // no-driver-action shape as bm25's corpus stats) and each corpus row
+    // walks it with a higher-order `aggregate`, keeping the running best
+    // (cosine desc, centroid_id asc — order-independent tie-break). The
+    // corpus is never exploded ×nLists through an aggregate and NEVER
+    // shuffled: no Window, no Sort, no exchange keyed on the vector id —
+    // the plan is scan → broadcast one-row join → project. Zero vectors
+    // (null cosine) coalesce to −2 and assign to the lowest centroid id.
+    val centArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cvec"))).as("__cents"))
+    val cidType = corpus.schema(idCol).dataType
     val assigned = corpus
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-        col("centroid_id"), cosine(col(vecCol), col("cvec")).as("csim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("neighbor_id"))
-          .orderBy(col("csim").desc, col("centroid_id").asc)))
-      .filter(col("r") === 1)
-      .select(col("neighbor_id"), col("nvec"), col("centroid_id").as("list_id"))
+      .crossJoin(broadcast(centArr))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("__cents"))
+      .withColumn("list_id",
+        aggregate(col("__cents"),
+          struct(lit(-3.0).as("best"), lit(null).cast(cidType).as("cid")),
+          (acc, c) => {
+            val sim = coalesce(cosine(col("nvec"), c.getField("cvec")), lit(-2.0))
+            val better = sim > acc.getField("best") ||
+              (sim === acc.getField("best") &&
+                c.getField("centroid_id") < acc.getField("cid"))
+            when(better, struct(sim.as("best"), c.getField("centroid_id").as("cid")))
+              .otherwise(acc)
+          }).getField("cid"))
+      .drop("__cents")
     (assigned, centroids)
   }
 

@@ -119,12 +119,17 @@ object Text {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("bm25"))
   }
 
-  /** TF-IDF scores from [[termStats]]: tf · (ln((N+1)/(df+1)) + 1). */
+  /** TF-IDF scores from [[termStats]]: tf · (ln((N+1)/(df+1)) + 1).
+    * The corpus size joins in as a broadcast one-row aggregate (same
+    * no-driver-action shape as [[bm25]]) — the operator composes lazily
+    * at any scale instead of forcing a `count()` action per call. */
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.count()
+    val corpus = df.agg(count(lit(1)).cast("double").as("__n_docs"))
     termStats(df, textCol, idCol)
+      .crossJoin(broadcast(corpus))
       .withColumn("tfidf",
-        col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+        col("tf") * (log((col("__n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .drop("__n_docs")
   }
 
   // custom-expression wrappers

@@ -62,8 +62,10 @@ object TextUtil {
 
   // ----------------------------------------------------------- language id
 
-  /** Top stopwords per language (public-knowledge frequency lists). */
-  private val profiles: Seq[(String, Set[String])] = Seq(
+  /** Top stopwords per language (public-knowledge frequency lists).
+    * Public so the correctness oracle can mirror the voting in SQL from the
+    * same lists (see q23 in [[graft.Queries]]). */
+  val profiles: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "of", "and", "to", "in", "is", "that", "for", "it", "as",
       "was", "with", "be", "by", "on", "not", "this", "are", "or", "his", "from",
       "at", "which", "but", "have", "an", "they", "you", "were", "her"),

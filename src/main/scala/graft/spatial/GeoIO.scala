@@ -116,10 +116,13 @@ object GeoIO {
    * at the sink.
    *
    * @param geometryColumns column → geometry class ("Point", "Polygon", …)
+   * @param dim coordinate width of the written layout (2 = XY … 4 = XYZM;
+   *            lower-dimension rows pad missing ordinates with NaN)
    */
   def writeGeoParquetNative(df: DataFrame, path: String,
                             geometryColumns: Map[String, String],
-                            interleaved: Boolean = false): Unit = {
+                            interleaved: Boolean = false,
+                            dim: Int = 2): Unit = {
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
       geometryColumns.get(f.name) match {
         case Some(gtype) =>
@@ -128,7 +131,7 @@ object GeoIO {
             .putString("geometryType", gtype)
             .build()
           GraftShim.column(StWkbAsNative(GraftShim.expression(col(f.name)), gtype,
-              interleaved = interleaved))
+              dim = dim, interleaved = interleaved))
             .as(f.name, meta)
         case None => col(f.name)
       }

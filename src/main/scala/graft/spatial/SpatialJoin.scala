@@ -170,15 +170,24 @@ object SpatialJoin {
    *  maxCells cells) carry NO broadcast hint — the planner/AQE broadcasts
    *  the small side only when it actually fits, the explicit size gate.
    *
-   *  `cellSize` tunes performance, never correctness. One caveat at the
-   *  margin: when |right| < k no row ever certifies (count < k), so every
-   *  round re-joins — callers should pick k ≤ |right|.
+   *  `cellSize` tunes performance, never correctness. Degenerate-k guard:
+   *  with |right| < k no row ever certifies (count < k), so every grid
+   *  round would re-join for nothing before the residual answers anyway.
+   *  Callers that know an UPPER bound on |right| (a catalog row count, a
+   *  dimension-table cardinality — NOT computed here, that would be a
+   *  driver action) pass it as `rightCountUpperBound`; when that bound is
+   *  ≤ k the k nearest of every left row are ALL right rows, so the grid
+   *  rounds are skipped and the exact brute-force residual (which ranks
+   *  right against the full left set, planner-gated broadcast) IS the
+   *  whole answer.
    */
   def knnJoinGrid(left: DataFrame, right: DataFrame,
                   leftGeom: Column, rightGeom: Column,
                   leftKeys: Seq[String], rightKeys: Seq[String],
-                  k: Int, cellSize: Double, escalateRounds: Int = 2): DataFrame = {
+                  k: Int, cellSize: Double, escalateRounds: Int = 2,
+                  rightCountUpperBound: Option[Long] = None): DataFrame = {
     require(escalateRounds >= 1)
+    val skipRounds = rightCountUpperBound.exists(_ <= k)
     val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
     // packed (ix,iy) arithmetic on cell ids — codegen'd longs, no WKB parse
     def ixOf(c: Column) = shiftright(c, 32)
@@ -244,7 +253,7 @@ object SpatialJoin {
     var pitch = cellSize
     val certifiedParts = Seq.newBuilder[DataFrame]
     var r = 0
-    while (r < escalateRounds) {
+    while (r < escalateRounds && !skipRounds) {
       val (certified, next) = gridRound(unresolved, pitch)
       certifiedParts += certified
       unresolved = next

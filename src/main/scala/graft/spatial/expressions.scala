@@ -496,7 +496,12 @@ case class StNativeAsWkb(child: Expression, geometryType: String)
 /** Decoders from Spark nested values (InternalRow/ArrayData) to [[Geometry]]. */
 object NativeLayout {
 
-  /** dim and a coord extractor from a struct or interleaved layout. */
+  /** dim and a coord extractor from a struct or interleaved layout.
+    * dim 0 = dynamic: the interleaved `array<double>` layout carries the
+    * dimension as the runtime length of each innermost coordinate array
+    * (the Spark mapping of GeoArrow's `FixedSizeList<f64>[dim]`, whose
+    * static width the reference dispatches on — helpers.rs:49-71; Spark
+    * has no fixed-size list type, so the width is read from the data). */
   private def coordReader(dt: DataType): (Int, Any => Array[Double]) = dt match {
     case st: StructType =>
       val dim = st.fields.length
@@ -508,24 +513,33 @@ object NativeLayout {
         out
       })
     case ArrayType(DoubleType, _) =>
-      (2, { v => v.asInstanceOf[ArrayData].toDoubleArray() })
+      (0, { v => v.asInstanceOf[ArrayData].toDoubleArray() })
     case other => throw new IllegalArgumentException(s"not a coord layout: $other")
   }
+
+  /** Effective dimension: the static struct width, or (dynamic layouts)
+    * the length of an actual coordinate; 2 when nothing read yet. */
+  private def effDim(dim0: Int, c: Array[Double]): Int =
+    if (dim0 > 0) dim0 else if (c != null && c.length >= 2) c.length else 2
 
   def converter(dt: DataType, geometryType: String): Any => Geometry = {
     val gt = geometryType.toLowerCase
     gt match {
       case "point" =>
-        val (dim, rd) = coordReader(dt)
+        val (dim0, rd) = coordReader(dt)
         v => {
           val c = rd(v)
+          val dim = effDim(dim0, c)
           if (c.length == 0 || c(0).isNaN) Point(Array.empty[Double], dim) else Point(c, dim)
         }
       case "linestring" | "multipoint" =>
         val ArrayType(inner, _) = dt: @unchecked
-        val (dim, rd) = coordReader(inner)
+        val (dim0, rd) = coordReader(inner)
         if (gt == "linestring")
-          v => LineString(flatSeqOf(v, dim, rd, inner), dim)
+          v => {
+            val (dim, cs) = flatSeqOf(v, dim0, rd, inner)
+            LineString(cs, dim)
+          }
         else
           v => {
             val arr = v.asInstanceOf[ArrayData]
@@ -533,21 +547,26 @@ object NativeLayout {
             var i = 0
             while (i < pts.length) {
               val c = readElem(arr, i, inner, rd)
+              val dim = effDim(dim0, c)
               pts(i) = if (c == null || c.length == 0 || c(0).isNaN) Point(Array.empty[Double], dim) else Point(c, dim)
               i += 1
             }
+            val dim = if (pts.isEmpty) effDim(dim0, null) else pts(0).dim
             MultiPoint(pts, dim)
           }
       case "polygon" | "multilinestring" =>
         val ArrayType(mid @ ArrayType(inner, _), _) = dt: @unchecked
-        val (dim, rd) = coordReader(inner)
+        val (dim0, rd) = coordReader(inner)
         if (gt == "polygon")
           v => {
             val arr = v.asInstanceOf[ArrayData]
             val rings = new Array[Array[Double]](arr.numElements())
+            var dim = effDim(dim0, null)
             var i = 0
             while (i < rings.length) {
-              rings(i) = flatSeqOf(arr.get(i, mid), dim, rd, inner)
+              val (d, cs) = flatSeqOf(arr.get(i, mid), dim0, rd, inner)
+              if (i == 0) dim = d
+              rings(i) = cs
               i += 1
             }
             Polygon(rings, dim)
@@ -558,14 +577,16 @@ object NativeLayout {
             val lines = new Array[LineString](arr.numElements())
             var i = 0
             while (i < lines.length) {
-              lines(i) = LineString(flatSeqOf(arr.get(i, mid), dim, rd, inner), dim)
+              val (d, cs) = flatSeqOf(arr.get(i, mid), dim0, rd, inner)
+              lines(i) = LineString(cs, d)
               i += 1
             }
+            val dim = if (lines.isEmpty) effDim(dim0, null) else lines(0).dim
             MultiLineString(lines, dim)
           }
       case "multipolygon" =>
         val ArrayType(mid @ ArrayType(mid2 @ ArrayType(inner, _), _), _) = dt: @unchecked
-        val (dim, rd) = coordReader(inner)
+        val (dim0, rd) = coordReader(inner)
         v => {
           val arr = v.asInstanceOf[ArrayData]
           val polys = new Array[Polygon](arr.numElements())
@@ -573,14 +594,18 @@ object NativeLayout {
           while (i < polys.length) {
             val rs = arr.get(i, mid).asInstanceOf[ArrayData]
             val rings = new Array[Array[Double]](rs.numElements())
+            var dim = effDim(dim0, null)
             var j = 0
             while (j < rings.length) {
-              rings(j) = flatSeqOf(rs.get(j, mid2), dim, rd, inner)
+              val (d, cs) = flatSeqOf(rs.get(j, mid2), dim0, rd, inner)
+              if (j == 0) dim = d
+              rings(j) = cs
               j += 1
             }
             polys(i) = Polygon(rings, dim)
             i += 1
           }
+          val dim = if (polys.isEmpty) effDim(dim0, null) else polys(0).dim
           MultiPolygon(polys, dim)
         }
       case other => throw new IllegalArgumentException(s"unknown native geometry type: $other")
@@ -591,18 +616,25 @@ object NativeLayout {
     if (arr.isNullAt(i)) null else rd(arr.get(i, elemType))
   }
 
-  private def flatSeqOf(v: Any, dim: Int, rd: Any => Array[Double], elemType: DataType): Array[Double] = {
-    if (v == null) return Array.empty[Double]
+  /** Flat (dim, coords) of a coordinate sequence; dynamic layouts take the
+    * dimension from the first coordinate's length. */
+  private def flatSeqOf(v: Any, dim0: Int, rd: Any => Array[Double],
+                        elemType: DataType): (Int, Array[Double]) = {
+    if (v == null) return (effDim(dim0, null), Array.empty[Double])
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return (effDim(dim0, null), Array.empty[Double])
+    val c0 = readElem(arr, 0, elemType, rd)
+    val dim = effDim(dim0, c0)
     val out = new Array[Double](n * dim)
-    var i = 0
+    if (c0 != null) System.arraycopy(c0, 0, out, 0, math.min(dim, c0.length))
+    var i = 1
     while (i < n) {
       val c = rd(arr.get(i, elemType))
       System.arraycopy(c, 0, out, i * dim, math.min(dim, c.length))
       i += 1
     }
-    out
+    (dim, out)
   }
 }
 
@@ -1157,9 +1189,11 @@ case class StWkbAsNative(child: Expression, geometryType: String, dim: Int = 2,
                          interleaved: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(dim >= 2 && dim <= 4)
-  // the interleaved reader infers stride 2 from array<double>; other dims
-  // would be ambiguous at read time, exactly why GeoArrow prefers separated
-  require(!interleaved || dim == 2, "interleaved layout supports XY only")
+  // interleaved coords are array<double> of length `dim` per coordinate —
+  // the Spark mapping of GeoArrow's FixedSizeList<f64>[dim], which the
+  // reference dispatches for XY and XYZ alike (helpers.rs:49-71,114-131);
+  // the reader (NativeLayout.coordReader) recovers the stride from the
+  // runtime array length, so every dim round-trips
 
   private def coordType: DataType =
     if (interleaved) ArrayType(DoubleType, containsNull = false)

@@ -32,8 +32,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextUtil.langId("Il gatto dormiva sul divano con il sole che entrava dalla finestra e non si muoveva") == "it")
     assert(TextUtil.langId("O cachorro correu para o parque com as crianças e não queria mais voltar para casa") == "pt")
     assert(TextUtil.langId("De kat zat op de vensterbank en keek naar de vogels in de tuin met veel aandacht") == "nl")
+    assert(TextUtil.langId("한국어 문장을 언어 감지 기능으로 테스트합니다") == "ko")
+    assert(TextUtil.langId("هذه جملة باللغة العربية لاختبار تحديد اللغة") == "ar")
+    assert(TextUtil.langId("यह भाषा पहचान के परीक्षण के लिए एक हिन्दी वाक्य है") == "hi")
     assert(TextUtil.langId("") == "und")
     assert(TextUtil.langId("12345 67890 !!!") == "und")
+    assert(TextUtil.langId("zzz qqq xxx yyy www") == "und") // Latin, no stopword hits
   }
 
   test("simhash: near-identical texts have small hamming distance") {
@@ -166,6 +170,32 @@ class PipelineSpec extends AnyFunSuite {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"ivf recall too low: $recall")
     assert(ivf.forall { case (q, n) => q != n })
+  }
+
+  test("ivf assignment is a per-row map over broadcast centroids — corpus never shuffles") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = Similarity.ivfAssign(emb, "vec_id", "embedding", nLists = 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // no grouped re-rank machinery at all: the argmax runs inside a
+    // projection over a broadcast one-row centroid array
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("hashpartitioning(neighbor_id"), plan.take(2500))
+    assert(!plan.matches("(?s).*Sort \\[neighbor_id.*"), plan.take(2500))
+    // every corpus vector is assigned exactly once, to a real centroid
+    assert(assigned.count() == emb.count())
+    val cids = centroids.select("centroid_id").collect().map(_.getLong(0)).toSet
+    assert(assigned.select("list_id").distinct().collect().map(_.getLong(0)).toSet.subsetOf(cids))
+    // and the assignment is the true per-vector argmax (checked directly)
+    val direct = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("centroid_id"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("csim"))
+      .collect().groupBy(_.getLong(0)).map { case (v, rows) =>
+        v -> rows.filter(!_.isNullAt(2))
+          .maxBy(r => (r.getDouble(2), -r.getLong(1)))(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)).getLong(1)
+      }
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == direct)
   }
 
   test("embedding near-dup pairs: full recall on planted duplicates, exactly-once, no distinct") {

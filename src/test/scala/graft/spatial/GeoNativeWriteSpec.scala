@@ -71,6 +71,39 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaved XYZ round-trips every class; compute matches the WKB frame") {
+    G.register(spark)
+    // XYZ fixtures of every class, built from WKT (reference dispatches
+    // interleaved FixedSizeList coords for XY and XYZ alike —
+    // helpers.rs:49-71,114-131; the Spark mapping recovers the stride from
+    // the runtime coordinate-array length)
+    val fixtures = Seq(
+      "Point" -> Seq("POINT Z (1.5 2.5 3.5)", "POINT Z EMPTY"),
+      "LineString" -> Seq("LINESTRING Z (0.0 0.0 1.0,2.0 0.0 2.0,2.0 2.0 3.0)"),
+      "Polygon" -> Seq("POLYGON Z ((0.0 0.0 1.0,4.0 0.0 1.0,4.0 4.0 1.0,0.0 4.0 1.0,0.0 0.0 1.0))"),
+      "MultiPoint" -> Seq("MULTIPOINT Z ((1.0 2.0 3.0),(4.0 5.0 6.0))"),
+      "MultiLineString" -> Seq("MULTILINESTRING Z ((0.0 0.0 0.0,1.0 1.0 1.0),(2.0 2.0 2.0,3.0 3.0 3.0))"),
+      "MultiPolygon" -> Seq(
+        "MULTIPOLYGON Z (((0.0 0.0 5.0,1.0 0.0 5.0,1.0 1.0 5.0,0.0 0.0 5.0)),((2.0 2.0 6.0,3.0 2.0 6.0,3.0 3.0 6.0,2.0 2.0 6.0)))"))
+    for ((gclass, wkts) <- fixtures) {
+      import spark.implicits._
+      val src = wkts.zipWithIndex.toDF("wkt", "id")
+        .select(col("id"), expr("ST_GeomFromText(wkt)").as("geometry"))
+      val out = s"/tmp/graft_native_write_il_xyz_${gclass.toLowerCase}"
+      GeoIO.writeGeoParquetNative(src, out, Map("geometry" -> gclass),
+        interleaved = true, dim = 3)
+      val dt = spark.read.parquet(out).schema("geometry").dataType.catalogString
+      assert(dt.contains("array<double>") && !dt.contains("struct"), s"$gclass: $dt")
+      val back = GeoIO.readGeoParquet(spark, out)
+      def probe(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), G.st_astext(col("geometry")).as("wkt"),
+            G.st_geometrytype(col("geometry")).as("gt"),
+            G.st_astext(G.st_envelope(col("geometry"))).as("env"))
+          .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+      assert(probe(src) == probe(back), s"class=$gclass")
+    }
+  }
+
   test("class-mismatched rows become null in a native column") {
     G.register(spark)
     val mixed = spark.sql("""

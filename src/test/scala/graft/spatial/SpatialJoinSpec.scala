@@ -252,12 +252,47 @@ class SpatialJoinSpec extends AnyFunSuite {
         Seq("c_custkey"), Seq("s_suppkey"), k = 3, cellSize = 2000.0)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"), plan.take(3000))
+      // ranking + certification are fused into the BoundedTopK aggregate:
+      // no Window (and no WindowGroupLimit) node anywhere in the plan
+      assert(!plan.contains("Window"), plan.take(3000))
+      assert(plan.contains("bounded_top_k"), plan.take(3000))
       // and the operator still runs end-to-end in this mode
       assert(df.groupBy("c_custkey").count().filter(col("count") =!= 3).isEmpty)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("rightCountUpperBound <= k skips the grid rounds (degenerate |right| < k)") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val tiny = spark.read.parquet(s"$sf/nation.parquet").limit(4)
+      .select(col("n_nationkey"),
+        G.st_point(col("n_nationkey").cast("double") * 100.0,
+          col("n_nationkey").cast("double")).as("npt"))
+    // k > |right|: every left row gets ALL right rows ranked
+    val expected = SpatialJoin.knnJoin(cust, tiny, col("pt"), col("npt"),
+        Seq("c_custkey"), Seq("n_nationkey"), k = 7)
+      .select("c_custkey", "n_nationkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val clamped = SpatialJoin.knnJoinGrid(cust, tiny, col("pt"), col("npt"),
+        Seq("c_custkey"), Seq("n_nationkey"), k = 7, cellSize = 100.0,
+        rightCountUpperBound = Some(4L))
+    val got = clamped.select("c_custkey", "n_nationkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // the plan is the residual alone — no cell explode/equi-join machinery
+    val plan = clamped.queryExecution.executedPlan.toString
+    assert(!plan.contains("__cell"), plan.take(2000))
+    // unhinted path stays correct too (just does the wasted rounds)
+    val unhinted = SpatialJoin.knnJoinGrid(cust, tiny, col("pt"), col("npt"),
+        Seq("c_custkey"), Seq("n_nationkey"), k = 7, cellSize = 100.0)
+      .select("c_custkey", "n_nationkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(unhinted == expected)
   }
 
   test("grid knn join candidate path is an equi-join on the cell id") {
