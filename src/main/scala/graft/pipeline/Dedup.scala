@@ -48,11 +48,28 @@ object Dedup {
    * @return (id_a, id_b, est_jaccard) with id_a < id_b — estimated Jaccard
    *         from signature agreement of the full signatures.
    */
+  /** Band-hash array over an already-computed signature column.
+    *
+    * Built as an EXPLICIT `array(xxhash64(slice(sig, …)), …)` — `bands`
+    * syntactic references to `sig` — and NOT as a `transform` over a
+    * lambda. The lambda form references `sig` once syntactically, so
+    * CollapseProject considers it safe to inline the (expensive) minhash
+    * expression into the lambda body — which then evaluates it `bands`
+    * times per row, and the Generate's pushed-down `size(bh) > 0` filter
+    * duplicates all of it again into the scan (measured 3× the whole
+    * q25 runtime). With `bands` explicit references the alias is not
+    * cheap-to-inline, the signature stays computed ONCE in its own
+    * projection, and the pushed filter merely re-hashes the 64-long
+    * array. */
+  private def bandHashes(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
+  }
+
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             shingle: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // band b = hash(sig[b*rows .. (b+1)*rows)) — the band hashes are
     // computed ONCE per doc (not per exploded row, and not re-sliced per
     // candidate pair) and carried as a `bands`-long array next to the
@@ -61,9 +78,7 @@ object Dedup {
     // carried band-hash arrays) — exactly-once, no distinct() shuffle.
     val sig = df.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig"))
-      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
-    pairsFromSketches(sig, numHashes)
+    pairsFromSketches(sig, numHashes, bands)
   }
 
   /**
@@ -78,15 +93,13 @@ object Dedup {
                         path: String, numHashes: Int = 64, bands: Int = 16,
                         shingle: Int = 3): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("numHashes", numHashes).build()
     val bhMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("bands", bands).build()
     df.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig", sigMeta))
-      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+      .withColumn("bh", bandHashes(col("sig"), numHashes, bands))
       .select(col("id"), col("sig"), col("bh").as("bh", bhMeta))
       .write.mode("overwrite").parquet(path)
   }
@@ -99,7 +112,8 @@ object Dedup {
                                    path: String): DataFrame = {
     val sig = spark.read.parquet(path)
     val numHashes = sig.schema("sig").metadata.getLong("numHashes").toInt
-    pairsFromSketches(sig, numHashes)
+    val bands = sig.schema("bh").metadata.getLong("bands").toInt
+    pairsFromSketches(sig.select(col("id"), col("sig")), numHashes, bands)
   }
 
   /**
@@ -117,36 +131,47 @@ object Dedup {
     val corpus = spark.read.parquet(path)
     val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
     val bands = corpus.schema("bh").metadata.getLong("bands").toInt
-    val rows = numHashes / bands
     val batchSig = batch.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig"))
-      .withColumn("bh", transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))))
+    // bands explode as inline expressions over the sig attribute (never an
+    // aliased column) — see pairsFromSketches for why
     def explodeSide(df: DataFrame, suffix: String): DataFrame =
-      df.select(col("id"), col("sig"), col("bh"),
-          posexplode(col("bh")).as(Seq("band", "bucket")))
+      df.select(col("id"), col("sig"),
+          posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
         .select(col("band"), col("bucket"), col("id").as(s"id_$suffix"),
-          col("sig").as(s"sig_$suffix"), col("bh").as(s"bh_$suffix"))
-    explodeSide(corpus, "a").join(explodeSide(batchSig, "b"), Seq("band", "bucket"))
-      .filter(col("band") ===
-        array_position(zip_with(col("bh_a"), col("bh_b"), (x, y) => x === y), true) - 1)
+          col("sig").as(s"sig_$suffix"))
+    explodeSide(corpus.select(col("id"), col("sig")), "a")
+      .join(explodeSide(batchSig, "b"), Seq("band", "bucket"))
+      .filter(col("band") === array_position(zip_with(
+        bandHashes(col("sig_a"), numHashes, bands),
+        bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
-  /** Banded bucket join + first-shared-band emission over (id, sig, bh). */
-  private def pairsFromSketches(sig: DataFrame, numHashes: Int): DataFrame = {
-    val banded = sig.select(col("id"), col("sig"), col("bh"),
-      posexplode(col("bh")).as(Seq("band", "bucket")))
+  /** Banded bucket join + first-shared-band emission over (id, sig).
+    *
+    * The band array is exploded as an inline expression over the carried
+    * `sig` attribute and NEVER aliased to a column: an aliased band array
+    * drags the minhash computation with it when the Generate's inferred
+    * `size > 0` filter is pushed below the projection (PushDownPredicates
+    * substitutes aliases with no cost guard). The first-shared-band filter
+    * re-derives the band hashes from the carried signatures — 16 cheap
+    * xxhash64 calls per CANDIDATE row, instead of a full minhash per
+    * corpus row per band. */
+  private def pairsFromSketches(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("bh").as("bh_a"))
+      col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("bh").as("bh_b"))
+      col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("band") ===
-        array_position(zip_with(col("bh_a"), col("bh_b"), (x, y) => x === y), true) - 1)
+      .filter(col("band") === array_position(zip_with(
+        bandHashes(col("sig_a"), numHashes, bands),
+        bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))

@@ -54,18 +54,12 @@ object Text {
           .cast("double") / tokenCount(text))
   }
 
-  /** Word n-gram shingles as array<string> (consecutive-token join). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    // shingle i = tokens[i..i+n) joined — via transform over index range.
-    // Docs with fewer than n tokens yield an empty array: without the guard,
-    // sequence(0, -1) produces [0, -1] (step defaults to -1 when start>stop)
-    // and element_at(toks, 0) throws INVALID_INDEX_OF_ZERO.
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), count - 1), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-  }
+  /** Word n-gram shingles as array<string> (consecutive-token join).
+    * Native expression — the composed `transform`/`element_at(split(…))`
+    * form re-ran the regex split per shingle per lambda argument in
+    * interpreted HOF evaluation (see [[WordShingles]]); this splits once. */
+  def wordShingles(text: Column, n: Int): Column =
+    toCol(WordShingles(toExpr(text), n))
 
   /**
    * Composite quality score in [0,1]: rewards mid-length docs with high

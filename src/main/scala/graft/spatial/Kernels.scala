@@ -100,4 +100,29 @@ object Kernels {
   def fingerprint64(s: UTF8String): Long = graft.pipeline.TextUtil.fingerprint64(s.toString)
   def langId(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.pipeline.TextUtil.langId(s.toString))
+
+  /** Whitespace-token n-gram shingles, one split per call. Mirrors
+    * `split(trim(s), "\\s+")` semantics exactly (empty trim → [""] → no
+    * shingles when tokens < n). */
+  def wordShingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
