@@ -9,7 +9,17 @@ like TPC-H scaling. All physical types are preserved via pyarrow (the
 events table's timestamp[ns] column must survive the copy — the Spark-side
 reader depends on it).
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+With --perturb, copied CONTENT is also varied so the corpus grows like
+real data instead of exact duplication: document texts get a per-copy
+marker token interleaved every 5 tokens (kills cross-copy near-dup
+similarity), embeddings get one per-copy coordinate bump (kills identical
+directions), and supplier/customer balances shift per copy (spreads the
+derived point geometry). Without --perturb every row has 10 exact copies —
+an adversarial max-duplication corpus where near-dup/ANN/grid queries do
+quadratically more LEGITIMATE work (every copy-group is a true near-dup
+clique); both corpora are useful stress shapes.
+
+Usage: python3 tools/make_sf1.py [--perturb] [src_dir] [dst_dir]
        (defaults: /root/testdata/sf0.1 -> ./benchdata-sf1)
 """
 import sys
@@ -17,9 +27,51 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "benchdata-sf1"
+args = [a for a in sys.argv[1:] if a != "--perturb"]
+PERTURB = "--perturb" in sys.argv[1:]
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+DST = args[1] if len(args) > 1 else "benchdata-sf1"
 COPIES = 10
+
+
+def perturb_text(text: str, i: int) -> str:
+    if i == 0:
+        return text
+    toks = text.split(" ")
+    out = []
+    for j, t in enumerate(toks):
+        if j % 5 == 0:
+            out.append(f"c{i}v{j % 7}")
+        out.append(t)
+    return " ".join(out)
+
+
+def perturb_columns(name: str, i: int, t: pa.Table) -> pa.Table:
+    if not PERTURB or i == 0:
+        return t
+    if name == "documents":
+        texts = [perturb_text(v.as_py(), i) for v in t["text"]]
+        t = t.set_column(t.schema.get_field_index("text"), "text",
+                         pa.array(texts, type=pa.string()))
+    elif name == "embeddings":
+        # cyclic coordinate shift per copy: preserves every norm and every
+        # WITHIN-copy inner product exactly (each copy has the original
+        # similarity structure), while cross-copy cosines become ~random —
+        # no artificial near-duplicate cliques (a magnitude bump on one
+        # coordinate created near-parallel vectors and blew up the ANN
+        # queries with real-but-synthetic near-dup work)
+        vecs = []
+        for v in t["embedding"]:
+            vec = v.as_py()
+            s = (7 * i) % len(vec)
+            vecs.append(vec[s:] + vec[:s])
+        t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
+                         pa.array(vecs, type=t.schema.field("embedding").type))
+    elif name in ("supplier", "customer"):
+        col = "s_acctbal" if name == "supplier" else "c_acctbal"
+        idx = t.schema.get_field_index(col)
+        t = t.set_column(idx, col, pc.add(t[col], pa.scalar(i * 11000.0)))
+    return t
 
 # table -> {column: key_family}; every column of one family shifts together
 KEYS = {
@@ -55,15 +107,16 @@ def main():
         t = tables[name]
         copies = []
         for i in range(COPIES):
+            ti = perturb_columns(name, i, t)
             arrays = []
-            for field in t.schema:
-                col = t[field.name]
+            for field in ti.schema:
+                col = ti[field.name]
                 fam = cols.get(field.name)
                 if fam is not None and i > 0:
                     off = pa.scalar(i * stride[fam], type=field.type)
                     col = pc.add(col, off)
                 arrays.append(col)
-            copies.append(pa.table(arrays, schema=t.schema))
+            copies.append(pa.table(arrays, schema=ti.schema))
         out = pa.concat_tables(copies)
         pq.write_table(out, f"{DST}/{name}.parquet")
         print(f"{name}: {t.num_rows} -> {out.num_rows}")
