@@ -477,8 +477,12 @@ object Queries {
       val planted = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      // nBits sizes the bucket space (2^12 per band — bounded occupancy up
+      // to ~256k vectors); recall on the planted identical-direction pairs
+      // is 1 at ANY nBits (they agree in every band by construction), so
+      // the oracle is parameter-independent
       Similarity.embeddingNearDupPairs(base.unionByName(planted), "vec_id", "embedding",
-          minCosine = 0.9)
+          minCosine = 0.9, nBits = 12)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),

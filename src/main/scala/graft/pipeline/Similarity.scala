@@ -214,6 +214,18 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nBits: Int = 8,
                             bands: Int = 4): DataFrame = {
+    // The signature ARRAY (`bands` longs) is carried through the bucket
+    // join so the first-shared-band filter is attribute access per joined
+    // row — NOT recomputed from the vectors: with an under-sized `nBits`
+    // the buckets are dense and the join emits O(N²/2^nBits) rows per
+    // band, so per-joined-row signature recomputation is the dominant
+    // cost (measured 275 s at a 20k corpus with nBits=8). The aliased
+    // sigs column does let the Generate's inferred size filter duplicate
+    // the signature computation once more per CORPUS row (the
+    // pairsFromSketches optimizer trap) — but that is a bounded 2× on N
+    // rows of 4 cheap longs, the right trade against per-pair recompute.
+    // `nBits` is the occupancy knob: keep 2^nBits ≳ |corpus|/64 so bucket
+    // fan-out stays bounded (same guidance as lshTopK).
     val sigArr = array((0 until bands).map(j =>
       hyperplaneSignature(col("vec"), nBits, seed = 42L + 1001L * j)): _*)
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
