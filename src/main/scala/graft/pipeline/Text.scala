@@ -12,47 +12,50 @@ import org.apache.spark.sql.functions._
  */
 object Text {
 
+  /** One-pass statistics struct shared by every metric below: sibling
+    * calls inside one projection deduplicate via subexpression
+    * elimination, so computing all quality metrics costs ONE document
+    * scan (the regexp_replace/split compositions each allocated a
+    * stripped copy of the document per metric per row). Counts are
+    * definitionally identical to the regex forms they replaced — all
+    * DuckDB oracles mirror the semantics, not the implementation. */
+  private def stats(text: Column): Column = toCol(TextStats(toExpr(text)))
+
   /** Whitespace token count; 0 for blank/empty. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(stats(text).getField("n_tokens"))
 
   def charCount(text: Column): Column = length(text)
 
   /** Fraction of characters that are ASCII letters. */
   def alphaRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+      .otherwise(stats(text).getField("n_alpha").cast("double") / length(text))
 
   /** Fraction of characters that are digits. */
   def digitRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+      .otherwise(stats(text).getField("n_digit").cast("double") / length(text))
 
   /** Fraction of characters that are ASCII punctuation. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") / length(text))
+      .otherwise(stats(text).getField("n_punct").cast("double") / length(text))
 
   /** Mean token length. */
   def avgWordLen(text: Column): Column =
     when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text))
+      .otherwise(stats(text).getField("n_nonws").cast("double") / tokenCount(text))
 
-  /** English stopword list shared with the language-ID profile. */
-  val enStopwords: Seq[String] = Seq("the", "of", "and", "to", "in", "is",
-    "that", "for", "it", "as", "was", "with", "be", "by", "on", "not",
-    "this", "are", "or", "his", "from", "at", "which", "but", "have",
-    "an", "they", "you", "were", "her")
+  /** English stopword list shared with the language-ID profile (the same
+    * set drives the one-pass stop counter in [[TextUtil.textStats]]). */
+  val enStopwords: Seq[String] = TextUtil.enStopSet.toSeq.sorted
 
   /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  def stopwordRatio(text: Column): Column =
     when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(
-        size(filter(toks, t => array_contains(array(enStopwords.map(lit): _*), t)))
-          .cast("double") / tokenCount(text))
-  }
+      .otherwise(stats(text).getField("n_stop").cast("double") / tokenCount(text))
 
   /** Word n-gram shingles as array<string> (consecutive-token join).
     * Native expression — the composed `transform`/`element_at(split(…))`

@@ -140,6 +140,64 @@ object TextUtil {
     if (bestHits * 20 >= toks.length) bestLang else "und"
   }
 
+  // ----------------------------------------------------------- text stats
+
+  /** One-pass character/token statistics underlying the quality metrics:
+    * (n_chars, n_alpha, n_digit, n_punct, n_tokens, n_nonws, n_stop).
+    *
+    * Char classes are the ASCII classes of the regex formulations they
+    * replace ([A-Za-z], [0-9], [!-/:-@\[-`{-~]); whitespace is Java regex
+    * `\s` = [ \t\n\x0B\f\r]; the token count reproduces
+    * `split(trim(s), "\\s+")` exactly, including the leading-empty-field
+    * artifact when a trimmed string starts with non-space whitespace
+    * (Spark `trim` removes only ' '). One scan, zero allocation — the
+    * regexp_replace compositions allocated a stripped copy of the document
+    * per class per row. */
+  def textStats(s: String): Array[Int] = {
+    val n = s.length
+    var alpha = 0; var digit = 0; var punct = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+      if (c >= '0' && c <= '9') digit += 1
+      if ((c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+          (c >= '[' && c <= '`') || (c >= '{' && c <= '~')) punct += 1
+      i += 1
+    }
+    // trim = leading/trailing ' ' only (Spark trim semantics)
+    var lo = 0
+    var hi = n
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var tokens = 0; var nonws = 0; var stop = 0
+    if (hi > lo) {
+      if (isWs(s.charAt(lo))) tokens += 1 // java split: leading empty field
+      var j = lo
+      var runStart = -1
+      while (j <= hi) {
+        val ws = j == hi || isWs(s.charAt(j))
+        if (!ws) {
+          nonws += 1
+          if (runStart < 0) runStart = j
+        } else if (runStart >= 0) {
+          tokens += 1
+          if (j - runStart <= 8 && // longest profile word is short
+              enStopSet.contains(s.substring(runStart, j).toLowerCase)) stop += 1
+          runStart = -1
+        }
+        j += 1
+      }
+    }
+    Array(n, alpha, digit, punct, tokens, nonws, stop)
+  }
+
+  /** English stopword set — the "en" voting profile, the single source of
+    * truth also exported as [[graft.pipeline.Text.enStopwords]]. */
+  val enStopSet: Set[String] = profiles.find(_._1 == "en").get._2
+
   // ------------------------------------------------------------- sketches
 
   /** 64-bit SimHash over token unigrams (bitwise majority vote of hashes). */
@@ -263,6 +321,25 @@ case class SimHash64(child: Expression) extends TextUnary {
   override protected def evalText(s: String): Any = TextUtil.simhash64(s)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text_stats(text) → struct of one-pass character/token statistics
+  * (see [[TextUtil.textStats]]). The quality-metric functions each extract
+  * one field; identical sibling calls inside a projection are deduplicated
+  * by Spark's subexpression elimination, so a scan computing all of
+  * quality/alpha/digit/punct/tokens pays ONE pass over the document
+  * instead of one allocating regexp_replace/split per metric. */
+case class TextStats(child: Expression) extends TextUnary {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    "n_chars", "n_alpha", "n_digit", "n_punct", "n_tokens", "n_nonws", "n_stop")
+    .map(n => StructField(n, IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override protected def evalText(s: String): Any =
+    graft.spatial.Kernels.textStats(UTF8String.fromString(s))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.textStats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

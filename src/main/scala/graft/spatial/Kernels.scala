@@ -101,6 +101,13 @@ object Kernels {
   def langId(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.pipeline.TextUtil.langId(s.toString))
 
+  /** One-pass text statistics row — see TextUtil.textStats. */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val a = graft.pipeline.TextUtil.textStats(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2), a(3), a(4), a(5), a(6)))
+  }
+
   /** Whitespace-token n-gram shingles, one split per call. Mirrors
     * `split(trim(s), "\\s+")` semantics exactly (empty trim → [""] → no
     * shingles when tokens < n). */
