@@ -692,8 +692,12 @@ object Queries {
         G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
       val cust = t(s, d, "customer").select(col("c_custkey"),
         G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("cpt"))
+      // pitch tuned to the data's density (x-extent ~11k, 15k right rows at
+      // sf0.1 → ~90 rows/cell at 64.0; measured 6× faster than 512.0 with
+      // identical output — cellSize never affects correctness, only the
+      // candidate fan-out; see BENCH_SF1.md for the pitch-density study)
       graft.spatial.SpatialJoin.knnJoinGrid(supp, cust, col("spt"), col("cpt"),
-          Seq("s_suppkey"), Seq("c_custkey"), k = 3, cellSize = 512.0)
+          Seq("s_suppkey"), Seq("c_custkey"), k = 3, cellSize = 64.0)
         .select(col("s_suppkey"), col("knn_rank").cast("long").as("knn_rank"),
           col("c_custkey"), col("knn_dist"))
         .orderBy("s_suppkey", "knn_rank")
