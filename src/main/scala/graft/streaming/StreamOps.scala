@@ -84,6 +84,29 @@ object StreamOps {
       .drop("__cell")
   }
 
+  /**
+   * In-flight near-duplicate detection of a document stream against a
+   * PERSISTED corpus sketch index ([[graft.pipeline.Dedup.writeMinhashIndex]])
+   * — the streaming face of the incremental dedup path: incoming documents
+   * are MinHash-sketched per micro-batch, banded, and equi-joined (stream ×
+   * static, broadcast/hash per batch) against the exploded index buckets;
+   * candidates verify by signature agreement. The corpus text is never
+   * read — only the slim sketch table — so the per-batch cost is
+   * O(batch · bands) plus the bucket probes, independent of corpus size.
+   *
+   * @return (id = streamed doc id, corpus_id, est_jaccard ≥ minEstJaccard)
+   *         — flag or drop the streamed rows by joining on `id`.
+   */
+  def nearDupFlags(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+                   textCol: String, idCol: String, indexPath: String,
+                   minEstJaccard: Double, shingle: Int = 3): DataFrame = {
+    val flagged = graft.pipeline.Dedup.minhashCandidatePairsAgainstIndex(
+      spark, indexPath, stream, textCol, idCol, shingle)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    flagged.select(col("id_b").as("id"), col("id_a").as("corpus_id"),
+      col("est_jaccard"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

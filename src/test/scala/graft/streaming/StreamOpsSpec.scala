@@ -66,6 +66,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags against the persisted sketch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: distinct docs; index persisted once (corpus never re-read)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark query planning and shuffles here"),
+      (3L, "a third document mentioning grid cells and spatial joins at scale"))
+      .toDF("doc_id", "text")
+    val idx = "/tmp/graft_stream_minhash_idx"
+    graft.pipeline.Dedup.writeMinhashIndex(corpus, "text", "doc_id", idx)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val flags = StreamOps.nearDupFlags(spark, stream, "text", "doc_id", idx,
+      minEstJaccard = 0.8)
+    val q = flags.writeStream.outputMode("append")
+      .format("memory").queryName("ndflags").start()
+    try {
+      input.addData(
+        (100L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1
+        (101L, "entirely novel text with no overlap to anything stored in the corpus"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, corpus_id, est_jaccard FROM ndflags").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 100L && rows(0).getLong(1) == 1L)
+      assert(rows(0).getDouble(2) >= 0.99) // identical text → identical signature
+      // second batch: another novel doc stays unflagged, a dup of 3 flags
+      input.addData((102L, "a third document mentioning grid cells and spatial joins at scale"))
+      q.processAllAvailable()
+      val rows2 = spark.sql("SELECT id, corpus_id FROM ndflags ORDER BY id").collect()
+      assert(rows2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 1L), (102L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
