@@ -833,8 +833,10 @@ object Queries {
       .mkString("\n             ")
     s"""
       ltoks AS (
+        -- langId votes over at most the first 4096 chars (TextUtil.langId)
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(substr(text, 1, 4096)),
+                                              '[^a-z0-9]+'),
                            x -> x <> '') AS lt
         FROM $from),
       lhits AS (
@@ -1102,7 +1104,8 @@ object Queries {
              CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
              len(list_distinct(list_cat(a.g, b.g))) AS jaccard
       FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
+        AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
             len(list_distinct(list_cat(a.g, b.g))) >= 0.8
       ORDER BY id_a, id_b""",
 
@@ -1164,7 +1167,8 @@ object Queries {
       losers AS (
         SELECT DISTINCT b.doc_id AS doc_id
         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
               len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
       deduped AS (
         SELECT k.doc_id, k.text FROM keep_exact k

@@ -148,9 +148,11 @@ object TextUtil {
     * Char classes are the ASCII classes of the regex formulations they
     * replace ([A-Za-z], [0-9], [!-/:-@\[-`{-~]); whitespace is Java regex
     * `\s` = [ \t\n\x0B\f\r]; the token count reproduces
-    * `split(trim(s), "\\s+")` exactly, including the leading-empty-field
-    * artifact when a trimmed string starts with non-space whitespace
-    * (Spark `trim` removes only ' '). One scan, zero allocation — the
+    * `split(trim(s), "\\s+")` exactly, including the leading- and
+    * trailing-empty-field artifacts when a trimmed string starts or ends
+    * with non-space whitespace (Spark `trim` removes only ' '; Spark split
+    * uses limit -1, which keeps trailing empty fields). One scan, zero
+    * allocation — the
     * regexp_replace compositions allocated a stripped copy of the document
     * per class per row. */
   def textStats(s: String): Array[Int] = {
@@ -190,6 +192,7 @@ object TextUtil {
         }
         j += 1
       }
+      if (isWs(s.charAt(hi - 1))) tokens += 1 // limit=-1 split: trailing empty field
     }
     Array(n, alpha, digit, punct, tokens, nonws, stop)
   }

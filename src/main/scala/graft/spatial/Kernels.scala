@@ -108,11 +108,20 @@ object Kernels {
       Array[Any](a(0), a(1), a(2), a(3), a(4), a(5), a(6)))
   }
 
-  /** Whitespace-token n-gram shingles, one split per call. Mirrors
-    * `split(trim(s), "\\s+")` semantics exactly (empty trim → [""] → no
-    * shingles when tokens < n). */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace-token n-gram shingles, one split per call. Mirrors Spark
+    * `split(trim(s), "\\s+")` semantics exactly: trim strips ' ' only, and
+    * the limit -1 split keeps leading AND trailing empty fields when the
+    * trimmed string starts/ends with non-space whitespace (empty trim →
+    * [""] → no shingles when tokens < n). */
   def wordShingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val toks = s.toString.trim.split("\\s+")
+    val str = s.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    val toks = wsPattern.split(str.substring(lo, hi), -1)
     val count = toks.length - n + 1
     if (count <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])

@@ -522,6 +522,48 @@ object NativeLayout {
   private def effDim(dim0: Int, c: Array[Double]): Int =
     if (dim0 > 0) dim0 else if (c != null && c.length >= 2) c.length else 2
 
+  /** Dynamic-layout dimension of a coordinate sequence: the width of the
+    * FIRST non-null, non-empty coordinate anywhere in the sequence (not
+    * just element 0 — the first point of a MultiPoint or first ring of a
+    * Polygon may be empty while later components are 3-wide); -1 if the
+    * whole sequence is empty. */
+  private def seqDim(v: Any, elemType: DataType, rd: Any => Array[Double]): Int = {
+    if (v == null) return -1
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val c = rd(arr.get(i, elemType))
+        if (c != null && c.length >= 2) return c.length
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** [[seqDim]] one nesting level up: array of coordinate sequences. */
+  private def seqsDim(v: Any, midType: DataType, elemType: DataType,
+                      rd: Any => Array[Double]): Int = {
+    if (v == null) return -1
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = seqDim(arr.get(i, midType), elemType, rd)
+        if (d > 0) return d
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Resolved container dimension: static struct width wins; else the
+    * scanned runtime width; else 2. */
+  private def resolveDim(dim0: Int, scanned: => Int): Int =
+    if (dim0 > 0) dim0 else { val d = scanned; if (d > 0) d else 2 }
+
   def converter(dt: DataType, geometryType: String): Any => Geometry = {
     val gt = geometryType.toLowerCase
     gt match {
@@ -537,21 +579,20 @@ object NativeLayout {
         val (dim0, rd) = coordReader(inner)
         if (gt == "linestring")
           v => {
-            val (dim, cs) = flatSeqOf(v, dim0, rd, inner)
-            LineString(cs, dim)
+            val dim = resolveDim(dim0, seqDim(v, inner, rd))
+            LineString(flatSeq(v, dim, rd, inner), dim)
           }
         else
           v => {
             val arr = v.asInstanceOf[ArrayData]
+            val dim = resolveDim(dim0, seqDim(v, inner, rd))
             val pts = new Array[Point](arr.numElements())
             var i = 0
             while (i < pts.length) {
               val c = readElem(arr, i, inner, rd)
-              val dim = effDim(dim0, c)
               pts(i) = if (c == null || c.length == 0 || c(0).isNaN) Point(Array.empty[Double], dim) else Point(c, dim)
               i += 1
             }
-            val dim = if (pts.isEmpty) effDim(dim0, null) else pts(0).dim
             MultiPoint(pts, dim)
           }
       case "polygon" | "multilinestring" =>
@@ -560,13 +601,11 @@ object NativeLayout {
         if (gt == "polygon")
           v => {
             val arr = v.asInstanceOf[ArrayData]
+            val dim = resolveDim(dim0, seqsDim(v, mid, inner, rd))
             val rings = new Array[Array[Double]](arr.numElements())
-            var dim = effDim(dim0, null)
             var i = 0
             while (i < rings.length) {
-              val (d, cs) = flatSeqOf(arr.get(i, mid), dim0, rd, inner)
-              if (i == 0) dim = d
-              rings(i) = cs
+              rings(i) = flatSeq(arr.get(i, mid), dim, rd, inner)
               i += 1
             }
             Polygon(rings, dim)
@@ -574,14 +613,13 @@ object NativeLayout {
         else
           v => {
             val arr = v.asInstanceOf[ArrayData]
+            val dim = resolveDim(dim0, seqsDim(v, mid, inner, rd))
             val lines = new Array[LineString](arr.numElements())
             var i = 0
             while (i < lines.length) {
-              val (d, cs) = flatSeqOf(arr.get(i, mid), dim0, rd, inner)
-              lines(i) = LineString(cs, d)
+              lines(i) = LineString(flatSeq(arr.get(i, mid), dim, rd, inner), dim)
               i += 1
             }
-            val dim = if (lines.isEmpty) effDim(dim0, null) else lines(0).dim
             MultiLineString(lines, dim)
           }
       case "multipolygon" =>
@@ -589,23 +627,28 @@ object NativeLayout {
         val (dim0, rd) = coordReader(inner)
         v => {
           val arr = v.asInstanceOf[ArrayData]
+          val dim = resolveDim(dim0, {
+            var d = -1
+            var i = 0
+            while (d <= 0 && i < arr.numElements()) {
+              if (!arr.isNullAt(i)) d = seqsDim(arr.get(i, mid), mid2, inner, rd)
+              i += 1
+            }
+            d
+          })
           val polys = new Array[Polygon](arr.numElements())
           var i = 0
           while (i < polys.length) {
             val rs = arr.get(i, mid).asInstanceOf[ArrayData]
             val rings = new Array[Array[Double]](rs.numElements())
-            var dim = effDim(dim0, null)
             var j = 0
             while (j < rings.length) {
-              val (d, cs) = flatSeqOf(rs.get(j, mid2), dim0, rd, inner)
-              if (j == 0) dim = d
-              rings(j) = cs
+              rings(j) = flatSeq(rs.get(j, mid2), dim, rd, inner)
               j += 1
             }
             polys(i) = Polygon(rings, dim)
             i += 1
           }
-          val dim = if (polys.isEmpty) effDim(dim0, null) else polys(0).dim
           MultiPolygon(polys, dim)
         }
       case other => throw new IllegalArgumentException(s"unknown native geometry type: $other")
@@ -616,25 +659,23 @@ object NativeLayout {
     if (arr.isNullAt(i)) null else rd(arr.get(i, elemType))
   }
 
-  /** Flat (dim, coords) of a coordinate sequence; dynamic layouts take the
-    * dimension from the first coordinate's length. */
-  private def flatSeqOf(v: Any, dim0: Int, rd: Any => Array[Double],
-                        elemType: DataType): (Int, Array[Double]) = {
-    if (v == null) return (effDim(dim0, null), Array.empty[Double])
+  /** Flat coords of a coordinate sequence at an already-resolved dim
+    * (see [[seqDim]]/[[resolveDim]] — the container dimension is
+    * established once per geometry, never per component). */
+  private def flatSeq(v: Any, dim: Int, rd: Any => Array[Double],
+                      elemType: DataType): Array[Double] = {
+    if (v == null) return Array.empty[Double]
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return (effDim(dim0, null), Array.empty[Double])
-    val c0 = readElem(arr, 0, elemType, rd)
-    val dim = effDim(dim0, c0)
+    if (n == 0) return Array.empty[Double]
     val out = new Array[Double](n * dim)
-    if (c0 != null) System.arraycopy(c0, 0, out, 0, math.min(dim, c0.length))
-    var i = 1
+    var i = 0
     while (i < n) {
-      val c = rd(arr.get(i, elemType))
-      System.arraycopy(c, 0, out, i * dim, math.min(dim, c.length))
+      val c = readElem(arr, i, elemType, rd)
+      if (c != null) System.arraycopy(c, 0, out, i * dim, math.min(dim, c.length))
       i += 1
     }
-    (dim, out)
+    out
   }
 }
 

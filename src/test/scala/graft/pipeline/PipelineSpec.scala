@@ -137,6 +137,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getInt(0) == 0)
   }
 
+  test("token stats mirror split(trim, \\s+) limit -1 exactly at ws edges") {
+    // adversarial leading/trailing/only non-space whitespace — the one-pass
+    // kernel must reproduce Spark's split artifacts (leading AND trailing
+    // empty fields) that the SQL form and the DuckDB oracles both keep
+    val cases = Seq(1L -> "ab\n", 2L -> "\nab", 3L -> "\tab cd\n", 4L -> "\n",
+      5L -> "  ab  ", 6L -> "ab cd", 7L -> " \t ab \n ", 8L -> "")
+    val df = docs(cases)
+    val got = df.select(col("doc_id"), Text.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sqlForm = df.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(0))
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == sqlForm, s"got=$got sql=$sqlForm")
+    assert(got(1L) == 2 && got(2L) == 2 && got(4L) == 2 && got(7L) == 3)
+  }
+
+  test("wordShingles keeps the split empty-field artifacts of the SQL form") {
+    val cases = Seq(1L -> "a b c\n", 2L -> "\na b c", 3L -> " a b c ", 4L -> "a b c d")
+    val df = docs(cases)
+    val toks = df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expect = toks.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }
+    val got = df.select(col("doc_id"), Text.wordShingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // trailing '\n' produces shingle "b c " (trailing empty token joined)
+    assert(got(1L).contains("b c "))
+    assert(got(2L).contains(" a b"))
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("brute-force cosine top-k matches manual computation") {

@@ -104,6 +104,39 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic interleaved dim survives an empty first component") {
+    import org.apache.spark.sql.{GraftShim, Row}
+    import org.apache.spark.sql.types._
+    G.register(spark)
+    // XYZ interleaved MultiPoint whose FIRST point is empty: the container
+    // dim must come from the first NON-empty coordinate anywhere in the
+    // geometry, not fall back to 2 off element 0
+    val schema = StructType(Seq(StructField("geometry",
+      ArrayType(ArrayType(DoubleType)))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(Seq.empty[Double], Seq(4.0, 5.0, 6.0)))),
+      schema)
+    val got = df.select(G.st_astext(GraftShim.column(
+        StNativeAsWkb(GraftShim.expression(col("geometry")), "MultiPoint"))).as("wkt"))
+      .collect().head.getString(0)
+    val expect = spark.sql(
+      "SELECT ST_AsText(ST_GeomFromText('MULTIPOINT Z (EMPTY,(4.0 5.0 6.0))'))")
+      .collect().head.getString(0)
+    assert(got == expect, s"got=$got expect=$expect")
+    // and a Polygon whose first ring is empty, one nesting level deeper
+    val pschema = StructType(Seq(StructField("geometry",
+      ArrayType(ArrayType(ArrayType(DoubleType))))))
+    val pdf = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(Seq.empty[Seq[Double]],
+        Seq(Seq(0.0, 0.0, 1.0), Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 1.0),
+            Seq(0.0, 0.0, 1.0))))),
+      pschema)
+    val pgot = pdf.select(G.st_astext(GraftShim.column(
+        StNativeAsWkb(GraftShim.expression(col("geometry")), "Polygon"))).as("wkt"))
+      .collect().head.getString(0)
+    assert(pgot.contains("1.0 1.0 1.0"), pgot)
+  }
+
   test("class-mismatched rows become null in a native column") {
     G.register(spark)
     val mixed = spark.sql("""
