@@ -692,12 +692,14 @@ object Queries {
         G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
       val cust = t(s, d, "customer").select(col("c_custkey"),
         G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("cpt"))
-      // pitch tuned to the data's density (x-extent ~11k, 15k right rows at
-      // sf0.1 → ~90 rows/cell at 64.0; measured 6× faster than 512.0 with
-      // identical output — cellSize never affects correctness, only the
-      // candidate fan-out; see BENCH_SF1.md for the pitch-density study)
-      graft.spatial.SpatialJoin.knnJoinGrid(supp, cust, col("spt"), col("cpt"),
-          Seq("s_suppkey"), Seq("c_custkey"), k = 3, cellSize = 64.0)
+      // NO pitch knob: the cell size is estimated from right-side statistics
+      // inside the plan (broadcast one-row aggregate). The hand-tuned 64.0
+      // this replaces was 7× off after a 10× density change (BENCH_SF1.md);
+      // the estimate tracks density at every sf within ~1.2× of the best
+      // hand tune — cellSize never affects correctness, only candidate
+      // fan-out
+      graft.spatial.SpatialJoin.knnJoinGridAuto(supp, cust, col("spt"), col("cpt"),
+          Seq("s_suppkey"), Seq("c_custkey"), k = 3)
         .select(col("s_suppkey"), col("knn_rank").cast("long").as("knn_rank"),
           col("c_custkey"), col("knn_dist"))
         .orderBy("s_suppkey", "knn_rank")

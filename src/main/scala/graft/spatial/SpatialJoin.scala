@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -27,26 +27,41 @@ import org.apache.spark.sql.functions._
  */
 object SpatialJoin {
 
-  /** st_covering_cells(geom): packed (ix,iy) cell ids covering the envelope,
-    * optionally dilated by `dilate` rings of neighboring cells (used by the
-    * grid KNN join to pull in every geometry within one cell pitch). */
-  case class StCoveringCells(child: Expression, cellSize: Double, maxCells: Int = 4096,
+  /** Numeric scalar → Double (the pitch child is a DOUBLE literal from the
+    * scalar API, or the broadcast one-row estimate column). */
+  private def asD(v: Any): Double = v match {
+    case d: java.lang.Double => d.doubleValue()
+    case n: java.lang.Number => n.doubleValue()
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case other => throw new IllegalArgumentException(s"not a numeric cell size: $other")
+  }
+
+  /** st_covering_cells(geom, cellSize): packed (ix,iy) cell ids covering the
+    * envelope, optionally dilated by `dilate` rings of neighboring cells
+    * (used by the grid KNN join to pull in every geometry within one cell
+    * pitch). `cellSize` is an expression child so the pitch can be a plain
+    * literal OR a data-derived scalar carried on the row (the adaptive-pitch
+    * path — see [[adaptivePitch]]). */
+  case class StCoveringCells(child: Expression, cellSize: Expression, maxCells: Int = 4096,
                              dilate: Int = 0)
-      extends UnaryExpression with CodegenFallback {
-    require(cellSize > 0)
+      extends BinaryExpression with CodegenFallback {
     require(dilate >= 0)
+    override def left: Expression = child
+    override def right: Expression = cellSize
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "st_covering_cells"
-    override protected def nullSafeEval(v: Any): Any = {
+    override protected def nullSafeEval(v: Any, cs: Any): Any = {
+      val cell = asD(cs)
+      if (!(cell > 0)) return null
       val env = new Envelope
       try WKB.foldEnvelope(v.asInstanceOf[Array[Byte]], env)
       catch { case _: Exception => return null }
       if (env.isEmpty) return new GenericArrayData(Array.empty[Long])
-      val ix0 = math.floor(env.xmin / cellSize).toLong - dilate
-      val ix1 = math.floor(env.xmax / cellSize).toLong + dilate
-      val iy0 = math.floor(env.ymin / cellSize).toLong - dilate
-      val iy1 = math.floor(env.ymax / cellSize).toLong + dilate
+      val ix0 = math.floor(env.xmin / cell).toLong - dilate
+      val ix1 = math.floor(env.xmax / cell).toLong + dilate
+      val iy0 = math.floor(env.ymin / cell).toLong - dilate
+      val iy1 = math.floor(env.ymax / cell).toLong + dilate
       val nx = ix1 - ix0 + 1
       val ny = iy1 - iy0 + 1
       if (nx * ny > maxCells) return null // degenerate envelope vs cell size
@@ -64,7 +79,15 @@ object SpatialJoin {
       }
       new GenericArrayData(out)
     }
-    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(child = l, cellSize = r)
+  }
+
+  object StCoveringCells {
+    def apply(child: Expression, cellSize: Double): StCoveringCells =
+      new StCoveringCells(child, Literal(cellSize))
+    def apply(child: Expression, cellSize: Double, dilate: Int): StCoveringCells =
+      new StCoveringCells(child, Literal(cellSize), dilate = dilate)
   }
 
   def st_covering_cells(g: Column, cellSize: Double): Column =
@@ -73,6 +96,12 @@ object SpatialJoin {
   def st_covering_cells(g: Column, cellSize: Double, dilate: Int): Column =
     toCol(StCoveringCells(toExpr(g), cellSize, dilate = dilate))
 
+  def st_covering_cells(g: Column, cellSize: Column): Column =
+    toCol(new StCoveringCells(toExpr(g), toExpr(cellSize)))
+
+  def st_covering_cells(g: Column, cellSize: Column, dilate: Int): Column =
+    toCol(new StCoveringCells(toExpr(g), toExpr(cellSize), dilate = dilate))
+
   /**
    * Canonical joint cell of two geometries: the cell containing the
    * min-corner of their envelope intersection. Every qualifying pair meets
@@ -80,13 +109,18 @@ object SpatialJoin {
    * from its reference cell deduplicates candidates WITHOUT a distinct
    * (no extra shuffle), the standard trick for grid spatial joins.
    */
-  case class StRefCell(left: Expression, right: Expression, cellSize: Double,
+  case class StRefCell(left: Expression, right: Expression, cellSize: Expression,
                        dilateRight: Int = 0)
-      extends BinaryExpression with CodegenFallback {
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = left
+    override def second: Expression = right
+    override def third: Expression = cellSize
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "st_ref_cell"
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
+    override protected def nullSafeEval(l: Any, r: Any, cs: Any): Any = {
+      val cell = asD(cs)
+      if (!(cell > 0)) return null
       val ea = new Envelope
       val eb = new Envelope
       try {
@@ -98,18 +132,30 @@ object SpatialJoin {
       // the per-axis lower index bounds (floor is monotonic, so max-then-floor
       // == max-of-floors when dilateRight == 0 — identical to the original
       // min-corner-of-envelope-intersection formulation)
-      val ix = math.max(math.floor(ea.xmin / cellSize).toLong,
-                        math.floor(eb.xmin / cellSize).toLong - dilateRight)
-      val iy = math.max(math.floor(ea.ymin / cellSize).toLong,
-                        math.floor(eb.ymin / cellSize).toLong - dilateRight)
+      val ix = math.max(math.floor(ea.xmin / cell).toLong,
+                        math.floor(eb.xmin / cell).toLong - dilateRight)
+      val iy = math.max(math.floor(ea.ymin / cell).toLong,
+                        math.floor(eb.ymin / cell).toLong - dilateRight)
       (ix << 32) | (iy & 0xffffffffL)
     }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-      copy(left = l, right = r)
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): Expression =
+      copy(left = f, right = s, cellSize = t)
+  }
+
+  object StRefCell {
+    def apply(left: Expression, right: Expression, cellSize: Double): StRefCell =
+      new StRefCell(left, right, Literal(cellSize))
+    def apply(left: Expression, right: Expression, cellSize: Double,
+              dilateRight: Int): StRefCell =
+      new StRefCell(left, right, Literal(cellSize), dilateRight = dilateRight)
   }
 
   def st_ref_cell(a: Column, b: Column, cellSize: Double): Column =
     toCol(StRefCell(toExpr(a), toExpr(b), cellSize))
+
+  def st_ref_cell(a: Column, b: Column, cellSize: Column): Column =
+    toCol(new StRefCell(toExpr(a), toExpr(b), toExpr(cellSize)))
 
   /**
    * K-nearest-neighbor join: for each left row, the k nearest right rows by
@@ -185,7 +231,78 @@ object SpatialJoin {
                   leftGeom: Column, rightGeom: Column,
                   leftKeys: Seq[String], rightKeys: Seq[String],
                   k: Int, cellSize: Double, escalateRounds: Int = 2,
-                  rightCountUpperBound: Option[Long] = None): DataFrame = {
+                  rightCountUpperBound: Option[Long] = None): DataFrame =
+    knnJoinGridImpl(left, right, leftGeom, rightGeom, leftKeys, rightKeys, k,
+      Some(cellSize), 0.0, escalateRounds, rightCountUpperBound)
+
+  /**
+   * [[knnJoinGrid]] with NO caller-supplied pitch: the cell size is estimated
+   * from right-side statistics (envelope extent + count) as a one-row
+   * aggregate consumed as a broadcast scalar — the bm25/ivfAssign shape, NO
+   * driver-side data action — so the whole join remains one lazy plan.
+   *
+   * The default per-cell occupancy target is CERTIFICATION-driven:
+   * max(8·k, 24). A row certifies in round 1 when ≥ k candidates sit within
+   * one pitch, and the expected in-radius count at occupancy τ is a small
+   * multiple of τ, so ~8·k rides out local density dips while keeping the
+   * per-left candidate fan-out (≈ 9·τ, the one-ring dilation) proportional
+   * to k — measured within ~1.2× of the best hand-tuned pitch at BOTH
+   * sf0.1 and 10× density, where the carried-over hand tune was 7× off
+   * (BENCH_SF1.md). Pitch never affects correctness (see [[knnJoinGrid]]),
+   * only candidate fan-out; pass `targetPerCell > 0` to override.
+   */
+  def knnJoinGridAuto(left: DataFrame, right: DataFrame,
+                      leftGeom: Column, rightGeom: Column,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      k: Int, targetPerCell: Double = 0.0, escalateRounds: Int = 2,
+                      rightCountUpperBound: Option[Long] = None): DataFrame =
+    knnJoinGridImpl(left, right, leftGeom, rightGeom, leftKeys, rightKeys, k,
+      None, targetPerCell, escalateRounds, rightCountUpperBound)
+
+  /**
+   * One-row grid-pitch estimate from data statistics: `__pitch` such that
+   * the expected number of rows per grid cell ≈ `targetPerCell` under a
+   * uniform-density model over the data's bounding box W×H with N rows.
+   * Solves p²·N/(W·H) = target, with the flat-extent branches (pitch taller
+   * than H, or wider than W — cells then span the short axis entirely, so
+   * density is effectively one-dimensional and p·N/W = target) and
+   * degenerate clamps (few rows → one macro-cell; empty/null input → 1.0).
+   * A plain aggregate: partial map-side combine to ONE row, no data action —
+   * callers crossJoin(broadcast(...)) it as a scalar.
+   */
+  /** A one-row/one-column frame as an uncorrelated scalar-subquery Column. */
+  private def scalarOf(oneRow: DataFrame): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      oneRow.queryExecution.analyzed))
+
+  def adaptivePitch(df: DataFrame, geom: Column, targetPerCell: Double): DataFrame = {
+    import graft.spatial.{functions => G}
+    val agg = df.agg(
+      min(G.st_xmin(geom)).as("__x0"), max(G.st_xmax(geom)).as("__x1"),
+      min(G.st_ymin(geom)).as("__y0"), max(G.st_ymax(geom)).as("__y1"),
+      count(geom).as("__cnt"))
+    val w = greatest(col("__x1") - col("__x0"), lit(1e-12))
+    val h = greatest(col("__y1") - col("__y0"), lit(1e-12))
+    val n = greatest(col("__cnt").cast("double"), lit(1.0))
+    val tau = lit(targetPerCell)
+    val p0 = sqrt(tau * w * h / n)
+    // at most one flat branch can trigger when n > tau (both p0 > h and
+    // p0 > w imply n < tau, caught by the first branch)
+    val pitch =
+      when(n <= tau, greatest(w, h))
+        .when(p0 > h, least(tau * w / n, w))
+        .when(p0 > w, least(tau * h / n, h))
+        .otherwise(p0)
+    agg.select(when(col("__cnt") === 0, lit(1.0))
+      .otherwise(coalesce(greatest(pitch, lit(1e-9)), lit(1.0))).as("__pitch"))
+  }
+
+  private def knnJoinGridImpl(left: DataFrame, right: DataFrame,
+                              leftGeom: Column, rightGeom: Column,
+                              leftKeys: Seq[String], rightKeys: Seq[String],
+                              k: Int, fixedPitch: Option[Double], targetPerCell: Double,
+                              escalateRounds: Int,
+                              rightCountUpperBound: Option[Long]): DataFrame = {
     require(escalateRounds >= 1)
     val skipRounds = rightCountUpperBound.exists(_ <= k)
     val dist = graft.spatial.functions.st_distance(leftGeom, rightGeom)
@@ -195,21 +312,43 @@ object SpatialJoin {
     def pack(ix: Column, iy: Column) =
       shiftleft(ix, 32).bitwiseOR(iy.bitwiseAND(lit(0xffffffffL)))
 
-    // one grid round at `pitch`: (certified top-k rows, still-unresolved left rows)
-    def gridRound(unresolved: DataFrame, pitch: Double): (DataFrame, DataFrame) = {
+    // the round-1 pitch as a per-row scalar column on each side: a literal
+    // when caller-supplied; else an UNCORRELATED SCALAR SUBQUERY over the
+    // one-row estimate — Spark executes it once (ReuseSubquery dedupes the
+    // occurrences across the union branches) and substitutes the value as a
+    // plan literal, far cheaper than a broadcast-join stage per branch; the
+    // stats frame is additionally marked cached so even un-reused subquery
+    // instances re-read one cached row instead of re-scanning right
+    val (left0, right0) =
+      if (skipRounds) (left, right)
+      else fixedPitch match {
+        case Some(cs) => (left.withColumn("__pitch", lit(cs)),
+                          right.withColumn("__rpitch", lit(cs)))
+        case None =>
+          val tau = if (targetPerCell > 0) targetPerCell else math.max(8.0 * k, 24.0)
+          val stats = adaptivePitch(right, rightGeom, tau).cache()
+          (left.withColumn("__pitch", scalarOf(stats)),
+           right.withColumn("__rpitch", scalarOf(stats)))
+      }
+
+    // one grid round at pitch·mult: (certified top-k rows, still-unresolved left rows)
+    def gridRound(unresolved: DataFrame, mult: Double): (DataFrame, DataFrame) = {
+      val lp = col("__pitch") * lit(mult)
+      val rp = col("__rpitch") * lit(mult)
       // each side's envelope min-corner cell, computed ONCE per row and
       // carried as a long: the canonical-shared-cell dedup filter below is
       // then pure integer arithmetic per candidate instead of re-parsing
       // both WKB values per candidate row
       val l = unresolved
-        .withColumn("__lc0", st_ref_cell(leftGeom, leftGeom, pitch))
-        .withColumn("__cell", explode(st_covering_cells(leftGeom, pitch)))
-      val rCells = right
-        .withColumn("__rc0", st_ref_cell(rightGeom, rightGeom, pitch))
-        .withColumn("__cells", st_covering_cells(rightGeom, pitch, dilate = 1))
+        .withColumn("__lc0", st_ref_cell(leftGeom, leftGeom, lp))
+        .withColumn("__cell", explode(st_covering_cells(leftGeom, lp)))
+      val rCells = right0
+        .withColumn("__rc0", st_ref_cell(rightGeom, rightGeom, rp))
+        .withColumn("__cells", st_covering_cells(rightGeom, rp, dilate = 1))
       val rOk = rCells.filter(col("__cells").isNotNull)
-        .withColumn("__cell", explode(col("__cells"))).drop("__cells")
-      val rBig = rCells.filter(col("__cells").isNull).drop("__cells", "__rc0") // over-cap: rare, exact path
+        .withColumn("__cell", explode(col("__cells"))).drop("__cells", "__rpitch")
+      val rBig = rCells.filter(col("__cells").isNull)
+        .drop("__cells", "__rc0", "__rpitch") // over-cap: rare, exact path
 
       // canonical shared cell = per-axis max of left's min index and right's
       // min index dilated by one ring — exactly StRefCell(dilateRight = 1)
@@ -223,7 +362,8 @@ object SpatialJoin {
       val bigCand = unresolved.crossJoin(rBig) // no hint: planner size-gates the broadcast
         .withColumn("__dist", dist)
       val cand = gridCand.unionByName(bigCand)
-        .filter(col("__dist").isNotNull && col("__dist") <= lit(pitch))
+        .filter(col("__dist").isNotNull && col("__dist") <= lp)
+        .drop("__pitch")
 
       // rank AND certify in ONE aggregate pass per left key: bounded top-k
       // (map-side partial, ≤ k rows per key per partition before the
@@ -249,22 +389,23 @@ object SpatialJoin {
       (certified, unresolved.join(resolved, leftKeys, "left_anti"))
     }
 
-    var unresolved = left
-    var pitch = cellSize
+    var unresolved = left0
+    var mult = 1.0
     val certifiedParts = Seq.newBuilder[DataFrame]
     var r = 0
     while (r < escalateRounds && !skipRounds) {
-      val (certified, next) = gridRound(unresolved, pitch)
+      val (certified, next) = gridRound(unresolved, mult)
       certifiedParts += certified
       unresolved = next
-      pitch *= 4
+      mult *= 4
       r += 1
     }
 
     // terminal exact residual: right is the streamed side, the shrunken
     // unresolved set the (planner-gated) broadcast side; GroupedTopK keeps
     // ≤ k rows per left row per map partition before the only exchange
-    val residCand = right.crossJoin(unresolved)
+    val residLeft = if (skipRounds) unresolved else unresolved.drop("__pitch")
+    val residCand = right.crossJoin(residLeft)
       .withColumn("__dist", dist)
       .filter(col("__dist").isNotNull)
     val residual = graft.pipeline.GroupedTopK.topK(residCand, leftKeys,
@@ -294,5 +435,48 @@ object SpatialJoin {
       .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, cellSize))
       .filter(predicate(leftGeom, rightGeom))
       .drop("__cell")
+  }
+
+  /**
+   * [[join]] with NO caller-supplied pitch. Two signals, both one-row
+   * broadcast aggregates (no driver action): the count-density pitch of the
+   * DENSER side (the smaller of the two [[adaptivePitch]] estimates bounds
+   * per-cell occupancy of both), floored by the mean envelope span of either
+   * side — a pitch far below typical geometry size would explode every row
+   * over many cells (or overflow the maxCells cap). Pitch tunes
+   * candidate fan-out only; the canonical-cell dedup + exact predicate keep
+   * any choice correct.
+   */
+  def joinAuto(left: DataFrame, right: DataFrame,
+               leftGeom: Column, rightGeom: Column,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               predicate: (Column, Column) => Column,
+               targetPerCell: Double = 32.0): DataFrame = {
+    import graft.spatial.{functions => G}
+    def meanSpan(df: DataFrame, g: Column) = df.agg(
+      avg(G.st_xmax(g) - G.st_xmin(g)).as("__sx"),
+      avg(G.st_ymax(g) - G.st_ymin(g)).as("__sy"))
+    val stats = adaptivePitch(left, leftGeom, targetPerCell)
+      .select(col("__pitch").as("__pl"))
+      .crossJoin(adaptivePitch(right, rightGeom, targetPerCell)
+        .select(col("__pitch").as("__pr")))
+      .crossJoin(meanSpan(left, leftGeom)
+        .select(col("__sx").as("__lsx"), col("__sy").as("__lsy")))
+      .crossJoin(meanSpan(right, rightGeom)
+        .select(col("__sx").as("__rsx"), col("__sy").as("__rsy")))
+      .select(greatest(
+        least(col("__pl"), col("__pr")),
+        coalesce(col("__lsx"), lit(0.0)), coalesce(col("__lsy"), lit(0.0)),
+        coalesce(col("__rsx"), lit(0.0)), coalesce(col("__rsy"), lit(0.0))).as("__pitch"))
+      .cache() // one row; every subquery instance reads it, computed once
+    val l = left.withColumn("__pitch", scalarOf(stats))
+      .withColumn("__cell", explode(st_covering_cells(leftGeom, col("__pitch"))))
+    val r = right.withColumn("__rp", scalarOf(stats))
+      .withColumn("__cell", explode(st_covering_cells(rightGeom, col("__rp"))))
+      .drop("__rp")
+    l.join(r, Seq("__cell"))
+      .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, col("__pitch")))
+      .filter(predicate(leftGeom, rightGeom))
+      .drop("__cell", "__pitch")
   }
 }

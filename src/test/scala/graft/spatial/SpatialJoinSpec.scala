@@ -234,6 +234,75 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptivePitch solves target rows per cell, incl. flat and tiny extents") {
+    import spark.implicits._
+    // 2-D uniform: 1000 pts in [0,100]², τ=10 → p0 = sqrt(10·100·100/1000) = 10
+    val rnd = new scala.util.Random(11L)
+    val sq = (0 until 1000).map(i => (i.toLong, rnd.nextDouble() * 100.0, rnd.nextDouble() * 100.0))
+      .toDF("id", "x", "y").select(col("id"), G.st_point(col("x"), col("y")).as("g"))
+    val p2d = SpatialJoin.adaptivePitch(sq, col("g"), 10.0).head().getDouble(0)
+    assert(p2d > 7.0 && p2d < 13.0, s"p2d=$p2d")
+    // flat-in-y (the q43 shape): 1000 pts on a 999-wide line → τ·W/N ≈ 10
+    val flat = (0 until 1000).map(i => (i.toLong, i.toDouble, 0.0))
+      .toDF("id", "x", "y").select(col("id"), G.st_point(col("x"), col("y")).as("g"))
+    val pf = SpatialJoin.adaptivePitch(flat, col("g"), 10.0).head().getDouble(0)
+    assert(pf > 8.0 && pf < 12.0, s"pf=$pf")
+    // fewer rows than target: one macro-cell spanning the extent
+    val tiny = Seq((1L, 0.0, 0.0), (2L, 50.0, 20.0)).toDF("id", "x", "y")
+      .select(col("id"), G.st_point(col("x"), col("y")).as("g"))
+    val pt = SpatialJoin.adaptivePitch(tiny, col("g"), 10.0).head().getDouble(0)
+    assert(pt == 50.0, s"pt=$pt")
+    // empty input: non-null positive fallback
+    val pe = SpatialJoin.adaptivePitch(tiny.filter(col("id") > 99), col("g"), 10.0)
+      .head().getDouble(0)
+    assert(pe == 1.0, s"pe=$pe")
+  }
+
+  test("grid knn auto-pitch == broadcast knn join (no caller knob)") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        G.st_point(col("s_acctbal"), col("s_nationkey").cast("double")).as("spt"))
+    val expected = SpatialJoin.knnJoin(cust, supp, col("pt"), col("spt"),
+        Seq("c_custkey"), Seq("s_suppkey"), k = 3)
+      .select("c_custkey", "s_suppkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val auto = SpatialJoin.knnJoinGridAuto(cust, supp, col("pt"), col("spt"),
+      Seq("c_custkey"), Seq("s_suppkey"), k = 3)
+    val got = auto.select("c_custkey", "s_suppkey", "knn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // ranking still window-free; pitch columns never leak into the output
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!auto.columns.exists(_.contains("pitch")), auto.columns.mkString(","))
+  }
+
+  test("predicate grid joinAuto == static grid join") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val rects = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"),
+        G.st_makeenvelope(
+          col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+          col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+        ).as("rect"))
+    val expected = SpatialJoin.join(rects, cust, col("rect"), col("pt"),
+        Seq("n_nationkey"), Seq("c_custkey"), G.st_contains, cellSize = 500.0)
+      .select("n_nationkey", "c_custkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val got = SpatialJoin.joinAuto(rects, cust, col("rect"), col("pt"),
+        Seq("n_nationkey"), Seq("c_custkey"), G.st_contains)
+      .select("n_nationkey", "c_custkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("grid knn join never force-broadcasts the right relation") {
     // with auto-broadcast disabled, a BroadcastExchange can only come from an
     // explicit broadcast() hint — the round-2 residual had one on the FULL
