@@ -21,7 +21,14 @@ import org.apache.spark.sql.types.LongType
  *
  * Opt-in by configuration (the cell pitch is data-dependent):
  *
- *   spark.graft.spatialJoin.cellSize=<coordinate units>
+ *   spark.graft.spatialJoin.cellSize=<coordinate units> | auto
+ *
+ * `auto` estimates the pitch from BOTH sides' statistics
+ * ([[SpatialJoin.predicatePitchStats]]: count-density of the denser side,
+ * floored by mean envelope span) injected as an uncorrelated scalar
+ * subquery — executed once at runtime, no driver-side data action, pitch
+ * tracks the data. ST_DWithin keeps requiring an explicit cellSize: its
+ * right-side cell dilation ring count ⌈d/cs⌉ must be known at plan time.
  *
  * Register via `spark.sql.extensions=graft.GraftExtensions` (injected as an
  * optimizer rule) or per-session with
@@ -38,8 +45,12 @@ import org.apache.spark.sql.types.LongType
  */
 case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def cellSize: Option[Double] =
-    session.conf.getOption("spark.graft.spatialJoin.cellSize").map(_.toDouble)
+  /** None = rule off; Some(None) = auto pitch; Some(Some(cs)) = literal. */
+  private def cellSize: Option[Option[Double]] =
+    session.conf.getOption("spark.graft.spatialJoin.cellSize").map {
+      case "auto" => None
+      case s => Some(s.toDouble)
+    }
 
   /** The over-cap fallback joins this rule itself emits are recognizable by
     * their StCoveringCells null-check filters; without this guard the
@@ -62,8 +73,10 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
   /** Geometry args + right-side cell dilation for a rewritable predicate:
     * every envelope-implied predicate rides the grid at dilation 0;
     * ST_DWithin(d) dilates the right side by enough rings to cover d
-    * (|Δcoord| ≤ d ⇒ |Δindex| ≤ ⌊d/cs⌋+1 per axis). */
-  private def rewritable(cond: Expression, cs: Double): Option[(Expression, Expression, Int)] =
+    * (|Δcoord| ≤ d ⇒ |Δindex| ≤ ⌊d/cs⌋+1 per axis) — literal pitch only,
+    * the ring count needs cs at plan time. */
+  private def rewritable(cond: Expression,
+                         cs: Option[Double]): Option[(Expression, Expression, Int)] =
     cond match {
       case StIntersects(a, b)    => Some((a, b, 0))
       case StEnvIntersects(a, b) => Some((a, b, 0))
@@ -72,13 +85,13 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       case StEquals(a, b)        => Some((a, b, 0))
       case StTouches(a, b)       => Some((a, b, 0))
       case StOverlaps(a, b)      => Some((a, b, 0))
-      case StDWithin(a, b, d) if d.foldable =>
+      case StDWithin(a, b, d) if d.foldable && cs.isDefined =>
         val dist = d.eval() match {
           case n: Number => n.doubleValue()
           case dec: org.apache.spark.sql.types.Decimal => dec.toDouble // SQL `750.0` literal
           case _ => -1.0
         }
-        if (dist >= 0) Some((a, b, math.floor(dist / cs).toInt + 1)) else None
+        if (dist >= 0) Some((a, b, math.floor(dist / cs.get).toInt + 1)) else None
       case _ => None
     }
 
@@ -102,14 +115,31 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       }
   }
 
+  /** The pitch expression of a rewrite: the configured literal, or (auto)
+    * an uncorrelated scalar subquery over both sides' combined statistics —
+    * the child plans are re-wrapped as DataFrames only to BUILD the
+    * subquery's logical plan; nothing executes at rewrite time. */
+  private def pitchExpr(cs: Option[Double], left: LogicalPlan, right: LogicalPlan,
+                        lg: Expression, rg: Expression): Expression = cs match {
+    case Some(v) => Literal(v)
+    case None =>
+      import org.apache.spark.sql.GraftShim
+      val stats = SpatialJoin.predicatePitchStats(
+        GraftShim.ofRows(session, left), GraftShim.column(lg),
+        GraftShim.ofRows(session, right), GraftShim.column(rg))
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        stats.queryExecution.analyzed)
+  }
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      lg: Expression, rg: Expression, cs: Double,
+                      lg: Expression, rg: Expression, cs: Option[Double],
                       dilate: Int = 0): LogicalPlan = {
     // The cell array is computed ONCE per row in a Project below the
     // branches; the ok/big filters and the Generate all reference the
     // attribute instead of re-evaluating the WKB-parsing expression.
-    val cellsL = Alias(SpatialJoin.StCoveringCells(lg, cs), "__cells_l")()
-    val cellsR = Alias(SpatialJoin.StCoveringCells(rg, cs, dilate = dilate), "__cells_r")()
+    val csE = pitchExpr(cs, left, right, lg, rg)
+    val cellsL = Alias(new SpatialJoin.StCoveringCells(lg, csE), "__cells_l")()
+    val cellsR = Alias(new SpatialJoin.StCoveringCells(rg, csE, dilate = dilate), "__cells_r")()
     val leftC = Project(left.output :+ cellsL, left)
     val rightC = Project(right.output :+ cellsR, right)
 
@@ -134,7 +164,7 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     // ORIGINAL predicate verbatim — correct for asymmetric predicates
     // (contains/within) whichever side their args reference
     val grid = Project(j.output, Filter(
-      And(EqualTo(cellL, SpatialJoin.StRefCell(lg, rg, cs, dilateRight = dilate)),
+      And(EqualTo(cellL, new SpatialJoin.StRefCell(lg, rg, csE, dilateRight = dilate)),
         j.condition.get),
       joined))
 

@@ -271,7 +271,7 @@ object SpatialJoin {
    * callers crossJoin(broadcast(...)) it as a scalar.
    */
   /** A one-row/one-column frame as an uncorrelated scalar-subquery Column. */
-  private def scalarOf(oneRow: DataFrame): Column =
+  private[spatial] def scalarOf(oneRow: DataFrame): Column =
     toCol(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       oneRow.queryExecution.analyzed))
 
@@ -447,16 +447,16 @@ object SpatialJoin {
    * candidate fan-out only; the canonical-cell dedup + exact predicate keep
    * any choice correct.
    */
-  def joinAuto(left: DataFrame, right: DataFrame,
-               leftGeom: Column, rightGeom: Column,
-               leftKeys: Seq[String], rightKeys: Seq[String],
-               predicate: (Column, Column) => Column,
-               targetPerCell: Double = 32.0): DataFrame = {
+  /** The combined one-row pitch estimate behind [[joinAuto]] and the
+    * GridSpatialJoinRule's `cellSize=auto` mode (see [[joinAuto]] doc). */
+  def predicatePitchStats(left: DataFrame, leftGeom: Column,
+                          right: DataFrame, rightGeom: Column,
+                          targetPerCell: Double = 32.0): DataFrame = {
     import graft.spatial.{functions => G}
     def meanSpan(df: DataFrame, g: Column) = df.agg(
       avg(G.st_xmax(g) - G.st_xmin(g)).as("__sx"),
       avg(G.st_ymax(g) - G.st_ymin(g)).as("__sy"))
-    val stats = adaptivePitch(left, leftGeom, targetPerCell)
+    adaptivePitch(left, leftGeom, targetPerCell)
       .select(col("__pitch").as("__pl"))
       .crossJoin(adaptivePitch(right, rightGeom, targetPerCell)
         .select(col("__pitch").as("__pr")))
@@ -469,6 +469,14 @@ object SpatialJoin {
         coalesce(col("__lsx"), lit(0.0)), coalesce(col("__lsy"), lit(0.0)),
         coalesce(col("__rsx"), lit(0.0)), coalesce(col("__rsy"), lit(0.0))).as("__pitch"))
       .cache() // one row; every subquery instance reads it, computed once
+  }
+
+  def joinAuto(left: DataFrame, right: DataFrame,
+               leftGeom: Column, rightGeom: Column,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               predicate: (Column, Column) => Column,
+               targetPerCell: Double = 32.0): DataFrame = {
+    val stats = predicatePitchStats(left, leftGeom, right, rightGeom, targetPerCell)
     val l = left.withColumn("__pitch", scalarOf(stats))
       .withColumn("__cell", explode(st_covering_cells(leftGeom, col("__pitch"))))
     val r = right.withColumn("__rp", scalarOf(stats))

@@ -122,6 +122,41 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("GridSpatialJoinRule cellSize=auto rewrites with a statistics subquery pitch") {
+    graft.spatial.functions.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(GridSpatialJoinRule(spark))
+    spark.conf.set("spark.graft.spatialJoin.cellSize", "auto")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"),
+          G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+        .createOrReplaceTempView("cust_pts_a")
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_nationkey"),
+          G.st_makeenvelope(
+            col("n_nationkey").cast("double") * 300.0, col("n_nationkey").cast("double") - 3.0,
+            col("n_nationkey").cast("double") * 300.0 + 2000.0, col("n_nationkey").cast("double") + 3.0
+          ).as("rect"))
+        .createOrReplaceTempView("nation_rects_a")
+      val q = "SELECT count(*) AS n FROM nation_rects_a r JOIN cust_pts_a c " +
+        "ON ST_Contains(r.rect, c.pt)"
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      // grid path on the cell id, pitch fed by a (reused) scalar subquery
+      assert(plan.contains("__cell_l"), plan.take(1500))
+      assert(plan.toLowerCase.contains("subquery"), plan.take(1500))
+      val n = df.head().getLong(0)
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+      val baseline = spark.sql(q).head().getLong(0)
+      assert(n == baseline && n > 0, s"grid=$n nl=$baseline")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
   test("cell-partitioned layout: pruned reads match full-scan filter") {
     val sf = "/root/testdata/sf0.001"
     val cust = spark.read.parquet(s"$sf/customer.parquet")
