@@ -271,6 +271,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(1500))
   }
 
+  test("ivfRoute is exchange-free and matches the window-ranked probe order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val (_, centroids) = Similarity.ivfAssign(emb, "vec_id", "embedding", nLists = 8)
+    val routed = Similarity.ivfRoute(queries, centroids, "vec_id", "embedding", nProbe = 3)
+    // the whole ANN path is now Window-free: routing ranks per-row over the
+    // broadcast centroid array (array_sort + slice), no query_id exchange
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("hashpartitioning(query_id"), plan.take(2500))
+    // equivalence vs the window formulation it replaced
+    import org.apache.spark.sql.expressions.Window
+    val reference = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        coalesce(Similarity.cosine(col("qvec"), col("cvec")), lit(-2.0)).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)))
+      .filter(col("r") <= 3)
+      .select(col("query_id"), col("centroid_id").as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = routed.select("query_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == reference && got.nonEmpty)
+  }
+
+  test("incremental IVF index: two appends == direct top-k over the union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val batch1 = emb.filter(col("vec_id") % 3 === 1)
+    val batch2 = emb.filter(col("vec_id") % 3 === 2)
+    val path = "/tmp/graft_ivf_index_incr"
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", path, nLists = 8)
+    Similarity.appendIvfIndex(spark, path, batch1, "vec_id", "embedding")
+    Similarity.appendIvfIndex(spark, path, batch2, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // equivalence target keeps the STORED centroids (append never re-routes):
+    // direct assignment+probe of the full union against the index's centroids
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val direct = Similarity.ivfTopKWith(emb, centroids, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(indexed == direct && indexed.nonEmpty)
+  }
+
   test("lsh top-k returns plausible neighbors with exact rerank") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2)
