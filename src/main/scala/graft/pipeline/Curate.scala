@@ -57,4 +57,74 @@ object Curate {
       .withColumn("toks", Text.tokenCount(col(textCol)))
     Sampling.packSequences(sharded, "shard", idCol, "toks", cfg.packTokens)
   }
+
+  /**
+   * Incremental curation: curate a NEW batch against a STANDING corpus
+   * without re-reading any corpus text. Standing state consumed:
+   *
+   *  - the corpus sketch index ([[Dedup.writeMinhashIndex]] over the KEPT
+   *    documents of previous runs) — cross-batch duplicate detection reads
+   *    only this slim table;
+   *  - optionally `shardBase` = [[shardTokenTotals]] of the previous
+   *    output, so the packed token stream CONTINUES where the corpus left
+   *    off instead of restarting at offset 0.
+   *
+   * Equivalence with full [[curate]] over (corpus ∪ batch), given the
+   * append-only id discipline (every batch id greater than every corpus
+   * id — keep-lowest then never evicts a standing document):
+   *
+   *  - batch-internal near-dups: identical path (LSH candidates → exact
+   *    Jaccard verify);
+   *  - batch-vs-corpus near-dups: gated on the ESTIMATED Jaccard from the
+   *    stored signatures (the corpus text is not read) — the one documented
+   *    deviation; estimate and exact value agree in expectation and can
+   *    differ only for pairs sitting near the threshold. Exact duplicates
+   *    of corpus documents are caught by the same gate (identical text ⇒
+   *    identical signature ⇒ estimate 1.0);
+   *  - split/shard/quality/lang are pure per-document functions;
+   *  - packing continues the per-shard stream when `shardBase` is given
+   *    (corpus ids sort before batch ids, so the union's per-shard prefix
+   *    sums decompose exactly into corpus totals + batch-internal sums).
+   */
+  def curateIncrement(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                      idCol: String, textCol: String, indexPath: String,
+                      shardBase: Option[DataFrame] = None,
+                      cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.dropExactDuplicates(batch, textCol, idCol)
+    val losersIn = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol))
+    val losersX = Dedup.minhashCandidatePairsAgainstIndex(spark, indexPath, exact,
+        textCol, idCol)
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol))
+    val deduped = exact.join(losersIn.unionByName(losersX), Seq(idCol), "left_anti")
+
+    val gated = deduped
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("lang", Text.langId(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality && col("lang").isin(cfg.langs: _*))
+
+    val sharded = Sampling.hashSplit(gated, idCol, cfg.splits)
+      .withColumn("shard", Sampling.hashBucket(col(idCol), cfg.shards))
+      .withColumn("toks", Text.tokenCount(col(textCol)))
+    val packed = Sampling.packSequences(sharded, "shard", idCol, "toks", cfg.packTokens)
+    shardBase match {
+      case None => packed
+      case Some(base) =>
+        packed
+          .join(broadcast(base.select(col("shard"), col("base_tokens"))), Seq("shard"), "left")
+          .withColumn("pack_offset",
+            col("pack_offset") + coalesce(col("base_tokens"), lit(0L)))
+          .withColumn("pack_id", floor(col("pack_offset") / cfg.packTokens.toLong))
+          .drop("base_tokens")
+    }
+  }
+
+  /** Per-shard token totals of a curated output — the `shardBase` input of
+    * the next [[curateIncrement]]: a tiny aggregate over the previous
+    * OUTPUT (one row per shard), never over corpus text. The last document
+    * of a shard ends at pack_offset + toks = the shard's stream length. */
+  def shardTokenTotals(curated: DataFrame): DataFrame =
+    curated.groupBy("shard")
+      .agg(max(col("pack_offset") + col("toks")).as("base_tokens"))
 }

@@ -66,9 +66,27 @@ object Dedup {
     array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
   }
 
+  /**
+   * @param hotBucketBound per-bucket occupancy guard: buckets holding more
+   *        rows than this emit HUB-STAR pairs (every member against the
+   *        bucket's minimum id) instead of all pairs — linear, not
+   *        quadratic, in the occupancy. Template spam concentrates
+   *        thousands of near-identical docs into few buckets, and the
+   *        all-pairs OUTPUT itself is quadratic there (the sf1 stress
+   *        measured exactly this); the star keeps every spam member
+   *        connected to one keeper, which is what downstream
+   *        keep-lowest dedup consumes, at linear cost. Non-hub pairs
+   *        confined to hot buckets are not emitted (documented recall
+   *        trade), and a pair meeting in both a hot and a cold bucket can
+   *        be emitted by both paths (each path itself is exactly-once;
+   *        keep-lowest consumers are insensitive to the duplicate). The
+   *        default Int.MaxValue disables the guard — the plan is then
+   *        byte-identical to the unguarded shape, no occupancy aggregate.
+   */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 64, bands: Int = 16,
-                            shingle: Int = 3): DataFrame = {
+                            shingle: Int = 3,
+                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // band b = hash(sig[b*rows .. (b+1)*rows)) — the band hashes are
     // computed ONCE per doc (not per exploded row, and not re-sliced per
@@ -78,7 +96,7 @@ object Dedup {
     // carried band-hash arrays) — exactly-once, no distinct() shuffle.
     val sig = df.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig"))
-    pairsFromSketches(sig, numHashes, bands)
+    pairsFromSketches(sig, numHashes, bands, hotBucketBound)
   }
 
   /**
@@ -160,21 +178,47 @@ object Dedup {
     * re-derives the band hashes from the carried signatures — 16 cheap
     * xxhash64 calls per CANDIDATE row, instead of a full minhash per
     * corpus row per band. */
-  private def pairsFromSketches(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def pairsFromSketches(sig: DataFrame, numHashes: Int, bands: Int,
+                                hotBucketBound: Int = Int.MaxValue): DataFrame = {
+    def estJaccard = (size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), bb => bb))
+      .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
+    def allPairs(banded: DataFrame): DataFrame = {
+      val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("band") === array_position(zip_with(
+          bandHashes(col("sig_a"), numHashes, bands),
+          bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
+        .select(col("id_a"), col("id_b"), estJaccard)
+    }
     val banded = sig.select(col("id"), col("sig"),
       posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === array_position(zip_with(
-        bandHashes(col("sig_a"), numHashes, bands),
-        bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    if (hotBucketBound == Int.MaxValue) return allPairs(banded)
+
+    // hot-bucket guard: occupancy + hub (min id) per bucket — ONE extra
+    // aggregate on the same (band, bucket) key the pair join shuffles on.
+    // Cold buckets take the exact all-pairs path; hot buckets emit each
+    // member against the hub only (linear), deduplicated across bands —
+    // the dedup input is bounded by Σ hot-bucket occupancies, not its
+    // square, so the distinct here cannot reintroduce the quadratic cost.
+    val occ = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
+    val bandedOcc = banded.join(occ, Seq("band", "bucket"))
+    val cold = bandedOcc.filter(col("__occ") <= hotBucketBound)
+      .drop("__occ", "__hub")
+    val hot = bandedOcc.filter(col("__occ") > hotBucketBound)
+    val hubSide = hot.filter(col("id") === col("__hub"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val hotPairs = hot.filter(col("id") =!= col("__hub"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+      .join(hubSide, Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), estJaccard)
+    allPairs(cold).unionByName(hotPairs)
   }
 
   /**

@@ -260,7 +260,8 @@ object Similarity {
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nBits: Int = 8,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4,
+                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
     // The signature ARRAY (`bands` longs) is carried through the bucket
     // join so the first-shared-band filter is attribute access per joined
     // row — NOT recomputed from the vectors: with an under-sized `nBits`
@@ -279,15 +280,38 @@ object Similarity {
       .withColumn("sigs", sigArr)
     val banded = sig.select(col("id"), col("vec"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("vec_a"), col("sigs").as("sigs_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vec_b"), col("sigs").as("sigs_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") ===
-        array_position(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), true) - 1)
+    def allPairs(side: DataFrame): DataFrame = {
+      val a = side.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("vec").as("vec_a"), col("sigs").as("sigs_a"))
+      val b = side.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("vec").as("vec_b"), col("sigs").as("sigs_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("band") ===
+          array_position(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), true) - 1)
+        .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+        .filter(col("sim") >= minCosine)
+    }
+    if (hotBucketBound == Int.MaxValue) return allPairs(banded)
+    // hot-bucket guard — same shape as Dedup.pairsFromSketches: buckets
+    // over the bound emit hub-star pairs (linear in occupancy) instead of
+    // all pairs; embedding template spam (re-encoded boilerplate) collides
+    // whole near-identical clusters into single buckets where the all-pairs
+    // output itself is quadratic
+    val occ = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
+    val bandedOcc = banded.join(occ, Seq("band", "bucket"))
+    val cold = bandedOcc.filter(col("__occ") <= hotBucketBound)
+      .drop("__occ", "__hub")
+    val hot = bandedOcc.filter(col("__occ") > hotBucketBound)
+    val hubSide = hot.filter(col("id") === col("__hub"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val hotPairs = hot.filter(col("id") =!= col("__hub"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      .join(hubSide, Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minCosine)
+    allPairs(cold).unionByName(hotPairs)
   }
 }

@@ -115,6 +115,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs((10L, 20L)) > 0.85 && pairs((10L, 20L)) < 1.0)
   }
 
+  test("hot-bucket guard: template spam emits hub stars, cold buckets stay exact") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val spamBody = (1 to 40).map(i => s"spam$i").mkString(" ")
+    val rows = Seq(10L -> base, 20L -> near) ++
+      (1000L until 1400L).map(i => i -> spamBody)
+    val df = docs(rows)
+    val guarded = Dedup.minhashCandidatePairs(df, "text", "doc_id",
+        hotBucketBound = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 400-clone cluster is one bucket per band, occupancy 400 > 64:
+    // exactly 399 hub-star pairs instead of 79,800 all-pairs — the work
+    // (and output) bound the guard exists for
+    val spamPairs = guarded.filter(_._1 >= 1000L).toSet
+    assert(spamPairs == (1001L until 1400L).map(x => (1000L, x)).toSet,
+      s"n=${spamPairs.size}")
+    assert(guarded.length == spamPairs.size + 1)
+    // cold buckets keep the exact path: the planted near-dup pair survives
+    assert(guarded.contains((10L, 20L)))
+    // and the unguarded default still emits the full clique shape
+    val unguarded = Dedup.minhashCandidatePairs(
+      docs(Seq(10L -> base, 20L -> near) ++ (2000L until 2020L).map(_ -> spamBody)),
+      "text", "doc_id")
+      .select("id_a", "id_b").collect()
+    assert(unguarded.count(_.getLong(0) >= 2000L) == 20 * 19 / 2)
+  }
+
+  test("hot-bucket guard on embedding LSH: spam cluster bounded, planted pair kept") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val template = emb.filter(col("vec_id") === 1)
+    val spam = spark.range(2000, 2300).select(col("id").as("vec_id"))
+      .crossJoin(template.select(col("embedding")))
+    val pairs = Similarity.embeddingNearDupPairs(
+        emb.unionByName(planted).unionByName(spam),
+        "vec_id", "embedding", minCosine = 0.9, hotBucketBound = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical-direction spam: every band agrees → one hot bucket; the
+    // guard emits 300 hub stars (hub = vec_id 1 itself is in the bucket)
+    val spamSet = pairs.filter(p => p._2 >= 2000 && p._2 < 2300).toSet
+    assert(spamSet == (2000L until 2300L).map(x => (1L, x)).toSet, s"n=${spamSet.size}")
+    // the planted ×2 pair lives in a cold bucket and is still found exactly
+    assert(pairs.contains((0L, 100000L)))
+  }
+
   test("ngram jaccard exact") {
     val df = docs(Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v"))
     val j = Dedup.ngramJaccard(df, "text", "doc_id", n = 2)
@@ -357,6 +405,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx grouped percentiles track the exact aggregate within rank tolerance") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select((col("doc_id") % 4).as("grp"),
+        Text.tokenCount(col("text")).cast("double").as("toks"))
+    val pcts = Seq(0.1, 0.5, 0.9)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Stats.groupedPercentiles(docsDf, Seq("grp"), "toks", pcts))
+    val approx = toMap(Stats.groupedPercentilesApprox(docsDf, Seq("grp"), "toks", pcts))
+    assert(exact.keySet == approx.keySet && exact.size == 12)
+    // high accuracy on a small fixture: the sketch answer is a real value
+    // from the distribution near the exact interpolated one
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(4.0, v * 0.1), s"$k exact=$v approx=${approx(k)}")
+    }
+    // the approx plan must carry a partial aggregation (map-side sketch),
+    // never a per-group value buffer on one reducer only
+    val plan = Stats.groupedPercentilesApprox(docsDf, Seq("grp"), "toks", pcts)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_percentile") || plan.contains("approx_percentile"),
+      plan.take(2000))
+  }
+
   test("hash split: deterministic, complete, near-nominal fractions") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splits = Seq(("train", 8000), ("val", 1000), ("test", 1000))
@@ -465,6 +536,32 @@ class PipelineSpec extends AnyFunSuite {
         splits = Seq(("train", 8000), ("val", 2000)), packTokens = 512, shards = 8))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == ids)
+  }
+
+  test("incremental curate == full curate over the union (append-only ids)") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // τ = 0.5 sits far from both the planted near-dup similarities (≥ .85)
+    // and the natural background (~.04), so the estimated-Jaccard gate of
+    // the incremental cross-corpus path classifies identically to the
+    // exact-verify gate of the full run — the documented deviation is
+    // confined to threshold-adjacent pairs, and none exist here
+    val cfg = Curate.Config(nearDupJaccard = 0.5)
+    val corpus = all.filter(col("doc_id") < 300)
+    val batch = all.filter(col("doc_id") >= 300)
+    val full = Curate.curate(all, "doc_id", "text", cfg)
+    val corpusCurated = Curate.curate(corpus, "doc_id", "text", cfg)
+    val idxPath = "/tmp/graft_curate_incr_idx"
+    Dedup.writeMinhashIndex(corpusCurated.select("doc_id", "text"), "text", "doc_id", idxPath)
+    val inc = Curate.curateIncrement(spark, batch, "doc_id", "text", idxPath,
+      Some(Curate.shardTokenTotals(corpusCurated)), cfg)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality", "lang", "split", "shard", "toks", "pack_offset", "pack_id")
+        .collect().map(r => r.toSeq).toSet
+    val got = snap(corpusCurated) ++ snap(inc)
+    val expect = snap(full)
+    assert(got == expect, s"sym diff=${(got diff expect) ++ (expect diff got)}")
+    assert(expect.nonEmpty && snap(inc).nonEmpty)
   }
 
   test("sessionization splits on gap") {
