@@ -457,6 +457,36 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q55_langid_scripts" -> ((s, d) => {
+      // non-Latin script coverage for language ID (closes the r4 gap "q23's
+      // oracle is valid only because the corpus is ASCII"): deterministic
+      // multi-script documents constructed from customer keys — the SAME
+      // expression both engines can build — staying inside the BMP so the
+      // engine's per-UTF-16-char script histogram equals DuckDB's
+      // per-codepoint \p{Script} counts. The arithmetic plants both sides
+      // of every threshold: the kana-vs-han ja/zh boundary (4·kana vs han),
+      // Cyrillic/Arabic density above and below 1/2 (falling through to
+      // Latin voting), pure-script rows, stopword voting, letterless und.
+      prep(s, d, "customer")
+      val text = expr("""CASE
+          WHEN c_custkey % 8 = 0 THEN repeat('漢', CAST(c_custkey % 50 + 1 AS INT))
+          WHEN c_custkey % 8 = 1 THEN repeat('あ', CAST(c_custkey % 5 + 1 AS INT)) ||
+                                      repeat('漢', CAST(c_custkey % 7 AS INT))
+          WHEN c_custkey % 8 = 2 THEN repeat('한', CAST(c_custkey % 30 + 1 AS INT))
+          WHEN c_custkey % 8 = 3 THEN repeat('д', CAST(c_custkey % 5 + 1 AS INT)) ||
+                                      repeat('x', CAST(c_custkey % 7 AS INT))
+          WHEN c_custkey % 8 = 4 THEN repeat('ع', CAST(c_custkey % 5 + 1 AS INT)) || ' ' ||
+                                      repeat('b', CAST(c_custkey % 7 AS INT))
+          WHEN c_custkey % 8 = 5 THEN repeat('द', CAST(c_custkey % 20 + 1 AS INT))
+          WHEN c_custkey % 8 = 6 THEN 'the of and to in is that for it as ' ||
+                                      repeat('z', CAST(c_custkey % 4 AS INT))
+          ELSE repeat('7', CAST(c_custkey % 9 + 1 AS INT))
+        END""")
+      t(s, d, "customer")
+        .select(col("c_custkey"), Text.langId(text).as("lang"))
+        .orderBy("c_custkey")
+    }),
+
     "q26_cosine_topk" -> ((s, d) => {
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
@@ -1066,6 +1096,53 @@ object Queries {
       WITH ${langMirrorCtes("documents")}
       SELECT doc_id, lang AS lang_pred
       FROM langs ORDER BY doc_id""",
+
+    // Full mirror of TextUtil.langId INCLUDING the script-histogram
+    // branches: the same document construction (BMP-only, so Java
+    // UTF-16-char counts == codepoint counts), script counts via RE2
+    // \p{Script} classes (the same Unicode script property
+    // Character.UnicodeScript dispatches on), then the identical decision
+    // chain with the Latin branch delegating to the voting mirror.
+    "q55_langid_scripts" -> s"""
+      WITH sdocs AS (
+        SELECT c_custkey AS doc_id,
+          CASE
+            WHEN c_custkey % 8 = 0 THEN repeat('漢', CAST(c_custkey % 50 + 1 AS INT))
+            WHEN c_custkey % 8 = 1 THEN repeat('あ', CAST(c_custkey % 5 + 1 AS INT)) ||
+                                        repeat('漢', CAST(c_custkey % 7 AS INT))
+            WHEN c_custkey % 8 = 2 THEN repeat('한', CAST(c_custkey % 30 + 1 AS INT))
+            WHEN c_custkey % 8 = 3 THEN repeat('д', CAST(c_custkey % 5 + 1 AS INT)) ||
+                                        repeat('x', CAST(c_custkey % 7 AS INT))
+            WHEN c_custkey % 8 = 4 THEN repeat('ع', CAST(c_custkey % 5 + 1 AS INT)) || ' ' ||
+                                        repeat('b', CAST(c_custkey % 7 AS INT))
+            WHEN c_custkey % 8 = 5 THEN repeat('द', CAST(c_custkey % 20 + 1 AS INT))
+            WHEN c_custkey % 8 = 6 THEN 'the of and to in is that for it as ' ||
+                                        repeat('z', CAST(c_custkey % 4 AS INT))
+            ELSE repeat('7', CAST(c_custkey % 9 + 1 AS INT))
+          END AS text
+        FROM customer),
+      hist AS (
+        SELECT doc_id,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{L}]', '', 'g')) AS letters,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS kana,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Han}]', '', 'g')) AS han,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Hangul}]', '', 'g')) AS hangul,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Cyrillic}]', '', 'g')) AS cyr,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Arabic}]', '', 'g')) AS arab,
+          length(regexp_replace(substr(text,1,4096), '[^\\p{Devanagari}]', '', 'g')) AS deva
+        FROM sdocs),
+      ${langMirrorCtes("sdocs")}
+      SELECT h.doc_id AS c_custkey,
+        CASE WHEN h.letters = 0 THEN 'und'
+             WHEN h.kana * 5 > h.letters THEN 'ja'
+             WHEN h.han * 2 > h.letters THEN 'zh'
+             WHEN h.hangul * 2 > h.letters THEN 'ko'
+             WHEN h.cyr * 2 > h.letters THEN 'ru'
+             WHEN h.arab * 2 > h.letters THEN 'ar'
+             WHEN h.deva * 2 > h.letters THEN 'hi'
+             ELSE l.lang END AS lang
+      FROM hist h JOIN langs l ON l.doc_id = h.doc_id
+      ORDER BY c_custkey""",
 
     // Full SQL mirrors of the fingerprint64/simhash64 kernels: per-token
     // fnv1a64 as HUGEINT mod-2^64, simhash = per-bit majority vote over the

@@ -40,6 +40,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextUtil.langId("zzz qqq xxx yyy www") == "und") // Latin, no stopword hits
   }
 
+  test("langId script-threshold boundaries (the q55 constructions)") {
+    // ja wins iff kana*5 > letters — i.e. 4·kana > han
+    assert(TextUtil.langId("あ" + "漢" * 3) == "ja") // 5 > 4
+    assert(TextUtil.langId("あ" + "漢" * 4) == "zh") // 5 = 5 → han rule: 8 > 5
+    // cyr/arab need strict density > 1/2; below it the Latin voting runs
+    // (and finds no stopwords here)
+    assert(TextUtil.langId("д" * 3 + "x" * 2) == "ru") // 6 > 5
+    assert(TextUtil.langId("д" * 2 + "x" * 2) == "und") // 4 = 4
+    assert(TextUtil.langId("ع" * 3 + " " + "b" * 2) == "ar")
+    assert(TextUtil.langId("ع" * 2 + " " + "b" * 2) == "und")
+    assert(TextUtil.langId("한" * 2 + "x") == "ko") // 4 > 3
+    assert(TextUtil.langId("द" * 2 + "x") == "hi")
+    // the 4096 cap: a long ASCII prefix hides a non-Latin tail
+    assert(TextUtil.langId("the of and to in is that for it " * 200 + "漢" * 5000) == "en")
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val a = TextUtil.simhash64("the quick brown fox jumps over the lazy dog near the river bank today")
     val b = TextUtil.simhash64("the quick brown fox jumps over the lazy dog near the river bank tonight")
