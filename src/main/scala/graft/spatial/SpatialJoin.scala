@@ -428,13 +428,37 @@ object SpatialJoin {
            leftGeom: Column, rightGeom: Column,
            leftKeys: Seq[String], rightKeys: Seq[String],
            predicate: (Column, Column) => Column,
-           cellSize: Double): DataFrame = {
-    val l = left.withColumn("__cell", explode(st_covering_cells(leftGeom, cellSize)))
-    val r = right.withColumn("__cell", explode(st_covering_cells(rightGeom, cellSize)))
-    l.join(r, Seq("__cell"))
-      .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, cellSize))
+           cellSize: Double): DataFrame =
+    joinWithPitch(left, right, leftGeom, rightGeom, predicate, lit(cellSize))
+
+  /** The grid predicate join at a pitch COLUMN, result-preserving like the
+    * rewrite rule: geometries whose envelope overflows the covering-cells
+    * cap yield a null cell array and would silently VANISH from a bare
+    * explode — they are routed through exact theta fallback branches
+    * ((big left × all right) ∪ (ok left × big right), disjoint by
+    * construction, no broadcast hint: the planner size-gates) and unioned
+    * back in, so a mis-sized pitch can cost time but never matches. */
+  private def joinWithPitch(left: DataFrame, right: DataFrame,
+                            leftGeom: Column, rightGeom: Column,
+                            predicate: (Column, Column) => Column,
+                            pitch: Column): DataFrame = {
+    val lc = left.withColumn("__cells", st_covering_cells(leftGeom, pitch))
+    val rc = right.withColumn("__cells", st_covering_cells(rightGeom, pitch))
+    val lOk = lc.filter(col("__cells").isNotNull)
+    val l = lOk.withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    val r = rc.filter(col("__cells").isNotNull)
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    val grid = l.join(r, Seq("__cell"))
+      .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, pitch))
       .filter(predicate(leftGeom, rightGeom))
       .drop("__cell")
+    val bigL = lc.filter(col("__cells").isNull).drop("__cells")
+      .crossJoin(right)
+      .filter(predicate(leftGeom, rightGeom))
+    val bigR = lOk.drop("__cells")
+      .crossJoin(rc.filter(col("__cells").isNull).drop("__cells"))
+      .filter(predicate(leftGeom, rightGeom))
+    grid.unionByName(bigL).unionByName(bigR)
   }
 
   /**
@@ -477,14 +501,6 @@ object SpatialJoin {
                predicate: (Column, Column) => Column,
                targetPerCell: Double = 32.0): DataFrame = {
     val stats = predicatePitchStats(left, leftGeom, right, rightGeom, targetPerCell)
-    val l = left.withColumn("__pitch", scalarOf(stats))
-      .withColumn("__cell", explode(st_covering_cells(leftGeom, col("__pitch"))))
-    val r = right.withColumn("__rp", scalarOf(stats))
-      .withColumn("__cell", explode(st_covering_cells(rightGeom, col("__rp"))))
-      .drop("__rp")
-    l.join(r, Seq("__cell"))
-      .filter(col("__cell") === st_ref_cell(leftGeom, rightGeom, col("__pitch")))
-      .filter(predicate(leftGeom, rightGeom))
-      .drop("__cell", "__pitch")
+    joinWithPitch(left, right, leftGeom, rightGeom, predicate, scalarOf(stats))
   }
 }

@@ -55,8 +55,11 @@ class SpatialJoinSpec extends AnyFunSuite {
     val joined = SpatialJoin.join(rects, cust, col("rect"), col("pt"),
       Seq("n_nationkey"), Seq("c_custkey"), G.st_intersects, cellSize = 500.0)
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    assert(plan.contains("Join"), plan.take(500))
+    // the MAIN path is the cell-id equi-join; nested-loop joins may appear
+    // only in the (empty-at-runtime) over-cap fallback branches
+    assert(plan.contains("BroadcastHashJoin [__cell") ||
+      plan.contains("SortMergeJoin [__cell") ||
+      plan.contains("ShuffledHashJoin [__cell"), plan.take(2000))
   }
 
   test("knn join finds the k nearest by distance") {
@@ -314,6 +317,24 @@ class SpatialJoinSpec extends AnyFunSuite {
     val plan = auto.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(3000))
     assert(!auto.columns.exists(_.contains("pitch")), auto.columns.mkString(","))
+  }
+
+  test("grid join keeps matches of over-cap geometries (DataFrame API)") {
+    import spark.implicits._
+    // one rect spanning ≫ 4096 cells at pitch 1 (its cell array nulls out)
+    // plus a normal rect; both must still find their contained points —
+    // the over-cap rows take the exact fallback branches like the rule
+    val rects = Seq((1, 0.0, 0.0, 500.0, 500.0), (2, 10.0, 10.0, 12.0, 12.0))
+      .toDF("rid", "x0", "y0", "x1", "y1")
+      .select(col("rid"), G.st_makeenvelope(col("x0"), col("y0"), col("x1"), col("y1")).as("rect"))
+    val pts = Seq((10L, 250.0, 250.0), (20L, 11.0, 11.0), (30L, 900.0, 900.0))
+      .toDF("pid", "px", "py")
+      .select(col("pid"), G.st_point(col("px"), col("py")).as("pt"))
+    val got = SpatialJoin.join(rects, pts, col("rect"), col("pt"),
+        Seq("rid"), Seq("pid"), G.st_contains, cellSize = 1.0)
+      .select("rid", "pid").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // rect 1 is over-cap and contains points 10 and 20; rect 2 contains 20
+    assert(got == Set((1, 10L), (1, 20L), (2, 20L)), got.toString)
   }
 
   test("predicate grid joinAuto == static grid join") {
