@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
  */
 object Curate {
 
+  /** `hotBucketBound`: per-LSH-bucket occupancy guard for the near-dup
+    * stage (see [[Dedup.minhashCandidatePairs]]) — bound it on corpora
+    * with template spam; the default leaves the exact distinct-free plan. */
   case class Config(
       minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en"),
       nearDupJaccard: Double = 0.9,
       splits: Seq[(String, Int)] = Seq(("train", 9000), ("val", 500), ("test", 500)),
       packTokens: Int = 2048,
-      shards: Int = 64)
+      shards: Int = 64,
+      hotBucketBound: Int = Int.MaxValue)
 
   /**
    * @return the surviving documents with `quality`, `lang`, `split`,
@@ -41,7 +45,8 @@ object Curate {
 
     // 2. near duplicates: LSH candidates, exact verify, greedy keep-lowest —
     // the anti join ignores repeated id_b rows, so no distinct is needed
-    val losers = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard)
+    val losers = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
+      hotBucketBound = cfg.hotBucketBound)
       .select(col("id_b").as(idCol))
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 
@@ -91,7 +96,8 @@ object Curate {
                       shardBase: Option[DataFrame] = None,
                       cfg: Config = Config()): DataFrame = {
     val exact = Dedup.dropExactDuplicates(batch, textCol, idCol)
-    val losersIn = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard)
+    val losersIn = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
+      hotBucketBound = cfg.hotBucketBound)
       .select(col("id_b").as(idCol))
     val losersX = Dedup.minhashCandidatePairsAgainstIndex(spark, indexPath, exact,
         textCol, idCol)

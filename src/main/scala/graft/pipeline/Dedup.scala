@@ -255,9 +255,17 @@ object Dedup {
    */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3,
-                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val candidates = minhashCandidatePairs(df, textCol, idCol, numHashes, bands, n)
-      .select("id_a", "id_b")
+                         numHashes: Int = 64, bands: Int = 16,
+                         hotBucketBound: Int = Int.MaxValue): DataFrame = {
+    val cand0 = minhashCandidatePairs(df, textCol, idCol, numHashes, bands, n,
+      hotBucketBound).select("id_a", "id_b")
+    // a guarded run can emit a pair from BOTH the hot and the cold path
+    // (documented on minhashCandidatePairs) — dedup before the verify join
+    // so jaccard rows stay unique; the unguarded path is exactly-once by
+    // construction and keeps its distinct-free plan
+    val candidates =
+      if (hotBucketBound == Int.MaxValue) cand0
+      else cand0.dropDuplicates("id_a", "id_b")
     val grams = df.select(col(idCol).as("__gid"),
       array_distinct(Text.wordShingles(col(textCol), n)).as("__grams"))
     candidates
