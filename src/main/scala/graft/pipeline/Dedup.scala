@@ -142,10 +142,18 @@ object Dedup {
    * [[minhashCandidatePairs]] on the batch. Sketch parameters come from
    * the index metadata so both sides band identically.
    */
+  /** @param hotBucketBound guard on the CORPUS side's per-bucket occupancy
+    *        (the standing side is where template spam accumulates): hot
+    *        index buckets compare the batch against the bucket HUB sketch
+    *        only (minimum corpus id) — linear instead of occ_corpus ×
+    *        occ_batch per bucket; the hub estimate is the drop signal the
+    *        incremental curate consumes. Default disables the guard with a
+    *        plan byte-identical to before. */
   def minhashCandidatePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                         path: String, batch: DataFrame,
                                         textCol: String, idCol: String,
-                                        shingle: Int = 3): DataFrame = {
+                                        shingle: Int = 3,
+                                        hotBucketBound: Int = Int.MaxValue): DataFrame = {
     val corpus = spark.read.parquet(path)
     val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
     val bands = corpus.schema("bh").metadata.getLong("bands").toInt
@@ -158,14 +166,32 @@ object Dedup {
           posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
         .select(col("band"), col("bucket"), col("id").as(s"id_$suffix"),
           col("sig").as(s"sig_$suffix"))
-    explodeSide(corpus.select(col("id"), col("sig")), "a")
-      .join(explodeSide(batchSig, "b"), Seq("band", "bucket"))
+    def estJaccard = (size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), bb => bb))
+      .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
+    val corpusBanded = explodeSide(corpus.select(col("id"), col("sig")), "a")
+    val batchBanded = explodeSide(batchSig, "b")
+    def pairs(corpusSide: DataFrame): DataFrame = corpusSide
+      .join(batchBanded, Seq("band", "bucket"))
       .filter(col("band") === array_position(zip_with(
         bandHashes(col("sig_a"), numHashes, bands),
         bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccard)
+    if (hotBucketBound == Int.MaxValue) return pairs(corpusBanded)
+
+    // corpus-side occupancy + hub on the join's own key (the index is the
+    // big standing side); hot buckets contribute hub-vs-batch comparisons
+    // only, deduplicated across bands on the bounded hub-pair set
+    val occ = corpusBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__occ"), min(col("id_a")).as("__hub"))
+    val withOcc = corpusBanded.join(occ, Seq("band", "bucket"))
+    val cold = withOcc.filter(col("__occ") <= hotBucketBound).drop("__occ", "__hub")
+    val hotHubs = withOcc.filter(col("__occ") > hotBucketBound)
+      .filter(col("id_a") === col("__hub")).drop("__occ", "__hub")
+    val hotPairs = hotHubs.join(batchBanded, Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), estJaccard)
+    pairs(cold).unionByName(hotPairs)
   }
 
   /** Banded bucket join + first-shared-band emission over (id, sig).

@@ -179,6 +179,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100000L)))
   }
 
+  test("hot-bucket guard on the incremental index path: hub flags survive") {
+    val spamBody = (1 to 40).map(i => s"tpl$i").mkString(" ")
+    val base = (1 to 80).map(i => s"u$i").mkString(" ")
+    val corpus = docs(Seq(5L -> base) ++ (100L until 300L).map(_ -> spamBody))
+    val idxPath = "/tmp/graft_minhash_idx_hot"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", idxPath)
+    // batch: one spam copy + one near-dup of the cold corpus doc
+    val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"u$i").mkString(" ")
+    val batch = docs(Seq(1000L -> spamBody, 1001L -> near))
+    val flags = Dedup.minhashCandidatePairsAgainstIndex(spark, idxPath, batch,
+        "text", "doc_id", hotBucketBound = 64)
+      .filter(col("est_jaccard") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the spam batch doc is flagged against the hot bucket's HUB only (one
+    // pair, not 200); the cold near-dup is flagged by the exact path
+    assert(flags == Set((100L, 1000L), (5L, 1001L)), flags.toString)
+  }
+
   test("ngram jaccard exact") {
     val df = docs(Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v"))
     val j = Dedup.ngramJaccard(df, "text", "doc_id", n = 2)

@@ -269,6 +269,12 @@ class SpatialJoinSpec extends AnyFunSuite {
           .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
         assert(got == expected, s"seed=$seed pitch=$pitch")
       }
+      // and the statistics-estimated pitch on the same clustered clouds
+      val auto = SpatialJoin.knnJoinGridAuto(l, r, col("lg"), col("rg"),
+          Seq("lid"), Seq("rid"), k = 4)
+        .select("lid", "rid", "knn_rank")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(auto == expected, s"seed=$seed auto")
     }
   }
 
