@@ -109,7 +109,26 @@ object Dedup {
    */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, numHashes: Int = 64, bands: Int = 16,
-                        shingle: Int = 3): Unit = {
+                        shingle: Int = 3): Unit =
+    sketchFrame(df, textCol, idCol, numHashes, bands, shingle)
+      .write.mode("overwrite").parquet(path)
+
+  /** Grow a persisted sketch index with a new batch's sketches — the
+    * standing corpus is never re-tokenized (parallel to
+    * [[graft.pipeline.Similarity.appendIvfIndex]]). Sketch parameters come
+    * from the index metadata so old and new rows band identically. */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         shingle: Int = 3): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val numHashes = schema("sig").metadata.getLong("numHashes").toInt
+    val bands = schema("bh").metadata.getLong("bands").toInt
+    sketchFrame(batch, textCol, idCol, numHashes, bands, shingle)
+      .write.mode("append").parquet(path)
+  }
+
+  private def sketchFrame(df: DataFrame, textCol: String, idCol: String,
+                          numHashes: Int, bands: Int, shingle: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("numHashes", numHashes).build()
@@ -119,7 +138,6 @@ object Dedup {
         Text.minhash(col(textCol), numHashes, shingle).as("sig", sigMeta))
       .withColumn("bh", bandHashes(col("sig"), numHashes, bands))
       .select(col("id"), col("sig"), col("bh").as("bh", bhMeta))
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Candidate pairs from a persisted sketch index — same result as

@@ -107,6 +107,72 @@ object StreamOps {
       col("est_jaccard"))
   }
 
+  /**
+   * Streaming incremental curation: each micro-batch of documents is
+   * curated against the STANDING corpus with the exact batch semantics of
+   * [[graft.pipeline.Curate.curateIncrement]] (gates, batch-internal
+   * near-dup removal, sketch-index cross-dedup, continued per-shard pack
+   * offsets), appended to `outPath`, and — so later batches dedup against
+   * THIS batch's survivors too — the survivors' sketches are appended to
+   * the index ([[graft.pipeline.Dedup.appendMinhashIndex]]).
+   *
+   * `foreachBatch` is the idiomatic shape here: the per-batch work is the
+   * already-certified lazy batch pipeline (corpus text never re-read, only
+   * the slim sketch index + a one-row-per-shard totals table that this
+   * sink maintains under `outPath/_shard_totals`), and the stream stays
+   * append-only — no update-mode aggregation state. Batch ids must follow
+   * the append-only discipline (greater than every standing id).
+   */
+  def curateStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                   textCol: String, idCol: String, indexPath: String,
+                   outPath: String, checkpoint: String,
+                   cfg: graft.pipeline.Curate.Config = graft.pipeline.Curate.Config())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val totalsPath = s"$outPath/_shard_totals"
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val base =
+          if (fs.exists(new org.apache.hadoop.fs.Path(totalsPath)))
+            Some(spark.read.parquet(totalsPath))
+          else None
+        val curated = graft.pipeline.Curate.curateIncrement(
+            spark, batch.toDF(), idCol, textCol, indexPath, base, cfg)
+          .cache() // consumed three times below; one row per surviving doc
+        curated.write.mode("append").parquet(s"$outPath/data")
+        // totals of the incremented output are ALREADY cumulative (offsets
+        // continued from base): touched shards take the batch value,
+        // untouched shards keep the standing one. COLLECTED (shards-sized)
+        // BEFORE the index append below: writing to the index path
+        // invalidates the cached `curated` (Spark recaches plans by path),
+        // and a recompute would see the batch's own just-appended sketches
+        // and flag every survivor against itself.
+        val batchTotals = graft.pipeline.Curate.shardTokenTotals(curated)
+        val newTotals = base match {
+          case None => batchTotals
+          case Some(b) => b.select(col("shard"), col("base_tokens"))
+            .join(batchTotals.select(col("shard"), col("base_tokens").as("__bt")),
+              Seq("shard"), "full_outer")
+            .select(col("shard"),
+              coalesce(col("__bt"), col("base_tokens")).as("base_tokens"))
+        }
+        val snapshot = newTotals.collect() // one row per shard
+        // the index append goes LAST among curated readers: its own job
+        // still serves from the valid cache, and the invalidation it
+        // triggers has nothing left to re-run
+        graft.pipeline.Dedup.appendMinhashIndex(spark, indexPath,
+          curated.select(col(idCol), col(textCol)), textCol, idCol)
+        spark.createDataFrame(
+            java.util.Arrays.asList(snapshot: _*), newTotals.schema)
+          .write.mode("overwrite").parquet(totalsPath)
+        curated.unpersist()
+        ()
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -100,6 +100,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental curate: cross-batch dedup + continued offsets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val idx = "/tmp/graft_stream_curate_idx"
+    graft.pipeline.Dedup.writeMinhashIndex(corpus, "text", "doc_id", idx)
+    val out = "/tmp/graft_stream_curate_out"
+    val ckpt = "/tmp/graft_stream_curate_ckpt"
+    Seq(out, ckpt).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val cfg = graft.pipeline.Curate.Config(minQuality = 0.2, shards = 1)
+    val q = StreamOps.curateStream(spark, stream, "text", "doc_id", idx, out, ckpt, cfg)
+    try {
+      input.addData(
+        (1000L, "it was the best of times and it was the worst of times for all of us"),
+        (1001L, "the quick brown fox jumps over the lazy dog near the river bank today"), // corpus dup
+        (1002L, "12345 67890 !!!")) // no language
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$out/data").select("doc_id", "pack_offset")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(b1 == Map(1000L -> 0L), b1.toString)
+      input.addData(
+        // duplicate of a BATCH-1 survivor: caught because the survivor's
+        // sketch was appended to the index after batch 1
+        (2000L, "it was the best of times and it was the worst of times for all of us"),
+        (2001L, "we were all going direct to heaven and we were all going direct the other way"))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(s"$out/data").select("doc_id", "pack_offset")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch-2 survivor's pack offset CONTINUES the shard stream (17
+      // tokens of doc 1000 precede it)
+      assert(b2 == Map(1000L -> 0L, 2001L -> 17L), b2.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
