@@ -122,6 +122,11 @@ object StreamOps {
    * sink maintains under `outPath/_shard_totals`), and the stream stays
    * append-only — no update-mode aggregation state. Batch ids must follow
    * the append-only discipline (greater than every standing id).
+   *
+   * Delivery: foreachBatch is AT-LEAST-ONCE — on recovery a batch can
+   * replay, re-appending its survivors. Production sinks wanting
+   * exactly-once should key the data/index writes on the supplied batch id
+   * (e.g. partition the output by it and overwrite that partition).
    */
   def curateStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                    textCol: String, idCol: String, indexPath: String,

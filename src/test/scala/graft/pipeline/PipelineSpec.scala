@@ -236,6 +236,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) == 2 && got(2L) == 2 && got(4L) == 2 && got(7L) == 3)
   }
 
+  test("token stats == the SQL split form on random whitespace-heavy strings") {
+    // seeded fuzz over an alphabet dense in whitespace variants (incl.
+    // and \f, which only Java \s classes as whitespace) — the one-pass
+    // kernel must agree with Spark's own split composition on every string
+    val rnd = new scala.util.Random(99L)
+    val alphabet = "ab c\td\nef\fg\r1!. "
+    val cases = (0 until 400).map { i =>
+      val n = rnd.nextInt(14)
+      (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs(cases)
+    val sqlTok = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val rows = df.select(Text.tokenCount(col("text")).as("a"), sqlTok.as("b"),
+      col("doc_id"), col("text")).collect()
+    rows.foreach(r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"doc=${r.getLong(2)} [${r.getString(3).replace("\n", "\\n")}]"))
+  }
+
   test("wordShingles keeps the split empty-field artifacts of the SQL form") {
     val cases = Seq(1L -> "a b c\n", 2L -> "\na b c", 3L -> " a b c ", 4L -> "a b c d")
     val df = docs(cases)

@@ -302,6 +302,21 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(pe == 1.0, s"pe=$pe")
   }
 
+  test("adaptivePitch stays positive, finite, and within the extent on random clouds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    for (trial <- 0 until 8) {
+      val n = 1 + rnd.nextInt(400)
+      val w = math.pow(10.0, rnd.nextInt(5) - 2) // 0.01 .. 100
+      val h = math.pow(10.0, rnd.nextInt(5) - 2)
+      val df = (0 until n).map(i => (i.toLong, rnd.nextDouble() * w, rnd.nextDouble() * h))
+        .toDF("id", "x", "y").select(col("id"), G.st_point(col("x"), col("y")).as("g"))
+      val p = SpatialJoin.adaptivePitch(df, col("g"), 24.0).head().getDouble(0)
+      assert(p > 0 && java.lang.Double.isFinite(p), s"trial=$trial n=$n p=$p")
+      assert(p <= math.max(w, h) * 1.01 + 1e-9, s"trial=$trial n=$n w=$w h=$h p=$p")
+    }
+  }
+
   test("grid knn auto-pitch == broadcast knn join (no caller knob)") {
     val sf = "/root/testdata/sf0.001"
     val cust = spark.read.parquet(s"$sf/customer.parquet")
