@@ -487,6 +487,20 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
+    "q56_dup_clusters" -> ((s, d) => {
+      // near-duplicate CLUSTERS: connected components over the verified
+      // pair graph (LSH candidates → exact Jaccard ≥ 0.8, the q25 edge
+      // set, whose completeness is established there), labels = component
+      // minimum. The oracle recomputes true components from the quadratic
+      // pair set with a recursive CTE, so the fixed-round propagation is
+      // certified exact on this corpus (planted groups are near-cliques).
+      prep(s, d, "documents")
+      Dedup.nearDuplicateClusters(t(s, d, "documents"), "text", "doc_id",
+          threshold = 0.8)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q26_cosine_topk" -> ((s, d) => {
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
@@ -1096,6 +1110,29 @@ object Queries {
       WITH ${langMirrorCtes("documents")}
       SELECT doc_id, lang AS lang_pred
       FROM langs ORDER BY doc_id""",
+
+    // True connected components over the SAME quadratic exact-Jaccard pair
+    // set the q25 oracle certifies the LSH candidates against: label of a
+    // doc = min id reachable in the undirected pair graph, computed by a
+    // recursive reachability CTE (UNION dedups, so it terminates).
+    "q56_dup_clusters" -> s"""
+      WITH RECURSIVE ${gramCtes("documents")},
+      dpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      dedges AS (
+        SELECT id_a AS src, id_b AS dst FROM dpairs
+        UNION ALL
+        SELECT id_b, id_a FROM dpairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN dedges e ON e.dst = r.id)
+      SELECT id AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id""",
 
     // Full mirror of TextUtil.langId INCLUDING the script-histogram
     // branches: the same document construction (BMP-only, so Java

@@ -322,6 +322,43 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS: connected components over the verified
+   * near-dup pair graph ([[nearDuplicatePairs]]), labeled by the minimum
+   * doc id of each component — the grouping view of dedup (pick one
+   * canonical per cluster, count cluster sizes, audit what keep-lowest
+   * dropped). Fixed-round min-label propagation: after round k every
+   * label is the minimum id within k hops, so the result is EXACT when no
+   * component's diameter exceeds `rounds` — near-dup components are
+   * cliques or short chains in practice (a diameter-9 chain needs nine
+   * successive ≥ τ overlaps with no transitive pair). Fixed rounds keep
+   * the whole computation ONE lazy plan — no driver-side convergence
+   * loop; every round is a self-equi-join of the (small) label table on
+   * ids plus a min-aggregate, partial-aggregated map-side. Singletons
+   * keep their own id as cluster id.
+   */
+  def nearDuplicateClusters(df: DataFrame, textCol: String, idCol: String,
+                            threshold: Double, n: Int = 3,
+                            numHashes: Int = 64, bands: Int = 16,
+                            rounds: Int = 5,
+                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
+    require(rounds >= 1)
+    val pairs = nearDuplicatePairs(df, textCol, idCol, threshold, n, numHashes,
+      bands, hotBucketBound).select("id_a", "id_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("label"))
+    var r = 0
+    while (r < rounds) {
+      val viaNeighbor = labels.join(edges, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+      r += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for ALL pairs via cross join — array
    * built-ins only, fully codegen'd. QUADRATIC: use only on small inputs;
    * at scale use [[nearDuplicatePairs]] (LSH candidates → exact verify).

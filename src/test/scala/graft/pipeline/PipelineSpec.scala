@@ -197,6 +197,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags == Set((100L, 1000L), (5L, 1001L)), flags.toString)
   }
 
+  test("near-dup clusters: transitive chains collapse to the component minimum") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    def mut(changed: Set[Int]) =
+      (1 to 80).map(i => if (changed(i)) s"X$i" else s"w$i").mkString(" ")
+    // a ~ b (j .926) and b ~ c (j .857) but a !~ c (j .793 < τ): a chain —
+    // keep-lowest pair semantics already drop b and c, the CLUSTER view
+    // additionally labels all three with the component minimum
+    val df = docs(Seq(10L -> base, 20L -> mut(Set(40)), 30L -> mut(Set(10, 20, 40)),
+      40L -> (1 to 80).map(i => s"z$i").mkString(" ")))
+    val cl = Dedup.nearDuplicateClusters(df, "text", "doc_id", threshold = 0.82)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L), cl.toString)
+  }
+
   test("ngram jaccard exact") {
     val df = docs(Seq(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "x y z w v"))
     val j = Dedup.ngramJaccard(df, "text", "doc_id", n = 2)
