@@ -11,7 +11,12 @@ object GeoJson {
   }
 
   private def num(sb: java.lang.StringBuilder, d: Double): Unit = {
-    if (d == d.toLong && math.abs(d) < 1e15) { sb.append(d.toLong); () }
+    if (d == d.toLong && math.abs(d) < 1e15) {
+      // preserve the sign of negative zero (matches the WKT writer) so
+      // GeoJSON -> geometry -> WKB stays byte-stable
+      if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L) sb.append('-')
+      sb.append(d.toLong); ()
+    }
     else { sb.append(d); () }
   }
 

@@ -35,7 +35,12 @@ object WKT {
 
   private def num(sb: java.lang.StringBuilder, d: Double): Unit = {
     // Integral doubles print as "30.0" (reference: src/wkt/scalar.rs:241-244)
-    if (d == d.toLong && math.abs(d) < 1e15) { sb.append(d.toLong).append(".0"); () }
+    if (d == d.toLong && math.abs(d) < 1e15) {
+      // -0.0 == 0L numerically, but Rust {:?} prints "-0.0" — keep the IEEE
+      // sign bit so WKT -> WKB stays byte-stable
+      if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L) sb.append('-')
+      sb.append(d.toLong).append(".0"); ()
+    }
     else { sb.append(d); () }
   }
 

@@ -57,6 +57,18 @@ class GeometryCoreSpec extends AnyFunSuite {
     assert(WKT.write(Point.xy(1.5, -2.25)) == "POINT (1.5 -2.25)")
   }
 
+  test("wkt negative zero keeps its sign and stays WKB-byte-stable") {
+    val l = LineString(Array(-0.0, 1.0, 2.0, 3.0, 4.0, 5.0), 3); l.measured = true
+    val wkt = WKT.write(l)
+    assert(wkt == "LINESTRING M (-0.0 1.0 2.0,3.0 4.0 5.0)")
+    val wkb = WKB.write(l)
+    assert(java.util.Arrays.equals(WKB.write(WKT.read(wkt)), wkb))
+    val gj = GeoJson.write(Point.xy(-0.0, 0.0))
+    assert(gj.contains("[-0,0]"))
+    assert(java.util.Arrays.equals(
+      WKB.write(GeoJson.readOrNull(gj)), WKB.write(Point.xy(-0.0, 0.0))))
+  }
+
   // ------------------------------------------- WKT parser + roundtrips ---
 
   val samples = Seq(
