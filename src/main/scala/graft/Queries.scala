@@ -501,6 +501,97 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q57_rollup_agg" -> ((s, d) => {
+      // multi-level aggregation: GROUP BY ROLLUP with grouping() markers
+      // (Catalyst expands to one Expand + single hash aggregate — one
+      // shuffle for all three levels, not a UNION of re-scans). Keys are
+      // coalesced to 'ALL' so neither engine's NULL sort order matters.
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")
+    }),
+
+    "q58_pivot_wide" -> ((s, d) => {
+      // pivot: long → wide with an explicit value list (no extra
+      // value-discovery job, stable output schema at any scale); money
+      // sums go through DECIMAL per the oracle-parity rule
+      prep(s, d, "orders")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q59_stratified_sample" -> ((s, d) => {
+      // deterministic stratified sampling: per-segment md5-bucket rates —
+      // a pure filter (no shuffle), reproduced exactly by the oracle
+      prep(s, d, "customer")
+      Sampling.stratifiedSampleHash(t(s, d, "customer"), "c_custkey",
+          "c_mktsegment",
+          Seq("AUTOMOBILE" -> 2000, "BUILDING" -> 1000, "FURNITURE" -> 500,
+              "HOUSEHOLD" -> 1500),
+          defaultBp = 250)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "q60_quantize_int8" -> ((s, d) => {
+      // symmetric int8 embedding quantization (ANN storage at 100 TB):
+      // scale projected ONCE, then a codegen'd per-element transform;
+      // exploded so the oracle certifies every quantized value
+      prep(s, d, "embeddings")
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.quantScale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(Similarity.quantizeInt8(col("embedding"), col("scale")))
+            .as(Seq("pos", "qval")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("qval"), col("scale"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    "q61_asof_forward" -> ((s, d) => {
+      // forward as-of join: for each click, the user's EARLIEST at-or-after
+      // purchase (next-state lookup; DuckDB ASOF with c.ts <= p.ts is the
+      // oracle) — same one-shuffle union+window plan as q34, reversed order
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id")) // unique (user, ts)
+      graft.pipeline.AsOf.join(clicks, purchases, Seq("user_id"), "ts",
+          direction = "forward")
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy("click_id")
+    }),
+
+    "q62_window_suite" -> ((s, d) => {
+      // the navigation/distribution window surface: lag/lead/ntile/
+      // percent_rank/cume_dist/first_value over one deterministic
+      // (ts, event_id) order — a single Window operator, one shuffle
+      events(s, d).createOrReplaceTempView("events_us")
+      s.sql("""
+        SELECT user_id, event_id,
+               lag(event_id) OVER w AS prev_id,
+               lead(event_id) OVER w AS next_id,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(event_id) OVER w AS first_id
+        FROM events_us
+        WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)
+        ORDER BY user_id, event_id""")
+    }),
+
     "q26_cosine_topk" -> ((s, d) => {
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
@@ -1133,6 +1224,86 @@ object Queries {
         SELECT e.src, r.lab FROM reach r JOIN dedges e ON e.dst = r.id)
       SELECT id AS doc_id, min(lab) AS cluster_id
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q57_rollup_agg" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             sum(l_quantity) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+
+    "q58_pivot_wide" -> """
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q59_stratified_sample" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM (SELECT c_custkey, c_mktsegment,
+              CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 10000 AS b
+            FROM customer) t
+      WHERE b < CASE c_mktsegment
+                  WHEN 'AUTOMOBILE' THEN 2000
+                  WHEN 'BUILDING'   THEN 1000
+                  WHEN 'FURNITURE'  THEN 500
+                  WHEN 'HOUSEHOLD'  THEN 1500
+                  ELSE 250 END
+      ORDER BY c_custkey""",
+
+    // mirrors Similarity.quantizeInt8 exactly: abs/max in double, the
+    // left-associated x*127.0/scale product, floor(+0.5) half-up, clamp
+    "q60_quantize_int8" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale IS NULL OR scale = 0.0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding, x ->
+                      CAST(least(greatest(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5),
+                        -127.0), 127.0) AS INT))
+               END AS q8
+        FROM s)
+      SELECT vec_id,
+             unnest(range(0, len(q8))) AS pos,
+             unnest(q8) AS qval,
+             scale
+      FROM q
+      ORDER BY vec_id, pos""",
+
+    "q61_asof_forward" -> """
+      WITH clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.click_id, p.purchase_id
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.click_id""",
+
+    "q62_window_suite" -> """
+      SELECT user_id, event_id,
+             lag(event_id) OVER w AS prev_id,
+             lead(event_id) OVER w AS next_id,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             first_value(event_id) OVER w AS first_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY user_id, event_id""",
 
     // Full mirror of TextUtil.langId INCLUDING the script-histogram
     // branches: the same document construction (BMP-only, so Java

@@ -23,10 +23,18 @@ object AsOf {
    *                  (null when no right row is at-or-before the left ts)
    * @param keyCols   equality keys
    * @param tsCol     timestamp column name (present in both sides)
+   * @param direction "backward" (default): latest right row with
+   *                  `right.ts <= left.ts`; "forward": earliest right row
+   *                  with `right.ts >= left.ts` (next-state lookup).
+   *                  Both are the same one-shuffle union + window LOCF —
+   *                  forward just carries against the reversed time order.
    * @return left rows + right's other columns as-of the left timestamp
    */
   def join(left: DataFrame, right: DataFrame,
-           keyCols: Seq[String], tsCol: String): DataFrame = {
+           keyCols: Seq[String], tsCol: String,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rightPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     // tag and union; right rows sort before left rows at equal ts so a
     // same-instant right row is visible to the left row (ts >= semantics)
@@ -43,8 +51,13 @@ object AsOf {
         left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = lAligned.unionByName(rAligned)
+    // backward: ascending time, carry the last right row seen at-or-before;
+    // forward: descending time, so "last right seen" is the earliest right
+    // row at-or-after. Right rows (__side 0) sort before left rows at equal
+    // ts in both directions, keeping the ts-inclusive semantics.
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__asof",
       last(when(col("__side") === 0, col("__r")), ignoreNulls = true).over(w))

@@ -47,6 +47,31 @@ object Sampling {
     hashSplit(df, groupCol, splits)
 
   /**
+   * Deterministic stratified sampling: keep a row iff its key's hash
+   * bucket falls under the stratum's sampling rate (basis points of
+   * 10000). The standard corpus-rebalancing move — downsample dominant
+   * domains/languages, keep rare strata — expressed as a pure per-row
+   * predicate: no shuffle, no driver state, stable under re-runs and
+   * appends, and codegen'd as a plain filter so it pushes past column
+   * pruning. Unlike `DataFrame.sampleBy`, the result is independent of
+   * partition layout and reproducible by any engine (the DuckDB oracle
+   * recomputes identical buckets).
+   *
+   * @param ratesBp  (stratum value → rate) in basis points; strata not
+   *                 listed fall back to `defaultBp`
+   */
+  def stratifiedSampleHash(df: DataFrame, keyCol: String, stratumCol: String,
+                           ratesBp: Seq[(String, Int)],
+                           defaultBp: Int = 0): DataFrame = {
+    require(ratesBp.forall { case (_, bp) => bp >= 0 && bp <= 10000 },
+      "rates are basis points in [0, 10000]")
+    val threshold = ratesBp.foldRight(lit(defaultBp)) {
+      case ((value, bp), elseE) => when(col(stratumCol) === value, lit(bp)).otherwise(elseE)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
+  /**
    * Stream-offset sequence packing (GPT-pretraining style): documents form
    * a contiguous token stream per shard (deterministic order by
    * `orderCol`), the stream is cut into `maxTokens` chunks, and each

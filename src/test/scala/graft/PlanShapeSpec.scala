@@ -103,6 +103,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate(keys=[id_a"), plan.take(2500))
   }
 
+  test("q57: rollup is one Expand + a single partial/final aggregate pair") {
+    val plan = executedPlan("q57_rollup_agg")
+    // all grouping levels come from ONE scan: Expand duplicates rows per
+    // level into a single hash aggregate — never a UNION of re-scans
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert("FileScan".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).length == 2, plan.take(2000))
+  }
+
+  test("q62: all six window functions evaluate in ONE Window operator") {
+    val plan = executedPlan("q62_window_suite")
+    // identical partitioning + ordering across the functions must collapse
+    // to a single Window (one shuffle), not one per function
+    assert("Window\\b".r.findAllIn(plan).length == 1, plan.take(2500))
+  }
+
+  test("q59: stratified sample is a pure filter — no shuffle, no aggregate") {
+    val plan = executedPlan("q59_stratified_sample")
+    // one exchange allowed for the final ORDER BY only
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("constant folding: literal ST_ calls disappear from the optimized plan") {
     graft.spatial.functions.register(spark)
     val opt = spark.sql("SELECT ST_Area(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))')) AS a")

@@ -510,6 +510,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(trainFrac > 0.7 && trainFrac < 0.9, trainFrac)
   }
 
+  test("stratified hash sample: deterministic per-stratum rates, layout-stable") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val rates = Seq("AUTOMOBILE" -> 5000, "BUILDING" -> 1000)
+    val a = Sampling.stratifiedSampleHash(cust, "c_custkey", "c_mktsegment", rates, defaultBp = 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSampleHash(cust.repartition(7), "c_custkey", "c_mktsegment", rates, defaultBp = 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // unlisted strata drop entirely under defaultBp = 0
+    val kept = cust.filter(col("c_custkey").isInCollection(a))
+      .select("c_mktsegment").distinct().collect().map(_.getString(0)).toSet
+    assert(kept.subsetOf(Set("AUTOMOBILE", "BUILDING")))
+    // the sample is exactly the rows whose q49-style bucket clears the rate
+    val byBucket = cust.filter(
+        Sampling.hashBucket(col("c_custkey")) <
+          when(col("c_mktsegment") === "AUTOMOBILE", 5000)
+            .when(col("c_mktsegment") === "BUILDING", 1000).otherwise(0))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(a == byBucket)
+  }
+
+  test("asof join forward: earliest at-or-after, inclusive, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "c"), (2L, 5L, "d"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 30L, "r30"), (3L, 1L, "rx"))
+      .toDF("k", "ts", "rv")
+    val fwd = AsOf.join(left, right, Seq("k"), "ts", direction = "forward")
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a: same-instant right row visible; b: next is r30; c/d: nothing after
+    assert(fwd == Map("a" -> "r10", "b" -> "r30", "c" -> null, "d" -> null))
+    val bwd = AsOf.join(left, right, Seq("k"), "ts")
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bwd == Map("a" -> "r10", "b" -> "r10", "c" -> "r30", "d" -> null))
+  }
+
+  test("int8 quantization: half-up rounding, clamp, zero vectors, dequant error bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),          // zero vector → all-zero, no NaN
+      (3L, Array(-2.0f, 1.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        Similarity.quantScale(col("v")).as("s"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toList
+      .sortBy(_._1)
+    assert(out(0)._3 == Seq(127, -127, 64, 32))  // 63.5 and 31.75 round half-up
+    assert(out(1)._3 == Seq(0, 0) && out(1)._2 == 0.0)
+    assert(out(2)._3 == Seq(-127, 64))
+    // dequantization error ≤ half a quantization step on random vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 20f - 10f)))
+    val err = vecs.toDF("id", "v")
+      .select(Similarity.quantScale(col("v")).as("s"), col("v"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .select(aggregate(zip_with(col("v"), col("q"),
+          (x, q) => abs(x.cast("double") - q * col("s") / 127.0d)),
+        lit(0.0d), (acc, e) => greatest(acc, e)).as("maxerr"), col("s"))
+      .collect().map(r => r.getDouble(0) / (r.getDouble(1) / 127.0))
+    assert(err.forall(_ <= 0.5 + 1e-9), err.max)
+  }
+
   test("sequence packing: offsets are a per-shard prefix sum, packs respect order") {
     import spark.implicits._
     val docs = Seq(
