@@ -59,6 +59,35 @@ object StreamOps {
     events.join(dim, keys, "left")
 
   /**
+   * Stream-stream interval join: pair each left event with the right
+   * events of the same key whose timestamp falls in
+   * `[left.ts, left.ts + within]` — e.g. purchases attributed to the
+   * click they followed. BOTH sides carry watermarks and the join
+   * condition bounds the time range in both directions, which is what
+   * lets Spark expire buffered state: left rows are dropped once the
+   * right watermark passes `left.ts + within`, right rows once the left
+   * watermark passes their ts. Without the range bound the state store
+   * grows without limit — the canonical stream-stream join mistake.
+   *
+   * @param within   attribution horizon, e.g. "30 minutes"
+   * @param keys     equality key columns (both sides)
+   * @return inner-join rows: all left columns + the right's non-key
+   *         columns suffixed with `rightSuffix`
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   within: String, rightSuffix: String = "_r",
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val rRenamed = right.columns.filterNot(keys.contains)
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, c + rightSuffix))
+    val r = rRenamed.withWatermark("ts" + rightSuffix, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r("ts" + rightSuffix) >= l("ts") &&
+      r("ts" + rightSuffix) <= l("ts") + expr(s"INTERVAL $within")
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
+  /**
    * Streaming spatial enrichment: join a geometry stream against a static
    * geo table on a spatial predicate, grid-bucketed — the streaming face
    * of [[graft.spatial.SpatialJoin.join]]. A predicate theta join against

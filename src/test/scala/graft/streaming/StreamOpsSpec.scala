@@ -158,6 +158,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamOps.Event]
+    val purchases = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      purchases.toDF().select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      Seq("user_id"), within = "30 minutes", watermarkDelay = "1 minute")
+    val q = joined.select("click_id", "purchase_id_r").writeStream
+      .outputMode("append").format("memory").queryName("attributed").start()
+    try {
+      clicks.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 0),
+        StreamOps.Event(2, ts("2026-01-01 10:00:00"), 2, "click", 0))
+      purchases.addData(
+        StreamOps.Event(10, ts("2026-01-01 10:10:00"), 1, "purchase", 5.0), // within
+        StreamOps.Event(11, ts("2026-01-01 11:10:00"), 1, "purchase", 5.0), // beyond 30m
+        StreamOps.Event(12, ts("2026-01-01 09:59:00"), 2, "purchase", 5.0)) // before click
+      q.processAllAvailable()
+      // second batch: a purchase for user 2 inside the horizon still joins
+      purchases.addData(
+        StreamOps.Event(13, ts("2026-01-01 10:20:00"), 2, "purchase", 5.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id_r FROM attributed").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got == Set(1L -> 10L, 2L -> 13L))
+    } finally q.stop()
+  }
+
   test("streaming spatial enrichment: grid equi-join against static polygons") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
