@@ -592,6 +592,29 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q63_json_surface" -> ((s, d) => {
+      // JSON scalar surface: path extraction (scalar, array index, nested),
+      // typed parse via from_json, array length. The JSON is synthesized
+      // deterministically from int/string columns only — embedding a
+      // double would couple the test to float-formatting differences
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey,
+               get_json_object(j, '$.cust') AS cust_s,
+               from_json(j, 'cust BIGINT, status STRING').cust AS cust_i,
+               get_json_object(j, '$.status') AS status,
+               get_json_object(j, '$.tags[1]') AS tag2,
+               get_json_object(j, '$.nested.pri') AS pri,
+               CAST(json_array_length(get_json_object(j, '$.tags')) AS BIGINT) AS n_tags
+        FROM (SELECT o_orderkey,
+                concat('{"cust":', CAST(o_custkey AS STRING),
+                       ',"status":"', o_orderstatus, '"',
+                       ',"tags":["a","', o_orderpriority, '"]',
+                       ',"nested":{"pri":"', o_orderpriority, '"}}') AS j
+              FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
     "q26_cosine_topk" -> ((s, d) => {
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
@@ -1281,6 +1304,22 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q63_json_surface" -> """
+      SELECT o_orderkey,
+             json_extract_string(j, '$.cust') AS cust_s,
+             CAST(json_extract_string(j, '$.cust') AS BIGINT) AS cust_i,
+             json_extract_string(j, '$.status') AS status,
+             json_extract_string(j, '$.tags[1]') AS tag2,
+             json_extract_string(j, '$.nested.pri') AS pri,
+             CAST(json_array_length(json_extract(j, '$.tags')) AS BIGINT) AS n_tags
+      FROM (SELECT o_orderkey,
+              '{"cust":' || CAST(o_custkey AS VARCHAR) ||
+              ',"status":"' || o_orderstatus || '"' ||
+              ',"tags":["a","' || o_orderpriority || '"]' ||
+              ',"nested":{"pri":"' || o_orderpriority || '"}}' AS j
+            FROM orders) t
+      ORDER BY o_orderkey""",
 
     "q61_asof_forward" -> """
       WITH clicks AS (
