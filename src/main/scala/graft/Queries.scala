@@ -592,6 +592,46 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q64_intersect_all" -> ((s, d) => {
+      // the remaining set-op faces: INTERSECT (distinct) and UNION ALL /
+      // EXCEPT ALL bag semantics in one result
+      prep(s, d, "customer", "orders")
+      s.sql("""
+        SELECT custkey, src FROM (
+          SELECT custkey, 'both' AS src FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000) i
+          UNION ALL
+          SELECT custkey, 'bag' AS src FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 3
+            EXCEPT ALL
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_nationkey < 3 AND c_acctbal < 0) e) u
+        ORDER BY src, custkey""")
+    }),
+
+    "q65_array_surface" -> ((s, d) => {
+      // higher-order array-function surface over token arrays: transform,
+      // filter, slice, sort, distinct-count, positional zip_with — the
+      // primitives the embedding/text pipelines compose, certified
+      // one-to-one against DuckDB's list_* family
+      prep(s, d, "documents")
+      s.sql("""
+        SELECT doc_id,
+               CAST(size(filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+               CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
+               array_join(slice(sort_array(transform(toks, t -> upper(t))), 1, 3),
+                          ',') AS top3,
+               CAST(aggregate(zip_with(toks, slice(toks, 2, 100000),
+                      (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),
+                    0, (acc, x) -> acc + x) AS BIGINT) AS n_rep
+        FROM (SELECT doc_id,
+                filter(split(trim(text), '\\s+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 200)
+        ORDER BY doc_id""")
+    }),
+
     "q63_json_surface" -> ((s, d) => {
       // JSON scalar surface: path extraction (scalar, array index, nested),
       // typed parse via from_json, array length. The JSON is synthesized
@@ -1304,6 +1344,37 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q64_intersect_all" -> """
+      SELECT custkey, src FROM (
+        SELECT custkey, 'both' AS src FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000) i
+        UNION ALL
+        SELECT custkey, 'bag' AS src FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 3
+          EXCEPT ALL
+          SELECT c_custkey AS custkey FROM customer
+          WHERE c_nationkey < 3 AND c_acctbal < 0) e) u
+      ORDER BY src, custkey""",
+
+    // list_* mirrors of the higher-order functions; the neighbor-repeat
+    // count is an index walk (toks[i] = toks[i+1], out-of-range -> NULL
+    // -> 0) matching zip_with's null-padded tail exactly
+    "q65_array_surface" -> """
+      SELECT doc_id,
+             CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             array_to_string(list_sort(list_transform(toks, t -> upper(t)))[1:3],
+                             ',') AS top3,
+             CAST(coalesce(list_sum(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> CASE WHEN toks[i] = toks[i+1] THEN 1 ELSE 0 END)), 0)
+                  AS BIGINT) AS n_rep
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+            FROM documents WHERE doc_id < 200) t
+      ORDER BY doc_id""",
 
     "q63_json_surface" -> """
       SELECT o_orderkey,
