@@ -79,6 +79,22 @@ object GeometryPropSpec extends Properties("geometry") {
       GeoJson.readOrNull(s) match { case null => true; case g => g.typeName != null }
     }
 
+  property("bit-flips and inflated count fields of valid WKB never crash or over-allocate") =
+    forAll(genGeom, Gen.chooseNum(0, 1000), Gen.chooseNum(0, 7)) { (g, pos, bit) =>
+      val wkb = WKB.write(g)
+      val flipped = wkb.clone()
+      flipped(pos % wkb.length) = (flipped(pos % wkb.length) ^ (1 << bit)).toByte
+      // a ~2^31 count field must be rejected by the count guard (null),
+      // not allocated — an OutOfMemoryError would fail this property
+      val bloated = wkb.clone()
+      if (bloated.length >= 9) {
+        bloated(5) = -1; bloated(6) = -1; bloated(7) = -1; bloated(8) = 0x7f
+      }
+      Seq(flipped, bloated).forall { bytes =>
+        WKB.readOrNull(bytes) match { case null => true; case r => r.typeName != null }
+      }
+    }
+
   property("envelope contains every vertex") = forAll(genGeom) { g =>
     val e = g.envelope
     var ok = true
