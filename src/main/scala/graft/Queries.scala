@@ -592,6 +592,29 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q66_decontamination" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing any distinct word
+      // 8-gram with the planted "eval set" (doc_id % 7 == 0 — every 7th
+      // doc, so planted near-dup partners land on opposite sides and the
+      // oracle certifies nonzero hits). Eval grams broadcast; the corpus
+      // never shuffles
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      graft.pipeline.Decontaminate.flags(corpus, evalSet, "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q67_repetition_score" -> ((s, d) => {
+      // n-gram repetition ratio (boilerplate signal): 1 - distinct/total
+      // word 3-grams, rounded to absorb nothing — the division is IEEE-
+      // identical in both engines
+      prep(s, d, "documents")
+      Text.repetitionScore(t(s, d, "documents"), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
     "q64_intersect_all" -> ((s, d) => {
       // the remaining set-op faces: INTERSECT (distinct) and UNION ALL /
       // EXCEPT ALL bag semantics in one result
@@ -1344,6 +1367,39 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // 8-gram mirror of Decontaminate.flags: per-doc distinct 8-grams,
+    // eval grams flattened+distinct, shared count = list_intersect length
+    "q66_decontamination" -> """
+      WITH gtoks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt FROM documents),
+      g8 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(wt)-7, 0)+1),
+                 i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2] || ' ' ||
+                      wt[i+3] || ' ' || wt[i+4] || ' ' || wt[i+5] || ' ' ||
+                      wt[i+6] || ' ' || wt[i+7])) AS g
+        FROM gtoks),
+      ev AS (
+        SELECT list_distinct(flatten(list(g))) AS eg FROM g8 WHERE doc_id % 7 = 0)
+      SELECT c.doc_id, CAST(len(list_intersect(c.g, ev.eg)) AS BIGINT) AS n_shared_grams
+      FROM g8 c, ev
+      WHERE c.doc_id % 7 <> 0 AND len(list_intersect(c.g, ev.eg)) > 0
+      ORDER BY doc_id""",
+
+    "q67_repetition_score" -> """
+      WITH gtoks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt FROM documents),
+      g3 AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(wt)-2, 0)+1),
+                 i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2]) AS g
+        FROM gtoks)
+      SELECT doc_id,
+             CASE WHEN len(g) > 0
+                  THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                  ELSE 0.0 END AS repetition
+      FROM g3 ORDER BY doc_id""",
 
     "q64_intersect_all" -> """
       SELECT custkey, src FROM (

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,23 @@ object Text {
     * interpreted HOF evaluation (see [[WordShingles]]); this splits once. */
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
+
+  /**
+   * N-gram repetition ratio in [0,1]: 1 − distinct/total word n-grams —
+   * the boilerplate/template signal (C4-style quality filtering drops
+   * high-repetition docs). DataFrame-shaped so the shingle array is
+   * materialized in its own projection and the three references to it
+   * below stay references (CollapseProject declines to inline a non-cheap
+   * expression referenced three times — the bandHashes rule).
+   */
+  def repetitionScore(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3): DataFrame =
+    df.select(col(idCol), wordShingles(col(textCol), n).as("__sh"))
+      .select(col(idCol),
+        when(size(col("__sh")) > 0,
+            lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+              size(col("__sh")))
+          .otherwise(0.0).as("repetition"))
 
   /**
    * Composite quality score in [0,1]: rewards mid-length docs with high

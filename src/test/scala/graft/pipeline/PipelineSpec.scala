@@ -510,6 +510,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(trainFrac > 0.7 && trainFrac < 0.9, trainFrac)
   }
 
+  test("decontamination flags docs embedding an eval 8-gram, counts distinct shared grams") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"), // embeds it (3 shifted 8-grams)
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),                      // 7-gram overlap only → clean
+      (3L, "completely different text with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.flags(corpus, evalSet, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L)) // only the eval 8-gram itself is shared
+  }
+
+  test("repetition score: 1 - distinct/total 3-grams, zero for short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 grams: abc bca cab abc bca cab abc → 3 distinct
+      (2L, "all tokens unique in this doc"),
+      (3L, "one two")             // < 3 tokens → no grams → 0.0
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - (1.0 - 3.0 / 7.0)) < 1e-15)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
   test("stratified hash sample: deterministic per-stratum rates, layout-stable") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val rates = Seq("AUTOMOBILE" -> 5000, "BUILDING" -> 1000)
