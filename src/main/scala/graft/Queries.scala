@@ -592,6 +592,45 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q68_pii_scrub" -> ((s, d) => {
+      // PII redaction over deterministically synthesized contact strings:
+      // emails/phones replaced by typed placeholders + per-row match
+      // counts. Patterns live in Text.EmailRe/PhoneRe (Java∩RE2 dialect)
+      prep(s, d, "orders")
+      val synth = t(s, d, "orders").select(col("o_orderkey"),
+        concat(lit("Order note: contact user"), col("o_custkey").cast("string"),
+          when(col("o_orderkey") % 2 === 0,
+            concat(lit("@mail.example.com or +1-555-"),
+              lpad((col("o_custkey") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(" by ticket")),
+          lit(" thanks")).as("note"))
+      synth.select(col("o_orderkey"),
+          Text.scrubPii(col("note")).as("scrubbed"),
+          regexp_count(col("note"), lit(Text.EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("note"), lit(Text.PhoneRe)).cast("long").as("n_phone"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q69_datetime_surface" -> ((s, d) => {
+      // the datetime scalar surface: parts, day-of-week/year, formatting,
+      // date difference, week truncation, calendar month arithmetic with
+      // end-of-month clamping
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS d_str,
+               CAST(datediff(DATE'2000-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_y2k,
+               CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS STRING) AS week_start,
+               CAST(add_months(CAST(o_orderdate AS DATE), 2) AS STRING) AS plus2m,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS eom
+        FROM orders ORDER BY o_orderkey""")
+    }),
+
     "q66_decontamination" -> ((s, d) => {
       // benchmark decontamination: corpus docs sharing any distinct word
       // 8-gram with the planted "eval set" (doc_id % 7 == 0 — every 7th
@@ -1367,6 +1406,39 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // same Java∩RE2 patterns injected from Text.EmailRe/PhoneRe — the
+    // mirror cannot drift from the engine; DuckDB needs the 'g' flag for
+    // replace-all (Spark's regexp_replace is always global)
+    "q68_pii_scrub" -> s"""
+      WITH synth AS (
+        SELECT o_orderkey,
+          'Order note: contact user' || CAST(o_custkey AS VARCHAR) ||
+          CASE WHEN o_orderkey % 2 = 0
+               THEN '@mail.example.com or +1-555-' ||
+                    lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')
+               ELSE ' by ticket' END || ' thanks' AS note
+        FROM orders)
+      SELECT o_orderkey,
+             regexp_replace(regexp_replace(note, '${Text.EmailRe}', '<EMAIL>', 'g'),
+                            '${Text.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(note, '${Text.EmailRe}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(note, '${Text.PhoneRe}')) AS BIGINT) AS n_phone
+      FROM synth ORDER BY o_orderkey""",
+
+    "q69_datetime_surface" -> """
+      SELECT o_orderkey,
+             date_part('year', o_orderdate) AS y,
+             date_part('quarter', o_orderdate) AS q,
+             date_part('month', o_orderdate) AS m,
+             date_part('dow', o_orderdate) + 1 AS dow,
+             date_part('doy', o_orderdate) AS doy,
+             strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+             CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start,
+             CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+      FROM orders ORDER BY o_orderkey""",
 
     // 8-gram mirror of Decontaminate.flags: per-doc distinct 8-grams,
     // eval grams flattened+distinct, shared count = list_intersect length

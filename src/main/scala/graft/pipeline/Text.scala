@@ -64,6 +64,21 @@ object Text {
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
 
+  /** Email/phone patterns shared by [[scrubPii]] and its oracle mirror —
+    * deliberately confined to the regex dialect Java and RE2 interpret
+    * identically (char classes, bounded/unbounded quantifiers; no
+    * backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.][A-Za-z0-9.-]*\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing (every released corpus pipeline redacts before
+    * training): emails then phone numbers replaced by typed placeholder
+    * tokens. Pure per-row codegen'd regexp_replace — scan-side, no
+    * shuffle, composes with the quality gates. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /**
    * N-gram repetition ratio in [0,1]: 1 − distinct/total word n-grams —
    * the boilerplate/template signal (C4-style quality filtering drops

@@ -523,6 +523,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L)) // only the eval 8-gram itself is shared
   }
 
+  test("pii scrub: emails and phones redact, plain text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+spam@sub.example.co.uk or +44-201-5550",
+      "two mails a@b.io c.d@e.org and no phone",
+      "nothing sensitive here",
+      "not-an-email @ example.com and +1-55-123 too short"
+    ).toDF("t")
+    val got = df.select(Text.scrubPii(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "reach me at <EMAIL> or <PHONE>")
+    assert(got(1) == "two mails <EMAIL> <EMAIL> and no phone")
+    assert(got(2) == "nothing sensitive here")
+    assert(got(3) == "not-an-email @ example.com and +1-55-123 too short")
+  }
+
   test("repetition score: 1 - distinct/total 3-grams, zero for short docs") {
     import spark.implicits._
     val df = Seq(
