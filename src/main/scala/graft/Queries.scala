@@ -592,6 +592,19 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q70_salted_join" -> ((s, d) => {
+      // salted skew join certified against the PLAIN join oracle — salting
+      // must be row-level invisible (the salt splits hot keys across
+      // reducers, the dimension replicates per salt, results identical)
+      prep(s, d, "orders", "nation")
+      val facts = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 25).as("n_key"), col("o_totalprice"))
+      val dim = t(s, d, "nation").select(col("n_nationkey").as("n_key"), col("n_name"))
+      graft.pipeline.Skew.saltedJoin(facts, dim, "n_key", nSalts = 8)
+        .select(col("o_orderkey"), col("n_name"))
+        .orderBy("o_orderkey")
+    }),
+
     "q68_pii_scrub" -> ((s, d) => {
       // PII redaction over deterministically synthesized contact strings:
       // emails/phones replaced by typed placeholders + per-row match
@@ -1406,6 +1419,11 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q70_salted_join" -> """
+      SELECT o_orderkey, n_name
+      FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+      ORDER BY o_orderkey""",
 
     // same Java∩RE2 patterns injected from Text.EmailRe/PhoneRe — the
     // mirror cannot drift from the engine; DuckDB needs the 'g' flag for
