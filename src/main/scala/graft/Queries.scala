@@ -592,6 +592,24 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q71_string_surface" -> ((s, d) => {
+      // string scalar surface: edit distance (fuzzy matching), casing,
+      // char translation, reverse, padding, substring search — certified
+      // one-to-one against DuckDB equivalents
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
+               initcap(lower(a.n_name)) AS pretty,
+               translate(a.n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+               reverse(b.n_name) AS rev,
+               lpad(a.n_name, 12, '.') AS padded,
+               CAST(instr(a.n_name, 'AN') AS BIGINT) AS an_pos
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE levenshtein(a.n_name, b.n_name) <= 6
+        ORDER BY name_a, name_b""")
+    }),
+
     "q70_salted_join" -> ((s, d) => {
       // salted skew join certified against the PLAIN join oracle — salting
       // must be row-level invisible (the salt splits hot keys across
@@ -1419,6 +1437,19 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q71_string_surface" -> """
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+             CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
+             list_aggregate(list_transform(string_split(lower(a.n_name), ' '),
+               w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS pretty,
+             translate(a.n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+             reverse(b.n_name) AS rev,
+             lpad(a.n_name, 12, '.') AS padded,
+             CAST(instr(a.n_name, 'AN') AS BIGINT) AS an_pos
+      FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      WHERE levenshtein(a.n_name, b.n_name) <= 6
+      ORDER BY name_a, name_b""",
 
     "q70_salted_join" -> """
       SELECT o_orderkey, n_name

@@ -126,6 +126,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("q66: eval grams broadcast — the corpus side never shuffles before the join") {
+    val plan = executedPlan("q66_decontamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("constant folding: literal ST_ calls disappear from the optimized plan") {
     graft.spatial.functions.register(spark)
     val opt = spark.sql("SELECT ST_Area(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))')) AS a")
