@@ -592,6 +592,27 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q72_map_surface" -> ((s, d) => {
+      // map-type surface: construction, lookup (present + missing keys),
+      // key/value projections, cardinality. The oracle recomputes every
+      // output value relationally — DuckDB MAP internals never enter the
+      // comparison, only the semantics
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               element_at(m, 'name') AS name_v,
+               element_at(m, 'region') AS region_v,
+               element_at(m, 'missing') AS missing_v,
+               CAST(size(m) AS BIGINT) AS m_size,
+               array_join(sort_array(map_keys(m)), ',') AS keys_sorted,
+               CAST(map_contains_key(m, 'region') AS BOOLEAN) AS has_region
+        FROM (SELECT n_nationkey,
+                map_from_arrays(array('name', 'region'),
+                                array(n_name, CAST(n_regionkey AS STRING))) AS m
+              FROM nation)
+        ORDER BY n_nationkey""")
+    }),
+
     "q71_string_surface" -> ((s, d) => {
       // string scalar surface: edit distance (fuzzy matching), casing,
       // char translation, reverse, padding, substring search — certified
@@ -1444,6 +1465,17 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q72_map_surface" -> """
+      SELECT n_nationkey,
+             n_name AS name_v,
+             CAST(n_regionkey AS VARCHAR) AS region_v,
+             CAST(NULL AS VARCHAR) AS missing_v,
+             CAST(2 AS BIGINT) AS m_size,
+             'name,region' AS keys_sorted,
+             TRUE AS has_region
+      FROM nation
+      ORDER BY n_nationkey""",
 
     "q71_string_surface" -> """
       SELECT a.n_name AS name_a, b.n_name AS name_b,
