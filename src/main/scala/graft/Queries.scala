@@ -656,10 +656,15 @@ object Queries {
               lpad((col("o_custkey") % 10000).cast("string"), 4, "0")))
             .otherwise(lit(" by ticket")),
           lit(" thanks")).as("note"))
-      synth.select(col("o_orderkey"),
-          Text.scrubPii(col("note")).as("scrubbed"),
-          regexp_count(col("note"), lit(Text.EmailRe)).cast("long").as("n_email"),
-          regexp_count(col("note"), lit(Text.PhoneRe)).cast("long").as("n_phone"))
+      // redaction counts come from the placeholders in the scrubbed
+      // string (cheap length arithmetic), not a second+third regex pass
+      // over the original — the two scans this saves halved the query
+      synth.select(col("o_orderkey"), Text.scrubPii(col("note")).as("scrubbed"))
+        .select(col("o_orderkey"), col("scrubbed"),
+          expr("CAST((length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) DIV 7 AS BIGINT)")
+            .as("n_email"),
+          expr("CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) DIV 7 AS BIGINT)")
+            .as("n_phone"))
         .orderBy("o_orderkey")
     }),
 
@@ -1506,13 +1511,18 @@ object Queries {
                THEN '@mail.example.com or +1-555-' ||
                     lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')
                ELSE ' by ticket' END || ' thanks' AS note
-        FROM orders)
-      SELECT o_orderkey,
-             regexp_replace(regexp_replace(note, '${Text.EmailRe}', '<EMAIL>', 'g'),
-                            '${Text.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
-             CAST(len(regexp_extract_all(note, '${Text.EmailRe}')) AS BIGINT) AS n_email,
-             CAST(len(regexp_extract_all(note, '${Text.PhoneRe}')) AS BIGINT) AS n_phone
-      FROM synth ORDER BY o_orderkey""",
+        FROM orders),
+      scrub AS (
+        SELECT o_orderkey,
+               regexp_replace(regexp_replace(note, '${Text.EmailRe}', '<EMAIL>', 'g'),
+                              '${Text.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+        FROM synth)
+      SELECT o_orderkey, scrubbed,
+             CAST((length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) // 7
+                  AS BIGINT) AS n_email,
+             CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) // 7
+                  AS BIGINT) AS n_phone
+      FROM scrub ORDER BY o_orderkey""",
 
     "q69_datetime_surface" -> """
       SELECT o_orderkey,
