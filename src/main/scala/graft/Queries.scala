@@ -592,6 +592,21 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q73_time_buckets" -> ((s, d) => {
+      // batch face of the streaming tumbling window: window() bucketing ==
+      // DuckDB time_bucket (both epoch-hour-aligned). Aggregates are
+      // order-insensitive (counts, min/max) — summing arbitrary doubles
+      // would couple the hash to reduction order
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("n_users"), col("min_v"), col("max_v"))
+        .orderBy("bucket_us", "event_type")
+    }),
+
     "q72_map_surface" -> ((s, d) => {
       // map-type surface: construction, lookup (present + missing keys),
       // key/value projections, cardinality. The oracle recomputes every
@@ -1470,6 +1485,16 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q73_time_buckets" -> """
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+             event_type,
+             count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_us, event_type""",
 
     "q72_map_surface" -> """
       SELECT n_nationkey,

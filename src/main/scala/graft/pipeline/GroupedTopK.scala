@@ -29,7 +29,7 @@ object GroupedTopK {
            order: Seq[(String, Boolean)], k: Int,
            rankCol: String = "rank"): DataFrame = {
     val ordFields = order.zipWithIndex.map { case ((n, _), i) => col(n).as(s"__o$i") }
-    val payload = struct(df.columns.map(col): _*).as("__row")
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*).as("__row")
     val packed = struct(ordFields :+ payload: _*)
     val agg = GraftShim.column(
       BoundedTopK(GraftShim.expression(packed), k, order.map(_._2)).toAggregateExpression())

@@ -269,7 +269,7 @@ object Similarity {
     val listIds = probed.select("list_id").distinct()
       .collect().map(_.getLong(0)) // metadata-sized
     val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(listIds: _*))
+      .filter(col("list_id").isin(listIds.toIndexedSeq: _*))
     ivfRerank(lists, probed, k)
   }
 
