@@ -64,6 +64,54 @@ object Curate {
   }
 
   /**
+   * [[curate]] with pipeline observability for free: per-stage row counters
+   * (`docs_in`, `exact_kept`, `near_kept`, `gated_kept`) collected via
+   * Spark's Observation API — accumulator-backed, so the metrics ride the
+   * SAME single pass that materializes the result; at 100 TB a
+   * count()-per-stage telemetry would quadruple the pipeline. Read the
+   * returned observations' `.get` AFTER an action on the result.
+   */
+  def curateObserved(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     idCol: String, textCol: String, cfg: Config = Config())
+      : (DataFrame, Seq[org.apache.spark.sql.Observation]) = {
+    import org.apache.spark.sql.Observation
+    val oIn = Observation("curate_in")
+    val oExact = Observation("curate_exact")
+    val oGated = Observation("curate_gated")
+    val observed = docs.observe(oIn, count(lit(1)).as("docs_in"))
+    val exact = Dedup.dropExactDuplicates(observed, textCol, idCol)
+      .observe(oExact, count(lit(1)).as("exact_kept"))
+    val losers = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
+      hotBucketBound = cfg.hotBucketBound)
+      .select(col("id_b").as(idCol))
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+    val gated = deduped
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("lang", Text.langId(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality && col("lang").isin(cfg.langs: _*))
+      .observe(oGated, count(lit(1)).as("gated_kept"))
+    val sharded = Sampling.hashSplit(gated, idCol, cfg.splits)
+      .withColumn("shard", Sampling.hashBucket(col(idCol), cfg.shards))
+      .withColumn("toks", Text.tokenCount(col(textCol)))
+    (Sampling.packSequences(sharded, "shard", idCol, "toks", cfg.packTokens),
+      Seq(oIn, oExact, oGated))
+  }
+
+  /**
+   * Write a curated frame in the standard training layout:
+   * `path/split=<s>/shard=<n>/` parquet files, sorted by pack_id within
+   * each file so the loader streams packs sequentially. Partition pruning then
+   * serves "give me train shard 17" as a directory lookup — no manifest
+   * service, no full-corpus listing; appended batches land as new files
+   * in the same directories.
+   */
+  def writeTrainingLayout(curated: DataFrame, path: String): Unit =
+    curated
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions("split", "shard", "pack_id")
+      .write.mode("append").partitionBy("split", "shard").parquet(path)
+
+  /**
    * Incremental curation: curate a NEW batch against a STANDING corpus
    * without re-reading any corpus text. Standing state consumed:
    *

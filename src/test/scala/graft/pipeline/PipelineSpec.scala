@@ -712,6 +712,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == ids)
   }
 
+  test("curateObserved: stage counters ride the single pass and match recomputation") {
+    import spark.implicits._
+    val good = "The quick brown fox jumps over the lazy dog and then it runs far away into the green hills. " * 4
+    val docs = Seq(
+      (1L, good), (2L, good),                              // exact dup pair
+      (3L, good + " Extra trailing words change little here truly."), // near-dup of 1
+      (4L, "zz"),                                          // quality-gated
+      (5L, "The calm river flows south past the old stone bridge and beyond the quiet village it bends east toward the sea again.")
+    ).toDF("doc_id", "text")
+    val cfg = Curate.Config(minQuality = 0.3, langs = Seq("en"),
+      nearDupJaccard = 0.6, splits = Seq(("train", 10000)), packTokens = 512, shards = 4)
+    val (out, obs) = Curate.curateObserved(spark, docs, "doc_id", "text", cfg)
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val metrics = obs.map(o => o.get).reduce(_ ++ _)
+    assert(metrics("docs_in") == 5L)
+    assert(metrics("exact_kept") == 4L)    // doc 2 dropped
+    assert(metrics("gated_kept") == survivors.size.toLong)
+    assert(survivors == Set(1L, 5L))       // 3 near-dup-dropped, 4 gated
+    // parity with the unobserved pipeline
+    val plain = Curate.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == survivors)
+  }
+
+  test("writeTrainingLayout: split/shard directories, pruned reads, pack order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val curated = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(minQuality = 0.0, langs = Seq("en"), nearDupJaccard = 0.8,
+        splits = Seq(("train", 8000), ("val", 2000)), packTokens = 512, shards = 4))
+    Curate.writeTrainingLayout(curated, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == curated.count())
+    // partition pruning: a split+shard slice reads only that directory
+    val one = back.filter(col("split") === "train" && col("shard") === 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(1500))
+    val ids = one.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = curated.filter(col("split") === "train" && col("shard") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expect && ids.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("incremental curate == full curate over the union (append-only ids)") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
