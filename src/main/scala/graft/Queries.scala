@@ -592,6 +592,24 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q74_stats_surface" -> ((s, d) => {
+      // statistical aggregate surface: sample stddev/variance, Pearson
+      // correlation, sample covariance. Inputs are integral-valued doubles
+      // (sums and sums-of-squares exact in 2^53), so the only divergence
+      // channel is the engines' merge order in the M2 accumulation —
+      // rounded to 4dp, orders of magnitude above that noise (the q51
+      // precedent)
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_linenumber), 4) AS corr_ql,
+               round(covar_samp(l_quantity, l_linenumber), 4) AS cov_ql,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "q73_time_buckets" -> ((s, d) => {
       // batch face of the streaming tumbling window: window() bucketing ==
       // DuckDB time_bucket (both epoch-hour-aligned). Aggregates are
@@ -1485,6 +1503,15 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q74_stats_surface" -> """
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_linenumber), 4) AS corr_ql,
+             round(covar_samp(l_quantity, l_linenumber), 4) AS cov_ql,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q73_time_buckets" -> """
       SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,

@@ -473,6 +473,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct tracks exact distinct within the configured rsd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val r = docs.agg(
+      count_distinct(col("c_custkey")).as("exact"),
+      approx_count_distinct(col("c_custkey"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("approx grouped percentiles track the exact aggregate within rank tolerance") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select((col("doc_id") % 4).as("grp"),
