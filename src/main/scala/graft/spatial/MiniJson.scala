@@ -28,8 +28,15 @@ object MiniJson {
       if (p.pos == s.length) Some(v) else None
     } catch { case _: Exception => None }
 
+  /** Recursion bound: adversarially nested input (100k `[`s) would
+    * otherwise StackOverflowError — an Error, so it sails past the
+    * `catch Exception` guards and kills the executor task. Real GeoJSON
+    * and `geo` footers nest a handful of levels. */
+  private val MaxDepth = 512
+
   private final class Parser(s: String) {
     var pos = 0
+    private var depth = 0
 
     def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
 
@@ -45,7 +52,9 @@ object MiniJson {
     def value(): Value = {
       ws()
       if (pos >= s.length) fail("eof")
-      s.charAt(pos) match {
+      depth += 1
+      if (depth > MaxDepth) fail("nesting too deep")
+      val v = s.charAt(pos) match {
         case '{' => obj()
         case '[' => arr()
         case '"' => JStr(str())
@@ -54,6 +63,8 @@ object MiniJson {
         case 'n' => lit("null", JNull)
         case _ => num()
       }
+      depth -= 1
+      v
     }
 
     private def lit(text: String, v: Value): Value = {

@@ -29,9 +29,15 @@ object WKB {
 
   // ---------------------------------------------------------------- reader
 
+  /** Recursion bound for nested collections: a crafted blob of nested
+    * GEOMETRYCOLLECTION headers (9 bytes each) would otherwise recurse
+    * ~len/9 deep and StackOverflowError — an Error, invisible to
+    * readOrNull's `catch Exception`, killing the executor task. */
+  private val MaxDepth = 512
+
   def read(bytes: Array[Byte]): Geometry = {
     val buf = ByteBuffer.wrap(bytes)
-    readGeom(buf)
+    readGeom(buf, 0)
   }
 
   def readOrNull(bytes: Array[Byte]): Geometry =
@@ -74,7 +80,8 @@ object WKB {
     n
   }
 
-  private def readGeom(buf: ByteBuffer): Geometry = {
+  private def readGeom(buf: ByteBuffer, depth: Int): Geometry = {
+    if (depth > MaxDepth) throw new IllegalArgumentException("WKB nesting too deep")
     val order = if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
     val rawCode = buf.getInt()
@@ -92,7 +99,7 @@ object WKB {
         val pts = new Array[Point](n)
         var i = 0
         while (i < n) {
-          pts(i) = readGeom(buf) match {
+          pts(i) = readGeom(buf, depth + 1) match {
             case p: Point => p
             case g        => throw new IllegalArgumentException(s"MULTIPOINT member is ${g.typeName}")
           }
@@ -104,7 +111,7 @@ object WKB {
         val ls = new Array[LineString](n)
         var i = 0
         while (i < n) {
-          ls(i) = readGeom(buf) match {
+          ls(i) = readGeom(buf, depth + 1) match {
             case l: LineString => l
             case g             => throw new IllegalArgumentException(s"MULTILINESTRING member is ${g.typeName}")
           }
@@ -116,7 +123,7 @@ object WKB {
         val ps = new Array[Polygon](n)
         var i = 0
         while (i < n) {
-          ps(i) = readGeom(buf) match {
+          ps(i) = readGeom(buf, depth + 1) match {
             case p: Polygon => p
             case g          => throw new IllegalArgumentException(s"MULTIPOLYGON member is ${g.typeName}")
           }
@@ -126,7 +133,7 @@ object WKB {
       case GeometryCollectionT =>
         val n = checkCount(buf.getInt(), buf, 5)
         val gs = new Array[Geometry](n)
-        var i = 0; while (i < n) { gs(i) = readGeom(buf); i += 1 }
+        var i = 0; while (i < n) { gs(i) = readGeom(buf, depth + 1); i += 1 }
         GeometryCollection(gs, dim)
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
@@ -156,10 +163,11 @@ object WKB {
   /** Fold this WKB value's coords into `env` without building a Geometry. */
   def foldEnvelope(bytes: Array[Byte], env: Envelope): Unit = {
     val buf = ByteBuffer.wrap(bytes)
-    scanGeom(buf, env)
+    scanGeom(buf, env, 0)
   }
 
-  private def scanGeom(buf: ByteBuffer, env: Envelope): Unit = {
+  private def scanGeom(buf: ByteBuffer, env: Envelope, depth: Int): Unit = {
+    if (depth > MaxDepth) throw new IllegalArgumentException("WKB nesting too deep")
     val order = if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
     val rawCode = buf.getInt()
@@ -176,7 +184,7 @@ object WKB {
         var i = 0; while (i < n) { scanSeq(buf, dim, env); i += 1 }
       case MultiPointT | MultiLineStringT | MultiPolygonT | GeometryCollectionT =>
         val n = checkCount(buf.getInt(), buf, 5)
-        var i = 0; while (i < n) { scanGeom(buf, env); i += 1 }
+        var i = 0; while (i < n) { scanGeom(buf, env, depth + 1); i += 1 }
       case other => throw new IllegalArgumentException(s"unknown WKB type $other")
     }
   }

@@ -160,8 +160,15 @@ object WKT {
   def readOrNull(wkt: String): Geometry =
     try read(wkt) catch { case _: Exception => null }
 
+  /** Recursion bound for nested GEOMETRYCOLLECTIONs: adversarial input
+    * ("GEOMETRYCOLLECTION (" × 100k) would otherwise StackOverflowError —
+    * an Error, invisible to readOrNull's `catch Exception`, killing the
+    * executor task. */
+  private val MaxDepth = 512
+
   private final class Parser(s: String) {
     private var pos = 0
+    private var depth = 0
 
     def parse(): Geometry = {
       val g = parseGeometry()
@@ -260,6 +267,8 @@ object WKT {
     }
 
     private def parseGeometry(): Geometry = {
+      depth += 1
+      if (depth > MaxDepth) fail("nesting too deep")
       val tag = word()
       // the dim tag follows the keyword for every class — hoisted so the
       // XYM flag can be captured before nested members overwrite it
@@ -347,6 +356,7 @@ object WKT {
           }
         case other => fail(s"unknown geometry type $other")
       }
+      depth -= 1
       if (m && dim == 3) markMeasured(g)
       g
     }

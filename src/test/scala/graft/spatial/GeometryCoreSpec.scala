@@ -57,6 +57,26 @@ class GeometryCoreSpec extends AnyFunSuite {
     assert(WKT.write(Point.xy(1.5, -2.25)) == "POINT (1.5 -2.25)")
   }
 
+  test("depth bombs: adversarially nested input returns null, never StackOverflowError") {
+    // SOE is an Error — it would sail past readOrNull's catch-Exception
+    // and kill an executor task; the parsers bound recursion instead
+    assert(WKT.readOrNull("GEOMETRYCOLLECTION (" * 100000) == null)
+    assert(WKT.readOrNull(("GEOMETRYCOLLECTION (" * 20000) + "POINT (1 1)" + (")" * 20000)) == null)
+    assert(GeoJson.readOrNull("[" * 100000) == null)
+    assert(GeoJson.readOrNull(("{\"type\":\"GeometryCollection\",\"geometries\":[" * 20000) +
+      "{\"type\":\"Point\",\"coordinates\":[1,2]}" + ("]}" * 20000)) == null)
+    // crafted WKB: 100k nested little-endian GEOMETRYCOLLECTION(1 member) headers
+    val bomb = java.nio.ByteBuffer.allocate(9 * 100000)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 100000).foreach { _ => bomb.put(1.toByte).putInt(7).putInt(1) }
+    assert(WKB.readOrNull(bomb.array()) == null)
+    val env = new Envelope
+    intercept[IllegalArgumentException](WKB.foldEnvelope(bomb.array(), env))
+    // sane nesting still parses
+    val ok = ("GEOMETRYCOLLECTION (" * 100) + "POINT (1.0 2.0)" + (")" * 100)
+    assert(WKT.readOrNull(ok) != null)
+  }
+
   test("wkt negative zero keeps its sign and stays WKB-byte-stable") {
     val l = LineString(Array(-0.0, 1.0, 2.0, 3.0, 4.0, 5.0), 3); l.measured = true
     val wkt = WKT.write(l)
