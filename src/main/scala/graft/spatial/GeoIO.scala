@@ -6,7 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct}
 import org.apache.spark.sql.types.MetadataBuilder
 
 /**
@@ -154,6 +154,34 @@ object GeoIO {
         SpatialJoin.st_ref_cell(g, g, cellSize))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
+
+  /**
+   * GeoParquet 1.1 "covering" bbox column: a flat
+   * `struct<xmin,ymin,xmax,ymax>` computed next to the geometry at write
+   * time. Parquet keeps per-row-group min/max statistics for the struct's
+   * double leaves, so an envelope filter expressed on those leaves
+   * ([[bboxFilter]]) reaches the scan as PushedFilters and prunes ROW
+   * GROUPS inside every file before any WKB is decoded — finer-grained
+   * than cell-partition pruning, with no directory explosion, and it
+   * composes with it (partition prune to cells, then stat-prune groups).
+   */
+  def withBboxColumn(df: DataFrame, geomCol: String,
+                     bboxCol: String = "bbox"): DataFrame =
+    df.withColumn(bboxCol, struct(
+      functions.st_xmin(col(geomCol)).as("xmin"),
+      functions.st_ymin(col(geomCol)).as("ymin"),
+      functions.st_xmax(col(geomCol)).as("xmax"),
+      functions.st_ymax(col(geomCol)).as("ymax")))
+
+  /** Envelope-intersection predicate over a [[withBboxColumn]] covering
+    * column — plain comparisons on struct leaves, so parquet row-group
+    * stats prune before decode (assert `PushedFilters` mentions the bbox
+    * leaves in the scan). Geometries only FULLY inside the window need no
+    * residual check; for exact semantics follow with the ST_ predicate. */
+  def bboxFilter(bboxCol: String, xmin: Double, ymin: Double,
+                 xmax: Double, ymax: Double): Column =
+    col(s"$bboxCol.xmin") <= xmax && col(s"$bboxCol.xmax") >= xmin &&
+      col(s"$bboxCol.ymin") <= ymax && col(s"$bboxCol.ymax") >= ymin
 
   /** Read only the cell partitions overlapping `env` expanded by `pad`,
     * then apply the exact envelope filter. */

@@ -160,6 +160,29 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bbox covering column: envelope filter pushes to the parquet scan") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+    val out = "/tmp/graft_bbox_covered"
+    GeoIO.withBboxColumn(cust, "pt").write.mode("overwrite").parquet(out)
+
+    val back = spark.read.parquet(out)
+      .filter(GeoIO.bboxFilter("bbox", 0, 0, 2500, 12))
+    // the struct-leaf comparisons must reach the scan as pushed filters
+    // (row-group min/max stats prune before WKB decode)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"), plan.take(1500))
+    val got = back.select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expected = cust
+      .filter(G.st_xmin(col("pt")).between(0, 2500) &&
+              G.st_ymin(col("pt")).between(0, 12))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("cell-partitioned layout: pruned reads match full-scan filter") {
     val sf = "/root/testdata/sf0.001"
     val cust = spark.read.parquet(s"$sf/customer.parquet")
