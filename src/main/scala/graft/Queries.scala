@@ -592,6 +592,18 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q75_bpeish_tokens" -> ((s, d) => {
+      // BPE-style pre-tokenizer counts next to whitespace counts — the
+      // sequence-packing/training-cost unit; same Java∩RE2 pattern
+      // injected into the oracle from Text.BpeishTokenRe
+      prep(s, d, "documents")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.bpeishTokenCount(col("text")).as("bpeish_toks"),
+          Text.tokenCount(col("text")).cast("long").as("ws_toks"))
+        .orderBy("doc_id")
+    }),
+
     "q74_stats_surface" -> ((s, d) => {
       // statistical aggregate surface: sample stddev/variance, Pearson
       // correlation, sample covariance. Inputs are integral-valued doubles
@@ -1503,6 +1515,15 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q75_bpeish_tokens" -> s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${graft.pipeline.Text.BpeishTokenRe}'))
+                  AS BIGINT) AS bpeish_toks,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS ws_toks
+      FROM documents ORDER BY doc_id""",
 
     "q74_stats_surface" -> """
       SELECT l_returnflag,

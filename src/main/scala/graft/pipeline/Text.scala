@@ -64,6 +64,19 @@ object Text {
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
 
+  /** GPT-2-style pre-tokenizer pattern, confined to the lookahead-free
+    * dialect Java and RE2 share: a token is an optional leading space plus
+    * a letter run, digit run, or punctuation run. Counting these
+    * approximates BPE token counts far better than whitespace words
+    * ("don't" → 3, "3.14" → 3) — the unit that matters for sequence
+    * packing and training-cost estimates. */
+  val BpeishTokenRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish token count: matches of [[BpeishTokenRe]] — scan-side,
+    * codegen'd, oracle-reproducible (`regexp_extract_all` length). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishTokenRe)).cast("long")
+
   /** Email/phone patterns shared by [[scrubPii]] and its oracle mirror —
     * deliberately confined to the regex dialect Java and RE2 interpret
     * identically (char classes, bounded/unbounded quantifiers; no
