@@ -56,8 +56,37 @@ object Kernels {
       WKB.write(e.toPolygon)
     } catch { case _: Exception => null }
 
+  /** If `bytes` is a WKB point, write (x, y) into `out(off)`, `out(off+1)`
+    * and return true — a header-only decode, no Geometry allocation. */
+  @inline private def pointXY(bytes: Array[Byte], out: Array[Double], off: Int): Boolean = {
+    if (bytes == null || bytes.length < 21) return false
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val order = if (buf.get() == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN
+    buf.order(order)
+    val code = buf.getInt()
+    if ((code & 0x20000000) != 0) { if (buf.remaining() < 4) return false; buf.getInt() }
+    if ((code & 0x0FFFFFFF) % 1000 != 1) return false
+    if (buf.remaining() < 16) return false
+    out(off) = buf.getDouble(); out(off + 1) = buf.getDouble()
+    true
+  }
+
   /** NaN = parse failure or empty operand → NULL. */
   def distance(a: Array[Byte], b: Array[Byte]): Double = {
+    // fast path: point-point (the dominant case) straight off the buffers —
+    // bit-identical to GeomOps.distance's empty/equal/vertex-vertex result
+    val s = new Array[Double](4)
+    if (pointXY(a, s, 0) && pointXY(b, s, 2)) {
+      val ax = s(0); val ay = s(1); val bx = s(2); val by = s(3)
+      // WKB.read's empty-point convention is "x is NaN"
+      if (ax != ax || bx != bx) return Double.NaN
+      if (ay == ay && by == by) {
+        if (ax == bx && ay == by) return 0.0
+        val dx = ax - bx; val dy = ay - by
+        return math.sqrt(dx * dx + dy * dy)
+      } // pathological y-only-NaN: defer to the object path below
+    }
     val ga = WKB.readOrNull(a)
     val gb = WKB.readOrNull(b)
     if (ga == null || gb == null) Double.NaN

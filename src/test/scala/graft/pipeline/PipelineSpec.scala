@@ -532,6 +532,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L)) // only the eval 8-gram itself is shared
   }
 
+  test("bpeish token count: contractions and decimals split, whitespace is free") {
+    import spark.implicits._
+    val got = Seq("don't", "3.14", "hello world", "", "  ", "a-b c")
+      .toDF("t").select(Text.bpeishTokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L /*don ' t*/, 3L /*3 . 14*/, 2L, 0L, 0L, 4L /*a - b c*/))
+  }
+
   test("pii scrub: emails and phones redact, plain text untouched") {
     import spark.implicits._
     val df = Seq(
