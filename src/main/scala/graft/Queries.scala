@@ -592,6 +592,43 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q76_null_surface" -> ((s, d) => {
+      // null-handling surface: nullif/coalesce/nvl2, null-safe equality
+      // (IS [NOT] DISTINCT FROM), and null-aware conditionals, over a
+      // synthesized nullable column (every 3rd balance nulled)
+      prep(s, d, "customer")
+      s.sql("""
+        SELECT c_custkey,
+               coalesce(nb, -1.0D) AS nb_or_default,
+               nullif(c_nationkey, 0) AS nk_nullable,
+               nvl2(nb, 'has', 'null') AS has_bal,
+               (nb <=> c_acctbal) AS same_nullsafe,
+               CAST(nb IS DISTINCT FROM c_acctbal AS BOOLEAN) AS distinct_from,
+               CASE WHEN nb IS NULL THEN 'missing'
+                    WHEN nb < 0 THEN 'neg' ELSE 'pos' END AS bal_class
+        FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+                CASE WHEN c_custkey % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                     ELSE c_acctbal END AS nb
+              FROM customer)
+        ORDER BY c_custkey""")
+    }),
+
+    "q77_filtered_aggs" -> ((s, d) => {
+      // conditional-aggregate surface: FILTER clauses, count_if, bool
+      // aggregates — one pass, no self-joins
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open,
+               bool_or(o_orderstatus = 'P') AS any_pending,
+               bool_and(o_custkey > 0) AS all_pos_cust
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "q75_bpeish_tokens" -> ((s, d) => {
       // BPE-style pre-tokenizer counts next to whitespace counts — the
       // sequence-packing/training-cost unit; same Java∩RE2 pattern
@@ -1515,6 +1552,32 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q76_null_surface" -> """
+      SELECT c_custkey,
+             coalesce(nb, -1.0) AS nb_or_default,
+             nullif(c_nationkey, 0) AS nk_nullable,
+             CASE WHEN nb IS NOT NULL THEN 'has' ELSE 'null' END AS has_bal,
+             (nb IS NOT DISTINCT FROM c_acctbal) AS same_nullsafe,
+             (nb IS DISTINCT FROM c_acctbal) AS distinct_from,
+             CASE WHEN nb IS NULL THEN 'missing'
+                  WHEN nb < 0 THEN 'neg' ELSE 'pos' END AS bal_class
+      FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+              CASE WHEN c_custkey % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                   ELSE c_acctbal END AS nb
+            FROM customer) t
+      ORDER BY c_custkey""",
+
+    "q77_filtered_aggs" -> """
+      SELECT o_orderpriority,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open,
+             bool_or(o_orderstatus = 'P') AS any_pending,
+             bool_and(o_custkey > 0) AS all_pos_cust
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q75_bpeish_tokens" -> s"""
       SELECT doc_id,

@@ -71,12 +71,17 @@ object StreamOps {
    *
    * @param within   attribution horizon, e.g. "30 minutes"
    * @param keys     equality key columns (both sides)
-   * @return inner-join rows: all left columns + the right's non-key
-   *         columns suffixed with `rightSuffix`
+   * @param joinType "inner" (default) or "left_outer" — outer rows for
+   *                 left events with no match emit once the right
+   *                 watermark passes their horizon (state-expiry time),
+   *                 the standard "click never converted" signal
+   * @return joined rows: all left columns + the right's non-key columns
+   *         suffixed with `rightSuffix`
    */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    within: String, rightSuffix: String = "_r",
-                   watermarkDelay: String = "10 minutes"): DataFrame = {
+                   watermarkDelay: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
     val rRenamed = right.columns.filterNot(keys.contains)
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, c + rightSuffix))
@@ -84,7 +89,7 @@ object StreamOps {
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r("ts" + rightSuffix) >= l("ts") &&
       r("ts" + rightSuffix) <= l("ts") + expr(s"INTERVAL $within")
-    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 
   /**

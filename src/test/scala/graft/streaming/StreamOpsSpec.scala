@@ -188,6 +188,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join left_outer: unconverted clicks emit null after watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamOps.Event]
+    val purchases = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      purchases.toDF().select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      Seq("user_id"), within = "10 minutes", watermarkDelay = "1 minute",
+      joinType = "left_outer")
+    val q = joined.select("click_id", "purchase_id_r").writeStream
+      .outputMode("append").format("memory").queryName("outer_attr").start()
+    try {
+      clicks.addData(
+        StreamOps.Event(1, ts("2026-01-01 10:00:00"), 1, "click", 0),   // will convert
+        StreamOps.Event(2, ts("2026-01-01 10:00:00"), 2, "click", 0))   // never converts
+      purchases.addData(
+        StreamOps.Event(10, ts("2026-01-01 10:05:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click horizon so the unmatched
+      // left row expires and emits with a null right side
+      clicks.addData(StreamOps.Event(99, ts("2026-01-01 12:00:00"), 9, "click", 0))
+      purchases.addData(StreamOps.Event(98, ts("2026-01-01 12:00:00"), 9, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id_r FROM outer_attr").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got.get(1L).contains(10L), got)
+      assert(got.get(2L).contains(-1L), got) // expired unmatched → null right
+    } finally q.stop()
+  }
+
   test("streaming spatial enrichment: grid equi-join against static polygons") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
