@@ -592,6 +592,24 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q78_subquery_surface" -> ((s, d) => {
+      // correlated EXISTS / NOT IN / scalar subquery — Catalyst rewrites
+      // these to semi/anti joins and a one-row broadcast. The scalar
+      // threshold averages exact BIGINT cents so both engines divide the
+      // same exact sum (double money averages are order-dependent)
+      prep(s, d, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P')
+          AND c_acctbal * 100 > (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+                                 FROM customer)
+        ORDER BY c_custkey""")
+    }),
+
     "q76_null_surface" -> ((s, d) => {
       // null-handling surface: nullif/coalesce/nvl2, null-safe equality
       // (IS [NOT] DISTINCT FROM), and null-aware conditionals, over a
@@ -1552,6 +1570,17 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q78_subquery_surface" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'P')
+        AND c_acctbal * 100 > (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+                               FROM customer)
+      ORDER BY c_custkey""",
 
     "q76_null_surface" -> """
       SELECT c_custkey,
