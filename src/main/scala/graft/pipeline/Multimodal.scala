@@ -84,6 +84,19 @@ object Multimodal {
         (xxhash64(payload, i).cast("double") / lit(Long.MaxValue.toDouble)).cast("float")))
 
   /**
+   * STUB resize: rewrite the fake header to the target dimensions and keep
+   * the payload bytes. A real implementation would re-encode pixels; the
+   * Spark contract — binary in, binary out, null-safe, new dimensions
+   * visible to a subsequent [[decodeImageStub]] — is the real part.
+   */
+  def resizeStub(payload: Column, width: Int, height: Int): Column = {
+    val dims = java.nio.ByteBuffer.allocate(8).putInt(width).putInt(height).array()
+    when(payload.isNull.or(length(payload) < 12), lit(null))
+      .otherwise(concat(
+        substring(payload, 1, 4), lit(dims), substring(payload, 13, Int.MaxValue)))
+  }
+
+  /**
    * STUB frame sampling: treat the payload as `frameCount` logical frames,
    * emit every `everyN`-th frame index with a per-frame byte slice. Real
    * video decode would substitute here; the explode/partition shape is real.

@@ -856,5 +856,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.length == 16 && feats.forall(f => f >= -1.0f && f <= 1.0f))
     val frames = Multimodal.sampleFrames(media, "payload", frameCount = 8, everyN = 2)
     assert(frames.count() == 10 * 4)
+    // resize rewrites the header in place; payload tail survives and the
+    // new dimensions are visible to a subsequent decode
+    val resized = media.select(col("media_id"),
+        Multimodal.decodeImageStub(Multimodal.resizeStub(col("payload"), 224, 224)).as("img"),
+        length(Multimodal.resizeStub(col("payload"), 224, 224)).as("len"),
+        length(col("payload")).as("len0"))
+      .collect()
+    assert(resized.forall { r =>
+      val img = r.getStruct(1)
+      img.getInt(0) == 224 && img.getInt(1) == 224 && r.getInt(2) == r.getInt(3)
+    })
   }
 }
