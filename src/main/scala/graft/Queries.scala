@@ -592,6 +592,16 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q79_unigram_nll" -> ((s, d) => {
+      // unigram NLL quality proxy; rounded to 4dp — the per-doc average
+      // sums ~100 doubles whose order-dependence is ~1e-13, far below the
+      // rounding (q51/q74 precedent)
+      prep(s, d, "documents")
+      Text.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), round(col("nll"), 4).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     "q78_subquery_surface" -> ((s, d) => {
       // correlated EXISTS / NOT IN / scalar subquery — Catalyst rewrites
       // these to semi/anti joins and a one-row broadcast. The scalar
@@ -1570,6 +1580,19 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q79_unigram_nll" -> """
+      WITH toks AS (
+        SELECT doc_id, t
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents) u
+        WHERE t <> ''),
+      vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+      SELECT k.doc_id, round(avg(-ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS nll
+      FROM toks k JOIN vocab v USING (t), tot
+      GROUP BY k.doc_id ORDER BY doc_id""",
 
     "q78_subquery_surface" -> """
       SELECT c_custkey, c_mktsegment

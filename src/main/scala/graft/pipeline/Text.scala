@@ -174,6 +174,28 @@ object Text {
       .drop("__n_docs")
   }
 
+  /**
+   * Unigram negative log-likelihood per document — the KenLM-style
+   * perplexity proxy for quality filtering (documents whose tokens are
+   * improbable under the corpus unigram distribution score high and get
+   * dropped/downweighted). score = avg over tokens of −ln(count(t)/N).
+   *
+   * Scale shape: one token explode, one vocab aggregate (term-keyed
+   * shuffle with map-side partial), the corpus total folded in as a
+   * broadcast ONE-ROW aggregate (the bm25/tfidf shape — no driver
+   * action), then a broadcast-able vocab join back to the token stream.
+   */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"))
+    val vocab = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    toks.join(vocab, "__t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(-log(col("__c").cast("double") / col("__n"))).as("nll"))
+  }
+
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
   def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))
