@@ -592,6 +592,32 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q80_collect_agg" -> ((s, d) => {
+      // collection aggregates with DETERMINISTIC ordering: collect_list
+      // is order-nondeterministic under parallelism, so every use sorts
+      // before join/compare — the pattern this query certifies
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_regionkey,
+               array_join(array_sort(collect_list(n_name)), ',') AS names,
+               CAST(size(collect_set(n_nationkey % 5)) AS BIGINT) AS n_mod_classes,
+               array_join(slice(array_sort(collect_list(n_name)), 1, 2), '|') AS first_two
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
+    "q81_regex_extract" -> ((s, d) => {
+      // regex group extraction + existence over structured-ish strings
+      // (o_orderpriority '1-URGENT' etc.)
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey,
+               regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 1) AS prio_num,
+               regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
+               (o_orderpriority RLIKE '^[12]-') AS is_fast,
+               regexp_extract(o_orderstatus, '([FO])', 1) AS fo
+        FROM orders ORDER BY o_orderkey""")
+    }),
+
     "q79_unigram_nll" -> ((s, d) => {
       // unigram NLL quality proxy; rounded to 4dp — the per-doc average
       // sums ~100 doubles whose order-dependence is ~1e-13, far below the
@@ -1580,6 +1606,23 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q80_collect_agg" -> """
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS names,
+             CAST(count(DISTINCT n_nationkey % 5) AS BIGINT) AS n_mod_classes,
+             array_to_string(list_sort(list(n_name))[1:2], '|') AS first_two
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    // Spark regexp_extract returns '' when the pattern misses; DuckDB
+    // returns '' too for a non-matching regexp_extract — aligned
+    "q81_regex_extract" -> """
+      SELECT o_orderkey,
+             regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 1) AS prio_num,
+             regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
+             regexp_matches(o_orderpriority, '^[12]-') AS is_fast,
+             regexp_extract(o_orderstatus, '([FO])', 1) AS fo
+      FROM orders ORDER BY o_orderkey""",
 
     "q79_unigram_nll" -> """
       WITH toks AS (
