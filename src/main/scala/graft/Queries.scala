@@ -592,6 +592,21 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q82_session_window" -> ((s, d) => {
+      // Spark's native session_window() (gap-based, 30 min) certified
+      // against a first-principles lag/cumsum sessionization in DuckDB:
+      // same session starts, counts, and window end = last event + gap
+      val ev = events(s, d)
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     "q80_collect_agg" -> ((s, d) => {
       // collection aggregates with DETERMINISTIC ordering: collect_list
       // is order-nondeterministic under parallelism, so every use sorts
@@ -1606,6 +1621,26 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q82_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id,
+             epoch_us(min(ts)) AS start_us,
+             epoch_us(max(ts)) + 1800000000 AS end_us,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, start_us""",
 
     "q80_collect_agg" -> """
       SELECT n_regionkey,
