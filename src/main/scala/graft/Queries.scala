@@ -592,6 +592,28 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q83_revenue_rollup_5way" -> ((s, d) => {
+      // TPC-H-Q5-style 5-way star join: region → nation → customer →
+      // orders → lineitem with a date window, revenue by nation. The dims
+      // broadcast; the two fact relations join on their key; the date
+      // filter pushes into the orders scan (plan-asserted)
+      prep(s, d, "region", "nation", "customer", "orders", "lineitem")
+      s.sql("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+          AND o_orderdate >= TIMESTAMP'1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP'1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
     "q82_session_window" -> ((s, d) => {
       // Spark's native session_window() (gap-based, 30 min) certified
       // against a first-principles lag/cumsum sessionization in DuckDB:
@@ -1621,6 +1643,21 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q83_revenue_rollup_5way" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name""",
 
     "q82_session_window" -> """
       WITH marked AS (

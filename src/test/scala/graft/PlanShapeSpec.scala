@@ -126,6 +126,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("q83: dims broadcast, date filter pushed into the orders scan") {
+    val plan = executedPlan("q83_revenue_rollup_5way")
+    // region/nation/customer broadcast; the date range reaches the scan
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(2500))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
+
   test("q66: eval grams broadcast — the corpus side never shuffles before the join") {
     val plan = executedPlan("q66_decontamination")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
