@@ -592,6 +592,23 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q84_l2_normalize" -> ((s, d) => {
+      // L2 normalization (cosine-ready embeddings): norm projected ONCE
+      // per row, exploded values divided and rounded to 6dp (the q28
+      // norm-rounding precedent — engine summation differs in the last
+      // ulp); zero vectors normalize to null
+      prep(s, d, "embeddings")
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")), col("nrm"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("nrm") === 0.0, lit(null).cast("double"))
+            .otherwise(round(col("x").cast("double") / col("nrm"), 6)).as("nval"))
+        .orderBy("vec_id", "pos")
+    }),
+
     "q83_revenue_rollup_5way" -> ((s, d) => {
       // TPC-H-Q5-style 5-way star join: region → nation → customer →
       // orders → lineitem with a date window, revenue by nation. The dims
@@ -1642,6 +1659,19 @@ object Queries {
              unnest(q8) AS qval,
              scale
       FROM q
+      ORDER BY vec_id, pos""",
+
+    "q84_l2_normalize" -> """
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings)
+      SELECT vec_id,
+             unnest(range(0, len(embedding))) AS pos,
+             CASE WHEN nrm = 0.0 THEN NULL
+                  ELSE round(unnest(CAST(embedding AS DOUBLE[])) / nrm, 6) END AS nval
+      FROM n
       ORDER BY vec_id, pos""",
 
     "q83_revenue_rollup_5way" -> """
