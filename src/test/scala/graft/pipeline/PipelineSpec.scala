@@ -532,6 +532,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L)) // only the eval 8-gram itself is shared
   }
 
+  test("pii scrub is idempotent and placeholders never re-match") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 200).map { i =>
+      val bits = Seq(s"user$i@ex${i % 7}.org", s"+1-555-${1000 + i}", "plain words",
+        "<EMAIL>", "a@b.c@d.e", s"x${i}y")
+      rnd.shuffle(bits).take(1 + rnd.nextInt(5)).mkString(" ")
+    }
+    val once = texts.toDF("t").select(Text.scrubPii(col("t")).as("s"))
+    val twice = once.select(Text.scrubPii(col("s"))).collect().map(_.getString(0))
+    assert(once.collect().map(_.getString(0)).toSeq == twice.toSeq)
+  }
+
+  test("stratified sample monotonicity: higher rate is a superset") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val lo = Sampling.stratifiedSampleHash(cust, "c_custkey", "c_mktsegment",
+      Seq("AUTOMOBILE" -> 1000), 0).select("c_custkey").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.stratifiedSampleHash(cust, "c_custkey", "c_mktsegment",
+      Seq("AUTOMOBILE" -> 5000), 0).select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // rate 10000 keeps the whole stratum
+    val all = Sampling.stratifiedSampleHash(cust, "c_custkey", "c_mktsegment",
+      Seq("AUTOMOBILE" -> 10000), 0).count()
+    assert(all == cust.filter(col("c_mktsegment") === "AUTOMOBILE").count())
+  }
+
+  test("repetition score stays within [0,1] on random token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))("tok" + rnd.nextInt(5)).mkString(" ")))
+    val scores = Text.repetitionScore(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(_.getDouble(1))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   test("bpeish token count: contractions and decimals split, whitespace is free") {
     import spark.implicits._
     val got = Seq("don't", "3.14", "hello world", "", "  ", "a-b c")
