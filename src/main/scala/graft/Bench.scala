@@ -70,6 +70,13 @@ object Bench {
     println(line)
     Files.write(Paths.get("BENCH_RESULT.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    // Compact total-only summary as the LAST stdout line: the per-query map
+    // above outgrew the driver's tail-capture window in round 5 (84 entries),
+    // which truncated the JSON mid-line and broke the driver-side parse. Any
+    // tail window catches this short line; the full per-query map stays in
+    // BENCH_RESULT.json and the longer line above.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.length},"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

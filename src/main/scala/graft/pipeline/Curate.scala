@@ -80,11 +80,17 @@ object Curate {
     val oGated = Observation("curate_gated")
     val observed = docs.observe(oIn, count(lit(1)).as("docs_in"))
     val exact = Dedup.dropExactDuplicates(observed, textCol, idCol)
-      .observe(oExact, count(lit(1)).as("exact_kept"))
     val losers = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
       hotBucketBound = cfg.hotBucketBound)
       .select(col("id_b").as(idCol))
-    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+    // observe on the anti-join's LEFT input only: `exact` feeds two plan
+    // branches (the LSH candidate pipeline and this anti-join), and a
+    // CollectMetrics node duplicated across branches races on the
+    // observation name under AQE/exchange reuse — a partially-executed
+    // instance could win the collision. The left input flows every
+    // exact-dedup survivor exactly once, so the counter is unchanged.
+    val deduped = exact.observe(oExact, count(lit(1)).as("exact_kept"))
+      .join(losers, Seq(idCol), "left_anti")
     val gated = deduped
       .withColumn("quality", Text.qualityScore(col(textCol)))
       .withColumn("lang", Text.langId(col(textCol)))

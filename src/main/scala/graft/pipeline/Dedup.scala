@@ -366,12 +366,24 @@ object Dedup {
       bands, hotBucketBound).select("id_a", "id_b")
     val edges = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    // self-loops (duplicates are harmless under min) make one join per
-    // round sufficient — see the plan-shape note above
+    // ONE self-loop per node (distinct ids, not one per directed edge —
+    // min() would absorb duplicates but a hot node of degree d would
+    // otherwise carry d copies of its own label through every round's
+    // join, multiplying join output proportional to degree) makes one
+    // join per round sufficient — see the plan-shape note above.
+    // persist() here is lazy (no driver action); entries are edge-list
+    // sized and LRU-evicted. Long-lived sessions issuing many cluster
+    // queries should call `result.unpersist()`-equivalent eviction via
+    // `spark.catalog.clearCache()` or rely on LRU; the frame cannot be
+    // unpersisted here because the returned plan references it lazily.
     val edgesPlus = edges.unionByName(
-      edges.select(col("id_a"), col("id_a").as("id_b"))).persist()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+      edges.select(col("id_a")).distinct()
+        .select(col("id_a"), col("id_a").as("id_b"))).persist()
+    // initial labels = the self-loop rows of the CACHED edge list (edges
+    // itself never contains id_a == id_b: pairs are strictly ordered), so
+    // the LSH candidate pipeline is not replayed a second time for the seed
+    var labels = edgesPlus.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("label"))
     var r = 0
     while (r < rounds) {
       labels = labels.join(edgesPlus, col("id") === col("id_a"))

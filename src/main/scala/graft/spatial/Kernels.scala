@@ -66,8 +66,18 @@ object Kernels {
     buf.order(order)
     val code = buf.getInt()
     if ((code & 0x20000000) != 0) { if (buf.remaining() < 4) return false; buf.getInt() }
-    if ((code & 0x0FFFFFFF) % 1000 != 1) return false
-    if (buf.remaining() < 16) return false
+    val flat = code & 0x0FFFFFFF
+    if (flat % 1000 != 1) return false
+    // require the FULL payload for the declared dimension (ISO code/1000:
+    // 0=XY, 1=XYZ, 2=XYM, 3=XYZM) — a truncated higher-dim blob must fall
+    // through to the object path so it stays NULL like every other ST_ fn
+    val dims = (flat / 1000) match {
+      case 0 => 2
+      case 1 | 2 => 3
+      case 3 => 4
+      case _ => return false
+    }
+    if (buf.remaining() < dims * 8) return false
     out(off) = buf.getDouble(); out(off + 1) = buf.getDouble()
     true
   }
