@@ -592,6 +592,22 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q85_image_decode" -> ((s, d) => {
+      // REAL PNG decode (javax.imageio) certified end-to-end: synthesize a
+      // genuine PNG per customer (solid R/B channels + an x-gradient G
+      // channel, all closed-form in the id), decode it back with the
+      // per-partition-initialized ImageDecoder, and emit exact per-channel
+      // pixel sums. The gradient sum can only come from inflating the IDAT
+      // stream — a header parse cannot produce it — so a hash match against
+      // the closed-form oracle proves the decode is real. Keys thinned 7×
+      // to bound bench cost (encode+decode is per-row CPU, ~2k rows at
+      // sf0.1); embarrassingly parallel, no shuffle before the sort.
+      prep(s, d, "customer")
+      val base = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      Multimodal.decodeImageBatched(Multimodal.syntheticPngMedia(base, "c_custkey"))
+        .orderBy("media_id")
+    }),
+
     "q84_l2_normalize" -> ((s, d) => {
       // L2 normalization (cosine-ready embeddings): norm projected ONCE
       // per row, exploded values divided and rounded to 6dp (the q28
@@ -1660,6 +1676,28 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // closed forms of Multimodal.pngPayload: w = 8+id%9, h = 8+id%7,
+    // R solid (id*7)%256, G gradient (x*255)//(w-1), B solid (id*31)%256.
+    // DuckDB lacks lateral generate_series, so the per-width gradient sum
+    // comes from a tiny non-correlated width×x cross join (9×16 rows).
+    "q85_image_decode" -> """
+      WITH g AS (
+        SELECT tw.w, SUM((tx.x * 255) // (tw.w - 1)) AS grow
+        FROM generate_series(8, 16) tw(w), generate_series(0, 15) tx(x)
+        WHERE tx.x < tw.w GROUP BY tw.w)
+      SELECT c_custkey AS media_id,
+             CAST(8 + (c_custkey % 9) AS INT) AS width,
+             CAST(8 + (c_custkey % 7) AS INT) AS height,
+             CAST((8 + (c_custkey % 9)) * (8 + (c_custkey % 7)) AS BIGINT) AS n_pixels,
+             CAST((8 + (c_custkey % 9)) * (8 + (c_custkey % 7))
+                  * ((c_custkey * 7) % 256) AS BIGINT) AS sum_r,
+             CAST((8 + (c_custkey % 7)) * g.grow AS BIGINT) AS sum_g,
+             CAST((8 + (c_custkey % 9)) * (8 + (c_custkey % 7))
+                  * ((c_custkey * 31) % 256) AS BIGINT) AS sum_b
+      FROM customer JOIN g ON g.w = 8 + (c_custkey % 9)
+      WHERE c_custkey % 7 = 0
+      ORDER BY media_id""",
 
     "q84_l2_normalize" -> """
       WITH n AS (

@@ -8,18 +8,18 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing: image/audio/video payloads ride as opaque
  * `binary` columns with a typed metadata struct, processed per-partition.
  *
- * The actual codec work (JPEG decode, resampling, frame extraction) needs
- * native libraries not present in this environment — those kernels are
- * deterministic STUBS (clearly marked below) that parse only our fake
- * header layout. Everything Spark-side is real and tested: schemas, batch
- * iteration, partition sizing, null handling, and the featurize → ANN
- * hand-off (stub features are valid `array<float>` embeddings that flow
- * straight into [[Similarity]]).
+ * IMAGE decode and resize are REAL: JDK-builtin `javax.imageio` handles
+ * PNG and JPEG (no native libraries, no new dependencies) behind the
+ * per-partition-initialized `mapPartitions` shape ([[decodeImageBatched]],
+ * [[resizeImage]]). Only VIDEO frame extraction remains a deterministic
+ * STUB ([[sampleFrames]] — a real container demuxer is not in the JDK);
+ * the legacy fake-header kernels ([[decodeImageStub]] etc.) are kept for
+ * the GRFT demo format and plumbing tests.
  *
  * At 100 TB: payloads should be read from a binary-file source or parquet
  * with `spark.sql.files.maxPartitionBytes` tuned down (payloads are MBs,
  * not KBs — target ≤ a few hundred rows per task), processed with
- * `mapPartitions`-style batching so any native decoder is initialized once
+ * `mapPartitions`-style batching so the decoder is initialized once
  * per task, never per row.
  */
 object Multimodal {
@@ -148,6 +148,155 @@ object Multimodal {
       val buf = java.nio.ByteBuffer.wrap(payload, 4, 8)
       Some((buf.getInt(), buf.getInt()))
     }
+  }
+
+  // --------------------------------------------------------- REAL IMAGE PATH
+  // javax.imageio (JDK built-in) — PNG and JPEG decode/encode, no native
+  // libraries. Deterministic synthetic PNGs let an external oracle certify
+  // the decode: channel G is an x-gradient, so the pixel sums below can only
+  // be produced by actually inflating the IDAT stream — parsing the IHDR
+  // header alone cannot fake them.
+
+  /** Deterministic PNG from an id: width `8 + id%9`, height `8 + id%7`,
+    * R solid `(id*7)%256`, G gradient `(x*255)/(w-1)`, B solid `(id*31)%256`.
+    * PNG is lossless, so decoded channel sums are exactly the closed forms
+    * a SQL oracle can compute from `id` alone. */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (8 + (id % 9)).toInt
+    val h = (8 + (id % 7)).toInt
+    val r = ((id * 7) % 256).toInt
+    val b = ((id * 31) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (x * 255) / (w - 1)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decoded-image record: dimensions + exact per-channel pixel sums. */
+  final case class DecodedImage(width: Int, height: Int,
+                                sumR: Long, sumG: Long, sumB: Long)
+
+  /**
+   * Per-task image decoder handle (construct ONCE per partition, like a
+   * native codec). Decodes any `javax.imageio`-supported container (PNG,
+   * JPEG, GIF, BMP); returns None on null/corrupt/unrecognized payloads so
+   * bad rows degrade to NULL instead of failing the task.
+   */
+  final class ImageDecoder {
+    def decode(payload: Array[Byte]): Option[DecodedImage] = {
+      if (payload == null || payload.length < 8) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None // unrecognized container
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(w, h, sr, sg, sb))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /**
+   * REAL per-partition batched decode (PNG/JPEG via `javax.imageio`): the
+   * decoder handle is constructed once per task, then applied row-by-row
+   * over the partition iterator — the execution shape a native codec needs.
+   * Output: media_id, width, height, n_pixels, sum_r, sum_g, sum_b
+   * (sums are exact longs — oracle-hashable, no float tolerance).
+   */
+  def decodeImageBatched(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      val decoder = new ImageDecoder // once per task
+      rows.map { internal =>
+        val id = internal.getLong(idIdx)
+        val payload = if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        decoder.decode(payload) match {
+          case Some(d) =>
+            org.apache.spark.sql.catalyst.InternalRow(id, d.width, d.height,
+              d.width.toLong * d.height.toLong, d.sumR, d.sumG, d.sumB)
+          case None =>
+            org.apache.spark.sql.catalyst.InternalRow(id, null, null, null, null, null, null)
+        }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  /**
+   * REAL resize: decode (any imageio container) → nearest-neighbor rescale
+   * (explicit source-pixel mapping `srcX = x*srcW/dstW` — deterministic
+   * across JVMs, unlike the interpolating Graphics2D paths, and immune to
+   * AWT op/raster type-compatibility quirks) → re-encode PNG.
+   * Null in / undecodable → null out, same contract as decode.
+   */
+  def resizeImagePayload(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (payload == null) return null
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) return null
+      val sw = src.getWidth; val sh = src.getHeight
+      val dst = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        val srcY = (y.toLong * sh / height).toInt
+        var x = 0
+        while (x < width) {
+          dst.setRGB(x, y, src.getRGB((x.toLong * sw / width).toInt, srcY))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(256)
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** Column form of [[resizeImagePayload]] (JVM UDF — binary in/out). */
+  def resizeImage(payload: Column, width: Int, height: Int): Column = {
+    val f = udf((p: Array[Byte]) => resizeImagePayload(p, width, height))
+    f(payload)
+  }
+
+  /** Synthetic REAL-PNG media table from any integral id column. */
+  def syntheticPngMedia(df: DataFrame, idCol: String): DataFrame = {
+    val mkPayload = udf((id: Long) => pngPayload(id))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", mkPayload(col("media_id")))
+      .withColumn("meta", struct(
+        lit("image").as("kind"), lit("png").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
   }
 
   /** Demo media table derived from any id column — used by tests/bench. */

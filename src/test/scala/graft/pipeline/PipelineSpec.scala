@@ -904,4 +904,68 @@ class PipelineSpec extends AnyFunSuite {
       img.getInt(0) == 224 && img.getInt(1) == 224 && r.getInt(2) == r.getInt(3)
     })
   }
+
+  test("real PNG decode: imageio round-trip recovers exact pixel sums") {
+    val media = Multimodal.syntheticPngMedia(spark.range(40).toDF("id"), "id")
+    val decoded = Multimodal.decodeImageBatched(media).collect()
+    assert(decoded.length == 40)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == w.toLong * h)
+      assert(r.getLong(4) == w.toLong * h * ((id * 7) % 256))       // solid R
+      val grow = (0 until w).map(x => (x * 255) / (w - 1)).sum      // gradient G
+      assert(r.getLong(5) == h.toLong * grow)
+      assert(r.getLong(6) == w.toLong * h * ((id * 31) % 256))      // solid B
+    }
+  }
+
+  test("real decode: corrupt / null / non-image payloads degrade to NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.pngPayload(1L)),                       // good
+      (2L, null.asInstanceOf[Array[Byte]]),                  // null
+      (3L, Array[Byte](1, 2, 3)),                            // garbage
+      (4L, Multimodal.pngPayload(4L).take(30)),              // truncated PNG
+      (5L, Multimodal.fakeImagePayload(9, 9, 5L)))           // GRFT, not an image
+    val media = rows.toDF("media_id", "payload")
+    val out = Multimodal.decodeImageBatched(media).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
+  test("real decode handles JPEG containers too") {
+    // encode a solid-color JPEG with imageio; decode must recover exact
+    // dimensions, and (lossy) channel means within a small tolerance
+    val img = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = new Multimodal.ImageDecoder().decode(bos.toByteArray).get
+    assert(d.width == 24 && d.height == 16)
+    val n = 24 * 16
+    assert(math.abs(d.sumR.toDouble / n - 200) < 8)
+    assert(math.abs(d.sumG.toDouble / n - 100) < 8)
+    assert(math.abs(d.sumB.toDouble / n - 50) < 8)
+  }
+
+  test("real resize: nearest-neighbor rescale re-encodes decodable PNG") {
+    import spark.implicits._
+    val media = Multimodal.syntheticPngMedia(spark.range(6).toDF("id"), "id")
+      .select(col("media_id"), Multimodal.resizeImage(col("payload"), 32, 20).as("payload"))
+    val decoded = Multimodal.decodeImageBatched(media).collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 32 && r.getInt(2) == 20 && r.getLong(3) == 640L)
+      // solid channels survive any resampling exactly
+      assert(r.getLong(4) == 640L * ((id * 7) % 256))
+      assert(r.getLong(6) == 640L * ((id * 31) % 256))
+      // gradient channel stays bounded by the source extremes
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 640L * 255)
+    }
+    // null-safety of the column form
+    val nulls = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+      .select(Multimodal.resizeImage(col("payload"), 8, 8).as("p")).head()
+    assert(nulls.isNullAt(0))
+  }
 }
