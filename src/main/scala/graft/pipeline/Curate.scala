@@ -134,12 +134,16 @@ object Curate {
    *
    *  - batch-internal near-dups: identical path (LSH candidates → exact
    *    Jaccard verify);
-   *  - batch-vs-corpus near-dups: gated on the ESTIMATED Jaccard from the
-   *    stored signatures (the corpus text is not read) — the one documented
-   *    deviation; estimate and exact value agree in expectation and can
-   *    differ only for pairs sitting near the threshold. Exact duplicates
-   *    of corpus documents are caught by the same gate (identical text ⇒
-   *    identical signature ⇒ estimate 1.0);
+   *  - batch-vs-corpus near-dups: with `corpusDocs` given, the SAME exact
+   *    verify ([[Dedup.nearDuplicatePairsAgainstIndex]]) — corpus text is
+   *    read for candidate ids only (broadcast semi-join prune), so the
+   *    classification is identical to the full run at a candidate-sized
+   *    cost. Without `corpusDocs`, the gate falls back to the ESTIMATED
+   *    Jaccard from the stored signatures (no corpus access at all) —
+   *    estimate and exact agree in expectation and can differ only for
+   *    pairs sitting near the threshold. Exact duplicates of corpus
+   *    documents pass either gate (identical text ⇒ identical signature ⇒
+   *    estimate 1.0);
    *  - split/shard/quality/lang are pure per-document functions;
    *  - packing continues the per-shard stream when `shardBase` is given
    *    (corpus ids sort before batch ids, so the union's per-shard prefix
@@ -148,15 +152,21 @@ object Curate {
   def curateIncrement(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                       idCol: String, textCol: String, indexPath: String,
                       shardBase: Option[DataFrame] = None,
-                      cfg: Config = Config()): DataFrame = {
+                      cfg: Config = Config(),
+                      corpusDocs: Option[DataFrame] = None): DataFrame = {
     val exact = Dedup.dropExactDuplicates(batch, textCol, idCol)
     val losersIn = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
       hotBucketBound = cfg.hotBucketBound)
       .select(col("id_b").as(idCol))
-    val losersX = Dedup.minhashCandidatePairsAgainstIndex(spark, indexPath, exact,
-        textCol, idCol)
-      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
-      .select(col("id_b").as(idCol))
+    val losersX = (corpusDocs match {
+      case Some(corpus) =>
+        Dedup.nearDuplicatePairsAgainstIndex(spark, indexPath, exact, corpus,
+          textCol, idCol, cfg.nearDupJaccard, hotBucketBound = cfg.hotBucketBound)
+      case None =>
+        Dedup.minhashCandidatePairsAgainstIndex(spark, indexPath, exact,
+          textCol, idCol, hotBucketBound = cfg.hotBucketBound)
+          .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+    }).select(col("id_b").as(idCol))
     val deduped = exact.join(losersIn.unionByName(losersX), Seq(idCol), "left_anti")
 
     val gated = deduped

@@ -212,6 +212,55 @@ object Dedup {
     pairs(cold).unionByName(hotPairs)
   }
 
+  /**
+   * EXACT cross-corpus near-dup pairs: LSH candidates from the sketch
+   * index ([[minhashCandidatePairsAgainstIndex]]) re-verified with exact
+   * n-gram Jaccard — the same verify [[nearDuplicatePairs]] applies
+   * batch-internally, so an incremental run classifies threshold-adjacent
+   * pairs identically to a full run over the union.
+   *
+   * Corpus text is read for CANDIDATE ids only: the candidate-id set
+   * (LSH-fan-out-sized, tiny vs the corpus) broadcasts into a LEFT SEMI
+   * join that prunes the corpus before tokenization — no corpus-wide
+   * shuffle, no shingling of non-candidate documents. At 100 TB, store
+   * the corpus id-sorted so the same join's min/max row-group stats also
+   * bound the I/O. The slim candidate subtree is referenced twice (the
+   * broadcast prune and the verify join) — both index-sized, never
+   * corpus-sized.
+   *
+   * Output: (id_a corpus id, id_b batch id, jaccard exact) with
+   * jaccard ≥ threshold.
+   */
+  def nearDuplicatePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, batch: DataFrame,
+                                     corpusDocs: DataFrame,
+                                     textCol: String, idCol: String,
+                                     threshold: Double, n: Int = 3,
+                                     hotBucketBound: Int = Int.MaxValue): DataFrame = {
+    val cand0 = minhashCandidatePairsAgainstIndex(spark, path, batch, textCol,
+      idCol, n, hotBucketBound).select("id_a", "id_b")
+    // the guarded run can emit a pair from both the hot and cold path —
+    // dedup before the verify join (same rule as nearDuplicatePairs)
+    val candidates =
+      if (hotBucketBound == Int.MaxValue) cand0
+      else cand0.dropDuplicates("id_a", "id_b")
+    val corpusCand = corpusDocs
+      .select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+      .join(broadcast(candidates.select("id_a").dropDuplicates("id_a")),
+        Seq("id_a"), "left_semi")
+    val gramsA = corpusCand.select(col("id_a"),
+      array_distinct(Text.wordShingles(col("__text_a"), n)).as("grams_a"))
+    val gramsB = batch.select(col(idCol).as("id_b"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("grams_b"))
+    candidates
+      .join(gramsA, Seq("id_a"))
+      .join(gramsB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Banded bucket join + first-shared-band emission over (id, sig).
     *
     * The band array is exploded as an inline expression over the carried

@@ -834,6 +834,65 @@ class PipelineSpec extends AnyFunSuite {
     val expect = snap(full)
     assert(got == expect, s"sym diff=${(got diff expect) ++ (expect diff got)}")
     assert(expect.nonEmpty && snap(inc).nonEmpty)
+    // with corpus text provided, the cross-corpus gate is the exact verify
+    // (no threshold caveat at all) — same equality must hold
+    val incExact = Curate.curateIncrement(spark, batch, "doc_id", "text", idxPath,
+      Some(Curate.shardTokenTotals(corpusCurated)), cfg, corpusDocs = Some(corpus))
+    assert(snap(corpusCurated) ++ snap(incExact) == expect)
+  }
+
+  test("incremental curate with corpus text: exact parity at a threshold-adjacent tau") {
+    import spark.implicits._
+    // 20-word base; variant changes the last 3 words → shingle sets share
+    // 15 of 18 word-3-grams: exact J = 15/21 = 5/7, which is NOT a
+    // multiple of 1/64 — the 64-perm estimate must differ, so a τ strictly
+    // between the two values makes the estimate gate and the exact gate
+    // disagree on this pair. The exact path must classify like the full
+    // run; the estimate fallback must not (proving the test bites).
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango")
+    val variant = base.split(' ').dropRight(3).mkString(" ") + " uniform victor whiskey"
+    val corpus = Seq((10L, base),
+      (11L, "completely different text about rivers and bridges spanning quiet valleys under autumn skies tonight")
+    ).toDF("doc_id", "text")
+    val batch = Seq((1000L, variant),
+      (1001L, "another unrelated document mentioning telescopes and the northern constellations overhead in winter air")
+    ).toDF("doc_id", "text")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_exact_idx").toString + "/idx"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", idxPath)
+
+    val est = Dedup.minhashCandidatePairsAgainstIndex(spark, idxPath, batch, "text", "doc_id")
+      .filter(col("id_a") === 10 && col("id_b") === 1000)
+      .select("est_jaccard").collect()
+    assert(est.length == 1, "planted pair must be an LSH candidate")
+    val estJ = est.head.getDouble(0)
+    val exactJ = 15.0 / 21.0
+    assert(estJ != exactJ)
+    val tau = (math.min(estJ, exactJ) + math.max(estJ, exactJ)) / 2
+
+    val cfg = Curate.Config(minQuality = 0.0, langs = Seq("en", "und"),
+      nearDupJaccard = tau, splits = Seq(("train", 10000)), packTokens = 256, shards = 2)
+    val full = Curate.curate(corpus.unionByName(batch), "doc_id", "text", cfg)
+    val corpusCurated = Curate.curate(corpus, "doc_id", "text", cfg)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split", "shard", "toks", "pack_offset", "pack_id")
+        .collect().map(_.toSeq).toSet
+    val incExact = Curate.curateIncrement(spark, batch, "doc_id", "text", idxPath,
+      Some(Curate.shardTokenTotals(corpusCurated)), cfg, corpusDocs = Some(corpus))
+    assert(snap(corpusCurated) ++ snap(incExact) == snap(full))
+    // the estimate fallback disagrees at this τ — the deviation the exact
+    // verify closes
+    val incEst = Curate.curateIncrement(spark, batch, "doc_id", "text", idxPath,
+      Some(Curate.shardTokenTotals(corpusCurated)), cfg)
+    assert(snap(corpusCurated) ++ snap(incEst) != snap(full))
+
+    // scale shape: the corpus scan is pruned by a broadcast LEFT SEMI join
+    // on candidate ids before tokenization
+    val plan = Dedup.nearDuplicatePairsAgainstIndex(spark, idxPath, batch, corpus,
+      "text", "doc_id", tau).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idxPath).getParentFile)
   }
 
   test("sessionization splits on gap") {
