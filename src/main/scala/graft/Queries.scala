@@ -422,8 +422,12 @@ object Queries {
       // (every qualifying pair sits at j ≥ 0.85; nothing natural between
       // 0.04 and 0.85) is 1 — verified per sf, miss probability < 1e-5/pair.
       prep(s, d, "documents")
+      // hotBucketBound pinned OFF: this query certifies (and stays
+      // bench-comparable on) the exact distinct-free unguarded plan; the
+      // library DEFAULT is the self-tuning guard, certified by
+      // q86_neardup_autoguard on the same oracle
       Dedup.nearDuplicatePairs(t(s, d, "documents"), "text", "doc_id",
-          threshold = 0.8)
+          threshold = 0.8, hotBucketBound = Int.MaxValue)
         .orderBy("id_a", "id_b")
     }),
 
@@ -450,7 +454,8 @@ object Queries {
           Curate.Config(minQuality = 0.5, langs = Seq("en"),
             nearDupJaccard = 0.8,
             splits = Seq(("train", 8000), ("val", 1000), ("test", 1000)),
-            packTokens = 512, shards = 8))
+            packTokens = 512, shards = 8,
+            hotBucketBound = Int.MaxValue)) // pinned OFF — see q25/q86 note
         .select(col("doc_id"), col("quality"), col("lang"), col("split"),
           col("shard").cast("long").as("shard"), col("toks").cast("long").as("toks"),
           col("pack_offset"), col("pack_id"))
@@ -496,7 +501,7 @@ object Queries {
       // certified exact on this corpus (planted groups are near-cliques).
       prep(s, d, "documents")
       Dedup.nearDuplicateClusters(t(s, d, "documents"), "text", "doc_id",
-          threshold = 0.8)
+          threshold = 0.8, hotBucketBound = Int.MaxValue) // pinned OFF — see q25/q86 note
         .select(col("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -590,6 +595,22 @@ object Queries {
         FROM events_us
         WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id)
         ORDER BY user_id, event_id""")
+    }),
+
+    "q86_neardup_autoguard" -> ((s, d) => {
+      // The LIBRARY-DEFAULT near-dup plan: self-tuning hot-bucket guard
+      // (Dedup.AutoBound — occupancy windows over the pair join's own
+      // shuffle + a one-row p99.9-derived bound, no knob anywhere). On
+      // this spam-free corpus no bucket reaches the bound, so the output
+      // is certified against the SAME quadratic oracle as q25 — while the
+      // 10x adversarial spam stress exercises the hub-star degradation
+      // this default exists for. q25 keeps the pinned unguarded plan for
+      // round-over-round bench comparability; the delta between the two
+      // queries IS the guard's no-spam overhead, measured in the open.
+      prep(s, d, "documents")
+      Dedup.nearDuplicatePairs(t(s, d, "documents"), "text", "doc_id",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
     }),
 
     "q85_image_decode" -> ((s, d) => {
@@ -1012,7 +1033,8 @@ object Queries {
       // is 1 at ANY nBits (they agree in every band by construction), so
       // the oracle is parameter-independent
       Similarity.embeddingNearDupPairs(base.unionByName(planted), "vec_id", "embedding",
-          minCosine = 0.9, nBits = 12)
+          minCosine = 0.9, nBits = 12,
+          hotBucketBound = Int.MaxValue) // pinned OFF — see q25/q86 note
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
@@ -1676,6 +1698,20 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // same quadratic oracle as q25: on a spam-free corpus the self-tuned
+    // bound exceeds every bucket occupancy, so the guarded default's
+    // output must equal the exact unguarded pair set
+    "q86_neardup_autoguard" -> s"""
+      WITH ${gramCtes("documents")}
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             len(list_distinct(list_cat(a.g, b.g))) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
+        AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            len(list_distinct(list_cat(a.g, b.g))) >= 0.8
+      ORDER BY id_a, id_b""",
 
     // closed forms of Multimodal.pngPayload: w = 8+id%9, h = 8+id%7,
     // R solid (id*7)%256, G gradient (x*255)//(w-1), B solid (id*31)%256.

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** `hotBucketBound`: per-LSH-bucket occupancy guard for the near-dup
-    * stage (see [[Dedup.minhashCandidatePairs]]) — bound it on corpora
-    * with template spam; the default leaves the exact distinct-free plan. */
+    * stage (see [[Dedup.minhashCandidatePairs]]). The default
+    * [[Dedup.AutoBound]] self-tunes from the occupancy distribution —
+    * template-spam buckets degrade to linear hub-stars with no knob to
+    * set; `Int.MaxValue` restores the exact distinct-free unguarded plan. */
   case class Config(
       minQuality: Double = 0.5,
       langs: Seq[String] = Seq("en"),
@@ -32,7 +34,7 @@ object Curate {
       splits: Seq[(String, Int)] = Seq(("train", 9000), ("val", 500), ("test", 500)),
       packTokens: Int = 2048,
       shards: Int = 64,
-      hotBucketBound: Int = Int.MaxValue)
+      hotBucketBound: Int = Dedup.AutoBound)
 
   /**
    * @return the surviving documents with `quality`, `lang`, `split`,

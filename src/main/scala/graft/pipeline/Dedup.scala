@@ -66,6 +66,46 @@ object Dedup {
     array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
   }
 
+  /** `hotBucketBound` sentinel: derive the bound from the data, inside the
+    * plan — no knob to go stale when the corpus shifts (the adaptive-pitch
+    * precedent). See [[occupancyBoundCol]] for the estimate. */
+  val AutoBound: Int = -1
+
+  /**
+   * Buckets whose occupancy exceeds the (possibly self-tuned) bound.
+   *
+   * With [[AutoBound]] the bound is
+   * `greatest(64, 16 × approx_percentile(occupancy, 0.999))`, computed
+   * inside the SAME query as a one-row aggregate broadcast back onto the
+   * occupancy frame (the bm25 corpus-stats shape): natural LSH occupancy
+   * is ~1 per bucket at any corpus size (a bucket collects near-dups and
+   * hash collisions, both rare; measured p99.99 = 4 on the sf0.1 corpus),
+   * so the floor of 64 sits far above legitimate buckets while
+   * template-spam buckets (hundreds+) are unambiguous; the quantile term
+   * lifts the bound on corpora whose legitimate near-dup clusters are
+   * genuinely larger.
+   *
+   * Deliberately NOT a ScalarSubquery over a persisted frame (the
+   * adaptive-pitch shape): a subquery executes in its own job BEFORE the
+   * main query, which decouples the occupancy aggregate from the main
+   * job's exchange reuse — on the composed curate pipeline that split
+   * re-executed the upstream dedup window per job and measured 2.2×.
+   * The broadcast one-row join keeps every reference inside one AQE
+   * query, where the identical occupancy exchanges are reused.
+   */
+  private[pipeline] def hotBuckets(occ: DataFrame, hotBucketBound: Int): DataFrame = {
+    require(hotBucketBound > 0 || hotBucketBound == AutoBound,
+      s"hotBucketBound must be positive or AutoBound, got $hotBucketBound")
+    if (hotBucketBound == AutoBound) {
+      val bf = occ.agg(
+        coalesce(greatest(lit(64L),
+            lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
+          lit(64L)).as("__bound"))
+      occ.crossJoin(broadcast(bf)).filter(col("__occ") > col("__bound"))
+        .drop("__bound")
+    } else occ.filter(col("__occ") > lit(hotBucketBound.toLong))
+  }
+
   /**
    * @param hotBucketBound per-bucket occupancy guard: buckets holding more
    *        rows than this emit HUB-STAR pairs (every member against the
@@ -80,13 +120,17 @@ object Dedup {
    *        trade), and a pair meeting in both a hot and a cold bucket can
    *        be emitted by both paths (each path itself is exactly-once;
    *        keep-lowest consumers are insensitive to the duplicate). The
-   *        default Int.MaxValue disables the guard — the plan is then
-   *        byte-identical to the unguarded shape, no occupancy aggregate.
+   *        default [[AutoBound]] derives the bound from the occupancy
+   *        distribution inside the plan ([[occupancyBoundCol]]) — on
+   *        spam-free corpora no bucket reaches it, so the OUTPUT equals
+   *        the unguarded path's. Int.MaxValue disables the guard entirely
+   *        — the plan is then byte-identical to the unguarded shape, no
+   *        occupancy aggregate.
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             shingle: Int = 3,
-                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                            hotBucketBound: Int = AutoBound): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // band b = hash(sig[b*rows .. (b+1)*rows)) — the band hashes are
     // computed ONCE per doc (not per exploded row, and not re-sliced per
@@ -171,7 +215,7 @@ object Dedup {
                                         path: String, batch: DataFrame,
                                         textCol: String, idCol: String,
                                         shingle: Int = 3,
-                                        hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                                        hotBucketBound: Int = AutoBound): DataFrame = {
     val corpus = spark.read.parquet(path)
     val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
     val bands = corpus.schema("bh").metadata.getLong("bands").toInt
@@ -202,9 +246,9 @@ object Dedup {
     // only, deduplicated across bands on the bounded hub-pair set
     val occ = corpusBanded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__occ"), min(col("id_a")).as("__hub"))
-    val withOcc = corpusBanded.join(occ, Seq("band", "bucket"))
-    val cold = withOcc.filter(col("__occ") <= hotBucketBound).drop("__occ", "__hub")
-    val hotHubs = withOcc.filter(col("__occ") > hotBucketBound)
+    val hotB = hotBuckets(occ, hotBucketBound)
+    val cold = corpusBanded.join(hotB, Seq("band", "bucket"), "left_anti")
+    val hotHubs = corpusBanded.join(hotB, Seq("band", "bucket"))
       .filter(col("id_a") === col("__hub")).drop("__occ", "__hub")
     val hotPairs = hotHubs.join(batchBanded, Seq("band", "bucket"))
       .dropDuplicates("id_a", "id_b")
@@ -236,7 +280,7 @@ object Dedup {
                                      corpusDocs: DataFrame,
                                      textCol: String, idCol: String,
                                      threshold: Double, n: Int = 3,
-                                     hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                                     hotBucketBound: Int = AutoBound): DataFrame = {
     val cand0 = minhashCandidatePairsAgainstIndex(spark, path, batch, textCol,
       idCol, n, hotBucketBound).select("id_a", "id_b")
     // the guarded run can emit a pair from both the hot and cold path —
@@ -272,7 +316,7 @@ object Dedup {
     * xxhash64 calls per CANDIDATE row, instead of a full minhash per
     * corpus row per band. */
   private def pairsFromSketches(sig: DataFrame, numHashes: Int, bands: Int,
-                                hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                                hotBucketBound: Int = AutoBound): DataFrame = {
     def estJaccard = (size(filter(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => x === y), bb => bb))
       .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
@@ -288,9 +332,9 @@ object Dedup {
           bandHashes(col("sig_b"), numHashes, bands), (x, y) => x === y), true) - 1)
         .select(col("id_a"), col("id_b"), estJaccard)
     }
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
-    if (hotBucketBound == Int.MaxValue) return allPairs(banded)
+    if (hotBucketBound == Int.MaxValue)
+      return allPairs(sig.select(col("id"), col("sig"),
+        posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket"))))
 
     // hot-bucket guard: occupancy + hub (min id) per bucket — ONE extra
     // aggregate on the same (band, bucket) key the pair join shuffles on.
@@ -298,15 +342,39 @@ object Dedup {
     // member against the hub only (linear), deduplicated across bands —
     // the dedup input is bounded by Σ hot-bucket occupancies, not its
     // square, so the distinct here cannot reintroduce the quadratic cost.
-    val occ = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
-    val bandedOcc = banded.join(occ, Seq("band", "bucket"))
-    val cold = bandedOcc.filter(col("__occ") <= hotBucketBound)
-      .drop("__occ", "__hub")
-    val hot = bandedOcc.filter(col("__occ") > hotBucketBound)
-    val hubSide = hot.filter(col("id") === col("__hub"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(bandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    // Occupancy and hub via WINDOW functions over the (band, bucket)
+    // partitioning the pair join shuffles on anyway — no extra exchange of
+    // the banded frame (a groupBy+join guard shape measured 2.4×, and even
+    // a hot-LIST anti-join added AQE stage depth that doubled the composed
+    // curate pipeline at bench scale). The windows ride the join's own
+    // shuffle; their (band, bucket) sort satisfies the sort-merge join's
+    // ordering requirement, so the marginal cost is the in-partition
+    // window pass itself.
+    val w = Window.partitionBy("band", "bucket")
+    val withOcc = banded
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("__hub", min(col("id")).over(w))
+    val guarded =
+      if (hotBucketBound == AutoBound) {
+        // one row per BUCKET (not per banded row — spam would drag the
+        // row-weighted quantile up to its own occupancy) → one-row bound,
+        // broadcast back (the bm25 corpus-stats shape)
+        val bf = withOcc
+          .withColumn("__rn", row_number().over(w.orderBy("id")))
+          .filter(col("__rn") === 1)
+          .agg(coalesce(greatest(lit(64L),
+              lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
+            lit(64L)).as("__bound"))
+        withOcc.crossJoin(broadcast(bf))
+      } else withOcc.withColumn("__bound", lit(hotBucketBound.toLong))
+    val cold = guarded.filter(col("__occ") <= col("__bound"))
+      .drop("__occ", "__hub", "__bound")
+    val hotRows = guarded.filter(col("__occ") > col("__bound"))
+    val hubSide = hotRows.filter(col("id") === col("__hub"))
       .select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val hotPairs = hot.filter(col("id") =!= col("__hub"))
+    val hotPairs = hotRows.filter(col("id") =!= col("__hub"))
       .select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
       .join(hubSide, Seq("band", "bucket"))
       .dropDuplicates("id_a", "id_b")
@@ -349,7 +417,7 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3,
                          numHashes: Int = 64, bands: Int = 16,
-                         hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                         hotBucketBound: Int = AutoBound): DataFrame = {
     val cand0 = minhashCandidatePairs(df, textCol, idCol, numHashes, bands, n,
       hotBucketBound).select("id_a", "id_b")
     // a guarded run can emit a pair from BOTH the hot and the cold path
@@ -409,7 +477,7 @@ object Dedup {
                             threshold: Double, n: Int = 3,
                             numHashes: Int = 64, bands: Int = 16,
                             rounds: Int = 5,
-                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                            hotBucketBound: Int = AutoBound): DataFrame = {
     require(rounds >= 1)
     val pairs = nearDuplicatePairs(df, textCol, idCol, threshold, n, numHashes,
       bands, hotBucketBound).select("id_a", "id_b")

@@ -290,7 +290,7 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nBits: Int = 8,
                             bands: Int = 4,
-                            hotBucketBound: Int = Int.MaxValue): DataFrame = {
+                            hotBucketBound: Int = Dedup.AutoBound): DataFrame = {
     // The signature ARRAY (`bands` longs) is carried through the bucket
     // join so the first-shared-band filter is attribute access per joined
     // row — NOT recomputed from the vectors: with an under-sized `nBits`
@@ -326,16 +326,17 @@ object Similarity {
     // over the bound emit hub-star pairs (linear in occupancy) instead of
     // all pairs; embedding template spam (re-encoded boilerplate) collides
     // whole near-identical clusters into single buckets where the all-pairs
-    // output itself is quadratic
+    // output itself is quadratic. Hot buckets come from a LIST anti-join
+    // against the occupancy aggregate (one-row broadcast bound) — see
+    // Dedup.hotBuckets for the measured rationale.
     val occ = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
-    val bandedOcc = banded.join(occ, Seq("band", "bucket"))
-    val cold = bandedOcc.filter(col("__occ") <= hotBucketBound)
-      .drop("__occ", "__hub")
-    val hot = bandedOcc.filter(col("__occ") > hotBucketBound)
-    val hubSide = hot.filter(col("id") === col("__hub"))
+    val hotB = Dedup.hotBuckets(occ, hotBucketBound)
+    val cold = banded.join(hotB, Seq("band", "bucket"), "left_anti")
+    val hotRows = banded.join(hotB, Seq("band", "bucket"))
+    val hubSide = hotRows.filter(col("id") === col("__hub"))
       .select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val hotPairs = hot.filter(col("id") =!= col("__hub"))
+    val hotPairs = hotRows.filter(col("id") =!= col("__hub"))
       .select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
       .join(hubSide, Seq("band", "bucket"))
       .dropDuplicates("id_a", "id_b")

@@ -158,6 +158,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(unguarded.count(_.getLong(0) >= 2000L) == 20 * 19 / 2)
   }
 
+  test("self-tuning hot-bucket bound: spam degrades linearly with NO knob set") {
+    // realistic shape: spam buckets are a sliver of all buckets (0.05 %),
+    // so the p99.9 occupancy stays at the natural ~1 and the derived bound
+    // sits at the floor of 64 — far above every legitimate bucket, far
+    // below the 400-clone spam bucket
+    val normal = (0 until 2000).map(d =>
+      d.toLong -> (1 to 40).map(i => s"d${d}w$i").mkString(" "))
+    val near = Seq(5000L -> (1 to 40).map(i => s"d7w$i").mkString(" ")
+      .replace("d7w20", "CHANGED"))
+    val spamBody = (1 to 40).map(i => s"spam$i").mkString(" ")
+    val spam = (10000L until 10400L).map(i => i -> spamBody)
+    val auto = Dedup.minhashCandidatePairs(docs(normal ++ near ++ spam),
+        "text", "doc_id") // DEFAULT — no bound argument anywhere
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spamPairs = auto.filter(_._1 >= 10000L).toSet
+    assert(spamPairs == (10001L until 10400L).map(x => (10000L, x)).toSet,
+      s"n=${spamPairs.size}")
+    // the planted cold near-dup pair is still found by the exact path
+    assert(auto.contains((7L, 5000L)))
+  }
+
+  test("auto bound on a spam-free corpus: output equals the unguarded plan") {
+    val rows = (0 until 60).map(d =>
+      d.toLong -> (1 to 50).map(i => s"c${d}x$i").mkString(" ")) ++
+      Seq(900L -> (1 to 50).map(i => s"c3x$i").mkString(" ").replace("c3x25", "DIFF"))
+    val auto = Dedup.nearDuplicatePairs(docs(rows), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = Dedup.nearDuplicatePairs(docs(rows), "text", "doc_id",
+        threshold = 0.5, hotBucketBound = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == unguarded && auto.contains((3L, 900L)))
+  }
+
   test("hot-bucket guard on embedding LSH: spam cluster bounded, planted pair kept") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
