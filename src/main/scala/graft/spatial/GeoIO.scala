@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.MetadataBuilder
  */
 object GeoIO {
 
-  case class GeoColumn(name: String, encoding: String, geometryTypes: Seq[String]) {
+  /** @param crs the column's `crs` member from the `geo` footer (GeoParquet
+    *        1.x PROJJSON object or string), rendered to a canonical compact
+    *        JSON string at parse time — carried so a non-default CRS
+    *        survives read → write → read instead of being silently lost. */
+  case class GeoColumn(name: String, encoding: String, geometryTypes: Seq[String],
+                       crs: Option[String] = None) {
     /** 0 → Unknown, 1 → that type, >1 → Mixed (reference: src/rules.rs:143-147). */
     def geometryType: String = geometryTypes match {
       case Seq() => "Unknown"
@@ -52,7 +57,12 @@ object GeoIO {
                       case Some(JArr(items)) => items.collect { case JStr(t) => t }.toSeq
                       case _ => Seq.empty
                     }
-                    Some(GeoColumn(name, enc, types))
+                    // normalize once via render; absent or JSON-null crs
+                    // (the spec's "CRS-less" marker) stays None
+                    val crs = col.get("crs").collect {
+                      case v if v != JNull => render(v)
+                    }
+                    Some(GeoColumn(name, enc, types, crs))
                   case _ => None
                 }
               case _ => None
@@ -93,11 +103,15 @@ object GeoIO {
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
       geometryColumns.get(f.name) match {
         case Some(gtype) =>
-          val meta = new MetadataBuilder()
+          val mb = new MetadataBuilder()
             .putString("encoding", "WKB")
             .putString("geometryType", gtype)
-            .build()
-          col(f.name).as(f.name, meta)
+          // a source CRS read off a GeoParquet footer (or a previous write)
+          // rides the field metadata through every write — never silently
+          // dropped on round trip
+          if (f.metadata.contains("crs"))
+            mb.putString("crs", f.metadata.getString("crs"))
+          col(f.name).as(f.name, mb.build())
         case None => col(f.name)
       }
     }
@@ -126,13 +140,14 @@ object GeoIO {
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
       geometryColumns.get(f.name) match {
         case Some(gtype) =>
-          val meta = new MetadataBuilder()
+          val mb = new MetadataBuilder()
             .putString("encoding", gtype.toLowerCase)
             .putString("geometryType", gtype)
-            .build()
+          if (f.metadata.contains("crs"))
+            mb.putString("crs", f.metadata.getString("crs"))
           GraftShim.column(StWkbAsNative(GraftShim.expression(col(f.name)), gtype,
               dim = dim, interleaved = interleaved))
-            .as(f.name, meta)
+            .as(f.name, mb.build())
         case None => col(f.name)
       }
     }
@@ -216,18 +231,20 @@ object GeoIO {
         case f if f.metadata.contains("encoding") && f.metadata.contains("geometryType") &&
             !f.metadata.getString("encoding").equalsIgnoreCase("WKB") =>
           GeoColumn(f.name, f.metadata.getString("encoding"),
-            Seq(f.metadata.getString("geometryType")))
+            Seq(f.metadata.getString("geometryType")),
+            if (f.metadata.contains("crs")) Some(f.metadata.getString("crs")) else None)
       }
     if (geoCols.isEmpty) return df
     val byName = geoCols.map(c => c.name -> c).toMap
     val projected: Seq[Column] = df.schema.fields.toSeq.map { f =>
       byName.get(f.name) match {
         case Some(gc) =>
-          val meta = new MetadataBuilder()
+          val mb = new MetadataBuilder()
             .putString("encoding", "WKB")
             .putString("sourceEncoding", gc.encoding)
             .putString("geometryType", gc.geometryType)
-            .build()
+          gc.crs.foreach(mb.putString("crs", _))
+          val meta = mb.build()
           val converted =
             if (gc.encoding.equalsIgnoreCase("WKB"))
               GraftShim.column(StGeomFromWkb(GraftShim.expression(col(f.name))))

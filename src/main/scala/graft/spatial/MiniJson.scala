@@ -28,6 +28,58 @@ object MiniJson {
       if (p.pos == s.length) Some(v) else None
     } catch { case _: Exception => None }
 
+  /** Compact deterministic serializer: insertion-ordered object fields
+    * (JObj is a LinkedHashMap), integral doubles rendered without ".0"
+    * (PROJJSON `"code": 4326` survives a parse→render cycle), standard
+    * string escaping. render∘parse is idempotent, which is what the CRS
+    * passthrough needs: the first read normalizes the `crs` member once
+    * and every later round trip is byte-identical. */
+  def render(v: Value): String = {
+    val sb = new StringBuilder
+    def str(s: String): Unit = {
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+    }
+    def go(v: Value): Unit = v match {
+      case JObj(fields) =>
+        sb.append('{')
+        var first = true
+        fields.foreach { case (k, fv) =>
+          if (!first) sb.append(',')
+          first = false
+          str(k); sb.append(':'); go(fv)
+        }
+        sb.append('}')
+      case JArr(items) =>
+        sb.append('[')
+        var first = true
+        items.foreach { it =>
+          if (!first) sb.append(',')
+          first = false
+          go(it)
+        }
+        sb.append(']')
+      case JStr(s) => str(s)
+      case JNum(d) =>
+        if (d == math.rint(d) && math.abs(d) < 1e15 && !d.isInfinite)
+          sb.append(d.toLong.toString)
+        else sb.append(d.toString)
+      case JBool(b) => sb.append(b.toString)
+      case JNull => sb.append("null")
+    }
+    go(v)
+    sb.toString
+  }
+
   /** Recursion bound: adversarially nested input (100k `[`s) would
     * otherwise StackOverflowError — an Error, so it sails past the
     * `catch Exception` guards and kills the executor task. Real GeoJSON

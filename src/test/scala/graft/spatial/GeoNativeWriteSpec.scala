@@ -149,4 +149,34 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     assert(back.filter(col("g").isNull).count() == 2)
     assert(back.filter(col("g").isNotNull).count() == 2)
   }
+
+  test("CRS passthrough: geo-footer crs survives read -> write -> read byte-identically") {
+    // fixture written by a real GeoParquet 1.1-style writer with a PROJJSON
+    // crs object on the geometry column (test resource, pyarrow-generated)
+    val fixture = getClass.getResource("/graft/crs_points.parquet").getPath
+    val cols = GeoIO.readGeoMetadata(spark, fixture)
+    assert(cols.map(_.name) == Seq("geometry"))
+    val crs0 = cols.head.crs.getOrElse(fail("fixture crs not parsed"))
+    assert(crs0.contains("\"authority\":\"EPSG\"") && crs0.contains("\"code\":4326"), crs0)
+
+    val df1 = GeoIO.readGeoParquet(spark, fixture)
+    assert(df1.schema("geometry").metadata.getString("crs") == crs0)
+
+    // write (WKB sink), read back: crs must be byte-identical
+    val out = java.nio.file.Files.createTempDirectory("graft_crs").toString + "/w"
+    GeoIO.writeGeoParquet(df1, out, Map("geometry" -> "Point"))
+    val df2 = GeoIO.readGeoParquet(spark, out)
+    assert(df2.schema("geometry").metadata.getString("crs") == crs0)
+    // a second hop (native layout sink) preserves it too
+    val out2 = out + "_native"
+    GeoIO.writeGeoParquetNative(df2, out2, Map("geometry" -> "Point"))
+    val df3 = GeoIO.readGeoParquet(spark, out2)
+    assert(df3.schema("geometry").metadata.getString("crs") == crs0)
+    // and the data still round-trips
+    val wkts = df3.select(G.st_astext(col("geometry"))).collect().map(_.getString(0)).sorted
+    assert(wkts.sameElements(Array("POINT (1.0 2.0)", "POINT (3.0 4.0)", "POINT (5.5 -6.25)")),
+      wkts.mkString("; "))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+  }
 }
