@@ -597,6 +597,44 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q87_union_dissolve" -> ((s, d) => {
+      // dissolved overlay certification without a spatial oracle engine:
+      // four planted configurations (edge-adjacent / overlapping /
+      // disjoint / T-junction partial edge) where the dissolved union and
+      // symdifference have CLOSED-FORM area, perimeter, and type. The
+      // perimeter is the dissolution discriminator — a non-dissolved
+      // tiling keeps doubled interior edges and overshoots it (adjacent
+      // case: 16 undissolved vs 12 dissolved); the type column pins
+      // shell-merging (Polygon vs MultiPolygon). Coordinates are exact
+      // small doubles, so every clip intersection is IEEE-exact.
+      prep(s, d, "nation")
+      s.sql("""
+        SELECT n_nationkey,
+               ST_Area(u)      AS u_area,
+               ST_Perimeter(u) AS u_perim,
+               ST_GeometryType(u) AS u_type,
+               ST_Area(sd)      AS s_area,
+               ST_Perimeter(sd) AS s_perim,
+               ST_GeometryType(sd) AS s_type
+        FROM (
+          SELECT n_nationkey,
+                 ST_Union(a, b) AS u,
+                 ST_SymDifference(a, b) AS sd
+          FROM (
+            SELECT n_nationkey,
+                   ST_MakeEnvelope(x0, 0.0D, x0 + 2.0D, 2.0D) AS a,
+                   CASE CAST(n_nationkey % 4 AS INT)
+                     WHEN 0 THEN ST_MakeEnvelope(x0 + 2.0D, 0.0D, x0 + 4.0D, 2.0D)
+                     WHEN 1 THEN ST_MakeEnvelope(x0 + 1.0D, 0.0D, x0 + 3.0D, 2.0D)
+                     WHEN 2 THEN ST_MakeEnvelope(x0 + 3.0D, 0.0D, x0 + 5.0D, 2.0D)
+                     ELSE ST_MakeEnvelope(x0 + 2.0D, 0.0D, x0 + 4.0D, 1.0D)
+                   END AS b
+            FROM (SELECT n_nationkey,
+                         CAST(n_nationkey AS DOUBLE) * 16.0D AS x0
+                  FROM nation)))
+        ORDER BY n_nationkey""")
+    }),
+
     "q86_neardup_autoguard" -> ((s, d) => {
       // The LIBRARY-DEFAULT near-dup plan: self-tuning hot-bucket guard
       // (Dedup.AutoBound — occupancy windows over the pair join's own
@@ -1698,6 +1736,32 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // closed forms of the four planted overlay configurations; the
+    // perimeter certifies dissolution (doubled interior edges would
+    // overshoot it), the type certifies shell-merging
+    "q87_union_dissolve" -> """
+      SELECT n_nationkey,
+             CAST(CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 0 THEN 8.0 WHEN 1 THEN 6.0 WHEN 2 THEN 8.0 ELSE 6.0
+             END AS DOUBLE) AS u_area,
+             CAST(CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 0 THEN 12.0 WHEN 1 THEN 10.0 WHEN 2 THEN 16.0 ELSE 12.0
+             END AS DOUBLE) AS u_perim,
+             CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 2 THEN 'ST_MultiPolygon' ELSE 'ST_Polygon'
+             END AS u_type,
+             CAST(CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 0 THEN 8.0 WHEN 1 THEN 4.0 WHEN 2 THEN 8.0 ELSE 6.0
+             END AS DOUBLE) AS s_area,
+             CAST(CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 0 THEN 12.0 WHEN 1 THEN 12.0 WHEN 2 THEN 16.0 ELSE 12.0
+             END AS DOUBLE) AS s_perim,
+             CASE CAST(n_nationkey % 4 AS INT)
+               WHEN 0 THEN 'ST_Polygon' WHEN 1 THEN 'ST_MultiPolygon'
+               WHEN 2 THEN 'ST_MultiPolygon' ELSE 'ST_Polygon'
+             END AS s_type
+      FROM nation ORDER BY n_nationkey""",
 
     // same quadratic oracle as q25: on a spam-free corpus the self-tuned
     // bound exceeds every bucket occupancy, so the guarded default's

@@ -14,8 +14,11 @@ import scala.collection.mutable.ArrayBuffer
  *    ear-clipped into triangles and combined through the piece engine
  *    (outer minus holes → disjoint simple pieces). Line×line overlay is
  *    unsupported (SQL NULL).
- *  - union/symdifference emit non-dissolved MultiPolygons (area-correct,
- *    piecewise-disjoint; shared boundaries are not merged).
+ *  - union/symdifference DISSOLVE their piecewise output ([[dissolve]]):
+ *    shared boundaries merge into shell-and-holes polygons (the
+ *    PostGIS-shaped result), guarded by an area-preservation check that
+ *    falls back to the area-correct disjoint tiling when float-divergent
+ *    piece boundaries defeat edge cancellation ([[dissolveChecked]]).
  *  - buffer: disks for points, capsules (hull of endpoint disks) for
  *    segments, `quadSegs`×4-gon circle approximation; polygon buffer =
  *    polygon ⊎ boundary capsules (approximate).
@@ -367,8 +370,10 @@ object GeomSetOps {
     }
   }
 
-  /** Union: A ⊎ (B − A) when a convex operand allows difference; else
-    * disjoint inputs become a MultiPolygon/collection. Non-dissolved. */
+  /** Union: A ⊎ (B − A) through the piece engine, then [[dissolve]]d —
+    * shared boundaries between the pieces (and between touching inputs)
+    * are merged, so the output is the shell-and-holes shape a
+    * PostGIS/DuckDB user expects, not an area-correct tiling. */
   def union(a: Geometry, b: Geometry): Option[Geometry] = {
     if (a.isEmpty) return Some(b)
     if (b.isEmpty) return Some(a)
@@ -376,8 +381,8 @@ object GeomSetOps {
       case (pa: Polygon, pb: Polygon) =>
         if (!GeomOps.intersects(pa, pb)) Some(MultiPolygon(Array(pa, pb), 2))
         else difference(pb, pa) match {
-          case Some(mp: MultiPolygon) => Some(MultiPolygon(Array(pa) ++ mp.polygons, 2))
-          case Some(p: Polygon) if !p.isEmpty => Some(MultiPolygon(Array(pa, p), 2))
+          case Some(mp: MultiPolygon) => Some(dissolveChecked(Array(pa) ++ mp.polygons))
+          case Some(p: Polygon) if !p.isEmpty => Some(dissolveChecked(Array(pa, p)))
           case Some(_) => Some(pa)
           case None => None
         }
@@ -387,6 +392,9 @@ object GeomSetOps {
     }
   }
 
+  /** Symmetric difference through the piece engine, [[dissolve]]d like
+    * [[union]] (touching A−B / B−A pieces merge across the erased
+    * zero-area seam). */
   def symDifference(a: Geometry, b: Geometry): Option[Geometry] = {
     (a, b) match {
       case (pa: Polygon, pb: Polygon) =>
@@ -400,10 +408,226 @@ object GeomSetOps {
           for {
             ab <- pieces(difference(pa, pb))
             ba <- pieces(difference(pb, pa))
-          } yield MultiPolygon(ab ++ ba, 2)
+          } yield dissolveChecked(ab ++ ba)
         }
       case _ => None
     }
+  }
+
+  // -------------------------------------------------------------- dissolve
+
+  private def signedArea2(r: Array[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < r.length) {
+      val j = (i + 1) % r.length
+      s += r(i)._1 * r(j)._2 - r(j)._1 * r(i)._2
+      i += 1
+    }
+    s
+  }
+
+  private def pointInsideRing(r: Array[(Double, Double)], px: Double, py: Double): Boolean = {
+    var inside = false
+    var i = 0
+    var j = r.length - 1
+    while (i < r.length) {
+      val (xi, yi) = r(i); val (xj, yj) = r(j)
+      if (((yi > py) != (yj > py)) &&
+          (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /**
+   * Merge the shared edges of a piecewise-disjoint polygon set into
+   * DISSOLVED polygons (outer rings + holes) — what a PostGIS/DuckDB user
+   * expects ST_Union to look like, instead of the piece engine's
+   * area-correct tiling.
+   *
+   * Boundary algebra on the planar subdivision the piece engine already
+   * produces:
+   *   1. orient every ring interior-on-left (outer CCW, holes CW) and
+   *      emit directed edges;
+   *   2. NODE: split edges at any vertex of the collection lying on them
+   *      (tolerance `1e-9·scale`) — adjacent pieces may subdivide a shared
+   *      geometric edge differently (T-junctions);
+   *   3. cancel: a sub-edge appearing in both directions separates two
+   *      interiors → interior edge, dropped; net edges form the boundary;
+   *   4. walk boundary loops (at junction vertices: next edge clockwise
+   *      from the reversed incoming — left-face traversal), dropping
+   *      collinear intermediate vertices;
+   *   5. CCW loops are shells, CW loops are holes; each hole attaches to
+   *      the smallest shell containing it.
+   *
+   * Returns a single Polygon when one shell results (PostGIS shape),
+   * else a MultiPolygon.
+   */
+  def dissolve(pieces: Array[Polygon]): Geometry = {
+    val polys = pieces.filter(p => !p.isEmpty && p.rings.nonEmpty)
+    if (polys.isEmpty) return MultiPolygon(Array.empty, 2)
+
+    // 1. directed edges, interior on the left
+    val edges = ArrayBuffer[((Double, Double), (Double, Double))]()
+    for (p <- polys; ri <- p.rings.indices) {
+      val open = openRing(p.rings(ri), p.dim)
+      if (open.length >= 3) {
+        val ccw = signedArea2(open) > 0
+        val oriented = if ((ri == 0) == ccw) open else open.reverse
+        var i = 0
+        while (i < oriented.length) {
+          val a = oriented(i); val b = oriented((i + 1) % oriented.length)
+          if (a != b) edges += ((a, b))
+          i += 1
+        }
+      }
+    }
+    if (edges.isEmpty) return MultiPolygon(Array.empty, 2)
+
+    // 2. node at vertices lying on other edges
+    val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    var scale = 1.0
+    verts.foreach(v => scale = math.max(scale,
+      math.max(math.abs(v._1), math.abs(v._2))))
+    val eps = 1e-9 * scale
+    val noded = edges.flatMap { case (a, b) =>
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0) Seq.empty
+      else {
+        val cuts = verts.iterator.flatMap { v =>
+          if (v == a || v == b) Iterator.empty
+          else {
+            val t = ((v._1 - a._1) * dx + (v._2 - a._2) * dy) / len2
+            if (t <= 0 || t >= 1) Iterator.empty
+            else {
+              val px = a._1 + t * dx; val py = a._2 + t * dy
+              if (math.hypot(v._1 - px, v._2 - py) < eps) Iterator((t, v))
+              else Iterator.empty
+            }
+          }
+        }.toArray.sortBy(_._1)
+        val chain = a +: cuts.map(_._2) :+ b
+        (0 until chain.length - 1).collect {
+          case i if chain(i) != chain(i + 1) => (chain(i), chain(i + 1))
+        }
+      }
+    }
+
+    // 3. cancel opposite directions; keep net boundary edges
+    val dirCount = scala.collection.mutable.HashMap
+      .empty[((Double, Double), (Double, Double)), Int]
+    noded.foreach(e => dirCount(e) = dirCount.getOrElse(e, 0) + 1)
+    val boundary = ArrayBuffer[((Double, Double), (Double, Double))]()
+    dirCount.foreach { case ((a, b), c) =>
+      val rev = dirCount.getOrElse((b, a), 0)
+      if (c > rev) boundary += ((a, b)) // net winner, kept once
+    }
+    if (boundary.isEmpty) return MultiPolygon(Array.empty, 2)
+
+    // 4. walk boundary loops
+    val outgoing = scala.collection.mutable.HashMap
+      .empty[(Double, Double), ArrayBuffer[(Double, Double)]]
+    boundary.foreach { case (a, b) =>
+      outgoing.getOrElseUpdate(a, ArrayBuffer.empty) += b
+    }
+    val used = scala.collection.mutable.HashSet
+      .empty[((Double, Double), (Double, Double))]
+    def nextEdge(from: (Double, Double), at: (Double, Double)): Option[(Double, Double)] = {
+      val cands = outgoing.getOrElse(at, ArrayBuffer.empty)
+        .filter(n => !used((at, n)))
+      if (cands.isEmpty) None
+      else if (cands.length == 1) Some(cands.head)
+      else {
+        // left-face rule: next outgoing edge clockwise from the REVERSED
+        // incoming direction keeps the traversal on the same face
+        val revAng = math.atan2(from._2 - at._2, from._1 - at._1)
+        Some(cands.minBy { n =>
+          val ang = math.atan2(n._2 - at._2, n._1 - at._1)
+          val d = (revAng - ang) % (2 * math.Pi)
+          val cw = if (d <= 1e-12) d + 2 * math.Pi else d
+          cw
+        })
+      }
+    }
+    val loops = ArrayBuffer[Array[(Double, Double)]]()
+    boundary.foreach { start =>
+      if (!used(start)) {
+        val pts = ArrayBuffer[(Double, Double)](start._1)
+        var cur = start
+        var closed = false
+        var steps = 0
+        val limit = boundary.length + 1
+        while (!closed && steps <= limit) {
+          used += cur
+          if (cur._2 == start._1) closed = true
+          else {
+            pts += cur._2
+            nextEdge(cur._1, cur._2) match {
+              case Some(n) => cur = (cur._2, n)
+              case None => steps = limit + 1 // dead end: abandon
+            }
+          }
+          steps += 1
+        }
+        if (closed && pts.length >= 3) {
+          // drop collinear intermediates introduced by noding
+          val cleaned = pts.indices.collect {
+            case i if {
+              val p = pts((i + pts.length - 1) % pts.length)
+              val c = pts(i)
+              val n = pts((i + 1) % pts.length)
+              math.abs(orient(p._1, p._2, c._1, c._2, n._1, n._2)) > eps * eps ||
+                // keep spikes (degenerate but orientation 0 with reversal)
+                ((n._1 - c._1) * (c._1 - p._1) + (n._2 - c._2) * (c._2 - p._2)) < 0
+            } => pts(i)
+          }.toArray
+          if (cleaned.length >= 3) loops += cleaned
+        }
+      }
+    }
+
+    // 5. shells vs holes; attach holes to the smallest containing shell
+    val shells = ArrayBuffer[(Array[(Double, Double)], Double)]()
+    val holes = ArrayBuffer[Array[(Double, Double)]]()
+    loops.foreach { r =>
+      val a2 = signedArea2(r)
+      if (a2 > 0) shells += ((r, a2)) else if (a2 < 0) holes += r
+    }
+    if (shells.isEmpty) return MultiPolygon(Array.empty, 2)
+    val holeLists = Array.fill(shells.length)(ArrayBuffer[Array[(Double, Double)]]())
+    holes.foreach { h =>
+      val probe = h(0)
+      val owners = shells.zipWithIndex.filter { case ((s, _), _) =>
+        pointInsideRing(s, probe._1, probe._2)
+      }
+      if (owners.nonEmpty) holeLists(owners.minBy(_._1._2)._2) += h
+    }
+    val outPolys = shells.zipWithIndex.map { case ((s, _), i) =>
+      Polygon(Array(closeRing(s)) ++ holeLists(i).map(closeRing), 2)
+    }.toArray
+    if (outPolys.length == 1) outPolys(0) else MultiPolygon(outPolys, 2)
+  }
+
+  /**
+   * [[dissolve]] with an AREA-PRESERVATION check: edge cancellation needs
+   * shared sub-edges to coincide (up to the noding tolerance), which holds
+   * for clip boundaries derived from the same cut lines (rectangles,
+   * axis-aligned tilings, the common GIS shapes) but can fail on
+   * triangulated float-soup overlays where adjacent pieces compute the
+   * same geometric edge through different intersection arithmetic. When
+   * the dissolved area diverges from the piece-sum, fall back to the
+   * area-correct non-dissolved tiling — dissolution is a representation
+   * upgrade, never allowed to change the region.
+   */
+  private[spatial] def dissolveChecked(pieces: Array[Polygon]): Geometry = {
+    val total = pieces.iterator.map(p => GeomOps.area(p)).sum
+    val d = try dissolve(pieces) catch { case _: Exception => null }
+    val tol = 1e-7 * math.max(1.0, total)
+    if (d != null && math.abs(GeomOps.area(d) - total) <= tol) d
+    else MultiPolygon(pieces, 2)
   }
 
   // ---------------------------------------------------------------- buffer

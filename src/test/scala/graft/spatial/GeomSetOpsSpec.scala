@@ -243,4 +243,94 @@ class GeomSetOpsSpec extends AnyFunSuite {
     val disj = GeomSetOps.relate(sq10, far)
     assert(disj(0) == 'F')
   }
+
+  // ------------------------------------------------------------- dissolve
+
+  private def perimeter(g: Geometry): Double = GeomOps.perimeter(g)
+
+  test("union of edge-adjacent squares dissolves to ONE polygon, shared edge gone") {
+    val a = poly("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    val b = poly("POLYGON ((2 0,4 0,4 2,2 2,2 0))")
+    val u = GeomSetOps.union(a, b).get
+    assert(u.isInstanceOf[Polygon], u.typeName)
+    assert(GeomOps.area(u) == 8.0)
+    assert(perimeter(u) == 12.0) // 2x(4+2): the shared x=2 edge is dissolved
+    // corners only — noding artifacts on the straight top/bottom removed
+    assert(u.numPoints == 5, WKT.write(u))
+  }
+
+  test("union with a T-junction (partial shared edge) dissolves correctly") {
+    val a = poly("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    val b = poly("POLYGON ((2 0,4 0,4 1,2 1,2 0))") // half-height neighbor
+    val u = GeomSetOps.union(a, b).get
+    assert(u.isInstanceOf[Polygon], u.typeName)
+    assert(GeomOps.area(u) == 6.0)
+    assert(perimeter(u) == 12.0) // (0,0)->(4,0)->(4,1)->(2,1)->(2,2)->(0,2)->
+    assert(u.numPoints == 7, WKT.write(u))
+  }
+
+  test("union of overlapping rectangles dissolves the seam") {
+    val a = poly("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    val b = poly("POLYGON ((1 0,3 0,3 2,1 2,1 0))")
+    val u = GeomSetOps.union(a, b).get
+    assert(u.isInstanceOf[Polygon], u.typeName)
+    assert(GeomOps.area(u) == 6.0)
+    assert(perimeter(u) == 10.0)
+  }
+
+  test("symDifference of touching rectangles merges across the zero-area seam") {
+    val a = poly("POLYGON ((0 0,2 0,2 2,0 2,0 0))")
+    val b = poly("POLYGON ((2 0,4 0,4 2,2 2,2 0))")
+    val sd = GeomSetOps.symDifference(a, b).get
+    assert(sd.isInstanceOf[Polygon], sd.typeName)
+    assert(GeomOps.area(sd) == 8.0)
+    assert(perimeter(sd) == 12.0)
+    // overlapping case stays two parts (left sliver + right sliver)
+    val c = poly("POLYGON ((1 0,3 0,3 2,1 2,1 0))")
+    val sd2 = GeomSetOps.symDifference(a, c).get
+    assert(sd2.isInstanceOf[MultiPolygon], sd2.typeName)
+    assert(GeomOps.area(sd2) == 4.0)
+    assert(perimeter(sd2) == 12.0)
+  }
+
+  test("dissolve reconstructs holes: disjoint frame tiles become shell + hole") {
+    val tiles = Array(
+      poly("POLYGON ((0 0,1 0,1 3,0 3,0 0))"),   // left
+      poly("POLYGON ((2 0,3 0,3 3,2 3,2 0))"),   // right
+      poly("POLYGON ((1 0,2 0,2 1,1 1,1 0))"),   // bottom middle
+      poly("POLYGON ((1 2,2 2,2 3,1 3,1 2))"))   // top middle
+    val d = GeomSetOps.dissolve(tiles)
+    val pg = d match {
+      case p: Polygon => p
+      case other => fail(s"expected Polygon, got ${other.typeName}: ${WKT.write(other)}")
+    }
+    assert(pg.rings.length == 2, WKT.write(pg)) // outer + hole
+    assert(GeomOps.area(pg) == 8.0)             // 9 − 1
+    assert(perimeter(pg) == 12.0 + 4.0)         // outer 3x3 + unit hole
+  }
+
+  test("dissolve keeps genuinely disjoint pieces apart") {
+    val d = GeomSetOps.dissolve(Array(
+      poly("POLYGON ((0 0,1 0,1 1,0 1,0 0))"),
+      poly("POLYGON ((5 5,6 5,6 6,5 6,5 5))")))
+    assert(d.isInstanceOf[MultiPolygon], d.typeName)
+    assert(GeomOps.area(d) == 2.0)
+    assert(perimeter(d) == 8.0)
+  }
+
+  test("dissolved output has no interior shared edges (area/perimeter invariants)") {
+    // union area identity holds AND the perimeter equals the closed form
+    // for every planted adjacency configuration — a tiling would keep the
+    // doubled interior edges and overshoot the perimeter
+    val cases = Seq(
+      ("POLYGON ((0 0,2 0,2 2,0 2,0 0))", "POLYGON ((2 0,4 0,4 2,2 2,2 0))", 8.0, 12.0),
+      ("POLYGON ((0 0,2 0,2 2,0 2,0 0))", "POLYGON ((1 0,3 0,3 2,1 2,1 0))", 6.0, 10.0),
+      ("POLYGON ((0 0,2 0,2 2,0 2,0 0))", "POLYGON ((2 0,4 0,4 1,2 1,2 0))", 6.0, 12.0),
+      ("POLYGON ((0 0,2 0,2 2,0 2,0 0))", "POLYGON ((0 2,2 2,2 4,0 4,0 2))", 8.0, 12.0))
+    for ((wa, wb, area, perim) <- cases) {
+      val u = GeomSetOps.union(poly(wa), poly(wb)).get
+      assert(GeomOps.area(u) == area, s"$wa u $wb")
+      assert(perimeter(u) == perim, s"$wa u $wb -> ${WKT.write(u)}")
+    }
+  }
 }

@@ -258,7 +258,8 @@ class GeometryCoreSpec extends AnyFunSuite {
       }}"""
     val cols = GeoIO.parseGeoJson(realWorld)
     assert(cols == Seq(
-      GeoIO.GeoColumn("geometry", "WKB", Seq("Polygon", "MultiPolygon")),
+      GeoIO.GeoColumn("geometry", "WKB", Seq("Polygon", "MultiPolygon"),
+        Some("""{"type":"GeographicCRS","id":{"authority":"OGC","code":"CRS84"}}""")),
       GeoIO.GeoColumn("centroid", "point", Seq("Point"))))
     assert(cols.head.geometryType == "Mixed")
     assert(GeoIO.parseGeoJson("not json at all").isEmpty)
