@@ -597,6 +597,21 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q88_video_frames" -> ((s, d) => {
+      // REAL video-frame extraction certified end-to-end: a RIFF/AVI
+      // container is synthesized per supplier (2 + id%3 PNG frames, frame
+      // f's pixels closed-form in id*7+f), demuxed by the pure-JVM RIFF
+      // walker, sampled every 2nd frame, and each kept frame decoded
+      // through imageio — the gradient-channel sums prove the frames
+      // actually decode (q85's argument, per frame). Keys thinned 5x to
+      // bound bench cost; embarrassingly parallel.
+      prep(s, d, "supplier")
+      val base = t(s, d, "supplier").filter(col("s_suppkey") % 5 === 0)
+      Multimodal.sampleFramesDecoded(
+          Multimodal.syntheticAviMedia(base, "s_suppkey"), everyN = 2)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "q87_union_dissolve" -> ((s, d) => {
       // dissolved overlay certification without a spatial oracle engine:
       // four planted configurations (edge-adjacent / overlapping /
@@ -1736,6 +1751,27 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // closed forms of Multimodal.syntheticAviMedia: nf = 2 + k%3 frames,
+    // sampled f%2=0, frame seed x = k*7 + f, pixels as in q85's pngPayload
+    "q88_video_frames" -> """
+      WITH g AS (
+        SELECT tw.w, SUM((tx.x * 255) // (tw.w - 1)) AS grow
+        FROM generate_series(8, 16) tw(w), generate_series(0, 15) tx(x)
+        WHERE tx.x < tw.w GROUP BY tw.w),
+      f AS (
+        SELECT s_suppkey, fr.f AS frame_idx, s_suppkey * 7 + fr.f AS x
+        FROM supplier, generate_series(0, 3) fr(f)
+        WHERE s_suppkey % 5 = 0 AND fr.f < 2 + (s_suppkey % 3) AND fr.f % 2 = 0)
+      SELECT f.s_suppkey AS media_id,
+             CAST(f.frame_idx AS INT) AS frame_idx,
+             CAST(8 + (x % 9) AS INT) AS width,
+             CAST(8 + (x % 7) AS INT) AS height,
+             CAST((8 + (x % 9)) * (8 + (x % 7)) * ((x * 7) % 256) AS BIGINT) AS sum_r,
+             CAST((8 + (x % 7)) * g.grow AS BIGINT) AS sum_g,
+             CAST((8 + (x % 9)) * (8 + (x % 7)) * ((x * 31) % 256) AS BIGINT) AS sum_b
+      FROM f JOIN g ON g.w = 8 + (x % 9)
+      ORDER BY media_id, frame_idx""",
 
     // closed forms of the four planted overlay configurations; the
     // perimeter certifies dissolution (doubled interior edges would

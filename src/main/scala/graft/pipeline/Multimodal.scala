@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
  * IMAGE decode and resize are REAL: JDK-builtin `javax.imageio` handles
  * PNG and JPEG (no native libraries, no new dependencies) behind the
  * per-partition-initialized `mapPartitions` shape ([[decodeImageBatched]],
- * [[resizeImage]]). Only VIDEO frame extraction remains a deterministic
- * STUB ([[sampleFrames]] — a real container demuxer is not in the JDK);
- * the legacy fake-header kernels ([[decodeImageStub]] etc.) are kept for
- * the GRFT demo format and plumbing tests.
+ * [[resizeImage]]). VIDEO frame extraction is REAL for RIFF/AVI
+ * containers with imageio-decodable frame codecs (PNG/MJPEG families):
+ * [[aviFrames]] demuxes the chunk stream, [[sampleFramesDecoded]]
+ * samples + decodes per-partition. Compressed inter-frame codecs
+ * (H.264 …) stay out of scope — their frames demux but decode to NULL;
+ * the legacy fake-header kernels ([[decodeImageStub]], [[sampleFrames]])
+ * are kept for the GRFT demo format and plumbing tests.
  *
  * At 100 TB: payloads should be read from a binary-file source or parquet
  * with `spark.sql.files.maxPartitionBytes` tuned down (payloads are MBs,
@@ -297,6 +300,126 @@ object Multimodal {
         lit("image").as("kind"), lit("png").as("format"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
+  }
+
+  // ---------------------------------------------------------- REAL VIDEO PATH
+  // Minimal RIFF/AVI container demux (pure JVM — the RIFF chunk grammar is
+  // public knowledge): video frames ride as '00dc'/'00db' chunks inside the
+  // 'movi' LIST. Frames encoded as PNG (the MPNG fourcc family) decode
+  // losslessly through the same ImageDecoder as still images, so frame
+  // extraction is certifiable against an exact oracle. Compressed-codec
+  // frames (H.264 etc.) remain out of scope — the demux returns their raw
+  // bytes and the decoder returns None, degrading those rows to NULL.
+
+  /** Build a minimal MJPEG/MPNG-style AVI from encoded frame payloads:
+    * RIFF('AVI ' LIST('hdrl' avih) LIST('movi' '00dc'×frames)). Enough
+    * structure for any RIFF walker; frames carried verbatim. */
+  def aviFromFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length % 2
+      val buf = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(fourcc.getBytes("US-ASCII")).putInt(data.length).put(data)
+      buf.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val avih = {
+      // 56-byte main header: frame interval, total frames, the rest zeroed
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(33333).putInt(0).putInt(0).putInt(0).putInt(frames.length)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** Demux: the encoded payload of every video frame chunk, in stream
+    * order. Null/corrupt/non-AVI input → empty. Bounds-checked walk,
+    * frame count capped (decompression-bomb guard). */
+  def aviFrames(payload: Array[Byte], maxFrames: Int = 4096): Array[Array[Byte]] = {
+    import scala.collection.mutable.ArrayBuffer
+    if (payload == null || payload.length < 12) return Array.empty
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    try {
+      if (fourcc() != "RIFF") return Array.empty
+      buf.getInt() // riff size
+      if (fourcc() != "AVI ") return Array.empty
+      val out = ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit = {
+        while (buf.position() + 8 <= end && out.length < maxFrames) {
+          val cc = fourcc()
+          val size = buf.getInt()
+          if (size < 0 || buf.position() + size > end) return
+          val next = buf.position() + size + (size % 2)
+          if (cc == "LIST" && size >= 4) {
+            val lt = fourcc()
+            if (lt == "movi" || lt == "hdrl" || lt == "strl")
+              walk(buf.position() + size - 4)
+          } else if ((cc.endsWith("dc") || cc.endsWith("db")) && size > 0) {
+            val f = new Array[Byte](size)
+            buf.get(f)
+            out += f
+          }
+          if (next > end || next < 0) return
+          buf.position(math.min(next, end))
+        }
+      }
+      walk(payload.length)
+      out.toArray
+    } catch { case _: Exception => Array.empty }
+  }
+
+  /**
+   * REAL frame sampling: demux the AVI container, keep every `everyN`-th
+   * frame, decode each kept frame (PNG/JPEG via the per-task
+   * [[ImageDecoder]]) — the execution shape of [[decodeImageBatched]]
+   * extended with the frame explode. Output: media_id, frame_idx, width,
+   * height, sum_r, sum_g, sum_b (one row per SAMPLED decodable frame;
+   * undecodable frames and non-AVI payloads emit nothing).
+   */
+  def sampleFramesDecoded(df: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      val decoder = new ImageDecoder // once per task
+      rows.flatMap { internal =>
+        val id = internal.getLong(idIdx)
+        val payload = if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        aviFrames(payload).iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .flatMap { case (frame, idx) =>
+            decoder.decode(frame).map(d =>
+              org.apache.spark.sql.catalyst.InternalRow(id, idx, d.width, d.height,
+                d.sumR, d.sumG, d.sumB))
+          }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  /** Synthetic REAL-AVI media table: `2 + id%3` PNG frames per id, frame f
+    * encoded from [[pngPayload]]`(id*7 + f)` — every decoded dimension and
+    * channel sum is a closed form of (id, f) an external oracle can mirror. */
+  def syntheticAviMedia(df: DataFrame, idCol: String): DataFrame = {
+    val mkAvi = udf((id: Long) =>
+      aviFromFrames((0 until (2 + (id % 3)).toInt).map(f => pngPayload(id * 7 + f))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", mkAvi(col("media_id")))
   }
 
   /** Demo media table derived from any id column — used by tests/bench. */

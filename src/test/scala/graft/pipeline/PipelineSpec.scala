@@ -997,6 +997,43 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("real AVI demux: frame round-trip, sampling, corruption handling") {
+    // container round trip: what goes in as frame chunks comes back verbatim
+    val frames = (0 until 5).map(f => Multimodal.pngPayload(100L + f))
+    val avi = Multimodal.aviFromFrames(frames)
+    val back = Multimodal.aviFrames(avi)
+    assert(back.length == 5)
+    assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // corrupt / truncated / non-AVI → empty, never a throw
+    assert(Multimodal.aviFrames(null).isEmpty)
+    assert(Multimodal.aviFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aviFrames(avi.take(20)).isEmpty)
+    assert(Multimodal.aviFrames(Multimodal.pngPayload(7L)).isEmpty)
+    // distributed sample+decode: every 2nd frame of 2+id%3 frames, exact sums
+    val media = Multimodal.syntheticAviMedia(spark.range(30).toDF("id"), "id")
+    val out = Multimodal.sampleFramesDecoded(media, everyN = 2).collect()
+    val expected = (0L until 30L).flatMap { id =>
+      (0 until (2 + id % 3).toInt).filter(_ % 2 == 0).map(f => (id, f))
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSet == expected)
+    out.foreach { r =>
+      val x = r.getLong(0) * 7 + r.getInt(1)
+      val w = (8 + x % 9).toInt; val h = (8 + x % 7).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getLong(4) == w.toLong * h * ((x * 7) % 256))
+      val grow = (0 until w).map(xx => (xx * 255) / (w - 1)).sum
+      assert(r.getLong(5) == h.toLong * grow)
+      assert(r.getLong(6) == w.toLong * h * ((x * 31) % 256))
+    }
+    // a JPEG-frame AVI decodes through the same path (dims exact)
+    val img = new java.awt.image.BufferedImage(12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val javi = Multimodal.aviFromFrames(Seq(jb.toByteArray))
+    val jd = new Multimodal.ImageDecoder().decode(Multimodal.aviFrames(javi).head).get
+    assert(jd.width == 12 && jd.height == 10)
+  }
+
   test("real PNG decode: imageio round-trip recovers exact pixel sums") {
     val media = Multimodal.syntheticPngMedia(spark.range(40).toDF("id"), "id")
     val decoded = Multimodal.decodeImageBatched(media).collect()
