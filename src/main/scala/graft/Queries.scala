@@ -597,6 +597,19 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q89_audio_stats" -> ((s, d) => {
+      // REAL audio decode certified end-to-end: a mono PCM16 WAV is
+      // synthesized per part (64 + id%32 samples, sample i closed-form in
+      // the id), parsed back by the RIFF/WAVE walker, and the exact
+      // integer stream stats (sum|s|, peak, count, rate) hash-match the
+      // closed-form oracle — the sums can only come from reading every
+      // sample off the data chunk. Keys thinned 9x to bound bench cost.
+      prep(s, d, "part")
+      val base = t(s, d, "part").filter(col("p_partkey") % 9 === 0)
+      Multimodal.audioStatsBatched(Multimodal.syntheticWavMedia(base, "p_partkey"))
+        .orderBy("media_id")
+    }),
+
     "q88_video_frames" -> ((s, d) => {
       // REAL video-frame extraction certified end-to-end: a RIFF/AVI
       // container is synthesized per supplier (2 + id%3 PNG frames, frame
@@ -1751,6 +1764,21 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    // closed forms of Multimodal.syntheticWavMedia: n = 64 + k%32 samples,
+    // sample i = ((k*31 + i*17) mod 2003) - 1001, rate 8000 + (k%4)*4000
+    "q89_audio_stats" -> """
+      WITH s AS (
+        SELECT p_partkey, i.i,
+               ABS(((p_partkey * 31 + i.i * 17) % 2003) - 1001) AS a
+        FROM part, generate_series(0, 95) i(i)
+        WHERE p_partkey % 9 = 0 AND i.i < 64 + (p_partkey % 32))
+      SELECT p_partkey AS media_id,
+             CAST(8000 + (p_partkey % 4) * 4000 AS INT) AS sample_rate,
+             CAST(64 + (p_partkey % 32) AS BIGINT) AS n_samples,
+             CAST(SUM(a) AS BIGINT) AS sum_abs,
+             CAST(MAX(a) AS INT) AS peak
+      FROM s GROUP BY p_partkey ORDER BY media_id""",
 
     // closed forms of Multimodal.syntheticAviMedia: nf = 2 + k%3 frames,
     // sampled f%2=0, frame seed x = k*7 + f, pixels as in q85's pngPayload

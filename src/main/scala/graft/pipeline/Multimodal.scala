@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
  * containers with imageio-decodable frame codecs (PNG/MJPEG families):
  * [[aviFrames]] demuxes the chunk stream, [[sampleFramesDecoded]]
  * samples + decodes per-partition. Compressed inter-frame codecs
- * (H.264 …) stay out of scope — their frames demux but decode to NULL;
- * the legacy fake-header kernels ([[decodeImageStub]], [[sampleFrames]])
- * are kept for the GRFT demo format and plumbing tests.
+ * (H.264 …) stay out of scope — their frames demux but decode to NULL.
+ * AUDIO is REAL for RIFF/WAVE PCM16 ([[decodeWav]], [[audioStatsBatched]]
+ * — exact integer stream stats); feature extraction is REAL as a
+ * mean-pooled RGB patch grid over the decoded pixels
+ * ([[featurizePixels]] — deterministic, not a learned encoder, feeds
+ * [[Similarity]] directly). The legacy fake-header kernels
+ * ([[decodeImageStub]], [[sampleFrames]], [[featurizeStub]]) are kept
+ * for the GRFT demo format and plumbing tests.
  *
  * At 100 TB: payloads should be read from a binary-file source or parquet
  * with `spark.sql.files.maxPartitionBytes` tuned down (payloads are MBs,
@@ -420,6 +425,166 @@ object Multimodal {
       aviFromFrames((0 until (2 + (id % 3)).toInt).map(f => pngPayload(id * 7 + f))))
     df.select(col(idCol).cast("long").as("media_id"))
       .withColumn("payload", mkAvi(col("media_id")))
+  }
+
+  /**
+   * REAL feature extraction from decoded pixels: a `grid`×`grid`
+   * mean-pooled RGB patch grid → `3·grid²` floats in [0,255], row-major
+   * (cy, cx, r/g/b). Not a learned encoder — but an honest, deterministic
+   * image embedding computed from the REAL decode (cell sums are exact
+   * integers; the mean is one IEEE division), ready for [[Similarity]]'s
+   * cosine/ANN machinery. Null/undecodable → null.
+   */
+  def featurizePixelsPayload(payload: Array[Byte], grid: Int): Array[Float] = {
+    if (payload == null) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w < grid || h < grid) return null
+      val out = new Array[Float](3 * grid * grid)
+      var cy = 0
+      while (cy < grid) {
+        val y0 = cy * h / grid; val y1 = (cy + 1) * h / grid
+        var cx = 0
+        while (cx < grid) {
+          val x0 = cx * w / grid; val x1 = (cx + 1) * w / grid
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = ((y1 - y0) * (x1 - x0)).toFloat
+          val base = (cy * grid + cx) * 3
+          out(base) = sr / n; out(base + 1) = sg / n; out(base + 2) = sb / n
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    } catch { case _: Exception => null }
+  }
+
+  /** Column form of [[featurizePixelsPayload]] (JVM UDF). */
+  def featurizePixels(payload: Column, grid: Int = 4): Column = {
+    val f = udf((p: Array[Byte]) => featurizePixelsPayload(p, grid))
+    f(payload)
+  }
+
+  // ---------------------------------------------------------- REAL AUDIO PATH
+  // RIFF/WAVE PCM16 — the same chunk grammar as AVI: 'fmt ' carries the
+  // sample layout, 'data' carries little-endian 16-bit samples. Pure JVM,
+  // decode stats are exact integers → oracle-certifiable.
+
+  /** Minimal mono PCM16 WAV from samples (RIFF('WAVE' 'fmt ' 'data')). */
+  def wavFromSamples(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                  // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16)                  // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decoded-audio record: exact integer stats of the PCM stream. */
+  final case class DecodedAudio(sampleRate: Int, nSamples: Long,
+                                sumAbs: Long, peak: Int)
+
+  /** Decode a mono PCM16 WAV payload; None on null/corrupt/non-WAV or
+    * unsupported layouts (stereo, float, compressed). Bounds-checked. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload == null || payload.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    try {
+      if (fourcc() != "RIFF") return None
+      buf.getInt()
+      if (fourcc() != "WAVE") return None
+      var rate = -1
+      var ok = false
+      var stats: Option[DecodedAudio] = None
+      while (buf.remaining() >= 8 && stats.isEmpty) {
+        val cc = fourcc()
+        val size = buf.getInt()
+        if (size < 0 || size > buf.remaining()) return None
+        if (cc == "fmt " && size >= 16) {
+          val fmt = buf.getShort(); val ch = buf.getShort()
+          rate = buf.getInt(); buf.getInt(); buf.getShort()
+          val bits = buf.getShort()
+          ok = fmt == 1 && ch == 1 && bits == 16
+          buf.position(buf.position() + size - 16 + (size % 2))
+        } else if (cc == "data" && ok && rate > 0) {
+          val n = size / 2
+          var sumAbs = 0L; var peak = 0
+          var i = 0
+          while (i < n) {
+            val s = buf.getShort().toInt
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          stats = Some(DecodedAudio(rate, n.toLong, sumAbs, peak))
+        } else {
+          buf.position(buf.position() + size + (size % 2))
+        }
+      }
+      stats
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-partition batched WAV stats: media_id, sample_rate, n_samples,
+    * sum_abs, peak — exact longs, same execution shape as the image path. */
+  def audioStatsBatched(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { internal =>
+        val id = internal.getLong(idIdx)
+        val payload = if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        decodeWav(payload) match {
+          case Some(a) =>
+            org.apache.spark.sql.catalyst.InternalRow(id, a.sampleRate, a.nSamples,
+              a.sumAbs, a.peak)
+          case None =>
+            org.apache.spark.sql.catalyst.InternalRow(id, null, null, null, null)
+        }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  /** Synthetic REAL-WAV media: `64 + id%32` samples at `8000 + (id%4)·4000`
+    * Hz, sample i = `((id·31 + i·17) mod 2003) − 1001` — every decoded stat
+    * is a closed form of id an external oracle can mirror. */
+  def syntheticWavMedia(df: DataFrame, idCol: String): DataFrame = {
+    val mkWav = udf((id: Long) => wavFromSamples(
+      (0 until (64 + id % 32).toInt).map(i =>
+        (((id * 31 + i * 17) % 2003) - 1001).toShort).toArray,
+      8000 + (id % 4).toInt * 4000))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", mkWav(col("media_id")))
   }
 
   /** Demo media table derived from any id column — used by tests/bench. */

@@ -1034,6 +1034,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(jd.width == 12 && jd.height == 10)
   }
 
+  test("real WAV decode: PCM16 round-trip stats, corruption handling") {
+    val samples = Array[Short](100, -200, 300, -400, 32767, -32768)
+    val wav = Multimodal.wavFromSamples(samples, 16000)
+    val d = Multimodal.decodeWav(wav).get
+    assert(d.sampleRate == 16000 && d.nSamples == 6)
+    assert(d.sumAbs == 100L + 200 + 300 + 400 + 32767 + 32768)
+    assert(d.peak == 32768)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.pngPayload(3L)).isEmpty)
+    // distributed path: closed-form stats per id
+    val out = Multimodal.audioStatsBatched(
+      Multimodal.syntheticWavMedia(spark.range(40).toDF("id"), "id")).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 32).toInt
+      val expAbs = (0 until n).map(i => math.abs(((id * 31 + i * 17) % 2003) - 1001)).sum
+      val expPeak = (0 until n).map(i => math.abs(((id * 31 + i * 17) % 2003) - 1001)).max
+      assert(r.getInt(1) == 8000 + (id % 4).toInt * 4000)
+      assert(r.getLong(2) == n.toLong && r.getLong(3) == expAbs && r.getInt(4) == expPeak)
+    }
+  }
+
+  test("real pixel featurizer: mean-pool grid from the real decode") {
+    // gradient PNG: cell means are exact integer-sum / count divisions
+    val id = 13L
+    val feats = Multimodal.featurizePixelsPayload(Multimodal.pngPayload(id), 4)
+    assert(feats.length == 48)
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    val r = ((id * 7) % 256).toFloat; val b = ((id * 31) % 256).toFloat
+    for (cell <- 0 until 16) {
+      assert(feats(cell * 3) == r)       // solid R: every cell mean exact
+      assert(feats(cell * 3 + 2) == b)   // solid B
+      val cx = cell % 4
+      val x0 = cx * w / 4; val x1 = (cx + 1) * w / 4
+      val gmean = (x0 until x1).map(x => (x * 255) / (w - 1)).sum.toFloat / (x1 - x0)
+      assert(feats(cell * 3 + 1) == gmean, s"cell $cell")
+    }
+    assert(Multimodal.featurizePixelsPayload(null, 4) == null)
+    assert(Multimodal.featurizePixelsPayload(Array[Byte](9, 9), 4) == null)
+    // flows into Similarity as a first-class embedding column
+    import spark.implicits._
+    val emb = Multimodal.syntheticPngMedia(spark.range(12).toDF("id"), "id")
+      .select(col("media_id"), Multimodal.featurizePixels(col("payload"), 4).as("embedding"))
+    val pairs = graft.pipeline.Similarity.bruteForceTopK(
+      emb, emb.limit(2), "media_id", "embedding", k = 3).collect()
+    assert(pairs.length == 6)
+  }
+
   test("real PNG decode: imageio round-trip recovers exact pixel sums") {
     val media = Multimodal.syntheticPngMedia(spark.range(40).toDF("id"), "id")
     val decoded = Multimodal.decodeImageBatched(media).collect()
