@@ -116,6 +116,32 @@ object GeoIO {
       }
     }
     df.select(projected: _*).write.mode("overwrite").parquet(path)
+    stampGeoFooter(df.sparkSession, path, geometryColumns.map { case (n, gt) =>
+      n -> ((gt, "WKB", crsOf(df, n), coveringOf(df, n, geometryColumns.size)))
+    })
+  }
+
+  /** The column's carried `crs` field metadata, if any. */
+  private def crsOf(df: DataFrame, name: String): Option[String] = {
+    val f = df.schema(name)
+    if (f.metadata.contains("crs")) Some(f.metadata.getString("crs")) else None
+  }
+
+  /** The [[withBboxColumn]] covering column paired with geometry column
+    * `name`, if present: `"<name>_bbox"`, or plain `"bbox"` when the file
+    * has a single geometry column. Shape-checked so an unrelated column
+    * named bbox is never advertised. */
+  private def coveringOf(df: DataFrame, name: String, nGeomCols: Int): Option[String] = {
+    import org.apache.spark.sql.types.{DoubleType, StructType}
+    val candidates = if (nGeomCols == 1) Seq(s"${name}_bbox", "bbox") else Seq(s"${name}_bbox")
+    candidates.find { c =>
+      df.schema.fields.exists(f => f.name == c && (f.dataType match {
+        case s: StructType =>
+          Seq("xmin", "ymin", "xmax", "ymax").forall(m =>
+            s.fields.exists(g => g.name == m && g.dataType == DoubleType))
+        case _ => false
+      }))
+    }
   }
 
   /**
@@ -152,6 +178,82 @@ object GeoIO {
       }
     }
     df.select(projected: _*).write.mode("overwrite").parquet(path)
+    // GeoParquet 1.1 native encodings are the lowercase class names — the
+    // same footer interop applies to the native layout sink
+    stampGeoFooter(df.sparkSession, path, geometryColumns.map { case (n, gt) =>
+      n -> ((gt, gt.toLowerCase, crsOf(df, n), coveringOf(df, n, geometryColumns.size)))
+    })
+  }
+
+  /**
+   * Stamp a REAL GeoParquet `geo` footer key onto every part file under
+   * `path` — the interop step that makes this engine's output readable as
+   * GeoParquet by OTHER engines (pyarrow/GDAL/DuckDB-spatial and the
+   * reference itself, which reads the footer via DataFusion's
+   * skip_metadata=false — examples/main.rs:18). Spark's writer cannot set
+   * parquet key-value metadata, so each part is rewritten through
+   * `ParquetFileWriter.appendFile`: row groups are copied RAW (no
+   * decode/re-encode — footer-only cost), the original key-value metadata
+   * (including Spark's own schema key) is preserved, and the `geo`
+   * document is added.
+   *
+   * @param geoColumns column → (geometry class, encoding, optional crs JSON,
+   *                   optional [[withBboxColumn]] covering column to
+   *                   advertise as the 1.1 `covering.bbox` member)
+   */
+  private def stampGeoFooter(spark: SparkSession, path: String,
+                             geoColumns: Map[String, (String, String, Option[String], Option[String])]): Unit = {
+    import MiniJson._
+    import scala.collection.mutable.LinkedHashMap
+    if (geoColumns.isEmpty) return
+    val colsObj = JObj(LinkedHashMap(geoColumns.toSeq.map { case (name, (gtype, enc, crs, covering)) =>
+      val fields = LinkedHashMap[String, Value](
+        "encoding" -> JStr(enc),
+        "geometry_types" -> (gtype match {
+          case "Unknown" | "Mixed" => JArr(Vector.empty)
+          case t => JArr(Vector(JStr(t)))
+        }))
+      crs.flatMap(parse).foreach(v => fields += ("crs" -> v))
+      covering.foreach { c =>
+        fields += ("covering" -> JObj(LinkedHashMap[String, Value]("bbox" ->
+          JObj(LinkedHashMap[String, Value](
+            Seq("xmin", "ymin", "xmax", "ymax").map(m =>
+              m -> (JArr(Vector(JStr(c), JStr(m))): Value)): _*)))))
+      }
+      name -> (JObj(fields): Value)
+    }: _*))
+    val geoJson = render(JObj(LinkedHashMap[String, Value](
+      "version" -> JStr("1.1.0"),
+      "primary_column" -> JStr(geoColumns.head._1),
+      "columns" -> colsObj)))
+
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    parts.foreach { part =>
+      val in = HadoopInputFile.fromPath(part, conf)
+      val reader = ParquetFileReader.open(in)
+      val (schema, kv) =
+        try {
+          val md = reader.getFooter.getFileMetaData
+          (md.getSchema, md.getKeyValueMetaData)
+        } finally reader.close()
+      val merged = new java.util.HashMap[String, String](kv)
+      merged.put("geo", geoJson)
+      val tmp = new Path(part.getParent, part.getName + ".geo.tmp")
+      val writer = new org.apache.parquet.hadoop.ParquetFileWriter(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf),
+        schema, org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+      writer.start()
+      writer.appendFile(in)
+      writer.end(merged)
+      fs.delete(part, false)
+      fs.rename(tmp, part)
+    }
   }
 
   /**

@@ -179,4 +179,66 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(out).getParentFile)
   }
+
+  test("sinks stamp a REAL geo footer key readable by any GeoParquet engine") {
+    G.register(spark)
+    val fixture = getClass.getResource("/graft/crs_points.parquet").getPath
+    val crs0 = GeoIO.readGeoMetadata(spark, fixture).head.crs.get
+    val df = GeoIO.readGeoParquet(spark, fixture)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_footer").toString
+    val wkbOut = base + "/wkb"
+    GeoIO.writeGeoParquet(df, wkbOut, Map("geometry" -> "Point"))
+    // readGeoMetadata goes straight to the parquet key-value footer — it sees
+    // the stamped `geo` document, not Spark's field metadata
+    val wkbCols = GeoIO.readGeoMetadata(spark, wkbOut)
+    assert(wkbCols.map(c => (c.name, c.encoding, c.geometryTypes)) ==
+      Seq(("geometry", "WKB", Seq("Point"))), wkbCols)
+    assert(wkbCols.head.crs.contains(crs0), wkbCols.head.crs)
+
+    val natOut = base + "/native"
+    GeoIO.writeGeoParquetNative(df, natOut, Map("geometry" -> "Point"))
+    val natCols = GeoIO.readGeoMetadata(spark, natOut)
+    assert(natCols.map(c => (c.name, c.encoding)) == Seq(("geometry", "point")), natCols)
+    assert(natCols.head.crs.contains(crs0), natCols.head.crs)
+
+    // the footer rewrite copies row groups raw — data must be intact and
+    // Spark's own schema key preserved (field metadata still round-trips)
+    val back = GeoIO.readGeoParquet(spark, wkbOut)
+    assert(back.schema("geometry").metadata.getString("crs") == crs0)
+    val wkts = back.select(G.st_astext(col("geometry"))).collect().map(_.getString(0)).sorted
+    assert(wkts.sameElements(Array("POINT (1.0 2.0)", "POINT (3.0 4.0)", "POINT (5.5 -6.25)")),
+      wkts.mkString("; "))
+
+    // columns without a carried crs emit a footer without the member (spec
+    // says absent/null means the default CRS) — no crash, still parseable
+    val plain = spark.sql("SELECT ST_GeomFromText('POINT (7 8)') AS g")
+    val plainOut = base + "/plain"
+    GeoIO.writeGeoParquet(plain, plainOut, Map("g" -> "Point"))
+    val plainCols = GeoIO.readGeoMetadata(spark, plainOut)
+    assert(plainCols.map(_.name) == Seq("g") && plainCols.head.crs.isEmpty, plainCols)
+
+    // a withBboxColumn covering column is advertised via the 1.1 covering
+    // member, pointing other engines at the row-group-pruning stats
+    val covOut = base + "/covered"
+    GeoIO.writeGeoParquet(GeoIO.withBboxColumn(plain, "g"), covOut, Map("g" -> "Point"))
+    val covJson = rawGeoFooter(covOut)
+    assert(covJson.contains(
+      """"covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""),
+      covJson)
+    // no bbox column -> no covering member
+    assert(!rawGeoFooter(plainOut).contains("covering"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  private def rawGeoFooter(dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val part = p.getFileSystem(conf).listStatus(p).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+    try r.getFooter.getFileMetaData.getKeyValueMetaData.get("geo") finally r.close()
+  }
 }
