@@ -597,6 +597,38 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q90_range_join" -> ((s, d) => {
+      // batch interval-overlap join (RangeJoin.overlapJoin, self-tuned bin
+      // width — the binned equi-join rewrite, NOT a cartesian): every 1994
+      // order is "active" for [orderdate, orderdate + 1..7 days]; every
+      // returned lineitem is "in flight" for [shipdate, shipdate + 1..3
+      // days]; pairs are date-overlapping (order, shipment) combinations,
+      // aggregated per priority with the exact overlap length. The oracle
+      // is DuckDB's inequality join over the same synthesized intervals.
+      val epoch = lit("1970-01-01")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("o_start"),
+          (datediff(to_date(col("o_orderdate")), epoch) +
+            col("o_orderkey") % 7 + 1).cast("long").as("o_end"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1996-12-01") && col("l_shipdate") < lit("1998-02-01"))
+        .select(col("l_quantity"),
+          datediff(to_date(col("l_shipdate")), epoch).cast("long").as("l_start"),
+          (datediff(to_date(col("l_shipdate")), epoch) +
+            col("l_linenumber") % 3 + 1).cast("long").as("l_end"))
+      graft.pipeline.RangeJoin.overlapJoin(o, "o_start", "o_end", li, "l_start", "l_end")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("pairs"),
+          sum(col("l_quantity")).as("qty"),
+          sum(least(col("o_end"), col("l_end")) -
+            greatest(col("o_start"), col("l_start")) + 1).as("overlap_days"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q89_audio_stats" -> ((s, d) => {
       // REAL audio decode certified end-to-end: a mono PCM16 WAV is
       // synthesized per part (64 + id%32 samples, sample i closed-form in
@@ -1764,6 +1796,33 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q90_range_join" -> """
+      WITH o AS (
+        SELECT o_orderpriority,
+               datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS o_start,
+               datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+                 + o_orderkey % 7 + 1 AS o_end
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'),
+      l AS (
+        SELECT l_quantity,
+               datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS l_start,
+               datediff('day', DATE '1970-01-01', l_shipdate::DATE)
+                 + l_linenumber % 3 + 1 AS l_end
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-12-01'
+          AND l_shipdate < TIMESTAMP '1998-02-01')
+      SELECT o_orderpriority,
+             count(*) AS pairs,
+             sum(l_quantity) AS qty,
+             CAST(sum(least(o_end, l_end) - greatest(o_start, l_start) + 1)
+                  AS BIGINT) AS overlap_days
+      FROM o JOIN l ON o_start <= l_end AND l_start <= o_end
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     // closed forms of Multimodal.syntheticWavMedia: n = 64 + k%32 samples,
     // sample i = ((k*31 + i*17) mod 2003) - 1001, rate 8000 + (k%4)*4000

@@ -32,7 +32,8 @@ object GeoIO {
     *        JSON string at parse time — carried so a non-default CRS
     *        survives read → write → read instead of being silently lost. */
   case class GeoColumn(name: String, encoding: String, geometryTypes: Seq[String],
-                       crs: Option[String] = None) {
+                       crs: Option[String] = None,
+                       coveringBbox: Option[String] = None) {
     /** 0 → Unknown, 1 → that type, >1 → Mixed (reference: src/rules.rs:143-147). */
     def geometryType: String = geometryTypes match {
       case Seq() => "Unknown"
@@ -62,7 +63,23 @@ object GeoIO {
                     val crs = col.get("crs").collect {
                       case v if v != JNull => render(v)
                     }
-                    Some(GeoColumn(name, enc, types, crs))
+                    // 1.1 covering member: every bbox field must point into
+                    // the SAME struct column for it to be usable as a
+                    // [[bboxFilter]] target
+                    val covering = col.get("covering").flatMap {
+                      case cov: JObj => cov.get("bbox").flatMap {
+                        case bbox: JObj =>
+                          val cols = Seq("xmin", "ymin", "xmax", "ymax").flatMap(m =>
+                            bbox.get(m).collect { case JArr(Vector(JStr(c), JStr(`m`))) => c })
+                          cols.distinct match {
+                            case Seq(c) if cols.size == 4 => Some(c)
+                            case _ => None
+                          }
+                        case _ => None
+                      }
+                      case _ => None
+                    }
+                    Some(GeoColumn(name, enc, types, crs, covering))
                   case _ => None
                 }
               case _ => None

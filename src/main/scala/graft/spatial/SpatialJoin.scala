@@ -271,7 +271,7 @@ object SpatialJoin {
    * callers crossJoin(broadcast(...)) it as a scalar.
    */
   /** A one-row/one-column frame as an uncorrelated scalar-subquery Column. */
-  private[spatial] def scalarOf(oneRow: DataFrame): Column =
+  private[graft] def scalarOf(oneRow: DataFrame): Column =
     toCol(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       oneRow.queryExecution.analyzed))
 

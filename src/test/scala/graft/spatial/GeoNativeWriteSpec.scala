@@ -228,6 +228,11 @@ class GeoNativeWriteSpec extends AnyFunSuite {
       covJson)
     // no bbox column -> no covering member
     assert(!rawGeoFooter(plainOut).contains("covering"))
+    // and the covering round-trips through the metadata reader, so a
+    // consumer can find the pruning column without knowing the convention
+    val covCols = GeoIO.readGeoMetadata(spark, covOut)
+    assert(covCols.head.coveringBbox.contains("bbox"), covCols)
+    assert(GeoIO.readGeoMetadata(spark, plainOut).head.coveringBbox.isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
