@@ -597,6 +597,57 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q91_grouping_sets" -> ((s, d) => {
+      // general GROUPING SETS (asymmetric — not expressible as one
+      // ROLLUP/CUBE): detail, priority-only, and grand-total grains in ONE
+      // pass; Spark plans a single Expand + one shuffle (same shape as
+      // q57's ROLLUP). grouping() disambiguates real NULLs from subtotal
+      // rows.
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY gid, status, priority""")
+    }),
+
+    "q92_argmax" -> ((s, d) => {
+      // argmax/argmin surface: max_by/min_by with a struct ordering key so
+      // ties on totalprice break deterministically by orderkey (largest for
+      // max_by, smallest for min_by — mirrored by the oracle's two window
+      // rankings). One shuffle, partial aggregation on the map side.
+      prep(s, d, "orders")
+      s.sql("""
+        SELECT o_custkey,
+               max_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS best_order,
+               min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS worst_order,
+               max(o_totalprice) AS best_price
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")
+    }),
+
+    "q93_unpivot" -> ((s, d) => {
+      // UNPIVOT (wide -> long melt, the inverse of q58's pivot): three
+      // measure columns become (metric, val) rows in a zero-shuffle
+      // Expand, then one aggregation; sums go through DECIMAL(18,2) so
+      // they're order-independent (q01 precedent).
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT metric, count(*) AS n,
+               CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (SELECT l_quantity, l_extendedprice, l_discount
+              FROM lineitem WHERE l_linenumber = 1)
+        UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        GROUP BY metric ORDER BY metric""")
+    }),
+
     "q90_range_join" -> ((s, d) => {
       // batch interval-overlap join (RangeJoin.overlapJoin, self-tuned bin
       // width — the binned equi-join rewrite, NOT a cartesian): every 1994
@@ -1796,6 +1847,40 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q91_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                  AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, status, priority""",
+
+    "q92_argmax" -> """
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        FROM orders)
+      SELECT o_custkey,
+             max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+             max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+             max(o_totalprice) AS best_price
+      FROM r GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q93_unpivot" -> """
+      SELECT metric, count(*) AS n,
+             CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (SELECT l_quantity, l_extendedprice, l_discount
+            FROM lineitem WHERE l_linenumber = 1)
+      UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+      GROUP BY metric ORDER BY metric""",
 
     "q90_range_join" -> """
       WITH o AS (
