@@ -597,6 +597,21 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q94_temperature_mix" -> ((s, d) => {
+      // temperature-based domain mixing (alpha=0.5): per-lang keep rates
+      // derive from the data itself (sqrt-weighted shares, integer-exact
+      // weight/total arithmetic, one fixed double chain for the rate), so
+      // dominant 'en' flattens toward the rare langs; selection is the
+      // q59 md5-bucket predicate. The oracle recomputes the identical
+      // rates and buckets from first principles.
+      prep(s, d, "documents")
+      Sampling.temperatureSampleHash(t(s, d, "documents"), "doc_id", "lang",
+          targetBp = 4000, alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
+
     "q91_grouping_sets" -> ((s, d) => {
       // general GROUPING SETS (asymmetric — not expressible as one
       // ROLLUP/CUBE): detail, priority-only, and grand-total grains in ONE
@@ -1847,6 +1862,24 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q94_temperature_mix" -> """
+      WITH c AS (
+        SELECT lang, count(*) AS n,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0, 0)
+                    AS BIGINT) AS pw
+        FROM documents GROUP BY lang),
+      r AS (
+        SELECT lang, n,
+               least(10000, CAST(floor(
+                 CAST(4000 AS DOUBLE) * (SELECT sum(n) FROM c) * pw /
+                   (SELECT sum(pw) FROM c) / n) AS BIGINT)) AS bp
+        FROM c)
+      SELECT d.lang, count(*) AS kept, max(d.doc_id) AS max_doc
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) % 10000 < r.bp
+      GROUP BY d.lang ORDER BY d.lang""",
 
     "q91_grouping_sets" -> """
       SELECT coalesce(o_orderstatus, 'ALL') AS status,

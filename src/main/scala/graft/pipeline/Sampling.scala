@@ -47,6 +47,49 @@ object Sampling {
     hashSplit(df, groupCol, splits)
 
   /**
+   * Temperature-based domain mixing: sample so domain d's share of the
+   * output follows `n_d^alpha / Σ n^alpha` — the standard training-mixture
+   * move (alpha < 1 flattens dominant domains toward rare ones; alpha = 1
+   * keeps natural proportions). Rates derive from the DATA (one tiny
+   * per-domain count aggregate, broadcast back), selection is the same
+   * md5-bucket predicate as [[stratifiedSampleHash]] — stable across
+   * runs, layouts, and appends, reproducible by any engine.
+   *
+   * Cross-engine exactness: per-domain weights go through
+   * `round(n^alpha * 1e6)` as integers, totals are integer sums, and the
+   * final rate is one fixed left-to-right double chain
+   * `targetBp * total * pw / sumpw / n` — identical IEEE results
+   * everywhere (use alpha = 0.5: sqrt is correctly rounded by spec;
+   * general pow is not and may drift a last-ulp between engines).
+   *
+   * @param targetBp overall keep fraction in basis points of 10000; a
+   *                 domain whose computed rate exceeds 10000 bp is kept
+   *                 whole (rare domains under strong flattening)
+   */
+  def temperatureSampleHash(df: DataFrame, keyCol: String, domainCol: String,
+                            targetBp: Int, alpha: Double = 0.5): DataFrame = {
+    require(targetBp >= 0 && targetBp <= 10000,
+      s"targetBp must be in [0, 10000], got $targetBp")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val nD = col("__n").cast("double")
+    val powed = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__pw", round(powed * lit(1e6)).cast("long"))
+    // full-frame window sums over the tiny domain table (integer-exact)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__total", sum(col("__n")).over(w))
+      .withColumn("__sumpw", sum(col("__pw")).over(w))
+      .select(col(domainCol),
+        least(lit(10000L), floor(
+          lit(targetBp.toDouble) * col("__total") * col("__pw") /
+            col("__sumpw") / col("__n")).cast("long")).as("__bp"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(keyCol)) < col("__bp"))
+      .drop("__bp")
+  }
+
+  /**
    * Deterministic stratified sampling: keep a row iff its key's hash
    * bucket falls under the stratum's sampling rate (basis points of
    * 10000). The standard corpus-rebalancing move — downsample dominant

@@ -591,6 +591,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(all == cust.filter(col("c_mktsegment") === "AUTOMOBILE").count())
   }
 
+  test("temperature mix: alpha=1 keeps natural proportions, alpha=0.5 flattens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // alpha=1: every domain's rate is exactly targetBp, so the result
+    // equals the plain (domain-blind) hash filter
+    val natural = Sampling.temperatureSampleHash(docs, "doc_id", "lang", 4000, alpha = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val blind = docs.filter(Sampling.hashBucket(col("doc_id")) < 4000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(natural == blind && natural.nonEmpty)
+
+    // alpha=0.5: keep RATE must be strictly higher for the rarest domain
+    // than for the dominant one (that's the flattening)
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.temperatureSampleHash(docs, "doc_id", "lang", 4000, alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dominant = n.maxBy(_._2)._1
+    val rare = n.minBy(_._2)._1
+    assert(kept(rare).toDouble / n(rare) > kept(dominant).toDouble / n(dominant))
+  }
+
   test("repetition score stays within [0,1] on random token streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
