@@ -597,6 +597,21 @@ object Queries {
         ORDER BY user_id, event_id""")
     }),
 
+    "q95_pq_encode" -> ((s, d) => {
+      // product-quantization encode certified end-to-end: codebook = the
+      // 16 vectors with smallest (md5(vec_id), vec_id) — PORTABLE ordering
+      // the oracle reproduces — and each embedding compresses to 4 codes
+      // (argmin L2^2 per 16-dim subspace, double arithmetic, ties to the
+      // smallest code). The oracle recomputes every distance and argmin
+      // from first principles, so all 4 codes of all vectors hash-match.
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 16)
+      Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+
     "q94_temperature_mix" -> ((s, d) => {
       // temperature-based domain mixing (alpha=0.5): per-lang keep rates
       // derive from the data itself (sqrt-weighted shares, integer-exact
@@ -1862,6 +1877,30 @@ object Queries {
              scale
       FROM q
       ORDER BY vec_id, pos""",
+
+    "q95_pq_encode" -> """
+      WITH ranked AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code
+        FROM embeddings),
+      cb AS (SELECT code, embedding AS codevec FROM ranked WHERE code < 16),
+      pairs AS (
+        SELECT e.vec_id, s.s AS sub, cb.code,
+               (SELECT sum((CAST(e.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE))
+                         * (CAST(e.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE)))
+                FROM generate_series(1, 16) i(i)) AS d2
+        FROM embeddings e
+        CROSS JOIN generate_series(0, 3) s(s)
+        CROSS JOIN cb)
+      SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+      FROM (SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, code) AS rn
+            FROM pairs)
+      WHERE rn = 1 ORDER BY vec_id, sub""",
 
     "q94_temperature_mix" -> """
       WITH c AS (

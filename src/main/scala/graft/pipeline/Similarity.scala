@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -343,5 +344,105 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= minCosine)
     allPairs(cold).unionByName(hotPairs)
+  }
+
+  // ============================ product quantization ============================
+
+  /**
+   * PQ codebook: the k corpus vectors with smallest `(md5(id), id)` become
+   * codes 0..k-1 (md5, not xxhash64, so an external engine — and the
+   * DuckDB oracle — can reproduce the choice). Subspace s of code c is
+   * `codevec[s*d/m .. (s+1)*d/m)`. Like the IVF centroid sample: a
+   * hash-ordered pick is deterministic, append-stable, and needs no
+   * iterative training job.
+   */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    val w = Window.orderBy(col("__h"), col("code_id"))
+    corpus
+      .select(col(idCol).as("code_id"), col(vecCol).as("codevec"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("code_id")).limit(k)
+      // k rows — the single-partition window is bounded by construction
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(col("code"), col("codevec"))
+  }
+
+  /**
+   * PQ encode: each vector compresses to m codes — subspace s keeps the
+   * code whose sub-codevector is L2-nearest (ties → smallest code). With
+   * m=4, k=16 a 64-float embedding stores in 4 small ints: the 100 TB
+   * ANN-storage move beyond [[quantizeInt8]]. Same plan shape as
+   * [[ivfAssignWith]]: codebook folds to ONE broadcast row, each corpus
+   * row walks it with higher-order functions — scan → broadcast join →
+   * project, no shuffle, no explode.
+   *
+   * Distances run in DOUBLE (floats cast first) so any engine computes
+   * the identical IEEE chain.
+   */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, m: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val cbArr = codebook.agg(
+      array_sort(collect_list(struct(col("code"), col("codevec")))).as("__cb"))
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    corpus.crossJoin(broadcast(cbArr))
+      .select(col(idCol), col(vecCol),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sub = slice(col(vecCol), s * dsub + 1, dsub)
+          aggregate(col("__cb"),
+            struct(lit(Double.MaxValue).as("best"), lit(-1).as("code")),
+            (acc, c) => {
+              val csub = slice(c.getField("codevec"), s * dsub + 1, dsub)
+              val d2 = aggregate(
+                zip_with(sub, csub,
+                  (a, b) => (a.cast("double") - b.cast("double")) *
+                    (a.cast("double") - b.cast("double"))),
+                lit(0.0), (acc2, x) => acc2 + x)
+              when(d2 < acc.getField("best"),
+                  struct(d2.as("best"), c.getField("code").as("code")))
+                .otherwise(acc)
+            }).getField("code")
+        }).as("codes"))
+      .drop(vecCol)
+  }
+
+  /**
+   * PQ approximate top-k via asymmetric distance computation (ADC): each
+   * query precomputes its m×k table of sub-distances to every code ONCE,
+   * then every encoded corpus row costs m array lookups — no vector math
+   * on the corpus side at all. Queries (with tables) broadcast; the
+   * encoded corpus is scanned once and never shuffled; per-query bounded
+   * [[TopKAgg]] re-ranks. Returns (query_id, neighbor_id, dist, rank) by
+   * ascending approximate squared L2.
+   */
+  def pqTopKAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
+    val nCodes = size(col("__cb"))
+    val cbArr = codebook.agg(
+      array_sort(collect_list(struct(col("code"), col("codevec")))).as("__cb"))
+    val dsub = (size(col(vecCol)) / m).cast("int")
+    val q = queries.crossJoin(broadcast(cbArr))
+      .select(col(idCol).as("query_id"),
+        flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+          val sub = slice(col(vecCol), s * dsub + 1, dsub)
+          transform(col("__cb"), c => {
+            val csub = slice(c.getField("codevec"), s * dsub + 1, dsub)
+            aggregate(
+              zip_with(sub, csub,
+                (a, b) => (a.cast("double") - b.cast("double")) *
+                  (a.cast("double") - b.cast("double"))),
+              lit(0.0), (acc, x) => acc + x)
+          })
+        })).as("__tab"),
+        nCodes.as("__nc"))
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc +
+            element_at(col("__tab"), s * col("__nc") + element_at(col("codes"), s + 1) + 1))
+          .as("dist"))
+    TopK.perQuery(scored.withColumn("sim", -col("dist")), k)
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("dist"), col("rank"))
   }
 }

@@ -341,6 +341,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == expect.toSeq)
   }
 
+  test("pq encode: codebook vectors encode to themselves; codes bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 16)
+    val cbRows = cb.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(cbRows.keySet == (0 until 16).toSet)
+    val encoded = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4)
+    val codes = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    // a vector that IS a codebook entry has zero distance to itself in
+    // every subspace -> its m codes reconstruct it exactly
+    val cbIds = emb.join(cb, emb("embedding") === cb("codevec"))
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(cbIds.length == 16)
+    cbIds.foreach { case (vid, code) =>
+      assert(codes(vid).forall(_ == code), s"vec $vid codes ${codes(vid)} != $code")
+    }
+  }
+
+  test("pq ADC top-k correlates with exact neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 16)
+    val encoded = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4)
+    val adc = Similarity.pqTopKAdc(encoded, cb, queries, "vec_id", "embedding",
+      m = 4, k = 10)
+    // ranks are 1..10 per query, ascending distance, no self-matches
+    val rows = adc.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 10))
+      assert(sorted.map(_.getDouble(2)).toSeq == sorted.map(_.getDouble(2)).sorted.toSeq)
+    }
+    // the ADC approximation must beat chance decisively: mean exact L2^2 of
+    // the ADC-chosen 10 is below the corpus-wide mean for every query
+    val all = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def l2sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    byQ.foreach { case (qid, rs) =>
+      val qv = all(qid)
+      val chosen = rs.map(r => l2sq(qv, all(r.getLong(1)))).sum / rs.length
+      val corpus = all.collect { case (id, v) if id != qid => l2sq(qv, v) }
+      val mean = corpus.sum / corpus.size
+      assert(chosen < mean, s"query $qid: ADC mean $chosen !< corpus mean $mean")
+    }
+  }
+
   test("ivf top-k recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
