@@ -445,4 +445,44 @@ object Similarity {
     TopK.perQuery(scored.withColumn("sim", -col("dist")), k)
       .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("dist"), col("rank"))
   }
+
+  /**
+   * Persist a PQ index: `codebook/` (k rows) and `codes/` (id + m codes —
+   * the compressed corpus, the only thing a 100 TB ANN serving layer
+   * keeps hot). `m` travels as field metadata so append/query read it
+   * back without scanning data (the minhash-index pattern).
+   */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, m: Int = 4, k: Int = 16): Unit = {
+    val cb = pqCodebook(corpus, idCol, vecCol, k)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("m", m).build()
+    pqEncode(corpus, cb, idCol, vecCol, m)
+      .withColumn("codes", col("codes").as("codes", meta))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Grow a persisted PQ index: the batch encodes against the STORED
+    * codebook, so new codes stay comparable with what's indexed — no
+    * rebuild, no corpus re-read (parallel to [[appendIvfIndex]]). */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val m = spark.read.parquet(s"$path/codes")
+      .schema("codes").metadata.getLong("m").toInt
+    pqEncode(batch, cb, idCol, vecCol, m)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** [[pqTopKAdc]] against a persisted index — only the codes and the
+    * k-row codebook are read; corpus vectors never load. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val m = codes.schema("codes").metadata.getLong("m").toInt
+    pqTopKAdc(codes, cb, queries, idCol, vecCol, m, k)
+  }
 }

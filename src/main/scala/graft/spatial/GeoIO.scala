@@ -375,4 +375,32 @@ object GeoIO {
     }
     df.select(projected: _*)
   }
+
+  /**
+   * Read with an envelope predicate [xmin,xmax]×[ymin,ymax]: when the
+   * footer advertises a `covering.bbox` column ([[GeoColumn.coveringBbox]]
+   * — stamped by this engine's sinks or any GeoParquet 1.1 writer), the
+   * rectangle test lands on the plain covering struct and pushes through
+   * the decode projection to the parquet scan (`PushedFilters` → row
+   * groups skip on stats, zero geometry decode for misses); the exact
+   * envelope-intersection residual then runs only on survivors. Without a
+   * covering, the exact test alone applies — same results, no pruning.
+   */
+  def readGeoParquetFiltered(spark: SparkSession, path: String,
+                             xmin: Double, ymin: Double,
+                             xmax: Double, ymax: Double): DataFrame = {
+    import graft.spatial.{functions => G}
+    val df = readGeoParquet(spark, path)
+    val footerCols = readGeoMetadata(spark, path)
+    val geomName = footerCols.headOption.map(_.name)
+      .orElse(df.schema.fields.find(_.metadata.contains("geometryType")).map(_.name))
+      .getOrElse(throw new IllegalArgumentException(s"no geometry column under $path"))
+    val g = col(geomName)
+    val exact = G.st_xmin(g) <= xmax && G.st_xmax(g) >= xmin &&
+      G.st_ymin(g) <= ymax && G.st_ymax(g) >= ymin
+    footerCols.headOption.flatMap(_.coveringBbox) match {
+      case Some(bb) => df.filter(bboxFilter(bb, xmin, ymin, xmax, ymax) && exact)
+      case None => df.filter(exact)
+    }
+  }
 }

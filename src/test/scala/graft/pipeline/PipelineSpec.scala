@@ -391,6 +391,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq index: append encodes with the stored codebook; indexed == direct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (first, rest) = (emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400))
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    Similarity.writePqIndex(first, "vec_id", "embedding", path, m = 4, k = 16)
+    Similarity.appendPqIndex(spark, path, rest, "vec_id", "embedding")
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.pqTopKIndexed(spark, path, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // direct: same codebook (trained on `first` only), whole corpus encoded
+    val cb = spark.read.parquet(s"$path/codebook")
+    val direct = Similarity.pqTopKAdc(
+        Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4),
+        cb, queries, "vec_id", "embedding", m = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("ivf top-k recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

@@ -236,6 +236,37 @@ class GeoNativeWriteSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("readGeoParquetFiltered prunes via the advertised covering column") {
+    G.register(spark)
+    import spark.implicits._
+    val pts = (0 until 200).map(i => (i.toLong, (i % 20).toDouble, (i / 20).toDouble))
+      .toDF("id", "x", "y")
+      .select(col("id"), expr("ST_Point(x, y)").as("g"))
+    val base = java.nio.file.Files.createTempDirectory("graft_covread").toString
+    val covOut = base + "/cov"
+    GeoIO.writeGeoParquet(GeoIO.withBboxColumn(pts, "g"), covOut, Map("g" -> "Point"))
+
+    val filtered = GeoIO.readGeoParquetFiltered(spark, covOut, 3.0, 2.0, 6.5, 4.5)
+    // the covering rectangle test reaches the scan as PushedFilters
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bbox.xmin"), plan.take(1500))
+    // results equal the exact filter over the full read
+    val expected = GeoIO.readGeoParquet(spark, covOut)
+      .filter(G.st_xmin(col("g")) <= 6.5 && G.st_xmax(col("g")) >= 3.0 &&
+        G.st_ymin(col("g")) <= 4.5 && G.st_ymax(col("g")) >= 2.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(filtered.select("id").collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty && expected.size < 200)
+
+    // no covering column -> same rows through the exact-only path
+    val plainOut = base + "/plain"
+    GeoIO.writeGeoParquet(pts, plainOut, Map("g" -> "Point"))
+    val plainRows = GeoIO.readGeoParquetFiltered(spark, plainOut, 3.0, 2.0, 6.5, 4.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plainRows == expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   private def rawGeoFooter(dir: String): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
