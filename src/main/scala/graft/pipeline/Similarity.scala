@@ -383,28 +383,16 @@ object Similarity {
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
                vecCol: String, m: Int): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
+    // codevecs ordered by code, folded to ONE broadcast row; the argmin
+    // walk is the tight-loop [[PqEncodeExpr]] kernel (same arithmetic
+    // contract as the HOF formulation — left-to-right double sums, ties
+    // to the smallest code — q95 pins it against the DuckDB mirror)
     val cbArr = codebook.agg(
-      array_sort(collect_list(struct(col("code"), col("codevec")))).as("__cb"))
-    val dsub = (size(col(vecCol)) / m).cast("int")
+      transform(array_sort(collect_list(struct(col("code"), col("codevec")))),
+        c => c.getField("codevec")).as("__cbv"))
     corpus.crossJoin(broadcast(cbArr))
-      .select(col(idCol), col(vecCol),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val sub = slice(col(vecCol), s * dsub + 1, dsub)
-          aggregate(col("__cb"),
-            struct(lit(Double.MaxValue).as("best"), lit(-1).as("code")),
-            (acc, c) => {
-              val csub = slice(c.getField("codevec"), s * dsub + 1, dsub)
-              val d2 = aggregate(
-                zip_with(sub, csub,
-                  (a, b) => (a.cast("double") - b.cast("double")) *
-                    (a.cast("double") - b.cast("double"))),
-                lit(0.0), (acc2, x) => acc2 + x)
-              when(d2 < acc.getField("best"),
-                  struct(d2.as("best"), c.getField("code").as("code")))
-                .otherwise(acc)
-            }).getField("code")
-        }).as("codes"))
-      .drop(vecCol)
+      .select(col(idCol),
+        toCol(PqEncodeExpr(toExpr(col(vecCol)), toExpr(col("__cbv")), m)).as("codes"))
   }
 
   /**
@@ -471,7 +459,12 @@ object Similarity {
     val cb = spark.read.parquet(s"$path/codebook")
     val m = spark.read.parquet(s"$path/codes")
       .schema("codes").metadata.getLong("m").toInt
+    // re-stamp the metadata so EVERY file under codes/ carries `m` (the
+    // reader takes its schema from whichever footer it lists first)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("m", m).build()
     pqEncode(batch, cb, idCol, vecCol, m)
+      .withColumn("codes", col("codes").as("codes", meta))
       .write.mode("append").parquet(s"$path/codes")
   }
 

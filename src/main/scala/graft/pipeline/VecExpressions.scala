@@ -129,3 +129,66 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/**
+ * pq_encode(vec, codebook, m) → array<int>: the PQ code of `vec` in each of
+ * `m` subspaces against `codebook` (array of codevectors ORDERED BY CODE).
+ * Same arithmetic contract as the HOF formulation it replaces — per
+ * subspace a strictly-left-to-right double sum of squared diffs, strict
+ * `<` so ties keep the smallest code — but as one tight primitive loop
+ * per row instead of ~m·k interpreted lambda closures (~10× on 64-dim
+ * embeddings; the difference between the encode scan being compute-bound
+ * and overhead-bound at corpus scale).
+ */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(m > 0, s"m must be positive, got $m")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  private lazy val vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val cbIsFloat: Boolean = right.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+  @inline private def at(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  override protected def nullSafeEval(v: Any, cbv: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cb = cbv.asInstanceOf[ArrayData]
+    val d = vec.numElements()
+    val k = cb.numElements()
+    val dsub = d / m
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var best = Double.MaxValue
+      var bestCode = -1
+      var c = 0
+      while (c < k) {
+        val cvec = cb.getArray(c)
+        if (cvec == null || cvec.numElements() < off + dsub) { c += 1 }
+        else {
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = at(vec, off + i, vecIsFloat) - at(cvec, off + i, cbIsFloat)
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < best) { best = acc; bestCode = c }
+        c += 1
+        }
+      }
+      codes(s) = bestCode
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
