@@ -381,7 +381,13 @@ object Similarity {
    * the identical IEEE chain.
    */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
-               vecCol: String, m: Int): DataFrame = {
+               vecCol: String, m: Int): DataFrame =
+    pqEncodeKeep(corpus, codebook, vecCol, m, Seq(idCol))
+
+  /** [[pqEncode]] with passthrough columns — the IVF-PQ list layout keeps
+    * `list_id` next to the codes. */
+  private def pqEncodeKeep(df: DataFrame, codebook: DataFrame, vecCol: String,
+                           m: Int, keep: Seq[String]): DataFrame = {
     require(m > 0, s"m must be positive, got $m")
     // codevecs ordered by code, folded to ONE broadcast row; the argmin
     // walk is the tight-loop [[PqEncodeExpr]] kernel (same arithmetic
@@ -390,9 +396,9 @@ object Similarity {
     val cbArr = codebook.agg(
       transform(array_sort(collect_list(struct(col("code"), col("codevec")))),
         c => c.getField("codevec")).as("__cbv"))
-    corpus.crossJoin(broadcast(cbArr))
-      .select(col(idCol),
-        toCol(PqEncodeExpr(toExpr(col(vecCol)), toExpr(col("__cbv")), m)).as("codes"))
+    df.crossJoin(broadcast(cbArr))
+      .select(keep.map(col) :+
+        toCol(PqEncodeExpr(toExpr(col(vecCol)), toExpr(col("__cbv")), m)).as("codes"): _*)
   }
 
   /**
@@ -406,12 +412,26 @@ object Similarity {
    */
   def pqTopKAdc(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
-    val nCodes = size(col("__cb"))
+    val q = adcTables(queries.select(col(idCol).as("query_id"), col(vecCol)),
+      codebook, vecCol, m)
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adcDist(m).as("dist"))
+    TopK.perQuery(scored.withColumn("sim", -col("dist")), k)
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /** Per-query ADC distance tables: each input row gains `__tab` (its m×k
+    * flattened sub-distance table to every code, computed ONCE per row) and
+    * `__nc` (codebook size); passthrough columns other than `vecCol` are
+    * kept. One broadcast codebook row, all arithmetic in double. */
+  private def adcTables(queries: DataFrame, codebook: DataFrame,
+                        vecCol: String, m: Int): DataFrame = {
     val cbArr = codebook.agg(
       array_sort(collect_list(struct(col("code"), col("codevec")))).as("__cb"))
     val dsub = (size(col(vecCol)) / m).cast("int")
-    val q = queries.crossJoin(broadcast(cbArr))
-      .select(col(idCol).as("query_id"),
+    val keep = queries.columns.filterNot(_ == vecCol).map(col).toSeq
+    queries.crossJoin(broadcast(cbArr))
+      .select(keep :+
         flatten(transform(sequence(lit(0), lit(m - 1)), s => {
           val sub = slice(col(vecCol), s * dsub + 1, dsub)
           transform(col("__cb"), c => {
@@ -422,17 +442,16 @@ object Similarity {
                   (a.cast("double") - b.cast("double"))),
               lit(0.0), (acc, x) => acc + x)
           })
-        })).as("__tab"),
-        nCodes.as("__nc"))
-    val scored = encoded.join(broadcast(q), col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc +
-            element_at(col("__tab"), s * col("__nc") + element_at(col("codes"), s + 1) + 1))
-          .as("dist"))
-    TopK.perQuery(scored.withColumn("sim", -col("dist")), k)
-      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("dist"), col("rank"))
+        })).as("__tab") :+
+        size(col("__cb")).as("__nc"): _*)
   }
+
+  /** Approximate squared L2 of an encoded row against a `__tab`/`__nc`
+    * table row: m array lookups, no vector math. */
+  private def adcDist(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(col("__tab"), s * col("__nc") + element_at(col("codes"), s + 1) + 1))
 
   /**
    * Persist a PQ index: `codebook/` (k rows) and `codes/` (id + m codes —
@@ -477,5 +496,123 @@ object Similarity {
     val codes = spark.read.parquet(s"$path/codes")
     val m = codes.schema("codes").metadata.getLong("m").toInt
     pqTopKAdc(codes, cb, queries, idCol, vecCol, m, k)
+  }
+
+  // ================================ IVF-PQ ================================
+
+  /**
+   * IVF-PQ index: the two scale moves composed — IVF partitions the corpus
+   * into routable lists (queries touch nProbe/nLists of the data via
+   * storage partition pruning) and PQ compresses what's inside them (each
+   * row is m small ints, not d floats). This is the standard serving
+   * layout for billion-vector ANN (FAISS's IVFPQ, re-expressed as a
+   * partitioned parquet layout + broadcast-join query plan): at 100 TB the
+   * raw vectors stay cold in the corpus; the hot index is
+   * nLists directories of (id, codes).
+   *
+   * Layout: `centroids/` (nLists rows), `codebook/` (k rows — ONE global
+   * codebook, so codes stay comparable across lists and appends),
+   * `lists/list_id=N/` (id + codes). `m` rides field metadata.
+   */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nLists: Int = 16, m: Int = 4,
+                      k: Int = 16): Unit = {
+    val (assigned, centroids) = ivfAssign(corpus, idCol, vecCol, nLists)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = pqCodebook(corpus, idCol, vecCol, k)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("m", m).build()
+    pqEncodeKeep(assigned, cb, "nvec", m, Seq("neighbor_id", "list_id"))
+      .withColumn("codes", col("codes").as("codes", meta))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Grow an IVF-PQ index: the batch assigns against the STORED centroids
+    * and encodes against the STORED codebook — routing and code geometry
+    * stay consistent with what's on disk; only touched `list_id=`
+    * directories gain files. */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val m = spark.read.parquet(s"$path/lists")
+      .schema("codes").metadata.getLong("m").toInt
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("m", m).build()
+    val assigned = ivfAssignWith(batch, centroids, idCol, vecCol)
+    pqEncodeKeep(assigned, cb, "nvec", m, Seq("neighbor_id", "list_id"))
+      .withColumn("codes", col("codes").as("codes", meta))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /**
+   * Query an IVF-PQ index: route each query to its nProbe nearest lists
+   * (exchange-free [[ivfRoute]]), prune the scan to the probed `list_id=`
+   * directories (literal partition filter, the [[ivfTopKIndexed]] shape),
+   * ADC-score the codes (m lookups per row into the query's broadcast
+   * table), bounded per-query top-k. Returns
+   * (query_id, neighbor_id, dist, rank) by ascending approximate L2².
+   */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val lists = spark.read.parquet(s"$path/lists")
+    val m = lists.schema("codes").metadata.getLong("m").toInt
+    val probed = ivfRoute(queries.select(col(idCol), col(vecCol)), centroids,
+      idCol, vecCol, nProbe)
+    val listIds = probed.select("list_id").distinct()
+      .collect().map(_.getLong(0)) // metadata-sized: ≤ |queries|·nProbe
+    val pruned = lists.filter(col("list_id").isin(listIds.toIndexedSeq: _*))
+    // each probed (query, list) row carries the query's ADC table; the
+    // table is recomputed per probe — bounded by |queries|·nProbe rows of
+    // m·k doubles, the right trade against shuffling codes
+    val q = adcTables(probed.withColumnRenamed("qvec", "__qv"), cb, "__qv", m)
+    val scored = pruned.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adcDist(m).as("dist"))
+    TopK.perQuery(scored.withColumn("sim", -col("dist")), k)
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /**
+   * Exact refine of ANN candidates — the serving pipeline's last stage:
+   * scan compressed codes for recall, then re-rank the few survivors in
+   * full precision. Raw vectors load for CANDIDATE ids only: the bounded
+   * candidate id set (≤ |queries|·k') becomes a literal pushed filter on
+   * the corpus scan (parquet row-group stats pruning — the
+   * [[Curate]]-increment "read text for candidate ids only" shape), and
+   * the candidate pairs broadcast into the join. Returns exact-cosine
+   * (query_id, neighbor_id, sim, rank), top-k per query.
+   */
+  def refineTopK(corpus: DataFrame, queries: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val ids = cand.select("neighbor_id").distinct()
+      .collect().map(_.get(0)) // metadata-sized: ≤ |queries|·k'
+    val c = corpus
+      .filter(col(idCol).isin(ids.toIndexedSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    TopK.perQuery(scored, k)
+  }
+
+  /** The full IVF-PQ serving pipeline: routed+pruned ADC scan over the
+    * index recalls `refineK` candidates per query, then [[refineTopK]]
+    * re-ranks them exactly against the raw corpus — compressed scan for
+    * recall, full-precision read bounded to candidates. */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession, path: String,
+                       corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nProbe: Int = 4,
+                       refineK: Int = 32): DataFrame = {
+    val cand = ivfPqTopKIndexed(spark, path, queries, idCol, vecCol, refineK, nProbe)
+    refineTopK(corpus, queries, cand, idCol, vecCol, k)
   }
 }

@@ -412,6 +412,85 @@ class PipelineSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("ivf-pq index: full probe equals flat ADC; partial probe is partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path, nLists = 8, m = 4, k = 16)
+    // probing EVERY list removes the routing approximation: the result must
+    // equal the flat (un-partitioned) ADC scan against the same codebook
+    val full = Similarity.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val cb = spark.read.parquet(s"$path/codebook")
+    val flat = Similarity.pqTopKAdc(
+        Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4),
+        cb, queries, "vec_id", "embedding", m = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == flat && full.nonEmpty)
+    // partial probe prunes the codes scan to the probed list directories
+    val partial = Similarity.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(1500))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
+  test("ivf-pq append: stored centroids + codebook; union queries equal direct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (first, rest) = (emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString + "/idx"
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", path, nLists = 8, m = 4, k = 16)
+    Similarity.appendIvfPqIndex(spark, path, rest, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // direct: codebook trained on `first` only, whole union encoded with it
+    val cb = spark.read.parquet(s"$path/codebook")
+    val direct = Similarity.pqTopKAdc(
+        Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4),
+        cb, queries, "vec_id", "embedding", m = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
+  test("ivf-pq refine: full probe + full refine is EXACT; candidate read is pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path, nLists = 8, m = 4, k = 16)
+    // with every list probed and refineK covering the whole corpus the
+    // pipeline degenerates to exact search: candidates = all pairs, refine
+    // re-ranks them in full precision -> identical to brute force
+    val n = emb.count().toInt
+    val refined = Similarity.ivfPqTopKRefined(spark, path, emb, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8, refineK = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(refined == exact && refined.nonEmpty)
+    // at serving shape (small refineK) the raw-vector read prunes to the
+    // candidate ids: the In filter reaches the corpus parquet scan
+    val cand = Similarity.ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding",
+      k = 8, nProbe = 3)
+    val served = Similarity.refineTopK(emb, queries, cand, "vec_id", "embedding", 5)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("vec_id"), plan.take(2000))
+    val rows = served.collect()
+    val candSet = cand.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.nonEmpty && rows.forall(r => candSet((r.getLong(0), r.getLong(1)))))
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("ivf top-k recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
