@@ -612,6 +612,25 @@ object Queries {
         .orderBy("vec_id", "sub")
     }),
 
+    "q96_pq_adc_topk" -> ((s, d) => {
+      // the ANN serving read path certified end-to-end: ADC top-10 per
+      // query over the PQ-compressed corpus (q95's codebook + codes) —
+      // each query builds its m×k sub-distance table once, every
+      // compressed row is scored with m array lookups, bounded top-k by
+      // (dist asc, neighbor_id asc). The oracle recomputes codebook,
+      // codes, tables, and ranking from first principles; dist rounds to
+      // 4 decimals (sum-order tolerance, q51/q74 precedent).
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 16)
+      val enc = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4)
+      Similarity.pqTopKAdc(enc, cb, queries, "vec_id", "embedding", m = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dist"), 4).as("dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q94_temperature_mix" -> ((s, d) => {
       // temperature-based domain mixing (alpha=0.5): per-lang keep rates
       // derive from the data itself (sqrt-weighted shares, integer-exact
@@ -1901,6 +1920,55 @@ object Queries {
                                       ORDER BY d2, code) AS rn
             FROM pairs)
       WHERE rn = 1 ORDER BY vec_id, sub""",
+
+    "q96_pq_adc_topk" -> """
+      WITH ranked AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code
+        FROM embeddings),
+      cb AS (SELECT code, embedding AS codevec FROM ranked WHERE code < 16),
+      pairs AS (
+        SELECT e.vec_id, s.s AS sub, cb.code,
+               (SELECT sum((CAST(e.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE))
+                         * (CAST(e.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE)))
+                FROM generate_series(1, 16) i(i)) AS d2
+        FROM embeddings e
+        CROSS JOIN generate_series(0, 3) s(s)
+        CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, sub, code
+        FROM (SELECT vec_id, sub, code,
+                     row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d2, code) AS rn
+              FROM pairs)
+        WHERE rn = 1),
+      tab AS (
+        SELECT q.vec_id AS query_id, s.s AS sub, cb.code,
+               (SELECT sum((CAST(q.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE))
+                         * (CAST(q.embedding[s.s * 16 + i.i] AS DOUBLE)
+                            - CAST(cb.codevec[s.s * 16 + i.i] AS DOUBLE)))
+                FROM generate_series(1, 16) i(i)) AS d2
+        FROM embeddings q
+        CROSS JOIN generate_series(0, 3) s(s)
+        CROSS JOIN cb
+        WHERE q.vec_id < 5),
+      dists AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d2) AS dist
+        FROM codes c
+        JOIN tab t ON t.sub = c.sub AND t.code = c.code
+        WHERE c.vec_id <> t.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, round(dist, 4) AS dist,
+             CAST(rn AS INT) AS rank
+      FROM (SELECT query_id, neighbor_id, dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, neighbor_id) AS rn
+            FROM dists)
+      WHERE rn <= 10 ORDER BY query_id, rank""",
 
     "q94_temperature_mix" -> """
       WITH c AS (
