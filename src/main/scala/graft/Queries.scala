@@ -631,6 +631,44 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "q97_try_surface" -> ((s, d) => {
+      // error-safe arithmetic/cast surface: a 100 TB ingest can't abort on
+      // one malformed row, so try_* must degrade to NULL exactly where the
+      // ANSI form would raise — bad casts, zero divisors, bigint overflow,
+      // out-of-range element access, unparseable timestamps. The oracle
+      // mirrors each NULL site from first principles (TRY_CAST / nullif /
+      // closed-form NULL columns).
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               try_cast(concat(l_returnflag, l_orderkey) AS INT) AS bad_cast,
+               try_cast(cast(l_orderkey AS STRING) AS INT) AS good_cast,
+               try_divide(cast(l_extendedprice AS DOUBLE),
+                          cast(l_quantity AS DOUBLE) - 5.0) AS div_gap,
+               try_add(9223372036854775807, l_orderkey) AS add_ovf,
+               try_element_at(array(l_returnflag, l_linestatus), 5) AS oob,
+               CAST(try_to_timestamp(concat('x', l_shipdate)) AS STRING) AS bad_ts
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    "q98_approx_distinct" -> ((s, d) => {
+      // sketch-based cardinality monitoring: HLL++ approx distinct counts
+      // (rsd 0.01) certified to land within 5% of the exact count per
+      // group — the bounded-memory corpus-monitoring move (exact DISTINCT
+      // shuffles every key; the sketch is a fixed-size buffer per group).
+      // The oracle recomputes the exact counts and asserts the same bound.
+      graft.spatial.functions.register(s)
+      events(s, d).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               (abs(cast(approx_count_distinct(user_id, 0.01) AS DOUBLE) -
+                    count(DISTINCT user_id))
+                  <= 0.05 * count(DISTINCT user_id)) AS approx_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }),
+
     "q94_temperature_mix" -> ((s, d) => {
       // temperature-based domain mixing (alpha=0.5): per-lang keep rates
       // derive from the data itself (sqrt-weighted shares, integer-exact
@@ -1969,6 +2007,25 @@ object Queries {
                                       ORDER BY dist, neighbor_id) AS rn
             FROM dists)
       WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    "q97_try_surface" -> """
+      SELECT l_orderkey, l_linenumber,
+             TRY_CAST(l_returnflag || CAST(l_orderkey AS VARCHAR) AS INT) AS bad_cast,
+             TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INT) AS good_cast,
+             CAST(l_extendedprice AS DOUBLE)
+               / nullif(CAST(l_quantity AS DOUBLE) - 5.0, 0.0) AS div_gap,
+             CASE WHEN CAST(l_orderkey AS BIGINT) = 0 THEN 9223372036854775807
+                  ELSE CAST(NULL AS BIGINT) END AS add_ovf,
+             CAST(NULL AS VARCHAR) AS oob,
+             CAST(NULL AS VARCHAR) AS bad_ts
+      FROM lineitem WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q98_approx_distinct" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q94_temperature_mix" -> """
       WITH c AS (
