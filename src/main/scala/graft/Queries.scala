@@ -652,6 +652,19 @@ object Queries {
         ORDER BY l_orderkey, l_linenumber""")
     }),
 
+    "q99_doc_chunking" -> ((s, d) => {
+      // overlapping word-window chunking (window 40, overlap 10 — sized
+      // so the fixture's 10-99-word docs split into 1-4 chunks):
+      // over-long documents become model-sized pieces, chunk text
+      // byte-identical across engines via canonical single-space rejoin.
+      // The oracle rebuilds every chunk from the same word list with a
+      // bounded non-correlated series join (no lateral in DuckDB).
+      prep(s, d, "documents")
+      Text.chunkByWords(t(s, d, "documents"), "doc_id", "text",
+          window = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q98_approx_distinct" -> ((s, d) => {
       // sketch-based cardinality monitoring: HLL++ approx distinct counts
       // (rsd 0.01) certified to land within 5% of the exact count per
@@ -2026,6 +2039,22 @@ object Queries {
              count(DISTINCT user_id) AS exact_users,
              TRUE AS approx_ok
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q99_doc_chunking" -> """
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS wt
+        FROM documents),
+      c AS (
+        SELECT doc_id, wt, len(wt) AS nw,
+               greatest(1, CAST(ceil((len(wt) - 40) / 30.0) AS INT) + 1) AS nc
+        FROM w WHERE len(wt) > 0)
+      SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             array_to_string(wt[i.i * 30 + 1 : i.i * 30 + 40], ' ') AS chunk_text,
+             CAST(least(40, nw - i.i * 30) AS INT) AS n_words
+      FROM c JOIN generate_series(0, 4095) i(i) ON i.i < c.nc
+      ORDER BY doc_id, chunk_idx""",
 
     "q94_temperature_mix" -> """
       WITH c AS (

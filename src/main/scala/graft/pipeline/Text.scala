@@ -196,6 +196,41 @@ object Text {
       .agg(avg(-log(col("__c").cast("double") / col("__n"))).as("nll"))
   }
 
+  /**
+   * Word-window document chunking — the training-prep move that turns
+   * over-long documents into model-sized overlapping pieces: chunk i
+   * covers words [i·stride, i·stride+window) of the whitespace-split
+   * token stream (stride = window − overlap), 0-based; the final chunk
+   * keeps the tail. Chunk text rejoins with single spaces (canonical
+   * whitespace — an external engine reproduces every chunk
+   * byte-identically from the same word list). Documents with no words
+   * emit nothing.
+   *
+   * Scale shape: one projection, one bounded explode (ceil(n/stride)
+   * rows per doc), no shuffle, no UDF — the whole op stays inside
+   * whole-stage codegen and chunk extraction is `slice`/`array_join`
+   * over the already-split word array.
+   */
+  def chunkByWords(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap")
+    val stride = window - overlap
+    val nw = size(col("__w"))
+    val nChunks = greatest(lit(1),
+      ceil((nw - lit(window)).cast("double") / stride).cast("int") + lit(1))
+    df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__w"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), nw - col("chunk_idx") * lit(stride)).as("n_words"))
+  }
+
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
   def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))

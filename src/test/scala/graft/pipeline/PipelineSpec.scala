@@ -762,6 +762,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(rare).toDouble / n(rare) > kept(dominant).toDouble / n(dominant))
   }
 
+  test("chunkByWords: boundaries, overlap, tail, and reconstruction") {
+    import spark.implicits._
+    val words = (1 to 12).map("w" + _)
+    val df = Seq(
+      (1L, words.mkString(" ")),        // 12 words, window 5 stride 3 -> 4 chunks
+      (2L, "  a   b  "),                // whitespace edges -> 2 words, 1 chunk
+      (3L, "   "),                      // no words -> no chunks
+      (4L, "solo")                      // 1 word, 1 chunk
+    ).toDF("doc_id", "text")
+    val got = Text.chunkByWords(df, "doc_id", "text", window = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: chunks start at words 0,3,6,9 (stride 3), window 5, tail kept
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1(0)._3 == "w1 w2 w3 w4 w5" && d1(0)._4 == 5)
+    assert(d1(1)._3 == "w4 w5 w6 w7 w8" && d1(1)._4 == 5)
+    assert(d1(2)._3 == "w7 w8 w9 w10 w11" && d1(2)._4 == 5)
+    assert(d1(3)._3 == "w10 w11 w12" && d1(3)._4 == 3)
+    // every word index is covered by some chunk; consecutive chunks share
+    // exactly `overlap` words
+    assert(d1.map(_._3.split(" ").length).sum == 5 + 5 + 5 + 3)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L).toSeq == Seq((4L, 0, "solo", 1)))
+  }
+
   test("repetition score stays within [0,1] on random token streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
