@@ -665,6 +665,27 @@ object Queries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q100_url_domains" -> ((s, d) => {
+      // per-domain corpus accounting (the CCNet-style provenance cut):
+      // URLs synthesized deterministically from table columns, then
+      // host/path/query-param extracted with Spark's parse_url and
+      // aggregated per domain. The oracle rebuilds each component from
+      // the same construction — any parse_url drift breaks the match.
+      prep(s, d, "documents")
+      s.sql("""
+        WITH u AS (
+          SELECT doc_id, lang,
+                 concat('https://', source, '.example.com/p/', doc_id,
+                        '?ref=', lang, '&x=', doc_id % 7) AS url
+          FROM documents)
+        SELECT parse_url(url, 'HOST') AS host,
+               count(*) AS n_docs,
+               count(DISTINCT parse_url(url, 'QUERY', 'ref')) AS n_refs,
+               min(parse_url(url, 'PATH')) AS min_path,
+               max(parse_url(url, 'QUERY', 'x')) AS max_x
+        FROM u GROUP BY host ORDER BY host""")
+    }),
+
     "q98_approx_distinct" -> ((s, d) => {
       // sketch-based cardinality monitoring: HLL++ approx distinct counts
       // (rsd 0.01) certified to land within 5% of the exact count per
@@ -2055,6 +2076,14 @@ object Queries {
              CAST(least(40, nw - i.i * 30) AS INT) AS n_words
       FROM c JOIN generate_series(0, 4095) i(i) ON i.i < c.nc
       ORDER BY doc_id, chunk_idx""",
+
+    "q100_url_domains" -> """
+      SELECT source || '.example.com' AS host,
+             count(*) AS n_docs,
+             count(DISTINCT lang) AS n_refs,
+             min('/p/' || CAST(doc_id AS VARCHAR)) AS min_path,
+             max(CAST(doc_id % 7 AS VARCHAR)) AS max_x
+      FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q94_temperature_mix" -> """
       WITH c AS (

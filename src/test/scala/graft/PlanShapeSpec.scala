@@ -140,6 +140,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact side pre-shuffle") {
+    // Spark's InjectRuntimeFilter plants a bloom_filter_agg on the selective
+    // (dim) side and a might_contain guard on the fact side's scan — the
+    // runtime analogue of static pushdown, and the thing that keeps a
+    // 100 TB shuffle join from reading fact rows whose key can't match.
+    // Size thresholds are tuned for real clusters, so lower them to make
+    // the toy-scale plan take the same shape the big plan would.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1")
+      conf.set(keys(2), "-1")
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 450000.0)
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized.take(2500))
+      assert(optimized.contains("bloom_filter_agg"), optimized.take(2500))
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("constant folding: literal ST_ calls disappear from the optimized plan") {
     graft.spatial.functions.register(spark)
     val opt = spark.sql("SELECT ST_Area(ST_GeomFromText('POLYGON ((0 0,4 0,4 4,0 4,0 0))')) AS a")
