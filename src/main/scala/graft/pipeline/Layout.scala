@@ -98,4 +98,36 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Compact a small-file parquet layout into ~`targetBytes` outputs — the
+   * standing-corpus maintenance op: streaming ingest and incremental
+   * appends ([[Dedup.appendMinhashIndex]], [[Similarity.appendIvfPqIndex]],
+   * `curateStream`) each add a few small files per batch, and at 100 TB
+   * scan cost degrades with file COUNT (footer reads, task scheduling,
+   * non-contiguous IO) long before it degrades with bytes. The output
+   * file count derives from the directory's actual byte size (a
+   * driver-side metadata listing — no data is read to size the job), rows
+   * move through ONE round-robin repartition (no key shuffle, no sort),
+   * and `partitionCols` layouts compact within each partition directory.
+   * Writes to `outPath`; swapping it over the source is the caller's
+   * atomic-rename concern. Returns the target file count.
+   */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                   outPath: String, targetBytes: Long = 128L << 20,
+                   partitionCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val w =
+      if (partitionCols.isEmpty) df.repartition(n)
+      else df.repartition(n, partitionCols.map(col): _*)
+    val writer = w.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(outPath)
+    n
+  }
 }

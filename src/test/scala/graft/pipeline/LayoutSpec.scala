@@ -108,4 +108,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(back == pts.as[(Long, Long)].collect().toSet)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("compactFiles: small-file layout collapses to the byte-derived count, data unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val small = s"$base/small"
+    val out = s"$base/out"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(64).write.parquet(small) // 64 tiny files
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(small).length == 64)
+    val bytes = parts(small).map(_.length).sum
+    val target = bytes / 3 // expect ceil(total/target) ≈ 3-4 outputs
+    val n = Layout.compactFiles(spark, small, out, targetBytes = target)
+    assert(n >= 3 && n <= 4, s"n=$n")
+    assert(parts(out).length == n)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(out).select(docs.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+
+    // partitioned layouts compact within each partition directory
+    val pSmall = s"$base/psmall"
+    val pOut = s"$base/pout"
+    docs.withColumn("bucket", col("doc_id") % 2)
+      .repartition(32).write.partitionBy("bucket").parquet(pSmall)
+    Layout.compactFiles(spark, pSmall, pOut, targetBytes = Long.MaxValue,
+      partitionCols = Seq("bucket"))
+    for (d <- Seq("bucket=0", "bucket=1"))
+      assert(parts(s"$pOut/$d").length == 1, d)
+    val pb = spark.read.parquet(pOut)
+    assert(pb.count() == docs.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }

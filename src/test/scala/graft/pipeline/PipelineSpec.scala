@@ -1346,4 +1346,33 @@ class PipelineSpec extends AnyFunSuite {
       .select(Multimodal.resizeImage(col("payload"), 8, 8).as("p")).head()
     assert(nulls.isNullAt(0))
   }
+
+  test("ORC and JSON sources round-trip pipeline tables exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sources").toString
+    // float-array embeddings through ORC (the other columnar format Spark
+    // ships; a corpus ingested as ORC must compute identically)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.orc(s"$base/emb_orc")
+    val embBack = spark.read.orc(s"$base/emb_orc")
+    assert(embBack.schema == emb.schema)
+    def embSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet
+    assert(embSet(embBack) == embSet(emb))
+    // WKB geometry binaries through ORC — byte-exact
+    graft.spatial.functions.register(spark)
+    val geo = spark.sql(
+      "SELECT id, st_point(CAST(id AS DOUBLE), 2.0) AS g FROM range(50)")
+    geo.write.orc(s"$base/geo_orc")
+    val geoBack = spark.read.orc(s"$base/geo_orc")
+    def geoSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toList)).toSet
+    assert(geoSet(geoBack) == geoSet(geo))
+    // text documents through JSON lines (schema pinned — inference would
+    // widen ints); unicode and quotes must survive the escape round-trip
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.json(s"$base/docs_json")
+    val docsBack = spark.read.schema(docs.schema).json(s"$base/docs_json")
+    assert(docsBack.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
