@@ -15,14 +15,25 @@ object functions {
 
   private def expr(c: Column): Expression = org.apache.spark.sql.GraftShim.expression(c)
 
+  // Numeric arguments arrive from SQL as whatever the parser typed the
+  // literal — `2.0` is DECIMAL(2,1), `2` is INT — while the kernels take
+  // unboxed doubles/ints. Coerce at the builder layer with an explicit Cast:
+  // Catalyst's SimplifyCasts erases the no-op when the type already matches,
+  // so DataFrame-API plans (already double-typed) are byte-identical, and
+  // SQL literal calls stop depending on each eval's tolerance for Decimal.
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+  private def int32(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.IntegerType)
+
   // constructors
-  def st_point(x: Column, y: Column): Column = toCol(StPoint(expr(x), expr(y)))
+  def st_point(x: Column, y: Column): Column = toCol(StPoint(dbl(expr(x)), dbl(expr(y))))
   def st_makepoint(x: Column, y: Column, z: Column): Column =
-    toCol(StPointZ(expr(x), expr(y), expr(z)))
+    toCol(StPointZ(dbl(expr(x)), dbl(expr(y)), dbl(expr(z))))
   def st_geomfromtext(wkt: Column): Column = toCol(StGeomFromText(expr(wkt)))
   def st_geomfromwkb(wkb: Column): Column = toCol(StGeomFromWkb(expr(wkb)))
   def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
-    toCol(StMakeEnvelope(Seq(expr(xmin), expr(ymin), expr(xmax), expr(ymax))))
+    toCol(StMakeEnvelope(Seq(expr(xmin), expr(ymin), expr(xmax), expr(ymax)).map(dbl)))
 
   // accessors
   def st_astext(g: Column): Column = toCol(StAsText(expr(g)))
@@ -45,24 +56,24 @@ object functions {
   def st_srid(g: Column): Column = toCol(StSrid(expr(g)))
 
   // structural accessors
-  def st_pointn(g: Column, n: Column): Column = toCol(StPointN(expr(g), expr(n)))
+  def st_pointn(g: Column, n: Column): Column = toCol(StPointN(expr(g), int32(expr(n))))
   def st_startpoint(g: Column): Column = toCol(StStartPoint(expr(g)))
   def st_endpoint(g: Column): Column = toCol(StEndPoint(expr(g)))
   def st_exteriorring(g: Column): Column = toCol(StExteriorRing(expr(g)))
-  def st_interiorringn(g: Column, n: Column): Column = toCol(StInteriorRingN(expr(g), expr(n)))
-  def st_geometryn(g: Column, n: Column): Column = toCol(StGeometryN(expr(g), expr(n)))
+  def st_interiorringn(g: Column, n: Column): Column = toCol(StInteriorRingN(expr(g), int32(expr(n))))
+  def st_geometryn(g: Column, n: Column): Column = toCol(StGeometryN(expr(g), int32(expr(n))))
   def st_reverse(g: Column): Column = toCol(StReverse(expr(g)))
-  def st_rotate(g: Column, radians: Column): Column = toCol(StRotate(expr(g), expr(radians)))
+  def st_rotate(g: Column, radians: Column): Column = toCol(StRotate(expr(g), dbl(expr(radians))))
   def st_numinteriorrings(g: Column): Column = toCol(StNumInteriorRings(expr(g)))
-  def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), expr(dx), expr(dy)))
-  def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), expr(sx), expr(sy)))
+  def st_translate(g: Column, dx: Column, dy: Column): Column = toCol(StTranslate(expr(g), dbl(expr(dx)), dbl(expr(dy))))
+  def st_scale(g: Column, sx: Column, sy: Column): Column = toCol(StScale(expr(g), dbl(expr(sx)), dbl(expr(sy))))
 
   def st_makeline(pts: Column): Column = toCol(StMakeLine(expr(pts)))
   def st_dumppoints(g: Column): Column = toCol(StDumpPoints(expr(g)))
   def st_azimuth(a: Column, b: Column): Column = toCol(StAzimuth(expr(a), expr(b)))
   def st_lineinterpolatepoint(g: Column, f: Column): Column =
-    toCol(StLineInterpolatePoint(expr(g), expr(f)))
-  def st_geohash(g: Column, precision: Column): Column = toCol(StGeoHash(expr(g), expr(precision)))
+    toCol(StLineInterpolatePoint(expr(g), dbl(expr(f))))
+  def st_geohash(g: Column, precision: Column): Column = toCol(StGeoHash(expr(g), int32(expr(precision))))
 
   // measures
   def st_area(g: Column): Column = toCol(StArea(expr(g)))
@@ -71,7 +82,7 @@ object functions {
   def st_centroid(g: Column): Column = toCol(StCentroid(expr(g)))
   def st_convexhull(g: Column): Column = toCol(StConvexHull(expr(g)))
   def st_minimumboundingcircle(g: Column): Column = toCol(StMinimumBoundingCircle(expr(g)))
-  def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), expr(tol)))
+  def st_simplify(g: Column, tol: Column): Column = toCol(StSimplify(expr(g), dbl(expr(tol))))
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
   def st_closestpoint(a: Column, b: Column): Column = toCol(StClosestPoint(expr(a), expr(b)))
   def st_shortestline(a: Column, b: Column): Column = toCol(StShortestLine(expr(a), expr(b)))
@@ -88,7 +99,7 @@ object functions {
   def st_difference(a: Column, b: Column): Column = toCol(StDifference(expr(a), expr(b)))
   def st_union(a: Column, b: Column): Column = toCol(StUnion(expr(a), expr(b)))
   def st_symdifference(a: Column, b: Column): Column = toCol(StSymDifference(expr(a), expr(b)))
-  def st_buffer(g: Column, d: Column): Column = toCol(StBuffer(expr(g), expr(d)))
+  def st_buffer(g: Column, d: Column): Column = toCol(StBuffer(expr(g), dbl(expr(d))))
 
   // predicates
   def st_intersects(a: Column, b: Column): Column = toCol(StIntersects(expr(a), expr(b)))
@@ -97,7 +108,7 @@ object functions {
   def st_within(a: Column, b: Column): Column = toCol(StWithin(expr(a), expr(b)))
   def st_env_intersects(a: Column, b: Column): Column = toCol(StEnvIntersects(expr(a), expr(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
-    toCol(StDWithin(expr(a), expr(b), expr(d)))
+    toCol(StDWithin(expr(a), expr(b), dbl(expr(d))))
 
   /**
    * ST_Extent as a *declarative* aggregate: a struct of built-in min/max over
@@ -133,12 +144,12 @@ object functions {
     def r3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
       reg.createOrReplaceTempFunction(name, es => f(es(0), es(1), es(2)), "built-in")
 
-    r2("st_point", StPoint.apply)
-    r3("st_makepointz", StPointZ.apply)
+    r2("st_point", (x, y) => StPoint(dbl(x), dbl(y)))
+    r3("st_makepointz", (x, y, z) => StPointZ(dbl(x), dbl(y), dbl(z)))
     r1("st_geomfromtext", StGeomFromText.apply)
     r1("st_geometryfromtext", StGeomFromText.apply)
     r1("st_geomfromwkb", StGeomFromWkb.apply)
-    reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es), "built-in")
+    reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es.map(dbl)), "built-in")
     r1("st_astext", StAsText.apply)
     r1("st_asbinary", StAsBinary.apply)
     r1("st_asgeojson", StAsGeoJson.apply)
@@ -158,29 +169,29 @@ object functions {
     r1("st_numpoints", StNPoints.apply)
     r1("st_numgeometries", StNumGeometries.apply)
     r1("st_srid", StSrid.apply)
-    r2("st_pointn", StPointN.apply)
+    r2("st_pointn", (g, n) => StPointN(g, int32(n)))
     r1("st_startpoint", StStartPoint.apply)
     r1("st_endpoint", StEndPoint.apply)
     r1("st_exteriorring", StExteriorRing.apply)
-    r2("st_interiorringn", StInteriorRingN.apply)
-    r2("st_geometryn", StGeometryN.apply)
+    r2("st_interiorringn", (g, n) => StInteriorRingN(g, int32(n)))
+    r2("st_geometryn", (g, n) => StGeometryN(g, int32(n)))
     r1("st_reverse", StReverse.apply)
-    r2("st_rotate", StRotate.apply)
+    r2("st_rotate", (g, r) => StRotate(g, dbl(r)))
     r1("st_numinteriorrings", StNumInteriorRings.apply)
-    r3("st_translate", StTranslate.apply)
-    r3("st_scale", StScale.apply)
-    r2("st_geohash", StGeoHash.apply)
+    r3("st_translate", (g, dx, dy) => StTranslate(g, dbl(dx), dbl(dy)))
+    r3("st_scale", (g, sx, sy) => StScale(g, dbl(sx), dbl(sy)))
+    r2("st_geohash", (g, p) => StGeoHash(g, int32(p)))
     r2("st_azimuth", StAzimuth.apply)
     r1("st_makeline", StMakeLine.apply)
     r1("st_dumppoints", StDumpPoints.apply)
-    r2("st_lineinterpolatepoint", StLineInterpolatePoint.apply)
+    r2("st_lineinterpolatepoint", (g, f) => StLineInterpolatePoint(g, dbl(f)))
     r1("st_area", StArea.apply)
     r1("st_length", StLength.apply)
     r1("st_perimeter", StPerimeter.apply)
     r1("st_centroid", StCentroid.apply)
     r1("st_convexhull", StConvexHull.apply)
     r1("st_minimumboundingcircle", StMinimumBoundingCircle.apply)
-    r2("st_simplify", StSimplify.apply)
+    r2("st_simplify", (g, t) => StSimplify(g, dbl(t)))
     r2("st_distance", StDistance.apply)
     r2("st_closestpoint", StClosestPoint.apply)
     r2("st_shortestline", StShortestLine.apply)
@@ -189,7 +200,7 @@ object functions {
     r2("st_contains", StContains.apply)
     r2("st_within", StWithin.apply)
     r2("st_env_intersects", StEnvIntersects.apply)
-    r3("st_dwithin", StDWithin.apply)
+    r3("st_dwithin", (a, b, d) => StDWithin(a, b, dbl(d)))
     r1("st_issimple", StIsSimple.apply)
     r1("st_boundary", StBoundary.apply)
     r2("st_equals", StEquals.apply)
@@ -201,7 +212,7 @@ object functions {
     r2("st_difference", StDifference.apply)
     r2("st_union", StUnion.apply)
     r2("st_symdifference", StSymDifference.apply)
-    r2("st_buffer", StBuffer.apply)
+    r2("st_buffer", (g, d) => StBuffer(g, dbl(d)))
     // aggregate: typed Aggregator via UDF registry
     spark.udf.register("st_extent", extentUdaf)
     spark.udf.register("st_collect", collectUdaf)

@@ -253,4 +253,30 @@ class SparkSpatialSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("POINT (1.0 2.0)"), s"not folded:\n$plan")
   }
+
+  test("SQL numeric literals coerce: DECIMAL and INT args reach double/int kernels") {
+    // `2.0` parses as DECIMAL(2,1) and `2` as INT — without the builder-layer
+    // Cast these crashed the unboxing evals (and Spark's Decimal is not a
+    // java.lang.Number, so even Number.intValue() tolerance didn't cover it).
+    val r = spark.sql(
+      """SELECT ST_AsText(ST_Point(1.5, 2.5))                                  AS p,
+        |       ST_AsText(ST_MakePointZ(1.5, 2.5, 3.5))                        AS pz,
+        |       ST_AsText(ST_MakeEnvelope(0.0, 0.0, 2.0, 1.0))                 AS env,
+        |       ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING (0 0,1 1,2 0)'), CAST(2.0 AS DECIMAL(3,1)))) AS pn,
+        |       ST_AsText(ST_Translate(ST_Point(1.0, 1.0), 0.5, 0.25))         AS tr,
+        |       ST_AsText(ST_Buffer(ST_Point(0.0, 0.0), 1.0)) IS NOT NULL      AS buf,
+        |       ST_DWithin(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0), 5.5)        AS dw,
+        |       st_geohash(ST_Point(-5.603, 42.605), CAST(5.0 AS DECIMAL(3,1))) AS gh,
+        |       ST_AsText(ST_Simplify(ST_GeomFromText('LINESTRING (0 0,0.01 0.01,1 1)'), 0.5)) AS simp
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POINT (1.5 2.5)")
+    assert(r.getString(1) == "POINT Z (1.5 2.5 3.5)")
+    assert(r.getString(2) == "POLYGON ((0.0 0.0,2.0 0.0,2.0 1.0,0.0 1.0,0.0 0.0))")
+    assert(r.getString(3) == "POINT (1.0 1.0)")
+    assert(r.getString(4) == "POINT (1.5 1.25)")
+    assert(r.getBoolean(5))
+    assert(r.getBoolean(6))
+    assert(r.getString(7) == "ezs42")
+    assert(r.getString(8) == "LINESTRING (0.0 0.0,1.0 1.0)")
+  }
 }
