@@ -665,6 +665,26 @@ object Queries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q101_line_dedup" -> ((s, d) => {
+      // CCNet/C4-style corpus-wide LINE dedup: every line keeps only its
+      // globally first occurrence; short lines (< 12 chars — the
+      // boilerplate carve-out) are exempt. The fixture's text is
+      // single-line, so line structure is derived in-query by folding
+      // every third word break into a newline (the q90/q100
+      // derive-structure-from-columns precedent; 3-word lines over the
+      // small fixture vocabulary collide across documents by the
+      // thousands, so the dedup pass has real work). The oracle replays
+      // first-occurrence selection with a window and rebuilds each
+      // document byte-exactly with an ordered string_agg.
+      prep(s, d, "documents")
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), LineFoldRe, "$1\n").as("text"))
+      Dedup.dedupLines(lined, "text", "doc_id", "\n", minChars = 12)
+        .select(col("doc_id"), col("text").as("text_dedup"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     "q100_url_domains" -> ((s, d) => {
       // per-domain corpus accounting (the CCNet-style provenance cut):
       // URLs synthesized deterministically from table columns, then
@@ -1608,6 +1628,11 @@ object Queries {
   // touches the low byte so it stays in BIGINT range, while full-64-bit
   // xors round-trip through signed BIGINT (bit pattern preserved).
 
+  /** q101 line-structure fold: every third word break becomes a newline
+    * (Java-regex ∩ RE2-safe; injected into the oracle so the two engines
+    * cannot drift). */
+  private val LineFoldRe = """((?:\S+ ){2}\S+) """
+
   private val U64 = "18446744073709551616" // 2^64
   private val S63 = "9223372036854775808"  // 2^63
 
@@ -2076,6 +2101,26 @@ object Queries {
              CAST(least(40, nw - i.i * 30) AS INT) AS n_words
       FROM c JOIN generate_series(0, 4095) i(i) ON i.i < c.nc
       ORDER BY doc_id, chunk_idx""",
+
+    "q101_line_dedup" -> s"""
+      WITH lined AS (
+        SELECT doc_id,
+               regexp_replace(text, '$LineFoldRe', '\\1' || chr(10), 'g') AS t
+        FROM documents),
+      ls AS (
+        SELECT doc_id, i.i AS pos, string_split(t, chr(10))[i.i + 1] AS line
+        FROM lined JOIN generate_series(0, 255) i(i)
+          ON i.i < len(string_split(t, chr(10)))),
+      k AS (
+        SELECT doc_id, pos, line, length(line) >= 12 AS elig,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM ls)
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT elig OR rn = 1), '') AS text_dedup,
+             count(*) FILTER (WHERE NOT elig OR rn = 1) AS n_kept,
+             count(*) FILTER (WHERE elig AND rn > 1) AS n_removed
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
 
     "q100_url_domains" -> """
       SELECT source || '.example.com' AS host,

@@ -515,6 +515,60 @@ object Dedup {
   }
 
   /**
+   * CCNet/C4-style LINE-level exact dedup across the WHOLE corpus: each
+   * distinct line keeps only its globally first occurrence (ordered by
+   * (idCol, line position)); later occurrences are cut from their
+   * documents and the survivors are re-joined with `separator` in
+   * original order. Lines shorter than `minChars` characters are exempt
+   * (kept everywhere): short boilerplate — "Home", list bullets, blank
+   * lines — is navigation noise, and with minChars = 0 a corpus-wide
+   * unique constraint on blank lines would gut every document below the
+   * first.
+   *
+   * Returns one row per input document: (idCol, textCol [deduped],
+   * n_kept, n_removed). Documents whose every line is removed survive
+   * with an empty string (the caller filters on n_kept if it wants drops).
+   *
+   * Scale shape: the first-occurrence winner per line is a PARTIAL-
+   * AGGREGATED `min(struct(id, pos))` — deliberately not
+   * `row_number() over (partition by line)`: a boilerplate line with 10^6
+   * occurrences would sort all of them in one reducer partition under a
+   * window, while min() combines map-side and moves one row per
+   * (partition, line) into the shuffle. Then one line-keyed join marks
+   * survivors (probe side streams; AQE splits hot lines) and one id-keyed
+   * aggregation reassembles documents. No driver actions, no windows.
+   */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 separator: String = "\n", minChars: Int = 0): DataFrame = {
+    require(separator.nonEmpty, "separator must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(separator)
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos", "__line")))
+    // dedup-eligible occurrences only: exempt lines never contend for (or
+    // consume) the first-occurrence slot, and never shuffle by content
+    val winners = lines.filter(length(col("__line")) >= minChars)
+      .groupBy("__line")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = lines.join(winners, Seq("__line"), "left")
+      .filter(col("__first").isNull ||  // exempt (short) line
+        (col("__first.__id") === col("__id") &&
+          col("__first.__pos") === col("__pos")))
+    val rebuilt = kept.groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__a"),
+        count(lit(1)).as("n_kept"))
+      .select(col("__id"),
+        array_join(transform(col("__a"), e => e("__line")), separator).as("__t"),
+        col("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), sepRe, -1)).cast("long").as("__n0"))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__t"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for ALL pairs via cross join — array
    * built-ins only, fully codegen'd. QUADRATIC: use only on small inputs;
    * at scale use [[nearDuplicatePairs]] (LSH candidates → exact verify).

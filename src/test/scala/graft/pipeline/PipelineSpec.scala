@@ -1347,6 +1347,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0))
   }
 
+  test("dedupLines: first-occurrence line dedup, short-line exemption, skew-safe plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma\nshort\ncommon line here"),
+      (2L, "common line here\nunique to doc two\nshort"),
+      (3L, "common line here"), // every line removed → empty survivor
+      (4L, "")                  // empty text: one zero-length (exempt) line
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id", "\n", minChars = 8)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq(
+      "alpha beta gamma\nshort\ncommon line here", // doc 1 owns the common line
+      "unique to doc two\nshort",                  // later occurrence cut, order kept
+      "",                                          // all lines removed
+      ""))                                         // empty doc unchanged
+    assert(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3L, 0L), (2L, 1L), (0L, 1L), (1L, 0L)))
+
+    // minChars = 0: even empty lines contend for the global first slot
+    val strict = Dedup.dedupLines(
+      Seq((1L, "x\n\ny"), (2L, "\nz")).toDF("doc_id", "text"),
+      "text", "doc_id", "\n", minChars = 0).orderBy("doc_id").collect()
+    assert(strict(0).getString(1) == "x\n\ny" && strict(1).getString(1) == "z")
+
+    // idempotent: a deduped corpus is a fixed point
+    val once = Dedup.dedupLines(docs, "text", "doc_id", "\n", minChars = 8)
+      .select("doc_id", "text")
+    val twice = Dedup.dedupLines(once, "text", "doc_id", "\n", minChars = 8)
+      .select("doc_id", "text")
+    assert(twice.orderBy("doc_id").collect().toSeq ==
+      once.orderBy("doc_id").collect().toSeq)
+
+    // scale shape: winner selection is a partial-aggregated min, NOT a
+    // window over partition-by-line (a hot boilerplate line would sort
+    // all its occurrences in one reducer partition)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial min") ||
+      plan.toLowerCase.contains("partialmerge") || plan.contains("min(struct"), plan)
+  }
+
   test("ORC and JSON sources round-trip pipeline tables exactly") {
     val base = java.nio.file.Files.createTempDirectory("graft_sources").toString
     // float-array embeddings through ORC (the other columnar format Spark
