@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Curate, Dedup, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -663,6 +663,40 @@ object Queries {
       Text.chunkByWords(t(s, d, "documents"), "doc_id", "text",
           window = 40, overlap = 10)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q102_group_sample" -> ((s, d) => {
+      // deterministic EXACT-k per-group sample (the "20 docs per language
+      // for eyeballing" daily op): order by a content-free md5 key so the
+      // pick is uniform-ish and reproducible across runs/engines.
+      // Complements q59 (rate-based stratified sampling, pure filter):
+      // exact-k needs a per-group bound, which BoundedTopK supplies with
+      // map-side partial reduction — no window, so a 10^9-doc language
+      // never sorts in one reducer partition.
+      prep(s, d, "documents")
+      val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      GroupedTopK.topK(base, Seq("lang"),
+          Seq(("h", true), ("doc_id", true)), 20, "rank")
+        .orderBy("lang", "rank")
+    }),
+
+    "q103_bpe_pair_stats" -> ((s, d) => {
+      // tokenizer-training step 1: adjacent-pair frequencies over the
+      // corpus (the statistic a BPE merge round maximizes), word-level
+      // here because the fixture is ASCII words. Pairs derive per-row
+      // from the token array (no self-join — the classic formulation
+      // joins the corpus to itself on position); top pairs with a
+      // deterministic tie-break.
+      prep(s, d, "documents")
+      t(s, d, "documents")
+        .select(filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(30)
     }),
 
     "q101_line_dedup" -> ((s, d) => {
@@ -2101,6 +2135,29 @@ object Queries {
              CAST(least(40, nw - i.i * 30) AS INT) AS n_words
       FROM c JOIN generate_series(0, 4095) i(i) ON i.i < c.nc
       ORDER BY doc_id, chunk_idx""",
+
+    "q102_group_sample" -> """
+      WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang, h,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                    AS INT) AS rank
+        FROM h)
+      SELECT doc_id, lang, h, rank FROM r WHERE rank <= 20
+      ORDER BY lang, rank""",
+
+    "q103_bpe_pair_stats" -> """
+      WITH w AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS wt
+        FROM documents),
+      p AS (
+        SELECT wt[i.i + 1] || ' ' || wt[i.i + 2] AS pair
+        FROM w JOIN generate_series(0, 126) i(i) ON i.i <= len(wt) - 2)
+      SELECT pair, count(*) AS n FROM p GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 30""",
 
     "q101_line_dedup" -> s"""
       WITH lined AS (
