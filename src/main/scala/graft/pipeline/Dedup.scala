@@ -528,6 +528,9 @@ object Dedup {
    * Returns one row per input document: (idCol, textCol [deduped],
    * n_kept, n_removed). Documents whose every line is removed survive
    * with an empty string (the caller filters on n_kept if it wants drops).
+   * `normalize` switches the match key from raw bytes (C4-style) to a
+   * caller-supplied normalization of the line (CCNet-style lower/trim);
+   * survivors always keep their original bytes.
    *
    * Scale shape: the first-occurrence winner per line is a PARTIAL-
    * AGGREGATED `min(struct(id, pos))` — deliberately not
@@ -539,17 +542,24 @@ object Dedup {
    * aggregation reassembles documents. No driver actions, no windows.
    */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
-                 separator: String = "\n", minChars: Int = 0): DataFrame = {
+                 separator: String = "\n", minChars: Int = 0,
+                 normalize: Option[Column => Column] = None): DataFrame = {
     require(separator.nonEmpty, "separator must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(separator)
     val lines = df.select(col(idCol).as("__id"),
       posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos", "__line")))
+    // match key: raw bytes (C4-style) or caller-normalized (CCNet-style —
+    // e.g. lower+trim so casing/whitespace variants of a boilerplate line
+    // collapse); output always keeps the winner's ORIGINAL bytes.
+    // Exemption length is measured on the raw line either way.
+    val keyed = lines.withColumn("__key",
+      normalize.map(f => f(col("__line"))).getOrElse(col("__line")))
     // dedup-eligible occurrences only: exempt lines never contend for (or
     // consume) the first-occurrence slot, and never shuffle by content
-    val winners = lines.filter(length(col("__line")) >= minChars)
-      .groupBy("__line")
+    val winners = keyed.filter(length(col("__line")) >= minChars)
+      .groupBy("__key")
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
-    val kept = lines.join(winners, Seq("__line"), "left")
+    val kept = keyed.join(winners, Seq("__key"), "left")
       .filter(col("__first").isNull ||  // exempt (short) line
         (col("__first.__id") === col("__id") &&
           col("__first.__pos") === col("__pos")))

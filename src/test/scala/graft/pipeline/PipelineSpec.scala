@@ -1388,6 +1388,52 @@ class PipelineSpec extends AnyFunSuite {
       plan.toLowerCase.contains("partialmerge") || plan.contains("min(struct"), plan)
   }
 
+  test("dedupLines: normalized matching collapses case variants, keeps winner bytes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Subscribe To Our Newsletter\nreal content one"),
+      (2L, "SUBSCRIBE TO OUR NEWSLETTER\nreal content two")
+    ).toDF("doc_id", "text")
+    // raw matching: case variants are distinct lines — nothing removed
+    val raw = Dedup.dedupLines(docs, "text", "doc_id", "\n", 0)
+      .orderBy("doc_id").collect()
+    assert(raw.forall(_.getLong(3) == 0L))
+    // normalized matching: variants collapse; doc 1 keeps ITS casing
+    val norm = Dedup.dedupLines(docs, "text", "doc_id", "\n", 0,
+      normalize = Some(c => lower(trim(c)))).orderBy("doc_id").collect()
+    assert(norm(0).getString(1) == "Subscribe To Our Newsletter\nreal content one")
+    assert(norm(1).getString(1) == "real content two")
+    assert(norm(1).getLong(3) == 1L)
+  }
+
+  test("dedupLines matches a sequential brute-force reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // tiny line vocabulary → heavy cross-document collisions; mix of
+    // exempt-short and eligible lines, plus empty lines and empty docs
+    val vocab = Vector("aa", "bb", "", "common body line", "other body line",
+      "x y", "third body line here")
+    val docs = (1L to 40L).map { id =>
+      (id, Vector.fill(rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+        .mkString("\n"))
+    }
+    val minChars = 4
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val kept = text.split("\n", -1).toSeq.filter { l =>
+        if (l.length < minChars) true
+        else if (seen(l)) false
+        else { seen += l; true }
+      }
+      (id, kept.mkString("\n"), kept.size.toLong,
+        text.split("\n", -1).length.toLong - kept.size)
+    }
+    val got = Dedup.dedupLines(docs.toDF("doc_id", "text"), "text", "doc_id",
+        "\n", minChars).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("ORC and JSON sources round-trip pipeline tables exactly") {
     val base = java.nio.file.Files.createTempDirectory("graft_sources").toString
     // float-array embeddings through ORC (the other columnar format Spark
