@@ -665,6 +665,48 @@ object Queries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q104_nb_classifier" -> ((s, d) => {
+      // train AND score a multinomial Naive Bayes language classifier
+      // in one plan — the closed-form stand-in for the fastText-style
+      // quality/language filter every curation pipeline runs. Laplace
+      // (+1) smoothing; natural-log scores. Scale shape: the model
+      // ((class,word) log-likelihoods, priors) is dimension-sized →
+      // broadcast to the scoring join; the corpus only moves through
+      // partial-aggregated (doc,word)/(class,word) counts; argmax per
+      // doc via BoundedTopK (no window). The winning class's score
+      // margin over the runner-up is ≥ 3e-4 on this corpus (measured),
+      // orders of magnitude above cross-engine libm noise, so the
+      // argmax is engine-stable; scores themselves compare at 4dp.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val words = docs.select(col("doc_id"), col("lang"),
+        explode(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+      val cnts = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val wtot = words.groupBy("lang").agg(count(lit(1)).as("wc"))
+      val vocab = words.agg(countDistinct(col("w")).as("v"))
+      val lik = docs.select("lang").distinct()
+        .crossJoin(words.select("w").distinct())
+        .join(wtot, "lang").crossJoin(broadcast(vocab))
+        .join(cnts, Seq("lang", "w"), "left")
+        .select(col("lang"), col("w"),
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("wc") + col("v"))).as("ll"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val priors = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"),
+          log(col("n_docs").cast("double") / col("n_total")).as("lp"))
+      val scored = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .join(broadcast(lik), "w")
+        .groupBy("doc_id", "lang").agg(sum(col("n") * col("ll")).as("sw"))
+        .join(broadcast(priors), "lang")
+        .select(col("doc_id"), col("lang"), (col("lp") + col("sw")).as("s"))
+      GroupedTopK.topK(scored, Seq("doc_id"), Seq(("s", false), ("lang", true)), 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"),
+          round(col("s"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2135,6 +2177,39 @@ object Queries {
              CAST(least(40, nw - i.i * 30) AS INT) AS n_words
       FROM c JOIN generate_series(0, 4095) i(i) ON i.i < c.nc
       ORDER BY doc_id, chunk_idx""",
+
+    "q104_nb_classifier" -> """
+      WITH w AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      cnts AS (SELECT lang, w, count(*) AS c FROM w GROUP BY 1, 2),
+      wtot AS (SELECT lang, count(*) AS wc FROM w GROUP BY 1),
+      vocab AS (SELECT count(DISTINCT w) AS v FROM w),
+      lik AS (
+        SELECT cl.lang, vw.w,
+               ln((coalesce(k.c, 0) + 1.0) / (wtot.wc + vocab.v)) AS ll
+        FROM (SELECT DISTINCT lang FROM documents) cl
+        CROSS JOIN (SELECT DISTINCT w FROM w) vw
+        CROSS JOIN vocab
+        JOIN wtot ON wtot.lang = cl.lang
+        LEFT JOIN cnts k ON k.lang = cl.lang AND k.w = vw.w),
+      priors AS (
+        SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) AS lp
+        FROM documents GROUP BY lang),
+      scored AS (
+        SELECT d.doc_id, l.lang, max(p.lp) + sum(d.n * l.ll) AS s
+        FROM (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2) d
+        JOIN lik l ON l.w = d.w
+        JOIN priors p ON p.lang = l.lang
+        GROUP BY 1, 2),
+      r AS (
+        SELECT doc_id, lang, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+        FROM scored)
+      SELECT doc_id, lang AS pred_lang, round(s, 4) AS score
+      FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "q102_group_sample" -> """
       WITH h AS (
