@@ -563,6 +563,14 @@ object Dedup {
       .filter(col("__first").isNull ||  // exempt (short) line
         (col("__first.__id") === col("__id") &&
           col("__first.__pos") === col("__pos")))
+    reassembleLines(df, kept, textCol, idCol, separator, sepRe)
+  }
+
+  /** Rejoin surviving (id, pos, line) rows into documents; every input
+    * document survives (empty string if all lines were cut). */
+  private def reassembleLines(df: DataFrame, kept: DataFrame, textCol: String,
+                              idCol: String, separator: String,
+                              sepRe: String): DataFrame = {
     val rebuilt = kept.groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__pos"), col("__line")))).as("__a"),
         count(lit(1)).as("n_kept"))
@@ -576,6 +584,95 @@ object Dedup {
         coalesce(col("__t"), lit("")).as(textCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
+   * Persist the standing corpus's distinct ELIGIBLE line keys — the index
+   * for incremental line dedup. The corpus text is split exactly once;
+   * every later batch dedups against this slim key set (one short row per
+   * distinct line, not per occurrence) instead of re-reading corpus text.
+   * `separator`/`minChars` ride as field metadata so batches split
+   * identically; `normalize` must be re-supplied verbatim on the
+   * increment side (functions don't serialize — a `normalized` marker in
+   * the metadata guards against forgetting it).
+   */
+  def writeLineIndex(df: DataFrame, textCol: String, idCol: String,
+                     path: String, separator: String = "\n", minChars: Int = 0,
+                     normalize: Option[Column => Column] = None): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("separator", separator).putLong("minChars", minChars)
+      .putBoolean("normalized", normalize.isDefined).build()
+    lineKeys(df, textCol, idCol, separator, minChars, normalize)
+      .select(col("__key").as("key", meta))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Distinct eligible (length ≥ minChars) line keys of a corpus. */
+  private def lineKeys(df: DataFrame, textCol: String, idCol: String,
+                       separator: String, minChars: Int,
+                       normalize: Option[Column => Column]): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(separator)
+    df.select(posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos", "__line")))
+      .filter(length(col("__line")) >= minChars)
+      .select(normalize.map(f => f(col("__line"))).getOrElse(col("__line"))
+        .as("__key"))
+      .distinct()
+  }
+
+  /**
+   * Dedup a NEW batch against the standing line index plus itself: a
+   * batch line survives iff it is exempt-short, or its key is absent from
+   * the index AND this is its first occurrence within the batch. Under
+   * append-only ids this equals [[dedupLines]] over (standing ∪ batch)
+   * restricted to batch documents — standing documents are untouched by
+   * construction (suite-pinned). Reads ONLY the index (one row per
+   * distinct standing line) — standing text is never re-split. Call
+   * [[appendLineIndex]] afterwards to grow the index with the batch's
+   * surviving new keys.
+   */
+  def dedupLinesIncrement(spark: org.apache.spark.sql.SparkSession, path: String,
+                          batch: DataFrame, textCol: String, idCol: String,
+                          normalize: Option[Column => Column] = None): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val meta = idx.schema("key").metadata
+    val separator = meta.getString("separator")
+    val minChars = meta.getLong("minChars").toInt
+    require(meta.getBoolean("normalized") == normalize.isDefined,
+      "index was built with a different normalize setting")
+    val sepRe = java.util.regex.Pattern.quote(separator)
+    val lines = batch.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos", "__line")))
+    val keyed = lines.withColumn("__key",
+      normalize.map(f => f(col("__line"))).getOrElse(col("__line")))
+    // batch-internal first occurrences whose key the standing corpus has
+    // never seen (anti join against the slim index)
+    val freshWinners = keyed.filter(length(col("__line")) >= minChars)
+      .groupBy("__key")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      .join(idx, col("__key") === idx("key"), "left_anti")
+    val kept = keyed.join(freshWinners, Seq("__key"), "left")
+      .filter(length(col("__line")) < minChars ||   // exempt
+        (col("__first").isNotNull &&                 // fresh key, winner row
+          col("__first.__id") === col("__id") &&
+          col("__first.__pos") === col("__pos")))
+    reassembleLines(batch, kept, textCol, idCol, separator, sepRe)
+  }
+
+  /** Grow the line index with a batch's new eligible keys (those not
+    * already present). Standing text is never re-split; cost scales with
+    * the batch plus one anti-join probe of the index. */
+  def appendLineIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, textCol: String, idCol: String,
+                      normalize: Option[Column => Column] = None): Unit = {
+    val idx = spark.read.parquet(path)
+    val meta = idx.schema("key").metadata
+    require(meta.getBoolean("normalized") == normalize.isDefined,
+      "index was built with a different normalize setting")
+    lineKeys(batch, textCol, idCol, meta.getString("separator"),
+        meta.getLong("minChars").toInt, normalize)
+      .join(idx, col("__key") === idx("key"), "left_anti")
+      .select(col("__key").as("key", meta))
+      .write.mode("append").parquet(path)
   }
 
   /**

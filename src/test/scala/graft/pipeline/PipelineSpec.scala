@@ -1434,6 +1434,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("incremental line dedup: equals full dedup over the union, reads only the index") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lidx").toString
+    val fold = """((?:\S+ ){2}\S+) """
+    val lined = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), regexp_replace(col("text"), fold, "$1\n").as("text"))
+    val standing = lined.filter(col("doc_id") < 300)
+    val b1 = lined.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = lined.filter(col("doc_id") >= 400)
+    val mc = 12
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    Dedup.writeLineIndex(standing, "text", "doc_id", s"$base/lidx", "\n", mc)
+    // append-only ids: standing documents are untouched by a later batch
+    assert(rows(Dedup.dedupLines(standing.unionByName(b1), "text", "doc_id", "\n", mc)
+        .filter(col("doc_id") < 300)) ==
+      rows(Dedup.dedupLines(standing, "text", "doc_id", "\n", mc)))
+    // batch 1 arrives as its own files (as a real daily batch would):
+    // incremental == full restricted to the batch
+    b1.write.parquet(s"$base/b1")
+    val b1Files = spark.read.parquet(s"$base/b1")
+    val inc1 = Dedup.dedupLinesIncrement(spark, s"$base/lidx", b1Files,
+      "text", "doc_id")
+    assert(rows(inc1) ==
+      rows(Dedup.dedupLines(standing.unionByName(b1), "text", "doc_id", "\n", mc)
+        .filter(col("doc_id") >= 300)))
+    // the increment plan reads the batch and the slim index — the standing
+    // corpus text is never re-split
+    val scans = inc1.queryExecution.executedPlan.toString
+    assert(scans.contains("lidx") && !scans.contains("documents.parquet"), scans)
+
+    // batch 2 after growing the index with batch 1
+    Dedup.appendLineIndex(spark, s"$base/lidx", b1, "text", "doc_id")
+    val inc2 = Dedup.dedupLinesIncrement(spark, s"$base/lidx", b2, "text", "doc_id")
+    assert(rows(inc2) ==
+      rows(Dedup.dedupLines(lined, "text", "doc_id", "\n", mc)
+        .filter(col("doc_id") >= 400)))
+
+    // normalize marker guards against a mismatched increment
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesIncrement(spark, s"$base/lidx", b2, "text", "doc_id",
+        normalize = Some(c => lower(c)))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("ORC and JSON sources round-trip pipeline tables exactly") {
     val base = java.nio.file.Files.createTempDirectory("graft_sources").toString
     // float-array embeddings through ORC (the other columnar format Spark
