@@ -681,11 +681,17 @@ object Queries {
       val docs = t(s, d, "documents")
       val words = docs.select(col("doc_id"), col("lang"),
         explode(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+      // every model statistic derives from the ONE corpus-wide (class,
+      // word) count: wtot/vocab/classes re-aggregate the dim-sized cnts
+      // frame, whose identical shuffle subtree is ReuseExchange'd — the
+      // corpus contributes a single scan+shuffle to the whole model build
+      // (a class present only via wordless docs drops at the wtot join in
+      // both engines, so deriving classes from cnts is equivalent)
       val cnts = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-      val wtot = words.groupBy("lang").agg(count(lit(1)).as("wc"))
-      val vocab = words.agg(countDistinct(col("w")).as("v"))
-      val lik = docs.select("lang").distinct()
-        .crossJoin(words.select("w").distinct())
+      val wtot = cnts.groupBy("lang").agg(sum(col("c")).as("wc"))
+      val vocab = cnts.select("w").distinct().agg(count(lit(1)).as("v"))
+      val lik = cnts.select("lang").distinct()
+        .crossJoin(cnts.select("w").distinct())
         .join(wtot, "lang").crossJoin(broadcast(vocab))
         .join(cnts, Seq("lang", "w"), "left")
         .select(col("lang"), col("w"),
