@@ -616,18 +616,27 @@ object Queries {
       // the ANN serving read path certified end-to-end: ADC top-10 per
       // query over the PQ-compressed corpus (q95's codebook + codes) —
       // each query builds its m×k sub-distance table once, every
-      // compressed row is scored with m array lookups, bounded top-k by
-      // (dist asc, neighbor_id asc). The oracle recomputes codebook,
-      // codes, tables, and ranking from first principles; dist rounds to
-      // 4 decimals (sum-order tolerance, q51/q74 precedent).
+      // compressed row is scored with m array lookups. Ranking happens on
+      // the ROUNDED distance with a neighbor-id tie-break: duplicate
+      // vectors share PQ codes, so their ADC distances are equal up to
+      // summation order, and DuckDB's parallel hash aggregate sums the m
+      // terms in a different order run to run — ranking raw doubles made
+      // the oracle itself nondeterministic (observed: ranks 9/10
+      // swapping). Rounding to 4dp collapses the ulp noise on BOTH
+      // engines before the id tie-break; the raw top-15 over-fetch keeps
+      // the re-ranked top-10 safely inside the candidate set.
       prep(s, d, "embeddings")
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
       val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 16)
       val enc = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 4)
-      Similarity.pqTopKAdc(enc, cb, queries, "vec_id", "embedding", m = 4, k = 10)
+      val raw = Similarity.pqTopKAdc(enc, cb, queries, "vec_id", "embedding",
+          m = 4, k = 15)
         .select(col("query_id"), col("neighbor_id"),
-          round(col("dist"), 4).as("dist"), col("rank"))
+          round(col("dist"), 4).as("dist"))
+      GroupedTopK.topK(raw, Seq("query_id"),
+          Seq(("dist", true), ("neighbor_id", true)), 10, "rank")
+        .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2141,11 +2150,11 @@ object Queries {
         JOIN tab t ON t.sub = c.sub AND t.code = c.code
         WHERE c.vec_id <> t.query_id
         GROUP BY 1, 2)
-      SELECT query_id, neighbor_id, round(dist, 4) AS dist,
-             CAST(rn AS INT) AS rank
-      FROM (SELECT query_id, neighbor_id, dist,
+      SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank
+      FROM (SELECT query_id, neighbor_id, round(dist, 4) AS dist,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY dist, neighbor_id) AS rn
+                                      ORDER BY round(dist, 4), neighbor_id)
+                     AS rn
             FROM dists)
       WHERE rn <= 10 ORDER BY query_id, rank""",
 
