@@ -212,6 +212,39 @@ object StreamOps {
       .start()
   }
 
+  /**
+   * Streaming corpus-wide line dedup: each micro-batch dedups against the
+   * standing line-key index ([[graft.pipeline.Dedup.writeLineIndex]]) plus
+   * itself, appends surviving documents to `outPath/data`, then grows the
+   * index with the batch's new keys — so later batches drop lines first
+   * seen in earlier ones. Same foreachBatch shape and at-least-once
+   * caveats as [[curateStream]]; batch ids must stay append-only. The
+   * standing corpus text is never re-read — only the one-row-per-
+   * distinct-line index.
+   */
+  def dedupLinesStream(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, textCol: String, idCol: String,
+                       indexPath: String, outPath: String, checkpoint: String,
+                       normalize: Option[org.apache.spark.sql.Column =>
+                         org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        graft.pipeline.Dedup.dedupLinesIncrement(spark, indexPath, b,
+            textCol, idCol, normalize)
+          .write.mode("append").parquet(s"$outPath/data")
+        // index append goes last: the new keys derive from the RAW batch
+        // (identical to the surviving winners' key set), so the data write
+        // above never races the index it reads
+        graft.pipeline.Dedup.appendLineIndex(spark, indexPath, b,
+          textCol, idCol, normalize)
+        ()
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

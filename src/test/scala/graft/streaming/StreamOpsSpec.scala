@@ -139,6 +139,42 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup: cross-batch line suppression via the key index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1L, "standing boilerplate line\nstanding unique line"))
+      .toDF("doc_id", "text")
+    val idx = "/tmp/graft_stream_lidx"
+    val out = "/tmp/graft_stream_lidx_out"
+    val ckpt = "/tmp/graft_stream_lidx_ckpt"
+    Seq(idx, out, ckpt).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    graft.pipeline.Dedup.writeLineIndex(standing, "text", "doc_id", idx,
+      "\n", minChars = 4)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupLinesStream(spark, input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", idx, out, ckpt)
+    try {
+      input.addData(
+        (100L, "standing boilerplate line\nfresh batch-one line"), // line 1 cut
+        (101L, "fresh batch-one line\nanother fresh line"))        // first line cut (100 owns it)
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$out/data")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(b1 == Map(100L -> "fresh batch-one line",
+        101L -> "another fresh line"), b1.toString)
+      input.addData(
+        // duplicates a BATCH-1 survivor line: caught because batch 1's new
+        // keys were appended to the index
+        (200L, "another fresh line\nbatch-two novelty"))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(s"$out/data")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(b2 == Map(100L -> "fresh batch-one line",
+        101L -> "another fresh line", 200L -> "batch-two novelty"), b2.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
