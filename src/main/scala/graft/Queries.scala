@@ -722,6 +722,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q105_html_strip" -> ((s, d) => {
+      // WET-style HTML text extraction: markup synthesized
+      // deterministically around each document (style block, comment,
+      // attributed tags, a script body containing '<', entity-escaped
+      // text), then stripped back to clean text with Text.stripHtml.
+      // Both engines run the same injected Java∩RE2 regex/replace chain,
+      // so the hash certifies block removal order, entity decode order
+      // (&amp; last), and whitespace collapse end-to-end (q68/q75
+      // precedent).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">body { color: #333; }" +
+          "</style></head><body><h1 class=\"t\">Doc "), col("doc_id"),
+        lit("</h1><!-- trail "), col("doc_id"),
+        lit(" --><p>"), col("text"),
+        lit("</p><script>if (1 < 2) { emit(\"x\"); }</script>" +
+          "<p>Tom &amp; Jerry &lt;3 &quot;q&quot; it&#39;s&nbsp;done</p>" +
+          "</body></html>"))
+      docs.select(col("doc_id"), Text.stripHtml(html).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2225,6 +2249,32 @@ object Queries {
         FROM scored)
       SELECT doc_id, lang AS pred_lang, round(s, 4) AS score
       FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "q105_html_strip" -> s"""
+      WITH synth AS (
+        SELECT doc_id,
+          '<html><head><style type="text/css">body { color: #333; }</style></head><body><h1 class="t">Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><!-- trail ' ||
+          CAST(doc_id AS VARCHAR) || ' --><p>' || text ||
+          '</p><script>if (1 < 2) { emit("x"); }</script><p>Tom &amp; Jerry &lt;3 &quot;q&quot; it&#39;s&nbsp;done</p></body></html>' AS html
+        FROM documents),
+      clean AS (
+        SELECT doc_id,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                html,
+                '${Text.HtmlScriptRe}', ' ', 'g'),
+                '${Text.HtmlStyleRe}', ' ', 'g'),
+                '${Text.HtmlCommentRe}', ' ', 'g'),
+                '${Text.HtmlTagRe}', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+            '${Text.WsRunRe}', ' ', 'g')) AS clean_text
+        FROM synth)
+      SELECT doc_id, clean_text,
+             CAST(length(clean_text) AS BIGINT) AS clean_len
+      FROM clean ORDER BY doc_id""",
 
     "q102_group_sample" -> """
       WITH h AS (

@@ -92,6 +92,42 @@ object Text {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** HTML-extraction patterns shared by [[stripHtml]] and its oracle
+    * mirror — same Java∩RE2 dialect discipline as [[EmailRe]]. Script
+    * and style need their own patterns (no backreferences in RE2), with
+    * `(?is)` for case-insensitive dotall block matching; the whitespace
+    * run is an explicit class because Java `\s` includes `\x0B` while
+    * RE2's does not. */
+  val HtmlScriptRe  = "(?is)<script[^>]*>.*?</script[^>]*>"
+  val HtmlStyleRe   = "(?is)<style[^>]*>.*?</style[^>]*>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe     = "<[^>]*>"
+  val WsRunRe       = "[ \\t\\n\\r\\f]+"
+
+  /** Entity decodes applied after tag removal, in order — `&amp;` last so
+    * double-escaped text (`&amp;lt;`) decodes one level, as a single-pass
+    * decoder would. Literal (non-regex) replaces on both engines. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+
+  /**
+   * WET-style HTML text extraction — the first step of every web-crawl
+   * curation pipeline (CCNet/C4 operate on extracted text, not markup):
+   * drop script/style blocks and comments whole, strip remaining tags,
+   * decode the common entities, collapse whitespace runs. A pure chain of
+   * per-row codegen'd `regexp_replace`/`replace` calls — scan-side, no
+   * shuffle, composes with the quality gates downstream.
+   */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = Seq(HtmlScriptRe, HtmlStyleRe, HtmlCommentRe, HtmlTagRe)
+      .foldLeft(text)((c, re) => regexp_replace(c, re, " "))
+    val decoded = HtmlEntities.foldLeft(noBlocks) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, WsRunRe, " "))
+  }
+
   /**
    * N-gram repetition ratio in [0,1]: 1 − distinct/total word n-grams —
    * the boilerplate/template signal (C4-style quality filtering drops

@@ -821,6 +821,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3) == "not-an-email @ example.com and +1-55-123 too short")
   }
 
+  test("stripHtml: blocks, tags, entities, whitespace collapse") {
+    import spark.implicits._
+    val df = Seq(
+      // script body with '<' and quotes; style with braces; comment
+      "<html><head><STYLE media=\"all\">p { x: 1 < 2; }</STYLE></head>" +
+        "<body><h1>T</h1><!-- note\nspans lines --><p>hello\n\n world</p>" +
+        "<SCRIPT type=\"text/js\">if (a < b) { f(\"</p>\"); }</SCRIPT></body></html>",
+      // entities, &amp; decoded last so double-escapes drop one level
+      "<p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; it&#39;s&nbsp;here</p>",
+      // unclosed/bare text, attributes with '>'-free urls
+      "plain   text <a href=\"http://x/y?a=1\">link</a> tail",
+      ""
+    ).toDF("t")
+    val got = df.select(Text.stripHtml(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "T hello world")
+    assert(got(1) == "A &amp; B <tag> \"q\" it's here")
+    assert(got(2) == "plain text link tail")
+    assert(got(3) == "")
+  }
+
   test("repetition score: 1 - distinct/total 3-grams, zero for short docs") {
     import spark.implicits._
     val df = Seq(
