@@ -746,6 +746,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q106_nfc_normalize" -> ((s, d) => {
+      // Unicode NFC normalization certified cross-engine: the JDK
+      // Normalizer (Spark side) against DuckDB's utf8proc — two
+      // independent implementations of UAX#15. Decomposed sequences
+      // (e+U+0301, A+U+030A), already-composed corpus text, and a
+      // compatibility ligature (U+FB01, which NFC must PRESERVE, not
+      // decompose) are planted around every document; the hash certifies
+      // composition, non-decomposition, and code-point length accounting.
+      // Normalize-before-hash is the dedup prerequisite: byte-keyed
+      // operators miss duplicates that differ only in composition form.
+      prep(s, d, "documents")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" Cafe\u0301 A\u030A \uFB01n")).as("raw"))
+        .select(col("doc_id"),
+          Text.nfcNormalize(col("raw")).as("text_nfc"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(Text.nfcNormalize(col("raw"))).cast("long").as("len_nfc"))
+        .withColumn("composed", col("len_nfc") < col("len_raw"))
+        .orderBy("doc_id")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2275,6 +2297,19 @@ object Queries {
       SELECT doc_id, clean_text,
              CAST(length(clean_text) AS BIGINT) AS clean_len
       FROM clean ORDER BY doc_id""",
+
+    "q106_nfc_normalize" -> """
+      WITH synth AS (
+        SELECT doc_id,
+               text || ' Cafe' || chr(769) || ' A' || chr(778) || ' ' ||
+               chr(64257) || 'n' AS raw
+        FROM documents)
+      SELECT doc_id,
+             nfc_normalize(raw) AS text_nfc,
+             CAST(length(raw) AS BIGINT) AS len_raw,
+             CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+             length(nfc_normalize(raw)) < length(raw) AS composed
+      FROM synth ORDER BY doc_id""",
 
     "q102_group_sample" -> """
       WITH h AS (

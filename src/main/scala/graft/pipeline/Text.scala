@@ -269,6 +269,7 @@ object Text {
 
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
+  def nfcNormalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))
   def fingerprint64(text: Column): Column = toCol(Fingerprint64(toExpr(text)))
   def simhash64(text: Column): Column = toCol(SimHash64(toExpr(text)))
   def minhash(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
@@ -278,6 +279,7 @@ object Text {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")

@@ -307,6 +307,24 @@ case class LangId(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nfc_normalize(text) → Unicode NFC canonical composition (UAX#15 via
+  * JDK `java.text.Normalizer` — no new dependency). Web-crawl text mixes
+  * composed and decomposed forms of the same grapheme ("é" vs "e"+U+0301);
+  * exact dedup, line dedup, and n-gram decontamination all hash bytes, so
+  * un-normalized corpora silently miss duplicates. Run this before any
+  * content-key operator. Deterministic per-row map — scan-side, no
+  * shuffle. */
+case class NfcNormalize(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def evalText(s: String): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s, java.text.Normalizer.Form.NFC))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.Kernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** fingerprint64(text) → 64-bit token-stream fingerprint. */
 case class Fingerprint64(child: Expression) extends TextUnary {
   override def dataType: DataType = LongType

@@ -139,6 +139,9 @@ object Kernels {
   def fingerprint64(s: UTF8String): Long = graft.pipeline.TextUtil.fingerprint64(s.toString)
   def langId(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.pipeline.TextUtil.langId(s.toString))
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
 
   /** One-pass text statistics row — see TextUtil.textStats. */
   def textStats(s: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {

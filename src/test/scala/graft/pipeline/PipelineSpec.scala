@@ -841,6 +841,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3) == "")
   }
 
+  test("nfcNormalize: composes, preserves compat ligatures, equalizes dedup keys") {
+    import spark.implicits._
+    val df = Seq(
+      "Cafe\u0301",    // e + combining acute → é
+      "Caf\u00E9",     // already composed — idempotent
+      "A\u030A",       // A + combining ring → Å
+      "\uFB01ne",      // fi ligature: NFC preserves (NFKC would split)
+      ""
+    ).toDF("t")
+    val got = df.select(Text.nfcNormalize(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "Caf\u00E9" && got(1) == "Caf\u00E9")
+    assert(got(2) == "\u00C5")
+    assert(got(3) == "\uFB01ne")
+    assert(got(4) == "")
+    // the dedup motivation: composition variants hash to ONE content key
+    // after normalization, two without
+    val variants = Seq("Cafe\u0301 menu", "Caf\u00E9 menu").toDF("text")
+    val rawKeys = variants.select(Dedup.contentKey(col("text"))).distinct().count()
+    val nfcKeys = variants.select(Dedup.contentKey(Text.nfcNormalize(col("text"))))
+      .distinct().count()
+    assert(rawKeys == 2 && nfcKeys == 1)
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(Text.nfcNormalize(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("repetition score: 1 - distinct/total 3-grams, zero for short docs") {
     import spark.implicits._
     val df = Seq(
