@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Curate, Dedup, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Clustering, Curate, Dedup, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -766,6 +766,30 @@ object Queries {
           length(Text.nfcNormalize(col("raw"))).cast("long").as("len_nfc"))
         .withColumn("composed", col("len_nfc") < col("len_raw"))
         .orderBy("doc_id")
+    }),
+
+    "q107_kmeans_clusters" -> ((s, d) => {
+      // spherical k-means (k=8, TWO Lloyd rounds, engine-portable md5
+      // init) trained IN the engine, then the final assignment summarized
+      // per cluster. The oracle replays the identical trajectory in
+      // DuckDB — init ordering, cosine argmax with lowest-cid tie-break,
+      // element-wise mean update, empty-cluster carry-over — as textually
+      // unrolled rounds, so the hash certifies the whole training run,
+      // not one step. Float-drift audit (tools/KmeansMargin): the mean's
+      // summation order is the only cross-engine nondeterminism (~1e-13);
+      // measured best-vs-second margins per round are 6.7e-5 / 2.8e-4 /
+      // 4.2e-4 — the integer output is stable by ~8 orders of magnitude.
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+      Clustering.kmeansAssign(emb, cents, "vec_id", "embedding")
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("neighbor_id")).as("min_id"),
+          max(col("neighbor_id")).as("max_id"))
+        .select(col("list_id").as("cluster_id"),
+          col("n_members"), col("min_id"), col("max_id"))
+        .orderBy("cluster_id")
     }),
 
     "q102_group_sample" -> ((s, d) => {
@@ -2310,6 +2334,60 @@ object Queries {
              CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
              length(nfc_normalize(raw)) < length(raw) AS composed
       FROM synth ORDER BY doc_id""",
+
+    "q107_kmeans_clusters" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      c0 AS (
+        SELECT id AS cid, v AS cvec FROM e
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      a1 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      n1 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a1 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c1 AS (
+        SELECT c0.cid, coalesce(n1.cvec, c0.cvec) AS cvec
+        FROM c0 LEFT JOIN n1 USING (cid)),
+      a2 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      n2 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a2 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid, coalesce(n2.cvec, c1.cvec) AS cvec
+        FROM c1 LEFT JOIN n2 USING (cid)),
+      af AS (
+        SELECT id, cid FROM (
+          SELECT e.id, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c2 c) WHERE rn = 1)
+      SELECT cid AS cluster_id, count(*) AS n_members,
+             min(id) AS min_id, max(id) AS max_id
+      FROM af GROUP BY cid ORDER BY cluster_id""",
 
     "q102_group_sample" -> """
       WITH h AS (

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Partial state for the element-wise vector mean: running sums + count.
+  * Dim-sized double buffers cross the shuffle, never member vectors. */
+case class VecMeanBuf(var sums: Array[Double], var n: Long)
+
+/**
+ * Element-wise mean of `array<double>` vectors as ONE partial-aggregated
+ * shuffle: `reduce` sums map-side into a dim-sized buffer, `merge` folds
+ * buffers, `finish` divides. The corpus is never exploded per-dimension —
+ * the posexplode/groupBy(pos) alternative shuffles rows × dim and needs a
+ * second shuffle to reassemble arrays. Null or length-mismatched vectors
+ * are ignored; an all-null group yields null.
+ */
+class VecMeanAggregator extends Aggregator[Seq[Double], VecMeanBuf, Seq[Double]] {
+  def zero: VecMeanBuf = VecMeanBuf(Array.emptyDoubleArray, 0L)
+
+  def reduce(b: VecMeanBuf, v: Seq[Double]): VecMeanBuf = {
+    if (v == null) return b
+    if (b.n == 0L) { b.sums = v.toArray; b.n = 1L; return b }
+    if (v.length != b.sums.length) return b
+    var i = 0
+    while (i < b.sums.length) { b.sums(i) += v(i); i += 1 }
+    b.n += 1L
+    b
+  }
+
+  def merge(a: VecMeanBuf, b: VecMeanBuf): VecMeanBuf = {
+    if (b.n == 0L) return a
+    if (a.n == 0L) return b
+    if (a.sums.length != b.sums.length) return a
+    var i = 0
+    while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+    a.n += b.n
+    a
+  }
+
+  def finish(b: VecMeanBuf): Seq[Double] =
+    if (b.n == 0L) null
+    else { val n = b.n.toDouble; b.sums.map(_ / n).toSeq }
+
+  def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
+/**
+ * Spherical k-means (Lloyd's) over an embedding column — the centroid
+ * TRAINER behind IVF routing quality and topic/SemDeDup-style corpus
+ * clustering. Cosine assignment with a plain mean update IS spherical
+ * k-means: cosine is scale-invariant, so the un-normalized mean ranks
+ * identically to the normalized spherical centroid.
+ *
+ * Scale shape per iteration: ONE corpus scan with the k×dim centroid
+ * matrix broadcast into a pure-map argmax (the ivfAssignWith shape — no
+ * Window, no sort, no exchange keyed on the vector id), then ONE
+ * partial-aggregated shuffle of dim-sized sum buffers
+ * ([[VecMeanAggregator]]). Between iterations the k×dim matrix passes
+ * through the driver — a documented metadata-sized collect (the
+ * ivfTopKIndexed precedent), which keeps every iteration an independent
+ * compact plan instead of doubling the lineage per round (the q56 lesson).
+ *
+ * Determinism: init picks the k corpus vectors with smallest
+ * md5(cast(id as string)) — engine-portable, so an external engine can
+ * replay the whole trajectory (ivfAssign's xxhash64 sample is
+ * Spark-specific). Ties in the argmax break toward the lowest centroid
+ * id; empty clusters keep their previous centroid. All arithmetic is
+ * double (vectors cast once up front): dot products accumulate in
+ * sequential order on every engine, leaving the mean's summation order
+ * as the only cross-engine nondeterminism (~1e-13 relative — orders of
+ * magnitude under real assignment margins).
+ */
+object Clustering {
+
+  lazy val vecMeanUdaf =
+    udaf(new VecMeanAggregator, ExpressionEncoder[Seq[Double]]())
+
+  /** Train k centroids; returns (centroid_id long, cvec array<double>).
+    * `iters` Lloyd rounds after the deterministic init (iters = 0 returns
+    * the init sample itself). */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .persist()
+    try {
+      var cents: Array[(Long, Seq[Double])] = vecs
+        .select(col("vid"), col("v"), md5(col("vid").cast("string")).as("__h"))
+        .orderBy(col("__h"), col("vid"))
+        .limit(k)
+        .as[(Long, Seq[Double], String)]
+        .collect()
+        .map { case (id, v, _) => (id, v) }
+      var it = 0
+      while (it < iters) {
+        val centDf = cents.toSeq.toDF("centroid_id", "cvec")
+        val means = Similarity.ivfAssignWith(vecs, centDf, "vid", "v")
+          .groupBy(col("list_id"))
+          .agg(vecMeanUdaf(col("nvec")).as("mean"))
+          .where(col("mean").isNotNull)
+          .as[(Long, Seq[Double])]
+          .collect()
+          .toMap
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        it += 1
+      }
+      cents.toSeq.toDF("centroid_id", "cvec")
+    } finally vecs.unpersist()
+  }
+
+  /** Final assignment against trained centroids: (neighbor_id, nvec,
+    * list_id). Vectors cast to double so both cosine operands share the
+    * centroids' precision (VecBinary keys element width off one side). */
+  def kmeansAssign(corpus: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String): DataFrame =
+    Similarity.ivfAssignWith(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      centroids, idCol, vecCol)
+
+  /** [[Similarity.ivfAssign]] drop-in with TRAINED centroids: Lloyd rounds
+    * balance the inverted lists, shrinking the hottest list a probe must
+    * scan (the hash-sample init inherits the data's density skew). The
+    * returned pair feeds the same write/append/query index paths. */
+  def ivfFitKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                   nLists: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
+    val centroids = kmeansFit(corpus, idCol, vecCol, nLists, iters)
+    (kmeansAssign(corpus, centroids, idCol, vecCol), centroids)
+  }
+}

@@ -530,6 +530,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("vec mean aggregator: partial/merge across partitions equals exact mean") {
+    import spark.implicits._
+    // 4 partitions force real merge() calls; values chosen so the exact
+    // mean is representable and order-independent
+    val rows = (1 to 100).map(i => (i % 3L, Seq(i.toDouble, 2.0 * i, -i.toDouble)))
+    val df = spark.createDataset(rows).repartition(4).toDF("g", "v")
+    val got = df.groupBy("g").agg(Clustering.vecMeanUdaf(col("v")).as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2)
+      g -> Seq(0, 1, 2).map(j => vs.map(_(j)).sum / vs.size)
+    }
+    assert(got.keySet == want.keySet)
+    for (g <- got.keySet; j <- 0 to 2)
+      assert(math.abs(got(g)(j) - want(g)(j)) < 1e-9, s"g=$g j=$j")
+    // all-null group → null mean; mismatched lengths ignored
+    val weird = Seq((0L, null.asInstanceOf[Seq[Double]]),
+      (1L, Seq(1.0, 2.0)), (1L, Seq(9.0))).toDF("g", "v")
+    val w = weird.groupBy("g").agg(Clustering.vecMeanUdaf(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w(0L).isNullAt(1))
+    assert(w(1L).getSeq[Double](1) == Seq(1.0, 2.0))
+  }
+
+  test("kmeans recovers planted separable clusters; empty clusters carry over") {
+    import spark.implicits._
+    // three tight clusters around orthogonal directions — any sane run
+    // must separate them perfectly after 3 rounds
+    val base = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+    val pts = for (c <- 0 to 2; j <- 0 to 19) yield
+      (c * 100L + j, base(c).zipWithIndex.map { case (x, i) =>
+        (x + ((j * 7 + i) % 5) * 0.01).toFloat })
+    val df = spark.createDataset(pts).toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansFit(df, "vec_id", "embedding", 3, 3)
+    assert(cents.count() == 3)
+    val assigned = Clustering.kmeansAssign(df, cents, "vec_id", "embedding")
+      .select("neighbor_id", "list_id")
+      .as[(Long, Long)].collect()
+    // each planted cluster maps to exactly one list, lists are distinct
+    val byTruth = assigned.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byTruth.values.forall(_.size == 1), byTruth.toString)
+    assert(byTruth.values.flatten.toSet.size == 3)
+    // iters=0 returns the init sample itself (k rows, ids from the corpus)
+    val init = Clustering.kmeansFit(df, "vec_id", "embedding", 5, 0)
+    assert(init.count() == 5)
+    // k > distinct directions: surplus centroids go empty and carry their
+    // previous (init) vector — fit still returns k rows, no nulls
+    val wide = Clustering.kmeansFit(df, "vec_id", "embedding", 30, 2)
+    assert(wide.count() == 30)
+    assert(wide.where(col("cvec").isNull).count() == 0)
+  }
+
+  test("kmeans-trained IVF: lists balance at least as well as hash-sample init") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (hashAssigned, _) = Similarity.ivfAssign(emb, "vec_id", "embedding", nLists = 8)
+    val (kmAssigned, kmCents) =
+      Clustering.ivfFitKmeans(emb, "vec_id", "embedding", nLists = 8, iters = 3)
+    def maxList(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("list_id").count().agg(max("count")).head().getLong(0)
+    // every vector still assigned exactly once
+    assert(kmAssigned.count() == emb.count())
+    // trained routing never degrades the hottest list by more than noise
+    assert(maxList(kmAssigned) <= (maxList(hashAssigned) * 1.25).toLong + 1,
+      s"kmeans ${maxList(kmAssigned)} vs hash ${maxList(hashAssigned)}")
+    // trained centroids drive the existing route path (queries cast to
+    // double to match centroid precision) and reach every probed list
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val routed = Similarity.ivfRoute(q, kmCents, "vec_id", "embedding", nProbe = 2)
+    assert(routed.count() == 3 * 2)
+  }
+
   test("embedding near-dup pairs: full recall on planted duplicates, exactly-once, no distinct") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
