@@ -792,6 +792,53 @@ object Queries {
         .orderBy("cluster_id")
     }),
 
+    "q108_semantic_dedup" -> ((s, d) => {
+      // SemDeDup end-to-end: k-means clusters bound the pairwise cosine
+      // pass; a vector drops when a smaller-id cluster-mate has cos ≥ 0.9.
+      // The q27 fixture guarantees recall inside clusters: planted
+      // exact-direction duplicates have IDENTICAL cosines to every
+      // centroid, so the argmax + lowest-cid tie-break lands both members
+      // on the same list, and the max natural pairwise cosine (≈0.51)
+      // keeps τ=0.9 margin enormous. The oracle replays the whole
+      // trajectory (q107's unrolled Lloyd rounds) plus the within-cluster
+      // pair filter — pair cosines are raw-vector sequential arithmetic,
+      // bit-identical cross-engine.
+      prep(s, d, "embeddings")
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Clustering.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+          k = 8, iters = 2, tau = 0.9)
+        .orderBy("id")
+    }),
+
+    "q109_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights: target = the English slice, raw = the
+      // whole corpus, hashed-unigram features (B=1024, md5 buckets —
+      // engine-portable). Exact integer counts; ln is the only inexact
+      // step (≤1-ulp libm drift) and the per-doc sum's order dependence
+      // is ~1e-13 — both absorbed by the 4dp rounding (q79 precedent).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      Sampling.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    "q110_gopher_repetition" -> ((s, d) => {
+      // Gopher repetition filters: top-2-gram char fraction + duplicate-
+      // 3-gram char fraction per document. Character masses are exact
+      // integer sums; each fraction is ONE IEEE division — no rounding
+      // needed (q67 precedent). Shingles use the unfiltered
+      // split(trim, \s+) stream, mirrored exactly by the oracle.
+      prep(s, d, "documents")
+      Text.ngramRepetitionStats(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2388,6 +2435,149 @@ object Queries {
       SELECT cid AS cluster_id, count(*) AS n_members,
              min(id) AS min_id, max(id) AS max_id
       FROM af GROUP BY cid ORDER BY cluster_id""",
+
+    // q107's unrolled two-round trajectory over the q27 planted-union
+    // corpus, then the SemDeDup pair rule: drop id when a smaller-id
+    // cluster-mate has cosine >= 0.9 (raw-vector arithmetic — the same
+    // d / (sqrt(na)*sqrt(nb)) chain as the engine's VecCosine)
+    "q108_semantic_dedup" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+        UNION ALL
+        SELECT vec_id + 100000 AS id,
+               CAST(list_transform(embedding, x -> x * 2) AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 20),
+      c0 AS (
+        SELECT id AS cid, v AS cvec FROM e
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      a1 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      n1 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a1 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c1 AS (
+        SELECT c0.cid, coalesce(n1.cvec, c0.cvec) AS cvec
+        FROM c0 LEFT JOIN n1 USING (cid)),
+      a2 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      n2 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a2 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid, coalesce(n2.cvec, c1.cvec) AS cvec
+        FROM c1 LEFT JOIN n2 USING (cid)),
+      af AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      rm AS (
+        SELECT DISTINCT b.id AS rid
+        FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.9)
+      SELECT af.id, af.cid AS cluster_id, rm.rid IS NULL AS kept
+      FROM af LEFT JOIN rm ON af.id = rm.rid
+      ORDER BY id""",
+
+    "q109_dsir_weights" -> """
+      WITH rtoks AS (
+        SELECT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents) u WHERE t <> ''),
+      rb AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 1024
+                    AS BIGINT) AS b
+        FROM rtoks),
+      tb AS (
+        SELECT CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 1024
+                    AS BIGINT) AS b
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents WHERE lang = 'en') u WHERE t <> ''),
+      rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+      tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+      nr AS (SELECT count(*) AS n FROM rb),
+      nt AS (SELECT count(*) AS n FROM tb)
+      SELECT rb.doc_id, count(*) AS n_tokens,
+             round(sum(
+               ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) /
+                  CAST(nt.n + 1024 AS DOUBLE)) -
+               ln(CAST(rc.cr + 1 AS DOUBLE) /
+                  CAST(nr.n + 1024 AS DOUBLE))), 4) AS log_weight
+      FROM rb JOIN rc USING (b) LEFT JOIN tc USING (b), nr, nt
+      GROUP BY rb.doc_id ORDER BY doc_id""",
+
+    // unfiltered split(trim, \s+) word stream (the wordShingles contract,
+    // q67 precedent); char mass of a gram = its length minus the joining
+    // spaces = sum of member word lengths
+    "q110_gopher_repetition" -> """
+      WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS wt
+        FROM documents),
+      tot AS (
+        SELECT doc_id,
+               coalesce(list_sum(list_transform(wt, x -> length(x))), 0)
+                 AS chars
+        FROM w),
+      g2 AS (
+        SELECT doc_id, wt[i.i + 1] || ' ' || wt[i.i + 2] AS g
+        FROM w JOIN generate_series(0, 510) i(i) ON i.i <= len(wt) - 2),
+      g3 AS (
+        SELECT doc_id,
+               wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' || wt[i.i + 3] AS g
+        FROM w JOIN generate_series(0, 509) i(i) ON i.i <= len(wt) - 3),
+      c2 AS (
+        SELECT doc_id, g, count(*) AS c, min(length(g) - 1) AS wch
+        FROM g2 GROUP BY doc_id, g),
+      t2 AS (
+        SELECT doc_id, c * wch AS top2_chars FROM (
+          SELECT doc_id, c, wch,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, g ASC) AS rn
+          FROM c2) WHERE rn = 1),
+      c3 AS (
+        SELECT doc_id, g, count(*) AS c, min(length(g) - 2) AS wch
+        FROM g3 GROUP BY doc_id, g),
+      d3 AS (
+        SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c * wch ELSE 0 END) AS dup3_chars
+        FROM c3 GROUP BY doc_id)
+      SELECT tot.doc_id,
+             CASE WHEN tot.chars > 0
+                  THEN CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / tot.chars
+                  ELSE 0.0 END AS top2_char_frac,
+             CASE WHEN tot.chars > 0
+                  THEN CAST(coalesce(d3.dup3_chars, 0) AS DOUBLE) / tot.chars
+                  ELSE 0.0 END AS dup3_char_frac
+      FROM tot LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+      ORDER BY doc_id""",
 
     "q102_group_sample" -> """
       WITH h AS (

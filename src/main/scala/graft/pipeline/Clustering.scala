@@ -136,4 +136,49 @@ object Clustering {
     val centroids = kmeansFit(corpus, idCol, vecCol, nLists, iters)
     (kmeansAssign(corpus, centroids, idCol, vecCol), centroids)
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space with [[kmeansFit]],
+   * then compare pairs ONLY within a cluster — the clusters bound the
+   * quadratic so the pair join is k independent |cluster|² problems
+   * instead of one corpus². A vector is dropped when a SMALLER-id member
+   * of its cluster has cosine ≥ `tau` (keep-first, the dedupLines /
+   * nearDuplicatePairs winner rule).
+   *
+   * Returns one row per input vector: (id, cluster_id, kept boolean).
+   *
+   * Scale shape: assignment is the exchange-free broadcast-centroid map
+   * of [[Similarity.ivfAssignWith]] (no shuffle of the corpus); the pair
+   * join shuffles both sides once on cluster_id; the removal set flows
+   * back as a distinct + left anti-style join on id. At 100 TB, k is the
+   * capacity knob — size it so E[|cluster|] stays in the 10³–10⁴ range
+   * (the SemDeDup paper's regime) and the per-cluster pairwise cost stays
+   * bounded; a skew-heavy cluster degrades this like a hot LSH bucket, so
+   * monitor occupancy the same way ([[Dedup]] auto-guard pattern applies
+   * if a corpus needs it).
+   *
+   * Cross-engine exactness: pair cosines are computed on the RAW vectors
+   * (sequential dot products — bit-identical in any engine), so the τ
+   * comparison carries no float drift; only the cluster boundary inherits
+   * the kmeans mean's ~1e-13 summation-order noise, which q107's margin
+   * audit bounds far below real assignment margins.
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = kmeansFit(corpus, idCol, vecCol, k, iters)
+    val assigned = kmeansAssign(corpus, cents, idCol, vecCol)
+    val a = assigned.select(col("neighbor_id").as("id_a"),
+      col("nvec").as("va"), col("list_id"))
+    val b = assigned.select(col("neighbor_id").as("id_b"),
+      col("nvec").as("vb"), col("list_id"))
+    val removed = a.join(b, Seq("list_id"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_b").as("__rid")).distinct()
+    assigned
+      .join(removed, col("neighbor_id") === col("__rid"), "left")
+      .select(col("neighbor_id").as("id"), col("list_id").as("cluster_id"),
+        col("__rid").isNull.as("kept"))
+  }
 }

@@ -189,4 +189,62 @@ object Sampling {
         }
       }
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+   * score every raw document by how much more likely its hashed-unigram
+   * bag is under the TARGET distribution than under the RAW one,
+   *
+   *   log w(x) = Σ_{t ∈ tokens(x)} [ ln p̂_T(b(t)) − ln p̂_R(b(t)) ]
+   *
+   * with add-one-smoothed bucket probabilities
+   * p̂(b) = (count(b) + 1) / (total + buckets) over `buckets` hashed
+   * features ([[hashBucket]] — md5-derived, engine-portable). Selecting
+   * the top-weighted raw docs approximates sampling from the target
+   * distribution (importance resampling) — the standard "pick pretraining
+   * data that looks like the quality corpus" move.
+   *
+   * Returns (idCol, n_tokens long, log_weight double). Callers select by
+   * thresholding/ranking log_weight (deterministic; pair with
+   * [[hashBucket]] Gumbel-free top-k for an exact-size sample).
+   *
+   * Scale shape: the raw corpus tokenizes into (id, bucket) once per
+   * consuming branch; bucket statistics are TWO bounded aggregations
+   * (≤ `buckets` rows each, partial-agg combined map-side) that join back
+   * as a BROADCAST, and the per-doc score is one groupBy(id) sum — the
+   * corpus never shuffles on anything wider than its own id, and no
+   * vocabulary-sized table ever crosses a shuffle (the hashing trick's
+   * point: the feature space is fixed at `buckets` regardless of corpus
+   * vocabulary, so the broadcast stays KB-sized at 100 TB).
+   *
+   * Cross-engine exactness: counts and totals are exact integers; each
+   * token's term is two divisions and two `ln`s (≤ 1-ulp libm drift) and
+   * the per-doc sum's order dependence is ~1e-13 relative — callers round
+   * to 4 dp like the q79 NLL precedent.
+   */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def toks(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+ explode(
+          filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"): _*)
+        .withColumn("__b", hashBucket(col("__t"), buckets)).drop("__t")
+    val rawToks = toks(raw, col(idCol))
+    val tgtToks = toks(target)
+    val rawC = rawToks.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgtC = tgtToks.groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val stats = rawC.join(tgtC, Seq("__b"), "left")
+      .select(col("__b"), col("__cr"), coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val totals = rawToks.agg(count(lit(1)).as("__nr"))
+      .crossJoin(tgtToks.agg(count(lit(1)).as("__nt")))
+    val b = lit(buckets.toLong)
+    rawToks
+      .join(broadcast(stats), "__b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((col("__ct") + 1).cast("double") / (col("__nt") + b).cast("double")) -
+            log((col("__cr") + 1).cast("double") / (col("__nr") + b).cast("double")))
+          .as("log_weight"))
+  }
 }

@@ -146,6 +146,65 @@ object Text {
           .otherwise(0.0).as("repetition"))
 
   /**
+   * Gopher-style per-document n-gram repetition signals (Rae et al. 2021,
+   * arXiv:2112.11446 §A1.1 — the "repetitious text" filters), on the
+   * whitespace word stream with character mass = Σ word lengths (spaces
+   * excluded, so the metric is layout-invariant):
+   *
+   *  - `top2_char_frac`  — characters covered by occurrences of the single
+   *    most frequent word 2-gram / total word characters (ties break to
+   *    the lexicographically smallest 2-gram);
+   *  - `dup3_char_frac`  — characters covered by ALL occurrences of word
+   *    3-grams that appear ≥ 2 times / total word characters (overlapping
+   *    occurrences each count — the fraction may exceed 1 on degenerate
+   *    repetition, which is exactly the signal).
+   *
+   * Both are ratios of exact integers (one IEEE division — bit-identical
+   * in any engine; docs with no 2-grams/3-grams report 0.0).
+   *
+   * Scale shape: shingles explode per doc and aggregate by (doc, gram)
+   * with map-side partial combine — a boilerplate gram repeated 10⁶ times
+   * inside one document still combines locally (same argument as
+   * dedupLines' winner aggregate); the two gram branches and the per-doc
+   * char total then meet in joins keyed on the doc id only.
+   */
+  def ngramRepetitionStats(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    // character mass of one word n-gram occurrence = gram length minus its
+    // n−1 joining spaces
+    def gramChars(n: Int): Column = length(col("__g")) - lit(n - 1)
+    def gramCounts(n: Int): DataFrame =
+      df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c"), first(gramChars(n)).as("__w"))
+    val totals = df.select(col(idCol),
+      aggregate(filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""),
+        lit(0L), (acc, w) => acc + length(w)).as("__chars"))
+    // argmax by (count desc, gram asc) as a min(struct(-count, gram)) —
+    // no Window, combines map-side
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("__g").as("g"),
+        col("__w").as("w"))).as("__t"))
+      .select(col(idCol),
+        ((-col("__t.nc")) * col("__t.w")).as("__top2_chars"))
+    val dup3 = gramCounts(3)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__c") >= 2, col("__c") * col("__w"))
+        .otherwise(lit(0L))).as("__dup3_chars"))
+    totals
+      .join(top2, Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__chars") > 0,
+            coalesce(col("__top2_chars"), lit(0L)).cast("double") / col("__chars"))
+          .otherwise(0.0).as("top2_char_frac"),
+        when(col("__chars") > 0,
+            coalesce(col("__dup3_chars"), lit(0L)).cast("double") / col("__chars"))
+          .otherwise(0.0).as("dup3_char_frac"))
+  }
+
+  /**
    * Composite quality score in [0,1]: rewards mid-length docs with high
    * letter content and penalizes punctuation/digit noise. A cheap, fully
    * codegen'd scan-side metric for corpus filtering.

@@ -1627,4 +1627,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(docsBack.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  // -------------------------------------------------- semantic dedup
+
+  test("semanticDedup: planted duplicates drop, within-cluster parity with brute force") {
+    import spark.implicits._
+    // deterministic pseudo-random unit-ish vectors (splitmix-style), dim 16
+    def vec(seed: Long): Seq[Double] = (0 until 16).map { i =>
+      var h = seed * 0x9e3779b97f4a7c15L + i.toLong * 0xc2b2ae3d27d4eb4fL
+      h ^= (h >>> 31); h *= 0x7fb5d329728ea185L; h ^= (h >>> 27)
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+    val base = (0L until 40L).map(i => (i, vec(i)))
+    // exact-direction duplicates of ids 0-4 (scale ×3 — cosine exactly 1)
+    val planted = (0L until 5L).map(i => (i + 1000L, vec(i).map(_ * 3.0)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    val out = Clustering.semanticDedup(corpus, "id", "v", k = 4, iters = 2,
+        tau = 0.95)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 45)
+    // every planted dup lands in its source's cluster and is dropped
+    (0L until 5L).foreach { i =>
+      assert(out(i + 1000L)._1 == out(i)._1, s"pair $i split across clusters")
+      assert(!out(i + 1000L)._2, s"planted dup ${i + 1000} not removed")
+      assert(out(i)._2, s"original $i wrongly removed")
+    }
+    // parity with a brute-force within-cluster quadratic reference
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = (base ++ planted).toMap
+    val byCluster = out.toSeq.groupBy(_._2._1)
+    val expectRemoved = byCluster.values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      ids.filter(b => ids.exists(a => a < b && cos(all(a), all(b)) >= 0.95))
+    }.toSet
+    assert(out.filter(!_._2._2).keySet == expectRemoved)
+  }
+
+  // -------------------------------------------------- DSIR weights
+
+  test("dsirLogWeights matches a direct reference and ranks target-like docs higher") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta epsilon zeta"),
+      (3L, "alpha alpha beta beta"),
+      (4L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "alpha beta alpha"),
+      (11L, "beta gamma beta")).toDF("doc_id", "text")
+    val out = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // direct reference with the same md5 bucketing
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val rawToks = Seq(1L -> "alpha beta gamma alpha", 2L -> "delta epsilon zeta",
+      3L -> "alpha alpha beta beta", 4L -> "eta theta iota kappa")
+      .flatMap { case (id, s) => s.split("\\s+").map(t => (id, bucket(t))) }
+    val tgtToks = Seq("alpha beta alpha", "beta gamma beta")
+      .flatMap(_.split("\\s+").map(bucket))
+    val cr = rawToks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = tgtToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (rawToks.size.toLong, tgtToks.size.toLong)
+    rawToks.groupBy(_._1).foreach { case (id, toks) =>
+      val expect = toks.map { case (_, b) =>
+        math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 64).toDouble) -
+          math.log((cr(b) + 1).toDouble / (nr + 64).toDouble)
+      }.sum
+      assert(out(id)._1 == toks.size)
+      assert(math.abs(out(id)._2 - expect) < 1e-9, s"doc $id")
+    }
+    // docs built from target vocabulary outscore disjoint-vocab docs
+    assert(out(1L)._2 > out(2L)._2 && out(3L)._2 > out(4L)._2)
+  }
+
+  // -------------------------------------------------- Gopher repetition
+
+  test("ngramRepetitionStats: closed-form fractions, ties, and edge docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb aa"),  // top2: "aa bb"×2 (tie-break vs "bb aa"), dup3: "aa bb aa"×2
+      (2L, "x y z w"),          // all 2-grams unique → top2 = smallest gram
+      (3L, "hello"),            // no 2-grams
+      (4L, ""),                 // no words
+      (5L, "ab ab ab ab"))      // total repetition: dup3 frac > 1
+      .toDF("doc_id", "text")
+    val out = Text.ngramRepetitionStats(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2.0 * 4 / 10, 2.0 * 6 / 10)))
+    assert(out(2L) == ((1.0 * 2 / 4, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+    // "ab ab ab": 3 occurrences... doc 5: 2-gram "ab ab"×3 → 3×4/8;
+    // 3-gram "ab ab ab"×2 → 2×6/8
+    assert(out(5L) == ((12.0 / 8, 12.0 / 8)))
+  }
 }
