@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Clustering, Curate, Dedup, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -837,6 +837,28 @@ object Queries {
       prep(s, d, "documents")
       Text.ngramRepetitionStats(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "q111_pagerank" -> ((s, d) => {
+      // PageRank (3 unrolled power iterations, d=0.85) over the
+      // symmetrized customer–supplier co-purchase graph — the provenance-
+      // authority move on a domain/link graph. Undirected input ⇒ no
+      // dangling mass ⇒ Σ rank ≡ 1. The oracle replays the identical
+      // trajectory (uniform init, per-edge r/outdeg, damped in-mass sum);
+      // 10dp rounding absorbs the per-node sum's ~1e-16 order drift
+      // (q107 trajectory-certification precedent).
+      prep(s, d, "orders", "lineitem")
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s2"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s2").as("dst"))
+        .unionByName(pairs.select(col("s2").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
     }),
 
     "q102_group_sample" -> ((s, d) => {
@@ -2578,6 +2600,47 @@ object Queries {
                   ELSE 0.0 END AS dup3_char_frac
       FROM tot LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
       ORDER BY doc_id""",
+
+    // the identical 3-round trajectory: uniform 1/N init, per-edge
+    // r/outdeg contributions, damped in-mass; undirected edges so every
+    // node has outdeg >= 1 (no dangling correction on either side)
+    "q111_pagerank" -> """
+      WITH pe AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s2
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (
+        SELECT c AS src, s2 AS dst FROM pe
+        UNION ALL
+        SELECT s2 AS src, c AS dst FROM pe),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+      r1 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS im
+                   FROM e JOIN deg ON e.src = deg.src
+                   JOIN r0 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node),
+      r2 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS im
+                   FROM e JOIN deg ON e.src = deg.src
+                   JOIN r1 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node),
+      r3 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS im
+                   FROM e JOIN deg ON e.src = deg.src
+                   JOIN r2 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node)
+      SELECT node, round(rank, 10) AS rank FROM r3 ORDER BY node""",
 
     "q102_group_sample" -> """
       WITH h AS (

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph algorithms as plain joins + aggregations — the
+ * "sparse matrix-vector product on a shuffle" family. Complements
+ * [[Dedup.nearDuplicateClusters]] (label propagation / connected
+ * components) with rank propagation.
+ */
+object Graph {
+
+  /**
+   * PageRank over a directed edge list, `iters` synchronous power
+   * iterations of
+   *
+   *   r'(v) = (1 − d)/N + d · Σ_{u→v} r(u)/outdeg(u)
+   *
+   * from the uniform start r₀ = 1/N. Dangling mass (nodes with no
+   * out-edges) is dropped, not redistributed — on an undirected
+   * (symmetrized) edge list every node has out-edges, so Σr stays exactly
+   * 1 − that is the intended input shape for web-/domain-graph ranking
+   * over a co-occurrence projection. Returns (node, rank) for ALL nodes.
+   *
+   * Scale shape per iteration: one equi-join of the edge list with the
+   * dim-one rank vector on src (both sides shuffle-partitioned on the
+   * join key; the rank side is |V| rows — broadcastable when V is small,
+   * left to the planner's threshold otherwise), one partial-aggregated
+   * groupBy(dst) for the in-mass, and one left join back to the node set.
+   * N rides as a one-row broadcast (the adaptivePitch scalar pattern —
+   * no driver action). The edge list is scanned once per iteration;
+   * at 100 TB you persist/checkpoint `ranks` between rounds to cut the
+   * lineage (the q56 propagation lesson) — iterations here stay unrolled
+   * in one declarative plan because certification runs are short (≤ 3
+   * rounds) and purity keeps the oracle replayable.
+   *
+   * Cross-engine exactness: per-edge contribution r/outdeg, the damping
+   * multiply, and the base term are fixed-order IEEE scalar ops; only the
+   * per-node in-mass sum is order-dependent (~1e-16 relative per round).
+   * Callers round (10 dp absorbs ~9 orders of magnitude of drift at
+   * graph sizes where ranks sit near 1/N ≈ 1e-3…1e-6).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0,1], got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    var it = 0
+    while (it < iters) {
+      val r = ranks.select(col("node").as("__rn"), col("rank").as("__rv"))
+      val inMass = e.join(outdeg, "src")
+        .join(r, col("src") === col("__rn"))
+        .select(col("dst").as("node"), (col("__rv") / col("__outdeg")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__im"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__im"), lit(0.0))).as("rank"))
+      it += 1
+    }
+    ranks
+  }
+}

@@ -1728,4 +1728,42 @@ class PipelineSpec extends AnyFunSuite {
     // 3-gram "ab ab ab"×2 → 2×6/8
     assert(out(5L) == ((12.0 / 8, 12.0 / 8)))
   }
+
+  // -------------------------------------------------- PageRank
+
+  test("pageRank matches a sequential reference; undirected mass conserves") {
+    import spark.implicits._
+    // star (center 0, leaves 1-3) + a 2-cycle (10, 11), symmetrized
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = Graph.pageRank(undirected.toDF("src", "dst"), "src", "dst",
+        iters = 3, damping = 0.85)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // sequential reference: identical formula, identical iteration count
+    def ref(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.size.toDouble
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      (0 until iters).foreach { _ =>
+        val im = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+        r = nodes.map(v => v -> ((1.0 - d) / n + d * im.getOrElse(v, 0.0))).toMap
+      }
+      r
+    }
+    val expect = ref(undirected, 3, 0.85)
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (v, rk) => assert(math.abs(rk - expect(v)) < 1e-12, s"node $v") }
+    // undirected graph: no dangling mass, Σ rank == 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+    // symmetric leaves tie exactly; the hub outranks them
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(0L) > out(1L))
+    // dangling semantics on a DIRECTED chain a->b: b absorbs, a keeps base
+    val dir = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      iters = 1, damping = 0.85).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(dir(1L) - 0.15 / 2) < 1e-15)
+    assert(math.abs(dir(2L) - (0.15 / 2 + 0.85 * 0.5)) < 1e-15)
+  }
 }
