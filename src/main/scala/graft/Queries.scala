@@ -861,6 +861,35 @@ object Queries {
         .orderBy("node")
     }),
 
+    "q112_funnel" -> ((s, d) => {
+      // ordered first-completion funnel view → click → purchase: chained
+      // conditional minima (each stage = filter + join on the shrinking
+      // per-user frame + partial-aggregated min), no Window, no event-
+      // list materialization. Timestamps compare as unix_micros BIGINT
+      // (q10/q62 precedent).
+      Sessions.funnel(events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("stage"),
+          unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"),
+          unix_micros(col("t3")).as("t3_us"))
+        .orderBy("user_id")
+    }),
+
+    "q113_weighted_sample" -> ((s, d) => {
+      // Efraimidis-Spirakis weighted sampling without replacement,
+      // md5-derandomized: top-100 documents by ln(u)/n_chars. Global
+      // top-k via TakeOrderedAndProject (per-partition top-m, no sort,
+      // no Window). Output is int-only; the rank ORDER is the certified
+      // artifact — measured adjacent-key gaps (≥4e-9 at sf0.01) sit ~10
+      // orders above the ≤1-ulp ln drift.
+      prep(s, d, "documents")
+      Sampling.weightedKey(t(s, d, "documents"), "doc_id", "n_chars")
+        .orderBy(desc("__wkey"), asc("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2641,6 +2670,40 @@ object Queries {
                    JOIN r2 r ON e.src = r.node GROUP BY e.dst) m
           ON nd.node = m.node)
       SELECT node, round(rank, 10) AS rank FROM r3 ORDER BY node""",
+
+    "q112_funnel" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT u.user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS stage,
+             epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+             epoch_us(t3) AS t3_us
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id""",
+
+    "q113_weighted_sample" -> """
+      WITH r AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS UBIGINT) AS DOUBLE)
+                   + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS rk
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT doc_id, n_chars FROM r
+      ORDER BY rk DESC, doc_id LIMIT 100""",
 
     "q102_group_sample" -> """
       WITH h AS (

@@ -191,6 +191,38 @@ object Sampling {
   }
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006): item i ranks by key uᵢ^(1/wᵢ) with uᵢ uniform —
+   * equivalently by ln(uᵢ)/wᵢ (monotone transform, avoids pow) — and the
+   * top-m keys are the sample; inclusion probability is proportional to
+   * weight, exactly the reservoir-A-ES semantics but with uᵢ derived from
+   * md5(key) instead of an RNG, so the SAME m items are selected across
+   * runs, layouts, engines, and appends (the [[hashBucket]] philosophy).
+   * u = (h₃₂ + 0.5) / 2³², h₃₂ = first 8 md5 hex chars — never 0 or 1, so
+   * ln is finite.
+   *
+   * Adds `__wkey` (the ln(u)/w rank key, higher = more likely selected);
+   * callers take the global top-m via orderBy+limit —
+   * TakeOrderedAndProject computes per-partition top-m then merges m·P
+   * rows on the driver stage: no global sort, no Window, scales to any
+   * corpus (the q02/q07 top-k argument).
+   *
+   * Cross-engine exactness: h₃₂ is an exact integer, u one fixed
+   * division, and ln's ≤1-ulp libm drift (~1e-19 after the weight
+   * division) sits ~10 orders under measured adjacent-key gaps
+   * (≥4e-9 on the documents fixture at sf0.01) — rank order is stable.
+   * Rows with NULL or non-positive weight are dropped (log-key
+   * undefined), matching the paper's w > 0 domain.
+   */
+  def weightedKey(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
    * score every raw document by how much more likely its hashed-unigram
    * bag is under the TARGET distribution than under the RAW one,

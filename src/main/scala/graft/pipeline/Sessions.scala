@@ -43,4 +43,47 @@ object Sessions {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
+
+  /**
+   * Ordered funnel: for each user, the FIRST time they completed stage i
+   * strictly after their stage-(i−1) completion — t1 = min ts of
+   * stages(0), t_{i+1} = min ts of stages(i) with ts > t_i. Returns one
+   * row per distinct user: (userCol, stage (0…N reached, bigint),
+   * t1…tN timestamps, null from the first missed stage on).
+   *
+   * The funnel is chained conditional minima, NOT a per-user event-list
+   * scan: stage i is one filter on the event type + one broadcast-or-
+   * shuffle join against the (user, t_i) frame (one slim row per user
+   * who reached stage i — strictly shrinking), then a partial-aggregated
+   * min. No Window, no collect_list — a user with 10⁸ events never
+   * materializes an in-memory event array, and each stage's shuffle
+   * carries only that stage's event slice. (A match_recognize-style
+   * NFA would express richer patterns; for first-completion funnels the
+   * min-chain is equivalent and stays in whole-stage codegen.)
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    val users = events.select(col(userCol)).distinct()
+    var prev: DataFrame = null
+    val frames = stages.zipWithIndex.map { case (st, i) =>
+      val f = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      val cur =
+        if (i == 0)
+          f.groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
+        else
+          f.join(prev.select(col(userCol), col(s"t$i")), Seq(userCol))
+            .where(col("__ts") > col(s"t$i"))
+            .groupBy(col(userCol)).agg(min(col("__ts")).as(s"t${i + 1}"))
+      prev = cur
+      cur
+    }
+    val joined = frames.foldLeft(users)((acc, f) => acc.join(f, Seq(userCol), "left"))
+    val stageCol = stages.indices.foldLeft(lit(0L)) { (e, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit((i + 1).toLong)).otherwise(e)
+    }
+    joined.select(col(userCol) +: stageCol.as("stage") +:
+      stages.indices.map(i => col(s"t${i + 1}")): _*)
+  }
 }

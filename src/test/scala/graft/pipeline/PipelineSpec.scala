@@ -1766,4 +1766,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(dir(1L) - 0.15 / 2) < 1e-15)
     assert(math.abs(dir(2L) - (0.15 / 2 + 0.85 * 0.5)) < 1e-15)
   }
+
+  // -------------------------------------------------- funnel
+
+  test("funnel: strict ordered first-completion minima, out-of-order misses") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1 completes all three in order (second purchase later ignored)
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      (1L, ts(40), "purchase"),
+      // user 2: click BEFORE the first view → funnel stops at view
+      (2L, ts(10), "click"), (2L, ts(20), "view"), (2L, ts(30), "purchase"),
+      // user 3: no view at all → stage 0
+      (3L, ts(5), "click"), (3L, ts(6), "purchase"),
+      // user 4: view then purchase, no click → stage 1
+      (4L, ts(1), "view"), (4L, ts(2), "purchase"),
+      // user 5: simultaneous view+click (strict > excludes the tie)
+      (5L, ts(7), "view"), (5L, ts(7), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+          Option(r.getTimestamp(4))))).toMap
+    assert(out(1L) == ((3L, Some(ts(10)), Some(ts(20)), Some(ts(30)))))
+    // user 2's purchase at 30 counts only if a click follows the view:
+    // no click after ts(20) → stage 1
+    assert(out(2L) == ((1L, Some(ts(20)), None, None)))
+    assert(out(3L) == ((0L, None, None, None)))
+    assert(out(4L) == ((1L, Some(ts(1)), None, None)))
+    assert(out(5L) == ((1L, Some(ts(7)), None, None)))
+  }
+
+  // -------------------------------------------------- weighted sampling
+
+  test("weightedKey: Efraimidis-Spirakis parity with a direct reference") {
+    import spark.implicits._
+    val items = (0L until 200L).map(i => (i, 1L + (i % 7) * 100L))
+    val df = items.toDF("id", "w")
+    val got = Sampling.weightedKey(df, "id", "w")
+      .orderBy(desc("__wkey"), asc("id")).limit(25)
+      .select("id").as[Long].collect().toSeq
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      math.log((h.toDouble + 0.5) / 4294967296.0) / w.toDouble
+    }
+    val expect = items.sortBy { case (id, w) => (-key(id, w), id) }.take(25).map(_._1)
+    assert(got == expect)
+    // zero/null weights drop; a dominant weight is (near-)always selected
+    val edge = Seq((1L, 0L), (2L, -5L), (3L, 1000000L)).toDF("id", "w")
+    val keyed = Sampling.weightedKey(edge, "id", "w").select("id").as[Long].collect()
+    assert(keyed.toSet == Set(3L))
+  }
 }
