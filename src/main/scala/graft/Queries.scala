@@ -890,6 +890,25 @@ object Queries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    "q114_vocab_oov" -> ((s, d) => {
+      // per-doc OOV rate against the corpus top-1000 vocabulary
+      // (count desc, word asc — a deterministic boundary). The rate is
+      // one exact integer division — no rounding.
+      prep(s, d, "documents")
+      Text.vocabOovRate(t(s, d, "documents"), "text", "doc_id", 1000)
+        .orderBy("doc_id")
+    }),
+
+    "q115_word_entropy" -> ((s, d) => {
+      // per-doc word-distribution entropy (lexical diversity);
+      // 4dp absorbs ln drift + sum order (q79 precedent)
+      prep(s, d, "documents")
+      Text.wordEntropy(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("entropy"), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2704,6 +2723,38 @@ object Queries {
         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
       SELECT doc_id, n_chars FROM r
       ORDER BY rk DESC, doc_id LIMIT 100""",
+
+    "q114_vocab_oov" -> """
+      WITH toks AS (
+        SELECT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents) u WHERE t <> ''),
+      vocab AS (
+        SELECT t FROM (SELECT t, count(*) AS c FROM toks GROUP BY t)
+        ORDER BY c DESC, t ASC LIMIT 1000)
+      SELECT k.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS oov_rate
+      FROM toks k LEFT JOIN vocab v USING (t)
+      GROUP BY k.doc_id ORDER BY doc_id""",
+
+    "q115_word_entropy" -> """
+      WITH toks AS (
+        SELECT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents) u WHERE t <> ''),
+      wc AS (
+        SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+      agg AS (
+        SELECT doc_id, sum(c) AS n_tokens,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+        FROM wc GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(ln(CAST(n_tokens AS DOUBLE))
+                   - s / CAST(n_tokens AS DOUBLE), 4) AS entropy
+      FROM agg ORDER BY doc_id""",
 
     "q102_group_sample" -> """
       WITH h AS (

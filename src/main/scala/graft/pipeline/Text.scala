@@ -292,6 +292,57 @@ object Text {
   }
 
   /**
+   * Vocabulary coverage: per-document out-of-vocabulary token rate
+   * against the corpus's own top-`vocabSize` words (count desc, word asc
+   * tie-break — deterministic boundary in any engine). The tokenizer-
+   * design / domain-shift signal: a doc slice with high OOV against the
+   * pretraining vocabulary will fragment into long byte-level token
+   * sequences.
+   *
+   * Scale shape: the vocabulary is a global top-k
+   * (TakeOrderedAndProject — per-partition top-k then merge, no global
+   * sort) that joins back as a BROADCAST (vocabSize rows by
+   * construction); the corpus shuffles only on the doc id for the final
+   * per-doc fraction, which is one exact integer division (no rounding
+   * needed).
+   */
+  def vocabOovRate(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = df.select(col(idCol),
+      explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("__t")).limit(vocabSize)
+      .select(col("__t"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /**
+   * Per-document word-distribution Shannon entropy (nats):
+   * H = ln(n) − (Σ_w c_w·ln c_w)/n over the doc's own word counts — the
+   * lexical-diversity quality signal (template/keyword-stuffed docs score
+   * low, natural prose high). One (doc, word) aggregation feeds one
+   * per-doc aggregation; both partial-combine map-side. ln drift ≤ 1 ulp
+   * and the per-doc sum's order dependence ~1e-13 — callers round to 4dp
+   * (q79 precedent).
+   */
+  def wordEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (log(col("n_tokens").cast("double")) -
+          col("__s") / col("n_tokens").cast("double")).as("entropy"))
+
+  /**
    * Word-window document chunking — the training-prep move that turns
    * over-long documents into model-sized overlapping pieces: chunk i
    * covers words [i·stride, i·stride+window) of the whitespace-split

@@ -1821,4 +1821,26 @@ class PipelineSpec extends AnyFunSuite {
     val keyed = Sampling.weightedKey(edge, "id", "w").select("id").as[Long].collect()
     assert(keyed.toSet == Set(3L))
   }
+
+  // -------------------------------------------------- vocab / entropy
+
+  test("vocabOovRate: deterministic top-k boundary, exact fractions") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a:3, b:1, c:1, d:1 → top-2 = (a, b) via (count desc, word asc)
+    val out = Text.vocabOovRate(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((4L, 0.25)))  // only "c" is OOV
+    assert(out(2L) == ((2L, 0.5)))   // "d" is OOV
+  }
+
+  test("wordEntropy: closed-form entropies") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b b"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Text.wordEntropy(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - math.log(2)) < 1e-12)
+    assert(out(2L) == ((1L, 0.0)))
+    assert(out(3L)._1 == 3L && math.abs(out(3L)._2 - math.log(3)) < 1e-12)
+  }
 }
