@@ -909,6 +909,22 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q116_dbscan" -> ((s, d) => {
+      // deterministic DBSCAN over customer points (eps=10, minPts=5):
+      // dilated-grid dwithin self-join → degree count → CONVERGED
+      // min-label components over core-core edges (pointer jumping — a
+      // fixed round count would mislabel density filaments) → border =
+      // min core-neighbor label. The oracle replays the same definition
+      // with a recursive-CTE fixpoint; distances are the exact
+      // sqrt(dx²+dy²) ≤ eps both sides (q32 precedent).
+      prep(s, d, "customer")
+      val pts = t(s, d, "customer").select(col("c_custkey"),
+        G.st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.spatial.SpatialCluster.dbscan(pts, "c_custkey", "pt",
+          eps = 10.0, minPts = 5, cellSize = 10.0)
+        .orderBy("c_custkey")
+    }),
+
     "q102_group_sample" -> ((s, d) => {
       // deterministic EXACT-k per-group sample (the "20 docs per language
       // for eyeballing" daily op): order by a content-free md5 key so the
@@ -2755,6 +2771,53 @@ object Queries {
              round(ln(CAST(n_tokens AS DOUBLE))
                    - s / CAST(n_tokens AS DOUBLE), 4) AS entropy
       FROM agg ORDER BY doc_id""",
+
+    // the same deterministic DBSCAN definition with the component labels
+    // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping
+    // loop converges to the same labels); border ties break to the
+    // minimum core label on both sides
+    "q116_dbscan" -> """
+      WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id, c_acctbal AS x,
+               CAST(c_nationkey AS DOUBLE) AS y
+        FROM customer),
+      prs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE sqrt((a.x - b.x) * (a.x - b.x) +
+                   (a.y - b.y) * (a.y - b.y)) <= 10.0),
+      sym AS (
+        SELECT id_a AS id, id_b AS nbr FROM prs
+        UNION ALL
+        SELECT id_b, id_a FROM prs),
+      deg AS (SELECT id, count(*) AS d FROM sym GROUP BY id),
+      cores AS (SELECT id FROM deg WHERE d + 1 >= 5),
+      ce AS (
+        SELECT p.id_a, p.id_b FROM prs p
+        JOIN cores ca ON p.id_a = ca.id
+        JOIN cores cb ON p.id_b = cb.id),
+      ced AS (
+        SELECT id_a AS src, id_b AS dst FROM ce
+        UNION ALL
+        SELECT id_b, id_a FROM ce),
+      reach(id, lab) AS (
+        SELECT id, id FROM cores
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN ced e ON e.dst = r.id),
+      clab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id),
+      blab AS (
+        SELECT s.id, min(c.label) AS blabel
+        FROM sym s JOIN clab c ON s.nbr = c.id
+        WHERE s.id NOT IN (SELECT id FROM cores)
+        GROUP BY s.id)
+      SELECT p.id AS c_custkey,
+             coalesce(cl.label, b.blabel) AS cluster_id,
+             CASE WHEN cl.label IS NOT NULL THEN 'core'
+                  WHEN b.blabel IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role
+      FROM pts p LEFT JOIN clab cl ON p.id = cl.id
+      LEFT JOIN blab b ON p.id = b.id
+      ORDER BY c_custkey""",
 
     "q102_group_sample" -> """
       WITH h AS (

@@ -481,33 +481,19 @@ object Dedup {
     require(rounds >= 1)
     val pairs = nearDuplicatePairs(df, textCol, idCol, threshold, n, numHashes,
       bands, hotBucketBound).select("id_a", "id_b")
-    val edges = pairs.unionByName(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // ONE self-loop per node (distinct ids, not one per directed edge —
     // min() would absorb duplicates but a hot node of degree d would
     // otherwise carry d copies of its own label through every round's
     // join, multiplying join output proportional to degree) makes one
     // join per round sufficient — see the plan-shape note above.
-    // persist() here is lazy (no driver action); entries are edge-list
-    // sized and LRU-evicted. Long-lived sessions issuing many cluster
-    // queries should call `result.unpersist()`-equivalent eviction via
+    // persist() (inside connectedComponents) is lazy (no driver action);
+    // entries are edge-list sized and LRU-evicted. Long-lived sessions
+    // issuing many cluster queries should call
     // `spark.catalog.clearCache()` or rely on LRU; the frame cannot be
     // unpersisted here because the returned plan references it lazily.
-    val edgesPlus = edges.unionByName(
-      edges.select(col("id_a")).distinct()
-        .select(col("id_a"), col("id_a").as("id_b"))).persist()
-    // initial labels = the self-loop rows of the CACHED edge list (edges
-    // itself never contains id_a == id_b: pairs are strictly ordered), so
-    // the LSH candidate pipeline is not replayed a second time for the seed
-    var labels = edgesPlus.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id"), col("id_a").as("label"))
-    var r = 0
-    while (r < rounds) {
-      labels = labels.join(edgesPlus, col("id") === col("id_a"))
-        .select(col("id_b").as("id"), col("label"))
-        .groupBy("id").agg(min("label").as("label"))
-      r += 1
-    }
+    // The seed labels are the self-loop rows of the CACHED edge list, so
+    // the LSH candidate pipeline is not replayed a second time.
+    val labels = Graph.connectedComponents(pairs, rounds)
     df.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),

@@ -12,6 +12,87 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
+   * Connected components by fixed-round min-label propagation over an
+   * UNDIRECTED pair list (`id_a`, `id_b` — each unordered edge once):
+   * returns (id, label) for every node incident to an edge, label = the
+   * minimum node id within `rounds` hops — exact when no component's
+   * diameter exceeds `rounds` (the [[Dedup.nearDuplicateClusters]]
+   * contract, where this loop originated; see its scaladoc for the
+   * plan-shape argument: one self-loop-augmented join per round keeps
+   * the lazy plan LINEAR in rounds, and the slim edge list persists
+   * because every round references it).
+   */
+  def connectedComponents(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1)
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p.unionByName(
+      p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val edgesPlus = edges.unionByName(
+      edges.select(col("id_a")).distinct()
+        .select(col("id_a"), col("id_a").as("id_b"))).persist()
+    var labels = edgesPlus.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("label"))
+    var r = 0
+    while (r < rounds) {
+      labels = labels.join(edgesPlus, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+        .groupBy("id").agg(min("label").as("label"))
+      r += 1
+    }
+    labels
+  }
+
+  /**
+   * Connected components run to EXACT convergence: min-label propagation
+   * plus pointer-jumping path compression (label ← label-of-label) per
+   * round, stopping when a round changes nothing. Compression makes the
+   * reachable horizon roughly DOUBLE per round, so convergence takes
+   * O(log diameter) rounds — a 10⁶-hop filament (the failure mode of
+   * fixed-round propagation on density-connected chains) converges in
+   * ~20 rounds instead of 10⁶. Each round is two slim label-table joins
+   * plus ONE bounded driver action (`limit(1).count()` on the changed-row
+   * check — the kmeansFit per-round-collect precedent); per-round frames
+   * persist and the previous round unpersists after the check, so memory
+   * stays one label table. Use [[connectedComponents]] when a diameter
+   * bound is known (clique-ish near-dup graphs); use this when the graph
+   * shape is data-dependent (DBSCAN cores, arbitrary link graphs).
+   */
+  def connectedComponentsConverged(pairs: DataFrame,
+                                   maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1)
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p.unionByName(
+      p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val edgesPlus = edges.unionByName(
+      edges.select(col("id_a")).distinct()
+        .select(col("id_a"), col("id_a").as("id_b"))).persist()
+    var labels = edgesPlus.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
+    var r = 0
+    var done = false
+    while (!done && r < maxRounds) {
+      val nmin = labels.join(edgesPlus, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jumping: label(v) ← label(label(v)); label ids are node
+      // ids of the same component, so the lookup side is nmin itself
+      val next = nmin
+        .join(nmin.select(col("id").as("__lid"), col("label").as("__llab")),
+          nmin("label") === col("__lid"), "left")
+        .select(nmin("id"), coalesce(col("__llab"), nmin("label")).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .filter(col("label") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      r += 1
+    }
+    labels
+  }
+
+  /**
    * PageRank over a directed edge list, `iters` synchronous power
    * iterations of
    *

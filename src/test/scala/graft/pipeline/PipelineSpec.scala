@@ -1834,6 +1834,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0.5)))   // "d" is OOV
   }
 
+  test("connectedComponentsConverged: long chains converge exactly") {
+    import spark.implicits._
+    // a 120-hop chain (diameter far beyond any fixed round count) plus a
+    // separate triangle; pointer jumping must reach the fixpoint
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val labels = Graph.connectedComponentsConverged(
+        (chain ++ tri).toDF("id_a", "id_b"), maxRounds = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 120L).forall(labels(_) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(labels(_) == 1000L))
+    // fixed-round propagation on the same chain is NOT converged at 5
+    // rounds — documenting why dbscan uses the converged variant
+    val fixed = Graph.connectedComponents(chain.toDF("id_a", "id_b"), rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fixed(120L) != 0L)
+  }
+
   test("wordEntropy: closed-form entropies") {
     import spark.implicits._
     val docs = Seq((1L, "a a b b"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")

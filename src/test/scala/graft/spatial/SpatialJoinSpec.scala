@@ -556,4 +556,48 @@ class SpatialJoinSpec extends AnyFunSuite {
     val cells = df.select(SpatialJoin.st_covering_cells(col("g"), 1.0).as("c")).head()
     assert(cells.isNullAt(0)) // > maxCells → null (caller must coarsen)
   }
+
+  test("dwithinPairs == brute-force eps-neighbor pairs (dilated grid)") {
+    import spark.implicits._
+    // deterministic scatter incl. points straddling cell boundaries
+    val pts = (0L until 120L).map { i =>
+      val x = (i * 37 % 100).toDouble + (i % 3) * 0.5
+      val y = (i * 53 % 40).toDouble
+      (i, x, y)
+    }
+    val df = pts.toDF("id", "x", "y")
+      .select(col("id"), G.st_point(col("x"), col("y")).as("pt"))
+    val got = SpatialCluster.dwithinPairs(df, "id", "pt", eps = 7.0, cellSize = 5.0)
+      .as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+      if math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 7.0
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("dbscan: closed-form core/border/noise with deterministic labels") {
+    import spark.implicits._
+    // chain A (1,2,3,4): interior points 2,3 are cores (deg 2 + self ≥ 3),
+    // endpoints 1,4 are borders; 5 is noise; chain B (6,7,8): single core
+    // 7 with NO core-core edge — exercises the singleton-core label path
+    val pts = Seq((1L, 0.0), (2L, 1.0), (3L, 2.0), (4L, 3.4), (5L, 10.0),
+      (6L, 20.0), (7L, 21.0), (8L, 22.0))
+    val df = pts.toDF("id", "x")
+      .select(col("id"), G.st_point(col("x"), lit(0.0)).as("pt"))
+    val out = SpatialCluster.dbscan(df, "id", "pt",
+        eps = 1.5, minPts = 3, cellSize = 1.5)
+      .collect()
+      .map(r => (r.getLong(0), (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2)))).toMap
+    assert(out(1L) == ((Some(2L), "border")))
+    assert(out(2L) == ((Some(2L), "core")))
+    assert(out(3L) == ((Some(2L), "core")))
+    assert(out(4L) == ((Some(2L), "border")))
+    assert(out(5L) == ((None, "noise")))
+    assert(out(6L) == ((Some(7L), "border")))
+    assert(out(7L) == ((Some(7L), "core")))
+    assert(out(8L) == ((Some(7L), "border")))
+  }
 }
