@@ -909,6 +909,45 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q117_regression_surface" -> ((s, d) => {
+      // linear-regression aggregate surface: regr_slope/intercept/r2/
+      // count + corr over (quantity → price) per return flag. 4dp absorbs
+      // the engines' different single-pass moment algorithms (~1e-10
+      // relative on 60k-row sums)
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               round(corr(l_extendedprice, l_quantity), 4) AS c
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    "q118_gaps_islands" -> ((s, d) => {
+      // gaps-and-islands over event DAYS per user (activity-streak
+      // analytics): island key = epoch-day − dense row number; exact
+      // integer arithmetic end to end
+      events(s, d).createOrReplaceTempView("events")
+      s.sql("""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 unix_micros(ts) DIV 86400000000 AS day
+          FROM events),
+        isl AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp, count(*) AS len
+          FROM isl GROUP BY user_id, grp)
+        SELECT user_id, count(*) AS n_islands, max(len) AS longest,
+               CAST(sum(len) AS BIGINT) AS active_days
+        FROM streaks GROUP BY user_id ORDER BY user_id""")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -2771,6 +2810,31 @@ object Queries {
              round(ln(CAST(n_tokens AS DOUBLE))
                    - s / CAST(n_tokens AS DOUBLE), 4) AS entropy
       FROM agg ORDER BY doc_id""",
+
+    "q117_regression_surface" -> """
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             round(corr(l_extendedprice, l_quantity), 4) AS c
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q118_gaps_islands" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      isl AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+        FROM days),
+      streaks AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM isl GROUP BY user_id, grp)
+      SELECT user_id, count(*) AS n_islands, max(len) AS longest,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping
