@@ -66,8 +66,16 @@ object Graph {
     val edgesPlus = edges.unionByName(
       edges.select(col("id_a")).distinct()
         .select(col("id_a"), col("id_a").as("id_b"))).persist()
+    // localCheckpoint (eager), NOT persist: the pointer-jumping self-join
+    // references the round's frame TWICE, so a lazy lineage would DOUBLE
+    // in plan size every round — 2^rounds analysis cost (the q56 lesson,
+    // replayed in plan space; observed as a driver OOM during planning at
+    // round ~20). Checkpointing cuts the plan back to a leaf each round;
+    // blocks are freed by the ContextCleaner as rounds are GC'd. On a
+    // multi-executor cluster prefer a reliable checkpoint dir for
+    // executor-loss tolerance (localCheckpoint trades that for speed).
     var labels = edgesPlus.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
+      .select(col("id_a").as("id"), col("id_a").as("label")).localCheckpoint()
     var r = 0
     var done = false
     while (!done && r < maxRounds) {
@@ -80,16 +88,64 @@ object Graph {
         .join(nmin.select(col("id").as("__lid"), col("label").as("__llab")),
           nmin("label") === col("__lid"), "left")
         .select(nmin("id"), coalesce(col("__llab"), nmin("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .filter(col("label") =!= col("__old")).limit(1).count()
-      labels.unpersist()
+        .filter(col("label") =!= col("__old")).count()
       labels = next
       done = changed == 0L
       r += 1
     }
     labels
+  }
+
+  /**
+   * Exact connected components with a SIZE-GATED strategy — the
+   * broadcast-join-threshold philosophy applied to graph contraction:
+   *
+   *  - edge list ≤ `collectThreshold` rows (ONE count job to decide):
+   *    collect the slim (id_a, id_b) sliver and run driver union-find
+   *    (path-halving + union-by-attachment toward the smaller id) —
+   *    exact, microseconds, zero iterative jobs. A near-dup/DBSCAN core
+   *    graph is a sliver of the corpus, so at bench scales the
+   *    distributed loop's per-round fixed costs (plan, schedule,
+   *    checkpoint) dominate its sub-second real work by 10-40×; the gate
+   *    removes exactly that overhead, the way the planner collapses a
+   *    small join side into a broadcast.
+   *  - larger: [[connectedComponentsConverged]] (pointer jumping,
+   *    O(log diameter) rounds) — per-round real work now dominates the
+   *    fixed costs, which is when the distributed loop earns its keep.
+   *
+   * Both paths produce identical labels (component minimum), so the gate
+   * affects time only. Default threshold 2M edges ≈ 32 MB driver-side.
+   */
+  def connectedComponentsExact(pairs: DataFrame,
+                               collectThreshold: Long = 2000000L,
+                               maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist()
+    val m = p.count()
+    if (m > collectThreshold) return connectedComponentsConverged(p, maxRounds)
+    val edgeArr = p.as[(Long, Long)].collect()
+    p.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // attach the larger root under the smaller → min label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edgeArr.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(v => (v, find(v))).toSeq.toDF("id", "label")
   }
 
   /**

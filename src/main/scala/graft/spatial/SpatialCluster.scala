@@ -90,10 +90,13 @@ object SpatialCluster {
       .join(cores.select(col("id").as("id_a")), Seq("id_a"))
       .join(cores.select(col("id").as("id_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"))
-    // CONVERGED components (pointer jumping, O(log diameter) rounds):
-    // density-connected cores form filaments whose hop-diameter scales
-    // with extent/eps — a fixed round count would silently mislabel them
-    val comps = Graph.connectedComponentsConverged(coreEdges, maxRounds)
+    // EXACT components: density-connected cores form filaments whose
+    // hop-diameter scales with extent/eps, so fixed-round propagation
+    // would silently mislabel them. The size-gated strategy collects the
+    // core-edge SLIVER for driver union-find when it's broadcast-small
+    // (the common case — cores are a sliver of the corpus) and falls
+    // back to the converged pointer-jumping loop beyond the gate.
+    val comps = Graph.connectedComponentsExact(coreEdges, maxRounds = maxRounds)
     // cores with no core neighbor are singleton clusters (own id)
     val coreLabels = cores.join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))

@@ -1850,6 +1850,15 @@ class PipelineSpec extends AnyFunSuite {
     val fixed = Graph.connectedComponents(chain.toDF("id_a", "id_b"), rounds = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fixed(120L) != 0L)
+    // the size-gated exact strategy: union-find path (gate open) and the
+    // distributed path (gate forced shut) produce identical labels
+    val uf = Graph.connectedComponentsExact((chain ++ tri).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uf == labels)
+    val dist = Graph.connectedComponentsExact((chain ++ tri).toDF("id_a", "id_b"),
+        collectThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == labels)
   }
 
   test("wordEntropy: closed-form entropies") {
