@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained aggregate state for a STANDING corpus — the
+ * materialized-view move for algebraic aggregates (count/sum/min/max, and
+ * everything derivable from them: avg, range, rate). The state store is
+ * LOG-STRUCTURED: each batch APPENDS one partial-aggregate row per
+ * touched key (no update-in-place, no read-modify-write race with the
+ * standing files), and reads re-combine partials per key — exactly
+ * Spark's own partial/final aggregation split, persisted across batches.
+ * Periodic [[compactAggState]] folds the log back to one row per key,
+ * bounding read amplification the way small-file compaction bounds scan
+ * cost ([[Layout.compactFiles]]).
+ *
+ * Why this shape at 100 TB: the daily batch aggregates ONCE (shuffled by
+ * key, partial-combined map-side) and appends rows proportional to its
+ * own distinct keys — the standing corpus is never re-read, never
+ * rewritten, and a crashed append leaves at worst a missing batch (the
+ * writer's atomicity), never a corrupted state. Algebraic-only is the
+ * contract that makes merging exact: count/sum/min/max partials combine
+ * associatively and commutatively, so the log order never matters.
+ * (Sums over FLOATING-POINT values combine with ~1e-15 relative
+ * order-dependence like any distributed sum; integer/decimal values
+ * combine exactly.)
+ */
+object Materialize {
+
+  /** One partial-aggregate row per key in `df`: (keys..., __cnt, __sum,
+    * __min, __max) over `valCol` (nulls ignored, like SQL aggregates;
+    * all-null keys keep __cnt 0 with null min/max/sum). */
+  def aggPartials(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(col(valCol)).as("__cnt"), sum(col(valCol)).as("__sum"),
+        min(col(valCol)).as("__min"), max(col(valCol)).as("__max"))
+  }
+
+  /** Append `batch`'s partials to the state log (creates it on first use). */
+  def appendAggState(spark: SparkSession, path: String, batch: DataFrame,
+                     keyCols: Seq[String], valCol: String): Unit =
+    aggPartials(batch, keyCols, valCol).write.mode("append").parquet(path)
+
+  /** Current state: partials re-combined per key; adds derived `avg`.
+    * The combine is the same algebra Spark's final-aggregation step runs,
+    * so state after N appends ≡ one aggregation over the N batches'
+    * union. */
+  def readAggState(spark: SparkSession, path: String,
+                   keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("total"),
+        min(col("__min")).as("min_val"), max(col("__max")).as("max_val"))
+      .withColumn("avg", col("total") / col("n"))
+
+  /** Fold the log to one partial per key into `outPath` (swap is the
+    * caller's atomic-rename concern, the [[Layout.compactFiles]]
+    * convention). Returns the compacted key count. */
+  def compactAggState(spark: SparkSession, path: String, outPath: String,
+                      keyCols: Seq[String]): Long = {
+    val folded = spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"),
+        min(col("__min")).as("__min"), max(col("__max")).as("__max"))
+      .persist()
+    val n = folded.count()
+    folded.write.mode("overwrite").parquet(outPath)
+    folded.unpersist()
+    n
+  }
+}

@@ -1861,6 +1861,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(dist == labels)
   }
 
+  test("incremental agg state: N appends == one aggregation over the union") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+    val path = s"$base/state"
+    def batch(rows: Seq[(String, Long)]) = rows.toDF("k", "v")
+    val b1 = batch(Seq(("a", 5L), ("a", 7L), ("b", 1L)))
+    val b2 = batch(Seq(("a", 2L), ("c", 9L)))
+    val b3 = batch(Seq(("b", -4L), ("c", 9L), ("a", 100L)))
+    Seq(b1, b2, b3).foreach(b =>
+      Materialize.appendAggState(spark, path, b, Seq("k"), "v"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val got = snap(Materialize.readAggState(spark, path, Seq("k"))
+      .select(col("k"), col("n"), col("total"), col("min_val"), col("max_val"), col("avg")))
+    val direct = snap(
+      b1.unionByName(b2).unionByName(b3).groupBy("k")
+        .agg(count(col("v")).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+        .withColumn("avg", col("total") / col("n"))
+        .select(col("k"), col("n"), col("total"), col("min_val"), col("max_val"), col("avg")))
+    assert(got == direct)
+    // the log holds one partial per (batch, key); compaction folds to one
+    // per key and preserves the read view
+    assert(spark.read.parquet(path).count() == 2 + 2 + 3)
+    val nKeys = Materialize.compactAggState(spark, path, s"$base/state2", Seq("k"))
+    assert(nKeys == 3L)
+    assert(spark.read.parquet(s"$base/state2").count() == 3)
+    val afterCompact = snap(Materialize.readAggState(spark, s"$base/state2", Seq("k"))
+      .select(col("k"), col("n"), col("total"), col("min_val"), col("max_val"), col("avg")))
+    assert(afterCompact == direct)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("wordEntropy: closed-form entropies") {
     import spark.implicits._
     val docs = Seq((1L, "a a b b"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")
