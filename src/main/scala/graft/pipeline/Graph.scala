@@ -195,15 +195,19 @@ object Graph {
       .distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-      .persist()
+    // outdeg folds INTO the cached edge list once (a window over the
+    // edge shuffle's own partitioning would also work; the join keeps it
+    // partial-aggregated) — each iteration then joins ONE cached frame
+    // with the rank vector instead of re-joining degree every round
+    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")),
+      "src").persist()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
     var it = 0
     while (it < iters) {
       val r = ranks.select(col("node").as("__rn"), col("rank").as("__rv"))
-      val inMass = e.join(outdeg, "src")
+      val inMass = eDeg
         .join(r, col("src") === col("__rn"))
         .select(col("dst").as("node"), (col("__rv") / col("__outdeg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__im"))
