@@ -245,6 +245,28 @@ object StreamOps {
       .start()
   }
 
+  /**
+   * Streaming maintenance of the log-structured aggregate state
+   * ([[graft.pipeline.Materialize]]): each micro-batch appends its
+   * per-key partials; any reader combines the log via `readAggState` at
+   * any time for an exactly-up-to-date (as of the last batch) view.
+   * The append is idempotent per BATCH only through the checkpoint —
+   * the standard foreachBatch contract shared by curateStream /
+   * dedupLinesStream.
+   */
+  def aggStateStream(spark: org.apache.spark.sql.SparkSession,
+                     rows: DataFrame, keyCols: Seq[String], valCol: String,
+                     statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Materialize.appendAggState(spark, statePath,
+          batch.toDF(), keyCols, valCol)
+        ()
+      }
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -302,6 +302,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming agg-state maintenance: batches append partials, read view is exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_aggstream").toString
+    val input = MemoryStream[(String, Long)]
+    val q = StreamOps.aggStateStream(spark,
+      input.toDF().toDF("k", "v"), Seq("k"), "v",
+      s"$base/state", s"$base/ckpt")
+    try {
+      input.addData(("a", 5L), ("a", 7L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 2L), ("c", 9L))
+      q.processAllAvailable()
+      val got = graft.pipeline.Materialize.readAggState(spark, s"$base/state", Seq("k"))
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        "a" -> ((3L, 14L, 2L, 7L)),
+        "b" -> ((1L, 1L, 1L, 1L)),
+        "c" -> ((1L, 9L, 9L, 9L))))
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("streaming sessionization closes sessions on gap + watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
