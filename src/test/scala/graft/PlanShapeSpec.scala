@@ -178,4 +178,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(opt.contains("16.0"), opt)
     assert(!opt.toLowerCase.contains("st_area"), opt)
   }
+
+  test("q109: bucket stats broadcast; no vocabulary-sized exchange") {
+    val plan = executedPlan("q109_dsir_weights")
+    // the ≤B-row stats and the one-row totals both arrive as broadcasts
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2, plan.take(2000))
+    // the per-doc sum partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2000))
+  }
+
+  test("q110: no Window — per-doc argmax is a struct-min aggregate") {
+    val plan = executedPlan("q110_gopher_repetition")
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q112: funnel has no Window and no event-array aggregation") {
+    val plan = executedPlan("q112_funnel")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("collect_list"), plan.take(2000))
+  }
+
+  test("q113: weighted sample is a TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q113_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("q108: assignment is a one-row broadcast argmax — no Window/Sort on the corpus") {
+    val plan = executedPlan("q108_semantic_dedup")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
 }
