@@ -948,6 +948,16 @@ object Queries {
         FROM streaks GROUP BY user_id ORDER BY user_id""")
     }),
 
+    "q119_fuzzy_join" -> ((s, d) => {
+      // fuzzy self-join at edit distance ≤ 1 over part names: SymSpell
+      // deletion-neighborhood blocking (recall 1 by construction) + exact
+      // levenshtein verify, certified against the quadratic oracle.
+      // Distances are exact integers.
+      prep(s, d, "part")
+      Dedup.fuzzyPairsEd1(t(s, d, "part"), "p_partkey", "p_name")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -2835,6 +2845,13 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q119_fuzzy_join" -> """
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+      ORDER BY id_a, id_b""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

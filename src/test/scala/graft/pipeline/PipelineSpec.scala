@@ -1895,6 +1895,35 @@ class PipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("fuzzyPairsEd1: deletion blocking has recall 1 vs brute force") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "widget"), (2L, "widgets"),  // insertion
+      (3L, "widget"),                   // exact dup of 1
+      (4L, "wadget"),                   // substitution vs 1
+      (5L, "idget"),                    // deletion vs 1
+      (6L, "gadget"),                   // ed 2 vs widget — must NOT pair
+      (7L, "ab"), (8L, "ba"),           // shared deletes, true ed 2 — reject
+      (9L, ""), (10L, "a"))             // empty-string edge
+    val df = names.toDF("id", "s")
+    val got = Dedup.fuzzyPairsEd1(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (a, sa) <- names; (b, sb) <- names if a < b
+      d = lev(sa, sb) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got == expect)
+    assert(!got.exists(p => p._1 == 7L && p._2 == 8L)) // "ab"/"ba" rejected
+    assert(got.contains((9L, 10L, 1L)))                // "" vs "a"
+  }
+
   test("wordEntropy: closed-form entropies") {
     import spark.implicits._
     val docs = Seq((1L, "a a b b"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")
