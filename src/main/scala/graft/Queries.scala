@@ -958,6 +958,24 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q120_triangles" -> ((s, d) => {
+      // per-node triangle counts over the part co-order graph (parts
+      // appearing in the same order): compact-forward — orient each edge
+      // to the (degree, id)-larger endpoint so wedge generation is
+      // bounded by the ~√m out-degree cap even at celebrity nodes, then
+      // close wedges against the canonical edge set. The oracle counts
+      // the same triangles by a DIFFERENT algorithm (a<b<c three-way
+      // join), so the compare certifies the orientation trick, not just
+      // replays it. Counts are exact integers.
+      prep(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_b"))
+      val pairs = a.join(b, "ok").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Graph.triangleCounts(pairs).orderBy("node")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -2852,6 +2870,24 @@ object Queries {
       FROM part a JOIN part b ON a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 1
       ORDER BY id_a, id_b""",
+
+    // triangle count by the a<b<c three-way join — a deliberately
+    // DIFFERENT enumeration than the engine's degree-oriented wedge join
+    "q120_triangles" -> """
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      tri AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM e0 e1
+        JOIN e0 e2 ON e2.lo = e1.hi
+        JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+      SELECT node, count(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node ORDER BY node""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

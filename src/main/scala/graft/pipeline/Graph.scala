@@ -149,6 +149,58 @@ object Graph {
   }
 
   /**
+   * Per-node triangle participation counts over an UNDIRECTED edge list
+   * (`id_a`, `id_b`; self-loops and duplicate/reversed edges tolerated —
+   * canonicalized away). Classic compact-forward shape:
+   *
+   *  1. canonicalize edges to (lo, hi), lo < hi, distinct;
+   *  2. orient every edge from the (degree, id)-SMALLER endpoint to the
+   *     larger — a total order, so each undirected edge appears exactly
+   *     once and every wedge is generated at its lowest-ordered node;
+   *  3. wedges = self-join of the oriented list on src (dst₁ < dst₂ by id
+   *     so each unordered wedge appears once);
+   *  4. close each wedge against the canonical edge set on
+   *     (lo, hi) = (dst₁, dst₂) — each triangle found exactly once;
+   *  5. explode the 3 corners and count per node.
+   *
+   * Why the degree orientation matters at 100 TB: wedge count under this
+   * orientation is O(m^1.5) worst-case and in practice bounded by the
+   * out-degree cap ~√m — a celebrity node with 10⁷ followers generates
+   * wedges only from its (few) higher-degree peers, not 10¹⁴ follower
+   * pairs. The wedge self-join and the closing join both shuffle on plain
+   * equi-keys (src, then (lo,hi)), so AQE's skew splitting applies; no
+   * Window, no driver actions. Returns (node, triangles) for nodes in at
+   * least one triangle.
+   */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e0 = pairs.select(
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist() // referenced by degree, orientation, and the closing join
+    val deg = e0.select(col("lo").as("node"))
+      .unionAll(e0.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e0
+      .join(deg.select(col("node").as("lo"), col("d").as("__dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("d").as("__dhi")), "hi")
+    val fwd = col("__dlo") < col("__dhi") ||
+      (col("__dlo") === col("__dhi") && col("lo") < col("hi"))
+    val o = withDeg.select(
+        when(fwd, col("lo")).otherwise(col("hi")).as("src"),
+        when(fwd, col("hi")).otherwise(col("lo")).as("dst"))
+      .persist() // self-joined for wedges
+    val wedges = o.select(col("src"), col("dst").as("b"))
+      .join(o.select(col("src"), col("dst").as("c")), "src")
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(e0,
+      wedges("b") === e0("lo") && wedges("c") === e0("hi"))
+    tri.select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
    * PageRank over a directed edge list, `iters` synchronous power
    * iterations of
    *

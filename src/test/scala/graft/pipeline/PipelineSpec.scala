@@ -1767,6 +1767,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(dir(2L) - (0.15 / 2 + 0.85 * 0.5)) < 1e-15)
   }
 
+  test("triangleCounts matches brute force; canonicalization; skew orientation") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, 3 per node) + triangle 5-6-7 + dangling
+    // edge 7-8; plus a reversed duplicate, an exact duplicate, and a
+    // self-loop that canonicalization must erase
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L),
+      (2L, 1L), (5L, 6L), (9L, 9L))
+    val out = Graph.triangleCounts(edges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force reference over all node triples
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = canon.flatMap(e => Set(e._1, e._2)).toSeq.sorted
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if canon((a, b)) && canon((b, c)) && canon((a, c))
+    } { expect(a) += 1; expect(b) += 1; expect(c) += 1 }
+    assert(out == expect.toMap)
+    assert(out(1L) == 3 && out(5L) == 1 && !out.contains(8L) && !out.contains(9L))
+    // star (hub 0, leaves 1-100) + one leaf-leaf edge: exactly one
+    // triangle — and the hub's high degree must not explode the wedge set
+    val star = (1L to 100L).map(l => (0L, l)) :+ (1L, 2L)
+    val s = Graph.triangleCounts(star.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   // -------------------------------------------------- funnel
 
   test("funnel: strict ordered first-completion minima, out-of-order misses") {
