@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Materialize, Multimodal, Sampling, Sessions, Similarity, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -974,6 +974,32 @@ object Queries {
       val pairs = a.join(b, "ok").filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
       Graph.triangleCounts(pairs).orderBy("node")
+    }),
+
+    "q121_scd2_apply" -> ((s, d) => {
+      // SCD-type-2 MERGE: apply the order-derived segment-change stream
+      // to the customer dimension (seeded open at 1990-01-01). Change
+      // suppression + interval chaining run over batch-sized window
+      // frames; closed history and untouched keys never shuffle. The
+      // oracle replays the same definition in SQL windows; dates and
+      // strings compare exactly.
+      prep(s, d, "customer", "orders")
+      val cur = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val ups = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"),
+          to_date(col("o_orderdate")).as("ts"))
+        .agg(min(col("o_orderpriority")).as("seg"))
+      Materialize.scd2Apply(cur, ups, "c_custkey", Seq("seg"), "ts")
+        // dates ride the compare as ISO strings (pandas represents Spark
+        // DATE as object and DuckDB DATE as datetime64 — a dtype-level
+        // false mismatch)
+        .select(col("c_custkey"), col("seg"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+        .orderBy("c_custkey", "valid_from")
     }),
 
     "q116_dbscan" -> ((s, d) => {
@@ -2888,6 +2914,41 @@ object Queries {
         UNION ALL SELECT b FROM tri
         UNION ALL SELECT c FROM tri)
       GROUP BY node ORDER BY node""",
+
+    "q121_scd2_apply" -> """
+      WITH cur AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               DATE '1990-01-01' AS vf
+        FROM customer),
+      ups AS (
+        SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS ts,
+               min(o_orderpriority) AS seg
+        FROM orders GROUP BY 1, 2),
+      seqs AS (
+        SELECT k, seg, vf AS ts, 0 AS src FROM cur
+        WHERE k IN (SELECT k FROM ups)
+        UNION ALL SELECT k, seg, ts, 1 FROM ups),
+      kept AS (
+        SELECT k, seg, ts, src FROM (
+          SELECT k, seg, ts, src,
+                 lag(seg) OVER (PARTITION BY k ORDER BY ts, src) AS prev
+          FROM seqs)
+        WHERE prev IS NULL OR prev <> seg),
+      chained AS (
+        SELECT k, seg, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts, src) AS valid_to
+        FROM kept),
+      untouched AS (
+        SELECT k, seg, vf AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM cur WHERE k NOT IN (SELECT k FROM ups))
+      SELECT c_custkey, seg,
+             CAST(valid_from AS VARCHAR) AS valid_from,
+             CAST(valid_to AS VARCHAR) AS valid_to
+      FROM (
+        SELECT k AS c_custkey, seg, valid_from, valid_to FROM chained
+        UNION ALL
+        SELECT k AS c_custkey, seg, valid_from, valid_to FROM untouched)
+      ORDER BY c_custkey, valid_from""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,6 +55,63 @@ object Materialize {
       .agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("total"),
         min(col("__min")).as("min_val"), max(col("__max")).as("max_val"))
       .withColumn("avg", col("total") / col("n"))
+
+  /**
+   * Apply a change batch to a standing SCD-type-2 dimension (the
+   * lakehouse MERGE-for-history move). `current` holds the dimension as
+   * (`keyCol`, attrs..., `validFrom`, `validTo`) with `validTo` NULL on
+   * each key's open row; `updates` is the batch as (`keyCol`, attrs...,
+   * `tsCol`) with (key, ts) unique. Semantics, per key:
+   *
+   *  - an update whose attributes EQUAL the version in effect at its
+   *    timestamp is a no-op (change suppression — re-stating the same
+   *    value never splits a version);
+   *  - each real change closes the version in effect (`validTo` ← change
+   *    ts) and opens a new one; several changes in one batch chain;
+   *  - a key absent from `current` starts its history at its first
+   *    update; a key absent from `updates` passes through UNTOUCHED.
+   *
+   * Scale shape: closed history never enters a shuffle (pure union
+   * pass-through), open rows split by ONE semi/anti join against the
+   * batch's distinct keys, and the two Windows (lag for suppression,
+   * lead for interval chaining) run over batch-sized frames only —
+   * per-key work is proportional to that key's updates, never to the
+   * standing history. At 100 TB the dimension is key-partitioned
+   * parquet; this produces the replacement OPEN partition plus appended
+   * closed rows, and the untouched branch prunes to file-level
+   * pass-through.
+   *
+   * Ties: an update at exactly the open row's `validFrom` orders AFTER
+   * it (the base row is the state "just before" the batch). Attribute
+   * comparison is null-safe struct equality.
+   */
+  def scd2Apply(current: DataFrame, updates: DataFrame, keyCol: String,
+                attrCols: Seq[String], tsCol: String,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "at least one attribute column")
+    val outCols: Seq[Column] =
+      (keyCol +: attrCols :+ validFrom :+ validTo).map(col)
+    val open = current.filter(col(validTo).isNull)
+    val closed = current.filter(col(validTo).isNotNull).select(outCols: _*)
+    val touched = updates.select(col(keyCol)).distinct()
+    val openUntouched = open.join(touched, Seq(keyCol), "left_anti")
+      .select(outCols: _*)
+    val seqCols = col(keyCol) +: attrCols.map(col)
+    val seq = open.join(touched, Seq(keyCol), "left_semi")
+      .select(seqCols :+ col(validFrom).as("__ts") :+ lit(0).as("__src"): _*)
+      .unionByName(updates
+        .select(seqCols :+ col(tsCol).as("__ts") :+ lit(1).as("__src"): _*))
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__src"))
+    val attrs = struct(attrCols.map(col): _*)
+    val kept = seq.withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+    val chained = kept
+      .withColumn(validFrom, col("__ts"))
+      .withColumn(validTo, lead(col("__ts"), 1).over(w))
+      .select(outCols: _*)
+    closed.unionByName(openUntouched).unionByName(chained)
+  }
 
   /** Fold the log to one partial per key into `outPath` (swap is the
     * caller's atomic-rename concern, the [[Layout.compactFiles]]

@@ -1925,6 +1925,55 @@ class PipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("scd2Apply: change suppression, chains, new keys, untouched keys") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val cur = Seq(
+      // key 1: one closed + one open version
+      (1L, "gold", d("2020-01-01"), Option(d("2021-01-01"))),
+      (1L, "silver", d("2021-01-01"), None: Option[java.sql.Date]),
+      // key 2: open, untouched by the batch
+      (2L, "bronze", d("2020-06-01"), None),
+      // key 3: open, batch restates the same value (pure no-op)
+      (3L, "gold", d("2020-01-01"), None))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val ups = Seq(
+      // key 1: no-op restate, then a real change, then another change
+      (1L, "silver", d("2022-01-01")),
+      (1L, "gold", d("2022-03-01")),
+      (1L, "plat", d("2022-05-01")),
+      // key 3: restated value — history must stay a single open row
+      (3L, "gold", d("2022-02-02")),
+      // key 4: brand new key, two changes
+      (4L, "gold", d("2022-01-15")),
+      (4L, "silver", d("2022-04-15")))
+      .toDF("k", "tier", "ts")
+    val out = Materialize.scd2Apply(cur, ups, "k", Seq("tier"), "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString)))
+      .toSet
+    assert(out == Set(
+      (1L, "gold", "2020-01-01", Some("2021-01-01")),   // closed passthrough
+      (1L, "silver", "2021-01-01", Some("2022-03-01")), // closed by change
+      (1L, "gold", "2022-03-01", Some("2022-05-01")),
+      (1L, "plat", "2022-05-01", None),
+      (2L, "bronze", "2020-06-01", None),               // untouched
+      (3L, "gold", "2020-01-01", None),                 // no-op suppressed
+      (4L, "gold", "2022-01-15", Some("2022-04-15")),   // new key chain
+      (4L, "silver", "2022-04-15", None)))
+    // exactly one open row per key, intervals abut with no gaps/overlaps
+    val byKey = out.groupBy(_._1)
+    byKey.values.foreach { vs =>
+      assert(vs.count(_._4.isEmpty) == 1)
+      val sorted = vs.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
+
   test("fuzzyPairsEd1: deletion blocking has recall 1 vs brute force") {
     import spark.implicits._
     val names = Seq(
