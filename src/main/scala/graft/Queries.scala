@@ -1002,6 +1002,24 @@ object Queries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    "q122_rrf_fusion" -> ((s, d) => {
+      // hybrid retrieval: reciprocal-rank fusion of the cosine top-20 and
+      // the euclidean top-20 per query (the BM25+dense pattern on shared
+      // test vectors). Both rankings run the bounded top-k aggregate (no
+      // Window); fusion is one partial-aggregated groupBy. RRF terms
+      // 1/(60+rank) are single IEEE divisions and the ≤2-term sum is
+      // commutative, so fused scores compare UNROUNDED.
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cos = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 20)
+      val euc = Similarity.bruteForceTopKEuclidean(emb, q, "vec_id", "embedding", 20)
+      Similarity.rrfFuse(Seq(cos, euc), k0 = 60, topK = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("rrf"), col("n_systems"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -2949,6 +2967,51 @@ object Queries {
         UNION ALL
         SELECT k AS c_custkey, seg, valid_from, valid_to FROM untouched)
       ORDER BY c_custkey, valid_from""",
+
+    "q122_rrf_fusion" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      cscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      crank AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM cscored),
+      escored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               -(list_dot_product(q.qv, q.qv)
+                 + list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                 - 2.0 * list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])))
+                 AS sim
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      erank AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM escored),
+      u AS (
+        SELECT query_id, neighbor_id, rank FROM crank WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, neighbor_id, rank FROM erank WHERE rank <= 20),
+      fused AS (
+        SELECT query_id, neighbor_id,
+               sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf,
+               count(*) AS n_systems
+        FROM u GROUP BY 1, 2),
+      fin AS (
+        SELECT query_id, neighbor_id, rrf, n_systems,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, neighbor_id) AS rank
+        FROM fused)
+      SELECT query_id, rank, neighbor_id, rrf, n_systems FROM fin
+      WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

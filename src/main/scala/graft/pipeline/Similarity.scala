@@ -80,6 +80,50 @@ object Similarity {
   }
 
   /**
+   * Brute-force EUCLIDEAN top-k (ascending distance, ties by id):
+   * d² = ⟨q,q⟩ + ⟨c,c⟩ − 2⟨q,c⟩ — three dot products an oracle replays
+   * term-for-term, ranked through the same bounded aggregate as
+   * [[bruteForceTopK]] by negating d² (no Window, queries broadcast).
+   */
+  def bruteForceTopKEuclidean(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-(dot(col("qvec"), col("qvec")) + dot(col("cvec"), col("cvec"))
+          - lit(2.0) * dot(col("qvec"), col("cvec")))).as("sim"))
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).as("d2"), col("rank"))
+  }
+
+  /**
+   * Reciprocal-rank fusion of several per-query rankings (hybrid
+   * retrieval — e.g. lexical BM25 + dense cosine): each ranking
+   * contributes 1/(k₀ + rank) per (query, neighbor) it lists; fused
+   * score = the sum, final order (score desc, neighbor asc). One union +
+   * one partial-aggregated groupBy + a bounded top-k — no Window, no
+   * per-system join. RRF terms are single IEEE divisions and the sum is
+   * commutative over the ≤ |systems| terms, so fused scores are
+   * bit-reproducible across engines.
+   *
+   * Input frames need (query_id, neighbor_id, rank); `k0` is the
+   * standard RRF damping (60 in the original paper).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    val u = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(lit(1.0) / (lit(k0) + col("rank"))).as("rrf"),
+        count(lit(1)).as("n_systems"))
+    GroupedTopK.topK(fused, Seq("query_id"),
+      Seq(("rrf", false), ("neighbor_id", true)), topK)
+  }
+
+  /**
    * Deterministic random-hyperplane signature: bit j of the result is the
    * sign of <v, h_j> where plane h_j's component i is a fixed hash-derived
    * pseudo-gaussian. Same family on corpus and queries ⇒ near vectors

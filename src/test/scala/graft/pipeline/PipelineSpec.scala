@@ -1925,6 +1925,31 @@ class PipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("rrfFuse + euclidean top-k: reference parity, both-list bonus") {
+    import spark.implicits._
+    // 1-d embeddings make distances eyeball-checkable
+    val emb = Seq((0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(3.0f)),
+      (3L, Array(-2.0f)), (4L, Array(10.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    val euc = Similarity.bruteForceTopKEuclidean(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Int]("rank") -> r.getLong(1))).toMap
+    // distances from 0: id1→1, id3→4, id2→9, id4→100
+    assert(euc == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+    // fusion: neighbor 1 in both lists, others in one each; scores exact
+    val ra = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val rb = Seq((0L, 1L, 2L), (0L, 4L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(ra, rb), k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(1),
+        (r.getDouble(2), r.getLong(3), r.getAs[Int]("rank")))).toMap
+    assert(fused(1L) == ((1.0 / 61 + 1.0 / 62, 2L, 1)))
+    assert(fused(4L) == ((1.0 / 61, 1L, 2)))
+    assert(fused(2L) == ((1.0 / 62, 1L, 3)))
+    assert(fused(3L) == ((1.0 / 63, 1L, 4)))
+  }
+
   test("scd2Apply: change suppression, chains, new keys, untouched keys") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
