@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.{functions => G}
-import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Materialize, Multimodal, Sampling, Sessions, Similarity, Text}
+import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Materialize, Multimodal, Sampling, Sessions, Similarity, Stats, Text}
 
 /**
  * The declared operator surface: every entry is one operator/capability from
@@ -1018,6 +1018,22 @@ object Queries {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("rrf"), col("n_systems"))
         .orderBy("query_id", "rank")
+    }),
+
+    "q123_robust_outliers" -> ((s, d) => {
+      // robust per-nation account-balance outliers: median/MAD z-score
+      // (the monitoring rule the outliers can't drag, unlike mean/σ).
+      // Exact type-7 medians match quantile_cont bit-for-bit (q51
+      // precedent) and the z division replays term-for-term, so z
+      // compares UNROUNDED; MAD=0 groups yield NULL z by contract.
+      prep(s, d, "customer")
+      Stats.robustOutliers(
+          t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+          Seq("c_nationkey"), "c_acctbal", threshold = 3.0)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("z"), col("is_outlier"))
+        .orderBy("c_custkey")
     }),
 
     "q116_dbscan" -> ((s, d) => {
@@ -3012,6 +3028,28 @@ object Queries {
         FROM fused)
       SELECT query_id, rank, neighbor_id, rrf, n_systems FROM fin
       WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // 1.4826e0 parses as DOUBLE (plain 1.4826 would be DECIMAL and its
+    // decimal->double conversion can sit 1 ulp off Spark's literal)
+    "q123_robust_outliers" -> """
+      WITH med AS (
+        SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med
+        FROM customer GROUP BY c_nationkey),
+      mad AS (
+        SELECT c.c_nationkey,
+               quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS mad
+        FROM customer c JOIN med m USING (c_nationkey)
+        GROUP BY c.c_nationkey),
+      z AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+               CASE WHEN t.mad <> 0
+                 THEN (c.c_acctbal - m.med) / (1.4826e0 * t.mad) END AS z
+        FROM customer c
+        JOIN med m USING (c_nationkey)
+        JOIN mad t USING (c_nationkey))
+      SELECT c_custkey, c_nationkey, c_acctbal, z,
+             coalesce(abs(z) > 3.0, false) AS is_outlier
+      FROM z ORDER BY c_custkey""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

@@ -31,6 +31,42 @@ object Stats {
                                pcts: Seq[Double], accuracy: Int = 10000): DataFrame =
     exploded(df, groupCols, valueCol, pcts, exact = false, accuracy = accuracy)
 
+  /**
+   * Robust per-group outlier detection: the median/MAD z-score
+   * z = (x − median) / (1.4826 · MAD), MAD = median(|x − median|) —
+   * the monitoring rule that survives the outliers it is hunting
+   * (mean/stddev get dragged by the very tail being flagged; the 1.4826
+   * constant rescales MAD to σ under normality). Appends `z` and
+   * `is_outlier` (|z| > `threshold`) to every input row.
+   *
+   * Plan shape: two grouped EXACT medians (each a shuffle of the fact
+   * frame on the group key — medians are holistic), the group-level
+   * stats frames join among themselves and back to the rows as
+   * dimension-sized broadcasts. At 100 TB with few groups swap the
+   * exact percentile for `approx_percentile` (the
+   * [[groupedPercentilesApprox]] trade) — the flag then carries the
+   * sketch's rank error. Degenerate groups (MAD = 0, over half the
+   * values identical) yield NULL z / false flag rather than an
+   * engine-dependent ±Inf division.
+   */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     threshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val mad = df.join(med, groupCols)
+      .select(groupCols.map(col) :+
+        abs(col(valueCol) - col("__med")).as("__absdev"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__absdev, 0.5D)").as("__mad"))
+    val z = when(col("__mad") =!= 0.0,
+      (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")))
+    df.join(med.join(mad, groupCols), groupCols)
+      .withColumn("z", z)
+      .withColumn("is_outlier", coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__med", "__mad")
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -1950,6 +1950,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused(3L) == ((1.0 / 63, 1L, 4)))
   }
 
+  test("robustOutliers: median/MAD z, MAD=0 degenerate group") {
+    import spark.implicits._
+    val rows = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0)) ++
+      Seq(("b", 7.0), ("b", 7.0), ("b", 7.0))
+    val out = Stats.robustOutliers(rows.toDF("g", "x"), Seq("g"), "x",
+        threshold = 3.0)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    // group a: median 5.5, MAD 2.5 → z(100) = 94.5/(1.4826*2.5) ≈ 25.5
+    val z100 = (100.0 - 5.5) / (1.4826 * 2.5)
+    assert(out(("a", 100.0)) == ((Some(z100), true)))
+    assert(out(("a", 1.0))._2 == false)
+    assert(math.abs(out(("a", 1.0))._1.get - (1.0 - 5.5) / (1.4826 * 2.5)) < 1e-15)
+    // group b: constant → MAD 0 → null z, never flagged
+    assert(out(("b", 7.0)) == ((None, false)))
+  }
+
   test("scd2Apply: change suppression, chains, new keys, untouched keys") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
