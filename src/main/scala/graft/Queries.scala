@@ -1036,6 +1036,18 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
+    "q124_shared_spans" -> ((s, d) => {
+      // repeated-long-span pairs (exact-substring dedup at 64-char/
+      // stride-32 window granularity): md5 window keys, (doc, hash)
+      // deduped so internal repetition counts once, self-tuned hot-span
+      // guard default-on (inert here — natural span occupancy ~1, bound
+      // floor 64). Counts are exact integers; md5 agrees cross-engine.
+      prep(s, d, "documents")
+      Dedup.sharedSpanPairs(t(s, d, "documents"), "doc_id", "text",
+          window = 64, stride = 32)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -3050,6 +3062,20 @@ object Queries {
       SELECT c_custkey, c_nationkey, c_acctbal, z,
              coalesce(abs(z) > 3.0, false) AS is_outlier
       FROM z ORDER BY c_custkey""",
+
+    "q124_shared_spans" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      w AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 64) // 32)) AS w
+        FROM docs),
+      spans AS (
+        SELECT DISTINCT doc_id, md5(substring(text, w * 32 + 1, 64)) AS h
+        FROM w)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

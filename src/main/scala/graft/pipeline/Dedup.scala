@@ -383,6 +383,78 @@ object Dedup {
   }
 
   /**
+   * Repeated-long-span detection at fixed-window granularity — the
+   * exact-substring-dedup signal (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better") at window resolution: two
+   * documents sharing any `window`-char span aligned to a `stride` grid
+   * are reported with the count of distinct shared windows. Character
+   * windows at offsets 0, stride, 2·stride… (full windows only) hash via
+   * md5 — the shuffle key is 16 bytes regardless of window size and both
+   * engines agree on the digest; (id, hash) dedups first so internal
+   * repetition inside one document never inflates the pair count.
+   *
+   * The stride trades recall for cost the standard way: a shared span of
+   * length ≥ window + stride − 1 is ALWAYS detected (it covers a full
+   * grid window on both sides only when stride divides the alignment —
+   * with the same grid on both documents, a common span that long
+   * contains at least one grid-aligned window of the EARLIER document;
+   * detection therefore needs the span to start at equal offsets mod
+   * stride, which exact copies and boilerplate blocks satisfy).
+   * Stride 1 removes the alignment condition at stride× the cost.
+   *
+   * Boilerplate spans (licence headers, nav chrome) occur in thousands
+   * of documents and would emit occupancy² pairs — the LSH hot-bucket
+   * trap in span clothing. The same self-tuned guard applies
+   * ([[AutoBound]]: `greatest(64, 16 × p99.9(occupancy))` as a one-row
+   * broadcast): spans over the bound contribute HUB-STAR pairs (member ↔
+   * span's minimum id) — linear, keeps every member connected for
+   * downstream keep-lowest dedup; `n_shared` then counts cold spans plus
+   * hub-star hot contributions (documented partial count on guarded
+   * pairs; inert on natural corpora, where span occupancy is ~1).
+   */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 64, stride: Int = 32,
+                      hotSpanBound: Int = AutoBound): DataFrame = {
+    require(window >= 8, s"window must be >= 8, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val spans = df.filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .select(col("id"), col("__txt"),
+        explode(sequence(lit(0),
+          ((length(col("__txt")) - lit(window)) / lit(stride)).cast("int"))).as("__w"))
+      .select(col("id"),
+        md5(expr(s"substring(__txt, __w * $stride + 1, $window)")).as("h"))
+      .distinct()
+    val occ = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
+    val withBound =
+      if (hotSpanBound == AutoBound) {
+        val bf = occ.agg(
+          coalesce(greatest(lit(64L),
+              lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
+            lit(64L)).as("__bound"))
+        occ.crossJoin(broadcast(bf))
+      } else {
+        require(hotSpanBound > 0,
+          s"hotSpanBound must be positive or AutoBound, got $hotSpanBound")
+        occ.withColumn("__bound", lit(hotSpanBound.toLong))
+      }
+    val ann = spans.join(withBound, "h")
+    val cold = ann.filter(col("__occ") <= col("__bound"))
+    val coldPairs = cold.select(col("h"), col("id").as("id_a"))
+      .join(cold.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val hotPairs = ann
+      .filter(col("__occ") > col("__bound") && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    coldPairs.unionByName(hotPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming` (≤ 3
    * guaranteed found with the 4-chunk banding; larger distances may be
    * missed — standard LSH recall trade-off).

@@ -1950,6 +1950,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused(3L) == ((1.0 / 63, 1L, 4)))
   }
 
+  test("sharedSpanPairs: window counts, internal-repeat dedup, hot-span star") {
+    import spark.implicits._
+    val A = "A" * 64; val B = "B" * 64; val C = "C" * 64; val D = "D" * 64
+    val docs = Seq(
+      (1L, A + B),        // windows: A64, A32B32, B64
+      (2L, A + C),        // shares A64 with 1
+      (3L, A + B),        // exact copy of 1: shares all 3
+      (4L, D + D),        // internal repeat: D64 counted ONCE
+      (5L, D + "E" * 64), // shares D64 with 4 — once, not thrice
+      (6L, "short"))      // under the window: no spans
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text", 64, 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map((1L, 2L) -> 1L, (1L, 3L) -> 3L, (2L, 3L) -> 1L,
+      (4L, 5L) -> 1L))
+    // hot-span guard: bound 1 turns an occupancy-3 span into a hub star
+    val hotDocs = Seq((10L, A + B), (11L, A + C), (12L, A + D))
+      .toDF("doc_id", "text")
+    val hot = Dedup.sharedSpanPairs(hotDocs, "doc_id", "text", 64, 32,
+        hotSpanBound = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(hot == Map((10L, 11L) -> 1L, (10L, 12L) -> 1L)) // no (11,12)
+  }
+
   test("robustOutliers: median/MAD z, MAD=0 degenerate group") {
     import spark.implicits._
     val rows = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0)) ++
