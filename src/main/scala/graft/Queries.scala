@@ -1048,6 +1048,30 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q125_lateral_udtf" -> ((s, d) => {
+      // generator/UDTF surface: LATERAL VIEW posexplode over the word
+      // split (position-preserving — the tokenize-with-offsets shape),
+      // then LATERAL VIEW inline over a constructed struct array fanning
+      // each word into (tag, v) attribute rows. The DuckDB mirror zips
+      // parallel unnests for ordinality and unions the inline fan-out.
+      // All values exact (strings, integer positions/lengths).
+      prep(s, d, "documents")
+      s.sql("""
+        WITH words AS (
+          SELECT doc_id, pos, word
+          FROM documents
+          LATERAL VIEW posexplode(split(text, ' ')) AS pos, word
+          WHERE pos < 3),
+        tagged AS (
+          SELECT doc_id, pos, word, t.tag, t.v
+          FROM words
+          LATERAL VIEW inline(array(
+            named_struct('tag', 'len', 'v', CAST(length(word) AS BIGINT)),
+            named_struct('tag', 'pos', 'v', CAST(pos AS BIGINT)))) t AS tag, v)
+        SELECT doc_id, pos, word, tag, v FROM tagged
+        ORDER BY doc_id, pos, tag""")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -3076,6 +3100,26 @@ object Queries {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
       FROM spans a JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // parallel unnests zip in DuckDB — the ordinality mirror of
+    // posexplode; the inline fan-out mirrors as a two-branch UNION ALL
+    "q125_lateral_udtf" -> """
+      WITH parts AS (
+        SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+      words AS (
+        SELECT doc_id,
+               unnest(range(len(p))) AS pos,
+               unnest(p) AS word
+        FROM parts),
+      w3 AS (SELECT * FROM words WHERE pos < 3),
+      tagged AS (
+        SELECT doc_id, pos, word, 'len' AS tag,
+               CAST(length(word) AS BIGINT) AS v FROM w3
+        UNION ALL
+        SELECT doc_id, pos, word, 'pos' AS tag,
+               CAST(pos AS BIGINT) AS v FROM w3)
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos, word, tag, v
+      FROM tagged ORDER BY doc_id, pos, tag""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping
