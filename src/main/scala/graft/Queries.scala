@@ -1072,6 +1072,22 @@ object Queries {
         ORDER BY doc_id, pos, tag""")
     }),
 
+    "q126_phrase_search" -> ((s, d) => {
+      // positional phrase search by vote counting (the inverted-index
+      // phrase query as ONE shuffle on (doc, candidate-start) over
+      // phrase-term postings only). Two phrases: "table table" exercises
+      // the repeated-word slot votes incl. overlapping matches;
+      // "value table part" the k=3 chain. Exact integers throughout.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      def run(p: String) =
+        Text.phraseMatches(docs, "doc_id", "text", p)
+          .select(lit(p).as("phrase"), col("id").as("doc_id"),
+            col("n_matches"), col("first_start"))
+      run("table table").unionByName(run("value table part"))
+        .orderBy("phrase", "doc_id")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -3120,6 +3136,36 @@ object Queries {
                CAST(pos AS BIGINT) AS v FROM w3)
       SELECT doc_id, CAST(pos AS INTEGER) AS pos, word, tag, v
       FROM tagged ORDER BY doc_id, pos, tag""",
+
+    "q126_phrase_search" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(range(len(p))) AS pos, unnest(p) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS p FROM documents)),
+      pat1 AS (SELECT * FROM (VALUES ('table', 0), ('table', 1)) t(w, i)),
+      m1 AS (
+        SELECT doc_id, pos - i AS start
+        FROM toks JOIN pat1 USING (w)
+        WHERE pos - i >= 0
+        GROUP BY doc_id, pos - i HAVING count(*) = 2),
+      r1 AS (
+        SELECT 'table table' AS phrase, doc_id,
+               count(*) AS n_matches, min(start) AS first_start
+        FROM m1 GROUP BY doc_id),
+      pat2 AS (SELECT * FROM (VALUES ('value', 0), ('table', 1),
+                                     ('part', 2)) t(w, i)),
+      m2 AS (
+        SELECT doc_id, pos - i AS start
+        FROM toks JOIN pat2 USING (w)
+        WHERE pos - i >= 0
+        GROUP BY doc_id, pos - i HAVING count(*) = 3),
+      r2 AS (
+        SELECT 'value table part' AS phrase, doc_id,
+               count(*) AS n_matches, min(start) AS first_start
+        FROM m2 GROUP BY doc_id)
+      SELECT phrase, doc_id, n_matches,
+             CAST(first_start AS INTEGER) AS first_start
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      ORDER BY phrase, doc_id""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping

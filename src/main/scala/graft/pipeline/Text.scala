@@ -377,6 +377,42 @@ object Text {
         least(lit(window), nw - col("chunk_idx") * lit(stride)).as("n_words"))
   }
 
+  /**
+   * Phrase occurrences by positional VOTE COUNTING — the positional-
+   * inverted-index query without materializing per-term position lists:
+   * token (pos, w) votes for candidate start `pos − i` for every phrase
+   * slot i with words(i) == w; a start with votes in all k slots is a
+   * match. For fixed (doc, start), slot i pins token position start+i,
+   * so votes are at most one per slot and count = k ⟺ every slot
+   * matched. ONE shuffle on (doc, start) after a broadcast join against
+   * the k-row slot table; tokens outside the phrase vocabulary drop
+   * BEFORE the exchange, so the shuffled volume is the phrase terms'
+   * postings, not the corpus. Overlapping matches count (repeated-word
+   * phrases vote once per slot — "table table" over "table table table"
+   * yields starts 0 and 1). Returns (id, n_matches, first_start) for
+   * documents with ≥ 1 match; single-space tokenization, consistent
+   * with [[wordShingles]]' contract.
+   */
+  def phraseMatches(df: DataFrame, idCol: String, textCol: String,
+                    phrase: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty, "empty phrase")
+    val k = words.length
+    val pat = words.zipWithIndex.toDF("__w", "__i")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    toks.join(broadcast(pat), "__w")
+      .select(col("id"), (col("__pos") - col("__i")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("id"), col("start"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === k)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_start"))
+  }
+
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
   def nfcNormalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))

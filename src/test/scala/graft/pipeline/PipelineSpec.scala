@@ -1950,6 +1950,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused(3L) == ((1.0 / 63, 1L, 4)))
   }
 
+  test("phraseMatches: overlaps, repeated-word slots, absent phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x table table table y"), // starts 1,2 for "table table"
+      (2L, "table x table"),         // adjacent pair absent
+      (3L, "a b a b a"),             // "a b a" at starts 0 and 2
+      (4L, "value table part end"),  // k=3 phrase at 0
+      (5L, ""))
+      .toDF("doc_id", "text")
+    def m(p: String) = Text.phraseMatches(docs, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(m("table table") == Map(1L -> ((2L, 1))))
+    assert(m("a b a") == Map(3L -> ((2L, 0))))
+    assert(m("value table part") == Map(4L -> ((1L, 0))))
+    assert(m("missing words") == Map.empty)
+  }
+
   test("sharedSpanPairs: window counts, internal-repeat dedup, hot-span star") {
     import spark.implicits._
     val A = "A" * 64; val B = "B" * 64; val C = "C" * 64; val D = "D" * 64
