@@ -1088,6 +1088,25 @@ object Queries {
         .orderBy("phrase", "doc_id")
     }),
 
+    "q127_agg_surface" -> ((s, d) => {
+      // the remaining deterministic aggregate surface in one shot:
+      // median (exact interpolated — quantile_cont parity, q51),
+      // bool_and/bool_or, bit_and/or/xor over BIGINT keys (exact bit
+      // algebra, order-free), count_if. Same SQL text runs on both
+      // engines.
+      prep(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               median(l_quantity) AS med_qty,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_discount > 0.05) AS any_disc,
+               bit_and(l_orderkey) AS key_band,
+               bit_or(l_orderkey) AS key_bor,
+               bit_xor(l_orderkey) AS key_bxor,
+               count_if(l_tax > 0.03) AS n_taxed
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -3166,6 +3185,17 @@ object Queries {
              CAST(first_start AS INTEGER) AS first_start
       FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
       ORDER BY phrase, doc_id""",
+
+    "q127_agg_surface" -> """
+      SELECT l_returnflag,
+             median(l_quantity) AS med_qty,
+             bool_and(l_quantity > 0) AS all_pos,
+             bool_or(l_discount > 0.05) AS any_disc,
+             bit_and(l_orderkey) AS key_band,
+             bit_or(l_orderkey) AS key_bor,
+             bit_xor(l_orderkey) AS key_bxor,
+             CAST(count_if(l_tax > 0.03) AS BIGINT) AS n_taxed
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // the same deterministic DBSCAN definition with the component labels
     // taken to the recursive-CTE FIXPOINT (the engine's pointer-jumping
