@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -34,6 +34,62 @@ object Decontaminate {
     // per-doc grams and eval grams are both distinct → join multiplicity is
     // 1 per (doc, shared gram): count(*) IS the distinct shared-gram count
     corpusGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /**
+   * Persist the eval set's distinct n-gram FINGERPRINTS as a standing
+   * index — the incremental form of [[flags]] for a daily-ingest corpus:
+   * benchmarks are tokenized once at index build; every future batch
+   * joins the slim 8-byte-per-gram table instead of re-shingling the
+   * eval texts. `n` rides in field metadata ([[Dedup.writeMinhashIndex]]
+   * convention) so queries cannot mix gram sizes; new benchmarks append
+   * via [[appendEvalGramIndex]] (a distinct-per-append log — harmless
+   * duplicates across appends are erased by the query-side distinct).
+   *
+   * Fingerprinting is the documented 100 TB key choice (64-bit
+   * fingerprint64 ≡ what the [[flags]] scaladoc recommends): collisions
+   * (~n_grams²/2⁶⁴) can only over-flag, never miss a leak. The
+   * suite pins parity with the string-keyed [[flags]] on real corpora.
+   */
+  def writeEvalGramIndex(evalSet: DataFrame, textCol: String, path: String,
+                         n: Int = 8): Unit =
+    evalGramFrame(evalSet, textCol, n).write.mode("overwrite").parquet(path)
+
+  /** Append a new benchmark's grams; `n` comes from the index metadata. */
+  def appendEvalGramIndex(spark: SparkSession, path: String,
+                          evalSet: DataFrame, textCol: String): Unit = {
+    val n = spark.read.parquet(path).schema("gram_fp")
+      .metadata.getLong("n").toInt
+    evalGramFrame(evalSet, textCol, n).write.mode("append").parquet(path)
+  }
+
+  private def evalGramFrame(evalSet: DataFrame, textCol: String,
+                            n: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("n", n).build()
+    evalSet
+      .select(explode(array_distinct(Text.wordShingles(col(textCol), n)))
+        .as("gram"))
+      .distinct()
+      .select(Text.fingerprint64(col("gram")).as("gram_fp", meta))
+  }
+
+  /**
+   * [[flags]] against the persisted index: the batch explodes its grams
+   * map-side, fingerprints them, and equi-joins the broadcast index —
+   * the eval texts are never re-read and the batch never shuffles
+   * (identical plan shape to [[flags]], 8-byte keys).
+   */
+  def flagsAgainstIndex(spark: SparkSession, path: String, corpus: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val n = idx.schema("gram_fp").metadata.getLong("n").toInt
+    val corpusGrams = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("__gram"))
+      .select(col("doc_id"), Text.fingerprint64(col("__gram")).as("gram_fp"))
+    corpusGrams.join(broadcast(idx.select(col("gram_fp")).distinct()), "gram_fp")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 }

@@ -1950,6 +1950,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused(3L) == ((1.0 / 63, 1L, 4)))
   }
 
+  test("eval-gram index: flagsAgainstIndex == flags; append grows coverage") {
+    import spark.implicits._
+    def words(s: String, n: Int) = (1 to n).map(i => s + i).mkString(" ")
+    val evalA = Seq((1L, words("qa", 10))).toDF("doc_id", "text")
+    val evalB = Seq((2L, words("qb", 9))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro " + words("qa", 10) + " outro"), // embeds benchmark A
+      (11L, words("qb", 8)),                        // 8-gram of B verbatim
+      (12L, words("qa", 7) + " clean tail here"),   // only 7 shared words
+      (13L, "fully clean document " + words("zz", 12)))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_evalidx").toString
+    val path = s"$base/grams"
+    Decontaminate.writeEvalGramIndex(evalA, "text", path, n = 8)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val directA = snap(Decontaminate.flags(corpus, evalA, "text", "doc_id", 8))
+    assert(snap(Decontaminate.flagsAgainstIndex(spark, path, corpus, "text", "doc_id"))
+      == directA)
+    assert(directA.contains(10L) && !directA.contains(12L) && !directA.contains(13L))
+    // append benchmark B: parity with flags over the union, incl. doc 11
+    Decontaminate.appendEvalGramIndex(spark, path, evalB, "text")
+    val directAB = snap(Decontaminate.flags(corpus,
+      evalA.unionByName(evalB), "text", "doc_id", 8))
+    assert(snap(Decontaminate.flagsAgainstIndex(spark, path, corpus, "text", "doc_id"))
+      == directAB)
+    assert(directAB.contains(11L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("phraseMatches: overlaps, repeated-word slots, absent phrase") {
     import spark.implicits._
     val docs = Seq(
