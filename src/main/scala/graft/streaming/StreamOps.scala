@@ -267,6 +267,32 @@ object StreamOps {
       }
       .start()
 
+  case class Change(key: Long, ts: Timestamp, value: String)
+
+  /**
+   * Streaming CDC upsert view: maintain the LATEST change per key across
+   * batches (`mapGroupsWithState`, Update output) — the streaming
+   * complement of [[graft.pipeline.Materialize.scd2Apply]] (which keeps
+   * history; this keeps the head). Out-of-order arrivals never regress
+   * the view: the state keeps the (ts, value)-maximum seen, so a late
+   * change with an older timestamp re-emits the standing latest
+   * unchanged (ties on ts break to the larger value — deterministic
+   * under any arrival order). State is one row per key — bounded by the
+   * DIMENSION's cardinality, not the change volume, which is the CDC
+   * contract; add a TTL timeout when keys themselves churn out.
+   */
+  def latestPerKey(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          val best = (rows ++ state.getOption.iterator)
+            .maxBy(c => (c.ts.getTime, c.value))
+          state.update(best)
+          best
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

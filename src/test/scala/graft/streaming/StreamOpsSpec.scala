@@ -354,4 +354,36 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows(0).getLong(0) == 7 && rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
     } finally q.stop()
   }
+
+  test("latestPerKey: upsert view, out-of-order changes never regress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Change]
+    val q = StreamOps.latestPerKey(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest").start()
+    def view() = spark.sql("SELECT key, ts, value FROM latest").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getString(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 } // last update wins
+    try {
+      input.addData(
+        StreamOps.Change(1L, ts("2024-01-01 10:00:00"), "v1"),
+        StreamOps.Change(2L, ts("2024-01-01 11:00:00"), "v2"),
+        // same batch, same key: newer ts wins within the batch too
+        StreamOps.Change(1L, ts("2024-01-01 10:30:00"), "v1b"))
+      q.processAllAvailable()
+      val v1 = view()
+      assert(v1(1L) == ((ts("2024-01-01 10:30:00"), "v1b")))
+      assert(v1(2L) == ((ts("2024-01-01 11:00:00"), "v2")))
+      input.addData(
+        // key 1: genuinely newer → view advances
+        StreamOps.Change(1L, ts("2024-01-01 12:00:00"), "v1c"),
+        // key 2: LATE, older than the standing latest → view must not regress
+        StreamOps.Change(2L, ts("2024-01-01 09:00:00"), "stale"))
+      q.processAllAvailable()
+      val v2 = view()
+      assert(v2(1L) == ((ts("2024-01-01 12:00:00"), "v1c")))
+      assert(v2(2L) == ((ts("2024-01-01 11:00:00"), "v2")))
+    } finally q.stop()
+  }
 }
