@@ -208,4 +208,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2500))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
+
+  test("q120: triangle join is equi-only — no cartesian/BNLJ, no Window, partial agg") {
+    val plan = executedPlan("q120_triangles")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q121: scd2 windows confined to batch frames — exactly two Window ops") {
+    val plan = executedPlan("q121_scd2_apply")
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 2, plan.take(2500))
+  }
+
+  test("q122: rank fusion has no Window — bounded aggregates end to end") {
+    val plan = executedPlan("q122_rrf_fusion")
+    assert(!plan.contains("Window"), plan.take(2500))
+  }
+
+  test("q124: span pairing is an md5 equi-join — no cartesian, partial agg") {
+    val plan = executedPlan("q124_shared_spans")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q126: phrase slots broadcast; one vote shuffle, no Window") {
+    val plan = executedPlan("q126_phrase_search")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
 }
