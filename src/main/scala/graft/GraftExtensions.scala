@@ -119,6 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "vec_dot", es => VecDot(es(0), es(1)))
     inject(e, "vec_norm", es => VecNorm(es.head))
     inject(e, "vec_cosine", es => VecCosine(es(0), es(1)))
+    inject(e, "ts_micros", es => graft.pipeline.TsMicros(es.head))
+    inject(e, "ntz_to_utc", es => graft.pipeline.NtzToUtc(es.head))
     inject(e, "minhash", {
       case Seq(x) => MinHash(x, 64, 3)
       case Seq(x, n, k) => MinHash(x,

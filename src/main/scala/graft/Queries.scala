@@ -26,9 +26,13 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects unless read as long — convert ns → µs TimestampType
-    * (exact: the generator emits µs-aligned values). */
+  /** The events table's `ts` has shipped as parquet TIMESTAMP(NANOS)
+    * (Spark 4 rejects it unless read as long), as `timestamp[us]` without
+    * a timezone (→ TIMESTAMP_NTZ, the pandas/pyarrow default), and as a
+    * zoned `timestamp[us, tz=UTC]` — normalize all three to TimestampType
+    * µs UTC instants. The NTZ case is a physical no-op reinterpretation
+    * ([[graft.pipeline.NtzToUtc]]), NOT a session-timezone-dependent
+    * cast, so correctness does not depend on caller config. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
@@ -36,6 +40,8 @@ object Queries {
       case org.apache.spark.sql.types.LongType =>
         // integer division — ns epochs exceed double's exact range
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", graft.pipeline.Time.ntzToUtc(col("ts")))
       case _ => df
     }
   }

@@ -26,7 +26,7 @@ object Sessions {
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev_ts").isNull, 1)
-          .when(unix_micros(col(tsCol)) - unix_micros(col("__prev_ts")) > gapMicros, 1)
+          .when(Time.tsMicros(col(tsCol)) - Time.tsMicros(col("__prev_ts")) > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

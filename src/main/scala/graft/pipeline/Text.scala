@@ -431,6 +431,8 @@ object Text {
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("ts_micros", es => TsMicros(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ntz_to_utc", es => NtzToUtc(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash", {
       case Seq(e) => MinHash(e, 64, 3)
       case Seq(e, n, k) =>

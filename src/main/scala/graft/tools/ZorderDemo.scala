@@ -20,12 +20,16 @@ object ZorderDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events carries TIMESTAMP(NANOS) — read the raw ns long (the same
-    // escape hatch Queries.events uses) and cluster on it directly
+    // events.ts has shipped as TIMESTAMP(NANOS) (read as raw ns long) and
+    // as TIMESTAMP/TIMESTAMP_NTZ µs — either way cluster on the integer
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tsu"),
-        col("value"))
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsu = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => graft.pipeline.Time.tsMicros(col("ts"))
+    }
+    val ev = ev0.select(col("event_id"), col("user_id"), tsu.as("tsu"),
+      col("value"))
     graft.pipeline.Layout.zorderWrite(ev, Seq("user_id", "tsu"), s"$out/z", 16)
     ev.repartition(16).write.mode("overwrite").parquet(s"$out/shuffled")
 
