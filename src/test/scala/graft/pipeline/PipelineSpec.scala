@@ -1262,6 +1262,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_events") == 2L)
   }
 
+  test("event-time operators accept TIMESTAMP_NTZ input (pandas/pyarrow default)") {
+    import java.time.LocalDateTime
+    import java.sql.Timestamp
+    // NTZ fixture: LocalDateTime encodes as TimestampNTZType
+    val ntzRows = Seq(
+      (1L, LocalDateTime.parse("2026-01-01T10:00:00"), 1.0),
+      (1L, LocalDateTime.parse("2026-01-01T10:10:00"), 2.0),
+      (1L, LocalDateTime.parse("2026-01-01T12:00:00"), 3.0),
+      (2L, LocalDateTime.parse("2026-01-01T10:00:00"), 4.0))
+    val ntz = spark.createDataFrame(ntzRows).toDF("user_id", "ts", "value")
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val ltz = spark.createDataFrame(ntzRows.map { case (u, t, v) =>
+      (u, Timestamp.valueOf(t), v) }).toDF("user_id", "ts", "value")
+
+    // sessionize / sessionStats: identical session structure on either type
+    def sessKey(df: org.apache.spark.sql.DataFrame) =
+      Sessions.sessionStats(df)
+        .select("user_id", "session_seq", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(sessKey(ntz) == sessKey(ltz))
+
+    // funnel over NTZ (comparisons + joins, no unix_micros)
+    val funnelNtz = Sessions.funnel(
+        ntz.withColumn("event_type",
+          when(col("value") < 2.5, "view").otherwise("purchase")),
+        "user_id", "ts", "event_type", Seq("view", "purchase"))
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(funnelNtz == Map(1L -> 2L, 2L -> 0L))
+
+    // ts_micros is the UTC-instant micros of the wall clock, independent of
+    // the session timezone (a cast would NOT be)
+    val wall = LocalDateTime.parse("2026-01-01T10:00:00")
+    val expectedUs = wall.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val one = spark.createDataFrame(Seq(Tuple1(wall))).toDF("ts")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Seq("UTC", "America/New_York").foreach { tz =>
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert(one.select(Time.tsMicros(col("ts"))).head().getLong(0)
+          == expectedUs, s"tz=$tz")
+        assert(one.select(unix_micros(Time.ntzToUtc(col("ts")))).head()
+          .getLong(0) == expectedUs, s"tz=$tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+
+    // both pass through TIMESTAMP unchanged
+    assert(ltz.select(Time.tsMicros(col("ts"))).head().getLong(0) ==
+      ltz.select(unix_micros(col("ts"))).head().getLong(0))
+    assert(ltz.select(Time.ntzToUtc(col("ts"))).schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("salted join equals plain join") {
     val fact = spark.range(1000).toDF("id")
       .withColumn("k", (col("id") % 3).cast("int")) // 3 hot keys
