@@ -1113,6 +1113,41 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q128_zorder_prune" -> ((s, d) => {
+      // Z-order layout made driver-visible (it was suite-only): write
+      // events clustered on (user_id, ts µs) via zorderWrite vs a
+      // round-robin baseline with the SAME file count, then read back
+      // ONLY parquet footers and count row groups whose min/max
+      // rectangles survive a selective two-sided band predicate — the
+      // exact keep/skip decision a 100 TB scan's row-group filter makes.
+      // Returns one row per layout; no SQL oracle (a file-layout
+      // property), so the driver records the rows-only check and the
+      // suite asserts zorder prunes strictly better (LayoutSpec).
+      import s.implicits._
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        graft.pipeline.Time.tsMicros(col("ts")).as("tsu"), col("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q128_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.pipeline.Layout.zorderWrite(ev, Seq("user_id", "tsu"), s"$base/z", 16)
+      ev.repartition(16).write.mode("overwrite").parquet(s"$base/rr")
+      // one user band × one time band, ~5% selective each side — the
+      // percentile agg is one metadata-sized driver row (cf. ZorderDemo)
+      val qs = ev.agg(
+          expr("percentile(user_id, 0.40)"), expr("percentile(user_id, 0.45)"),
+          expr("percentile(tsu, 0.40)"), expr("percentile(tsu, 0.45)"))
+        .head().toSeq.map(_.toString.toDouble.toLong)
+      val bands = Seq(("user_id", qs(0), qs(1)), ("tsu", qs(2), qs(3)))
+      val (zk, zt) = graft.pipeline.Layout.rowGroupPruneStats(s, s"$base/z", bands)
+      val (rk, rt) = graft.pipeline.Layout.rowGroupPruneStats(s, s"$base/rr", bands)
+      val matched = s.read.parquet(s"$base/z")
+        .filter(col("user_id").between(qs(0), qs(1)) &&
+          col("tsu").between(qs(2), qs(3))).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      Seq(("roundrobin", rk, rt, matched), ("zorder", zk, zt, matched))
+        .toDF("layout", "groups_kept", "groups_total", "rows_matched")
+        .orderBy("layout")
+    }),
+
     "q116_dbscan" -> ((s, d) => {
       // deterministic DBSCAN over customer points (eps=10, minPts=5):
       // dilated-grid dwithin self-join → degree count → CONVERGED
@@ -1927,7 +1962,14 @@ object Queries {
 
     "q36_union_agg" -> ((s, d) => {
       // dissolved union of per-nation rects per segment; disjoint
-      // power-of-two rects → union area = 16384 × distinct nations
+      // power-of-two rects → union area = 16384 × distinct nations.
+      // DELIBERATE COST TRADE (round 6, ~3×): st_union_agg produces the
+      // DISSOLVED geometry (directed-edge cancellation, shells+holes —
+      // certified by q87) even though this query only reads its area,
+      // which would be identical on the pre-dissolve tiling. Users get
+      // the correct union shape; the per-group object aggregation is
+      // bounded (≤25 rects/group) so the cost does not grow with rows,
+      // only with groups — scale-safe at 100 TB.
       prep(s, d, "customer")
       s.sql("""
         SELECT c_mktsegment,

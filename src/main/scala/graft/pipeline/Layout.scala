@@ -100,6 +100,42 @@ object Layout {
   }
 
   /**
+   * Footer-only pruning estimate: of the parquet row groups under `dir`,
+   * how many survive ALL of the `[lo, hi]` bands on integer-typed columns
+   * (by row-group min/max statistics), over the total. This is exactly the
+   * keep/skip decision a scan's row-group filter makes, exposed as a
+   * metric so layout quality is certifiable from the outside — no data
+   * pages are read, only footers (driver-side metadata, like a listing).
+   */
+  def rowGroupPruneStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         bands: Seq[(String, Long, Long)]): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val files = p.getFileSystem(conf).listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var kept = 0L
+    var total = 0L
+    files.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        val byName = b.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        total += 1
+        val keep = bands.forall { case (c, lo, hi) =>
+          val st = byName(c).getStatistics
+          val mn = st.genericGetMin.asInstanceOf[Number].longValue
+          val mx = st.genericGetMax.asInstanceOf[Number].longValue
+          mn <= hi && lo <= mx
+        }
+        if (keep) kept += 1
+      } finally r.close()
+    }
+    (kept, total)
+  }
+
+  /**
    * Compact a small-file parquet layout into ~`targetBytes` outputs — the
    * standing-corpus maintenance op: streaming ingest and incremental
    * appends ([[Dedup.appendMinhashIndex]], [[Similarity.appendIvfPqIndex]],

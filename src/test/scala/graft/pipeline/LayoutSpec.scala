@@ -109,6 +109,25 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("rowGroupPruneStats: z-order keeps strictly fewer row groups than round-robin") {
+    import spark.implicits._
+    val pts = (0 until 20000).map { i =>
+      ((i * 2654435761L) % 1024, (i * 40503L) % 1024)
+    }.toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Layout.zorderWrite(pts, Seq("x", "y"), base + "/z", 16)
+    pts.repartition(16).write.parquet(base + "/rr")
+    // a ~5%×5% band predicate — the q128_zorder_prune shape
+    val bands = Seq(("x", 100L, 150L), ("y", 100L, 150L))
+    val (zk, zt) = Layout.rowGroupPruneStats(spark, base + "/z", bands)
+    val (rk, rt) = Layout.rowGroupPruneStats(spark, base + "/rr", bands)
+    assert(zt >= 16 && rt >= 16, s"z=$zt rr=$rt groups")
+    // every round-robin group spans ~the whole square → nothing prunes
+    assert(rk == rt, s"round-robin pruned unexpectedly: $rk/$rt")
+    assert(zk * 4 <= rk, s"z kept $zk/$zt vs rr $rk/$rt — want ≥4× pruning")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("compactFiles: small-file layout collapses to the byte-derived count, data unchanged") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val small = s"$base/small"
