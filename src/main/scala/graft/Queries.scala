@@ -1113,6 +1113,22 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q129_bigram_lm" -> ((s, d) => {
+      // Stupid Backoff bigram LM scoring: counts trained on the
+      // even-doc_id half, ALL docs scored — odd docs' unseen bigrams
+      // exercise the smoothed unigram-backoff path, even docs replay
+      // the pure-ratio path. The oracle retrains the same counts in SQL
+      // and replays the same formula; per-pair scores are exact-count
+      // ratios, only the per-doc avg-of-ln needs the 4dp rounding
+      // (q79 precedent).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      Text.bigramLm(docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm_score"), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     "q128_zorder_prune" -> ((s, d) => {
       // Z-order layout made driver-visible (it was suite-only): write
       // events clustered on (user_id, ts µs) via zorderWrite vs a
@@ -3042,6 +3058,39 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // Stupid Backoff replayed in SQL: same tokenizer, same even-half
+    // training counts, same S(w2|w1) formula (parallel unnests zip in
+    // DuckDB — the q126 positional idiom builds the adjacent pairs)
+    "q129_bigram_lm" -> """
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(ws) AS t FROM w),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        FROM w WHERE len(ws) >= 2),
+      uni AS (SELECT t, count(*) AS c1 FROM toks
+              WHERE doc_id % 2 = 0 GROUP BY t),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM bg
+              WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(count(DISTINCT t) AS DOUBLE) AS v
+              FROM toks WHERE doc_id % 2 = 0)
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             round(avg(ln(CASE WHEN big.c12 IS NOT NULL
+               THEN CAST(big.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+               ELSE 0.4 * (CAST(coalesce(u2.c1, 0) AS DOUBLE) + 1.0)
+                    / (tot.n + tot.v) END)), 4) AS lm_score
+      FROM bg b
+      LEFT JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+      LEFT JOIN uni u1 ON b.w1 = u1.t
+      LEFT JOIN uni u2 ON b.w2 = u2.t, tot
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "q119_fuzzy_join" -> """
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

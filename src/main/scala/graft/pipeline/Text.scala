@@ -292,6 +292,61 @@ object Text {
   }
 
   /**
+   * Bigram language-model scoring with Stupid Backoff — the CCNet-style
+   * perplexity filter one order up from [[unigramLogProb]]: documents are
+   * scored under bigram statistics trained on a (possibly different)
+   * corpus, so domain-shifted or low-quality text surfaces as a low
+   * average log-score while fluent in-domain text scores high.
+   *
+   * score(doc) = avg over adjacent word pairs (w1, w2) of ln S(w2|w1):
+   *   S(w2|w1) = c(w1,w2) / c(w1)           bigram seen in `train`
+   *            = alpha · (c(w2)+1) / (N+V)  otherwise — unigram backoff
+   *              with add-one smoothing so unseen words stay finite
+   * (alpha = 0.4, the published Stupid Backoff constant; "stupid" because
+   * the backoff weight is unnormalized — at web scale that loses nothing
+   * against Kneser-Ney and needs no discount estimation pass.)
+   *
+   * Scale shape: the bigram/unigram count tables are token-keyed
+   * aggregates with map-side partials; the scorer joins the document
+   * bigram stream against them as SHUFFLE equi-joins (at 100 TB the
+   * vocabulary outgrows any broadcast) while N and V fold to a one-row
+   * broadcast. No Window, no driver-side state; bigram generation is
+   * `transform(sequence(...))` over the already-split word array, inside
+   * whole-stage codegen. Per-pair S is a ratio of exact counts (identical
+   * IEEE in any engine); only the per-doc avg-of-ln is order-dependent —
+   * callers round to 4dp (q79 precedent).
+   */
+  def bigramLm(score: DataFrame, train: DataFrame, textCol: String,
+               idCol: String, alpha: Double = 0.4): DataFrame = {
+    def words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+                    element_at(col("__w"), i + 1).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val trainToks = train.select(explode(words).as("__t"))
+    val uni = trainToks.groupBy("__t").agg(count(lit(1)).as("__c1"))
+    val totals = trainToks.agg(count(lit(1)).cast("double").as("__n"),
+      count_distinct(col("__t")).cast("double").as("__v"))
+    val big = bigrams(train).groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    bigrams(score)
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(uni.select(col("__t").as("__w1"), col("__c1").as("__cw1")), Seq("__w1"), "left")
+      .join(uni.select(col("__t").as("__w2"), col("__c1").as("__cw2")), Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s", when(col("__c12").isNotNull,
+          col("__c12").cast("double") / col("__cw1").cast("double"))
+        .otherwise(lit(alpha) *
+          (coalesce(col("__cw2"), lit(0L)).cast("double") + 1.0) /
+          (col("__n") + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(col("__s"))).as("lm_score"))
+  }
+
+  /**
    * Vocabulary coverage: per-document out-of-vocabulary token rate
    * against the corpus's own top-`vocabSize` words (count desc, word asc
    * tie-break — deterministic boundary in any engine). The tokenizer-

@@ -1909,6 +1909,30 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- vocab / entropy
 
+  test("bigramLm: stupid backoff hits both paths, hand-computed") {
+    import spark.implicits._
+    // train: doc0 "a b a b", doc2 "b c" → N=6, V=3; uni a=2 b=3 c=1;
+    // bigrams c(a,b)=2, c(b,a)=1, c(b,c)=1
+    val docs = Seq((0L, "a b a b"), (1L, "a b x"), (2L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Text.bigramLm(docs, docs.filter($"doc_id" % 2 === 0),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc0: (a,b)=2/2, (b,a)=1/3, (a,b)=2/2 → avg(ln) = ln(1/3)/3
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2 - math.log(1.0 / 3.0) / 3.0) < 1e-12)
+    // doc1: (a,b) seen → ln 1 = 0; (b,x) unseen, x unseen in train →
+    // backoff 0.4·(0+1)/(6+3)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - math.log(0.4 / 9.0) / 2.0) < 1e-12)
+    // doc2: (b,c) = 1/3 exactly
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - math.log(1.0 / 3.0)) < 1e-12)
+    // self-trained: every bigram seen → backoff never fires, all finite
+    val self = Text.bigramLm(docs, docs, "text", "doc_id").collect()
+    assert(self.length == 3 && self.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("vocabOovRate: deterministic top-k boundary, exact fractions") {
     import spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "a d")).toDF("doc_id", "text")
