@@ -1113,6 +1113,18 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q130_setsim_join" -> ((s, d) => {
+      // exact Jaccard ≥ 0.9 document pairs via prefix filtering (rarest
+      // ⌈(1−t)·n⌉+1 tokens indexed under the global (df, token) order).
+      // The oracle enumerates ALL shared-token pairs quadratically — a
+      // DIFFERENT algorithm — so the compare certifies the prefix
+      // filter's recall-1 theorem, not a replay. Counts exact; jaccard
+      // is an exact-int ratio (identical IEEE both engines, no rounding).
+      prep(s, d, "documents")
+      Dedup.setSimJoin(t(s, d, "documents"), "doc_id", "text", 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q129_bigram_lm" -> ((s, d) => {
       // Stupid Backoff bigram LM scoring: counts trained on the
       // even-doc_id half, ALL docs scored — odd docs' unseen bigrams
@@ -3058,6 +3070,30 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // quadratic all-shared-token-pairs enumeration — deliberately NOT
+    // the prefix-filter algorithm, so the compare certifies recall
+    "q130_setsim_join" -> """
+      WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents),
+      sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      ov AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+        FROM toks a JOIN toks b USING (t)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, intersection,
+             sa.n + sb.n - intersection AS union_size,
+             CAST(intersection AS DOUBLE) /
+               (sa.n + sb.n - intersection) AS jaccard
+      FROM ov
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.9
+      ORDER BY id_a, id_b""",
 
     // Stupid Backoff replayed in SQL: same tokenizer, same even-half
     // training counts, same S(w2|w1) formula (parallel unnests zip in

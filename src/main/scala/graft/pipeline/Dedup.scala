@@ -752,6 +752,70 @@ object Dedup {
   }
 
   /**
+   * Exact set-similarity self-join (distinct-token Jaccard ≥ `threshold`)
+   * via PREFIX FILTERING — the deterministic counterpart to MinHash LSH:
+   * every qualifying pair is emitted (recall 1 by theorem, no sketch
+   * probability), yet no all-pairs comparison happens.
+   *
+   * Prefix principle: order tokens by the global total order (document
+   * frequency asc, token asc) — rarest first — and index only each
+   * document's first |x| − ⌈t·|x|⌉ + 1 tokens. For J(x,y) ≥ t the overlap
+   * i satisfies i ≥ ⌈t·max(|x|,|y|)⌉ (if |y| < t·|x| then J < t outright),
+   * and two sorted sets with overlap ≥ α must share a member of their
+   * (n − α + 1)-prefixes: were the smallest common element outside one
+   * prefix, all α common elements would sit in that side's α−1 suffix
+   * slots. So candidates meet in an ordinary EQUI-join on prefix tokens
+   * and only candidates pay the exact verification.
+   *
+   * Scale shape: prefixes hold each doc's RAREST tokens, so high-df
+   * stopwords never enter the candidate index — the join fan-out is
+   * bounded by low-df posting lists (the same guard philosophy as the
+   * LSH hot-bucket bound, but exact). Token ordering needs no Window:
+   * per-doc `collect_list` + `array_sort` buffers are doc-length-bounded,
+   * and verification is `array_intersect` over the two sorted arrays in
+   * codegen. Output: (id_a, id_b, intersection, union_size, jaccard),
+   * id_a < id_b; all counts exact, jaccard an exact-int ratio (identical
+   * IEEE in any engine).
+   */
+  def setSimJoin(df: DataFrame, idCol: String, textCol: String,
+                 threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+        t => t =!= ""))).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ordered = toks.join(dfreq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val prefix = ordered.select(col("__id"),
+      explode(slice(col("__toks"), lit(1), prefLen)).as("__t"))
+    val cands = prefix.select(col("__id").as("id_a"), col("__t"))
+      .join(prefix.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = ordered.select(col("__id"), col("__toks"), col("__n"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("intersection",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("union_size",
+        (col("__na") + col("__nb")).cast("long") - col("intersection"))
+      .withColumn("jaccard",
+        col("intersection").cast("double") / col("union_size").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("union_size"), col("jaccard"))
+  }
+
+  /**
    * Fuzzy self-join at edit distance ≤ 1 via SymSpell-style
    * DELETION-NEIGHBORHOOD blocking (Garbe's symmetric-delete idea): two
    * strings with ed ≤ 1 necessarily share a member of

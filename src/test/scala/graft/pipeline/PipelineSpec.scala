@@ -1909,6 +1909,39 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- vocab / entropy
 
+  test("setSimJoin: prefix filtering equals brute force, boundary inclusive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // vs 2: inter 4, union 6 → 2/3
+      (2L, "a b c d x"),
+      (3L, "a b c d e"),       // vs 1: jaccard 1.0
+      (4L, "p q r s t u v w"), // vs 5: inter 4, union 12 → 1/3 (excluded at 0.5)
+      (5L, "p q r s m n o k"),
+      (6L, "z"),               // singleton, no qualifying partner
+      (7L, "a b c"))           // vs 1: inter 3, union 5 → 0.6
+    .toDF("doc_id", "text")
+    def brute(t: Double) = {
+      val sets = docs.select($"doc_id",
+        array_distinct(split(trim($"text"), "\\s+")).as("g"))
+      sets.select($"doc_id".as("id_a"), $"g".as("ga"))
+        .crossJoin(sets.select($"doc_id".as("id_b"), $"g".as("gb")))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          (size(array_intersect($"ga", $"gb")).cast("double") /
+            size(array_union($"ga", $"gb"))).as("j"))
+        .filter($"j" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    Seq(0.5, 2.0 / 3.0, 0.9).foreach { t =>
+      val got = Dedup.setSimJoin(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+    // boundary: the exact-2/3 pair survives a 2/3 threshold (>= not >)
+    assert(Dedup.setSimJoin(docs, "doc_id", "text", 2.0 / 3.0)
+      .filter($"id_a" === 1L && $"id_b" === 2L).count() == 1L)
+  }
+
   test("bigramLm: stupid backoff hits both paths, hand-computed") {
     import spark.implicits._
     // train: doc0 "a b a b", doc2 "b c" → N=6, V=3; uni a=2 b=3 c=1;
