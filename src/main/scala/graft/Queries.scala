@@ -1113,6 +1113,22 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q131_token_drift" -> ((s, d) => {
+      // distribution drift English vs non-English slices: KL both ways +
+      // total variation over add-one-smoothed unigram distributions on
+      // the union vocab. Totals fold out of the joined count frame — the
+      // oracle replays the definition with a FULL JOIN; 6dp rounding
+      // bounds the Σ-over-vocab order dependence (~|V|·1e-16).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      Stats.tokenDrift(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text")
+        .select(col("vocab_size"), col("n_a"), col("n_b"),
+          round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("kl_ba"), 6).as("kl_ba"),
+          round(col("tvd"), 6).as("tvd"))
+    }),
+
     "q130_setsim_join" -> ((s, d) => {
       // exact Jaccard ≥ 0.9 document pairs via prefix filtering (rarest
       // ⌈(1−t)·n⌉+1 tokens indexed under the global (df, token) order).
@@ -3070,6 +3086,34 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q131_token_drift" -> """
+      WITH ca AS (
+        SELECT t, count(*) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents WHERE lang = 'en') GROUP BY t),
+      cb AS (
+        SELECT t, count(*) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents WHERE lang <> 'en') GROUP BY t),
+      j AS (
+        SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        FROM ca FULL JOIN cb USING (t)),
+      tot AS (
+        SELECT CAST(sum(cca) AS DOUBLE) AS na, CAST(sum(ccb) AS DOUBLE) AS nb,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM j)
+      SELECT CAST(v AS BIGINT) AS vocab_size,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             round(sum(((cca+1)/(na+v)) * ln(((cca+1)/(na+v)) /
+                                             ((ccb+1)/(nb+v)))), 6) AS kl_ab,
+             round(sum(((ccb+1)/(nb+v)) * ln(((ccb+1)/(nb+v)) /
+                                             ((cca+1)/(na+v)))), 6) AS kl_ba,
+             round(sum(abs((cca+1)/(na+v) - (ccb+1)/(nb+v))) / 2.0, 6) AS tvd
+      FROM j, tot
+      GROUP BY v, na, nb""",
 
     // quadratic all-shared-token-pairs enumeration — deliberately NOT
     // the prefix-filter algorithm, so the compare certifies recall

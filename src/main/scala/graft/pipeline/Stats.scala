@@ -67,6 +67,52 @@ object Stats {
       .drop("__med", "__mad")
   }
 
+  /**
+   * Unigram-distribution drift between two corpus slices — the shift
+   * detector run before mixing a new crawl/source into training data
+   * (tokenizer mismatch, language imbalance, template floods all move
+   * these numbers long before a loss curve would).
+   *
+   * Over the UNION vocabulary V with add-one smoothing —
+   * p(t) = (c_a(t)+1)/(N_a+|V|), q(t) = (c_b(t)+1)/(N_b+|V|), both
+   * exact probability distributions (they sum to 1 because every slice
+   * token is in V) — emits one row:
+   * KL(P‖Q), KL(Q‖P) (nats), and total variation ½·Σ|p−q|.
+   *
+   * Scale shape: two token-keyed count aggregates (map-side partials)
+   * meet in ONE full outer equi-join on the token; the three totals
+   * (N_a, N_b, |V|) fold out of that same joined frame as a one-row
+   * broadcast, so the vocabulary is never collected and nothing bigger
+   * than the vocab-keyed shuffle exists at any scale. Per-token
+   * contributions are exact-count arithmetic; only the final Σ over V is
+   * order-dependent (~|V|·1e-16) — callers round to 6dp.
+   */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, cname: String) = df
+      .select(explode(filter(split(trim(col(textCol)), "\\s+"),
+        t => t =!= "")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as(cname))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("__t"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.agg(sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb"),
+      count(lit(1)).cast("double").as("__v"))
+    val p = (col("__ca").cast("double") + 1.0) / (col("__na") + col("__v"))
+    val q = (col("__cb").cast("double") + 1.0) / (col("__nb") + col("__v"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__v"), col("__na"), col("__nb"),
+        (p * log(p / q)).as("__kab"), (q * log(q / p)).as("__kba"),
+        abs(p - q).as("__ad"))
+      .groupBy(col("__v"), col("__na"), col("__nb"))
+      .agg(sum(col("__kab")).as("__sab"), sum(col("__kba")).as("__sba"),
+        sum(col("__ad")).as("__sd"))
+      .select(col("__v").cast("long").as("vocab_size"),
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        col("__sab").as("kl_ab"), col("__sba").as("kl_ba"),
+        (col("__sd") / 2.0).as("tvd"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

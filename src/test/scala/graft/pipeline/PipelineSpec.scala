@@ -1909,6 +1909,28 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- vocab / entropy
 
+  test("tokenDrift: hand-computed KL and TVD, zero on identical slices") {
+    import spark.implicits._
+    // a: tokens {x, x, y} ; b: tokens {x, z} → union vocab {x, y, z}, V=3
+    // p = (2+1)/6, (1+1)/6, (0+1)/6 ; q = (1+1)/5, (0+1)/5, (1+1)/5
+    val a = Seq(Tuple1("x x y")).toDF("text")
+    val b = Seq(Tuple1("x z")).toDF("text")
+    val r = Stats.tokenDrift(a, b, "text").head()
+    assert(r.getAs[Long]("vocab_size") == 3L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    val p = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+    val q = Seq(2.0 / 5, 1.0 / 5, 2.0 / 5)
+    def kl(u: Seq[Double], v: Seq[Double]) =
+      u.zip(v).map { case (x, y) => x * math.log(x / y) }.sum
+    assert(math.abs(r.getAs[Double]("kl_ab") - kl(p, q)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kl_ba") - kl(q, p)) < 1e-12)
+    val tvd = p.zip(q).map { case (x, y) => math.abs(x - y) }.sum / 2
+    assert(math.abs(r.getAs[Double]("tvd") - tvd) < 1e-12)
+    // identical slices → exactly zero drift
+    val z = Stats.tokenDrift(a, a, "text").head()
+    assert(z.getAs[Double]("kl_ab") == 0.0 && z.getAs[Double]("tvd") == 0.0)
+  }
+
   test("setSimJoin: prefix filtering equals brute force, boundary inclusive") {
     import spark.implicits._
     val docs = Seq(
