@@ -1113,6 +1113,29 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q132_bucketed_join" -> ((s, d) => {
+      // co-located bucketed join made driver-visible: orders and
+      // lineitem are laid out bucketed+sorted on the order key, so the
+      // MERGE-hinted join runs with ZERO shuffle exchanges below it
+      // (LayoutSpec asserts the plan; this face certifies the VALUES
+      // survive the layout). Aggregates are exact (count + integral-
+      // double sum); the oracle is the plain parquet join.
+      prep(s, d, "orders", "lineitem")
+      val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q132_$suf").getAbsolutePath
+      graft.pipeline.Layout.bucketWrite(t(s, d, "orders"),
+        s"graft_bo_$suf", "o_orderkey", 8, s"$base/orders")
+      graft.pipeline.Layout.bucketWrite(t(s, d, "lineitem"),
+        s"graft_bl_$suf", "l_orderkey", 8, s"$base/lineitem")
+      val bo = s.table(s"graft_bo_$suf")
+      val bl = s.table(s"graft_bl_$suf")
+      bo.hint("MERGE").join(bl, bo("o_orderkey") === bl("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q131_token_drift" -> ((s, d) => {
       // distribution drift English vs non-English slices: KL both ways +
       // total variation over add-one-smoothed unigram distributions on
@@ -3086,6 +3109,13 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // the values the bucketed layout must preserve — plain parquet join
+    "q132_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             sum(l_quantity) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q131_token_drift" -> """
       WITH ca AS (

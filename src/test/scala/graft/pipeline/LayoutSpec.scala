@@ -160,4 +160,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(pb.count() == docs.count())
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("bucketWrite: co-bucketed join plans with zero shuffle exchanges") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val fact = spark.range(0, 10000).select(
+      (col("id") % 500).as("k"), col("id").as("payload"))
+    val dim = spark.range(0, 500).select(
+      col("id").as("k"), concat(lit("v"), col("id")).as("tag"))
+    Layout.bucketWrite(fact, "graft_test_fact", "k", 8, s"$base/fact")
+    Layout.bucketWrite(dim, "graft_test_dim", "k", 8, s"$base/dim")
+    val bf = spark.table("graft_test_fact")
+    val bd = spark.table("graft_test_dim")
+    val joined = bf.hint("MERGE").join(bd, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // the whole point of the layout: NO exchange anywhere in the join plan
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange"),
+      plan.take(2000))
+    // one file per bucket (task/bucket alignment) → sortBy metadata valid
+    val bucketFiles = new java.io.File(s"$base/fact").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(bucketFiles.length == 8, bucketFiles.length.toString)
+    // values survive the layout
+    assert(joined.count() == 10000L)
+    val sums = joined.groupBy("k").agg(sum("payload").as("s"))
+      .orderBy("k").limit(1).head()
+    assert(sums.getLong(0) == 0L && sums.getLong(1) == (0L until 10000L by 500L).sum)
+    spark.sql("DROP TABLE IF EXISTS graft_test_fact")
+    spark.sql("DROP TABLE IF EXISTS graft_test_dim")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
