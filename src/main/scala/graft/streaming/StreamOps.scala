@@ -36,6 +36,19 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming dedup for at-least-once sources whose RETRIES carry a new
+    * event time (a redelivered webhook/CDC record is stamped at send
+    * time, not first-attempt time): dedup on the id columns ALONE, with
+    * state expiring one watermark delay after each key's first sighting —
+    * `dropDuplicates` above would treat the re-stamped retry as a new
+    * event. Built on `dropDuplicatesWithinWatermark`, so state stays
+    * bounded: one row per distinct key per horizon, regardless of
+    * redelivery count. */
+  def dedupRedeliveries(events: DataFrame, idCols: Seq[String],
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Windowed spatial extent of a geometry stream: per time window, the
     * bounding box of all geometries seen (streaming face of ST_Extent —
     * min/max aggregate state is constant-size per window). */

@@ -66,6 +66,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupRedeliveries: re-stamped retries collapse; dropDuplicates would not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("event_id", "ts", "payload")
+    val out = StreamOps.dedupRedeliveries(stream, Seq("event_id"), "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("redeliv").start()
+    try {
+      // batch 1: event 1 plus an immediate retry with a LATER timestamp
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), "first"),
+        (1L, ts("2026-01-01 10:00:03"), "retry-same-batch"),
+        (2L, ts("2026-01-01 10:00:01"), "other"))
+      q.processAllAvailable()
+      // batch 2: event 1 redelivered again across batches, still within
+      // the watermark; and a genuinely new event
+      input.addData(
+        (1L, ts("2026-01-01 10:00:07"), "retry-next-batch"),
+        (3L, ts("2026-01-01 10:00:09"), "new"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, payload FROM redeliv").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L))
+      assert(rows(1L) == "first") // the FIRST delivery wins, retries drop
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags against the persisted sketch index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
