@@ -1113,6 +1113,19 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q133_tfidf_cosine" -> ((s, d) => {
+      // sparse lexical near-dup pairs: exact TF-IDF cosine ≥ 0.9 via the
+      // inverted-index posting join (maxDf inert at this scale — the
+      // posting-list bound that caps pair generation at 100 TB). Oracle
+      // replays the same ln((N+1)/(df+1))+1 weighting in SQL; cosine
+      // rounds to 4dp (sum-order noise ~1e-15).
+      prep(s, d, "documents")
+      Text.tfidfCosinePairs(t(s, d, "documents"), "text", "doc_id",
+          threshold = 0.9, maxDf = 10000L)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q132_bucketed_join" -> ((s, d) => {
       // co-located bucketed join made driver-visible: orders and
       // lineitem are laid out bucketed+sorted on the order key, so the
@@ -3109,6 +3122,33 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q133_tfidf_cosine" -> """
+      WITH tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents) GROUP BY doc_id, t),
+      dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      w AS (
+        SELECT doc_id, t,
+               tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w
+        FROM tf JOIN dfreq USING (t), nd
+        WHERE dfreq.df <= 10000),
+      nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nr FROM w GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b USING (t)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(dot / (na.nr * nb.nr), 4) AS cosine
+      FROM dots
+      JOIN nrm na ON id_a = na.doc_id
+      JOIN nrm nb ON id_b = nb.doc_id
+      WHERE dot / (na.nr * nb.nr) >= 0.9
+      ORDER BY id_a, id_b""",
 
     // the values the bucketed layout must preserve — plain parquet join
     "q132_bucketed_join" -> """

@@ -270,6 +270,49 @@ object Text {
   }
 
   /**
+   * Sparse TF-IDF cosine document pairs ≥ `threshold` via the inverted
+   * index — the sparse lexical complement to the dense-embedding ANN
+   * family ([[graft.pipeline.Similarity]]): exact cosine over
+   * [[tfidf]]-weighted term vectors with no embedding model in the loop.
+   *
+   * Pair generation is a posting-list self-join on the term (only doc
+   * pairs sharing a term can have cosine > 0), partial-aggregated into
+   * per-pair dot products; norms join back per side. `maxDf` drops terms
+   * appearing in more than `maxDf` documents from the INDEX — their idf
+   * weight is near-noise and their posting lists are the quadratic
+   * hazard — bounding pair-generation work at df ≤ maxDf per term: the
+   * deterministic analogue of the LSH hot-bucket guard. (Dropped terms
+   * also leave the norms, so the result is exactly the cosine over the
+   * capped vocabulary — state the cap when reporting similarities.)
+   *
+   * Per-term weights are exact-count expressions; the dot/norm sums are
+   * order-dependent at ~1e-15 — callers round the cosine (4dp) and keep
+   * thresholds away from that noise floor.
+   */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, maxDf: Long): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val w = tfidf(df, textCol, idCol)
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id").as("__id"), col("term"), col("tfidf").as("__w"))
+    val norms = w.groupBy("__id")
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
+    w.select(col("__id").as("id_a"), col("term"), col("__w").as("__wa"))
+      .join(w.select(col("__id").as("id_b"), col("term"), col("__w").as("__wb")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+      .join(norms.select(col("__id").as("id_a"), col("__nrm").as("__na")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__nrm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /**
    * Unigram negative log-likelihood per document — the KenLM-style
    * perplexity proxy for quality filtering (documents whose tokens are
    * improbable under the corpus unigram distribution score high and get

@@ -1909,6 +1909,47 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- vocab / entropy
 
+  test("tfidfCosinePairs: equals dense cosine; maxDf drops hot terms from index and norms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"),
+      (4L, "delta epsilon zeta zeta"),
+      (5L, "alpha delta")).toDF("doc_id", "text")
+    // dense reference: per-doc tfidf vectors over the full vocab
+    val n = 5.0
+    val corpus = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").toSeq).toMap
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size }
+    def vec(id: Long, cap: Int): Map[String, Double] =
+      corpus(id).groupBy(identity).collect {
+        case (t, o) if dfm(t) <= cap =>
+          t -> o.size * (math.log((n + 1) / (dfm(t) + 1.0)) + 1.0)
+      }
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.sorted
+        .map(t => a(t) * b(t)).sum
+      val na = math.sqrt(a.values.map(x => x * x).sum)
+      val nb = math.sqrt(b.values.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def expected(thr: Double, cap: Int) = (for {
+      a <- corpus.keys; b <- corpus.keys if a < b
+      c = cos(vec(a, cap), vec(b, cap)) if c >= thr
+    } yield (a, b)).toSet
+    for ((thr, cap) <- Seq((0.5, 100), (0.9, 100), (0.5, 2))) {
+      val got = Text.tfidfCosinePairs(docs, "text", "doc_id", thr, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected(thr, cap), s"thr=$thr cap=$cap")
+      val gotCos = Text.tfidfCosinePairs(docs, "text", "doc_id", thr, cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      gotCos.foreach { case ((a, b), c) =>
+        assert(math.abs(c - cos(vec(a, cap), vec(b, cap))) < 1e-9) }
+    }
+  }
+
   test("tokenDrift: hand-computed KL and TVD, zero on identical slices") {
     import spark.implicits._
     // a: tokens {x, x, y} ; b: tokens {x, z} → union vocab {x, y, z}, V=3
