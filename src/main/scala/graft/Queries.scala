@@ -1113,6 +1113,22 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q135_label_prop" -> ((s, d) => {
+      // deterministic synchronous label propagation (majority label,
+      // min tie-break) over the part co-order graph, 3 rounds — the
+      // community face of the graph family (q111 pagerank / q116 dbscan
+      // / q120 triangles precedents). The oracle unrolls the same three
+      // rounds in SQL with a row_number argmax — integer-exact.
+      prep(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_b"))
+      val pairs = a.join(b, "ok").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Graph.labelPropagation(pairs, "id_a", "id_b", iters = 3)
+        .orderBy("node")
+    }),
+
     "q134_heavy_hitters" -> ((s, d) => {
       // hot-key detection: part keys taking ≥ 0.075% of lineitem — the
       // skew census that feeds salting factors. The count-min sketch
@@ -3134,6 +3150,41 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // three synchronous LPA rounds unrolled; argmax = row_number over
+    // (votes desc, label asc) — the same min-struct tie-break
+    "q135_label_prop" -> """
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      nbr AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+      l0 AS (SELECT DISTINCT s AS node, s AS label FROM nbr),
+      v1 AS (SELECT nbr.t AS node, l0.label, count(*) AS c
+             FROM nbr JOIN l0 ON nbr.s = l0.node GROUP BY 1, 2),
+      w1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+               FROM v1) WHERE rn = 1),
+      l1 AS (SELECT l0.node, coalesce(w1.label, l0.label) AS label
+             FROM l0 LEFT JOIN w1 USING (node)),
+      v2 AS (SELECT nbr.t AS node, l1.label, count(*) AS c
+             FROM nbr JOIN l1 ON nbr.s = l1.node GROUP BY 1, 2),
+      w2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+               FROM v2) WHERE rn = 1),
+      l2 AS (SELECT l1.node, coalesce(w2.label, l1.label) AS label
+             FROM l1 LEFT JOIN w2 USING (node)),
+      v3 AS (SELECT nbr.t AS node, l2.label, count(*) AS c
+             FROM nbr JOIN l2 ON nbr.s = l2.node GROUP BY 1, 2),
+      w3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+               FROM v3) WHERE rn = 1),
+      l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label
+             FROM l2 LEFT JOIN w3 USING (node))
+      SELECT node, label FROM l3 ORDER BY node""",
 
     // exact heavy hitters — the sketch is pruning-only, so plain SQL
     "q134_heavy_hitters" -> """

@@ -272,4 +272,47 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Synchronous label propagation (community detection): every node
+   * starts labeled with its own id; each round it adopts the most
+   * frequent label among its neighbors, ties to the SMALLEST label —
+   * fully deterministic (the async/random-order variants of LPA are
+   * not), so a fixed-round trajectory is replayable by any engine.
+   * Communities differ from connected components ([[connectedComponents]]
+   * converges every component to one label): LPA's majority vote splits
+   * weakly-bridged dense regions inside one component.
+   *
+   * Scale shape per round (the [[pageRank]] discipline): the symmetrized
+   * edge list is derived and persisted ONCE; labels join into it, the
+   * (node, label) vote partial-aggregates map-side, and the argmax is a
+   * struct-min aggregate — no Window. Isolated-node handling: nodes keep
+   * their own label when a round delivers no votes (left join +
+   * coalesce). All integer arithmetic — exact in any engine.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
+    val nodes = nbr.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var it = 0
+    while (it < iters) {
+      val votes = nbr
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__votes"))
+      val winner = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__votes")).as("nv"), col("label").as("l")))
+          .as("__w"))
+        .select(col("node"), col("__w.l").as("__new"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      it += 1
+    }
+    labels
+  }
 }

@@ -1786,6 +1786,25 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("labelPropagation: bridged triangles split into two communities; hand-traced rounds") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: one connected
+    // component, but the majority vote keeps two communities
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    def labels(iters: Int) =
+      Graph.labelPropagation(edges, "a", "b", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated synchronous rounds with min tie-break:
+    assert(labels(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // self-loops and duplicate edges are ignored
+    val noisy = edges.union(Seq((1L, 1L), (2L, 3L)).toDF("a", "b"))
+    assert(Graph.labelPropagation(noisy, "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == labels(3))
+  }
+
   test("pageRank matches a sequential reference; undirected mass conserves") {
     import spark.implicits._
     // star (center 0, leaves 1-3) + a 2-cycle (10, 11), symmetrized
