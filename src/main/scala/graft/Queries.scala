@@ -1113,6 +1113,16 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q136_retention" -> ((s, d) => {
+      // weekly retention cohorts over events: first-seen week × age in
+      // weeks × distinct active users — the integer-exact analytics
+      // staple; weeks are epoch-µs DIV one week (no calendar/locale
+      // dependence). NTZ-proof via ts_micros.
+      prep(s, d)
+      Sessions.retentionCohorts(events(s, d))
+        .orderBy("cohort_week", "age_weeks")
+    }),
+
     "q135_label_prop" -> ((s, d) => {
       // deterministic synchronous label propagation (majority label,
       // min tie-break) over the part co-order graph, 3 rounds — the
@@ -3150,6 +3160,15 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q136_retention" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        FROM events),
+      first AS (SELECT u, min(w) AS w0 FROM uw GROUP BY u)
+      SELECT w0 AS cohort_week, w - w0 AS age_weeks, count(*) AS n_users
+      FROM uw JOIN first USING (u)
+      GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""",
 
     // three synchronous LPA rounds unrolled; argmax = row_number over
     // (votes desc, label asc) — the same min-struct tie-break

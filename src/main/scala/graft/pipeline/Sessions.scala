@@ -86,4 +86,31 @@ object Sessions {
     joined.select(col(userCol) +: stageCol.as("stage") +:
       stages.indices.map(i => col(s"t${i + 1}")): _*)
   }
+
+  /**
+   * Retention cohort table — the product-analytics staple over an events
+   * stream: users cohort by their FIRST-seen week, and each (cohort,
+   * age-in-weeks) cell counts the distinct users active that week.
+   * Weeks are ⌊days-since-epoch / 7⌋ of the UTC event date (a fixed
+   * 7-day grid — no locale/week-start dependence, replayable by any
+   * engine in integer arithmetic).
+   *
+   * Scale shape: one distinct over (user, week) — the only corpus-sized
+   * shuffle — feeds a per-user min (partial-aggregated) that joins back
+   * user-keyed; the cohort×age cell count then aggregates the slim
+   * (user, week) frame. No Window; timestamps flow through
+   * [[Time.tsMicros]] so TIMESTAMP and TIMESTAMP_NTZ inputs both work.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val uw = events.select(col(userCol).as("__u"),
+        Time.tsMicros(col(tsCol)).as("__m"))
+      .select(col("__u"), expr("__m DIV 604800000000").as("__w")) // 7d of µs
+      .distinct()
+    val first = uw.groupBy(col("__u")).agg(min(col("__w")).as("__w0"))
+    uw.join(first, Seq("__u"))
+      .groupBy(col("__w0").as("cohort_week"),
+        (col("__w") - col("__w0")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

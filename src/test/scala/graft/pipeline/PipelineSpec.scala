@@ -1786,6 +1786,35 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("retentionCohorts: hand-computed cells; NTZ input matches LTZ") {
+    import spark.implicits._
+    import java.time.LocalDateTime
+    // week 2926 starts 2026-01-29 (epoch-µs grid); users:
+    //  u1 active weeks w, w+1, w+3 ; u2 active w+1 only ; u3 w, w (dup)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2026-02-01 10:00:00")), (1L, t("2026-02-08 09:00:00")),
+      (1L, t("2026-02-22 23:59:59")), (2L, t("2026-02-08 00:00:00")),
+      (3L, t("2026-02-01 00:00:00")), (3L, t("2026-02-03 12:00:00")))
+    val ltz = rows.toDF("user_id", "ts")
+    val out = Sessions.retentionCohorts(ltz)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = rows.head._2.getTime / 1000 * 1000000L / 604800000000L
+    val w2 = rows(3)._2.getTime / 1000 * 1000000L / 604800000000L
+    assert(w2 == w1 + 1)
+    assert(out == Map((w1, 0L) -> 2L, (w1, 1L) -> 1L, (w1, 3L) -> 1L,
+      (w2, 0L) -> 1L))
+    // same instants as NTZ (UTC wall clock) → identical table
+    val ntz = rows.map { case (u, ts) =>
+      (u, LocalDateTime.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC)) }
+      .toDF("user_id", "ts")
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val outNtz = Sessions.retentionCohorts(ntz)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(outNtz == out)
+  }
+
   test("labelPropagation: bridged triangles split into two communities; hand-traced rounds") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4: one connected
