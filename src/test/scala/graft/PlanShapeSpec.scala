@@ -239,4 +239,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2500))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
+
+  // ---- tenth wave (round 7) ----
+
+  test("q129: bigram LM — count joins stay equi-joins, totals broadcast, no Window") {
+    val plan = executedPlan("q129_bigram_lm")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // N/V one-row totals arrive as a broadcast
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    // per-doc avg partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q130: set-sim join — prefix equi-join, no cartesian, no Window") {
+    val plan = executedPlan("q130_setsim_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+  }
+
+  test("q133: tfidf cosine — posting equi-join with partial dot aggregation") {
+    val plan = executedPlan("q133_tfidf_cosine")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q134: heavy hitters — sketch cells broadcast per depth, no Window") {
+    val plan = executedPlan("q134_heavy_hitters")
+    assert(!plan.contains("Window"), plan.take(2500))
+    // 4 cell joins + the one-row total ride as broadcasts
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 4, plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
+  test("q135: label propagation — vote argmax is a struct-min aggregate, no Window") {
+    val plan = executedPlan("q135_label_prop")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q136: retention — no Window; per-user min partial-aggregates") {
+    val plan = executedPlan("q136_retention")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
 }
