@@ -1156,10 +1156,13 @@ object Queries {
       // inverted-index posting join (maxDf inert at this scale — the
       // posting-list bound that caps pair generation at 100 TB). Oracle
       // replays the same ln((N+1)/(df+1))+1 weighting in SQL; cosine
-      // rounds to 4dp (sum-order noise ~1e-15).
+      // rounds to 4dp (sum-order noise ~1e-15). FACE SLICE (doc_id <
+      // 500): the ~31-token synthetic vocabulary puts every term in
+      // every doc, so posting joins are corpus-quadratic HERE by
+      // construction (q130's note) — the slice pins the workload.
       prep(s, d, "documents")
-      Text.tfidfCosinePairs(t(s, d, "documents"), "text", "doc_id",
-          threshold = 0.9, maxDf = 10000L)
+      Text.tfidfCosinePairs(t(s, d, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id", threshold = 0.9, maxDf = 10000L)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -1210,8 +1213,15 @@ object Queries {
       // DIFFERENT algorithm — so the compare certifies the prefix
       // filter's recall-1 theorem, not a replay. Counts exact; jaccard
       // is an exact-int ratio (identical IEEE both engines, no rounding).
+      // FACE SLICE (doc_id < 500): the synthetic corpus draws every doc
+      // from one ~31-token vocabulary, so set-level similarity is
+      // degenerate — qualifying pairs (and thus OUTPUT) grow
+      // quadratically with corpus size no matter the algorithm. The
+      // slice pins the certified workload; the operator's prefix bound
+      // is what holds on real Zipf-tailed vocabularies.
       prep(s, d, "documents")
-      Dedup.setSimJoin(t(s, d, "documents"), "doc_id", "text", 0.9)
+      Dedup.setSimJoin(t(s, d, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 0.9)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3220,9 +3230,10 @@ object Queries {
           SELECT doc_id,
                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
                                     x -> x <> '')) AS t
-          FROM documents) GROUP BY doc_id, t),
+          FROM documents WHERE doc_id < 500) GROUP BY doc_id, t),
       dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n
+             FROM documents WHERE doc_id < 500),
       w AS (
         SELECT doc_id, t,
                tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w
@@ -3283,7 +3294,7 @@ object Queries {
         SELECT DISTINCT doc_id,
                unnest(list_filter(string_split_regex(trim(text), '\s+'),
                                   x -> x <> '')) AS t
-        FROM documents),
+        FROM documents WHERE doc_id < 500),
       sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
       ov AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
