@@ -1113,6 +1113,19 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q137_ccnet_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail: per-LANGUAGE terciles of the unigram
+      // perplexity proxy — the normalize-within-group step that keeps a
+      // global quality threshold from discarding whole languages. Exact
+      // ntile ranked on the 4dp-rounded score (engine-independent
+      // order); the oracle replays the same window.
+      prep(s, d, "documents")
+      Text.qualityBuckets(t(s, d, "documents"), "text", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"),
+          round(col("nll"), 4).as("nll"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "q136_retention" -> ((s, d) => {
       // weekly retention cohorts over events: first-seen week × age in
       // weeks × distinct active users — the integer-exact analytics
@@ -3170,6 +3183,26 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // same per-language ntile over the 4dp-rounded unigram NLL
+    "q137_ccnet_buckets" -> """
+      WITH toks AS (
+        SELECT doc_id, t
+        FROM (SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) AS t
+              FROM documents)),
+      vocab AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+      nll AS (
+        SELECT k.doc_id, round(avg(-ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS nll
+        FROM toks k JOIN vocab v USING (t), tot
+        GROUP BY k.doc_id)
+      SELECT d.doc_id, d.lang, nll.nll,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+                                 ORDER BY nll.nll, d.doc_id) AS INT) AS bucket
+      FROM documents d JOIN nll USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "q136_retention" -> """
       WITH uw AS (

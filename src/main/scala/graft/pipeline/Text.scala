@@ -390,6 +390,52 @@ object Text {
   }
 
   /**
+   * CCNet-style per-group quality bucketing: rank every document's
+   * perplexity proxy ([[unigramLogProb]]) WITHIN its group (language)
+   * and split into `k` equal-frequency buckets — bucket 1 = most fluent
+   * ("head"), k = least ("tail"). Normalizing within the group is the
+   * point: absolute perplexities aren't comparable across languages, so
+   * a global threshold would throw away whole languages (the CCNet
+   * lesson); the per-language tercile is the standard keep/downweight
+   * knob.
+   *
+   * `exact = true` uses `ntile(k)` — one Window whose partition is the
+   * GROUP (per-language total order): certifiable, and fine while each
+   * language fits a reducer. At 100 TB use `exact = false`: bucket
+   * boundaries come from `approx_percentile` per group (map-side-partial
+   * sketch, broadcast-sized cutoff table, no per-group total order) at
+   * the cost of sketch rank error near the cuts — same columns, so
+   * pipelines swap freely.
+   */
+  def qualityBuckets(df: DataFrame, textCol: String, idCol: String,
+                     groupCol: String, k: Int = 3,
+                     exact: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = df.select(col(idCol), col(groupCol))
+      .join(unigramLogProb(df, textCol, idCol), Seq(idCol))
+    if (exact) {
+      // rank on the ROUNDED score (id tie-break): raw avg-of-ln doubles
+      // carry ~1e-13 engine-order noise — ranking on them would let a
+      // last-bit difference swap neighbors across a bucket boundary;
+      // at 4dp the order is engine-independent (q79 precedent)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(round(col("nll"), 4), col(idCol))
+      scored.withColumn("bucket", ntile(k).over(w))
+    } else {
+      val cuts = scored.groupBy(col(groupCol))
+        .agg(expr(s"approx_percentile(nll, array(${
+          (1 until k).map(i => s"${i.toDouble / k}D").mkString(", ")
+        }), 10000)").as("__cuts"))
+      scored.join(broadcast(cuts), Seq(groupCol))
+        .withColumn("bucket",
+          (aggregate(col("__cuts"), lit(0),
+            (acc, c) => acc + when(col("nll") > c, 1).otherwise(0)) + 1)
+            .cast("int"))
+        .drop("__cuts")
+    }
+  }
+
+  /**
    * Vocabulary coverage: per-document out-of-vocabulary token rate
    * against the corpus's own top-`vocabSize` words (count desc, word asc
    * tie-break — deterministic boundary in any engine). The tokenizer-

@@ -1786,6 +1786,35 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("qualityBuckets: equal-frequency terciles per group; approx path agrees on monotonicity") {
+    import spark.implicits._
+    // lang A: 6 docs with strictly increasing rarity (nll) by repeating
+    // the common token less; lang B: 3 docs — buckets normalize per lang
+    val docs = Seq(
+      (1L, "a", "c c c c c c"), (2L, "a", "c c c c c r1"),
+      (3L, "a", "c c c c r1 r2"), (4L, "a", "c c c r1 r2 r3"),
+      (5L, "a", "c c r1 r2 r3 r4"), (6L, "a", "c r1 r2 r3 r4 r5"),
+      (7L, "b", "c c c c c c"), (8L, "b", "c c c r6 r7 r8"),
+      (9L, "b", "r9 r9 r9 r9 r9 r9")).toDF("doc_id", "lang", "text")
+    val exact = Text.qualityBuckets(docs, "text", "doc_id", "lang", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    // lang b ordering: doc7 all-common (low nll) < doc9 (r9 appears 6x
+    // in the corpus) < doc8 (three singleton tokens) — corpus-level
+    // counts, not per-doc rarity, drive the score
+    assert(exact == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3,
+      7L -> 1, 9L -> 2, 8L -> 3))
+    // approx path: same columns; buckets monotone in nll within a group
+    val approx = Text.qualityBuckets(docs, "text", "doc_id", "lang",
+        k = 3, exact = false)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("nll"),
+        r.getAs[Int]("bucket")))
+    approx.groupBy(_._1).values.foreach { g =>
+      val buckets = g.sortBy(_._2).map(_._3).toSeq
+      assert(buckets == buckets.sorted, buckets.toString)
+    }
+    assert(approx.map(_._3).toSet.subsetOf(Set(1, 2, 3)))
+  }
+
   test("retentionCohorts: hand-computed cells; NTZ input matches LTZ") {
     import spark.implicits._
     import java.time.LocalDateTime
