@@ -1113,6 +1113,25 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q138_snapshot_diff" -> ((s, d) => {
+      // recover the change stream between two snapshots: "yesterday" =
+      // customer as-is; "today" derived deterministically (every 97th
+      // key dropped, every 10th rebalanced, five synthetic inserts).
+      // One full outer join, delta-sized output; the oracle rebuilds
+      // both snapshots and classifies with the same null-safe compares.
+      prep(s, d, "customer")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val today = cust.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") < 5)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.pipeline.Materialize.snapshotDiff(cust, today, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     "q137_ccnet_buckets" -> ((s, d) => {
       // CCNet head/middle/tail: per-LANGUAGE terciles of the unigram
       // perplexity proxy — the normalize-within-group step that keeps a
@@ -3183,6 +3202,42 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q138_snapshot_diff" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      today AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM cust WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        FROM cust WHERE c_custkey < 5),
+      j AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               o.c_custkey IS NOT NULL AS has_o,
+               n.c_custkey IS NOT NULL AS has_n,
+               o.c_mktsegment AS om, n.c_mktsegment AS nm,
+               o.c_acctbal AS ob, n.c_acctbal AS nb
+        FROM cust o FULL JOIN today n ON o.c_custkey = n.c_custkey)
+      SELECT c_custkey,
+             CASE WHEN NOT has_o THEN 'insert'
+                  WHEN NOT has_n THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             CASE WHEN has_o AND has_n THEN array_to_string(list_filter([
+                    CASE WHEN ob IS DISTINCT FROM nb THEN 'c_acctbal' END,
+                    CASE WHEN om IS DISTINCT FROM nm THEN 'c_mktsegment' END],
+                    x -> x IS NOT NULL), ',')
+                  ELSE '' END AS changed_cols
+      FROM j
+      WHERE (CASE WHEN NOT has_o THEN 'insert'
+                  WHEN NOT has_n THEN 'delete' ELSE 'update' END) <> 'update'
+         OR (CASE WHEN has_o AND has_n THEN array_to_string(list_filter([
+               CASE WHEN ob IS DISTINCT FROM nb THEN 'c_acctbal' END,
+               CASE WHEN om IS DISTINCT FROM nm THEN 'c_mktsegment' END],
+               x -> x IS NOT NULL), ',') ELSE '' END) <> ''
+      ORDER BY c_custkey""",
 
     // same per-language ntile over the 4dp-rounded unigram NLL
     "q137_ccnet_buckets" -> """

@@ -116,6 +116,51 @@ object Materialize {
   /** Fold the log to one partial per key into `outPath` (swap is the
     * caller's atomic-rename concern, the [[Layout.compactFiles]]
     * convention). Returns the compacted key count. */
+  /**
+   * Snapshot diff — keyed change detection between two corpus snapshots
+   * (two crawls, two table versions): emits one row per CHANGED key with
+   * `change_type` ∈ insert | delete | update and `changed_cols` (the
+   * comma-joined sorted names of columns whose values differ, null-safe;
+   * empty for insert/delete). Unchanged keys emit nothing, so output is
+   * delta-sized. The complement of [[scd2Apply]]: scd2 APPLIES a known
+   * change stream to history, snapshotDiff RECOVERS the change stream
+   * when upstream only hands you full snapshots.
+   *
+   * Scale shape: ONE full outer equi-join on the key — both sides
+   * shuffle once, the per-column null-safe comparisons are codegen'd
+   * expressions, no Window, output only deltas. Requires both snapshots
+   * to share the key columns and compares the non-key columns common to
+   * both (schema drift: a column present on one side only is ignored —
+   * diff data, not schema).
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val valueCols = oldDf.columns.filterNot(keys.contains)
+      .intersect(newDf.columns.filterNot(keys.contains)).sorted
+    val o = oldDf.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__o", lit(1))
+      .select(keys.map(col) :+ col("__o") :+
+        struct(valueCols.map(col): _*).as("__ov"): _*)
+    val n = newDf.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__n", lit(1))
+      .select(keys.map(col) :+ col("__n") :+
+        struct(valueCols.map(col): _*).as("__nv"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val changed = array_compact(array(valueCols.map(c =>
+      when(not(col(s"__ov.$c") <=> col(s"__nv.$c")), lit(c))): _*))
+    joined
+      .withColumn("change_type",
+        when(col("__o").isNull, "insert")
+          .when(col("__n").isNull, "delete")
+          .otherwise("update"))
+      .withColumn("changed_cols",
+        when(col("change_type") === "update", array_join(changed, ","))
+          .otherwise(lit("")))
+      .filter(col("change_type") =!= "update" || col("changed_cols") =!= "")
+      .select(keys.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
+  }
+
   def compactAggState(spark: SparkSession, path: String, outPath: String,
                       keyCols: Seq[String]): Long = {
     val folded = spark.read.parquet(path)

@@ -1786,6 +1786,31 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("snapshotDiff: insert/delete/update with null-safe column lists; unchanged silent") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), None),
+      (3L, Some("c"), Some(3.0)), (4L, None, Some(4.0)))
+      .toDF("k", "s", "v")
+    val nw = Seq(
+      (1L, Some("a"), Some(1.0)),          // unchanged → silent
+      (2L, Some("b"), Some(2.0)),          // null → value: update v
+      (3L, Some("x"), Some(9.0)),          // both cols change
+      (5L, Some("e"), None))               // insert; 4 deleted
+      .toDF("k", "s", "v")
+    val out = Materialize.snapshotDiff(old, nw, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(
+      2L -> ("update", "v"),
+      3L -> ("update", "s,v"),
+      4L -> ("delete", ""),
+      5L -> ("insert", "")))
+    // one-side-only columns are ignored, keys compared data-wise
+    val extra = nw.withColumn("added", lit(7))
+    assert(Materialize.snapshotDiff(old, extra, Seq("k"))
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L))
+  }
+
   test("qualityBuckets: equal-frequency terciles per group; approx path agrees on monotonicity") {
     import spark.implicits._
     // lang A: 6 docs with strictly increasing rarity (nll) by repeating
