@@ -1113,6 +1113,21 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q139_validate" -> ((s, d) => {
+      // declarative data-quality gate over events: three codegen'd rules
+      // (value cap, type blocklist, JSON property range) → per-row
+      // violations list + validity flag in ONE scan, no shuffle. The
+      // oracle replays each predicate with the same null-fails-closed
+      // semantics.
+      prep(s, d)
+      graft.pipeline.Stats.validate(events(s, d), Seq(
+          "value_cap" -> (col("value") <= 400.0),
+          "not_error" -> (col("event_type") =!= "error"),
+          "small_k" -> (get_json_object(col("props"), "$.k").cast("int") <= 50)))
+        .select(col("event_id"), col("is_valid"), col("violations"))
+        .orderBy("event_id")
+    }),
+
     "q138_snapshot_diff" -> ((s, d) => {
       // recover the change stream between two snapshots: "yesterday" =
       // customer as-is; "today" derived deterministically (every 97th
@@ -3202,6 +3217,24 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // same three predicates, null-fails-closed, rule-order violation list
+    "q139_validate" -> """
+      SELECT event_id,
+             coalesce(vio = '', false) AS is_valid, vio AS violations
+      FROM (
+        SELECT event_id,
+               coalesce(array_to_string(list_filter([
+                 CASE WHEN NOT coalesce(value <= 400.0, false)
+                      THEN 'value_cap' END,
+                 CASE WHEN NOT coalesce(event_type <> 'error', false)
+                      THEN 'not_error' END,
+                 CASE WHEN NOT coalesce(
+                        CAST(json_extract_string(props, '$.k') AS INTEGER) <= 50,
+                        false) THEN 'small_k' END],
+                 x -> x IS NOT NULL), ','), '') AS vio
+        FROM events)
+      ORDER BY event_id""",
 
     "q138_snapshot_diff" -> """
       WITH cust AS (

@@ -165,6 +165,29 @@ object Stats {
       .select(col("__v").as(valueCol), col("cnt"))
   }
 
+  /**
+   * Declarative row validation — the data-quality gate in front of a
+   * training pipeline: each rule is a named boolean Column; the output
+   * is the input plus `violations` (comma-joined names of failed rules
+   * in rule order, "" = clean) and `is_valid`. A NULL rule outcome
+   * counts as a FAILURE — "could not evaluate the check" must quarantine
+   * the row, not wave it through (the classic null-comparison leak).
+   *
+   * Pure projection: every rule is a codegen'd expression, no shuffle,
+   * no UDF — validating 100 TB costs one scan. Split the stream with
+   * `filter(col("is_valid"))` / its negation for the quarantine sink.
+   */
+  def validate(df: DataFrame,
+               rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    val failed = array_compact(array(rules.map { case (name, pred) =>
+      when(not(coalesce(pred, lit(false))), lit(name))
+    }: _*))
+    df.withColumn("violations", array_join(failed, ","))
+      .withColumn("is_valid", col("violations") === "")
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

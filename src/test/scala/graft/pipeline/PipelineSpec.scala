@@ -1786,6 +1786,32 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("validate: null rule outcomes fail closed; violations keep rule order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(5.0), Some("ok")),
+      (2L, Some(-1.0), Some("ok")),    // fails range
+      (3L, None, Some("ok")),          // null value → range fails closed
+      (4L, Some(5.0), None),           // null tag → pattern fails closed
+      (5L, Some(-2.0), Some("bad")))   // fails both
+      .toDF("id", "v", "tag")
+    val out = Stats.validate(rows, Seq(
+        "range" -> (col("v") >= 0.0),
+        "pattern" -> (col("tag") === "ok")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("is_valid"), r.getAs[String]("violations"))).toMap
+    assert(out == Map(
+      1L -> (true, ""),
+      2L -> (false, "range"),
+      3L -> (false, "range"),
+      4L -> (false, "pattern"),
+      5L -> (false, "range,pattern")))
+    // pure projection: no exchange in the plan
+    val plan = Stats.validate(rows, Seq("r" -> (col("v") >= 0.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("snapshotDiff: insert/delete/update with null-safe column lists; unchanged silent") {
     import spark.implicits._
     val old = Seq(
