@@ -138,17 +138,81 @@ object Stats {
     require(support > 0.0 && support <= 1.0,
       s"support must be in (0, 1], got $support")
     require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
-    val rows = df.select(col(valueCol).as("__v")).where(col("__v").isNotNull)
-    val total = rows.agg(count(lit(1)).as("__n"))
-    def bucket(dd: Int) = pmod(xxhash64(col("__v"), lit(dd)), lit(width.toLong))
-    val cells = rows
-      .select(explode(array((0 until depth).map(dd =>
-        struct(lit(dd).as("d"), bucket(dd).as("b"))): _*)).as("__db"))
+    val rows = values(df, valueCol)
+    exactPass(rows, cmsCells(rows, depth, width),
+      rows.agg(count(lit(1)).as("__n")), valueCol, support, depth, width)
+  }
+
+  /** Persist a count-min index of `df[valueCol]`: the (d, b, c) cells
+    * plus a (d = −1) total-count row, with the sketch shape recorded as
+    * column metadata. Sketches are MERGEABLE (cells add), so growing the
+    * index never reads it — see [[appendCmsIndex]]. */
+  def writeCmsIndex(df: DataFrame, valueCol: String, path: String,
+                    depth: Int = 4, width: Int = 8192): Unit = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("depth", depth.toLong).putLong("width", width.toLong).build()
+    cellsWithTotal(values(df, valueCol), depth, width)
+      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Log-structured append: write the BATCH's cells (same shape, read
+    * from the index metadata) — zero reads of standing state; the reader
+    * sums cells by (d, b). Cost scales with the batch, not the corpus. */
+  def appendCmsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, valueCol: String): Unit = {
+    val meta = spark.read.parquet(path).schema("__d").metadata
+    cellsWithTotal(values(batch, valueCol),
+        meta.getLong("depth").toInt, meta.getLong("width").toInt)
+      // re-stamp the shape metadata: a metadata-less appended file would
+      // win the read-time schema merge and blank it for every reader
+      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** [[heavyHitters]] over `corpus` with pass 1 served by the persisted
+    * index (built over exactly that corpus via write + appends): the
+    * standing data is scanned ONCE (the exact pass) instead of twice. */
+  def heavyHittersFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, corpus: DataFrame, valueCol: String,
+                            support: Double): DataFrame = {
+    require(support > 0.0 && support <= 1.0,
+      s"support must be in (0, 1], got $support")
+    val idx = spark.read.parquet(path)
+    val meta = idx.schema("__d").metadata
+    val (depth, width) = (meta.getLong("depth").toInt, meta.getLong("width").toInt)
+    val cells = idx.where(col("__d") >= 0)
+      .groupBy(col("__d"), col("__b")).agg(sum(col("__c")).as("__c"))
+    val total = idx.where(col("__d") === -1)
+      .agg(sum(col("__c")).as("__n"))
+    exactPass(values(corpus, valueCol), cells, total, valueCol,
+      support, depth, width)
+  }
+
+  private def values(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).as("__v")).where(col("__v").isNotNull)
+
+  private def bucket(dd: Int, width: Int) =
+    pmod(xxhash64(col("__v"), lit(dd)), lit(width.toLong))
+
+  private def cmsCells(rows: DataFrame, depth: Int, width: Int): DataFrame =
+    rows.select(explode(array((0 until depth).map(dd =>
+        struct(lit(dd).as("d"), bucket(dd, width).as("b"))): _*)).as("__db"))
       .groupBy(col("__db.d").as("__d"), col("__db.b").as("__b"))
       .agg(count(lit(1)).as("__c"))
+
+  private def cellsWithTotal(rows: DataFrame, depth: Int, width: Int): DataFrame =
+    cmsCells(rows, depth, width).unionByName(
+      rows.agg(count(lit(1)).as("__c"))
+        .select(lit(-1).as("__d"), lit(-1L).as("__b"), col("__c")))
+
+  private def exactPass(rows: DataFrame, cells: DataFrame, total: DataFrame,
+                        valueCol: String, support: Double,
+                        depth: Int, width: Int): DataFrame = {
     val withEst = (0 until depth).foldLeft(rows.crossJoin(broadcast(total))) {
       (acc, dd) =>
-        acc.withColumn(s"__b$dd", bucket(dd))
+        acc.withColumn(s"__b$dd", bucket(dd, width))
           .join(broadcast(cells.where(col("__d") === dd)
             .select(col("__b").as(s"__b$dd"), col("__c").as(s"__c$dd"))),
             Seq(s"__b$dd"))

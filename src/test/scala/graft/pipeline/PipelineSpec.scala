@@ -1786,6 +1786,33 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("cms index: appends merge cells; from-index equals from-scratch") {
+    import spark.implicits._
+    val b1 = (Seq.fill(60)("hot") ++ Seq.fill(10)("warm") ++
+      (0 until 20).map(i => s"c$i")).toDF("k")
+    val b2 = (Seq.fill(40)("hot") ++ Seq.fill(40)("warm") ++
+      (20 until 40).map(i => s"c$i")).toDF("k")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString + "/idx"
+    Stats.writeCmsIndex(b1, "k", path)
+    Stats.appendCmsIndex(spark, path, b2, "k")
+    val corpus = b1.union(b2)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scratch = m(Stats.heavyHitters(corpus, "k", 0.2))
+    assert(scratch == Map("hot" -> 100L, "warm" -> 50L))
+    assert(m(Stats.heavyHittersFromIndex(spark, path, corpus, "k", 0.2))
+      == scratch)
+    // a second append shifts the support base: N=250, thresh 50 → both
+    // survive at 0.2, only hot at 0.5
+    Stats.appendCmsIndex(spark, path,
+      (0 until 0).map(_ => "x").toDF("k"), "k")
+    assert(m(Stats.heavyHittersFromIndex(spark, path, corpus, "k", 0.5))
+      == Map("hot" -> 100L))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("validate: null rule outcomes fail closed; violations keep rule order") {
     import spark.implicits._
     val rows = Seq(
