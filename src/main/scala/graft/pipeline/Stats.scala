@@ -207,9 +207,13 @@ object Stats {
       rows.agg(count(lit(1)).as("__c"))
         .select(lit(-1).as("__d"), lit(-1L).as("__b"), col("__c")))
 
-  private def exactPass(rows: DataFrame, cells: DataFrame, total: DataFrame,
+  private def exactPass(rows: DataFrame, cells0: DataFrame, total: DataFrame,
                         valueCol: String, support: Double,
                         depth: Int, width: Int): DataFrame = {
+    // persist the (≤ depth×width)-row cells frame: each per-depth
+    // broadcast filters it, and without the cache every join would
+    // re-run the full pass-1 aggregation (depth extra corpus scans)
+    val cells = cells0.persist()
     val withEst = (0 until depth).foldLeft(rows.crossJoin(broadcast(total))) {
       (acc, dd) =>
         acc.withColumn(s"__b$dd", bucket(dd, width))
