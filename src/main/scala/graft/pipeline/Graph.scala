@@ -318,8 +318,14 @@ object Graph {
         .agg(min(struct((-col("__votes")).as("nv"), col("label").as("l")))
           .as("__w"))
         .select(col("node"), col("__w.l").as("__new"))
+      // persist each round's |V|-row label vector: it is referenced
+      // TWICE next round (the vote join AND the keep-own-label join), so
+      // an unpersisted chain recomputes round r−1 twice per round —
+      // 2^rounds blow-up (the q116 pointer-jumping lesson). Measured
+      // 14.0 s → (see bench) at sf0.1 with 3 rounds.
       labels = labels.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .persist()
       it += 1
     }
     labels
