@@ -1113,6 +1113,15 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q140_transitions" -> ((s, d) => {
+      // behavioral Markov chain: per-user consecutive event pairs
+      // (deterministic (ts, event_id) order) → transition counts and
+      // conditional probabilities. Exact-integer ratio, no rounding.
+      prep(s, d)
+      Sessions.transitionMatrix(events(s, d))
+        .orderBy("from_type", "to_type")
+    }),
+
     "q139_validate" -> ((s, d) => {
       // declarative data-quality gate over events: three codegen'd rules
       // (value cap, type blocklist, JSON property range) → per-row
@@ -3217,6 +3226,21 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q140_transitions" -> """
+      WITH seq AS (
+        SELECT event_type AS ft,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS tt
+        FROM events),
+      pairs AS (
+        SELECT ft AS from_type, tt AS to_type, count(*) AS n
+        FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+      FROM pairs JOIN tot USING (from_type)
+      ORDER BY from_type, to_type""",
 
     // same three predicates, null-fails-closed, rule-order violation list
     "q139_validate" -> """

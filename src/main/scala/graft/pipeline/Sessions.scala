@@ -88,6 +88,38 @@ object Sessions {
   }
 
   /**
+   * First-order transition matrix over per-user event sequences — the
+   * Markov-chain view of behavioral data (what follows what, with
+   * conditional probabilities): one row per observed (from_type,
+   * to_type) with the pair count and p = n / Σ n over the same
+   * from_type. Ordering is (event time, `tieCol`) so simultaneous
+   * events sequence deterministically in any engine.
+   *
+   * Scale shape: one Window per USER partition for the lead() pairing
+   * (the sessionize precedent — user-bounded frames), then two
+   * partial-aggregated counts; the per-from totals join back
+   * from_type-keyed (a handful of rows — broadcast). p is an
+   * exact-integer ratio (identical IEEE everywhere). NTZ-proof via
+   * [[Time.tsMicros]].
+   */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(Time.tsMicros(col(tsCol)), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+
+  /**
    * Retention cohort table — the product-analytics staple over an events
    * stream: users cohort by their FIRST-seen week, and each (cohort,
    * age-in-weeks) cell counts the distinct users active that week.

@@ -1786,6 +1786,36 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("transitionMatrix: hand-computed chain; ties sequence by the tie column") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: a→b→b→c ; u2: a→c ; u3 single event (no pair)
+      (1L, 1L, t("2026-01-01 10:00:00"), "a"),
+      (2L, 1L, t("2026-01-01 10:01:00"), "b"),
+      (3L, 1L, t("2026-01-01 10:02:00"), "b"),
+      (4L, 1L, t("2026-01-01 10:03:00"), "c"),
+      (5L, 2L, t("2026-01-01 09:00:00"), "a"),
+      (6L, 2L, t("2026-01-01 09:05:00"), "c"),
+      (7L, 3L, t("2026-01-01 08:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: a→b (1), a→c (1) → p = 0.5 each; b→b 0.5, b→c 0.5
+    assert(out == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "c") -> (1L, 0.5),
+      ("b", "b") -> (1L, 0.5), ("b", "c") -> (1L, 0.5)))
+    // simultaneous events: the tie column (event_id) decides the order
+    val tied = Seq(
+      (10L, 9L, t("2026-01-01 10:00:00"), "x"),
+      (11L, 9L, t("2026-01-01 10:00:00"), "y"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val tp = Sessions.transitionMatrix(tied).collect()
+    assert(tp.length == 1 && tp(0).getString(0) == "x" &&
+      tp(0).getString(1) == "y")
+  }
+
   test("cms index: appends merge cells; from-index equals from-scratch") {
     import spark.implicits._
     val b1 = (Seq.fill(60)("hot") ++ Seq.fill(10)("warm") ++
