@@ -1113,6 +1113,18 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q141_gram_matrix" -> ((s, d) => {
+      // d×d Gram matrix of the embedding corpus (upper triangle) — the
+      // one-pass statistic behind PCA/whitening; the shuffle carries
+      // d(d+1)/2 CELLS, not rows. 4dp absorbs the per-cell Σ-over-rows
+      // order dependence.
+      prep(s, d, "embeddings")
+      Similarity.gramMatrix(t(s, d, "embeddings"), "embedding")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(col("g"), 4).as("g"))
+        .orderBy("i", "j")
+    }),
+
     "q140_transitions" -> ((s, d) => {
       // behavioral Markov chain: per-user consecutive event pairs
       // (deterministic (ts, event_id) order) → transition counts and
@@ -3226,6 +3238,18 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q141_gram_matrix" -> """
+      WITH cells AS (
+        SELECT ti.i AS i, tj.j AS j,
+               CAST(embedding[ti.i + 1] AS DOUBLE) *
+               CAST(embedding[tj.j + 1] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(64)) AS i) ti
+        CROSS JOIN (SELECT unnest(range(64)) AS j) tj
+        WHERE tj.j >= ti.i)
+      SELECT i, j, round(sum(v), 4) AS g
+      FROM cells GROUP BY i, j ORDER BY i, j""",
 
     "q140_transitions" -> """
       WITH seq AS (

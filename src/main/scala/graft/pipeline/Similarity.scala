@@ -659,4 +659,33 @@ object Similarity {
     val cand = ivfPqTopKIndexed(spark, path, queries, idCol, vecCol, refineK, nProbe)
     refineTopK(corpus, queries, cand, idCol, vecCol, k)
   }
+
+  /**
+   * Gram matrix G = Σ_r v_r v_rᵀ of an embedding column — the d×d
+   * statistic behind PCA/whitening/low-rank analysis: eigendecompose G
+   * (or the mean-centered covariance derived from it plus
+   * [[embeddingStats]]-style means) on the driver — d×d is KB-sized for
+   * any real embedding dim — and project with a broadcast basis. The
+   * corpus-sized work (this operator) is one pass.
+   *
+   * Upper triangle only (G is symmetric): each row explodes to its
+   * d(d+1)/2 products, which partial-aggregate map-side into at most
+   * d(d+1)/2 groups — the shuffle carries CELLS, not rows, so 100 TB of
+   * vectors reduces to a d²-bounded exchange. Products are
+   * float→double-exact per element; the per-cell Σ over rows is the one
+   * order-dependent reduction — callers round (4dp).
+   */
+  def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val d = size(col(vecCol))
+    val cells = explode(flatten(transform(
+      sequence(lit(0), d - 1),
+      i => transform(sequence(i, d - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col(vecCol), i + 1).cast("double") *
+            element_at(col(vecCol), j + 1).cast("double")).as("v"))))))
+    df.where(col(vecCol).isNotNull)
+      .select(cells.as("__c"))
+      .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
+      .agg(sum(col("__c.v")).as("g"))
+  }
 }

@@ -1786,6 +1786,21 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("gramMatrix: equals the dense reference; upper triangle only; null rows skipped") {
+    import spark.implicits._
+    val vecs: Seq[Array[Float]] = Seq(
+      Array(1f, 2f, 3f), Array(0f, -1f, 0.5f), Array(2f, 2f, 2f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+      .union(Seq(Tuple1(null.asInstanceOf[Array[Float]])).toDF("embedding"))
+    val got = Similarity.gramMatrix(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val expect = (for {
+      i <- 0 until 3; j <- i until 3
+    } yield (i, j) -> vecs.map(v => v(i).toDouble * v(j).toDouble).sum).toMap
+    assert(got.keySet == expect.keySet) // strict upper triangle incl diagonal
+    expect.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k.toString) }
+  }
+
   test("transitionMatrix: hand-computed chain; ties sequence by the tie column") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
