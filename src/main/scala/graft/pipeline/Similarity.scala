@@ -675,6 +675,82 @@ object Similarity {
    * float→double-exact per element; the per-cell Σ over rows is the one
    * order-dependent reduction — callers round (4dp).
    */
+  /**
+   * PCA projection: mean-centered covariance from ONE distributed pass
+   * ([[gramMatrix]] + a mean vector — both d-bounded collects), cyclic
+   * Jacobi eigendecomposition ON THE DRIVER (d×d is KB-sized — this is
+   * the part that must NOT be distributed), then the top-`k` basis ships
+   * back as a broadcast literal and the projection is k dot products per
+   * row in codegen. Eigenvectors sign-normalize (largest-|component|
+   * positive) so results are deterministic run-to-run. Appends
+   * `pc1..pck` columns.
+   *
+   * The scale split is the point: corpus-sized work is two aggregates +
+   * one projection pass; the O(d³) eigensolve touches no corpus data.
+   */
+  def pcaProject(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.where(col(vecCol).isNotNull)
+    val d = rows.select(size(col(vecCol))).head().getInt(0)
+    require(k <= d, s"k=$k exceeds dim $d")
+    // one pass: Gram cells + mean/count (both d- or d²-bounded collects)
+    val g = gramMatrix(rows, vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val mc = rows.select(
+        transform(sequence(lit(0), lit(d - 1)),
+          i => element_at(col(vecCol), i + 1).cast("double")).as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        array((0 until d).map(i => sum(element_at(col("__v"), i + 1))): _*)
+          .as("__s"))
+      .head()
+    val n = mc.getLong(0).toDouble
+    val mean = mc.getSeq[Double](1).map(_ / n).toArray
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val gij = g(if (i <= j) (i, j) else (j, i))
+      (gij - n * mean(i) * mean(j)) / math.max(n - 1, 1.0)
+    }
+    // cyclic Jacobi: rotate out the largest off-diagonal until converged
+    val a = cov.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 100 && {
+      var off = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) off += a(i)(j) * a(i)(j)
+      off > 1e-18
+    }) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+        val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+        val (c, s) = (math.cos(theta), math.sin(theta))
+        for (i <- 0 until d) {
+          val (aip, aiq) = (a(i)(p), a(i)(q))
+          a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val (api, aqi) = (a(p)(i), a(q)(i))
+          a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val (vip, viq) = (v(i)(p), v(i)(q))
+          v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i)).take(k)
+    val basis = order.map { c0 =>
+      val vec = (0 until d).map(v(_)(c0))
+      val mx = vec.maxBy(math.abs)
+      if (mx < 0) vec.map(-_) else vec // deterministic sign
+    }
+    basis.zipWithIndex.foldLeft(df) { case (acc, (b, bi)) =>
+      val dot = (0 until d).map(i =>
+        (element_at(col(vecCol), i + 1).cast("double") - lit(mean(i))) *
+          lit(b(i))).reduce(_ + _)
+      acc.withColumn(s"pc${bi + 1}",
+        when(col(vecCol).isNotNull, dot))
+    }
+  }
+
   def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val d = size(col(vecCol))
     val cells = explode(flatten(transform(

@@ -1786,6 +1786,35 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("pcaProject: recovers the dominant direction; components decorrelate") {
+    import spark.implicits._
+    // points spread along (3, 4)/5 with small orthogonal jitter: pc1
+    // must align with the line, pc2 carry only the jitter
+    val dir = (0.6, 0.8)
+    val pts = (-20 to 20).map { t =>
+      val jit = (t % 5 - 2) * 0.05
+      Tuple1(Array((t * dir._1 - jit * dir._2).toFloat,
+        (t * dir._2 + jit * dir._1).toFloat))
+    }
+    val df = pts.toDF("embedding")
+    val out = Similarity.pcaProject(df, "embedding", 2)
+      .select("pc1", "pc2").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // variance along pc1 >> pc2, and the two are (nearly) uncorrelated
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val (p1, p2) = (out.map(_._1).toSeq, out.map(_._2).toSeq)
+    val (m1, m2) = (mean(p1), mean(p2))
+    val var1 = mean(p1.map(x => (x - m1) * (x - m1)))
+    val var2 = mean(p2.map(x => (x - m2) * (x - m2)))
+    assert(var1 > 50 * var2, s"var1=$var1 var2=$var2")
+    val covar = mean(p1.zip(p2).map { case (x, y) => (x - m1) * (y - m2) })
+    assert(math.abs(covar) < 1e-6, covar.toString)
+    // pc1 spacing follows t: consecutive t differ by ~1 in projection
+    val sorted = p1.sorted
+    val gaps = sorted.sliding(2).map { case Seq(x, y) => y - x }.toSeq
+    assert(gaps.forall(g => g > 0.9 && g < 1.1), gaps.take(3).toString)
+  }
+
   test("gramMatrix: equals the dense reference; upper triangle only; null rows skipped") {
     import spark.implicits._
     val vecs: Seq[Array[Float]] = Seq(
