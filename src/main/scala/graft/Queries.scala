@@ -1113,6 +1113,42 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q143_rate_anomaly" -> ((s, d) => {
+      // ops-monitoring face: hourly event counts per type, flagged by
+      // the median/MAD robust z (q123's operator, composed over the
+      // epoch-hour grid) — the alert that survives the spikes it hunts.
+      // Exact integer counts; z is a ratio of exact values, 4dp.
+      prep(s, d)
+      val hourly = events(s, d)
+        .select(col("event_type"), graft.pipeline.Time.tsMicros(col("ts")).as("__m"))
+        .select(col("event_type"), expr("__m DIV 3600000000").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+      graft.pipeline.Stats.robustOutliers(hourly, Seq("event_type"), "cnt",
+          threshold = 3.0)
+        .select(col("event_type"), col("hour"), col("cnt"),
+          round(col("z"), 4).as("z"), col("is_outlier"))
+        .orderBy("event_type", "hour")
+    }),
+
+    "q142_winsorize" -> ((s, d) => {
+      // per-flag winsorization of prices at [5%, 95%] exact type-7
+      // percentiles (Spark percentile ≡ DuckDB quantile_cont, the q51
+      // precedent); certified via clamp counts and the realized bounds
+      // (min/max of the clamped column — exact doubles).
+      prep(s, d, "lineitem")
+      val w = graft.pipeline.Stats.winsorize(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
+      w.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("l_extendedprice_w"), 1L)
+            .otherwise(0L)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("l_extendedprice_w"), 1L)
+            .otherwise(0L)).as("n_hi"),
+          min(col("l_extendedprice_w")).as("lo"),
+          max(col("l_extendedprice_w")).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
     "q141_gram_matrix" -> ((s, d) => {
       // d×d Gram matrix of the embedding corpus (upper triangle) — the
       // one-pass statistic behind PCA/whitening; the shuffle carries
@@ -3238,6 +3274,40 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q143_rate_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS m
+              FROM hourly GROUP BY 1),
+      mad AS (SELECT h.event_type, quantile_cont(abs(h.cnt - med.m), 0.5) AS md
+              FROM hourly h JOIN med USING (event_type) GROUP BY 1)
+      SELECT h.event_type, h.hour, h.cnt,
+             round(CASE WHEN mad.md <> 0
+               THEN (h.cnt - med.m) / (1.4826 * mad.md) END, 4) AS z,
+             coalesce(CASE WHEN mad.md <> 0
+               THEN abs((h.cnt - med.m) / (1.4826 * mad.md)) > 3.0 END,
+               false) AS is_outlier
+      FROM hourly h
+      JOIN med USING (event_type)
+      JOIN mad USING (event_type)
+      ORDER BY h.event_type, h.hour""",
+
+    "q142_winsorize" -> """
+      WITH cuts AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS clo,
+               quantile_cont(l_extendedprice, 0.95) AS chi
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, count(*) AS n,
+             CAST(count(*) FILTER (l_extendedprice < clo) AS BIGINT) AS n_lo,
+             CAST(count(*) FILTER (l_extendedprice > chi) AS BIGINT) AS n_hi,
+             min(least(greatest(l_extendedprice, clo), chi)) AS lo,
+             max(least(greatest(l_extendedprice, clo), chi)) AS hi
+      FROM lineitem l JOIN cuts USING (l_returnflag)
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
     "q141_gram_matrix" -> """
       WITH cells AS (

@@ -190,6 +190,31 @@ object Stats {
       support, depth, width)
   }
 
+  /**
+   * Per-group winsorization — clamp a value column to its group's
+   * [pLo, pHi] exact percentiles (type-7, the [[groupedPercentiles]]
+   * semantics): the standard outlier-taming transform before training
+   * on heavy-tailed features (prices, counts, durations). Appends
+   * `<valueCol>_w` (clamped value), `__lo`/`__hi` dropped. Exact
+   * percentiles are holistic (per-group buffers — fine while groups
+   * bound the reducer; swap the cutpoints for `approx_percentile` at
+   * the 100 TB regime, the [[groupedPercentilesApprox]] trade). The
+   * cutpoint frame is group-cardinality-sized and joins back as a
+   * broadcast.
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile range [$pLo, $pHi]")
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, ${pLo}D)").as("__lo"),
+        expr(s"percentile($valueCol, ${pHi}D)").as("__hi"))
+    df.join(broadcast(cuts), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   private def values(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).as("__v")).where(col("__v").isNotNull)
 

@@ -1786,6 +1786,24 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("winsorize: clamps to exact type-7 group percentiles") {
+    import spark.implicits._
+    // group a: 1..10 → p25 (type-7) = 3.25, p75 = 7.75
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) :+ ("b", 100.0))
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .filter($"g" === "a")
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(1.0) == 3.25 && out(2.0) == 3.25 && out(3.0) == 3.25)
+    assert(out(4.0) == 4.0 && out(7.0) == 7.0)
+    assert(out(8.0) == 7.75 && out(10.0) == 7.75)
+    // singleton group: lo = hi = the value, clamp is identity
+    val b = Stats.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+      .filter($"g" === "b").select("v_w").head().getDouble(0)
+    assert(b == 100.0)
+  }
+
   test("pcaProject: recovers the dominant direction; components decorrelate") {
     import spark.implicits._
     // points spread along (3, 4)/5 with small orthogonal jitter: pc1
