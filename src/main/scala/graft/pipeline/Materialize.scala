@@ -117,6 +117,32 @@ object Materialize {
     * caller's atomic-rename concern, the [[Layout.compactFiles]]
     * convention). Returns the compacted key count. */
   /**
+   * Log-structured DISTINCT-COUNT state — the cardinality sibling of
+   * [[appendAggState]]: exact per-key distinct counting at 100 TB needs
+   * a (key, value)-sized shuffle per refresh, but HLL sketches are
+   * algebraic (union-mergeable), so each batch appends one
+   * `hll_sketch_agg` partial per key and the reader unions the log —
+   * cost scales with the batch, never the history. Estimates carry the
+   * standard HLL error (~1.6% at lgK 12, deterministic for identical
+   * input sets — union-of-sketches ≡ sketch-of-union EXACTLY, which the
+   * suite pins).
+   */
+  def appendDistinctState(spark: SparkSession, path: String, batch: DataFrame,
+                          keyCols: Seq[String], valCol: String): Unit = {
+    require(keyCols.nonEmpty, "at least one key column")
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valCol)").as("__hll"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Current per-key distinct estimate from the sketch log. */
+  def readDistinctState(spark: SparkSession, path: String,
+                        keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__hll))").as("approx_distinct"))
+
+  /**
    * Snapshot diff — keyed change detection between two corpus snapshots
    * (two crawls, two table versions): emits one row per CHANGED key with
    * `change_type` ∈ insert | delete | update and `changed_cols` (the

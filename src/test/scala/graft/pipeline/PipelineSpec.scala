@@ -1786,6 +1786,29 @@ class PipelineSpec extends AnyFunSuite {
 
   // -------------------------------------------------- PageRank
 
+  test("distinct state log: appends union to the same estimate as one shot") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hll").toString + "/log"
+    val b1 = (0 until 3000).map(i => ("a", s"u${i % 1000}")) ++
+      (0 until 500).map(i => ("b", s"v$i"))
+    val b2 = (0 until 2000).map(i => ("a", s"u${500 + (i % 1000)}")) // 500 overlap
+    Materialize.appendDistinctState(spark, path, b1.toDF("k", "v"), Seq("k"), "v")
+    Materialize.appendDistinctState(spark, path, b2.toDF("k", "v"), Seq("k"), "v")
+    val got = Materialize.readDistinctState(spark, path, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union-of-sketches ≡ sketch-of-union: EXACT equality with one shot
+    val oneShot = (b1 ++ b2).toDF("k", "v")
+      .groupBy("k").agg(expr("hll_sketch_estimate(hll_sketch_agg(v))"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == oneShot)
+    // and near the exact cardinalities (a: 1500 distinct, b: 500)
+    assert(math.abs(got("a") - 1500.0) / 1500.0 < 0.05, got("a").toString)
+    assert(math.abs(got("b") - 500.0) / 500.0 < 0.05, got("b").toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("winsorize: clamps to exact type-7 group percentiles") {
     import spark.implicits._
     // group a: 1..10 → p25 (type-7) = 3.25, p75 = 7.75
