@@ -2266,6 +2266,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(z.getAs[Double]("kl_ab") == 0.0 && z.getAs[Double]("tvd") == 0.0)
   }
 
+  test("setSimJoin: recall-1 on seeded random corpora at three thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val vocabSize = 6 + rnd.nextInt(20)
+      val docs = (0 until 30).map { i =>
+        val n = 2 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val sets = docs.select($"doc_id",
+        array_distinct(split(trim($"text"), "\\s+")).as("g"))
+      val brute = sets.select($"doc_id".as("id_a"), $"g".as("ga"))
+        .crossJoin(sets.select($"doc_id".as("id_b"), $"g".as("gb")))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          (size(array_intersect($"ga", $"gb")).cast("double") /
+            size(array_union($"ga", $"gb"))).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (t <- Seq(0.4, 0.7, 0.95)) {
+        val expect = brute.filter(_._3 >= t).map(x => (x._1, x._2)).toSet
+        val got = Dedup.setSimJoin(docs, "doc_id", "text", t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect, s"trial=$trial t=$t")
+      }
+    }
+  }
+
+  test("snapshotDiff: symmetric under swap; self-diff empty") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toString, rnd.nextInt(100).toDouble))
+      .toDF("k", "s", "v")
+    val b = (50 until 250).map(i =>
+      (i.toLong, rnd.nextInt(5).toString, rnd.nextInt(100).toDouble))
+      .toDF("k", "s", "v")
+    assert(Materialize.snapshotDiff(a, a, Seq("k")).count() == 0)
+    val ab = Materialize.snapshotDiff(a, b, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ba = Materialize.snapshotDiff(b, a, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ab.keySet == ba.keySet)
+    ab.foreach { case (k, ct) =>
+      val expected = ct match {
+        case "insert" => "delete"
+        case "delete" => "insert"
+        case other => other
+      }
+      assert(ba(k) == expected, s"k=$k")
+    }
+  }
+
   test("setSimJoin: prefix filtering equals brute force, boundary inclusive") {
     import spark.implicits._
     val docs = Seq(
