@@ -384,7 +384,10 @@ object Text {
           col("__c12").cast("double") / col("__cw1").cast("double"))
         .otherwise(lit(alpha) *
           (coalesce(col("__cw2"), lit(0L)).cast("double") + 1.0) /
-          (col("__n") + col("__v"))))
+          // empty train ⇒ N=V=0: floor the divisor so the degenerate
+          // case scores ln(alpha) per pair instead of an ANSI
+          // divide-by-zero crash mid-pipeline
+          greatest(col("__n") + col("__v"), lit(1.0))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(log(col("__s"))).as("lm_score"))
   }

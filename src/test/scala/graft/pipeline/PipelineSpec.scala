@@ -2266,6 +2266,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(z.getAs[Double]("kl_ab") == 0.0 && z.getAs[Double]("tvd") == 0.0)
   }
 
+  test("tenth-wave operators: empty inputs yield empty (or zero-drift) results, no crashes") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyKv = Seq.empty[(Long, String, Double)].toDF("k", "s", "v")
+    assert(Dedup.setSimJoin(emptyDocs, "doc_id", "text", 0.8).count() == 0)
+    assert(Text.tfidfCosinePairs(emptyDocs, "text", "doc_id", 0.8, 100).count() == 0)
+    assert(Text.qualityBuckets(emptyDocs, "text", "doc_id", "doc_id").count() == 0)
+    assert(Stats.heavyHitters(emptyKv, "s", 0.5).count() == 0)
+    assert(Stats.winsorize(emptyKv, Seq("s"), "v").count() == 0)
+    assert(Materialize.snapshotDiff(emptyKv, emptyKv, Seq("k")).count() == 0)
+    assert(Stats.validate(emptyKv, Seq("r" -> ($"v" > 0))).count() == 0)
+    assert(Graph.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 3).count() == 0)
+    // drift of a non-empty slice against an empty one stays finite:
+    // smoothing puts all q-mass at 1/V per token
+    val one = Seq(Tuple1("x y")).toDF("text")
+    val drift = Stats.tokenDrift(one, one.limit(0), "text").head()
+    assert(!drift.getAs[Double]("kl_ab").isNaN &&
+      !drift.getAs[Double]("kl_ab").isInfinite)
+    // EMPTY train corpus: the floored backoff divisor scores ln(alpha)
+    // per pair instead of crashing on ANSI divide-by-zero
+    val scored = Text.bigramLm(Seq((1L, "a b")).toDF("doc_id", "text"),
+      emptyDocs, "text", "doc_id").collect()
+    assert(scored.length == 1)
+    assert(math.abs(scored(0).getDouble(2) - math.log(0.4)) < 1e-12)
+  }
+
   test("setSimJoin: recall-1 on seeded random corpora at three thresholds") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
