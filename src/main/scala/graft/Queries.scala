@@ -1113,6 +1113,29 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q144_partition_prune" -> ((s, d) => {
+      // hive-partitioned layout made driver-visible: events written
+      // partitionBy(event_type), read back with a type filter — the
+      // scan lists ONLY the matching partition directory
+      // (PartitionFilters; LayoutSpec asserts the pruned plan). The
+      // oracle computes the same hourly rollup from the unpartitioned
+      // table, certifying the layout loses nothing.
+      prep(s, d)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q144_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        graft.pipeline.Time.tsMicros(col("ts")).as("tsu"),
+        col("value"), col("event_type"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+      s.read.parquet(base)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("tsu DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("hour")
+    }),
+
     "q143_rate_anomaly" -> ((s, d) => {
       // ops-monitoring face: hourly event counts per type, flagged by
       // the median/MAD robust z (q123's operator, composed over the
@@ -3274,6 +3297,14 @@ object Queries {
       SELECT user_id, count(*) AS n_islands, max(len) AS longest,
              CAST(sum(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    // same rollup from the UNPARTITIONED events table
+    "q144_partition_prune" -> """
+      SELECT epoch_us(ts) // 3600000000 AS hour,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY hour""",
 
     "q143_rate_anomaly" -> """
       WITH hourly AS (

@@ -287,4 +287,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2500))
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
   }
+
+  test("q144: the type filter prunes partitions at the scan") {
+    val plan = executedPlan("q144_partition_prune")
+    // the partitioned read carries the predicate as a PartitionFilter —
+    // directory-level pruning, no data read outside event_type=purchase
+    val pf = plan.indexOf("PartitionFilters")
+    assert(pf >= 0, plan.take(1500))
+    assert(plan.substring(pf).takeWhile(_ != ']').contains("purchase"),
+      plan.substring(pf).take(300))
+  }
 }
