@@ -1113,6 +1113,101 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q145_histogram_quantiles" -> ((s, d) => {
+      // mergeable equi-width histogram quantile state (the log-structured
+      // distribution sketch, Materialize.appendHistogramState's algebra):
+      // p50/p90/p99 of lineitem prices per return flag read back from
+      // (group, bin, count) cells over a FIXED [900, 105000]x64 domain.
+      // Counts, target ranks and edge arithmetic are all single IEEE
+      // chains, so the oracle REPLAYS the sketch bit-for-bit — the
+      // one-bin-width error bound vs exact quantiles is property-tested
+      // in HistogramQuantileSpec instead (a value compare here would
+      // certify the data, not the operator).
+      prep(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
+      val state = graft.pipeline.Stats.histogramState(li, Seq("l_returnflag"),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 64)
+      graft.pipeline.Stats.histogramQuantiles(state, Seq("l_returnflag"),
+          lo = 900.0, hi = 105000.0, nBins = 64, pcts = Seq(0.5, 0.9, 0.99))
+        .orderBy("l_returnflag", "p")
+    }),
+
+    "q146_url_canonicalize" -> ((s, d) => {
+      // URL canonicalization as a dedup key-maker: every document's URL
+      // arrives in TWO spellings (shouting scheme/host + explicit :443 +
+      // utm_/fbclid trackers + fragment + shuffled params vs an already-
+      // tidy form); Text.canonicalizeUrl must fold both to ONE canonical
+      // string the oracle rebuilds from first principles (the q100
+      // synthesized-provenance precedent). n_raw/n_canon certify the
+      // dedup effect, min(canon) the exact canonical bytes.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val messy = docs.select(col("doc_id"),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/p/"),
+          col("doc_id").cast("string"), lit("?utm_source=feed&b="), col("lang"),
+          lit("&a="), (col("doc_id") % 5).cast("string"), lit("#frag")).as("url"))
+      val tidy = docs.select(col("doc_id"),
+        concat(lit("https://"), lower(col("source")), lit(".example.com/p/"),
+          col("doc_id").cast("string"), lit("?a="), (col("doc_id") % 5).cast("string"),
+          lit("&b="), col("lang"), lit("&fbclid=x"), col("doc_id").cast("string"))
+          .as("url"))
+      messy.unionByName(tidy)
+        .withColumn("canon", graft.pipeline.Text.canonicalizeUrl(col("url")))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"),
+          min(col("canon")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    "q147_knn_classify" -> ((s, d) => {
+      // leave-one-out k-NN label vote over the embedding corpus (the
+      // label-quality audit / semi-supervised labeling move): each vector
+      // classified by its 5 nearest others (cosine, ties by id — the q26
+      // ranking), winner by (votes desc, label asc) — integer-exact. The
+      // oracle replays neighbors AND vote with window row_numbers; the
+      // repo side is Window-free (bounded top-k + struct-min argmax).
+      prep(s, d, "embeddings")
+      graft.pipeline.Similarity.knnClassify(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
+
+    "q148_kcore" -> ((s, d) => {
+      // k-core backbone (k=11) of the arithmetically-sparsified part
+      // co-order graph — iterative peeling to the true fixpoint (8 rounds
+      // at sf0.01, 10 at sf0.1; empty core at sf0.001 — all legitimate
+      // outcomes). The oracle unrolls 20 peel rounds in SQL: past the
+      // fixpoint every extra round is a no-op, so 20 certifies any
+      // convergence ≤ 20. Output = surviving nodes with IN-CORE degree,
+      // exact integers.
+      prep(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_b"))
+      val pairs = a.join(b, "ok").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .filter((col("id_a") * 31 + col("id_b")) % 7 === 0)
+      graft.pipeline.Graph.kCore(pairs, "id_a", "id_b", k = 11)
+        .orderBy("node")
+    }),
+
+    "q149_zipf_slope" -> ((s, d) => {
+      // Zipf-law fit per language: OLS slope/intercept of ln(count) vs
+      // ln(rank) over each lang's top-100 tokens — the corpus-health
+      // scalar (natural language ≈ −1; template floods steepen, ID dumps
+      // flatten). Top-100 via the bounded GroupedTopK aggregate (ties by
+      // token — deterministic), regression over ≤100 rows/group; 6dp
+      // absorbs the engines' moment-algorithm difference on 100 terms.
+      prep(s, d, "documents")
+      graft.pipeline.Stats.zipfSlope(t(s, d, "documents"), Seq("lang"),
+          "text", topN = 100)
+        .select(col("lang"), col("n_tokens"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+        .orderBy("lang")
+    }),
+
     "q144_partition_prune" -> ((s, d) => {
       // hive-partitioned layout made driver-visible: events written
       // partitionBy(event_type), read back with a type filter — the
@@ -2506,6 +2601,33 @@ object Queries {
                  i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS g
         FROM gtoks)"""
 
+  /** q148's oracle: `rounds` unrolled peel iterations (degree recount
+    * within survivors, drop under-k nodes). Past the fixpoint each extra
+    * round is a no-op, so any Spark-side convergence ≤ `rounds` matches. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references the previous TWICE — inlining would expand the
+    // unrolled chain 2^rounds-fold (file handles included)
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n.s AS node, count(*) AS deg FROM nbr n
+         JOIN a${i - 1} x ON n.s = x.node JOIN a${i - 1} y ON n.t = y.node
+         GROUP BY 1),
+      a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT s, t FROM (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        WHERE (s * 31 + t) % 7 = 0),
+      nbr AS MATERIALIZED (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+      a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM nbr),
+      $peels
+      SELECT node, CAST(deg AS BIGINT) AS degree FROM d$rounds
+      WHERE deg >= $k ORDER BY node"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -3299,6 +3421,76 @@ object Queries {
       FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     // same rollup from the UNPARTITIONED events table
+    "q145_histogram_quantiles" -> """
+      WITH b AS (
+        SELECT l_returnflag,
+               least(greatest(CAST(floor((l_extendedprice - 900.0) /
+                 ((105000.0 - 900.0) / 64)) AS BIGINT), 0), 63) AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT l_returnflag, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, bin,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cm,
+               sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM c),
+      ps AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(p)),
+      sel AS (
+        SELECT cum.l_returnflag, ps.p, min(cum.bin) AS qbin,
+               CAST(max(cum.n) AS BIGINT) AS n
+        FROM cum, ps WHERE cum.cm >= ceil(ps.p * cum.n) GROUP BY 1, 2)
+      SELECT l_returnflag, p, n,
+             900.0 + CAST(qbin + 1 AS DOUBLE) * ((105000.0 - 900.0) / 64) AS est
+      FROM sel ORDER BY l_returnflag, p""",
+
+    "q146_url_canonicalize" -> """
+      SELECT doc_id, CAST(2 AS BIGINT) AS n_raw, CAST(1 AS BIGINT) AS n_canon,
+             'https://' || lower(source) || '.example.com/p/' ||
+             CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 5 AS VARCHAR) ||
+             '&b=' || lang AS canon
+      FROM documents ORDER BY doc_id""",
+
+    "q147_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        label FROM embeddings),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nl,
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, nl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored),
+      votes AS (SELECT query_id, nl, count(*) AS v FROM ranked
+                WHERE rank <= 5 GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id, nl AS predicted,
+               row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nl) AS rn
+        FROM votes)
+      SELECT p.query_id, e.label AS actual, p.predicted,
+             e.label = p.predicted AS correct
+      FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+      WHERE p.rn = 1 ORDER BY p.query_id""",
+
+    "q148_kcore" -> kcoreOracleSql(k = 11, rounds = 20),
+
+    "q149_zipf_slope" -> """
+      WITH toks AS (
+        SELECT lang, u.t FROM documents,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS u(t)),
+      c AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2),
+      r AS (SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS r
+            FROM c)
+      SELECT lang, count(*) AS n_tokens,
+             round(regr_slope(ln(c), ln(r)), 6) AS slope,
+             round(regr_intercept(ln(c), ln(r)), 6) AS intercept
+      FROM r WHERE r <= 100 GROUP BY lang ORDER BY lang""",
+
     "q144_partition_prune" -> """
       SELECT epoch_us(ts) // 3600000000 AS hour,
              count(*) AS n,

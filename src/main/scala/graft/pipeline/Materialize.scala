@@ -143,6 +143,51 @@ object Materialize {
       .agg(expr("hll_sketch_estimate(hll_union_agg(__hll))").as("approx_distinct"))
 
   /**
+   * Log-structured QUANTILE state — the distribution sibling of
+   * [[appendDistinctState]]: each batch appends its
+   * [[Stats.histogramState]] cells (one row per touched (key, bin);
+   * cells ADD, so the log's bin-sums equal the state of the batches'
+   * union exactly — pinned by the suite). The bin domain is recorded as
+   * column metadata at creation and re-read on append, so every batch
+   * bins identically. Reads answer any percentile to within one bin
+   * width via [[Stats.histogramQuantiles]] — monitoring p99s over a
+   * standing corpus without ever re-scanning it.
+   */
+  def createHistogramState(spark: SparkSession, path: String, batch: DataFrame,
+                           keyCols: Seq[String], valCol: String,
+                           lo: Double, hi: Double, nBins: Int): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("lo", lo).putDouble("hi", hi).putLong("nBins", nBins.toLong)
+      .build()
+    Stats.histogramState(batch, keyCols, valCol, lo, hi, nBins)
+      .select(col("__bin").as("__bin", meta) +: keyCols.map(col) :+ col("__c"): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Append a batch's cells under the state's recorded bin domain —
+    * zero reads of standing cells; cost scales with the batch. */
+  def appendHistogramState(spark: SparkSession, path: String, batch: DataFrame,
+                           keyCols: Seq[String], valCol: String): Unit = {
+    val meta = spark.read.parquet(path).schema("__bin").metadata
+    Stats.histogramState(batch, keyCols, valCol, meta.getDouble("lo"),
+        meta.getDouble("hi"), meta.getLong("nBins").toInt)
+      // re-stamp: a metadata-less appended file would win the read-time
+      // schema merge and blank the domain for every reader
+      .select(col("__bin").as("__bin", meta) +: keyCols.map(col) :+ col("__c"): _*)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Percentile read over the whole log (see [[Stats.histogramQuantiles]]
+    * for the one-bin-width error contract). */
+  def readHistogramQuantiles(spark: SparkSession, path: String,
+                             keyCols: Seq[String], pcts: Seq[Double]): DataFrame = {
+    val state = spark.read.parquet(path)
+    val meta = state.schema("__bin").metadata
+    Stats.histogramQuantiles(state, keyCols, meta.getDouble("lo"),
+      meta.getDouble("hi"), meta.getLong("nBins").toInt, pcts)
+  }
+
+  /**
    * Snapshot diff — keyed change detection between two corpus snapshots
    * (two crawls, two table versions): emits one row per CHANGED key with
    * `change_type` ∈ insert | delete | update and `changed_cols` (the

@@ -751,6 +751,47 @@ object Similarity {
     }
   }
 
+  /**
+   * k-NN majority-vote classification from a (query_id, neighbor_id,
+   * rank) neighbor list and a slim (id, label) frame — the
+   * semi-supervised labeling / label-quality-audit move over an
+   * embedding corpus. Vote = neighbor count per label; winner by
+   * (votes desc, label asc) as a struct-min aggregate — integer-exact,
+   * no Window, deterministic in any engine.
+   *
+   * Scale shape: the label frame is id→label (dimension-slim; the
+   * planner broadcasts it), votes partial-aggregate map-side on
+   * (query_id, label) — ≤ k rows per query ever reach the exchange.
+   * The neighbor list is pluggable: brute force below certifies the
+   * vote; at corpus scale feed [[ivfTopK]]/[[pqTopKIndexed]] output
+   * instead — the vote logic is identical.
+   */
+  def knnVote(neighbors: DataFrame, labels: DataFrame,
+              idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    neighbors.join(lab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("__votes")).as("nv"), col("__nl").as("l"))).as("__w"))
+      .select(col("query_id"), col("__w.l").as("predicted"))
+  }
+
+  /** Leave-one-out k-NN self-classification over one embedding table:
+    * each vector is classified by its k nearest OTHER vectors (cosine,
+    * ties by id — the [[bruteForceTopK]] order) via [[knnVote]].
+    * Returns (query_id, actual, predicted, correct). */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, k: Int): DataFrame = {
+    val predicted = knnVote(bruteForceTopK(df, df, idCol, vecCol, k),
+      df, idCol, labelCol)
+    val actual = df.select(col(idCol).as("query_id"), col(labelCol).as("actual"))
+    predicted.join(actual, Seq("query_id"))
+      .select(col("query_id"), col("actual"), col("predicted"),
+        (col("actual") === col("predicted")).as("correct"))
+  }
+
   def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val d = size(col(vecCol))
     val cells = explode(flatten(transform(

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -279,6 +280,117 @@ object Stats {
     }: _*))
     df.withColumn("violations", array_join(failed, ","))
       .withColumn("is_valid", col("violations") === "")
+  }
+
+  /**
+   * Zipf-law fit per corpus slice: the OLS slope of ln(count) against
+   * ln(rank) over the slice's `topN` most frequent whitespace tokens —
+   * the corpus-health scalar run per language/source before mixing.
+   * Natural-language slices sit near −1; template floods and
+   * boilerplate steepen the head (slope ≪ −1); tables, code and ID
+   * dumps flatten it. Output: one row per group with `n_tokens`
+   * (≤ `topN` — fewer iff the slice's vocabulary is smaller), `slope`
+   * and `intercept` (raw doubles — callers round; the regression sums
+   * ≤ `topN` terms, so cross-engine drift is ~1e-13 relative).
+   *
+   * Scale shape: token counting is a map-side-combined groupBy on
+   * (group, token); the top-`topN` cut is [[GroupedTopK]]'s bounded
+   * aggregate — per-partition top-k before the exchange, NO Window over
+   * the vocabulary, and the rank the regression consumes falls out of
+   * the same aggregate. The regression itself runs over ≤ `topN` rows
+   * per group (`regr_slope`/`regr_intercept`, map-side partials).
+   * Rank ties (equal counts) break by token ascending — deterministic
+   * in any engine.
+   */
+  def zipfSlope(df: DataFrame, groupCols: Seq[String], textCol: String,
+                topN: Int = 100): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(topN >= 2, s"need at least 2 ranks for a slope, got $topN")
+    val toks = df.select(groupCols.map(col) :+
+      explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")).as("__t"): _*)
+    val counts = toks.groupBy(groupCols.map(col) :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val top = GroupedTopK.topK(counts, groupCols,
+      Seq(("__c", false), ("__t", true)), topN, rankCol = "__r")
+    top.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("regr_slope(ln(__c), ln(__r))").as("slope"),
+        expr("regr_intercept(ln(__c), ln(__r))").as("intercept"))
+  }
+
+  /**
+   * MERGEABLE equi-width histogram state — the quantile sibling of the
+   * count-min index: (group, bin, count) cells over a FIXED value domain
+   * [`lo`, `hi`] with `nBins` equal bins. Cells add, so states from
+   * disjoint batches union+sum to the state of the union (the
+   * log-structured contract — see `Materialize.appendHistogramState`),
+   * which no exact-percentile buffer and no `approx_percentile` sketch
+   * surfaced as a stable on-disk format gives you.
+   *
+   * Binning: bin = clamp(⌊(x − lo) / w⌋, 0, nBins−1), w = (hi−lo)/nBins —
+   * one codegen'd arithmetic chain per row, reproducible bit-for-bit in
+   * any IEEE engine (no data-dependent cutpoints). Values outside
+   * [lo, hi] clamp into the edge bins (callers pick the domain; a
+   * degenerate lo = hi domain folds everything into bin 0).
+   *
+   * Scale shape: ONE map-side-combined groupBy on (group, bin) — the
+   * shuffle carries ≤ |groups|·nBins cells regardless of corpus size.
+   */
+  def histogramState(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo <= hi, s"empty domain [$lo, $hi]")
+    val w = (hi - lo) / nBins
+    val bin =
+      if (w == 0.0) lit(0L)
+      else least(greatest(floor((col(valueCol).cast("double") - lo) / w)
+        .cast("long"), lit(0L)), lit(nBins - 1L))
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ bin.as("__bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /**
+   * Quantile read over [[histogramState]] cells (possibly the summed
+   * union of many batches' states): for each group and each p in
+   * `pcts`, the upper edge lo + (b+1)·w of the first bin b whose
+   * cumulative count reaches ⌈p·N⌉. The estimate brackets every exact
+   * rank-⌈p·N⌉ value within one bin width w — the histogram error
+   * bound (property-tested against a sorted brute-force reference in
+   * HistogramQuantileSpec); halve the error by doubling `nBins`, paid
+   * only in state size.
+   *
+   * Deterministic cross-engine: counts are exact integers, the target
+   * rank ⌈p·N⌉ and the edge arithmetic are single IEEE expression
+   * chains — a DuckDB replay matches bit-for-bit. The cumulative walk
+   * windows over the STATE frame (≤ nBins rows per group), never the
+   * data.
+   */
+  def histogramQuantiles(state: DataFrame, groupCols: Seq[String],
+                         lo: Double, hi: Double, nBins: Int,
+                         pcts: Seq[Double]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    val w = (hi - lo) / nBins
+    val summed = state.groupBy(groupCols.map(col) :+ col("__bin"): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = summed
+      .withColumn("__cum", sum(col("__c")).over(win))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.select(groupCols.map(col) ++ Seq(col("__bin"), col("__cum"), col("__n"),
+        explode(typedLit(pcts)).as("p")): _*)
+      .where(col("__cum") >= ceil(col("p") * col("__n")))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("__bin")).as("__qbin"), max(col("__n")).as("n"))
+      .select(groupCols.map(col) ++ Seq(col("p"), col("n"),
+        (lit(lo) + (col("__qbin") + 1L).cast("double") * w).as("est")): _*)
   }
 
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -560,6 +560,62 @@ object Text {
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_start"))
   }
 
+  /** Query parameters dropped whole by [[canonicalizeUrl]] (click/session
+    * trackers that vary per impression, never per resource). */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  /** Parameter-name PREFIXES dropped by [[canonicalizeUrl]] (`utm_*`). */
+  val TrackingPrefixes: Seq[String] = Seq("utm_")
+
+  /**
+   * URL canonicalization — the key-maker for dedup-by-URL and per-domain
+   * provenance accounting over a web crawl (the same page arrives as
+   * `HTTP://Site.COM/a?utm_source=x&b=1#top` and `http://site.com/a?b=1`;
+   * exact dedup only works on the canonical form). Rules:
+   *
+   *  - scheme and host lowercase; explicit default ports dropped
+   *    (`:80` for http, `:443` for https);
+   *  - fragment dropped;
+   *  - empty path becomes `/`;
+   *  - tracking parameters removed ([[TrackingParams]] exactly,
+   *    [[TrackingPrefixes]] by prefix — case-insensitive, the casing
+   *    trackers actually ship with varies);
+   *  - surviving query parameters sorted bytewise (order never
+   *    distinguishes resources); an emptied query drops its `?`.
+   *
+   * A pure chain of codegen'd regexp/array expressions — scan-side, no
+   * UDF, no shuffle: canonicalizing 100 TB of crawl metadata costs one
+   * projection. Non-URL strings (no `scheme://`) pass through unchanged
+   * rather than turning into nulls mid-pipeline.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]*$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val schemeL = lower(scheme)
+    val keepPort = port =!= "" &&
+      !(schemeL === "http" && port === "80") &&
+      !(schemeL === "https" && port === "443")
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(rawQuery, "&"), p => {
+      val pl = lower(p)
+      p =!= "" &&
+        !TrackingParams.map(t => pl === t || pl.startsWith(t + "="))
+          .reduce(_ || _) &&
+        !TrackingPrefixes.map(t => pl.startsWith(t)).reduce(_ || _)
+    })
+    val query = array_join(array_sort(params), "&")
+    val canon = concat(
+      schemeL, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    when(scheme === "", url).otherwise(canon)
+  }
+
   // custom-expression wrappers
   def langId(text: Column): Column = toCol(LangId(toExpr(text)))
   def nfcNormalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))

@@ -297,4 +297,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.substring(pf).takeWhile(_ != ']').contains("purchase"),
       plan.substring(pf).take(300))
   }
+
+  // ---- eleventh wave (round 7) ----
+
+  test("q145: histogram windows run over STATE cells only — after the bin aggregate") {
+    val plan = executedPlan("q145_histogram_quantiles")
+    // binning aggregates (partial+final) strictly below the two windows
+    // (cumulative + per-group total): the corpus never enters a Window
+    assert("\\bWindow\\b".r.findAllIn(plan).length <= 2, plan.take(2500))
+    val firstWindow = plan.indexOf("Window")
+    val lastAgg = plan.lastIndexOf("HashAggregate")
+    assert(firstWindow >= 0 && lastAgg > firstWindow,
+      plan.take(2500)) // plan prints leaves last: the aggregate feeds the window
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q146: URL canonicalization is scan-side — no Window, no join below the agg") {
+    val plan = executedPlan("q146_url_canonicalize")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q147: knn vote — query side broadcasts, argmax is struct-min, no Window") {
+    val plan = executedPlan("q147_knn_classify")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q149: zipf fit — bounded top-k, regression aggregate, no Window") {
+    val plan = executedPlan("q149_zipf_slope")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
 }

@@ -2673,4 +2673,156 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 0.0)))
     assert(out(3L)._1 == 3L && math.abs(out(3L)._2 - math.log(3)) < 1e-12)
   }
+
+  // ------------------------------------------------ eleventh wave
+
+  test("histogramQuantiles: within one bin width of the exact rank value (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1147)
+    val (lo, hi, nBins) = (0.0, 100.0, 32)
+    val w = (hi - lo) / nBins
+    val data = Seq.tabulate(3000)(i =>
+      (s"g${i % 3}", lo + rnd.nextDouble() * (hi - lo)))
+    val df = data.toDF("g", "v")
+    val pcts = Seq(0.5, 0.9, 0.99)
+    val state = Stats.histogramState(df, Seq("g"), "v", lo, hi, nBins)
+    val got = Stats.histogramQuantiles(state, Seq("g"), lo, hi, nBins, pcts)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    for (g <- Seq("g0", "g1", "g2"); p <- pcts) {
+      val vals = data.filter(_._1 == g).map(_._2).sorted
+      val exact = vals(math.ceil(p * vals.size).toInt - 1)
+      val (n, est) = got((g, p))
+      assert(n == vals.size)
+      assert(exact <= est && est - exact <= w + 1e-9,
+        s"$g p=$p est=$est exact=$exact w=$w")
+    }
+  }
+
+  test("histogram state log: appends == union; indexed read == direct read") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2148)
+    def batch(n: Int) = Seq.fill(n)(
+      (s"g${rnd.nextInt(2)}", rnd.nextDouble() * 50.0)).toDF("g", "v")
+    val (b1, b2, b3) = (batch(200), batch(150), batch(250))
+    val all = b1.unionByName(b2).unionByName(b3)
+    val path = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/state"
+    Materialize.createHistogramState(spark, path, b1, Seq("g"), "v", 0.0, 50.0, 16)
+    Materialize.appendHistogramState(spark, path, b2, Seq("g"), "v")
+    Materialize.appendHistogramState(spark, path, b3, Seq("g"), "v")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g", "__bin").agg(sum("__c").as("__c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cells(spark.read.parquet(path)) ==
+      cells(Stats.histogramState(all, Seq("g"), "v", 0.0, 50.0, 16)))
+    val viaLog = Materialize.readHistogramQuantiles(spark, path, Seq("g"), Seq(0.5, 0.9))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toSet
+    val direct = Stats.histogramQuantiles(
+        Stats.histogramState(all, Seq("g"), "v", 0.0, 50.0, 16),
+        Seq("g"), 0.0, 50.0, 16, Seq(0.5, 0.9))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3))).toSet
+    assert(viaLog == direct)
+  }
+
+  test("kCore: matches a brute-force peel on seeded random graphs; empty edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3149)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.12
+      } yield (a.toLong, b.toLong)).toVector
+      // brute-force peel to the fixpoint
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      val k = 3
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val next = alive.filter(v => (adj(v) & alive).size >= k)
+        changed = next != alive
+        alive = next
+      }
+      val expect = alive.map(v => (v, (adj(v) & alive).size.toLong)).toSet
+      val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"trial $trial")
+    }
+    // no edges at all → empty result, no column errors
+    assert(Graph.kCore(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
+      .count() == 0L)
+    // k larger than any degree → empty core (peels everything)
+    assert(Graph.kCore(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b", 5)
+      .count() == 0L)
+  }
+
+  test("canonicalizeUrl: case, ports, trackers, param sort, fragment, passthrough") {
+    import spark.implicits._
+    val cases = Seq(
+      // lowercase scheme+host, default port dropped, params sorted, fragment dropped
+      "HTTP://EXAMPLE.com:80/Path?b=2&a=1#frag" -> "http://example.com/Path?a=1&b=2",
+      "HTTPS://X.COM:443/p" -> "https://x.com/p",
+      // non-default port kept; non-http scheme's port untouched
+      "https://x.com:8443/p?a=1" -> "https://x.com:8443/p?a=1",
+      "ftp://X.com:21/a" -> "ftp://x.com:21/a",
+      // empty path becomes /
+      "https://x.com" -> "https://x.com/",
+      "https://x.com?a=1" -> "https://x.com/?a=1",
+      // trackers dropped (case-insensitive), emptied query drops its ?
+      "http://x.com/a?utm_source=f&UTM_Medium=g&fbclid=z&Ref=c" -> "http://x.com/a",
+      "http://x.com/a?gclid=1&z=9&msclkid=2" -> "http://x.com/a?z=9",
+      // valueless params survive and sort; path case preserved
+      "https://x.com/A/B?b&a" -> "https://x.com/A/B?a&b",
+      // non-URLs pass through unchanged
+      "not a url" -> "not a url",
+      "example.com/no-scheme" -> "example.com/no-scheme")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Text.canonicalizeUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"input: $in") }
+  }
+
+  test("knnVote: majority wins, vote ties break to the smaller label") {
+    import spark.implicits._
+    // query 1: labels (0,0,1) → 0; query 2: (0,0,1,2) → 0 by majority
+    val neighbors = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2), (2L, 13L, 3), (2L, 14L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq((10L, 0), (11L, 0), (12L, 1), (13L, 1), (14L, 2), (15L, 9))
+      .toDF("id", "label")
+    val got = Similarity.knnVote(neighbors, labels, "id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 0))
+    // real tie: two labels with two votes each → smaller label
+    val nb2 = Seq((7L, 10L, 1), (7L, 11L, 2), (7L, 12L, 3), (7L, 13L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    assert(Similarity.knnVote(nb2, labels, "id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap == Map(7L -> 0))
+  }
+
+  test("zipfSlope: matches a direct OLS over the ranked counts") {
+    import spark.implicits._
+    // one slice, known counts: a×8 b×4 c×2 d×1 → ranks 1..4
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim),
+      (2L, "")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val row = Stats.zipfSlope(docs, Seq("lang"), "text", topN = 100)
+      .collect().head
+    assert(row.getLong(1) == 4L)
+    val pts = Seq((8.0, 1.0), (4.0, 2.0), (2.0, 3.0), (1.0, 4.0))
+      .map { case (c, r) => (math.log(r), math.log(c)) } // (x, y)
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(math.abs(row.getDouble(2) - slope) < 1e-9)
+    assert(math.abs(row.getDouble(3) - icept) < 1e-9)
+  }
 }
