@@ -1113,6 +1113,74 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q150_bpe_train" -> ((s, d) => {
+      // BPE tokenizer TRAINING in-engine (Sennrich-style merge loop):
+      // 5 merges over the corpus word-frequency table, init = character
+      // tokens. Each round: frequency-weighted adjacent-pair count (one
+      // vocab-sized shuffle), one-row struct-min winner, literal
+      // bracket-token replace ([l][r] → [lr]: left-to-right greedy —
+      // canonical BPE merge order, shared by Spark and DuckDB replace).
+      // The oracle unrolls all 5 rounds and must reproduce the exact
+      // merge trajectory.
+      prep(s, d, "documents")
+      val words = t(s, d, "documents")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => w =!= "")).as("w"))
+        .select(lower(col("w")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      graft.pipeline.Text.bpeTrain(words, "w", "f", merges = 5)
+        .orderBy("merge_rank")
+    }),
+
+    "q151_dedup_survivors" -> ((s, d) => {
+      // quality-aware dedup survivor selection: the q56 near-dup
+      // clusters, but each cluster keeps its LONGEST member (n_chars
+      // desc, id asc) — what production pipelines actually retain. The
+      // winner is a struct-min aggregate over the clustered frame; the
+      // oracle recomputes true clusters from the quadratic pair set
+      // (recursive CTE) and re-picks the survivor with a window argmax.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.nearDuplicateClusters(docs, "text", "doc_id",
+        threshold = 0.8, hotBucketBound = Int.MaxValue) // pinned OFF — q25/q86 note
+      val scored = clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      Dedup.keepBest(scored, "doc_id", "cluster_id", "n_chars")
+        .orderBy("cluster_id")
+    }),
+
+    "q152_benford" -> ((s, d) => {
+      // Benford first-digit audit of lineitem prices — the fabricated-
+      // numbers detector. Digits come from exact integer cents (round ×
+      // 100 → BIGINT → leading decimal char), NOT log10/pow boundary
+      // math; frequencies are exact-integer ratios and the Benford
+      // expectation log10(1+1/d) rounds at 6dp (the engines' log paths
+      // differ by ulps, ~10 orders below the rounding grid).
+      prep(s, d, "lineitem")
+      val cents = t(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.pipeline.Stats.benfordDigits(cents, "cents")
+        .select(col("digit"), col("n"),
+          round(col("obs_freq"), 6).as("obs_freq"),
+          round(col("exp_freq"), 6).as("exp_freq"),
+          round(col("abs_dev"), 6).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
+    "q153_ewma" -> ((s, d) => {
+      // exact per-user EWMA of event values (α = 0.25 — α and 1−α both
+      // exact binary, so the left fold is a reproducible IEEE operation
+      // sequence): y₀ = x₀, yₜ = αxₜ + (1−α)yₜ₋₁ in (event-time,
+      // event_id) order. UNROUNDED — the oracle's ordered list_reduce
+      // replays the identical fold, certifying bit-equality. No Window:
+      // one shuffle on user_id, codegen'd array fold per user.
+      prep(s, d)
+      graft.pipeline.Sessions.ewma(events(s, d), "user_id", "ts",
+          "event_id", "value", alpha = 0.25)
+        .orderBy("user_id")
+    }),
+
     "q145_histogram_quantiles" -> ((s, d) => {
       // mergeable equi-width histogram quantile state (the log-structured
       // distribution sketch, Materialize.appendHistogramState's algebra):
@@ -2628,6 +2696,48 @@ object Queries {
       WHERE deg >= $k ORDER BY node"""
   }
 
+  /** q150's oracle: `merges` unrolled BPE rounds over the bracket-wrapped
+    * token encoding (`[a][b][c]` — adjacent tokens share no characters,
+    * so DuckDB's left-to-right non-overlapping `replace` of `[l][r]` →
+    * `[lr]` is Spark's merge AND canonical BPE, identical-token runs
+    * included). Winner per round by (count desc, l, r asc). All CTEs
+    * MATERIALIZED (the q148 inlining lesson). */
+  private def bpeOracleSql(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+        SELECT l, r, sum(f) AS c FROM (
+          SELECT t.f, t.toks[u.i] AS l, t.toks[u.i + 1] AS r
+          FROM (SELECT string_split(regexp_replace(s, '^\\[|\\]$$', '', 'g'),
+                                    '][') AS toks, f FROM $prev) t,
+               unnest(range(1, len(t.toks))) AS u(i))
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (
+        SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT replace(s,
+                 '[' || (SELECT l FROM m$i) || '][' || (SELECT r FROM m$i) || ']',
+                 '[' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ']') AS s,
+               f
+        FROM $prev)"""
+    }.mkString(",\n      ")
+    val out = (1 to merges).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs,
+          CAST(c AS BIGINT) AS pair_count FROM m$i""").mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '[\\1]', 'g') AS s, f FROM (
+          SELECT lower(tok) AS w, count(*) AS f FROM (
+            SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> x <> '')) AS tok
+            FROM documents) toks
+          WHERE regexp_matches(lower(tok), '^[a-z]+$$')
+          GROUP BY 1)),
+      $rounds
+      $out
+      ORDER BY merge_rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -3421,6 +3531,65 @@ object Queries {
       FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     // same rollup from the UNPARTITIONED events table
+    "q150_bpe_train" -> bpeOracleSql(merges = 5),
+
+    "q151_dedup_survivors" -> s"""
+      WITH RECURSIVE ${gramCtes("documents")},
+      dpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      dedges AS (
+        SELECT id_a AS src, id_b AS dst FROM dpairs
+        UNION ALL
+        SELECT id_b, id_a FROM dpairs),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN dedges e ON e.dst = r.id),
+      clusters AS (
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)),
+      sizes AS (SELECT cluster_id, count(*) AS n_members FROM scored GROUP BY 1),
+      win AS (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM scored)
+      SELECT w.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+             w.doc_id AS survivor_id, w.n_chars AS survivor_score
+      FROM win w JOIN sizes s USING (cluster_id)
+      WHERE w.rn = 1 ORDER BY w.cluster_id""",
+
+    "q152_benford" -> """
+      WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               count(*) AS n
+        FROM c WHERE cents > 0 GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+      SELECT digit, n,
+             round(CAST(n AS DOUBLE) / tot, 6) AS obs_freq,
+             round(log10(1.0 + 1.0 / digit), 6) AS exp_freq,
+             round(abs(CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit)), 6)
+               AS abs_dev
+      FROM d, t ORDER BY digit""",
+
+    "q153_ewma" -> """
+      WITH ordered AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS a
+        FROM events WHERE value IS NOT NULL GROUP BY user_id)
+      SELECT user_id, CAST(len(a) AS BIGINT) AS n_events,
+             list_reduce(a, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+      FROM ordered ORDER BY user_id""",
+
     "q145_histogram_quantiles" -> """
       WITH b AS (
         SELECT l_returnflag,

@@ -573,6 +573,26 @@ object Dedup {
   }
 
   /**
+   * Quality-aware survivor selection over a clustered frame — the step
+   * real pipelines run AFTER near-dup clustering: keep the BEST member
+   * of each duplicate cluster (longest / highest quality score), not
+   * the arbitrary first. Winner per cluster by (`scoreCol` desc,
+   * `idCol` asc) as a struct-min aggregate — one map-side-combined
+   * groupBy on the cluster id, no Window; ties and floating scores are
+   * caller concerns (pass an exact integer score — length, token count
+   * — for engine-portable determinism). Returns one row per cluster:
+   * (`clusterCol`, n_members, survivor_id, survivor_score).
+   */
+  def keepBest(clustered: DataFrame, idCol: String, clusterCol: String,
+               scoreCol: String): DataFrame =
+    clustered
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("__w"))
+      .select(col(clusterCol), col("n_members"),
+        col("__w.id").as("survivor_id"), (-col("__w.ns")).as("survivor_score"))
+
+  /**
    * CCNet/C4-style LINE-level exact dedup across the WHOLE corpus: each
    * distinct line keeps only its globally first occurrence (ordered by
    * (idCol, line position)); later occurrences are cut from their

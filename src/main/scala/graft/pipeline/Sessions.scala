@@ -145,4 +145,40 @@ object Sessions {
         (col("__w") - col("__w0")).as("age_weeks"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Exact per-key EWMA of a value stream — the decayed "current level"
+   * behind rate limiting, user-value scoring and drift monitors:
+   * y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁ over each key's events ordered by
+   * (event time, `tieCol`). A sequential recurrence, computed as ONE
+   * left fold over the key's sorted event array (collect_list +
+   * array_sort + `aggregate` — all codegen; no Window, no UDF): one
+   * shuffle on the key, per-key memory proportional to that key's
+   * events (the q51 per-group-buffer caveat — for unbounded keys use
+   * the streaming state ops). Returns (key, n_events, ewma).
+   *
+   * Determinism: the fold applies α·x + (1−α)·acc left-to-right in
+   * event order — the exact same IEEE operation sequence any engine's
+   * ordered-list reduce replays; pick α with an exact binary
+   * representation (0.25, 0.5) and the replay is bit-identical.
+   * NTZ-proof via [[Time.tsMicros]].
+   */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val arr = array_sort(collect_list(struct(
+      Time.tsMicros(col(tsCol)).as("t"), col(tieCol).as("k"),
+      col(valCol).cast("double").as("v"))))
+    events
+      .where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(arr.as("__a"))
+      .select(col(keyCol), size(col("__a")).cast("long").as("n_events"),
+        // slice length must be exact: a start+Int.MaxValue length
+        // overflows Slice's index arithmetic into an empty array
+        aggregate(slice(col("__a"), lit(2), greatest(size(col("__a")) - 1, lit(0))),
+          element_at(col("__a"), 1).getField("v"),
+          (acc, e) => lit(alpha) * e.getField("v") + lit(1.0 - alpha) * acc)
+          .as("ewma"))
+  }
 }

@@ -393,6 +393,34 @@ object Stats {
         (lit(lo) + (col("__qbin") + 1L).cast("double") * w).as("est")): _*)
   }
 
+  /**
+   * Benford first-digit audit — the fabricated-numbers detector for a
+   * numeric column (organic multiplicative quantities follow
+   * P(d) = log10(1 + 1/d); uniform or hand-typed values do not).
+   * `intCol` must be a POSITIVE integer-valued column (callers scale
+   * decimals first — e.g. cents = round(price·100) — so the leading
+   * digit comes from exact integer-to-string conversion, not from
+   * log10/pow boundary behavior that differs per libm). Emits one row
+   * per observed digit: (digit, n, obs_freq, exp_freq, abs_dev) —
+   * obs−exp deviations are the audit signal; Σ n·(obs−exp)²/exp is the
+   * χ² if a single scalar is wanted downstream.
+   *
+   * One map-side-combined 9-key groupBy; the total folds back as a
+   * one-row broadcast — auditing 100 TB costs one scan.
+   */
+  def benfordDigits(df: DataFrame, intCol: String): DataFrame = {
+    val digits = df
+      .where(col(intCol).isNotNull && col(intCol) > 0)
+      .select(substring(col(intCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t")).as("obs_freq"),
+        log(10.0, lit(1.0) + lit(1.0) / col("digit")).as("exp_freq"))
+      .withColumn("abs_dev", abs(col("obs_freq") - col("exp_freq")))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

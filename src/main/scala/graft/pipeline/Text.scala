@@ -560,6 +560,79 @@ object Text {
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_start"))
   }
 
+  /**
+   * BPE tokenizer TRAINING in-engine: the classic byte-pair-encoding
+   * merge loop (Sennrich et al. 2016) over a (word, frequency) table —
+   * the step that turns a curated corpus into a tokenizer. Each round
+   * counts adjacent token pairs (frequency-weighted), merges the most
+   * frequent pair corpus-wide, and repeats; returns the merge
+   * trajectory (merge_rank, lhs, rhs, pair_count) — the artifact a
+   * tokenizer ships.
+   *
+   * Token state is the BRACKET-wrapped token string per word
+   * (`"[a][b][c]"`): every token carries its own `[`…`]` delimiters, so
+   * adjacent tokens share NO characters — a merge is then a LITERAL
+   * replace of `"[l][r]"` with `"[lr]"`, and left-to-right
+   * non-overlapping replacement is exactly BPE's canonical greedy merge
+   * (a space-separated encoding would consume the shared boundary and
+   * under-merge identical-token runs like `a a a a`; brackets also make
+   * multi-character boundaries unambiguous — `"[b][c]"` never matches
+   * inside `"[ab][c]"`). Both Spark's `replace` and DuckDB's share
+   * these semantics, so an unrolled SQL replay is bit-exact. Input
+   * words must not contain `[` or `]` (they are the delimiter
+   * alphabet); filter them upstream.
+   *
+   * Scale shape, per round: pair counting is explode + one map-side-
+   * combined groupBy on the pair (the only shuffle — vocabulary-of-
+   * pairs-sized, not corpus-sized); the winner is a ONE-ROW struct-min
+   * aggregate collected to the driver (count desc, then lhs, rhs asc —
+   * deterministic); the merge itself is a codegen'd literal replace.
+   * The words frame is vocabulary-sized (distinct words, not corpus
+   * rows) and persists across rounds — at 100 TB the corpus is read
+   * once to build it. Driver state = `merges` rows, like the k-means
+   * centroid collect.
+   */
+  def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
+               merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = words.sparkSession
+    var state = words.select(
+      regexp_replace(col(wordCol), "(.)", "[$1]").as("__s"),
+      col(freqCol).cast("long").as("__f")).persist()
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val arr = split(regexp_replace(col("__s"), "^\\[|\\]$", ""), "\\]\\[")
+      val pairs = state
+        .where(size(arr) >= 2)
+        .select(col("__f"), explode(transform(sequence(lit(0), size(arr) - 2),
+          i => struct(element_at(arr, i + 1).as("l"),
+            element_at(arr, i + 2).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__f")).as("c"))
+      val winner = pairs
+        .agg(min(struct((-col("c")).as("nc"), col("l"), col("r"))).as("__w"))
+        .select(col("__w.l"), col("__w.r"), (-col("__w.nc")).as("c"))
+        .collect()
+      if (winner.isEmpty || winner.head.isNullAt(0)) exhausted = true
+      else {
+        val (l, rr, c) =
+          (winner.head.getString(0), winner.head.getString(1), winner.head.getLong(2))
+        traj += ((r + 1, l, rr, c))
+        val next = state.select(
+          replace(col("__s"), lit(s"[$l][$rr]"), lit(s"[$l$rr]")).as("__s"),
+          col("__f")).persist()
+        state.unpersist()
+        state = next
+        r += 1
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    traj.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Query parameters dropped whole by [[canonicalizeUrl]] (click/session
     * trackers that vary per impression, never per resource). */
   val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")

@@ -333,4 +333,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
+
+  // ---- twelfth wave (round 7) ----
+
+  test("q151: survivor selection is a struct-min aggregate — no extra Window, no cartesian") {
+    val plan = executedPlan("q151_dedup_survivors")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q152: benford is one 9-key aggregate + a one-row broadcast total") {
+    val plan = executedPlan("q152_benford")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q153: ewma is a codegen array fold — no Window, one key shuffle") {
+    val plan = executedPlan("q153_ewma")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2500))
+  }
 }

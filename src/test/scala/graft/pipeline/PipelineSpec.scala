@@ -2825,4 +2825,114 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - slope) < 1e-9)
     assert(math.abs(row.getDouble(3) - icept) < 1e-9)
   }
+
+  // ------------------------------------------------ twelfth wave
+
+  /** Sequential reference BPE (token lists, no string tricks) for
+    * [[Text.bpeTrain]] parity. */
+  private def bpeReference(words: Seq[(String, Long)],
+                           merges: Int): Seq[(Int, String, String, Long)] = {
+    var state = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, f) =>
+        toks.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        traj += ((r + 1, l, rr, c))
+        state = state.map { case (toks, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.size) {
+            if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == rr) {
+              out += l + rr; i += 2 // greedy left-to-right, non-overlapping
+            } else { out += toks(i); i += 1 }
+          }
+          (out.toVector, f)
+        }
+        r += 1
+      }
+    }
+    traj.toSeq
+  }
+
+  test("bpeTrain: matches a sequential token-list reference (classic + adversarial + random)") {
+    import spark.implicits._
+    def run(words: Seq[(String, Long)], merges: Int) = {
+      val got = Text.bpeTrain(words.toDF("w", "f"), "w", "f", merges)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == bpeReference(words, merges), s"words=$words")
+      got
+    }
+    // the Sennrich example shape
+    run(Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 6)
+    // adversarial: after (a,b)→"ab", the word "abc" holds pair (ab, c);
+    // a naive unpadded replace of the later (b,c) merge would corrupt it
+    val adv = run(Seq(("ab", 10L), ("abc", 1L), ("zbc", 5L), ("bc", 4L)), 3)
+    assert(adv.head._2 == "a" && adv.head._3 == "b")
+    // overlapping same-pair runs: "aaaa" merges greedily left-to-right
+    run(Seq(("aaaa", 3L), ("aaa", 2L)), 3)
+    // seeded random corpora
+    val rnd = new scala.util.Random(4150)
+    for (_ <- 0 until 2) {
+      val ws = (0 until 40).map(_ =>
+        ((0 until (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString,
+          (1 + rnd.nextInt(9)).toLong))
+        .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      run(ws, 5)
+    }
+    // more merges than pairs exist: trajectory just stops
+    assert(Text.bpeTrain(Seq(("a", 5L), ("b", 3L)).toDF("w", "f"), "w", "f", 4)
+      .count() == 0L)
+  }
+
+  test("keepBest: per-cluster argmax with (score desc, id asc) ties") {
+    import spark.implicits._
+    val clustered = Seq(
+      (1L, 100L, 10L), (2L, 100L, 30L), (3L, 100L, 30L), // tie at 30 → id 2
+      (4L, 200L, 7L)) // singleton
+      .toDF("doc_id", "cluster_id", "score")
+    val got = Dedup.keepBest(clustered, "doc_id", "cluster_id", "score")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(100L -> ((3L, 2L, 30L)), 200L -> ((1L, 4L, 7L))))
+  }
+
+  test("benfordDigits: exact counts, zero/negative/null excluded, expected freqs") {
+    import spark.implicits._
+    val vals = Seq(1L, 19L, 123L, 2L, 25L, 3L, 999L, 0L, -5L) ++ Seq.empty[Long]
+    val df = vals.map(Option(_)).:+(None: Option[Long]).toDF("v")
+    val got = Stats.benfordDigits(df, "v")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1, 2, 3, 9))
+    assert(got(1)._1 == 3L && got(2)._1 == 2L && got(3)._1 == 1L && got(9)._1 == 1L)
+    assert(math.abs(got(1)._2 - 3.0 / 7.0) < 1e-15)
+    assert(math.abs(got(1)._3 - math.log10(2.0)) < 1e-15)
+    assert(math.abs(got(9)._3 - math.log10(10.0 / 9.0)) < 1e-15)
+  }
+
+  test("ewma: hand-computed fold, order by (ts, tie), single-event key") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000L, 1L, 10.0), (1L, 2000L, 2L, 20.0), (1L, 3000L, 3L, 40.0),
+      (1L, 2000L, 1L, 0.0), // same ts as event 2, smaller tie → folds BEFORE it
+      (2L, 500L, 1L, 7.5))
+      .toDF("user_id", "t", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val got = Sessions.ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // user 1 order: 10.0, 0.0, 20.0, 40.0
+    val expect = Seq(0.0, 20.0, 40.0).foldLeft(10.0)((acc, x) => 0.25 * x + 0.75 * acc)
+    assert(got(1L) == ((4L, expect)))
+    assert(got(2L) == ((1L, 7.5)))
+  }
 }
