@@ -61,6 +61,21 @@ object Similarity {
     * (the q25 minhash trap). */
   def quantizeInt8(vec: Column): Column = quantizeInt8(vec, quantScale(vec))
 
+  /** Scale task count UP to the session parallelism when an input frame
+    * plans fewer partitions — for compute-explosive joins (O(|C|·|Q|·d)
+    * brute-force scoring) parallelism must follow the join PRODUCT, not
+    * input bytes: a few-MB single-file corpus against a broadcast query
+    * side otherwise serializes hundreds of millions of scored rows
+    * through ONE task (observed: 600× single-core stall on the 10×
+    * bench). A round-robin repartition of the slim (id, vec) frame is
+    * noise next to the scoring work; corpora already wider than the
+    * session parallelism pass through untouched — no shuffle is added at
+    * real scale. */
+  private def scaleOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /**
    * Brute-force exact cosine top-k.
    *
@@ -71,7 +86,7 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = scaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -87,7 +102,7 @@ object Similarity {
    */
   def bruteForceTopKEuclidean(corpus: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = scaleOut(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -800,7 +815,9 @@ object Similarity {
         struct(i.as("i"), j.as("j"),
           (element_at(col(vecCol), i + 1).cast("double") *
             element_at(col(vecCol), j + 1).cast("double")).as("v"))))))
-    df.where(col(vecCol).isNotNull)
+    // d²/2 exploded cells per input row — another compute-explosive
+    // shape where task count must follow output, not input bytes
+    scaleOut(df.where(col(vecCol).isNotNull).select(col(vecCol)))
       .select(cells.as("__c"))
       .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
       .agg(sum(col("__c.v")).as("g"))

@@ -358,4 +358,43 @@ object StreamOps {
           }
       }
   }
+
+  case class Obs(key: Long, ts: Timestamp, tie: Long, value: Double)
+  case class EwmaState(lastMs: Long, lastTie: Long, n: Long, ewma: Double)
+  case class EwmaRow(key: Long, n_events: Long, ewma: Double)
+
+  /**
+   * Streaming exact EWMA per key — the unbounded-key answer to
+   * [[graft.pipeline.Sessions.ewma]]'s per-key-buffer caveat: state is
+   * ONE row per key (last (ts, tie) + the running level), each batch
+   * folds its rows in (event-time, tie) order with the identical
+   * α·x + (1−α)·acc IEEE chain, so after in-order batches the view
+   * equals the batch operator on the union (suite-pinned). EWMA is
+   * order-sensitive, so an event at-or-before the state's last (ts,
+   * tie) cannot be folded retroactively without replay — late
+   * stragglers are DROPPED, never folded out of order (the monitor
+   * stays a prefix of the true fold rather than silently wrong; feed
+   * in-order or re-run batch for exactness). Emits the updated
+   * (key, n_events, ewma) row per touched key each batch (Update mode).
+   */
+  def ewmaStream(obs: Dataset[Obs], alpha: Double): Dataset[EwmaRow] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Obs], state: GroupState[EwmaState]) =>
+          var st = state.getOption
+            .getOrElse(EwmaState(Long.MinValue, Long.MinValue, 0L, 0.0))
+          rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).foreach { o =>
+            val (ms, tie) = (o.ts.getTime, o.tie)
+            if (ms > st.lastMs || (ms == st.lastMs && tie > st.lastTie)) {
+              val y = if (st.n == 0L) o.value
+                      else alpha * o.value + (1.0 - alpha) * st.ewma
+              st = EwmaState(ms, tie, st.n + 1L, y)
+            }
+          }
+          state.update(st)
+          EwmaRow(key, st.n, st.ewma)
+      }
+  }
 }

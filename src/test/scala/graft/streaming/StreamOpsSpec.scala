@@ -414,4 +414,49 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(v2(2L) == ((ts("2024-01-01 11:00:00"), "v2")))
     } finally q.stop()
   }
+
+  test("ewmaStream: in-order batches equal the batch fold; late stragglers dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Obs]
+    val q = StreamOps.ewmaStream(input.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_view").start()
+    def view() = spark.sql("SELECT key, n_events, ewma FROM ewma_view").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    def fold(xs: Seq[Double]) =
+      xs.tail.foldLeft(xs.head)((acc, x) => 0.25 * x + 0.75 * acc)
+    try {
+      input.addData(
+        StreamOps.Obs(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+        // same batch out of order: fold must sort by (ts, tie) first
+        StreamOps.Obs(1L, ts("2024-01-01 10:02:00"), 3L, 40.0),
+        StreamOps.Obs(1L, ts("2024-01-01 10:01:00"), 2L, 20.0))
+      q.processAllAvailable()
+      assert(view()(1L) == ((3L, fold(Seq(10.0, 20.0, 40.0)))))
+      input.addData(
+        // second batch continues the fold from standing state
+        StreamOps.Obs(1L, ts("2024-01-01 10:03:00"), 4L, 0.0),
+        // LATE: at-or-before the state's (ts, tie) → dropped, not refolded
+        StreamOps.Obs(1L, ts("2024-01-01 10:00:30"), 9L, 999.0),
+        StreamOps.Obs(2L, ts("2024-01-01 09:00:00"), 1L, 7.5))
+      q.processAllAvailable()
+      val v = view()
+      assert(v(1L) == ((4L, fold(Seq(10.0, 20.0, 40.0, 0.0)))))
+      assert(v(2L) == ((1L, 7.5)))
+      // equality with the batch operator over the same (kept) events
+      val kept = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+        (1L, ts("2024-01-01 10:01:00"), 2L, 20.0),
+        (1L, ts("2024-01-01 10:02:00"), 3L, 40.0),
+        (1L, ts("2024-01-01 10:03:00"), 4L, 0.0),
+        (2L, ts("2024-01-01 09:00:00"), 1L, 7.5))
+        .toDF("key", "ts", "tie", "value")
+      val batch = graft.pipeline.Sessions
+        .ewma(kept, "key", "ts", "tie", "value", alpha = 0.25)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(batch == v)
+    } finally q.stop()
+  }
 }
