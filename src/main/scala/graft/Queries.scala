@@ -1113,6 +1113,85 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q157_image_ahash" -> ((s, d) => {
+      // image near-dup dedup certified end-to-end through REAL codecs:
+      // checker-family PNGs (pixels closed-form in the id) + planted
+      // one-pixel-flipped copies → decode → 8x8 nearest reduction →
+      // 64-bit aHash → 4x16-bit band blocking (pigeonhole recall 1 at
+      // hamming ≤ 3) → bit_count verify. The oracle rebuilds every
+      // hash bit in integer arithmetic (resize index map + threshold
+      // rule included) and takes ALL pairs — so banding recall, decode,
+      // resize and hashing are all on the hook. Keys thinned 29x
+      // (encode+decode is per-row CPU).
+      prep(s, d, "customer")
+      val keys = t(s, d, "customer").filter(col("c_custkey") % 29 === 0)
+      val a = Multimodal.syntheticCheckerPngMedia(keys, "c_custkey")
+      val b = Multimodal.syntheticCheckerPngMedia(keys, "c_custkey",
+        idOffset = 10000000L, flipFirst = true)
+      val hashes = Multimodal.aHash64Batched(a.unionByName(b))
+      Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q154_mojibake" -> ((s, d) => {
+      // encoding-corruption gate: documents deterministically "shipped
+      // through a Latin-1 decoder" (UTF-8 artifacts appended by doc_id
+      // class — Ã©/â€œ/Ã¯/â€¦ for one class, clean ASCII for another,
+      // U+FFFD for the third); mojibakeCount/Score flag the corrupt
+      // classes. The oracle replays the identical literal-alternation
+      // count (Java∩RE2 dialect) and the same char-length division —
+      // identical IEEE operands, exact at any rounding.
+      prep(s, d, "documents")
+      val corrupted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafÃ© â€œnaÃ¯veâ€¦"))
+            .when(col("doc_id") % 3 === 1, lit(" clean ascii tail"))
+            .otherwise(lit(" broken � end"))).as("text"))
+      corrupted.select(col("doc_id"),
+          graft.pipeline.Text.mojibakeCount(col("text")).as("n_artifacts"),
+          round(graft.pipeline.Text.mojibakeScore(col("text")), 6).as("score"))
+        .withColumn("flagged", col("n_artifacts") >= 2)
+        .orderBy("doc_id")
+    }),
+
+    "q155_bootstrap_ci" -> ((s, d) => {
+      // derandomized Bayesian-bootstrap error bars for mean quantity per
+      // return flag: 200 replicas, Exp(1) weights from md5(rowkey‖b) —
+      // the q113 derandomization, so every engine draws the SAME
+      // bootstrap. CI = type-7 percentiles over the 200 replica means
+      // (bounded buffer). 4dp absorbs Σ-order and ln-ulp drift.
+      prep(s, d, "lineitem")
+      val li = t(s, d, "lineitem").withColumn("__k",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")))
+      graft.pipeline.Stats.bootstrapMeanCI(li, Seq("l_returnflag"),
+          "l_quantity", "__k", replicas = 200)
+        .select(col("l_returnflag"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 4).as("ci_lo"),
+          round(col("ci_hi"), 4).as("ci_hi"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q156_ab_welch" -> ((s, d) => {
+      // A/B metric gate: Welch's unequal-variance t between purchase and
+      // view event values, one conditional-aggregate pass (no self-join).
+      // The oracle recomputes the same moments with FILTER aggregates
+      // and the same t/dof arithmetic; 4dp absorbs the engines'
+      // single-pass variance algorithms (q117 precedent).
+      prep(s, d)
+      events(s, d).createOrReplaceTempView("events")
+      graft.pipeline.Stats.welchT(events(s, d), "event_type", "value",
+          "purchase", "view")
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("var_a"), 4).as("var_a"),
+          round(col("var_b"), 4).as("var_b"),
+          round(col("t"), 4).as("t"),
+          round(col("dof"), 2).as("dof"))
+    }),
+
     "q150_bpe_train" -> ((s, d) => {
       // BPE tokenizer TRAINING in-engine (Sennrich-style merge loop):
       // 5 merges over the corpus word-frequency table, init = character
@@ -3531,6 +3610,94 @@ object Queries {
       FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     // same rollup from the UNPARTITIONED events table
+    "q157_image_ahash" -> """
+      WITH k AS MATERIALIZED (
+        SELECT c_custkey AS key FROM customer WHERE c_custkey % 29 = 0),
+      ids AS MATERIALIZED (
+        SELECT key, key AS id, FALSE AS flip FROM k
+        UNION ALL
+        SELECT key, key + 10000000, TRUE FROM k),
+      cells AS MATERIALIZED (
+        SELECT i.id, i.flip, i.key, g.i,
+               ((g.i % 8) * (10 + i.key % 5)) // 8 AS sx,
+               ((g.i // 8) * (10 + i.key % 5)) // 8 AS sy
+        FROM ids i, generate_series(0, 63) g(i)),
+      bits AS MATERIALIZED (
+        SELECT id, i,
+               CASE WHEN flip AND sx = 0 AND sy = 0
+                 THEN 1 - ((key // (sx + 1) + 3 * sx + 5 * sy) % 2)
+                 ELSE (key // (sx + 1) + 3 * sx + 5 * sy) % 2
+               END AS b
+        FROM cells),
+      hashes AS MATERIALIZED (
+        SELECT id, CASE WHEN sum(b) = 64 THEN repeat('0', 64)
+                        ELSE string_agg(CAST(b AS VARCHAR), '' ORDER BY i)
+                   END AS h
+        FROM bits GROUP BY id)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(hamming(a.h, b.h) AS BIGINT) AS hamming
+      FROM hashes a JOIN hashes b ON a.id < b.id
+      WHERE hamming(a.h, b.h) <= 3
+      ORDER BY 1, 2""",
+
+    "q154_mojibake" -> s"""
+      WITH c AS (
+        SELECT doc_id,
+               text || CASE doc_id % 3
+                 WHEN 0 THEN ' cafÃ© â€œnaÃ¯veâ€¦'
+                 WHEN 1 THEN ' clean ascii tail'
+                 ELSE ' broken � end' END AS text
+        FROM documents),
+      counted AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(text,
+                 '${graft.pipeline.Text.MojibakeRe}')) AS BIGINT) AS n_artifacts
+        FROM c)
+      SELECT doc_id, n_artifacts,
+             round(CAST(n_artifacts AS DOUBLE) /
+                   greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS score,
+             n_artifacts >= 2 AS flagged
+      FROM counted ORDER BY doc_id""",
+
+    "q155_bootstrap_ci" -> """
+      WITH reps AS (
+        SELECT l_returnflag, b.b AS b,
+               -ln((CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR) || '_' ||
+                   CAST(b.b AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 + 0.5) / 4294967296.0) AS w,
+               CAST(l_quantity AS DOUBLE) AS v
+        FROM lineitem, generate_series(0, 199) b(b)),
+      m AS (SELECT l_returnflag, b, sum(w * v) / sum(w) AS m
+            FROM reps GROUP BY 1, 2),
+      base AS (SELECT l_returnflag, count(*) AS n,
+                      avg(CAST(l_quantity AS DOUBLE)) AS mean
+               FROM lineitem GROUP BY 1)
+      SELECT m.l_returnflag, base.n, round(base.mean, 6) AS mean,
+             round(quantile_cont(m.m, 0.025), 4) AS ci_lo,
+             round(quantile_cont(m.m, 0.975), 4) AS ci_hi
+      FROM m JOIN base USING (l_returnflag)
+      GROUP BY m.l_returnflag, base.n, base.mean
+      ORDER BY m.l_returnflag""",
+
+    "q156_ab_welch" -> """
+      WITH s AS (
+        SELECT count(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+               count(*) FILTER (WHERE event_type = 'view') AS n_b,
+               avg(value) FILTER (WHERE event_type = 'purchase') AS mean_a,
+               avg(value) FILTER (WHERE event_type = 'view') AS mean_b,
+               var_samp(value) FILTER (WHERE event_type = 'purchase') AS var_a,
+               var_samp(value) FILTER (WHERE event_type = 'view') AS var_b
+        FROM events WHERE value IS NOT NULL)
+      SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+             round(var_a, 4) AS var_a, round(var_b, 4) AS var_b,
+             round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t,
+             round(pow(var_a / n_a + var_b / n_b, 2) /
+                   (pow(var_a / n_a, 2) / (n_a - 1.0) +
+                    pow(var_b / n_b, 2) / (n_b - 1.0)), 2) AS dof
+      FROM s""",
+
     "q150_bpe_train" -> bpeOracleSql(merges = 5),
 
     "q151_dedup_survivors" -> s"""

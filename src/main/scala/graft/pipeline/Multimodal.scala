@@ -190,6 +190,139 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic checker-family PNG from an id: square side
+    * s = 10 + id%5, all three channels equal
+    * gray(x, y) = ((id ⌊/⌋ (x+1) + 3x + 5y) mod 2) · 255 — a pattern a
+    * SQL oracle reproduces in integer arithmetic. `flipFirst` inverts
+    * pixel (0, 0): the planted near-duplicate (aHash differs in exactly
+    * one bit after the 8×8 reduction). */
+  def checkerPngPayload(id: Long, flipFirst: Boolean): Array[Byte] = {
+    val s = (10 + (id % 5)).toInt
+    val img = new java.awt.image.BufferedImage(s, s,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < s) {
+      var x = 0
+      while (x < s) {
+        var g = (((id / (x + 1)) + 3L * x + 5L * y) % 2L).toInt * 255
+        if (flipFirst && x == 0 && y == 0) g = 255 - g
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Checker-PNG media table: `media_id = id + idOffset`, payload from
+    * the BASE id (so an offset copy with `flipFirst` is a planted
+    * near-duplicate of the original). */
+  def syntheticCheckerPngMedia(df: DataFrame, idCol: String,
+                               idOffset: Long = 0L,
+                               flipFirst: Boolean = false): DataFrame = {
+    val mk = udf((id: Long) => checkerPngPayload(id, flipFirst))
+    df.select(col(idCol).cast("long").as("__id"))
+      .select((col("__id") + idOffset).as("media_id"),
+        mk(col("__id")).as("payload"))
+  }
+
+  /**
+   * Perceptual average-hash (aHash) of image payloads: decode → 8×8
+   * nearest-neighbor reduction → 64-bit mask, bit (8y + x) set iff the
+   * cell's integer channel sum exceeds the image mean
+   * (64 · (r+g+b) > Σ(r+g+b) — no division, exact). The standard
+   * near-duplicate key for image corpora: one long per image, hamming
+   * distance ≈ perceptual difference. Per-partition-initialized
+   * mapPartitions over raw payload bytes (the [[decodeImageBatched]]
+   * shape); undecodable/null payloads hash to null.
+   */
+  def aHash64Batched(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { internal =>
+        val id = internal.getLong(idIdx)
+        val payload =
+          if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        val h = aHashOf(payload)
+        org.apache.spark.sql.catalyst.InternalRow(id,
+          h.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  private[pipeline] def aHashOf(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) return None
+      val (sw, sh) = (src.getWidth, src.getHeight)
+      val g = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * sh / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val sx = (x.toLong * sw / 8).toInt
+          val rgb = src.getRGB(sx, sy)
+          val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          g(y * 8 + x) = s
+          total += s
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * g(i) > total) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /**
+   * Exact hamming-threshold near-duplicate pairs over a (id, ahash)
+   * frame via 16-bit BAND BLOCKING: hamming ≤ 3 with 4 disjoint 16-bit
+   * bands guarantees (pigeonhole) at least one band is untouched, so
+   * candidates come from 4 equi-joins on (band, value) — recall 1, no
+   * all-pairs join — and the bit_count(xor) verify is codegen. The LSH
+   * discipline of [[Dedup.nearDuplicatePairs]] applied to perceptual
+   * hashes; at web scale add the hot-band occupancy guard if a constant
+   * hash floods one band value (the AutoBound move).
+   */
+  def aHashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only to hamming 3, got $maxHamming")
+    val bands = hashes.where(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            shiftrightunsigned(col("ahash"), 16 * j)
+              .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("__b"))
+      .select(col("media_id"), col("ahash"),
+        col("__b.j").as("__j"), col("__b.v").as("__v"))
+    val l = bands.select(col("media_id").as("id_a"), col("ahash").as("__ha"),
+      col("__j"), col("__v"))
+    val r = bands.select(col("media_id").as("id_b"), col("ahash").as("__hb"),
+      col("__j"), col("__v"))
+    l.join(r, Seq("__j", "__v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Decoded-image record: dimensions + exact per-channel pixel sums. */
   final case class DecodedImage(width: Int, height: Int,
                                 sumR: Long, sumG: Long, sumB: Long)

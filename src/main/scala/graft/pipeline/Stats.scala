@@ -421,6 +421,86 @@ object Stats {
       .withColumn("abs_dev", abs(col("obs_freq") - col("exp_freq")))
   }
 
+  /**
+   * Welch's unequal-variance t-test between two slices of a value
+   * column — the A/B gate for "did this pipeline change move the
+   * metric": t = (m_A − m_B)/√(s²_A/n_A + s²_B/n_B) with the
+   * Welch–Satterthwaite degrees of freedom. ONE pass over the filtered
+   * rows (conditional aggregates — no self-join, no second scan);
+   * output is a single row (n/mean/var per side, t, dof). Sample
+   * variances are single-pass moment aggregates — engines differ at
+   * ~1e-10 relative on large sums, so callers round (the q117
+   * precedent). Degenerate inputs (a side with n < 2 or both variances
+   * zero) yield NULL t/dof rather than ±Inf.
+   */
+  def welchT(df: DataFrame, sliceCol: String, valueCol: String,
+             sliceA: String, sliceB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(s: String,
+             f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      f(when(col(sliceCol) === s, v))
+    val agg = df.where(col(sliceCol).isin(sliceA, sliceB) && v.isNotNull)
+      .agg(
+        side(sliceA, count).as("n_a"), side(sliceB, count).as("n_b"),
+        side(sliceA, avg).as("mean_a"), side(sliceB, avg).as("mean_b"),
+        side(sliceA, var_samp).as("var_a"), side(sliceB, var_samp).as("var_b"))
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    val se2 = sa + sb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    agg.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+      col("var_a"), col("var_b"),
+      when(ok, (col("mean_a") - col("mean_b")) / sqrt(se2)).as("t"),
+      when(ok, se2 * se2 /
+        (sa * sa / (col("n_a") - 1.0) + sb * sb / (col("n_b") - 1.0))).as("dof"))
+  }
+
+  /**
+   * Derandomized Bayesian-bootstrap confidence interval for a per-group
+   * MEAN — the error bar a metrics dashboard should carry: `replicas`
+   * resampled means per group, CI = their [loP, hiP] percentiles.
+   * Replica weights are Exp(1) draws w = −ln(u) with u derived from
+   * md5(row key ‖ replica) (the [[Sampling.weightedKey]]
+   * derandomization — same sample every run, layout, engine, append);
+   * the Bayesian form (continuous Dirichlet weights, Rubin 1981)
+   * replaces integer multinomial resampling, so each replica mean is
+   * Σwx/Σw — pure aggregates, no per-replica sampling pass.
+   *
+   * Scale shape: the corpus explodes ×`replicas` (the honest cost of a
+   * bootstrap — bound it by sampling first at 100 TB), partial-combines
+   * into ≤ |groups|·replicas (group, replica) sums, and the percentile
+   * runs over the `replicas`-row frame per group (bounded buffer).
+   * Exact-integer hashing + one fixed IEEE chain per weight; only Σ
+   * order varies across engines (~1e-14 relative) — callers round (4dp
+   * leaves ~10 orders of slack).
+   */
+  def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      keyCol: String, replicas: Int = 200,
+                      loP: Double = 0.025, hiP: Double = 0.975): DataFrame = {
+    require(replicas >= 2, s"need at least 2 replicas, got $replicas")
+    require(loP > 0 && hiP < 1 && loP < hiP, s"bad CI range [$loP, $hiP]")
+    val v = col(valueCol).cast("double")
+    val h32 = conv(substring(md5(concat(col(keyCol).cast("string"), lit("_"),
+      col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = -log(u)
+    val reps = df.where(v.isNotNull)
+      .select(groupCols.map(col) :+ col(keyCol) :+ v.as("__v"): _*)
+      .withColumn("__b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("__w", w)
+      .groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__m"))
+    val base = df.where(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(v).as("mean"))
+    reps.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(__m, ${loP}D)").as("ci_lo"),
+        expr(s"percentile(__m, ${hiP}D)").as("ci_hi"))
+      .join(base, groupCols)
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("mean"), col("ci_lo"), col("ci_hi")): _*)
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

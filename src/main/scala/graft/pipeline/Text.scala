@@ -633,6 +633,32 @@ object Text {
     traj.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /**
+   * Mojibake artifact inventory — the byte sequences UTF-8 text grows
+   * when it is decoded as Latin-1/Windows-1252 somewhere in a pipeline
+   * and re-encoded ("café" → "cafÃ©", curly quotes → "â€œ…â€"),
+   * plus U+FFFD (a decoder already gave up). All literal printable
+   * sequences — the shared-regex-dialect discipline ([[EmailRe]]): the
+   * alternation compiles identically under Java regex and RE2.
+   */
+  val MojibakeArtifacts: Seq[String] = Seq(
+    "Ã©", "Ã¨", "Ã¡", "Ã³", "Ãº", "Ã±", "Ã¶", "Ã¼", "Ã§", "Ã¯",
+    "â€™", "â€œ", "â€¦", "Â«", "Â»", "Â°", "ï¿½", "�")
+
+  val MojibakeRe: String = MojibakeArtifacts.mkString("|")
+
+  /** Occurrences of [[MojibakeArtifacts]] in `text` — the
+    * encoding-corruption gate run before training (mojibake survives
+    * every downstream filter and poisons the byte distribution). Pure
+    * codegen `regexp_count` — scan-side, no shuffle. */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(MojibakeRe)).cast("long")
+
+  /** [[mojibakeCount]] per character, 0 for empty text. */
+  def mojibakeScore(text: Column): Column =
+    mojibakeCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
   /** Query parameters dropped whole by [[canonicalizeUrl]] (click/session
     * trackers that vary per impression, never per resource). */
   val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")

@@ -355,4 +355,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2500))
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2500))
   }
+
+  // ---- thirteenth wave (round 7) ----
+
+  test("q154: mojibake gate is scan-side — no shuffle below the sort") {
+    val plan = executedPlan("q154_mojibake")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+  }
+
+  test("q155: bootstrap replicas partial-aggregate; percentile over the replica frame") {
+    val plan = executedPlan("q155_bootstrap_ci")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
+  test("q156: welch is ONE conditional-aggregate pass — no join, no second scan") {
+    val plan = executedPlan("q156_ab_welch")
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan.take(2500))
+  }
+
+  test("q157: ahash pairs flow through a band equi-join — no cartesian, no Window") {
+    val plan = executedPlan("q157_image_ahash")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+  }
 }

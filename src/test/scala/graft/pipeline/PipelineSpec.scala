@@ -2935,4 +2935,107 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, expect)))
     assert(got(2L) == ((1L, 7.5)))
   }
+
+  // ------------------------------------------------ thirteenth wave
+
+  test("mojibake: artifact counts, clean text zero, empty text score") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cafÃ© au lait"), // one artifact
+      (2L, "â€œquotedâ€¦ naÃ¯ve ï¿½"), // four
+      (3L, "perfectly clean ascii text"),
+      (4L, "café naïve — genuine UTF-8 is NOT mojibake"),
+      (5L, ""))
+      .toDF("id", "t")
+      .select(col("id"), Text.mojibakeCount(col("t")).as("n"),
+        Text.mojibakeScore(col("t")).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 4L)
+    assert(rows(3L)._1 == 0L && rows(4L)._1 == 0L)
+    assert(rows(5L) == ((0L, 0.0)))
+    assert(rows(1L)._2 == 1.0 / 13.0)
+  }
+
+  test("welchT: hand-computed statistic; degenerate sides yield null") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 6.0),
+      ("b", 4.0), ("b", 5.0), ("b", 9.0), ("c", 100.0))
+      .toDF("g", "v")
+    val r = Stats.welchT(df, "g", "v", "a", "b").collect().head
+    val (xa, xb) = (Seq(1.0, 2.0, 3.0, 6.0), Seq(4.0, 5.0, 9.0))
+    def meanOf(x: Seq[Double]) = x.sum / x.size
+    def varOf(x: Seq[Double]) = {
+      val m = meanOf(x); x.map(v => (v - m) * (v - m)).sum / (x.size - 1)
+    }
+    val (sa, sb) = (varOf(xa) / xa.size, varOf(xb) / xb.size)
+    val t = (meanOf(xa) - meanOf(xb)) / math.sqrt(sa + sb)
+    val dof = (sa + sb) * (sa + sb) /
+      (sa * sa / (xa.size - 1) + sb * sb / (xb.size - 1))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(6) - t) < 1e-12)
+    assert(math.abs(r.getDouble(7) - dof) < 1e-12)
+    // one-element side → null t/dof, not ±Inf
+    val d2 = Stats.welchT(df, "g", "v", "a", "c").collect().head
+    assert(d2.isNullAt(6) && d2.isNullAt(7))
+  }
+
+  test("bootstrapMeanCI: deterministic, brackets the mean, exact n") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151)
+    val df = Seq.tabulate(400)(i => (s"g${i % 2}", s"k$i", 50.0 + rnd.nextGaussian() * 5))
+      .toDF("g", "k", "v")
+    def run() = Stats.bootstrapMeanCI(df, Seq("g"), "v", "k", replicas = 100)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val a = run()
+    assert(a == run()) // same md5 draws every run
+    for ((g, (n, mean, lo, hi)) <- a) {
+      assert(n == 200L, g)
+      assert(lo < mean && mean < hi, s"$g: [$lo, $hi] vs $mean")
+      assert(hi - lo < 5.0, s"$g: CI implausibly wide [$lo, $hi]")
+    }
+  }
+
+  test("aHash: matches an independent reference on random images; band pairs recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6157)
+    // independent reference over a pixel matrix
+    def refHash(px: Array[Array[Int]]): Long = {
+      val (sh, sw) = (px.length, px(0).length)
+      val g = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val rgb = px((y * sh / 8))((x * sw / 8))
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      val total = g.map(_.toLong).sum
+      g.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (64L * v > total) h | (1L << i) else h
+      }
+    }
+    for (_ <- 0 until 5) {
+      val (w, h) = (8 + rnd.nextInt(12), 8 + rnd.nextInt(12))
+      val px = Array.fill(h, w)(rnd.nextInt(0x1000000))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y)(x))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      assert(Multimodal.aHashOf(out.toByteArray).contains(refHash(px)))
+    }
+    assert(Multimodal.aHashOf(null).isEmpty)
+    assert(Multimodal.aHashOf("not a png".getBytes).isEmpty)
+    // band-blocked pairs: hamming ≤3 always found (incl. bit-63 hashes);
+    // a hamming-4 pair touching all four bands is out of contract
+    val h0 = 0x8000_0000_0000_0001L // bits 0 and 63
+    val hashes = Seq(
+      (1L, h0), (2L, h0 ^ 1L), // hamming 1
+      (3L, h0 ^ 0x0000_0001_0001_0003L), // vs id 1: hamming 4, band 3 shared
+      (4L, h0)) // exact dup of 1
+      .toDF("media_id", "ahash")
+    val pairs = Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1L))
+    assert(pairs.get((1L, 4L)).contains(0L))
+    assert(pairs.get((2L, 4L)).contains(1L))
+    assert(!pairs.contains((1L, 3L))) // candidate via band 3, hamming 4 > 3
+  }
 }
