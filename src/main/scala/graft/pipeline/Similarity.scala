@@ -71,7 +71,7 @@ object Similarity {
     * noise next to the scoring work; corpora already wider than the
     * session parallelism pass through untouched — no shuffle is added at
     * real scale. */
-  private def scaleOut(df: DataFrame): DataFrame = {
+  private[pipeline] def scaleOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

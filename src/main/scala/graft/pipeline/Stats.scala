@@ -484,8 +484,12 @@ object Stats {
       col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
     val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
     val w = -log(u)
-    val reps = df.where(v.isNotNull)
-      .select(groupCols.map(col) :+ col(keyCol) :+ v.as("__v"): _*)
+    // ×replicas explode + per-row md5 is compute-explosive: scale task
+    // count to the session before exploding (the Similarity.scaleOut
+    // rationale — a few-MB single-file input otherwise serializes the
+    // whole bootstrap through one task)
+    val reps = Similarity.scaleOut(df.where(v.isNotNull)
+        .select(groupCols.map(col) :+ col(keyCol) :+ v.as("__v"): _*))
       .withColumn("__b", explode(sequence(lit(0), lit(replicas - 1))))
       .withColumn("__w", w)
       .groupBy(groupCols.map(col) :+ col("__b"): _*)
