@@ -1113,6 +1113,57 @@ object Queries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    "q158_pmi_pairs" -> ((s, d) => {
+      // windowed PMI collocations (window 5, both orders collapsed, P
+      // over ALL events, surviving pairs need count ≥ 5): the multiword-
+      // expression detector. Pair generation is a bounded per-doc array
+      // comprehension (w·n fan-out, no posting self-join); the oracle
+      // regenerates every event positionally. 6dp absorbs the single
+      // ln's ulp.
+      prep(s, d, "documents")
+      graft.pipeline.Text.pmiPairs(t(s, d, "documents"), "text",
+          window = 5, minPairCount = 5)
+        .select(col("a"), col("b"), col("pair_count"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("a", "b")
+    }),
+
+    "q159_chi2" -> ((s, d) => {
+      // χ² independence of lang × source (the corpus-mix drift scalar).
+      // Closed form Σ_observed((o−e)²/e − e) + N — no row×col cross
+      // join, and cells with o=0 still contribute their expected mass
+      // (the classic χ² implementation bug, avoided identically in the
+      // oracle). Exact integer counts; 6dp on the statistic.
+      prep(s, d, "documents")
+      graft.pipeline.Stats.chiSquareIndependence(t(s, d, "documents"),
+          "lang", "source")
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n"))
+    }),
+
+    "q160_bpe_apply" -> ((s, d) => {
+      // the ENCODE half of the q150 tokenizer: train 5 merges, then
+      // segment the whole vocabulary with the trained table (the merge
+      // chain compiles to 5 literal replaces in one codegen projection).
+      // The oracle replays training AND segmentation, so the trajectory,
+      // merge order, and greedy application are all certified at once.
+      prep(s, d, "documents")
+      val words = t(s, d, "documents")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => w =!= "")).as("w"))
+        .select(lower(col("w")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val merges = graft.pipeline.Text.bpeTrain(words, "w", "f", merges = 5)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      words.select(col("w"), col("f"),
+          graft.pipeline.Text.bpeSegment(col("w"), merges).as("__toks"))
+        .select(col("w"), col("f"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          array_join(col("__toks"), " ").as("segmented"))
+        .orderBy("w")
+    }),
+
     "q157_image_ahash" -> ((s, d) => {
       // image near-dup dedup certified end-to-end through REAL codecs:
       // checker-family PNGs (pixels closed-form in the id) + planted
@@ -2781,7 +2832,7 @@ object Queries {
     * `[lr]` is Spark's merge AND canonical BPE, identical-token runs
     * included). Winner per round by (count desc, l, r asc). All CTEs
     * MATERIALIZED (the q148 inlining lesson). */
-  private def bpeOracleSql(merges: Int): String = {
+  private def bpeOracleSql(merges: Int, segmented: Boolean = false): String = {
     val rounds = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS MATERIALIZED (
@@ -2794,18 +2845,30 @@ object Queries {
       m$i AS MATERIALIZED (
         SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
       w$i AS MATERIALIZED (
-        SELECT replace(s,
+        SELECT w,
+               replace(s,
                  '[' || (SELECT l FROM m$i) || '][' || (SELECT r FROM m$i) || ']',
                  '[' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ']') AS s,
                f
         FROM $prev)"""
     }.mkString(",\n      ")
-    val out = (1 to merges).map(i =>
-      s"""SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs,
-          CAST(c AS BIGINT) AS pair_count FROM m$i""").mkString("\n      UNION ALL\n      ")
+    val out =
+      if (segmented)
+        s"""SELECT w, CAST(f AS BIGINT) AS f,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            array_to_string(toks, ' ') AS segmented
+          FROM (SELECT w, f,
+                  string_split(regexp_replace(s, '^\\[|\\]$$', '', 'g'),
+                               '][') AS toks
+                FROM w$merges)
+          ORDER BY w"""
+      else (1 to merges).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs,
+            CAST(c AS BIGINT) AS pair_count FROM m$i""")
+          .mkString("\n      UNION ALL\n      ") + "\n      ORDER BY merge_rank"
     s"""
       WITH w0 AS MATERIALIZED (
-        SELECT regexp_replace(w, '(.)', '[\\1]', 'g') AS s, f FROM (
+        SELECT w, regexp_replace(w, '(.)', '[\\1]', 'g') AS s, f FROM (
           SELECT lower(tok) AS w, count(*) AS f FROM (
             SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
                           x -> x <> '')) AS tok
@@ -2813,8 +2876,7 @@ object Queries {
           WHERE regexp_matches(lower(tok), '^[a-z]+$$')
           GROUP BY 1)),
       $rounds
-      $out
-      ORDER BY merge_rank"""
+      $out"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -3610,6 +3672,57 @@ object Queries {
       FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     // same rollup from the UNPARTITIONED events table
+    "q158_pmi_pairs" -> """
+      WITH toks AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      ev AS MATERIALIZED (
+        SELECT least(ts[u.i], ts[u.i + v.o]) AS a,
+               greatest(ts[u.i], ts[u.i + v.o]) AS b
+        FROM toks,
+             unnest(range(1, len(ts) + 1)) u(i),
+             unnest(range(1, 6)) v(o)
+        WHERE u.i + v.o <= len(ts)),
+      pairs_all AS MATERIALIZED (
+        SELECT a, b, count(*) AS pair_count FROM ev GROUP BY 1, 2),
+      p AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS p FROM pairs_all),
+      pairs AS (SELECT * FROM pairs_all WHERE pair_count >= 5 AND a <> b),
+      uni AS MATERIALIZED (
+        SELECT t, count(*) AS ct
+        FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+      n AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM uni)
+      SELECT pairs.a, pairs.b, pairs.pair_count,
+             round(ln((pairs.pair_count / p.p) /
+                      ((ua.ct / n.n) * (ub.ct / n.n))), 6) AS pmi
+      FROM pairs, uni ua, uni ub, n, p
+      WHERE ua.t = pairs.a AND ub.t = pairs.b
+      ORDER BY a, b""",
+
+    "q159_chi2" -> """
+      WITH obs AS (
+        SELECT lang AS r, source AS c, count(*) AS o
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY 1),
+      ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                     count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+              FROM obs),
+      terms AS (
+        SELECT (CAST(o AS DOUBLE) - rt.rt * ct.ct / tot.n)
+               * (CAST(o AS DOUBLE) - rt.rt * ct.ct / tot.n)
+               / (rt.rt * ct.ct / tot.n)
+               - (rt.rt * ct.ct / tot.n) AS term,
+               tot.n, tot.nr, tot.nc
+        FROM obs JOIN rt USING (r) JOIN ct USING (c), tot)
+      SELECT round(sum(term) + any_value(n), 6) AS chi2,
+             CAST((any_value(nr) - 1) * (any_value(nc) - 1) AS BIGINT) AS dof,
+             CAST(any_value(n) AS BIGINT) AS n
+      FROM terms""",
+
+    "q160_bpe_apply" -> bpeOracleSql(merges = 5, segmented = true),
+
     "q157_image_ahash" -> """
       WITH k AS MATERIALIZED (
         SELECT c_custkey AS key FROM customer WHERE c_custkey % 29 = 0),

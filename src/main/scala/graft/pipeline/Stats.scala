@@ -505,6 +505,43 @@ object Stats {
         Seq(col("n"), col("mean"), col("ci_lo"), col("ci_hi")): _*)
   }
 
+  /**
+   * χ² test of independence between two categorical columns — "did the
+   * language mix shift across sources/crawls/shards" as a single
+   * scalar. Uses the closed form
+   * χ² = Σ_observed((o−e)²/e − e) + N with e = rowTotal·colTotal/N,
+   * which needs ONLY the observed cells: the Σe of unobserved cells is
+   * N − Σ_observed e, so no row×col cross join ever materializes
+   * (cells with o=0 still contribute their e — dropping them is the
+   * classic χ² implementation bug). dof = (R−1)(C−1).
+   *
+   * Scale shape: one (row, col) cell aggregate (map-side combined) —
+   * the only corpus shuffle; row/col totals re-aggregate the CELL frame
+   * (dimension-sized) and join back as broadcasts. Exact-integer counts
+   * in, one IEEE chain per cell, Σ-order drift ~1e-14 — callers round.
+   */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val obs = df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o")).persist()
+    val rt = obs.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val ct = obs.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = obs.agg(sum(col("__o")).cast("double").as("__n"),
+      countDistinct(col("__r")).as("__nr"), countDistinct(col("__c")).as("__nc"))
+    val e = col("__rt").cast("double") * col("__ct").cast("double") / col("__n")
+    val o = col("__o").cast("double")
+    obs.join(broadcast(rt), Seq("__r")).join(broadcast(ct), Seq("__c"))
+      .crossJoin(broadcast(tot))
+      .select(((o - e) * (o - e) / e - e).as("__term"),
+        col("__n"), col("__nr"), col("__nc"))
+      .groupBy(col("__n"), col("__nr"), col("__nc"))
+      .agg(sum(col("__term")).as("__s"))
+      .select((col("__s") + col("__n")).as("chi2"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        col("__n").cast("long").as("n"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

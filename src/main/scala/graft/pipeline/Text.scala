@@ -634,6 +634,61 @@ object Text {
   }
 
   /**
+   * Windowed PMI collocations — pointwise mutual information
+   * log(p(a,b) / (p(a)·p(b))) over token-pair co-occurrence EVENTS
+   * within `window` positions in a document, both orders collapsed to
+   * (min, max). The corpus-analysis staple for finding multiword
+   * expressions / template phrases before tokenizer or dedup decisions.
+   * `minPairCount` drops the unstable tail (PMI of a count-1 pair is
+   * noise). Probabilities: p(a,b) = pairs(a,b)/P over co-occurrence
+   * events, p(t) = count(t)/N over tokens — exact integer ratios; the
+   * single log is ≤1-ulp — callers round.
+   *
+   * Scale shape: pair generation is a per-document array comprehension
+   * (transform × transform over the ≤window offsets — bounded fan-out
+   * w·n per doc, NOT n²; stays in codegen), pairs partial-combine
+   * map-side on the (a, b) key, unigram counts on the token key, and
+   * the three totals fold to one-row broadcasts. No self-join of the
+   * posting lists, no Window.
+   */
+  def pmiPairs(df: DataFrame, textCol: String, window: Int = 5,
+               minPairCount: Long = 2L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val tokDf = df.select(toks.as("__t")).where(size(col("__t")) > 0)
+    val unigrams = tokDf.select(explode(col("__t")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__ct"))
+    val n = unigrams.agg(sum(col("__ct")).as("__n"))
+    val pairsArr = flatten(transform(col("__t"), (tok, i) =>
+      filter(transform(sequence(lit(1), lit(window)), o =>
+        when(i + o < size(col("__t")),
+          struct(least(tok, element_at(col("__t"), i + o + 1)).as("a"),
+            greatest(tok, element_at(col("__t"), i + o + 1)).as("b")))),
+        p => p.isNotNull)))
+    val pairsAll = tokDf.select(explode(pairsArr).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("pair_count"))
+    // P normalizes over ALL co-occurrence events — filtering first would
+    // bias every surviving pair's p(a,b) upward
+    val p = pairsAll.agg(sum(col("pair_count")).as("__p"))
+    val pairs = pairsAll
+      .where(col("pair_count") >= minPairCount && col("a") =!= col("b"))
+    // unigram joins stay UNHINTED: the vocabulary outgrows any broadcast
+    // at corpus scale, and both sides are already token-keyed (the q129
+    // bigram-LM argument); only the one-row totals are forced broadcast
+    pairs
+      .join(unigrams.withColumnRenamed("t", "a")
+        .withColumnRenamed("__ct", "__ca"), Seq("a"))
+      .join(unigrams.withColumnRenamed("t", "b")
+        .withColumnRenamed("__ct", "__cb"), Seq("b"))
+      .crossJoin(broadcast(p)).crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("pair_count"),
+        log((col("pair_count").cast("double") / col("__p")) /
+          ((col("__ca").cast("double") / col("__n")) *
+            (col("__cb").cast("double") / col("__n")))).as("pmi"))
+  }
+
+  /**
    * Mojibake artifact inventory — the byte sequences UTF-8 text grows
    * when it is decoded as Latin-1/Windows-1252 somewhere in a pipeline
    * and re-encoded ("café" → "cafÃ©", curly quotes → "â€œ…â€"),
@@ -658,6 +713,23 @@ object Text {
   def mojibakeScore(text: Column): Column =
     mojibakeCount(text).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
+
+  /**
+   * Apply a trained BPE merge table ([[bpeTrain]]'s trajectory, in
+   * merge order) to a word — the ENCODE half of the tokenizer: the
+   * same bracket encoding and literal left-to-right replaces as
+   * training, so segmentation is canonical greedy merge-order BPE.
+   * Returns the token array. The merge chain compiles to one codegen'd
+   * projection (|merges| literal replaces) — tokenizing 100 TB costs a
+   * scan; no UDF, no shuffle.
+   */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val init = regexp_replace(word, "(.)", "[$1]")
+    val merged = merges.foldLeft(init) { case (s, (l, r)) =>
+      replace(s, lit(s"[$l][$r]"), lit(s"[$l$r]"))
+    }
+    split(regexp_replace(merged, "^\\[|\\]$", ""), "\\]\\[")
+  }
 
   /** Query parameters dropped whole by [[canonicalizeUrl]] (click/session
     * trackers that vary per impression, never per resource). */

@@ -383,4 +383,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
     assert(!plan.contains("Window"), plan.take(2500))
   }
+
+  // ---- fourteenth wave (round 7) ----
+
+  test("q158: pmi pair generation is an array comprehension — no posting self-join, no Window") {
+    val plan = executedPlan("q158_pmi_pairs")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // unigram joins are token-keyed equi-joins; only totals broadcast
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
+  test("q159: chi2 has no row×col cross join — one cell aggregate + broadcasts") {
+    val plan = executedPlan("q159_chi2")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2500))
+  }
 }

@@ -3038,4 +3038,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.get((2L, 4L)).contains(1L))
     assert(!pairs.contains((1L, 3L))) // candidate via band 3, hamming 4 > 3
   }
+
+  // ------------------------------------------------ fourteenth wave
+
+  test("pmiPairs: matches a positional reference on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq("a b a b c", "b c d d a", "a a b").toDF("text")
+    val window = 2
+    // independent positional reference
+    val tokss = Seq(Seq("a","b","a","b","c"), Seq("b","c","d","d","a"), Seq("a","a","b"))
+    val events = for {
+      ts <- tokss; i <- ts.indices; o <- 1 to window if i + o < ts.size
+    } yield (Seq(ts(i), ts(i + o)).min, Seq(ts(i), ts(i + o)).max)
+    val pairCounts = events.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val p = events.size.toDouble
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = tokss.flatten.size.toDouble
+    val expect = pairCounts.collect {
+      case ((a, b), c) if c >= 2 && a != b =>
+        ((a, b), (c, math.log((c / p) / ((uni(a) / n) * (uni(b) / n)))))
+    }.toMap
+    val got = Text.pmiPairs(docs, "text", window = 2, minPairCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((k, (c, pmi)) <- expect) {
+      assert(got(k)._1 == c, k)
+      assert(math.abs(got(k)._2 - pmi) < 1e-12, k)
+    }
+  }
+
+  test("chiSquareIndependence: matches full-cell-enumeration reference incl. zero cells") {
+    import spark.implicits._
+    // (r2, c3) never occurs — its expected mass must still count
+    val rows = Seq.fill(20)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(5)(("r1", "c3")) ++ Seq.fill(8)(("r2", "c1")) ++
+      Seq.fill(12)(("r2", "c2"))
+    val df = rows.toDF("r", "c")
+    val res = Stats.chiSquareIndependence(df, "r", "c").collect().head
+    val (rs, cs) = (rows.map(_._1).distinct, rows.map(_._2).distinct)
+    val nTot = rows.size.toDouble
+    val chi2 = (for (r <- rs; c <- cs) yield {
+      val o = rows.count(x => x == ((r, c))).toDouble
+      val e = rows.count(_._1 == r) * rows.count(_._2 == c) / nTot
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(res.getDouble(0) - chi2) < 1e-9)
+    assert(res.getLong(1) == 2L && res.getLong(2) == 55L)
+  }
+
+  test("bpeSegment: greedy merge-order application, unseen chars stay chars") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "d"))
+    def seg(w: String): Seq[String] =
+      Seq(w).toDF("w").select(Text.bpeSegment(col("w"), merges).as("t"))
+        .collect().head.getSeq[String](0)
+    assert(seg("abc") == Seq("abc")) // (a,b) then (ab,c)
+    assert(seg("abd") == Seq("ab", "d"))
+    assert(seg("cab") == Seq("c", "ab"))
+    assert(seg("dddd") == Seq("dd", "dd"))
+    assert(seg("ddd") == Seq("dd", "d")) // greedy left-to-right
+    assert(seg("xyz") == Seq("x", "y", "z")) // untouched by the table
+    assert(seg("bca") == Seq("b", "c", "a")) // order matters: no (b,c) merge
+  }
 }
