@@ -2705,6 +2705,88 @@ object Queries {
                  ST_Buffer(ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D, 0.0D), 64.0D),
                  ST_Point(CAST(n_nationkey AS DOUBLE) * 256.0D + 96.0D, 0.0D)) AS buf_far
         FROM nation ORDER BY n_nationkey""")
+    }),
+
+    "q161_interval_coverage" -> ((s, d) => {
+      // merged-interval union length per user: each event covers
+      // [ts, ts + value minutes); overlapping intervals dissolve into
+      // islands via the classic sweep (running max of prior ends → island
+      // flag → island ordinal). ONE shuffle on user_id — both windows
+      // share the same (user, start, event_id) sort; all arithmetic is
+      // integer µs, so the oracle replays it exactly.
+      graft.pipeline.Sessions.intervalCoverage(events(s, d), "user_id",
+          "ts", "event_id", expr("CAST(floor(value * 60000000.0) AS BIGINT)"))
+        .orderBy("user_id")
+    }),
+
+    "q162_cusum" -> ((s, d) => {
+      // one-sided CUSUM upward-shift detection per user (k = 0.5σ drift
+      // allowance, h = 4σ alarm): the recursive Sᵢ = max(0, Sᵢ₋₁ + yᵢ)
+      // via its prefix-sum closed form — two cumulative windows over one
+      // (user, ts, event_id) sort, no recursion. μ/σ are rounded to 6dp
+      // inside the operator so the downstream IEEE chain is engine-
+      // independent; max_stat rounds at the edge.
+      graft.pipeline.Stats.cusum(events(s, d), "user_id", "ts", "event_id",
+          "value", k = 0.5, h = 4.0)
+        .select(col("user_id"), col("n_alarms"), col("first_alarm_micros"),
+          round(col("max_stat"), 6).as("max_stat"))
+        .orderBy("user_id")
+    }),
+
+    "q163_bloom_prune" -> ((s, d) => {
+      // Bloom-filter runtime join pruning: BUILDING customers' keys fold
+      // into a 2²⁰-bit bitset (map-side OR-merge, one row), broadcast;
+      // orders are pre-filtered by the codegen'd bit probe BEFORE the
+      // join shuffle; the real join removes false positives → EXACT
+      // revenue by order month. The pattern that turns a fact-sized
+      // shuffle into a match-sized one at 100 TB.
+      val dim = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val pruned = graft.pipeline.Bloom.prune(
+        t(s, d, "orders"), dim, "o_custkey", "c_custkey")
+      pruned.join(dim, pruned("o_custkey") === dim("c_custkey"))
+        .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("month")
+    }),
+
+    "q164_sorted_neighborhood" -> ((s, d) => {
+      // sorted-neighborhood record linkage over a 32-char normalized
+      // text prefix: global rank from the DISTRIBUTED ranking helper
+      // (range partitions + per-partition row_number + tiny offset
+      // frame — no single-reducer Window), w = 8 neighbor positions,
+      // levenshtein ≤ 4 verify. Candidate volume is exactly n·w —
+      // skew-immune by construction.
+      graft.pipeline.Dedup.sortedNeighborhoodPairs(
+          t(s, d, "documents"), "doc_id",
+          lower(substring(regexp_replace(col("text"), "\\s+", " "), 1, 32)),
+          w = 8, maxEd = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q165_twa" -> ((s, d) => {
+      // time-weighted average of the event value per user (trapezoidal
+      // integration — the honest mean of an irregularly-sampled signal,
+      // where plain avg() over-weights chatty periods). One lead window
+      // + one partial-aggregated groupBy.
+      graft.pipeline.Sessions.timeWeightedAvg(events(s, d), "user_id",
+          "ts", "event_id", "value")
+        .select(col("user_id"), col("n_samples"),
+          round(col("twa"), 6).as("twa"))
+        .orderBy("user_id")
+    }),
+
+    "q166_attribution" -> ((s, d) => {
+      // last-touch marketing attribution: each purchase credits the
+      // latest click/view of the same user at-or-before it within a
+      // 7-day lookback (stale or absent → unattributed bucket). Built
+      // ON the engine's as-of join: one union + one user-partitioned
+      // LOCF window — no per-conversion history scan.
+      graft.pipeline.Sessions.lastTouchAttribution(events(s, d), "user_id",
+          "ts", "event_type", "purchase", Seq("click", "view"),
+          lookbackMicros = 7L * 24 * 3600 * 1000000L)
+        .orderBy("touch_type")
     })
   )
 
@@ -5609,6 +5691,124 @@ object Queries {
                 * 128.0) AS symdiff_area,
              TRUE AS buf_near,
              FALSE AS buf_far
-      FROM nation ORDER BY n_nationkey"""
+      FROM nation ORDER BY n_nationkey""",
+
+    "q161_interval_coverage" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runend
+        FROM iv),
+      f AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN runend IS NULL OR s > runend THEN 1 ELSE 0 END AS ni
+        FROM m),
+      g AS (
+        SELECT user_id, s, e,
+               sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f),
+      i AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+            FROM g GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(i_e - i_s) AS BIGINT) AS covered_micros,
+             count(*) AS n_islands,
+             max(i_e) - min(i_s) AS span_micros
+      FROM i GROUP BY user_id ORDER BY user_id""",
+
+    "q162_cusum" -> """
+      WITH st AS (
+        SELECT round(avg(value), 6) AS mu, round(stddev_pop(value), 6) AS sigma
+        FROM events WHERE value IS NOT NULL),
+      y AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               (CAST(value AS DOUBLE) - mu) / sigma - 0.5 AS yv
+        FROM events, st WHERE value IS NOT NULL),
+      c AS (
+        SELECT user_id, event_id, t,
+               sum(yv) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        FROM y),
+      sf AS (
+        SELECT user_id, t,
+               cv - least(0.0, min(cv) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+        FROM c)
+      SELECT user_id,
+             CAST(sum(CASE WHEN sv > 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+             min(CASE WHEN sv > 4.0 THEN t END) AS first_alarm_micros,
+             round(max(sv), 6) AS max_stat
+      FROM sf GROUP BY user_id ORDER BY user_id""",
+
+    "q163_bloom_prune" -> """
+      SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q164_sorted_neighborhood" -> """
+      WITH keyed AS (
+        SELECT doc_id AS id,
+               lower(substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 32)) AS k
+        FROM documents),
+      ranked AS (
+        SELECT id, k, row_number() OVER (ORDER BY k, id) AS r FROM keyed)
+      SELECT a.id AS id_a, b.id AS id_b, b.r - a.r AS pos_gap,
+             CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_dist
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 8
+      WHERE levenshtein(a.k, b.k) <= 4
+      ORDER BY id_a, id_b""",
+
+    "q165_twa" -> """
+      WITH o AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL),
+      l AS (
+        SELECT user_id, t, v,
+               lead(t) OVER w AS nt, lead(v) OVER w AS nv
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      a AS (
+        SELECT user_id, count(*) AS n_samples,
+               sum(CASE WHEN nt IS NOT NULL
+                   THEN (nv + v) / 2.0 * CAST(nt - t AS DOUBLE) END) AS area,
+               sum(CASE WHEN nt IS NOT NULL
+                   THEN CAST(nt - t AS DOUBLE) END) AS dt,
+               min(v) AS anyv
+        FROM l GROUP BY user_id)
+      SELECT user_id, n_samples,
+             round(CASE WHEN dt IS NOT NULL AND dt > 0.0
+                   THEN area / dt ELSE anyv END, 6) AS twa
+      FROM a ORDER BY user_id""",
+
+    "q166_attribution" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      tch AS (
+        SELECT user_id, t, 0 AS side,
+               arg_max(event_type, event_id) AS ttype, t AS touch_t,
+               CAST(NULL AS BIGINT) AS conv_id
+        FROM ev WHERE event_type IN ('click', 'view') GROUP BY user_id, t),
+      conv AS (
+        SELECT user_id, t, 1 AS side, CAST(NULL AS VARCHAR) AS ttype,
+               CAST(NULL AS BIGINT) AS touch_t, event_id AS conv_id
+        FROM ev WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM tch UNION ALL SELECT * FROM conv),
+      loc AS (
+        SELECT user_id, t, side, conv_id,
+               last_value(ttype IGNORE NULLS) OVER w AS l_type,
+               last_value(touch_t IGNORE NULLS) OVER w AS l_t
+        FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CASE WHEN l_t IS NOT NULL AND t - l_t <= 604800000000
+                  THEN l_type END AS touch_type,
+             count(*) AS n_conversions,
+             count(DISTINCT user_id) AS n_users
+      FROM loc WHERE side = 1
+      GROUP BY 1 ORDER BY 1 NULLS FIRST"""
   )
 }

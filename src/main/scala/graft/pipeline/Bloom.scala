@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Bloom-filter runtime join pruning — the 100 TB pattern for a
+ * fact ⋈ dim join where the dim's KEY SET fits in a few MB even when
+ * the dim rows don't (or the planner missed the broadcast): build a
+ * Bloom filter over the dim keys (map-side partial bitsets, OR-merge —
+ * one row out), broadcast it, and pre-filter the fact side with a
+ * codegen'd bit-probe BEFORE the shuffle join. No false negatives, so
+ * the subsequent real join makes the result EXACT — false positives
+ * only cost a little extra shuffle.
+ *
+ * Hash discipline: bit positions are computed with the BUILTIN
+ * `xxhash64(lit(seed), key)` on BOTH sides — build and probe share one
+ * codegen'd hash, so there is no cross-language hash-consistency trap.
+ * The build aggregates positions (long) into an Array[Long] bitset via
+ * [[BitsetAggregator]]: zero-allocation reduce, OR-merge, fully
+ * commutative — the textbook algebraic aggregate (partial bitsets
+ * combine map-side; the exchange carries one bitset per task).
+ *
+ * Sizing: m bits / k hashes give fp ≈ (1 − e^(−kn/m))^k. The 2²⁰-bit
+ * default is 128 KiB — broadcastable at any dim cardinality worth
+ * pruning for; callers with 10⁸⁺ dim keys raise `nbits`.
+ */
+object Bloom {
+
+  /** `numHashes` bit positions for `key` (builtin xxhash64 per seed —
+    * identical codegen on build and probe sides). */
+  private def positions(key: Column, nbits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(nbits.toLong)))
+
+  /** Build the filter: one row, one `bits: Array[Long]` column. */
+  def build(dim: DataFrame, keyCol: String, nbits: Int,
+            numHashes: Int): DataFrame = {
+    val agg = udaf(new BitsetAggregator(nbits),
+      ExpressionEncoder[Long]())
+    dim.select(explode(array(
+        positions(col(keyCol), nbits, numHashes): _*)).as("__pos"))
+      .agg(agg(col("__pos")).as("bits"))
+  }
+
+  /** Probe predicate: all `numHashes` bits set in the broadcast bitset —
+    * a codegen'd element_at/shift/mask chain, no UDF on the hot path. */
+  def mightContain(key: Column, bits: Column, nbits: Int,
+                   numHashes: Int): Column =
+    positions(key, nbits, numHashes).map { pos =>
+      (call_function("shiftright", element_at(bits, (pos / 64).cast("int") + 1),
+        pmod(pos, lit(64L)).cast("int")).bitwiseAND(1L)) === 1L
+    }.reduce(_ && _)
+
+  /**
+   * Prune `fact` to rows whose `keyCol` might be in `dim`'s key set —
+   * a semi-join with bounded false-positive slack (zero false
+   * negatives). The one-row filter arrives via broadcast.
+   */
+  def prune(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+            nbits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val f = build(dim, dimKey, nbits, numHashes)
+    fact.crossJoin(broadcast(f))
+      .where(mightContain(col(factKey), col("bits"), nbits, numHashes))
+      .drop("bits")
+  }
+}
+
+/** OR-merge bitset aggregate over bit positions in [0, nbits). */
+class BitsetAggregator(nbits: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+  private val words = (nbits + 63) >>> 6
+  def zero: Array[Long] = new Array[Long](words)
+  def reduce(b: Array[Long], pos: Long): Array[Long] = {
+    val p = pos.toInt; b(p >>> 6) |= (1L << (p & 63)); b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
+  }
+  def finish(r: Array[Long]): Array[Long] = r
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}

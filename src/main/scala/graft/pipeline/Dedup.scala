@@ -887,4 +887,72 @@ object Dedup {
         greatest(col("__ida"), col("__idb")).as("id_b"), lit(1L).as("dist"))
     ed0.unionByName(ed1)
   }
+
+  /**
+   * DISTRIBUTED global rank (1-based, dense total order) without a
+   * single-partition Window: range-repartition on the sort key, local
+   * `row_number` per range partition (each Window partition is one
+   * range partition — bounded), then add per-partition offsets from a
+   * numPartitions-sized count frame (cumulative sum over that tiny
+   * frame runs in one task; it is metadata-sized, not data-sized).
+   * Rank values depend ONLY on the total order `(sortCols…)`, which
+   * must be a total order (include a unique id as the last key) — the
+   * sampled range boundaries move work between partitions but cannot
+   * change any rank. This is the scale-safe form of
+   * `row_number() OVER (ORDER BY …)`, whose naive plan funnels the
+   * corpus through one reducer.
+   */
+  def globalRank(df: DataFrame, sortCols: Seq[String],
+                 rankCol: String = "rank"): DataFrame = {
+    val sc = sortCols.map(col)
+    val parted = df.repartitionByRange(sc: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    val local = parted.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(sc: _*))
+        .cast("long"))
+    val offs = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr")
+  }
+
+  /**
+   * Sorted-neighborhood method (SNM) record linkage: sort the corpus by
+   * a blocking key, slide a window of `w` positions, and verify each
+   * in-window pair with an edit-distance check on the key. The classic
+   * complement to LSH for SHORT keys (names, titles, addresses) where
+   * lexicographic closeness ≈ typo closeness: candidate volume is
+   * exactly n·w, independent of skew — no hot buckets possible.
+   *
+   * Semantics are EXACT and engine-independent: positions come from the
+   * total order (blockKey, id) via [[globalRank]]; a pair qualifies iff
+   * 0 < rank_b − rank_a ≤ w AND levenshtein(key_a, key_b) ≤ maxEd.
+   * The window join is an EQUI-join on rank + d (d ∈ 1…w exploded) —
+   * no range/theta join, no cartesian.
+   *
+   * Returns (id_a, id_b, pos_gap, edit_dist) with id order following
+   * the sort order.
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              blockKey: Column, w: Int,
+                              maxEd: Int): DataFrame = {
+    require(w >= 1 && maxEd >= 0)
+    val keyed = df.select(col(idCol).as("__id"), blockKey.as("__k"))
+    val ranked = globalRank(keyed, Seq("__k", "__id"), "__rank")
+    val left = ranked.select(col("__id").as("id_a"), col("__k").as("__ka"),
+        col("__rank").as("__ra"))
+      .withColumn("__d", explode(sequence(lit(1), lit(w))))
+      .withColumn("__rb", col("__ra") + col("__d"))
+    val right = ranked.select(col("__id").as("id_b"), col("__k").as("__kb"),
+      col("__rank").as("__rb"))
+    left.join(right, Seq("__rb"))
+      .withColumn("edit_dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("edit_dist") <= maxEd)
+      .select(col("id_a"), col("id_b"), col("__d").cast("long").as("pos_gap"),
+        col("edit_dist"))
+  }
 }

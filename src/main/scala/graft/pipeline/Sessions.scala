@@ -181,4 +181,118 @@ object Sessions {
           (acc, e) => lit(alpha) * e.getField("v") + lit(1.0 - alpha) * acc)
           .as("ewma"))
   }
+
+  /**
+   * Union length of (possibly overlapping) time intervals per key — the
+   * classic interval-merge sweep. Each event contributes the interval
+   * [ts, ts + durationExpr µs); the result is one row per key with the
+   * total covered microseconds, the merged-island count, and the span.
+   *
+   * Shape: ONE shuffle on the key; both window passes (running max of
+   * prior interval ends → island flag; island ordinal) share the same
+   * (key, start, tie) sort, so Spark plans a single Exchange + Sort and
+   * the sweep runs in whole-stage codegen. Partitions are per-key —
+   * bounded by the busiest key, never the corpus — so the plan survives
+   * a 100× scale-up as long as no single key holds the whole table
+   * (the same contract as sessionize). NTZ-proof via [[Time.tsMicros]].
+   *
+   * Determinism: ties on start break by `tieCol`; the running max and
+   * the island sums are integer µs arithmetic — any engine replays them
+   * exactly.
+   */
+  def intervalCoverage(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, durationMicros: org.apache.spark.sql.Column): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col(tieCol))
+    val prior = byKey.rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("__s", Time.tsMicros(col(tsCol)))
+      .withColumn("__e", col("__s") + durationMicros.cast("long"))
+      .withColumn("__runend", max(col("__e")).over(prior))
+      .withColumn("__new_island",
+        when(col("__runend").isNull || col("__s") > col("__runend"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(prefix))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__ie") - col("__is")).as("covered_micros"),
+        count(lit(1)).as("n_islands"),
+        (max(col("__ie")) - min(col("__is"))).as("span_micros"))
+  }
+
+  /**
+   * Time-weighted average of a signal per key — trapezoidal integration
+   * over consecutive samples: ∫v dt / ∫dt with v linear between events.
+   * Keys with a single sample report that sample (zero-width integral).
+   *
+   * Shape: one key-partitioned window (lead of ts and value in event
+   * order) + one partial-aggregated groupBy — the standard downsample
+   * for irregular IoT/metrics streams, where a plain avg() over-weights
+   * chatty periods. All arithmetic is a fixed IEEE sequence in event
+   * order, so an oracle replays it exactly. NTZ-proof.
+   */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col(tieCol))
+    events
+      .where(col(valCol).isNotNull)
+      .withColumn("__t", Time.tsMicros(col(tsCol)))
+      .withColumn("__v", col(valCol).cast("double"))
+      .withColumn("__nt", lead(col("__t"), 1).over(byKey))
+      .withColumn("__nv", lead(col("__v"), 1).over(byKey))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col("__nt").isNotNull,
+          (col("__nv") + col("__v")) / 2.0 *
+            (col("__nt") - col("__t")).cast("double"))).as("__area"),
+        sum(when(col("__nt").isNotNull,
+          (col("__nt") - col("__t")).cast("double"))).as("__dt"),
+        // min, not first: deterministic for the single-sample (and the
+        // degenerate all-same-instant) fallback
+        min(col("__v")).as("__any"))
+      .select(col(keyCol), col("n_samples"),
+        when(col("__dt").isNotNull && col("__dt") > 0.0,
+          col("__area") / col("__dt")).otherwise(col("__any")).as("twa"))
+  }
+
+  /**
+   * Last-touch attribution: each conversion event is credited to the
+   * latest touch event of the same key at-or-before it, provided the
+   * touch is within `lookbackMicros`. Returns per-(touch type) credit
+   * counts plus the unattributed bucket (`touch_type` null).
+   *
+   * Built ON the engine's as-of join ([[AsOf.join]] backward) — one
+   * union + one key-partitioned LOCF window, no per-conversion scan of
+   * the touch history. The lookback filter runs AFTER the as-of match
+   * (the match is the latest touch; if the latest is stale, older ones
+   * are staler), which keeps it a post-window projection. NTZ-proof:
+   * the ts columns are normalized to µs before the join.
+   */
+  def lastTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                           typeCol: String, conversionType: String,
+                           touchTypes: Seq[String],
+                           lookbackMicros: Long): DataFrame = {
+    val base = events.withColumn("__t", Time.tsMicros(col(tsCol)))
+    val conversions = base.where(col(typeCol) === conversionType)
+      .select(col(keyCol), col("__t"), col("event_id").as("conv_id"))
+    // collapse same-instant touches (max event_id wins) so the as-of
+    // LOCF has a unique right row per (key, ts) — deterministic match
+    val touches = base.where(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(keyCol), col("__t"))
+      .agg(max(struct(col("event_id"), col(typeCol))).as("__w"))
+      .select(col(keyCol), col("__t"),
+        col("__w").getField(typeCol).as("__touch_type"),
+        col("__t").as("__touch_t"))
+    AsOf.join(conversions, touches, Seq(keyCol), "__t")
+      .withColumn("touch_type",
+        when(col("__touch_t").isNotNull &&
+          col("__t") - col("__touch_t") <= lookbackMicros,
+          col("__touch_type")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col(keyCol)).as("n_users"))
+  }
 }

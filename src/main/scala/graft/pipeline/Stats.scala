@@ -542,6 +542,50 @@ object Stats {
         col("__n").cast("long").as("n"))
   }
 
+  /**
+   * One-sided CUSUM change detection per key: with standardized
+   * deviations yᵢ = (xᵢ − μ)/σ − k, the recursive statistic
+   * Sᵢ = max(0, Sᵢ₋₁ + yᵢ) has the CLOSED FORM
+   * Sᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ) where Cᵢ is the prefix sum of y —
+   * so the whole fold is two cumulative windows over the same
+   * (key, ts, tie) sort, no recursion, no UDF, replayable exactly by
+   * any engine with prefix windows. μ/σ are GLOBAL (population, one-row
+   * broadcast — at 100 TB a per-key fit would be a second shuffle; the
+   * global fit is the standard monitored-process baseline). `k` is the
+   * drift allowance and `h` the alarm threshold, both in σ units.
+   *
+   * Returns per key: n alarm points (Sᵢ > h), the first alarm's µs
+   * timestamp (null if never), and the max statistic — the triage
+   * surface for "which users/streams shifted upward, and when".
+   *
+   * Shape: one scan for the one-row (μ, σ) broadcast, then one shuffle
+   * on the key; both windows share a single Exchange+Sort; the final
+   * groupBy partial-aggregates. Per-key partitions bound memory.
+   */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valCol: String, k: Double, h: Double): DataFrame = {
+    val rows = df.where(col(valCol).isNotNull)
+      .select(col(keyCol), Time.tsMicros(col(tsCol)).as("__t"),
+        col(tieCol).as("__tie"), col(valCol).cast("double").as("__x"))
+    // pin μ/σ to 6dp: double partial-agg order differs across engines in
+    // the last bits; the rounded moments are engine-independent, and the
+    // whole downstream window chain is then one identical IEEE sequence —
+    // alarm threshold comparisons can't flip between engines
+    val stats = rows.agg(round(avg(col("__x")), 6).as("__mu"),
+      round(stddev_pop(col("__x")), 6).as("__sigma"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__tie"))
+    val prefix = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    rows.crossJoin(broadcast(stats))
+      .withColumn("__y", (col("__x") - col("__mu")) / col("__sigma") - lit(k))
+      .withColumn("__c", sum(col("__y")).over(prefix))
+      .withColumn("__s", col("__c") - least(lit(0.0), min(col("__c")).over(prefix)))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__s") > h, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__s") > h, col("__t"))).as("first_alarm_micros"),
+        max(col("__s")).as("max_stat"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -401,4 +401,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(2500))
   }
+
+  // ---- fifteenth wave (round 7) ----
+
+  test("q161: interval sweep — both windows + both aggs ride ONE data shuffle") {
+    val plan = executedPlan("q161_interval_coverage")
+    // exchanges: the user_id shuffle + the final orderBy range partitioning;
+    // the (user, island) and (user) groupBys reuse the window partitioning
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan.take(3000))
+    assert("Window".r.findAllIn(plan).length == 2, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q162: cusum — closed-form windows, one-row moments broadcast, no join shuffle") {
+    val plan = executedPlan("q162_cusum")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the μ/σ frame is one row: a broadcast NLJ, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q163: bloom probe filters the fact side BELOW the dim join") {
+    val plan = executedPlan("q163_bloom_prune")
+    // the bitset is built by a partial ObjectHashAggregate (bitsets merge
+    // map-side; the exchange carries one bitset per task, not positions)
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(3500))
+    // probe arrives via broadcast (one-row NLJ) and the real join is hash
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3500))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), plan.take(3500))
+    // pushdown still reaches both scans
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      plan.take(3500))
+  }
+
+  test("q164: SNM neighbor join is an equi-join on rank — no cartesian, no range join") {
+    val plan = executedPlan("q164_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct"), plan.take(3500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3500))
+    // per-range-partition row_number: every Window partitions by __pid —
+    // no single-reducer global Window anywhere
+    assert(!plan.contains("Window [row_number()] "), plan.take(3500))
+  }
+
+  test("q165: twa is one lead window + one partial-aggregated groupBy") {
+    val plan = executedPlan("q165_twa")
+    assert("Window".r.findAllIn(plan).length == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
+  test("q166: attribution rides the as-of union — one LOCF window, no per-conversion join") {
+    val plan = executedPlan("q166_attribution")
+    assert(plan.contains("Union"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

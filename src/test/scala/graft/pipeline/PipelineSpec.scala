@@ -3101,4 +3101,189 @@ class PipelineSpec extends AnyFunSuite {
     assert(seg("xyz") == Seq("x", "y", "z")) // untouched by the table
     assert(seg("bca") == Seq("b", "c", "a")) // order matters: no (b,c) merge
   }
+
+  // ---------------------------------------------------- wave 15: intervals
+
+  private def evFrame(rows: Seq[(Long, Long, Long, Double)]) = {
+    // (user_id, ts_micros, event_id, value) → typed events-like frame
+    import spark.implicits._
+    rows.toDF("user_id", "__us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+  }
+
+  test("intervalCoverage merges overlapping and touching intervals") {
+    val S = 1000000L // 1s in µs
+    val df = evFrame(Seq(
+      (1L, 0 * S, 1L, 0.0), (1L, 50 * S, 2L, 0.0), (1L, 150 * S, 3L, 0.0),
+      (1L, 300 * S, 4L, 0.0), // separate island
+      (2L, 10 * S, 5L, 0.0)))
+      .withColumn("dur", when(col("event_id") === 1, 100 * S)
+        .when(col("event_id") === 2, 100 * S) // overlaps [0,100)
+        .when(col("event_id") === 3, 50 * S)  // touches at 150 → merges
+        .when(col("event_id") === 4, 50 * S)
+        .otherwise(10 * S))
+    val out = Sessions.intervalCoverage(df, "user_id", "ts", "event_id", col("dur"))
+      .orderBy("user_id").collect()
+    // user 1: [0,200) ∪ [300,350) → 250 s covered, 2 islands, span 350 s
+    assert(out(0).getLong(1) == 250 * S && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 350 * S)
+    // user 2: one 10 s interval
+    assert(out(1).getLong(1) == 10 * S && out(1).getLong(2) == 1L)
+  }
+
+  test("intervalCoverage is NTZ-proof") {
+    import java.time.LocalDateTime
+    import spark.implicits._
+    val ntz = Seq(
+      (1L, LocalDateTime.of(2024, 1, 1, 0, 0, 0), 1L),
+      (1L, LocalDateTime.of(2024, 1, 1, 0, 0, 30), 2L),
+      (1L, LocalDateTime.of(2024, 1, 1, 0, 2, 0), 3L))
+      .toDF("user_id", "ts", "event_id")
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = Sessions.intervalCoverage(ntz, "user_id", "ts", "event_id",
+      lit(60L * 1000000L)).collect()
+    // [0,60) ∪ [30,90) merge; [120,180) separate → 90+60 s covered
+    assert(out(0).getLong(1) == 150L * 1000000L && out(0).getLong(2) == 2L)
+  }
+
+  test("timeWeightedAvg trapezoid and single-sample fallback") {
+    val S = 1000000L
+    val df = evFrame(Seq(
+      (1L, 0 * S, 1L, 10.0), (1L, 10 * S, 2L, 20.0), (1L, 30 * S, 3L, 20.0),
+      (2L, 5 * S, 4L, 7.0)))
+    val out = Sessions.timeWeightedAvg(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id").collect()
+    // user 1: (15·10 + 20·20)/30 = 550/30
+    assert(math.abs(out(0).getDouble(2) - 550.0 / 30.0) < 1e-9)
+    assert(out(0).getLong(1) == 3L)
+    // user 2: single sample → that value
+    assert(out(1).getDouble(2) == 7.0 && out(1).getLong(1) == 1L)
+  }
+
+  test("cusum closed form equals the recursive fold") {
+    val S = 1000000L
+    val vals1 = Seq(1.0, 2.0, 1.5, 8.0, 9.0, 8.5, 9.5) // upward shift
+    val vals2 = Seq(2.0, 1.0, 2.0, 1.0)
+    val rows = vals1.zipWithIndex.map { case (v, i) => (1L, i * S, i.toLong, v) } ++
+      vals2.zipWithIndex.map { case (v, i) => (2L, i * S, (100 + i).toLong, v) }
+    val k = 0.5; val h = 1.0
+    val out = Stats.cusum(evFrame(rows), "user_id", "ts", "event_id", "value",
+      k, h).orderBy("user_id").collect()
+    // replicate: rounded global moments, then the recursion S=max(0,S+y)
+    val xs = vals1 ++ vals2
+    val mu0 = xs.sum / xs.size
+    val mu = BigDecimal(mu0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sg0 = math.sqrt(xs.map(x => (x - mu0) * (x - mu0)).sum / xs.size)
+    val sg = BigDecimal(sg0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replay(vs: Seq[Double]): (Long, Double, Option[Long]) = {
+      var s = 0.0; var alarms = 0L; var mx = Double.MinValue
+      var firstIdx: Option[Long] = None
+      vs.zipWithIndex.foreach { case (x, i) =>
+        s = math.max(0.0, s + (x - mu) / sg - k)
+        if (s > h) { alarms += 1; if (firstIdx.isEmpty) firstIdx = Some(i.toLong) }
+        mx = math.max(mx, s)
+      }
+      (alarms, mx, firstIdx)
+    }
+    val (a1, m1, f1) = replay(vals1); val (a2, m2, f2) = replay(vals2)
+    assert(out(0).getLong(1) == a1 && math.abs(out(0).getDouble(3) - m1) < 1e-9)
+    assert(out(1).getLong(1) == a2 && math.abs(out(1).getDouble(3) - m2) < 1e-9)
+    assert(a1 > 0 && out(0).get(2) == f1.get * S) // alarms after the shift
+    assert(a2 == 0 && f2.isEmpty && out(1).get(2) == null)
+  }
+
+  // ---------------------------------------------------- wave 15: bloom
+
+  test("bloom prune: zero false negatives, exact join equivalence") {
+    import spark.implicits._
+    val dim = (0L until 200L by 2L).toDF("k")           // even keys
+    val fact = (0L until 5000L).map(i => (i, i % 400)).toDF("id", "fk")
+    val pruned = Bloom.prune(fact, dim, "fk", "k", nbits = 1 << 14, numHashes = 5)
+    val keptKeys = pruned.select("fk").distinct().as[Long].collect().toSet
+    // every true member survives
+    (0L until 400L).filter(k => k % 2 == 0 && k < 200).foreach(k =>
+      assert(keptKeys.contains(k), s"false negative for $k"))
+    // prune is a superset filter: the real join gives the exact result
+    val exact = fact.join(dim, fact("fk") === dim("k")).count()
+    val viaBloom = pruned.join(dim, pruned("fk") === dim("k")).count()
+    // even keys 0..198 appear 13× each in fact (i%400 over 5000 rows
+    // hits 0..199 thirteen times) → 100 · 13 matches
+    assert(exact == viaBloom && exact == 1300L)
+    // and the filter actually prunes: misses mostly dropped (fp ≪ 1)
+    assert(pruned.count() < fact.count())
+  }
+
+  // ----------------------------------------- wave 15: global rank / SNM
+
+  test("globalRank matches a single-partition row_number") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, s"k${rnd.nextInt(40)}"))
+    val df = rows.toDF("id", "k").repartition(7)
+    val ranked = Dedup.globalRank(df, Seq("k", "id"), "rank")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(ranked == expected)
+  }
+
+  test("sortedNeighborhoodPairs matches brute force") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val base = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rows = (1L to 120L).map { i =>
+      val s = base(rnd.nextInt(base.size)) + rnd.nextInt(10)
+      (i, if (rnd.nextBoolean()) s else s.replace('a', 'x'))
+    }
+    val w = 5; val maxEd = 3
+    val got = Dedup.sortedNeighborhoodPairs(rows.toDF("doc_id", "txt"),
+        "doc_id", col("txt"), w, maxEd)
+      .select("id_a", "id_b", "pos_gap", "edit_dist")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sorted = rows.sortBy { case (id, k) => (k, id) }
+    val expected = (for {
+      i <- sorted.indices; d <- 1 to w if i + d < sorted.size
+      ed = lev(sorted(i)._2, sorted(i + d)._2) if ed <= maxEd
+    } yield (sorted(i)._1, sorted(i + d)._1, d.toLong, ed.toLong)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  // ---------------------------------------------- wave 15: attribution
+
+  test("lastTouchAttribution: recency, ties, lookback, unattributed") {
+    import spark.implicits._
+    val S = 1000000L
+    val df = Seq(
+      // user 1: view@200 beats click@100; purchase@250 → view
+      (1L, 100 * S, 1L, "click"), (1L, 200 * S, 2L, "view"),
+      (1L, 250 * S, 3L, "purchase"),
+      // user 2: same-instant touches — max event_id (view) wins
+      (2L, 100 * S, 4L, "click"), (2L, 100 * S, 5L, "view"),
+      (2L, 150 * S, 6L, "purchase"),
+      // user 3: touch too stale (lookback 100 s) → unattributed
+      (3L, 0 * S, 7L, "click"), (3L, 500 * S, 8L, "purchase"),
+      // user 4: no touch at all → unattributed
+      (4L, 10 * S, 9L, "purchase"),
+      // user 5: touch at the SAME instant as the purchase counts
+      (5L, 100 * S, 10L, "click"), (5L, 100 * S, 11L, "purchase"))
+      .toDF("user_id", "__us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+    val out = Sessions.lastTouchAttribution(df, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"), lookbackMicros = 100 * S)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      (Some("view"), 2L, 2L),   // users 1 and 2
+      (Some("click"), 1L, 1L),  // user 5 (same-instant)
+      (None, 2L, 2L)))          // users 3 (stale) and 4 (none)
+  }
 }
