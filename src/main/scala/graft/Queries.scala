@@ -2758,9 +2758,12 @@ object Queries {
       // frame — no single-reducer Window), w = 8 neighbor positions,
       // levenshtein ≤ 4 verify. Candidate volume is exactly n·w —
       // skew-immune by construction.
+      // Key derivation is BOUNDED: the regex normalizes a 64-char raw
+      // prefix, never the whole document.
       graft.pipeline.Dedup.sortedNeighborhoodPairs(
           t(s, d, "documents"), "doc_id",
-          lower(substring(regexp_replace(col("text"), "\\s+", " "), 1, 32)),
+          lower(substring(regexp_replace(substring(col("text"), 1, 64),
+            "\\s+", " "), 1, 32)),
           w = 8, maxEd = 4)
         .orderBy("id_a", "id_b")
     }),
@@ -5754,7 +5757,8 @@ object Queries {
     "q164_sorted_neighborhood" -> """
       WITH keyed AS (
         SELECT doc_id AS id,
-               lower(substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 32)) AS k
+               lower(substr(regexp_replace(substr(text, 1, 64),
+                 '\s+', ' ', 'g'), 1, 32)) AS k
         FROM documents),
       ranked AS (
         SELECT id, k, row_number() OVER (ORDER BY k, id) AS r FROM keyed)
