@@ -2790,6 +2790,54 @@ object Queries {
           "ts", "event_type", "purchase", Seq("click", "view"),
           lookbackMicros = 7L * 24 * 3600 * 1000000L)
         .orderBy("touch_type")
+    }),
+
+    "q167_rolling_distinct" -> ((s, d) => {
+      // exact trailing-7-day distinct actives per day (the WAU curve):
+      // sliding distinct doesn't decompose over windows, but the COVER
+      // trick makes it two ordinary aggregations — distinct (user, day),
+      // ×7 bounded explode, distinct, count. No window function, fully
+      // partial-aggregated, integer day arithmetic (µs DIV 86400e6).
+      graft.pipeline.Sessions.rollingDistinct(events(s, d), "user_id",
+          "ts", windowDays = 7)
+        .orderBy("day")
+    }),
+
+    "q168_vocab_coverage" -> ((s, d) => {
+      // vocabulary coverage curve: smallest frequency-ranked vocab
+      // covering 50/75/90/95/99 % of token occurrences. The running
+      // total over (count desc, token) comes from the DISTRIBUTED
+      // ordered cumsum — range partitions + per-partition fold + tiny
+      // offset frame — never a single-reducer `sum() OVER (ORDER BY)`.
+      graft.pipeline.Text.vocabCoverage(t(s, d, "documents"), "text",
+          Seq(0.5, 0.75, 0.9, 0.95, 0.99))
+        .orderBy("threshold")
+    }),
+
+    "q169_item_cooccur" -> ((s, d) => {
+      // bought-together item pairs with cosine normalization over order
+      // baskets: one basket-keyed equi-self-join (fan-out bounded by
+      // basket size), partial-aggregated pair counts, two item-keyed
+      // frequency joins. Counts exact; cosine is one correctly-rounded
+      // sqrt+divide — UNROUNDED cross-engine equality.
+      graft.pipeline.Similarity.itemCooccurrence(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minTogether = 2L)
+        .orderBy("item_a", "item_b")
+    }),
+
+    "q170_ndcg" -> ((s, d) => {
+      // NDCG@10 of cosine retrieval against label relevance: every 20th
+      // vector queries the rest of the corpus; DCG discounts by
+      // 1/log₂(rank+1), ideal DCG from corpus label counts. The q·k
+      // ranked frame broadcasts to the label joins — the corpus is
+      // scanned once, inside the top-k scorer.
+      val emb = t(s, d, "embeddings")
+      graft.pipeline.Similarity.ndcgAtK(
+          emb.where(col("vec_id") % 20 === 0),
+          emb.where(col("vec_id") % 20 =!= 0),
+          "vec_id", "embedding", "label", k = 10)
+        .select(col("query_id"), col("n_rel"), round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
     })
   )
 
@@ -5813,6 +5861,95 @@ object Queries {
              count(*) AS n_conversions,
              count(DISTINCT user_id) AS n_users
       FROM loc WHERE side = 1
-      GROUP BY 1 ORDER BY 1 NULLS FIRST"""
+      GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "q167_rolling_distinct" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events),
+      cov AS (
+        SELECT DISTINCT user_id, d + g.x AS day
+        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) g)
+      SELECT day, count(*) AS n_active
+      FROM cov GROUP BY day ORDER BY day""",
+
+    "q168_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT u.t FROM documents,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS u(t)),
+      c AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+      r AS (SELECT t, c,
+                   row_number() OVER (ORDER BY c DESC, t) AS rank,
+                   CAST(sum(c) OVER (ORDER BY c DESC, t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM c),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      th AS (SELECT CAST(v.t AS DOUBLE) AS threshold
+             FROM (VALUES (0.5), (0.75), (0.9), (0.95), (0.99)) v(t))
+      SELECT th.threshold,
+             CAST(min(r.rank) AS BIGINT) AS vocab_size,
+             CAST(arg_min(r.cum, r.rank) AS BIGINT) AS tokens_covered,
+             CAST(min(tot.n) AS BIGINT) AS total_tokens
+      FROM th, r, tot
+      WHERE CAST(r.cum AS DOUBLE) >= th.threshold * CAST(tot.n AS DOUBLE)
+      GROUP BY th.threshold ORDER BY th.threshold""",
+
+    "q169_item_cooccur" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      freq AS (SELECT i, count(*) AS n FROM bi GROUP BY 1),
+      p AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_together
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT item_a, item_b, CAST(n_together AS BIGINT) AS n_together,
+             CAST(fa.n AS BIGINT) AS n_a, CAST(fb.n AS BIGINT) AS n_b,
+             CAST(n_together AS DOUBLE) /
+               sqrt(CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)) AS cosine
+      FROM p JOIN freq fa ON p.item_a = fa.i JOIN freq fb ON p.item_b = fb.i
+      ORDER BY item_a, item_b""",
+
+    "q170_ndcg" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS ql
+        FROM embeddings WHERE vec_id % 20 = 0),
+      c AS (
+        SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+        FROM embeddings WHERE vec_id % 20 <> 0),
+      scored AS (
+        SELECT q.query_id, q.ql, c.nid, c.cl,
+               list_dot_product(q.qv, c.cv) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        FROM q, c),
+      ranked AS (
+        SELECT query_id, ql, cl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, nid) AS rank
+        FROM scored),
+      d AS (
+        SELECT query_id, ql,
+               sum(CASE WHEN cl = ql THEN 1.0 / log2(rank + 1)
+                   ELSE 0.0 END) AS dcg,
+               CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel
+        FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+      labn AS (SELECT cl, count(*) AS nl FROM c GROUP BY 1),
+      ii AS (
+        SELECT d.query_id, d.n_rel, d.dcg,
+               least(coalesce(labn.nl, 0), 10) AS ideal
+        FROM d LEFT JOIN labn ON d.ql = labn.cl),
+      iv AS (
+        SELECT m, sum(1.0 / log2(x + 1)) AS v FROM (
+          SELECT m, unnest(generate_series(1, m)) AS x
+          FROM (SELECT DISTINCT ideal AS m FROM ii)) GROUP BY m)
+      SELECT ii.query_id, ii.n_rel,
+             round(CASE WHEN ii.ideal > 0 THEN ii.dcg / iv.v
+                   ELSE 0.0 END, 6) AS ndcg
+      FROM ii LEFT JOIN iv ON ii.ideal = iv.m
+      ORDER BY ii.query_id"""
   )
 }

@@ -925,6 +925,45 @@ object Dedup {
   }
 
   /**
+   * DISTRIBUTED ordered cumulative sum + rank: like [[globalRank]], but
+   * also carries the running total of `valueCol` over the same total
+   * order — the scale-safe form of
+   * `sum(v) OVER (ORDER BY …)` / `row_number() OVER (ORDER BY …)`,
+   * which Spark would otherwise plan as a single-reducer Window.
+   * Per range partition: local rank + local running sum; the
+   * numPartitions-sized totals frame cumulates once (one tiny task)
+   * and joins back as a broadcast. Adds `rankCol` (1-based) and
+   * `cumCol` (inclusive running sum, long).
+   */
+  def globalOrderedCumsum(df: DataFrame, sortCols: Seq[Column],
+                          valueCol: String, rankCol: String = "rank",
+                          cumCol: String = "cum"): DataFrame = {
+    val sc = sortCols
+    val parted = df.repartitionByRange(sc: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(sc: _*)
+    val local = parted
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .withColumn("__ls", sum(col(valueCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .persist()
+    val offs = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col(valueCol).cast("long")).as("__tot"))
+      .withColumn("__roff", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__soff", coalesce(
+        sum(col("__tot")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__roff"), col("__soff"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankCol, col("__roff") + col("__lr"))
+      .withColumn(cumCol, col("__soff") + col("__ls"))
+      .drop("__pid", "__lr", "__ls", "__roff", "__soff")
+  }
+
+  /**
    * Sorted-neighborhood method (SNM) record linkage: sort the corpus by
    * a blocking key, slide a window of `w` positions, and verify each
    * in-window pair with an edit-distance check on the key. The classic

@@ -259,6 +259,39 @@ object Sessions {
   }
 
   /**
+   * Rolling distinct actives: for every day D, the number of DISTINCT
+   * keys with at least one event in the trailing `windowDays`-day
+   * window [D − windowDays + 1, D] — the DAU/WAU/MAU family, exact.
+   *
+   * Sliding distinct counts resist windowing (distinct doesn't
+   * decompose over overlapping frames), but the COVER trick makes it
+   * two ordinary aggregations: reduce to distinct (key, day) — one
+   * row per key-day, the only corpus-sized shuffle — then each key-day
+   * covers the `windowDays` output days it contributes to (a bounded
+   * ×windowDays explode of the already-slim frame), distinct again,
+   * and count per day. No window function at all, fully partial-
+   * aggregated; output days run to max(day) + windowDays − 1 (windows
+   * whose trailing span still contains data). NTZ-proof.
+   */
+  def rollingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1)
+    // integer DIV, not `/`: epoch µs exceed double's exact range
+    val keyDays = events
+      .select(col(keyCol).as("__k"), Time.tsMicros(col(tsCol)).as("__us"))
+      .withColumn("__d", expr("__us DIV 86400000000"))
+      .select(col("__k"), col("__d"))
+      .distinct()
+    keyDays
+      .select(col("__k"),
+        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /**
    * Last-touch attribution: each conversion event is credited to the
    * latest touch event of the same key at-or-before it, provided the
    * touch is within `lookbackMicros`. Returns per-(touch type) credit

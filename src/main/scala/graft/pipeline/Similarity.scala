@@ -822,4 +822,75 @@ object Similarity {
       .groupBy(col("__c.i").as("i"), col("__c.j").as("j"))
       .agg(sum(col("__c.v")).as("g"))
   }
+
+  /**
+   * Item–item co-occurrence with cosine normalization — the implicit-
+   * feedback recsys primitive ("bought together"): for every unordered
+   * item pair sharing a basket, the basket count and
+   * cos = n_ab / √(n_a·n_b).
+   *
+   * Shape: distinct (basket, item) → ONE equi-self-join on the basket
+   * key (fan-out bounded by basket size, NOT corpus size) → partial-
+   * aggregated pair counts → two item-keyed frequency joins. All
+   * counts are exact integers; cosine is one correctly-rounded
+   * sqrt + divide, so the output is bit-reproducible unrounded. At
+   * 100 TB the only hazard is a degenerate giant basket (quadratic in
+   * ITS size); cap with a basket-size pre-filter when the domain
+   * allows it.
+   */
+  def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                       minTogether: Long = 2L): DataFrame = {
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val freq = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = bi.select(col("__b"), col("__i").as("item_a"))
+      .join(bi.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minTogether)
+    pairs
+      .join(freq.select(col("__i").as("item_a"), col("__n").as("n_a")), Seq("item_a"))
+      .join(freq.select(col("__i").as("item_b"), col("__n").as("n_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_together"),
+        col("n_a"), col("n_b"),
+        (col("n_together").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("cosine"))
+  }
+
+  /**
+   * NDCG@k retrieval evaluation: score each query's cosine top-k from
+   * [[bruteForceTopK]] against binary label relevance (neighbor label =
+   * query label), DCG with the standard 1/log₂(rank+1) discount, ideal
+   * DCG from the corpus label counts (min(k, n_same_label) perfect
+   * hits). Returns one row per query: (query_id, n_rel, ndcg).
+   *
+   * Shape: the ranked top-k frame is q·k rows — IT broadcasts to the
+   * corpus-label join, never the reverse; label counts fold to a
+   * label-cardinality frame; the ideal-DCG explode is ≤ k rows per
+   * query. The corpus is scanned once (inside the top-k scorer).
+   */
+  def ndcgAtK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val qLab = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val cLab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"))
+    val rel = cLab.join(broadcast(topk.join(broadcast(qLab), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("__ql"),
+        when(col("__cl") === col("__ql"), 1.0).otherwise(0.0).as("__rel"))
+    val dcg = rel.groupBy(col("query_id"), col("__ql"))
+      .agg(sum(col("__rel") / log2(col("rank") + 1)).as("__dcg"),
+        sum(col("__rel")).cast("long").as("n_rel"))
+    val labN = cLab.groupBy(col("__cl")).agg(count(lit(1)).as("__nl"))
+    dcg.join(broadcast(labN), col("__ql") === col("__cl"), "left")
+      .withColumn("__ideal", least(coalesce(col("__nl"), lit(0L)), lit(k.toLong)))
+      .withColumn("__idcg",
+        when(col("__ideal") > 0,
+          aggregate(sequence(lit(1L), col("__ideal")), lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))))
+      .select(col("query_id"), col("n_rel"),
+        when(col("__idcg").isNotNull, col("__dcg") / col("__idcg"))
+          .otherwise(0.0).as("ndcg"))
+  }
 }

@@ -795,6 +795,48 @@ object Text {
   def minhash(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     toCol(MinHash(toExpr(text), numHashes, shingleSize))
 
+  /**
+   * Tokenizer-design telemetry: the vocabulary coverage curve. For each
+   * requested coverage threshold t, the smallest frequency-ranked
+   * vocabulary whose tokens account for ≥ t of all (lowercased,
+   * whitespace) token OCCURRENCES — plus the exact occurrence count it
+   * covers. "How big must the vocab be to cover 95 / 99 % of the
+   * corpus" is the first question of any tokenizer budget.
+   *
+   * Shape: one token-count shuffle (vocab-sized output), then the
+   * DISTRIBUTED ordered cumsum ([[Dedup.globalOrderedCumsum]] over
+   * (count desc, token)) — no single-reducer `sum() OVER (ORDER BY …)`
+   * even at 10⁹-token vocabularies. Thresholds meet the cumsum frame
+   * as a broadcast; the answer per threshold is a struct-min (the
+   * first rank whose running total clears t·N). All counts are exact
+   * integers; the only floating comparison is cum ≥ t·N with the same
+   * IEEE product in any engine.
+   */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0.0 && t <= 1.0))
+    val counts = df.select(
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= "")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val ranked = Dedup.globalOrderedCumsum(counts,
+      Seq(col("__c").desc, col("__t").asc), "__c", "rank", "cum")
+    // total = the cumsum's last value — reuses the cached ranking frame
+    // instead of re-running the corpus-sized token count for a sum
+    val thr = ranked.agg(max(col("cum")).as("__tot"))
+      .select(col("__tot"), explode(typedLit(thresholds)).as("threshold"))
+    ranked.crossJoin(broadcast(thr))
+      .filter(col("cum").cast("double") >=
+        col("threshold") * col("__tot").cast("double"))
+      .groupBy(col("threshold"))
+      .agg(min(struct(col("rank"), col("cum"))).as("__w"),
+        first(col("__tot")).as("__tt"))
+      .select(col("threshold"),
+        col("__w").getField("rank").as("vocab_size"),
+        col("__w").getField("cum").as("tokens_covered"),
+        col("__tt").as("total_tokens"))
+  }
+
   /** Register the custom text expressions for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

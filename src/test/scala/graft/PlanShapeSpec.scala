@@ -457,4 +457,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  // ---- sixteenth wave (round 7) ----
+
+  test("q167: rolling distinct is pure aggregation — no window, no join") {
+    val plan = executedPlan("q167_rolling_distinct")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+    // partial aggregation around every exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 6, plan.take(3000))
+  }
+
+  test("q168: vocab coverage — token counts cached, scanned once; no global-order window") {
+    val plan = executedPlan("q168_vocab_coverage")
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only unpartitioned windows run over the numPartitions-sized
+    // offset frame, never the vocab frame: every corpus-sized window
+    // partitions by __pid
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q169: co-occurrence joins are all equi — no cartesian, no window") {
+    val plan = executedPlan("q169_item_cooccur")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q170: ndcg — corpus scanned once in the scorer; ranked frame broadcasts to label joins") {
+    val plan = executedPlan("q170_ndcg")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the scorer's query-set broadcast NLJ plus ≥2 broadcast-hash label joins
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
 }

@@ -3259,6 +3259,84 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---------------------------------------------- wave 15: attribution
 
+  // ------------------------------------------------------ wave 16
+
+  test("rollingDistinct counts trailing-window actives exactly") {
+    val D = 86400000000L
+    val df = evFrame(Seq(
+      (1L, 0 * D, 1L, 0.0), (1L, 0 * D + 5L, 2L, 0.0), // same day dedupes
+      (2L, 0 * D, 3L, 0.0),
+      (1L, 10 * D, 4L, 0.0)))
+    val out = Sessions.rollingDistinct(df, "user_id", "ts", windowDays = 3)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // day 0: users {1,2}; days 1,2 trail it; day 10 only user 1
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L), (2L, 2L),
+      (10L, 1L), (11L, 1L), (12L, 1L)))
+  }
+
+  test("globalOrderedCumsum matches a single-partition running sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 400L).map(i => (i, s"g${rnd.nextInt(30)}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "k", "v").repartition(6)
+    val got = Dedup.globalOrderedCumsum(df,
+        Seq(col("v").desc, col("id").asc), "v", "rank", "cum")
+      .select("id", "rank", "cum").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    var run = 0L
+    val exp = rows.sortBy { case (id, _, v) => (-v, id) }.zipWithIndex.map {
+      case ((id, _, v), i) => run += v; id -> (i + 1L, run)
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("vocabCoverage finds the smallest covering vocab per threshold") {
+    import spark.implicits._
+    // counts: a×6, b×3, c×1 → total 10; cum: 6, 9, 10
+    val docs = Seq("a a a b", "A a b c", "a b").toDF("text")
+    val out = Text.vocabCoverage(docs, "text", Seq(0.5, 0.9, 1.0))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0.5, 1L, 6L, 10L), (0.9, 2L, 9L, 10L),
+      (1.0, 3L, 10L, 10L)))
+  }
+
+  test("itemCooccurrence: basket dedupe, pair counts, cosine") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 20L), // dup item in basket
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L)).toDF("b", "i")
+    val out = Similarity.itemCooccurrence(df, "b", "i", minTogether = 1L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // (10,20) together 2×, n10=3, n20=2; (10,30) together 1×, n30=1
+    assert(out.toSeq == Seq(
+      (10L, 20L, 2L, 3L, 2L, 2.0 / math.sqrt(6.0)),
+      (10L, 30L, 1L, 3L, 1L, 1.0 / math.sqrt(3.0))))
+  }
+
+  test("ndcgAtK: perfect, partial and zero-relevance queries") {
+    import spark.implicits._
+    // 2-D unit-ish vectors; query 1 (label 0) nearest: both label-0 docs
+    // first → perfect NDCG@2; query 2 (label 1): nearest is label 0 →
+    // rel at rank 2 only
+    val queries = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1)).toDF("id", "vec", "lab")
+    val corpus = Seq(
+      (10L, Seq(0.99f, 0.1f), 0), (11L, Seq(0.98f, 0.2f), 0),
+      (12L, Seq(0.10f, 0.99f), 0), (13L, Seq(-0.9f, 0.4f), 1))
+      .toDF("id", "vec", "lab")
+    val out = Similarity.ndcgAtK(queries, corpus, "id", "vec", "lab", k = 2)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // q1 top-2 = (10, 11), both label 0 → ndcg 1
+    assert(out(0)._1 == 1L && out(0)._2 == 2L && math.abs(out(0)._3 - 1.0) < 1e-12)
+    // q2 top-2 = (12 label 0, 13 label 1): dcg = 1/log2(3); ideal(label 1)
+    // has ONE corpus doc → idcg = 1/log2(2) = 1
+    val exp2 = (1.0 / (math.log(3.0) / math.log(2.0))) / 1.0
+    assert(out(1)._1 == 2L && out(1)._2 == 1L && math.abs(out(1)._3 - exp2) < 1e-9)
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
