@@ -2838,6 +2838,67 @@ object Queries {
           "vec_id", "embedding", "label", k = 10)
         .select(col("query_id"), col("n_rel"), round(col("ndcg"), 6).as("ndcg"))
         .orderBy("query_id")
+    }),
+
+    "q171_residual_outliers" -> ((s, d) => {
+      // model-based anomalies: per-event-type OLS of value on
+      // hour-of-day, residual spread from the SAME moment pass
+      // (σ_res = σ_y·√(1−r²)), rows beyond 3σ_res flagged. One
+      // aggregate + one broadcast-back join; moments rounded to 6dp
+      // inside the operator so the flag decision is engine-independent.
+      val ev = events(s, d)
+        .withColumn("__us", graft.pipeline.Time.tsMicros(col("ts")))
+        .withColumn("hour_frac",
+          expr("pmod(__us, 86400000000)").cast("double") / 3600000000.0)
+        .select(col("event_id"), col("event_type"), col("hour_frac"),
+          col("value"))
+      graft.pipeline.Stats.residualOutliers(ev, Seq("event_type"),
+          "hour_frac", "value", z = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("resid"), 6).as("resid"))
+        .orderBy("event_id")
+    }),
+
+    "q172_session_paths" -> ((s, d) => {
+      // top-20 session opening paths (first 5 event types per 30-min
+      // session): session-bounded ordered prefix via array_sort(collect_
+      // list(struct)) — no extra Window — then partial-aggregated path
+      // counts and a bounded top-k on the path-cardinality frame.
+      graft.pipeline.Sessions.topPaths(events(s, d), "user_id", "ts",
+          "event_id", "event_type", gapMinutes = 30, prefixLen = 5,
+          topK = 20)
+    }),
+
+    "q173_ref_integrity" -> ((s, d) => {
+      // referential-integrity gate: orphan profile of orders→active
+      // customers and lineitem→finished orders (filtered parents make
+      // the orphan arithmetic non-trivial — the late-arriving-dim
+      // shape). One left join + one aggregate per relation.
+      val orders = t(s, d, "orders")
+      graft.pipeline.Stats.refIntegrity(orders,
+          t(s, d, "customer").where(col("c_acctbal") > 0),
+          "o_custkey", "c_custkey", "orders->active_customer")
+        .unionByName(graft.pipeline.Stats.refIntegrity(t(s, d, "lineitem"),
+          orders.where(col("o_orderstatus") === "F"),
+          "l_orderkey", "o_orderkey", "lineitem->finished_order"))
+        .orderBy("relation")
+    }),
+
+    "q174_gini_skew" -> ((s, d) => {
+      // key-skew diagnostic: Gini of the orders-per-customer
+      // distribution via the distributed ordered rank — exact integer
+      // sums, two divisions, UNROUNDED cross-engine equality.
+      graft.pipeline.Stats.giniSkew(t(s, d, "orders"), "o_custkey")
+    }),
+
+    "q175_mutual_info" -> ((s, d) => {
+      // categorical dependence: MI(lang; source) + marginal entropies +
+      // normalized MI — the chi2 plan skeleton (one cell aggregate,
+      // margins broadcast back), ln terms rounded at the edge.
+      graft.pipeline.Stats.mutualInfo(t(s, d, "documents"), "lang", "source")
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+          round(col("nmi"), 6).as("nmi"))
     })
   )
 
@@ -5950,6 +6011,113 @@ object Queries {
              round(CASE WHEN ii.ideal > 0 THEN ii.dcg / iv.v
                    ELSE 0.0 END, 6) AS ndcg
       FROM ii LEFT JOIN iv ON ii.ideal = iv.m
-      ORDER BY ii.query_id"""
+      ORDER BY ii.query_id""",
+
+    "q171_residual_outliers" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 3600000000.0
+                 AS hour_frac,
+               CAST(value AS DOUBLE) AS value
+        FROM events),
+      f AS (
+        SELECT event_type AS g,
+               round(regr_slope(value, hour_frac), 6) AS b,
+               round(regr_intercept(value, hour_frac), 6) AS a,
+               round(stddev_pop(value) *
+                 sqrt(1.0 - corr(value, hour_frac) *
+                            corr(value, hour_frac)), 6) AS sres
+        FROM ev
+        WHERE hour_frac IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1)
+      SELECT event_id, event_type,
+             round(value - (a + b * hour_frac), 6) AS resid
+      FROM ev JOIN f ON event_type = f.g
+      WHERE abs(value - (a + b * hour_frac)) > 3.0 * sres
+      ORDER BY event_id""",
+
+    "q172_session_paths" -> """
+      WITH lagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM lagged),
+      sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged),
+      paths AS (
+        SELECT array_to_string(
+                 list_slice(list(event_type ORDER BY epoch_us(ts), event_id),
+                            1, 5), '>') AS path
+        FROM sessions GROUP BY user_id, seq)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+
+    "q173_ref_integrity" -> """
+      WITH a AS (
+        SELECT 'orders->active_customer' AS relation,
+               count(*) AS n_child,
+               CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_orphan
+        FROM orders o LEFT JOIN (
+          SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0) c
+          ON o.o_custkey = c.c_custkey),
+      b AS (
+        SELECT 'lineitem->finished_order' AS relation,
+               count(*) AS n_child,
+               CAST(sum(CASE WHEN o2.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_orphan
+        FROM lineitem l LEFT JOIN (
+          SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F') o2
+          ON l.l_orderkey = o2.o_orderkey)
+      SELECT relation, n_child, n_matched, n_orphan,
+             CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      ORDER BY relation""",
+
+    "q174_gini_skew" -> """
+      WITH c AS (
+        SELECT o_custkey AS k, count(*) AS c FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT c, k, row_number() OVER (ORDER BY c, k) AS r FROM c)
+      SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total,
+             2.0 * CAST(sum(r * c) AS DOUBLE) /
+               (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) -
+               CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+      FROM r""",
+
+    "q175_mutual_info" -> """
+      WITH obs AS (
+        SELECT lang AS a, source AS b, count(*) AS o FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM obs GROUP BY 1),
+      mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM obs GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+      terms AS (
+        SELECT CAST(o AS DOUBLE) / n AS p, na, nb, n
+        FROM obs JOIN ma USING (a) JOIN mb USING (b), t)
+      SELECT CAST(n AS BIGINT) AS n,
+             round(sum(p * ln(p * n * n /
+               (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6) AS mi,
+             round(-sum(p * ln(CAST(na AS DOUBLE) / n)), 6) AS h_a,
+             round(-sum(p * ln(CAST(nb AS DOUBLE) / n)), 6) AS h_b,
+             round(sum(p * ln(p * n * n /
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))) /
+               sqrt((-sum(p * ln(CAST(na AS DOUBLE) / n))) *
+                    (-sum(p * ln(CAST(nb AS DOUBLE) / n)))), 6) AS nmi
+      FROM terms GROUP BY n"""
   )
 }

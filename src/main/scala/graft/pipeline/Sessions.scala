@@ -259,6 +259,37 @@ object Sessions {
   }
 
   /**
+   * Top event-type paths: sessionize ([[sessionize]] gap rule), take
+   * each session's first `prefixLen` event types in (time, tie) order,
+   * and count path frequencies — the product-analytics "what do
+   * sessions look like" query. Returns the `topK` most frequent paths
+   * as (path, n_sessions), ties broken by path asc.
+   *
+   * Shape: the per-session ordered prefix is a session-bounded
+   * `array_sort(collect_list(struct))` + `slice` — no second Window
+   * beyond the sessionizer's; path counting partial-aggregates; the
+   * final top-k is a bounded sort+limit on the path-cardinality frame
+   * (exponentially smaller than the corpus). NTZ-proof.
+   */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, typeCol: String, gapMinutes: Int,
+               prefixLen: Int, topK: Int): DataFrame = {
+    val arr = array_sort(collect_list(struct(
+      Time.tsMicros(col(tsCol)).as("t"), col(tieCol).as("k"),
+      col(typeCol).as("e"))))
+    sessionize(events, gapMinutes, userCol, tsCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(arr.as("__a"))
+      .select(concat_ws(">",
+        transform(slice(col("__a"), 1, prefixLen), e => e.getField("e")))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /**
    * Rolling distinct actives: for every day D, the number of DISTINCT
    * keys with at least one event in the trailing `windowDays`-day
    * window [D − windowDays + 1, D] — the DAU/WAU/MAU family, exact.

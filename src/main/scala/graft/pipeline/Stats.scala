@@ -586,6 +586,116 @@ object Stats {
         max(col("__s")).as("max_stat"))
   }
 
+  /**
+   * Model-based anomaly detection: per-group OLS residual outliers in
+   * ONE aggregate pass + one join. The per-group fit (slope, intercept)
+   * and the residual spread come from the same moment aggregate —
+   * σ_res = σ_y·√(1 − r²) is the population residual stddev of the
+   * least-squares line, so no second pass over residuals is needed.
+   * Rows with |y − (a + b·x)| > z·σ_res are returned.
+   *
+   * Shape: one partial-aggregated moment pass (group-sized output,
+   * broadcast back) + one scan computing residuals in codegen. Moments
+   * are rounded to 6dp before the threshold comparison (the q162
+   * determinism pin): the flag decision is the same IEEE chain in any
+   * engine.
+   */
+  def residualOutliers(df: DataFrame, groupCols: Seq[String], xCol: String,
+                       yCol: String, z: Double): DataFrame = {
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val fits = rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        round(expr(s"regr_slope($yCol, $xCol)"), 6).as("__b"),
+        round(expr(s"regr_intercept($yCol, $xCol)"), 6).as("__a"),
+        round(expr(s"stddev_pop($yCol) * sqrt(1.0 - corr($yCol, $xCol) * corr($yCol, $xCol))"),
+          6).as("__sres"))
+    rows.join(broadcast(fits), groupCols)
+      .withColumn("resid",
+        col(yCol).cast("double") - (col("__a") + col("__b") * col(xCol).cast("double")))
+      .filter(abs(col("resid")) > lit(z) * col("__sres"))
+      .drop("__a", "__b", "__sres")
+  }
+
+  /**
+   * Gini coefficient of a key-frequency distribution — the skew
+   * diagnostic for join/shuffle planning ("how concentrated is this
+   * key?"; 0 = uniform, →1 = one key dominates). With counts sorted
+   * ascending, G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n — Σ i·cᵢ comes from
+   * the DISTRIBUTED rank ([[Dedup.globalOrderedCumsum]]), so no
+   * single-reducer ordering even over 10⁹ distinct keys. All sums are
+   * exact integers; the output is two divisions — UNROUNDED
+   * cross-engine equality.
+   */
+  def giniSkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    Dedup.globalOrderedCumsum(counts,
+        Seq(col("__c").asc, col("__k").asc), "__c", "__r", "__cum")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("total"),
+        sum(col("__r") * col("__c")).as("__rc"))
+      .select(col("n_keys"), col("total"),
+        (lit(2.0) * col("__rc").cast("double") /
+          (col("n_keys").cast("double") * col("total").cast("double")) -
+          (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"))
+  }
+
+  /**
+   * Mutual information between two categorical columns (feature-
+   * relevance / redundancy telemetry), with marginal entropies and the
+   * normalized MI / √(H_a·H_b). Same plan skeleton as
+   * [[chiSquareIndependence]]: one cell aggregate (the only
+   * corpus-sized shuffle), dimension-sized margins joined back as
+   * broadcasts, natural-log terms summed — callers round (Σ-order
+   * drift ~1e-15).
+   */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o")).persist()
+    val ma = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__na"))
+    val mb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__nb"))
+    val tot = obs.agg(sum(col("__o")).cast("double").as("__n"))
+    val p = col("__o").cast("double") / col("__n")
+    obs.join(broadcast(ma), Seq("__a")).join(broadcast(mb), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        (p * log(p * col("__n") * col("__n") /
+          (col("__na").cast("double") * col("__nb").cast("double")))).as("__mi"),
+        (p * log(col("__na").cast("double") / col("__n"))).as("__ha"),
+        (p * log(col("__nb").cast("double") / col("__n"))).as("__hb"),
+        col("__n"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__mi")).as("__m"),
+        (-sum(col("__ha"))).as("__ea"), (-sum(col("__hb"))).as("__eb"))
+      .select(col("__n").cast("long").as("n"), col("__m").as("mi"),
+        col("__ea").as("h_a"), col("__eb").as("h_b"),
+        (col("__m") / sqrt(col("__ea") * col("__eb"))).as("nmi"))
+  }
+
+  /**
+   * Referential-integrity profile of a child→parent relation: child
+   * row count, matched count, orphan count and rate — the pipeline
+   * gate before any fact⋈dim assumption. One left join (parent side
+   * dimension-sized → broadcast/equi) + one aggregate; orphan_rate is
+   * an exact-int ratio.
+   */
+  def refIntegrity(child: DataFrame, parent: DataFrame, fkCol: String,
+                   pkCol: String, relation: String): DataFrame = {
+    val p = parent.select(col(pkCol).as("__pk")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(fkCol).as("__fk"))
+      .join(p, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+      .select(lit(relation).as("relation"), col("n_child"), col("n_matched"),
+        col("n_orphan"),
+        (col("n_orphan").cast("double") / col("n_child").cast("double"))
+          .as("orphan_rate"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -494,4 +494,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
   }
+
+  // ---- seventeenth wave (round 7) ----
+
+  test("q171: residual fit broadcasts back — one moment pass, no second residual scan") {
+    val plan = executedPlan("q171_residual_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q172: session paths — the sessionizer's windows share one user sort") {
+    val plan = executedPlan("q172_session_paths")
+    // both windows (lag flag, running session sum) ride the same
+    // Exchange; the prefix build is collect_list, not a third window
+    assert("Window".r.findAllIn(plan).length == 2, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q173: integrity joins are left broadcast-hash, parents deduped below") {
+    val plan = executedPlan("q173_ref_integrity")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2, plan.take(3500))
+    assert(plan.contains("LeftOuter"), plan.take(3500))
+    assert(!plan.contains("CartesianProduct"), plan.take(3500))
+  }
+
+  test("q174: gini rides the distributed rank — windows partition by __pid only") {
+    val plan = executedPlan("q174_gini_skew")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+  }
+
+  test("q175: mutual info — one cell aggregate, margins broadcast, no cross join") {
+    val plan = executedPlan("q175_mutual_info")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
 }

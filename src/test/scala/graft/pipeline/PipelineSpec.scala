@@ -3337,6 +3337,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1)._1 == 2L && out(1)._2 == 1L && math.abs(out(1)._3 - exp2) < 1e-9)
   }
 
+  // ------------------------------------------------------ wave 17
+
+  test("residualOutliers flags only the planted deviation") {
+    import spark.implicits._
+    // y ≈ 2x with small noise, one planted far point per group
+    val rows = (1L to 50L).map(i => (i, "g1", i.toDouble % 10,
+      2.0 * (i % 10) + (if (i % 3 == 0) 0.1 else -0.1))) :+
+      (99L, "g1", 5.0, 60.0) // planted: resid ≈ 50
+    val out = Stats.residualOutliers(rows.toDF("id", "g", "x", "y"),
+      Seq("g"), "x", "y", z = 4.0).select("id").as[Long].collect().toSet
+    assert(out == Set(99L))
+  }
+
+  test("topPaths orders within session and truncates the prefix") {
+    val S = 60L * 1000000L // 1 min
+    val df = evFrame(Seq(
+      // user 1, session 1: a>b>c ; session 2 (gap > 30 min): a>b
+      (1L, 0 * S, 1L, 0.0), (1L, 1 * S, 2L, 0.0), (1L, 2 * S, 3L, 0.0),
+      (1L, 100 * S, 4L, 0.0), (1L, 101 * S, 5L, 0.0),
+      // user 2: one session a>b>c>d — truncated to 3
+      (2L, 0 * S, 6L, 0.0), (2L, 1 * S, 7L, 0.0), (2L, 2 * S, 8L, 0.0),
+      (2L, 3 * S, 9L, 0.0)))
+    val typed = df.withColumn("event_type",
+      when(col("event_id") === 1 || col("event_id") === 4 || col("event_id") === 6, "a")
+        .when(col("event_id") === 2 || col("event_id") === 5 || col("event_id") === 7, "b")
+        .when(col("event_id") === 3 || col("event_id") === 8, "c")
+        .otherwise("d"))
+    val out = Sessions.topPaths(typed, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, prefixLen = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a>b>c", 2L), ("a>b", 1L)))
+  }
+
+  test("refIntegrity counts orphans against a deduplicated parent") {
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 3L, 4L).toDF("fk")
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // dup parent keys collapse
+    val r = Stats.refIntegrity(child, parent, "fk", "pk", "t").collect()(0)
+    assert(r.getString(0) == "t" && r.getLong(1) == 5L &&
+      r.getLong(2) == 3L && r.getLong(3) == 2L &&
+      math.abs(r.getDouble(4) - 0.4) < 1e-12)
+  }
+
+  test("giniSkew: uniform is 0, hand-computed skew matches") {
+    import spark.implicits._
+    val uniform = Seq("a", "b", "c", "d").toDF("k")
+    assert(math.abs(Stats.giniSkew(uniform, "k").collect()(0).getDouble(2)) < 1e-12)
+    // counts a:1, b:3 → sorted [1,3]: G = 2(1·1+2·3)/(2·4) − 3/2 = 0.25
+    val skew = (Seq("a") ++ Seq.fill(3)("b")).toDF("k")
+    val r = Stats.giniSkew(skew, "k").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L &&
+      math.abs(r.getDouble(2) - 0.25) < 1e-12)
+  }
+
+  test("mutualInfo: independence → 0, identity → nmi 1") {
+    import spark.implicits._
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val ri = Stats.mutualInfo(indep, "a", "b").collect()(0)
+    assert(math.abs(ri.getDouble(1)) < 1e-12) // MI = 0
+    assert(math.abs(ri.getDouble(2) - math.log(2.0)) < 1e-12) // H(A) = ln 2
+    val ident = Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))
+    val rd = Stats.mutualInfo(ident.toDF("a", "b"), "a", "b").collect()(0)
+    assert(math.abs(rd.getDouble(1) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(4) - 1.0) < 1e-12) // nmi = 1
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
