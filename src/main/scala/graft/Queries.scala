@@ -2899,6 +2899,52 @@ object Queries {
         .select(col("n"), round(col("mi"), 6).as("mi"),
           round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
           round(col("nmi"), 6).as("nmi"))
+    }),
+
+    "q176_skyline" -> ((s, d) => {
+      // 2-D Pareto frontier of orders (maximize total price AND
+      // recency): the sweep decomposes into a per-a max aggregate +
+      // the DISTRIBUTED exclusive running max over the (a, max-b)
+      // frame — no single-reducer Window, no quadratic dominance test.
+      // Pure comparisons, certified with NO rounding.
+      val pts = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        expr("CAST(datediff(o_orderdate, DATE'1990-01-01') AS BIGINT)")
+          .as("day"))
+      graft.pipeline.Pareto.skyline2d(pts, "price", "day")
+        .orderBy("o_orderkey")
+    }),
+
+    "q177_psi" -> ((s, d) => {
+      // drift gate: Population Stability Index of the event value
+      // distribution, first half-month vs second, over a fixed
+      // [0, 500]×25 bin domain. Two domain-sized bin aggregates + one
+      // full-outer bin join; one-sided bins reported, not smoothed.
+      val ev = events(s, d)
+      graft.pipeline.Stats.psi(
+          ev.where(dayofmonth(col("ts")) <= 15),
+          ev.where(dayofmonth(col("ts")) > 15),
+          "value", lo = 0.0, hi = 500.0, nBins = 25)
+        .select(col("n_a"), col("n_b"), col("n_bins_used"),
+          col("n_bins_onesided"), round(col("psi"), 6).as("psi"))
+    }),
+
+    "q178_rbo" -> ((s, d) => {
+      // ranker agreement: truncated rank-biased overlap (p = 0.9,
+      // k = 10) between the cosine and euclidean top-10 over the same
+      // embedding corpus — a (query, item) equi-join of two bounded
+      // ranking frames + a ≤ k depth explode; no re-ranking.
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val cos = graft.pipeline.Similarity
+        .bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val euc = graft.pipeline.Similarity
+        .bruteForceTopKEuclidean(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      graft.pipeline.Similarity.rboAtK(cos, euc, p = 0.9, k = 10)
+        .select(col("query_id"), round(col("rbo"), 6).as("rbo"))
+        .orderBy("query_id")
     })
   )
 
@@ -6118,6 +6164,84 @@ object Queries {
                  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))) /
                sqrt((-sum(p * ln(CAST(na AS DOUBLE) / n))) *
                     (-sum(p * ln(CAST(nb AS DOUBLE) / n)))), 6) AS nmi
-      FROM terms GROUP BY n"""
+      FROM terms GROUP BY n""",
+
+    "q176_skyline" -> """
+      WITH pts AS (
+        SELECT o_orderkey, o_totalprice AS price,
+               CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+                 AS BIGINT) AS day
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+      m AS (SELECT price, max(day) AS mb FROM pts GROUP BY price),
+      h AS (SELECT price, mb,
+                   max(mb) OVER (ORDER BY price DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hb
+            FROM m)
+      SELECT p.o_orderkey, p.price, p.day
+      FROM pts p JOIN h USING (price)
+      WHERE p.day = h.mb AND (h.hb IS NULL OR h.hb < p.day)
+      ORDER BY p.o_orderkey""",
+
+    "q177_psi" -> """
+      WITH av AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE day(ts) <= 15 AND value IS NOT NULL),
+      bv AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE day(ts) > 15 AND value IS NOT NULL),
+      ab AS (SELECT least(greatest(CAST(floor((v - 0.0) / 20.0) AS BIGINT),
+               0), 24) AS bin, count(*) AS ca FROM av GROUP BY 1),
+      bb AS (SELECT least(greatest(CAST(floor((v - 0.0) / 20.0) AS BIGINT),
+               0), 24) AS bin, count(*) AS cb FROM bv GROUP BY 1),
+      t AS (SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM ab) AS na,
+                   (SELECT CAST(sum(cb) AS DOUBLE) FROM bb) AS nb),
+      j AS (SELECT ca, cb FROM ab FULL OUTER JOIN bb ON ab.bin = bb.bin)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_used,
+             CAST(sum(CASE WHEN ca IS NULL OR cb IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_onesided,
+             round(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN
+               (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) *
+               ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+               END), 6) AS psi
+      FROM j, t GROUP BY na, nb""",
+
+    "q178_rbo" -> """
+      WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings),
+      sc AS (
+        SELECT qid, nid,
+               list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(cv, cv))) AS sim
+        FROM q, c WHERE nid <> qid),
+      ra AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid) AS r FROM sc),
+      se AS (
+        SELECT qid, nid,
+               -(list_dot_product(qv, qv) + list_dot_product(cv, cv) -
+                 2.0 * list_dot_product(qv, cv)) AS sim
+        FROM q, c WHERE nid <> qid),
+      re AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid) AS r FROM se),
+      pr AS (
+        SELECT a.qid, greatest(a.r, b.r) AS d0
+        FROM (SELECT * FROM ra WHERE r <= 10) a
+        JOIN (SELECT * FROM re WHERE r <= 10) b
+          ON a.qid = b.qid AND a.nid = b.nid),
+      ov AS (SELECT qid, d, count(*) AS ov FROM (
+               SELECT qid, unnest(generate_series(d0, 10)) AS d FROM pr)
+             GROUP BY 1, 2),
+      s AS (SELECT qid, sum(pow(0.9, d - 1) * CAST(ov AS DOUBLE) /
+              CAST(d AS DOUBLE)) AS s FROM ov GROUP BY 1)
+      SELECT ql.qid AS query_id,
+             round(coalesce((1.0 - 0.9) * s.s, 0.0), 6) AS rbo
+      FROM (SELECT DISTINCT qid FROM q) ql LEFT JOIN s USING (qid)
+      ORDER BY query_id"""
   )
 }

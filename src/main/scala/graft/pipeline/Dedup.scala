@@ -964,6 +964,37 @@ object Dedup {
   }
 
   /**
+   * DISTRIBUTED EXCLUSIVE running max over a total order — the prefix-
+   * aggregate pattern of [[globalOrderedCumsum]] with max instead of
+   * sum: per range partition a local exclusive cummax window, plus the
+   * max of every EARLIER partition from the numPartitions-sized
+   * per-partition-max frame (broadcast back). Adds `cummaxCol` =
+   * max(valueCol) over all rows STRICTLY BEFORE the row in
+   * `sortCols` order (null for the global first row) — the primitive
+   * behind scale-safe skyline/frontier sweeps.
+   */
+  def globalOrderedCummaxExcl(df: DataFrame, sortCols: Seq[Column],
+                              valueCol: String,
+                              cummaxCol: String = "cummax"): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val local = parted
+      .withColumn("__lm", max(col(valueCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .persist()
+    val offs = local.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__pm"))
+      .withColumn("__off",
+        max(col("__pm")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(cummaxCol, greatest(col("__lm"), col("__off")))
+      .drop("__pid", "__lm", "__off")
+  }
+
+  /**
    * Sorted-neighborhood method (SNM) record linkage: sort the corpus by
    * a blocking key, slide a window of `w` positions, and verify each
    * in-window pair with an edit-distance check on the key. The classic

@@ -859,6 +859,40 @@ object Similarity {
   }
 
   /**
+   * Truncated rank-biased overlap between two per-query rankings —
+   * "how much do two rankers agree", top-weighted (Webber et al.'s
+   * RBO with persistence p, cut at depth k):
+   * RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d.
+   *
+   * A common (query, item) pair enters every depth d ≥ max(rank_a,
+   * rank_b), so the per-depth overlaps come from ONE equi-join of the
+   * two bounded ranking frames + a ≤ k explode — no re-ranking, no
+   * per-depth scans. Inputs need (query_id, neighbor_id, rank ≤ k).
+   */
+  def rboAtK(a: DataFrame, b: DataFrame, p: Double, k: Int): DataFrame = {
+    require(p > 0.0 && p < 1.0 && k >= 1)
+    val pairs = a.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__ra"))
+      .join(b.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__rb")), Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        greatest(col("__ra"), col("__rb")).cast("int").as("__d0"))
+    val scored = pairs
+      .select(col("query_id"),
+        explode(sequence(col("__d0"), lit(k))).as("__d"))
+      .groupBy(col("query_id"), col("__d"))
+      .agg(count(lit(1)).as("__ov"))
+      .groupBy(col("query_id"))
+      .agg(sum(pow(lit(p), col("__d") - 1) * col("__ov").cast("double") /
+        col("__d").cast("double")).as("__s"))
+      .select(col("query_id"), (lit(1.0 - p) * col("__s")).as("rbo"))
+    // disjoint rankings produce no pair rows — report rbo 0, not absence
+    a.select(col("query_id")).distinct()
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
+  /**
    * NDCG@k retrieval evaluation: score each query's cosine top-k from
    * [[bruteForceTopK]] against binary label relevance (neighbor label =
    * query label), DCG with the standard 1/log₂(rank+1) discount, ideal

@@ -696,6 +696,50 @@ object Stats {
           .as("orphan_rate"))
   }
 
+  /**
+   * Population Stability Index between two slices of a numeric column —
+   * the standard ML-monitoring drift gate (PSI < 0.1 stable, > 0.25
+   * shifted). Values bin into `nBins` equal widths over the FIXED
+   * [lo, hi] domain (clamped, the q145 histogram discipline);
+   * PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over bins occupied on BOTH sides
+   * (one-sided bins are reported separately as `n_bins_onesided` —
+   * the honest alternative to epsilon-smoothing). Returns one row:
+   * (n_a, n_b, n_bins_used, n_bins_onesided, psi).
+   *
+   * Shape: two bin aggregates (domain-sized output) + one full-outer
+   * bin join of two ≤ nBins frames — nothing corpus-sized past the
+   * scans. Callers round (ln-term Σ-order drift ~1e-15).
+   */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo)
+    def bins(df: DataFrame, cnt: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / ((hi - lo) / nBins))
+            .cast("long"), lit(0L)), lit(nBins - 1L)).as("__bin"))
+        .groupBy(col("__bin")).agg(count(lit(1)).as(cnt))
+    val ja = bins(a, "__ca"); val jb = bins(b, "__cb")
+    val tot = ja.agg(sum(col("__ca")).as("__na"))
+      .crossJoin(jb.agg(sum(col("__cb")).as("__nb")))
+    ja.join(jb, Seq("__bin"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        when(col("__ca").isNotNull && col("__cb").isNotNull,
+          (col("__ca").cast("double") / col("__na").cast("double") -
+            col("__cb").cast("double") / col("__nb").cast("double")) *
+            log((col("__ca").cast("double") / col("__na").cast("double")) /
+              (col("__cb").cast("double") / col("__nb").cast("double"))))
+          .as("__term"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(sum(when(col("__term").isNotNull, 1L).otherwise(0L)).as("n_bins_used"),
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).as("n_bins_onesided"),
+        sum(col("__term")).as("psi"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("n_bins_used"), col("n_bins_onesided"), col("psi"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -532,4 +532,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
   }
+
+  // ---- eighteenth wave (round 7) ----
+
+  test("q176: skyline — no quadratic dominance join, a-keyed equi join back") {
+    val plan = executedPlan("q176_skyline")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+  }
+
+  test("q177: psi — nothing corpus-sized past the two bin aggregates") {
+    val plan = executedPlan("q177_psi")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the full-outer join runs over two ≤ nBins frames
+    assert(plan.contains("FullOuter"), plan.take(3000))
+  }
+
+  test("q178: rbo — bounded ranking frames meet in an equi-join, depth explode ≤ k") {
+    val plan = executedPlan("q178_rbo")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000)) // the depth explode
+  }
 }

@@ -3404,6 +3404,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(rd.getDouble(4) - 1.0) < 1e-12) // nmi = 1
   }
 
+  // ------------------------------------------------------ wave 18
+
+  test("globalOrderedCummaxExcl matches a single-partition exclusive running max") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+    val got = Dedup.globalOrderedCummaxExcl(rows.toDF("id", "s", "v").repartition(5),
+        Seq(col("s").asc, col("id").asc), "v", "cm")
+      .select("id", "cm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    var run = -1L
+    val exp = rows.sortBy { case (id, s, _) => (s, id) }.map { case (id, _, v) =>
+      val out = id -> run; run = math.max(run, v); out
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("skyline2d: dominance, same-a ties, duplicate points") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10.0, 5L),  // frontier
+      (2L, 10.0, 3L),  // dominated by 1 (same a, lower b)
+      (3L, 8.0, 7L),   // frontier (worse a, better b)
+      (4L, 8.0, 4L),   // dominated by 1 AND by 3
+      (5L, 12.0, 1L),  // frontier (best a)
+      (6L, 6.0, 7L),   // dominated by 3 (strictly lower a, equal b)
+      (7L, 5.0, 9L),   // frontier
+      (8L, 5.0, 9L))   // duplicate of 7 — both survive
+      .toDF("id", "a", "b")
+    val got = Pareto.skyline2d(pts, "a", "b")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L, 7L, 8L))
+  }
+
+  test("psi: identical halves 0, shifted distribution positive, one-sided counted") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = Stats.psi(a, a, "v", 0.0, 10.0, 10).collect()(0)
+    assert(same.getLong(2) == 10L && same.getLong(3) == 0L &&
+      math.abs(same.getDouble(4)) < 1e-12)
+    val b = (1 to 100).map(i => (i % 10).toDouble + 3.0).toDF("v") // shift by 3
+    val r = Stats.psi(a, b, "v", 0.0, 10.0, 10).collect()(0)
+    assert(r.getDouble(4) > 0.1) // clear drift
+    assert(r.getLong(3) > 0L)    // bins occupied on one side only
+  }
+
+  test("rboAtK: identical rankings hit the truncated closed form, disjoint are 0") {
+    import spark.implicits._
+    val rk = (for (q <- 1 to 3; r <- 1 to 5) yield (q.toLong, (q * 100 + r).toLong, r))
+      .toDF("query_id", "neighbor_id", "rank")
+    val p = 0.5; val k = 5
+    val out = Similarity.rboAtK(rk, rk, p, k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = (1 - p) * (1 to k).map(d => math.pow(p, d - 1)).sum
+    assert(out.size == 3 && out.values.forall(v => math.abs(v - expected) < 1e-12))
+    val other = rk.withColumn("neighbor_id", col("neighbor_id") + 1000L)
+    val zero = Similarity.rboAtK(rk, other, p, k).collect()
+    assert(zero.length == 3 && zero.forall(_.getDouble(1) == 0.0))
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
