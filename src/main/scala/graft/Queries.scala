@@ -2945,6 +2945,55 @@ object Queries {
       graft.pipeline.Similarity.rboAtK(cos, euc, p = 0.9, k = 10)
         .select(col("query_id"), round(col("rbo"), 6).as("rbo"))
         .orderBy("query_id")
+    }),
+
+    "q179_holt" -> ((s, d) => {
+      // Holt level+trend smoothing per user (α = 0.25, β = 0.5 — both
+      // exact binary): the ewma discipline one step up — a single
+      // codegen'd array fold over (time, tie)-ordered values with a
+      // [level, trend] accumulator. UNROUNDED: the oracle's ordered
+      // list_reduce replays the identical IEEE chain.
+      graft.pipeline.Sessions.holt(events(s, d), "user_id", "ts",
+          "event_id", "value", alpha = 0.25, beta = 0.5)
+        .orderBy("user_id")
+    }),
+
+    "q180_gap_fill" -> ((s, d) => {
+      // sensor gap filling: every 7th event's value is treated as
+      // missing and linearly interpolated between its nearest observed
+      // neighbors (LOCF/NOCB at the edges). Two IGNORE NULLS
+      // navigation windows over ONE (user, t, tie) sort; the
+      // conditional (value, ts) pairs go null together so the
+      // neighbor reads are consistent row pairs.
+      val ev = events(s, d).withColumn("value",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      graft.pipeline.Sessions.gapFill(ev, "user_id", "ts", "event_id",
+          "value")
+        .where(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"),
+          round(col("filled"), 6).as("filled"), col("fill_kind"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q181_k_anonymity" -> ((s, d) => {
+      // privacy release gate: k-anonymity of the (nation, segment)
+      // quasi-identifier over customers at k = 10 — group count, the
+      // smallest group, and how many rows sit in groups below k. One
+      // partial-aggregated group count + one tiny rollup; exact-int
+      // ratio, UNROUNDED.
+      graft.pipeline.Stats.kAnonymity(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+
+    "q182_lexical_diversity" -> ((s, d) => {
+      // corpus-health profile per language: token/type counts, TTR,
+      // hapax legomena share — template spam shows as low TTR, OCR
+      // noise as high hapax rate. Two partial-aggregated passes over
+      // the (lang, token) count frame; UNROUNDED exact-int ratios.
+      graft.pipeline.Text.lexicalDiversity(t(s, d, "documents"), "lang",
+          "text")
+        .orderBy("lang")
     })
   )
 
@@ -6242,6 +6291,87 @@ object Queries {
       SELECT ql.qid AS query_id,
              round(coalesce((1.0 - 0.9) * s.s, 0.0), 6) AS rbo
       FROM (SELECT DISTINCT qid FROM q) ql LEFT JOIN s USING (qid)
-      ORDER BY query_id"""
+      ORDER BY query_id""",
+
+    "q179_holt" -> """
+      WITH ordered AS (
+        SELECT user_id,
+               list([CAST(value AS DOUBLE), 0.0]
+                 ORDER BY epoch_us(ts), event_id) AS a
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      r AS (
+        SELECT user_id, CAST(len(a) AS BIGINT) AS n_events,
+               list_reduce(a, (acc, e) ->
+                 [0.25 * e[1] + 0.75 * (acc[1] + acc[2]),
+                  0.5 * (0.25 * e[1] + 0.75 * (acc[1] + acc[2]) - acc[1]) +
+                  0.5 * acc[2]]) AS lb
+        FROM ordered)
+      SELECT user_id, n_events, lb[1] AS level, lb[2] AS trend,
+             lb[1] + lb[2] AS forecast
+      FROM r ORDER BY user_id""",
+
+    "q180_gap_fill" -> """
+      WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(value AS DOUBLE) END AS v
+        FROM events),
+      w AS (
+        SELECT user_id, event_id, t, v,
+               last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                 OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                 OVER wp AS pt,
+               first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                 OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                 OVER wf AS nt
+        FROM base
+        WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id,
+             round(CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                     pv + (nv - pv) * CAST(t - pt AS DOUBLE) /
+                       CAST(nt - pt AS DOUBLE)
+                   WHEN pv IS NOT NULL THEN pv
+                   WHEN nv IS NOT NULL THEN nv END, 6) AS filled,
+             CASE WHEN v IS NOT NULL THEN 'observed'
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                  WHEN pv IS NOT NULL THEN 'locf'
+                  WHEN nv IS NOT NULL THEN 'nocb'
+                  ELSE 'none' END AS fill_kind
+      FROM w WHERE event_id % 7 = 0 ORDER BY user_id, event_id""",
+
+    "q181_k_anonymity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2)
+      SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) /
+               CAST(sum(n) AS DOUBLE) AS risk_rate
+      FROM g""",
+
+    "q182_lexical_diversity" -> """
+      WITH toks AS (
+        SELECT lang, u.t FROM documents,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS u(t)),
+      c AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2)
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS hapax_rate
+      FROM c GROUP BY lang ORDER BY lang"""
   )
 }

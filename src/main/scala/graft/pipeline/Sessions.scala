@@ -290,6 +290,98 @@ object Sessions {
   }
 
   /**
+   * Holt double-exponential smoothing (level + trend) per key — the
+   * next step up from [[ewma]] for signals with drift. Recursion:
+   * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+   * initialized l₁ = x₁, b₁ = 0. Returns per key: n_events, level,
+   * trend, forecast (= level + trend, the 1-step-ahead prediction).
+   *
+   * Exactly like ewma, the fold is ONE codegen'd array reduce over the
+   * (time, tie)-ordered values — no Window, one key shuffle. The
+   * accumulator is a 2-element double array [l, b] and every element
+   * is padded to [x, 0], so the first fold step IS the initialization
+   * and the whole chain is a fixed IEEE operation sequence any
+   * engine's ordered list-fold replays bit-for-bit (pick α, β with
+   * exact binary representations). NTZ-proof.
+   */
+  def holt(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0)
+    val arr = array_sort(collect_list(struct(
+      Time.tsMicros(col(tsCol)).as("t"), col(tieCol).as("k"),
+      array(col(valCol).cast("double"), lit(0.0)).as("v"))))
+    val lvl = (acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+      lit(alpha) * element_at(e, 1) +
+        lit(1.0 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    events
+      .where(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(arr.as("__a"))
+      .select(col(keyCol), size(col("__a")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("__a"), lit(2), greatest(size(col("__a")) - 1, lit(0))),
+          element_at(col("__a"), 1).getField("v"),
+          (acc, s) => {
+            val e = s.getField("v")
+            array(lvl(acc, e),
+              lit(beta) * (lvl(acc, e) - element_at(acc, 1)) +
+                lit(1.0 - beta) * element_at(acc, 2))
+          }).as("__lb"))
+      .select(col(keyCol), col("n_events"),
+        element_at(col("__lb"), 1).as("level"),
+        element_at(col("__lb"), 2).as("trend"),
+        (element_at(col("__lb"), 1) + element_at(col("__lb"), 2))
+          .as("forecast"))
+  }
+
+  /**
+   * Per-key linear interpolation of missing values — the sensor-data
+   * gap filler. A null sample takes
+   * pv + (nv − pv)·(t − pt)/(nt − pt) between its nearest non-null
+   * neighbors in (time, tie) order; leading gaps backfill (NOCB),
+   * trailing gaps carry forward (LOCF), keys with no observed value
+   * stay null. Adds `filled` + a `fill_kind` tag
+   * (observed|interp|locf|nocb|none).
+   *
+   * Shape: two IGNORE NULLS navigation windows over ONE (key, t, tie)
+   * sort — the conditional (value, ts) pairs go null together, so the
+   * LOCF/NOCB reads are consistent row pairs. NTZ-proof.
+   */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              tieCol: String, valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(tieCol))
+    val past = byKey.rowsBetween(Window.unboundedPreceding, -1)
+    val future = byKey.rowsBetween(1, Window.unboundedFollowing)
+    val obsV = when(col(valCol).isNotNull, col(valCol).cast("double"))
+    val obsT = when(col(valCol).isNotNull, col("__t"))
+    events
+      .withColumn("__t", Time.tsMicros(col(tsCol)))
+      // one projection → Spark collapses same-frame expressions into a
+      // single Window node per frame (two total), one shared sort
+      .select(col("*"),
+        last(obsV, ignoreNulls = true).over(past).as("__pv"),
+        last(obsT, ignoreNulls = true).over(past).as("__pt"),
+        first(obsV, ignoreNulls = true).over(future).as("__nv"),
+        first(obsT, ignoreNulls = true).over(future).as("__nt"))
+      .withColumn("filled",
+        when(col(valCol).isNotNull, col(valCol).cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col("__t") - col("__pt")).cast("double") /
+              (col("__nt") - col("__pt")).cast("double"))
+          .when(col("__pv").isNotNull, col("__pv"))
+          .when(col("__nv").isNotNull, col("__nv")))
+      .withColumn("fill_kind",
+        when(col(valCol).isNotNull, "observed")
+          .when(col("__pv").isNotNull && col("__nv").isNotNull, "interp")
+          .when(col("__pv").isNotNull, "locf")
+          .when(col("__nv").isNotNull, "nocb")
+          .otherwise("none"))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
+  /**
    * Rolling distinct actives: for every day D, the number of DISTINCT
    * keys with at least one event in the trailing `windowDays`-day
    * window [D − windowDays + 1, D] — the DAU/WAU/MAU family, exact.

@@ -740,6 +740,30 @@ object Stats {
         col("n_bins_used"), col("n_bins_onesided"), col("psi"))
   }
 
+  /**
+   * k-anonymity gate over a quasi-identifier tuple: every row whose
+   * quasi-identifier group has fewer than k members is re-identifiable
+   * to that group size. Reports group count, row count, the smallest
+   * group, violating-group/row counts and the at-risk rate — the
+   * privacy release check that runs BEFORE any row-level export.
+   * One partial-aggregated group count + one tiny rollup; the rate is
+   * an exact-int ratio.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("n_rows"),
+        min(col("__n")).as("min_group_size"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(col("n_groups"), col("n_rows"), col("min_group_size"),
+        col("n_violating_groups"), col("n_rows_at_risk"),
+        (col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
+          .as("risk_rate"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

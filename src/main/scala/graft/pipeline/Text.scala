@@ -837,6 +837,34 @@ object Text {
         col("__tt").as("total_tokens"))
   }
 
+  /**
+   * Lexical-diversity profile per group: token count, type (distinct
+   * token) count, type–token ratio, hapax legomena count (tokens seen
+   * exactly once in the group) and hapax share of types — the corpus-
+   * health metrics that flag template spam (low TTR) and OCR noise
+   * (high hapax rate). Tokens are lowercased whitespace splits (the
+   * [[vocabCoverage]] convention). Two partial-aggregated passes over
+   * the (group, token) count frame; ratios are exact-int divisions —
+   * UNROUNDED cross-engine equality.
+   */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    df.select(col(groupCol).as("__g"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= "")).as("__t"))
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_rate"))
+  }
+
   /** Register the custom text expressions for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -556,4 +556,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
     assert(plan.contains("Generate"), plan.take(3000)) // the depth explode
   }
+
+  // ---- nineteenth wave (round 7) ----
+
+  test("q179: holt is one array fold — no Window, one key shuffle") {
+    val plan = executedPlan("q179_holt")
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+  }
+
+  test("q180: gap fill — both navigation frames collapse into ONE Window node") {
+    val plan = executedPlan("q180_gap_fill")
+    assert("Window".r.findAllIn(plan).length == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q181/q182: pure partial-aggregated group passes, no window, no join") {
+    Seq("q181_k_anonymity", "q182_lexical_diversity").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"), s"$q: ${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$q: ${plan.take(2000)}")
+      assert("HashAggregate".r.findAllIn(plan).length >= 3, s"$q: ${plan.take(2500)}")
+    }
+  }
 }

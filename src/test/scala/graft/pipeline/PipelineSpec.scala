@@ -3464,6 +3464,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(zero.length == 3 && zero.forall(_.getDouble(1) == 0.0))
   }
 
+  // ------------------------------------------------------ wave 19
+
+  test("holt matches the recursive level/trend fold") {
+    val S = 1000000L
+    val vals = Seq(10.0, 12.0, 11.0, 15.0, 18.0, 17.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => (1L, i * S, i.toLong, v) }
+    val out = Sessions.holt(evFrame(rows), "user_id", "ts", "event_id",
+      "value", alpha = 0.25, beta = 0.5).collect()(0)
+    var l = vals.head; var b = 0.0
+    vals.tail.foreach { x =>
+      val l2 = 0.25 * x + 0.75 * (l + b)
+      b = 0.5 * (l2 - l) + 0.5 * b; l = l2
+    }
+    assert(out.getLong(1) == vals.size.toLong)
+    assert(out.getDouble(2) == l && out.getDouble(3) == b) // bit-exact
+    assert(out.getDouble(4) == l + b)
+  }
+
+  test("gapFill: interp, locf, nocb and all-missing keys") {
+    val S = 1000000L
+    val df = evFrame(Seq(
+      (1L, 0 * S, 1L, 10.0), (1L, 10 * S, 2L, 0.0), (1L, 20 * S, 3L, 30.0),
+      (1L, 30 * S, 4L, 0.0), // trailing gap → locf
+      (2L, 0 * S, 5L, 0.0), (2L, 10 * S, 6L, 5.0), // leading gap → nocb
+      (3L, 0 * S, 7L, 0.0))) // never observed → none
+      .withColumn("value", when(col("value") === 0.0, lit(null)).otherwise(col("value")))
+    val out = Sessions.gapFill(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+      .select("event_id", "filled", "fill_kind").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(out(1) == (2L, Some(20.0), "interp")) // midpoint of 10 and 30
+    assert(out(3) == (4L, Some(30.0), "locf"))
+    assert(out(4) == (5L, Some(5.0), "nocb"))
+    assert(out(6) == (7L, None, "none"))
+  }
+
+  test("kAnonymity counts violating groups and at-risk rows") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(1)(("b", "x"))).toDF("q1", "q2")
+    val r = Stats.kAnonymity(df, Seq("q1", "q2"), k = 3L).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(math.abs(r.getDouble(5) - 3.0 / 8.0) < 1e-15)
+  }
+
+  test("lexicalDiversity: case folding, TTR and hapax share") {
+    import spark.implicits._
+    val docs = Seq(("en", "The the THE cat"), ("en", "cat dog")).toDF("lang", "text")
+    val r = Text.lexicalDiversity(docs, "lang", "text").collect()(0)
+    // tokens: the×3, cat×2, dog×1 → 6 tokens, 3 types, 1 hapax
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L && r.getLong(4) == 1L)
+    assert(r.getDouble(3) == 0.5 && math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-15)
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
