@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import graft.spatial.{functions => G}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -397,4 +398,79 @@ object StreamOps {
           EwmaRow(key, st.n, st.ewma)
       }
   }
+
+  /**
+   * Streaming PSI drift monitor — the live face of
+   * [[graft.pipeline.Stats.psi]]: per event-time window, bin the
+   * value stream over the same FIXED [lo, hi]×nBins domain as a
+   * static baseline frame and emit the window's Population Stability
+   * Index against the baseline's bin shares.
+   *
+   * Streaming shape: ONE stateful operator. Each row one-hot-encodes
+   * into an nBins histogram slot; the watermarked windowed aggregate
+   * element-wise-sums those arrays ([[LongVecSumAgg]] — map-side
+   * partial combine, state = one nBins-long array per open window).
+   * The baseline folds to a single share-array row joined in by
+   * broadcast, and PSI evaluates in a codegen'd zip_with/aggregate
+   * post-projection — no second streaming aggregation, no chained
+   * stateful operators. Bins unoccupied on either side are skipped
+   * (the batch operator's report-only honesty; `n_bins_used` says how
+   * many contributed).
+   *
+   * Output per window: (window, n, n_bins_used, psi).
+   */
+  def psiStream(stream: DataFrame, baseline: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBins: Int,
+                windowLen: String = "5 minutes",
+                watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(nBins >= 2 && hi > lo)
+    val width = (hi - lo) / nBins
+    def bin(c: org.apache.spark.sql.Column) =
+      least(greatest(floor((c.cast("double") - lo) / width).cast("long"),
+        lit(0L)), lit(nBins - 1L))
+    def oneHot(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0L), lit(nBins - 1L)),
+        i => when(i === bin(c), 1L).otherwise(0L))
+    val vecSum = udaf(new LongVecSumAgg(nBins),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val baseShares = baseline.where(col(valueCol).isNotNull)
+      .select(oneHot(col(valueCol)).as("__h"))
+      .agg(vecSum(col("__h")).as("__bc"))
+      .select(transform(col("__bc"), c => c.cast("double") /
+        aggregate(col("__bc"), lit(0L), (a, x) => a + x).cast("double"))
+        .as("__q"))
+    val counts = stream
+      .where(col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(vecSum(oneHot(col(valueCol))).as("__c"))
+    val n = aggregate(col("__c"), lit(0L), (a, x) => a + x).cast("double")
+    val terms = zip_with(col("__c"), col("__q"), (c, q) =>
+      when(c > 0L && q > 0.0,
+        (c.cast("double") / n - q) * log((c.cast("double") / n) / q))
+        .otherwise(lit(0.0)))
+    val used = zip_with(col("__c"), col("__q"), (c, q) =>
+      when(c > 0L && q > 0.0, 1L).otherwise(0L))
+    counts.crossJoin(broadcast(baseShares))
+      .select(col("window"), n.cast("long").as("n"),
+        aggregate(used, lit(0L), (a, x) => a + x).as("n_bins_used"),
+        aggregate(terms, lit(0.0), (a, x) => a + x).as("psi"))
+  }
+}
+
+/** Element-wise sum of fixed-length long vectors (histogram merge). */
+class LongVecSumAgg(n: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] with Serializable {
+  def zero: Array[Long] = new Array[Long](n)
+  def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+    var i = 0; while (i < n) { b(i) += v(i); i += 1 }; b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a
+  }
+  def finish(r: Array[Long]): Seq[Long] = r.toSeq
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

@@ -459,4 +459,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batch == v)
     } finally q.stop()
   }
+
+  test("psiStream: windowed drift vs a static baseline matches the batch PSI arithmetic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over bins 0..4 (values 0.5, 1.5, …, 4.5 ×10)
+    val baseline = (0 until 5).flatMap(b => Seq.fill(10)(b + 0.5)).toDF("value")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("event_id", "ts", "value")
+    val q = StreamOps.psiStream(stream, baseline, "value",
+        lo = 0.0, hi = 5.0, nBins = 5, windowLen = "10 minutes")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("psi_view").start()
+    try {
+      // window 1: same uniform shape → PSI 0
+      (0 until 5).zipWithIndex.foreach { case (b, i) =>
+        input.addData((i.toLong, ts("2024-01-01 10:01:00"), b + 0.5)) }
+      // window 2: all mass in bin 0 → strong drift
+      (0 until 10).foreach { i =>
+        input.addData((100L + i, ts("2024-01-01 10:11:00"), 0.5)) }
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, n, n_bins_used, psi FROM psi_view ORDER BY 1")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 5L && rows(0).getLong(2) == 5L &&
+        math.abs(rows(0).getDouble(3)) < 1e-12) // no drift
+      // drifted window: only bin 0 occupied on both sides;
+      // p0 = 1, q0 = 0.2 → psi = (1 − 0.2)·ln(1/0.2)
+      val exp = (1.0 - 0.2) * math.log(1.0 / 0.2)
+      assert(rows(1).getLong(1) == 10L && rows(1).getLong(2) == 1L &&
+        math.abs(rows(1).getDouble(3) - exp) < 1e-12)
+      // arithmetic parity with the batch operator on the same slice
+      val w2 = Seq.fill(10)(0.5).toDF("value")
+      val batch = graft.pipeline.Stats.psi(w2, baseline, "value", 0.0, 5.0, 5)
+        .collect()(0)
+      assert(math.abs(batch.getDouble(4) - rows(1).getDouble(3)) < 1e-12)
+    } finally q.stop()
+  }
 }
