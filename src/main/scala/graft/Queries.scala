@@ -2994,6 +2994,72 @@ object Queries {
       graft.pipeline.Text.lexicalDiversity(t(s, d, "documents"), "lang",
           "text")
         .orderBy("lang")
+    }),
+
+    "q183_rolling_median" -> ((s, d) => {
+      // rolling 5-event median of the value per user — the robust
+      // moving average. ROWS-bounded frame → per-row buffer ≤ 5;
+      // interpolated (type-7) middle matches quantile_cont exactly.
+      // One key shuffle, one Window node.
+      graft.pipeline.Sessions.rollingMedian(events(s, d), "user_id",
+          "ts", "event_id", "value", nEvents = 5)
+        .select(col("user_id"), col("event_id"), col("n_in_window"),
+          round(col("rolling_median"), 6).as("rolling_median"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q184_funnel_timing" -> ((s, d) => {
+      // funnel latency profile: stage reach counts + exact p50/p90 of
+      // the view→click and click→purchase first-completion delays —
+      // one aggregate over the funnel's per-user frame (percentile ≡
+      // quantile_cont, the q51 parity).
+      // quantiles via Stats.exactQuantileCol over SORTED delta arrays:
+      // builtin percentile and quantile_cont agree on the type-7
+      // definition but not the internal IEEE chain (a p90 here landed
+      // on x.5 µs in Spark and x.49994 in DuckDB — unroundable at 1e11
+      // magnitude); the explicit chain is mirrored verbatim in the
+      // oracle, making the values BIT-identical, certified unrounded.
+      val q = graft.pipeline.Stats.exactQuantileCol _
+      graft.pipeline.Sessions.funnel(events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_s1"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_s2"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_s3"),
+          sort_array(collect_list(unix_micros(col("t2")) -
+            unix_micros(col("t1")))).as("__d12"),
+          sort_array(collect_list(unix_micros(col("t3")) -
+            unix_micros(col("t2")))).as("__d23"))
+        .select(col("n_users"), col("n_s1"), col("n_s2"), col("n_s3"),
+          q(col("__d12"), 0.5).as("p50_vc_us"),
+          q(col("__d12"), 0.9).as("p90_vc_us"),
+          q(col("__d23"), 0.5).as("p50_cp_us"),
+          q(col("__d23"), 0.9).as("p90_cp_us"))
+    }),
+
+    "q185_markov_entropy" -> ((s, d) => {
+      // behavioral predictability: per-state transition entropy of the
+      // event-type Markov chain + each state's transition share (the
+      // weighted sum is the process entropy rate). Domain-sized
+      // aggregates over the transition frame.
+      graft.pipeline.Sessions.markovEntropy(events(s, d))
+        .select(col("from_type"), col("n_out"), col("share"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("from_type")
+    }),
+
+    "q186_bfs_hops" -> ((s, d) => {
+      // multi-source BFS over the bought-together graph (q169's
+      // co-occurrence pairs): minimum hops from parts 1–10, up to 3.
+      // Each unrolled round = one equi-join of the node-sized distance
+      // vector with the cached symmetric edge list + a partial-
+      // aggregated min — the pageRank discipline.
+      val pairs = graft.pipeline.Similarity.itemCooccurrence(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minTogether = 2L)
+      graft.pipeline.Graph.bfsHops(pairs, "item_a", "item_b",
+          t(s, d, "part").where(col("p_partkey") <= 10), "p_partkey",
+          maxHops = 3)
+        .orderBy("node")
     })
   )
 
@@ -6372,6 +6438,125 @@ object Queries {
                AS n_hapax,
              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                CAST(count(*) AS DOUBLE) AS hapax_rate
-      FROM c GROUP BY lang ORDER BY lang"""
+      FROM c GROUP BY lang ORDER BY lang""",
+
+    "q183_rolling_median" -> """
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+             round(median(CAST(value AS DOUBLE)) OVER w, 6) AS rolling_median
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+
+    "q184_funnel_timing" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      j AS (
+        SELECT u.user_id, t1, t2, t3
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)),
+      agg AS (
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_s1,
+               CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_s2,
+               CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_s3,
+               list(epoch_us(t2) - epoch_us(t1) ORDER BY 1)
+                 FILTER (WHERE t2 IS NOT NULL AND t1 IS NOT NULL) AS d12,
+               list(epoch_us(t3) - epoch_us(t2) ORDER BY 1)
+                 FILTER (WHERE t3 IS NOT NULL AND t2 IS NOT NULL) AS d23
+        FROM j)
+      SELECT n_users, n_s1, n_s2, n_s3,
+             CASE WHEN CAST((len(d12) - 1) AS DOUBLE) * 0.5 -
+                       floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5) = 0.0
+                  THEN CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE)
+                  ELSE CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE) +
+                       (CAST((len(d12) - 1) AS DOUBLE) * 0.5 - floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5)) *
+                       (CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5) AS INT) + 2] AS DOUBLE) -
+                        CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE))
+             END AS p50_vc_us,
+             CASE WHEN CAST((len(d12) - 1) AS DOUBLE) * 0.9 -
+                       floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9) = 0.0
+                  THEN CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE)
+                  ELSE CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE) +
+                       (CAST((len(d12) - 1) AS DOUBLE) * 0.9 - floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9)) *
+                       (CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9) AS INT) + 2] AS DOUBLE) -
+                        CAST(list_sort(d12)[CAST(floor(CAST((len(d12) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE))
+             END AS p90_vc_us,
+             CASE WHEN CAST((len(d23) - 1) AS DOUBLE) * 0.5 -
+                       floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5) = 0.0
+                  THEN CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE)
+                  ELSE CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE) +
+                       (CAST((len(d23) - 1) AS DOUBLE) * 0.5 - floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5)) *
+                       (CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5) AS INT) + 2] AS DOUBLE) -
+                        CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE))
+             END AS p50_cp_us,
+             CASE WHEN CAST((len(d23) - 1) AS DOUBLE) * 0.9 -
+                       floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9) = 0.0
+                  THEN CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE)
+                  ELSE CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE) +
+                       (CAST((len(d23) - 1) AS DOUBLE) * 0.9 - floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9)) *
+                       (CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9) AS INT) + 2] AS DOUBLE) -
+                        CAST(list_sort(d23)[CAST(floor(CAST((len(d23) - 1) AS DOUBLE) * 0.9) AS INT) + 1] AS DOUBLE))
+             END AS p90_cp_us
+      FROM agg""",
+
+    "q185_markov_entropy" -> """
+      WITH pr AS (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS t
+        FROM events),
+      c AS (SELECT f, t, count(*) AS n FROM pr WHERE t IS NOT NULL
+            GROUP BY 1, 2),
+      t1 AS (SELECT f, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY f),
+      g AS (
+        SELECT c.f, t1.n_out,
+               -sum((CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)) *
+                 ln(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE))) AS entropy
+        FROM c JOIN t1 USING (f) GROUP BY c.f, t1.n_out),
+      tot AS (SELECT CAST(sum(n_out) AS DOUBLE) AS tt FROM g)
+      SELECT f AS from_type, n_out,
+             CAST(n_out AS DOUBLE) / tot.tt AS share,
+             round(entropy, 6) AS entropy
+      FROM g, tot ORDER BY from_type""",
+
+    "q186_bfs_hops" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      p2 AS (
+        SELECT a.i AS x, b.i AS y
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS (SELECT x AS u, y AS v FROM p2
+            UNION SELECT y AS u, x AS v FROM p2),
+      d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+             FROM part WHERE p_partkey <= 10),
+      d1 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d0 UNION ALL
+               SELECT e.v AS node, d0.dist + 1 AS dist
+               FROM e JOIN d0 ON e.u = d0.node) GROUP BY node),
+      d2 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d1 UNION ALL
+               SELECT e.v AS node, d1.dist + 1 AS dist
+               FROM e JOIN d1 ON e.u = d1.node) GROUP BY node),
+      d3 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d2 UNION ALL
+               SELECT e.v AS node, d2.dist + 1 AS dist
+               FROM e JOIN d2 ON e.u = d2.node) GROUP BY node)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"""
   )
 }

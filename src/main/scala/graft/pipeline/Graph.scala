@@ -239,6 +239,39 @@ object Graph {
    * Callers round (10 dp absorbs ~9 orders of magnitude of drift at
    * graph sizes where ranks sit near 1/N ≈ 1e-3…1e-6).
    */
+  /**
+   * Multi-source BFS hop distance (undirected): the minimum number of
+   * edges from any seed node, up to `maxHops`. Unreached nodes are
+   * absent from the output.
+   *
+   * Shape: the pageRank discipline — the symmetrized edge list persists
+   * once; each unrolled round is ONE equi-join of the current distance
+   * vector with the cached edges + a partial-aggregated min; rounds
+   * stay declarative so an oracle can replay the trajectory. Frontier
+   * frames are node-sized, never corpus-sized. `maxHops` bounds the
+   * plan depth (for unbounded reachability use
+   * [[connectedComponentsConverged]]).
+   */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var h = 0
+    while (h < maxHops) {
+      val next = sym.join(dist.select(col("node").as("u"), col("dist")),
+          Seq("u"))
+        .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      h += 1
+    }
+    dist
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")

@@ -107,16 +107,44 @@ object Sessions {
                        tieCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(Time.tsMicros(col(tsCol)), col(tieCol))
+    // persist the domain-sized (from, to, n) frame: the totals join (and
+    // downstream consumers like markovEntropy) reference it several
+    // times, and each uncached reference would re-run the corpus-sized
+    // lead window
     val pairs = events
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .where(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val totals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("__tot"))
     pairs.join(broadcast(totals), Seq("from_type"))
       .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
       .drop("__tot")
+  }
+
+  /**
+   * First-order Markov entropy of the event-type process, per source
+   * state: H(s) = −Σ_t p(t|s)·ln p(t|s) over the observed transition
+   * distribution ([[transitionMatrix]]), plus each state's share of
+   * all transitions (the stationary weight Σ_s share·H(s) estimates
+   * the process entropy rate — how predictable user behavior is).
+   * Domain-sized aggregates over the transition frame; share is an
+   * exact-int ratio.
+   */
+  def markovEntropy(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts", typeCol: String = "event_type",
+                    tieCol: String = "event_id"): DataFrame = {
+    val tm = transitionMatrix(events, userCol, tsCol, typeCol, tieCol)
+    val g = tm.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"),
+        (-sum(col("p") * log(col("p")))).as("entropy"))
+    val tot = g.agg(sum(col("n_out")).as("__t"))
+    g.crossJoin(broadcast(tot))
+      .select(col("from_type"), col("n_out"),
+        (col("n_out").cast("double") / col("__t").cast("double")).as("share"),
+        col("entropy"))
   }
 
   /**
@@ -379,6 +407,41 @@ object Sessions {
           .when(col("__nv").isNotNull, "nocb")
           .otherwise("none"))
       .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
+  /**
+   * Rolling median of the last `nEvents` samples per key — the robust
+   * sibling of a moving average (spikes shift a mean, not a median).
+   * The frame is ROWS-bounded, so the per-row buffer is ≤ nEvents
+   * values: `collect_list` over the sliding frame + an interpolated
+   * (type-7) middle — matching `quantile_cont` semantics, so an oracle
+   * replays it exactly. One key shuffle, one Window node; partial
+   * frames at the start of each key use the available rows (standard
+   * rolling semantics). NTZ-proof.
+   */
+  def rollingMedian(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valCol: String, nEvents: Int): DataFrame = {
+    require(nEvents >= 1)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(tieCol))
+      .rowsBetween(-(nEvents - 1).toLong, 0L)
+    events
+      .where(col(valCol).isNotNull)
+      .withColumn("__t", Time.tsMicros(col(tsCol)))
+      .withColumn("__a",
+        array_sort(collect_list(col(valCol).cast("double")).over(w)))
+      .select(col(keyCol), col(tieCol), col("__t"),
+        size(col("__a")).cast("long").as("n_in_window"),
+        // element_at needs INT positions; the double divisions are exact
+        // for these small frame sizes
+        when(size(col("__a")) % 2 === 1,
+          element_at(col("__a"),
+            ((size(col("__a")) + 1) / 2).cast("int")))
+          .otherwise((element_at(col("__a"),
+            (size(col("__a")) / 2).cast("int")) +
+            element_at(col("__a"),
+              (size(col("__a")) / 2).cast("int") + 1)) / 2.0)
+          .as("rolling_median"))
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -762,6 +762,28 @@ object Stats {
         col("n_violating_groups"), col("n_rows_at_risk"),
         (col("n_rows_at_risk").cast("double") / col("n_rows").cast("double"))
           .as("risk_rate"))
+  }
+
+  /**
+   * Type-7 quantile from an ALREADY-SORTED array column, with the
+   * interpolation spelled out as explicit column arithmetic:
+   * rank = (n−1)·p, value = a[⌊rank⌋] + frac·(a[⌊rank⌋+1] − a[⌊rank⌋]).
+   * Engines' builtin percentile/quantile_cont agree on the DEFINITION
+   * but not the internal IEEE chain (observed: a p90 landing on x.5 in
+   * one engine and x.49994 in the other — unroundable at 1e11
+   * magnitudes); writing the chain once and mirroring it verbatim in
+   * the oracle SQL makes the result BIT-identical instead.
+   */
+  def exactQuantileCol(sortedArr: Column, p: Double): Column = {
+    val n = size(sortedArr)
+    val rn = (n - 1).cast("double") * lit(p)
+    val k = floor(rn).cast("int")
+    val frac = rn - floor(rn)
+    val lo = element_at(sortedArr, k + 1).cast("double")
+    when(n === 0, lit(null).cast("double"))
+      .when(frac === 0.0, lo)
+      .otherwise(lo + frac *
+        (element_at(sortedArr, k + 2).cast("double") - lo))
   }
 
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,

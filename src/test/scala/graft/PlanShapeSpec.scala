@@ -580,4 +580,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert("HashAggregate".r.findAllIn(plan).length >= 3, s"$q: ${plan.take(2500)}")
     }
   }
+
+  // ---- twentieth wave (round 7) ----
+
+  test("q183: rolling median is ONE bounded-frame Window, no join") {
+    val plan = executedPlan("q183_rolling_median")
+    assert("Window".r.findAllIn(plan).length == 1, plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+  }
+
+  test("q184: funnel timing keeps the chained-minima shape — broadcast joins, no event-list window") {
+    val plan = executedPlan("q184_funnel_timing")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(3500))
+  }
+
+  test("q185: markov entropy — one lead window + domain-sized aggregates") {
+    val plan = executedPlan("q185_markov_entropy")
+    // the corpus-sized lead window runs ONCE: the (from, to, n) frame is
+    // cached and every consumer reads the InMemory scan
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q186: bfs rounds are equi-joins of node-sized vectors with cached edges") {
+    val plan = executedPlan("q186_bfs_hops")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

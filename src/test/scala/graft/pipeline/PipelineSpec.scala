@@ -3519,6 +3519,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.5 && math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-15)
   }
 
+  // ------------------------------------------------------ wave 20
+
+  test("rollingMedian: odd/even frames and leading partial windows") {
+    val S = 1000000L
+    val vals = Seq(10.0, 30.0, 20.0, 100.0, 40.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => (1L, i * S, i.toLong, v) }
+    val out = Sessions.rollingMedian(evFrame(rows), "user_id", "ts",
+        "event_id", "value", nEvents = 3)
+      .orderBy("event_id").select("n_in_window", "rolling_median").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // frames: [10] → 10; [10,30] → 20; [10,30,20] → 20; [30,20,100] → 30;
+    // [20,100,40] → 40 (the 100 spike doesn't drag the median);
+    // n_in_window caps at the 3-row frame
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 20.0),
+      (3L, 30.0), (3L, 40.0)))
+  }
+
+  test("exactQuantileCol: exact ranks, interpolation, singleton") {
+    import spark.implicits._
+    val df = Seq(Seq(10L, 20L, 30L, 40L)).toDF("a")
+    def q(p: Double) = df.select(Stats.exactQuantileCol(col("a"), p))
+      .collect()(0).getDouble(0)
+    assert(q(0.5) == 25.0)               // frac 0.5 between 20 and 30
+    assert(q(0.0) == 10.0 && q(1.0) == 40.0)
+    assert(math.abs(q(0.9) - (30.0 + 0.7 * 10.0)) < 1e-12) // rank 2.7
+    val one = Seq(Seq(7L)).toDF("a")
+    assert(one.select(Stats.exactQuantileCol(col("a"), 0.9))
+      .collect()(0).getDouble(0) == 7.0)
+  }
+
+  test("markovEntropy: deterministic chain is 0, uniform branch is ln 2") {
+    val S = 1000000L
+    // user 1: a→b→a→b… (deterministic from both states)
+    val det = (0 until 6).map(i => (1L, i * S, i.toLong, 0.0))
+    // user 2: sequence c,d,c,e → c→d and c→e equally; d→c deterministic
+    val uni = (0 until 4).map(i => (2L, i * S, (10 + i).toLong, 0.0))
+    val df = evFrame(det ++ uni).withColumn("event_type",
+      when(col("user_id") === 1,
+        when(col("event_id") % 2 === 0, "a").otherwise("b"))
+        .otherwise(when(col("event_id") % 2 === 0, "c")
+          .when(col("event_id") === 11, "d").otherwise("e")))
+    val out = Sessions.markovEntropy(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out("a")) < 1e-12 && math.abs(out("b")) < 1e-12)
+    assert(math.abs(out("d")) < 1e-12)
+    assert(math.abs(out("c") - math.log(2.0)) < 1e-12)
+  }
+
+  test("bfsHops: multi-source minimum hops, unreached absent, isolated seeds kept") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("u", "v")
+    val seeds = Seq(1L, 20L).toDF("s") // 20 is not in the graph
+    val out = Graph.bfsHops(edges, "u", "v", seeds, "s", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 20L -> 0L))
+    // 5 needs 4 hops → absent; the 10-11 component unreached → absent
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
