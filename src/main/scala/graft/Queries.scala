@@ -3060,6 +3060,63 @@ object Queries {
           t(s, d, "part").where(col("p_partkey") <= 10), "p_partkey",
           maxHops = 3)
         .orderBy("node")
+    }),
+
+    "q187_item_recs" -> ((s, d) => {
+      // item-based collaborative filtering: top-3 new parts per
+      // customer, scored by summed co-occurrence cosines against the
+      // customer's basket history. Equi joins only; per-user top-k via
+      // the bounded aggregate (no global Window); ranking on the
+      // 6dp-rounded score so engine-order sum drift can't flip ranks.
+      val ui = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_orderkey"),
+          col("l_partkey"))
+      graft.pipeline.Similarity.itemRecommendations(ui, "cust",
+          "l_orderkey", "l_partkey", k = 3)
+        .orderBy("cust", "rank")
+    }),
+
+    "q188_peri_event" -> ((s, d) => {
+      // peri-event time histogram: clicks relative to purchases of the
+      // same user, ±1 h in 5-min buckets — "what happens around a
+      // conversion". One user-keyed equi-join of two slim event slices
+      // + a domain-sized histogram aggregate.
+      graft.pipeline.Sessions.periEventHistogram(events(s, d), "user_id",
+          "ts", "event_type", anchorType = "purchase", relType = "click",
+          windowMicros = 3600000000L, bucketMicros = 300000000L)
+        .orderBy("bucket")
+    }),
+
+    "q189_burstiness" -> ((s, d) => {
+      // inter-event burstiness per user (Goh–Barabási (σ−μ)/(σ+μ)):
+      // −1 metronome, 0 Poisson, →1 bursty. One lead window + one
+      // moment aggregate.
+      graft.pipeline.Sessions.burstiness(events(s, d), "user_id", "ts",
+          "event_id")
+        .select(col("user_id"), col("n_gaps"),
+          // seconds, not µs: at 1e10 µs magnitudes a 6dp round is a
+          // no-op and engine sum-order ulps leak through (q184 lesson)
+          round(col("mean_gap_us") / 1000000.0, 6).as("mean_gap_s"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("user_id")
+    }),
+
+    "q190_weighted_pagerank" -> ((s, d) => {
+      // edge-weighted PageRank over the bought-together graph: mass
+      // flows by co-occurrence count / out-strength. 3 unrolled
+      // rounds, same caching discipline and 10dp trajectory
+      // certification as q111.
+      val pairs = graft.pipeline.Similarity.itemCooccurrence(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minTogether = 2L)
+      val edges = pairs.select(col("item_a").as("src"),
+          col("item_b").as("dst"), col("n_together").as("w"))
+        .unionByName(pairs.select(col("item_b").as("src"),
+          col("item_a").as("dst"), col("n_together").as("w")))
+      graft.pipeline.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
     })
   )
 
@@ -6557,6 +6614,115 @@ object Queries {
                SELECT node, dist FROM d2 UNION ALL
                SELECT e.v AS node, d2.dist + 1 AS dist
                FROM e JOIN d2 ON e.u = d2.node) GROUP BY node)
-      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"""
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node""",
+
+    "q187_item_recs" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      freq AS (SELECT i, count(*) AS n FROM bi GROUP BY 1),
+      p AS (
+        SELECT a.i AS ia, b.i AS ib, count(*) AS nt
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      wts AS (
+        SELECT ia, ib, CAST(nt AS DOUBLE) /
+               sqrt(CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)) AS cosine
+        FROM p JOIN freq fa ON p.ia = fa.i JOIN freq fb ON p.ib = fb.i),
+      sym AS (SELECT ia AS i, ib AS j, cosine FROM wts
+              UNION ALL SELECT ib AS i, ia AS j, cosine FROM wts),
+      owned AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nb AS (
+        SELECT i, j, cosine FROM (
+          SELECT i, j, cosine,
+                 row_number() OVER (PARTITION BY i
+                   ORDER BY cosine DESC, j) AS nr
+          FROM sym) WHERE nr <= 10),
+      sc AS (
+        SELECT u, j, round(sum(cosine), 6) AS score, count(*) AS n_sources
+        FROM owned JOIN nb USING (i) GROUP BY u, j),
+      cand AS (
+        SELECT sc.* FROM sc LEFT JOIN owned o2
+          ON sc.u = o2.u AND sc.j = o2.i
+        WHERE o2.i IS NULL),
+      rk AS (
+        SELECT u, j, score, n_sources,
+               row_number() OVER (PARTITION BY u
+                 ORDER BY score DESC, j) AS rank
+        FROM cand)
+      SELECT u AS cust, j AS item, score,
+             CAST(n_sources AS BIGINT) AS n_sources, CAST(rank AS INT) AS rank
+      FROM rk WHERE rank <= 3 ORDER BY cust, rank""",
+
+    "q188_peri_event" -> """
+      WITH a AS (SELECT user_id, epoch_us(ts) AS ta FROM events
+                 WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, epoch_us(ts) AS tr FROM events
+            WHERE event_type = 'click'),
+      p AS (SELECT tr - ta AS dt FROM a JOIN r USING (user_id)
+            WHERE tr - ta BETWEEN -3600000000 AND 3600000000)
+      SELECT CAST(floor(CAST(dt AS DOUBLE) / 300000000.0) AS BIGINT)
+               AS bucket,
+             count(*) AS n,
+             CAST(floor(CAST(dt AS DOUBLE) / 300000000.0) AS BIGINT) *
+               300000000 AS bucket_start_micros
+      FROM p GROUP BY 1 ORDER BY bucket""",
+
+    "q189_burstiness" -> """
+      WITH g AS (
+        SELECT user_id,
+               CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) - epoch_us(ts)
+                 AS DOUBLE) AS gap
+        FROM events),
+      m AS (
+        SELECT user_id, count(*) AS n_gaps, avg(gap) AS mu,
+               stddev_pop(gap) AS sigma
+        FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             round(mu / 1000000.0, 6) AS mean_gap_s,
+             round((sigma - mu) / (sigma + mu), 6) AS burstiness
+      FROM m WHERE n_gaps >= 2 ORDER BY user_id""",
+
+    "q190_weighted_pagerank" -> """
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      p2 AS (
+        SELECT a.i AS x, b.i AS y, count(*) AS nt
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS (SELECT x AS src, y AS dst, CAST(nt AS DOUBLE) AS w FROM p2
+            UNION ALL SELECT y AS src, x AS dst, CAST(nt AS DOUBLE) AS w
+            FROM p2),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      st AS (SELECT src, sum(w) AS os FROM e GROUP BY src),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+      r1 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank * e.w / st.os) AS im
+                   FROM e JOIN st ON e.src = st.src
+                   JOIN r0 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node),
+      r2 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank * e.w / st.os) AS im
+                   FROM e JOIN st ON e.src = st.src
+                   JOIN r1 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node),
+      r3 AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / n.n + 0.85 * coalesce(m.im, 0.0) AS rank
+        FROM nodes nd CROSS JOIN n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank * e.w / st.os) AS im
+                   FROM e JOIN st ON e.src = st.src
+                   JOIN r2 r ON e.src = r.node GROUP BY e.dst) m
+          ON nd.node = m.node)
+      SELECT node, round(rank, 10) AS rank FROM r3 ORDER BY node"""
   )
 }

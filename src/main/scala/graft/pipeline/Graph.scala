@@ -316,6 +316,44 @@ object Graph {
   }
 
   /**
+   * Edge-WEIGHTED PageRank: mass flows proportionally to edge weight
+   * (rank·w / out-strength) instead of 1/outdeg — the natural ranking
+   * over similarity/co-occurrence graphs where edge strength matters.
+   * Same declarative unrolled-round shape and caching discipline as
+   * [[pageRank]]; the weight column must be positive.
+   */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 0 && damping >= 0.0 && damping <= 1.0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eStr = e.join(
+      e.groupBy(col("src")).agg(sum(col("w")).as("__os")), "src").persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    var it = 0
+    while (it < iters) {
+      val r = ranks.select(col("node").as("__rn"), col("rank").as("__rv"))
+      val inMass = eStr
+        .join(r, col("src") === col("__rn"))
+        .select(col("dst").as("node"),
+          (col("__rv") * col("w") / col("__os")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__im"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__im"), lit(0.0))).as("rank"))
+      it += 1
+    }
+    ranks
+  }
+
+  /**
    * Synchronous label propagation (community detection): every node
    * starts labeled with its own id; each round it adopts the most
    * frequent label among its neighbors, ties to the SMALLEST label —

@@ -840,7 +840,10 @@ object Similarity {
    */
   def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                        minTogether: Long = 2L): DataFrame = {
-    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    // persist: both self-join sides AND the item-frequency count read
+    // this frame — uncached, the distinct (a scan + shuffle) runs 3×
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct().persist()
     val freq = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = bi.select(col("__b"), col("__i").as("item_a"))
       .join(bi.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
@@ -856,6 +859,57 @@ object Similarity {
         (col("n_together").cast("double") /
           sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
           .as("cosine"))
+  }
+
+  /**
+   * Item-based collaborative filtering recommendations: each user's
+   * candidate score is the sum of co-occurrence cosines
+   * ([[itemCooccurrence]]) between the candidate and the items the
+   * user already has; owned items are excluded and the top `k`
+   * candidates per user are returned.
+   *
+   * Shape: (user, item) distinct ⋈ symmetrized weight list on the item
+   * key → partial-aggregated candidate sums → owned-item anti join →
+   * bounded per-user top-k ([[GroupedTopK]] — no global Window). Every
+   * join is equi; fan-out is bounded by each item's co-occurrence
+   * degree. Ranking uses the 6dp-ROUNDED score (ties then break by
+   * item id): candidate sums accumulate in engine-specific order, and
+   * ranking on the raw double would let a 1-ulp difference flip ranks.
+   */
+  def itemRecommendations(df: DataFrame, userCol: String, basketCol: String,
+                          itemCol: String, k: Int,
+                          minTogether: Long = 2L,
+                          neighborhoodSize: Int = 10): DataFrame = {
+    // persist: the symmetrizing union reads the weight frame twice, and
+    // each uncached read would re-run the whole co-occurrence join
+    val w = itemCooccurrence(df, basketCol, itemCol, minTogether)
+      .select(col("item_a"), col("item_b"), col("cosine")).persist()
+    // bounded item neighborhood — THE scale knob of item-based CF: only
+    // each item's top `neighborhoodSize` neighbors (cosine desc, id)
+    // enter the candidate join, capping fan-out at |owned|·M regardless
+    // of how dense the co-occurrence graph grows. Cosines are exact-int
+    // ratios, so the cut is engine-deterministic.
+    val sym = GroupedTopK.topK(
+      w.select(col("item_a").as("__i"), col("item_b").as("__j"),
+          col("cosine"))
+        .union(w.select(col("item_b").as("__i"), col("item_a").as("__j"),
+          col("cosine"))),
+      Seq("__i"), Seq(("cosine", false), ("__j", true)), neighborhoodSize,
+      rankCol = "__nrank").drop("__nrank")
+    val owned = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct().persist()
+    val scores = owned.join(sym, Seq("__i"))
+      .groupBy(col("__u"), col("__j"))
+      .agg(round(sum(col("cosine")), 6).as("score"),
+        count(lit(1)).as("n_sources"))
+      .join(owned.select(col("__u"), col("__i").as("__j"))
+        .withColumn("__own", lit(1)), Seq("__u", "__j"), "left")
+      .where(col("__own").isNull).drop("__own")
+    GroupedTopK.topK(
+        scores.select(col("__u").as(userCol), col("__j").as("item"),
+          col("score"), col("n_sources")),
+        Seq(userCol), Seq(("score", false), ("item", true)), k,
+        rankCol = "rank")
   }
 
   /**

@@ -3578,6 +3578,77 @@ class PipelineSpec extends AnyFunSuite {
     // 5 needs 4 hops → absent; the 10-11 component unreached → absent
   }
 
+  // ------------------------------------------------------ wave 21
+
+  test("itemRecommendations: owned excluded, scores summed, top-k ordered") {
+    import spark.implicits._
+    // baskets: (1:{a,b}, 2:{a,b}, 3:{b,c}, 4:{a,c}) with users u1={a}, u2={a,b}
+    val rows = Seq(
+      (10L, 1L, "a"), (10L, 1L, "b"), (10L, 2L, "a"), (10L, 2L, "b"),
+      (20L, 3L, "b"), (20L, 3L, "c"), (20L, 4L, "a"), (20L, 4L, "c"))
+      .toDF("cust", "basket", "item")
+    val out = Similarity.itemRecommendations(rows, "cust", "basket", "item",
+        k = 2, minTogether = 1L)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getDouble(2), r.getInt(4)))).toMap
+    // weights: cos(a,b) = 2/sqrt(3*3) = 2/3; cos(b,c) = 1/sqrt(3*2);
+    // cos(a,c) = 1/sqrt(3*2). u1 owns {a,b} (baskets 1,2 + 4 has a) —
+    // wait: u1=10 owns {a,b}; candidate c: cos(a,c) + cos(b,c)
+    val exp_c = BigDecimal(1.0 / math.sqrt(6.0) + 1.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.contains((10L, "c")) &&
+      math.abs(out((10L, "c"))._1 - exp_c) < 1e-9)
+    // u2=20 owns {a,b,c} → no candidates
+    assert(!out.keys.exists(_._1 == 20L))
+  }
+
+  test("periEventHistogram: negative/positive buckets, window cut") {
+    val S = 1000000L
+    val df = evFrame(Seq(
+      (1L, 1000 * S, 1L, 0.0),            // anchor at t=1000s
+      (1L, 880 * S, 2L, 0.0),             // rel at -120s → bucket -2
+      (1L, 1000 * S + 30 * S, 3L, 0.0),   // rel at +30s → bucket 0
+      (1L, 5000 * S, 4L, 0.0),            // rel far outside window
+      (2L, 970 * S, 5L, 0.0)))            // rel of OTHER user — no anchor
+      .withColumn("event_type",
+        when(col("event_id") === 1, "purchase").otherwise("click"))
+    val out = Sessions.periEventHistogram(df, "user_id", "ts", "event_type",
+        "purchase", "click", windowMicros = 600 * S, bucketMicros = 60 * S)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((-2L, 1L, -120 * S), (0L, 1L, 0L)))
+  }
+
+  test("burstiness: metronome is -1, bursty positive") {
+    val S = 1000000L
+    val metro = (0 until 6).map(i => (1L, i * 10 * S, i.toLong, 0.0))
+    val bursty = Seq(0L, 1L, 2L, 3L, 1000L, 1001L, 1002L).zipWithIndex
+      .map { case (t, i) => (2L, t * S, (100 + i).toLong, 0.0) }
+    val out = Sessions.burstiness(evFrame(metro ++ bursty), "user_id",
+        "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - (-1.0)) < 1e-12)
+    assert(out(2L) > 0.3) // one huge gap among six → clearly bursty
+  }
+
+  test("pageRankWeighted: uniform weights reproduce the unweighted trajectory") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val ew = e.withColumn("w", lit(7.0)) // equal weights → w/os = 1/outdeg
+    val plain = Graph.pageRank(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val weighted = Graph.pageRankWeighted(ew, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == weighted.keySet)
+    plain.foreach { case (n, r) => assert(math.abs(weighted(n) - r) < 1e-12) }
+    // unequal weights shift mass toward the heavy edge
+    val skew = Seq((1L, 2L, 100.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val wr = Graph.pageRankWeighted(skew, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr(2L) > wr(3L))
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
