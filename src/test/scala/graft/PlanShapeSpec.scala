@@ -610,4 +610,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  // ---- twenty-first wave (round 7) ----
+
+  test("q187: CF recs — all equi joins, cached slim frames, no cartesian, no global window") {
+    val plan = executedPlan("q187_item_recs")
+    assert(!plan.contains("CartesianProduct"), plan.take(3500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3500))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3500))
+    // per-user and per-item top-k both ride the bounded aggregate
+    assert(!plan.contains("Window"), plan.take(3500))
+  }
+
+  test("q188/q189: slim-slice join + histogram; lead window + moments") {
+    val p1 = executedPlan("q188_peri_event")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    assert(!p1.contains("Window"), p1.take(3000))
+    val p2 = executedPlan("q189_burstiness")
+    assert("Window \\[".r.findAllIn(p2).length == 1, p2.take(3000))
+    assert(!p2.contains("Join"), p2.take(3000))
+  }
+
+  test("q190: weighted pagerank rounds join cached strength-edges, no cartesian") {
+    val plan = executedPlan("q190_weighted_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan.take(3500))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3500))
+  }
 }
