@@ -3117,6 +3117,31 @@ object Queries {
           iters = 3, damping = 0.85)
         .select(col("node"), round(col("rank"), 10).as("rank"))
         .orderBy("node")
+    }),
+
+    "q191_neyman_sample" -> ((s, d) => {
+      // Neyman-allocated stratified sample: a 100-row budget splits
+      // across languages ∝ N_h·σ_h(n_chars) — the survey-statistics
+      // optimum (big AND varied strata get more); per-stratum exact-n_h
+      // pick by md5 order via the bounded top-k (no Window). σ rounds
+      // to 6dp before the allocation, so n_h is engine-identical.
+      graft.pipeline.Sampling.neymanSample(t(s, d, "documents"), "lang",
+          "doc_id", "n_chars", totalN = 100)
+        .orderBy("lang", "rank")
+    }),
+
+    "q192_image_features" -> ((s, d) => {
+      // REAL per-pixel image features (complexity/quality filtering):
+      // horizontal total-variation energy per channel + distinct-value
+      // count of green, over genuine synthesized PNGs. The closed-form
+      // oracle (solid channels → TV 0; the x-gradient channel
+      // telescopes to height·255) can only be matched by actually
+      // inflating the IDAT stream and walking the pixel grid.
+      prep(s, d, "customer")
+      val base = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      graft.pipeline.Multimodal.imageFeaturesBatched(
+          graft.pipeline.Multimodal.syntheticPngMedia(base, "c_custkey"))
+        .orderBy("media_id")
     })
   )
 
@@ -6723,6 +6748,36 @@ object Queries {
                    FROM e JOIN st ON e.src = st.src
                    JOIN r2 r ON e.src = r.node GROUP BY e.dst) m
           ON nd.node = m.node)
-      SELECT node, round(rank, 10) AS rank FROM r3 ORDER BY node"""
+      SELECT node, round(rank, 10) AS rank FROM r3 ORDER BY node""",
+
+    "q191_neyman_sample" -> """
+      WITH st AS (
+        SELECT lang, count(*) AS nh, round(stddev_pop(n_chars), 6) AS sh
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      w AS (SELECT lang, nh, CAST(nh AS DOUBLE) * sh AS wv FROM st),
+      tw AS (SELECT sum(wv) AS tv FROM w),
+      alloc AS (
+        SELECT lang,
+               least(CAST(floor(100.0 * wv / tv) AS BIGINT),
+                     CAST(nh AS BIGINT)) AS alloc
+        FROM w, tw),
+      rk AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        FROM documents)
+      SELECT rk.lang, rk.doc_id, CAST(rank AS INT) AS rank, alloc
+      FROM rk JOIN alloc USING (lang) WHERE rank <= alloc
+      ORDER BY lang, rank""",
+
+    "q192_image_features" -> """
+      SELECT c_custkey AS media_id,
+             CAST(8 + (c_custkey % 9) AS INT) AS width,
+             CAST(8 + (c_custkey % 7) AS INT) AS height,
+             CAST(0 AS BIGINT) AS tv_r,
+             CAST((8 + (c_custkey % 7)) * 255 AS BIGINT) AS tv_g,
+             CAST(0 AS BIGINT) AS tv_b,
+             CAST(8 + (c_custkey % 9) AS INT) AS n_distinct_g
+      FROM customer WHERE c_custkey % 7 = 0 ORDER BY media_id"""
   )
 }

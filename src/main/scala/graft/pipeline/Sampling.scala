@@ -279,4 +279,42 @@ object Sampling {
             log((col("__cr") + 1).cast("double") / (col("__nr") + b).cast("double")))
           .as("log_weight"))
   }
+
+  /**
+   * Neyman-allocated stratified sample: the survey-statistics optimum —
+   * a total budget of `totalN` rows splits across strata PROPORTIONALLY
+   * TO N_h·σ_h (big and internally-varied strata get more samples; a
+   * huge but homogeneous stratum needs few), then an exact-n_h
+   * deterministic pick per stratum by md5 order (the q102 discipline).
+   * Allocations floor (Σ n_h ≤ totalN; the remainder is deliberately
+   * unassigned rather than tie-broken) and cap at the stratum size.
+   *
+   * Determinism: σ_h rounds to 6dp before the allocation arithmetic
+   * (the cusum pin), so n_h is the same integer in any engine; the
+   * pick ranks (md5(id), id) via the bounded top-k aggregate — k =
+   * totalN bounds every per-stratum buffer, no Window.
+   *
+   * Returns sampled rows: (stratum, id, rank, alloc).
+   */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+                   valueCol: String, totalN: Int): DataFrame = {
+    require(totalN >= 1)
+    val stats = df.where(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__nh"),
+        round(stddev_pop(col(valueCol)), 6).as("__sh"))
+      .withColumn("__w", col("__nh").cast("double") * col("__sh"))
+    val tot = stats.agg(sum(col("__w")).as("__tw"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        least(floor(lit(totalN.toDouble) * col("__w") / col("__tw"))
+          .cast("long"), col("__nh")).as("alloc"))
+    val base = df.select(col(stratumCol), col(idCol),
+      md5(col(idCol).cast("string")).as("__h"))
+    GroupedTopK.topK(base, Seq(stratumCol),
+        Seq(("__h", true), (idCol, true)), totalN, rankCol = "rank")
+      .join(broadcast(alloc), Seq(stratumCol))
+      .where(col("rank") <= col("alloc"))
+      .drop("__h")
+  }
 }

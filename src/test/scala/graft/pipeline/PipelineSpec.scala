@@ -3649,6 +3649,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(wr(2L) > wr(3L))
   }
 
+  // ------------------------------------------------------ wave 22
+
+  test("neymanSample: allocation tracks N_h·σ_h, caps at stratum size") {
+    import spark.implicits._
+    // stratum A: 50 varied values; B: 50 constant (σ=0); C: 3 varied rows
+    val rows = (1L to 50L).map(i => ("A", i, (i * 17 % 100).toDouble)) ++
+      (51L to 100L).map(i => ("B", i, 42.0)) ++
+      Seq(("C", 101L, 0.0), ("C", 102L, 500.0), ("C", 103L, 1000.0))
+    val out = Sampling.neymanSample(rows.toDF("lang", "id", "v"),
+      "lang", "id", "v", totalN = 20)
+    val byStratum = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byStratum.contains("B"))         // σ=0 → zero allocation
+    assert(byStratum("C") == 3L)             // capped at stratum size
+    assert(byStratum("A") >= 10L)            // bulk of the budget
+    // deterministic pick: re-running yields the identical id set
+    val ids1 = out.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.neymanSample(rows.toDF("lang", "id", "v"),
+      "lang", "id", "v", totalN = 20).select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("imageFeaturesBatched: hand-computed TV and distinct counts") {
+    import spark.implicits._
+    // 3×2 image, G row pattern [10, 200, 50] → TV per row = 190+150 = 340
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val g = Seq(10, 200, 50)(x)
+      img.setRGB(x, y, (7 << 16) | (g << 8) | 9) // R=7, B=9 solid
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val r = Multimodal.imageFeaturesBatched(df).collect()(0)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(r.getLong(3) == 0L)        // tv_r: solid
+    assert(r.getLong(4) == 2L * 340L) // tv_g: two rows
+    assert(r.getLong(5) == 0L)        // tv_b: solid
+    assert(r.getInt(6) == 3)          // distinct green values
+    // corrupt payload degrades to nulls
+    val bad = Multimodal.imageFeaturesBatched(
+      Seq((2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))).toDF("media_id", "payload"))
+      .collect()(0)
+    assert(bad.isNullAt(1) && bad.isNullAt(4))
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
