@@ -3142,6 +3142,21 @@ object Queries {
       graft.pipeline.Multimodal.imageFeaturesBatched(
           graft.pipeline.Multimodal.syntheticPngMedia(base, "c_custkey"))
         .orderBy("media_id")
+    }),
+
+    "q193_doc_keywords" -> ((s, d) => {
+      // keyword extraction: top-3 TF-IDF terms per document (doc_id <
+      // 200 slice — q37/q133 precedent) via the bounded per-group
+      // top-k, no Window. Per-term weights are single exact-count
+      // expressions, so ranking is engine-deterministic; the weight
+      // display-rounds (ln differs in the last ulp across libms).
+      prep(s, d, "documents")
+      graft.pipeline.Text.docKeywords(
+          t(s, d, "documents").filter(col("doc_id") < 200), "text",
+          "doc_id", k = 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -6778,6 +6793,31 @@ object Queries {
              CAST((8 + (c_custkey % 7)) * 255 AS BIGINT) AS tv_g,
              CAST(0 AS BIGINT) AS tv_b,
              CAST(8 + (c_custkey % 9) AS INT) AS n_distinct_g
-      FROM customer WHERE c_custkey % 7 = 0 ORDER BY media_id"""
+      FROM customer WHERE c_custkey % 7 = 0 ORDER BY media_id""",
+
+    "q193_doc_keywords" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE doc_id < 200),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+            WHERE doc_id < 200),
+      wt AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE) *
+                 (ln((n.nd + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0)
+                 AS tfidf
+        FROM tf JOIN dfreq USING (term), n),
+      rk AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rank
+        FROM wt)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+             round(tfidf, 6) AS tfidf
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""
   )
 }

@@ -270,6 +270,19 @@ object Text {
   }
 
   /**
+   * Keyword extraction: each document's top-k terms by TF-IDF — the
+   * "what is this doc about" tagger feeding search facets and topic
+   * audits. Rides [[tfidf]]'s exact per-term weights; the per-doc cut
+   * is the bounded top-k aggregate (no Window), ties broken by term.
+   * Exact ties come only from equal (tf, df) pairs — identical in any
+   * engine — so the ranking is deterministic; display-round the weight.
+   */
+  def docKeywords(df: DataFrame, textCol: String, idCol: String,
+                  k: Int): DataFrame =
+    GroupedTopK.topK(tfidf(df, textCol, idCol), Seq("doc_id"),
+      Seq(("tfidf", false), ("term", true)), k, rankCol = "rank")
+
+  /**
    * Sparse TF-IDF cosine document pairs ≥ `threshold` via the inverted
    * index — the sparse lexical complement to the dense-embedding ANN
    * family ([[graft.pipeline.Similarity]]): exact cosine over

@@ -3696,6 +3696,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isNullAt(1) && bad.isNullAt(4))
   }
 
+  test("docKeywords ranks by exact tf-idf with term tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare alpha alpha beta beta beta"),
+      (2L, "beta beta common common"),
+      (3L, "common beta gamma")).toDF("doc_id", "text")
+    val out = Text.docKeywords(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(1), r.getInt(5), r.getString(0)))
+    // doc 1: beta tf=3 df=3 → 3·(ln(4/4)+1) = 3; alpha tf=2 df=1 →
+    // 2·(ln(2)+1) ≈ 3.386 → alpha outranks beta despite lower tf
+    assert(out(0)._3 == "alpha" && out(1)._3 == "beta")
+    assert(out.length == 6)
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
