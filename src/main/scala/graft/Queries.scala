@@ -3157,6 +3157,30 @@ object Queries {
         .select(col("doc_id"), col("rank"), col("term"), col("tf"),
           col("df"), round(col("tfidf"), 6).as("tfidf"))
         .orderBy("doc_id", "rank")
+    }),
+
+    "q194_kaplan_meier" -> ((s, d) => {
+      // Kaplan–Meier time-to-conversion: days from each user's first
+      // event to their first purchase; users who never purchase are
+      // RIGHT-CENSORED at their last activity (counted at risk, never
+      // as failures — the estimator's whole point). One subject-sized
+      // aggregate; the at-risk ladder and log-survival product run on
+      // the distinct-duration (day-granularity) frame.
+      val ev = events(s, d)
+        .withColumn("__us", graft.pipeline.Time.tsMicros(col("ts")))
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("__us")).as("first_us"),
+          min(when(col("event_type") === "purchase", col("__us")))
+            .as("purch_us"),
+          max(col("__us")).as("last_us"))
+        .select(col("user_id"),
+          expr("(coalesce(purch_us, last_us) - first_us) DIV 86400000000")
+            .as("dur_days"),
+          col("purch_us").isNotNull.as("observed"))
+      graft.pipeline.Stats.kaplanMeier(subj, "dur_days", "observed")
+        .select(col("t"), col("n_risk"), col("n_events"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
     })
   )
 
@@ -6818,6 +6842,40 @@ object Queries {
         FROM wt)
       SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
              round(tfidf, 6) AS tfidf
-      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q194_kaplan_meier" -> """
+      WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 AS purch_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1),
+      subj AS (
+        SELECT (coalesce(purch_us, last_us) - first_us) // 86400000000 AS t,
+               purch_us IS NOT NULL AS obs
+        FROM s),
+      pt AS (
+        SELECT t, CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               count(*) AS c
+        FROM subj GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pt),
+      lad AS (
+        SELECT t, n_events,
+               CAST(n - coalesce(sum(c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+        FROM pt, tot),
+      ev2 AS (SELECT * FROM lad WHERE n_events > 0)
+      SELECT t, n_risk, n_events,
+             round(exp(sum(CASE WHEN n_events = n_risk
+                 THEN CAST('-infinity' AS DOUBLE)
+                 ELSE ln(1.0 - CAST(n_events AS DOUBLE) /
+                         CAST(n_risk AS DOUBLE)) END)
+               OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+      FROM ev2 ORDER BY t"""
   )
 }

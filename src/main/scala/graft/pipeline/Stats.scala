@@ -786,6 +786,53 @@ object Stats {
         (element_at(sortedArr, k + 2).cast("double") - lo))
   }
 
+  /**
+   * Kaplan–Meier survival estimator with right-censoring — the
+   * time-to-event staple (time to conversion/churn where subjects
+   * still alive at last sight are CENSORED, not failures): at each
+   * distinct observed event time t, S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+   * with dᵢ events and nᵢ at-risk (duration ≥ tᵢ, censored included).
+   *
+   * Input: one row per subject with an integer `durCol` and a boolean
+   * `observedCol` (true = the event happened at that duration).
+   * Output: one row per distinct observed event time —
+   * (t, n_risk, n_events, survival).
+   *
+   * Shape: ONE subject-sized aggregate to the per-duration frame
+   * (d, c counts); everything after runs on that DOMAIN-SIZED frame —
+   * the at-risk ladder and the log-survival running sum are windows
+   * over distinct durations, not subjects (a day-granularity study has
+   * thousands of rows here regardless of subject count; the explicit
+   * single-partition windows on it are metadata-scale, the same
+   * stance as the rank-offset frames). The product is computed as
+   * exp(Σ ln(1 − d/n)) — one fixed IEEE chain an oracle mirrors;
+   * callers round.
+   */
+  def kaplanMeier(subjects: DataFrame, durCol: String,
+                  observedCol: String): DataFrame = {
+    val perT = subjects
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("n_events"),
+        count(lit(1)).as("__c"))
+    val byT = Window.orderBy(col("t"))
+    val cumPrev = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perT.agg(sum(col("__c")).as("__n"))
+    perT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("__c")).over(cumPrev), lit(0L)))
+      .where(col("n_events") > 0)
+      .withColumn("survival",
+        // d = n (everyone at risk fails) → ln(0): Spark's log NULLs on
+        // 0 where other engines give −∞ — pin the branch so the curve
+        // drops to exactly 0 everywhere
+        exp(sum(when(col("n_events") === col("n_risk"),
+            lit(Double.NegativeInfinity))
+          .otherwise(log(lit(1.0) -
+            col("n_events").cast("double") / col("n_risk").cast("double"))))
+          .over(byT.rowsBetween(Window.unboundedPreceding, 0))))
+      .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

@@ -3711,6 +3711,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 6)
   }
 
+  test("kaplanMeier: censoring reduces risk sets without counting as failure") {
+    import spark.implicits._
+    // durations: 1(event), 2(censored), 3(event), 4(event), 5(censored)
+    val subj = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false)).toDF("dur", "obs")
+    val out = Stats.kaplanMeier(subj, "dur", "obs").orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    assert(math.abs(out(0)._4 - 0.8) < 1e-12)
+    assert(math.abs(out(1)._4 - 0.8 * 2.0 / 3.0) < 1e-12)
+    assert(math.abs(out(2)._4 - 0.8 * 2.0 / 3.0 * 0.5) < 1e-12)
+    // everyone failing at the last time drops the curve to exactly 0
+    val allFail = Seq((1L, true), (2L, true)).toDF("dur", "obs")
+    val last = Stats.kaplanMeier(allFail, "dur", "obs").orderBy("t")
+      .collect().last
+    assert(last.getDouble(3) == 0.0)
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
