@@ -3181,6 +3181,27 @@ object Queries {
         .select(col("t"), col("n_risk"), col("n_events"),
           round(col("survival"), 6).as("survival"))
         .orderBy("t")
+    }),
+
+    "q195_heaps_law" -> ((s, d) => {
+      // Heaps'-law vocabulary growth fit V(n) ≈ K·n^β: each token
+      // contributes at its first document ordinal (distributed rank),
+      // new-token counts cumulate over the |docs|-sized frame
+      // (distributed cumsum), one regression fits ln V on ln n.
+      // β near 0 = template spam, near 1 = token noise.
+      graft.pipeline.Text.heapsLaw(t(s, d, "documents"), "text", "doc_id")
+    }),
+
+    "q196_autocorrelation" -> ((s, d) => {
+      // seasonality probe: lag-1..24 autocorrelation of the hourly
+      // event-count series, missing hours ZERO-FILLED over the span (a
+      // gap is a real zero — skipping it would shift every lag). One
+      // corpus aggregate → a 720-bucket series; lags and correlations
+      // are metadata-scale.
+      graft.pipeline.Stats.autocorrelation(events(s, d), "ts",
+          bucketMicros = 3600000000L, maxLag = 24)
+        .select(col("lag"), col("n_pairs"), round(col("acf"), 6).as("acf"))
+        .orderBy("lag")
     })
   )
 
@@ -6876,6 +6897,48 @@ object Queries {
                OVER (ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                AS survival
-      FROM ev2 ORDER BY t"""
+      FROM ev2 ORDER BY t""",
+
+    "q195_heaps_law" -> """
+      WITH ords AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ord
+        FROM (SELECT DISTINCT doc_id FROM documents)),
+      toks AS (
+        SELECT d.doc_id, u.t FROM documents d,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS u(t)),
+      fo AS (SELECT t, min(ord) AS fo FROM toks JOIN ords USING (doc_id)
+             GROUP BY t),
+      np AS (SELECT fo AS ord, count(*) AS nw FROM fo GROUP BY 1),
+      curve AS (
+        SELECT o.ord,
+               CAST(sum(coalesce(np.nw, 0)) OVER (ORDER BY o.ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS v
+        FROM ords o LEFT JOIN np ON o.ord = np.ord)
+      SELECT count(*) AS n_docs, CAST(max(v) AS BIGINT) AS vocab,
+             round(regr_slope(ln(CAST(v AS DOUBLE)),
+               ln(CAST(ord AS DOUBLE))), 6) AS beta,
+             round(regr_intercept(ln(CAST(v AS DOUBLE)),
+               ln(CAST(ord AS DOUBLE))), 6) AS ln_k
+      FROM curve""",
+
+    "q196_autocorrelation" -> """
+      WITH b AS (
+        SELECT epoch_us(ts) // 3600000000 AS bk, count(*) AS c
+        FROM events GROUP BY 1),
+      sp AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+      grid AS (SELECT unnest(generate_series(lo, hi)) AS bk FROM sp),
+      s AS (SELECT grid.bk, CAST(coalesce(b.c, 0) AS DOUBLE) AS x
+            FROM grid LEFT JOIN b USING (bk)),
+      lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+      pairs AS (
+        SELECT l.lag, a.x AS xa, c2.x AS xb
+        FROM lags l
+        JOIN s a ON true
+        JOIN s c2 ON c2.bk = a.bk + l.lag)
+      SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(xa, xb), 6) AS acf
+      FROM pairs GROUP BY lag ORDER BY lag"""
   )
 }

@@ -833,6 +833,42 @@ object Stats {
       .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
   }
 
+  /**
+   * Lag-k autocorrelation of a bucketed event-count series — the
+   * seasonality probe (a daily cycle shows as a peak at the
+   * bucket-per-day lag). The series is the count per time bucket with
+   * missing buckets ZERO-FILLED over the [min, max] span (a gap is a
+   * real zero, not absent data — skipping it would shift every lag).
+   *
+   * Shape: one corpus-sized count aggregate → a DOMAIN-SIZED series
+   * frame (buckets); the zero-fill explodes a one-row (min, max) span,
+   * the lag alignment is a lead window over the tiny series, and each
+   * lag is one corr aggregate — metadata-scale after the first
+   * aggregate (the q194 ladder stance). Returns (lag, n_pairs, acf).
+   */
+  def autocorrelation(df: DataFrame, tsCol: String, bucketMicros: Long,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && bucketMicros > 0)
+    val buckets = df
+      .select(Time.tsMicros(col(tsCol)).as("__us"))
+      .withColumn("__b", expr(s"__us DIV $bucketMicros"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val span = buckets.agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    val grid = span.select(explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val series = grid.join(buckets, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__c"), lit(0L)).cast("double").as("__x"))
+      .persist()
+    val w = Window.orderBy(col("__b"))
+    val withLeads = series.select(col("__b") +: col("__x") +:
+      (1 to maxLag).map(k => lead(col("__x"), k).over(w).as(s"__x$k")): _*)
+      .persist()
+    (1 to maxLag).map { k =>
+      withLeads.agg(lit(k).as("lag"),
+        count(col(s"__x$k")).as("n_pairs"),
+        corr(col("__x"), col(s"__x$k")).as("acf"))
+    }.reduce(_.unionByName(_))
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

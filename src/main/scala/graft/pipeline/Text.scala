@@ -878,6 +878,43 @@ object Text {
           .as("hapax_rate"))
   }
 
+  /**
+   * Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β where V(n) is
+   * the distinct-token count after the first n documents (in id
+   * order). β ≈ 0.4–0.6 for natural text; a β near 0 flags template
+   * spam (no new vocabulary), near 1 flags noise (every doc invents
+   * tokens) — a one-row corpus-health scalar.
+   *
+   * Shape: each token contributes at its FIRST document ordinal
+   * (min over the distributed rank of its docs — one shuffle on the
+   * token); new-token counts per ordinal then cumulate over the
+   * |docs|-sized frame ([[Dedup.globalOrderedCumsum]]) and one
+   * regression aggregate fits ln V on ln n. Nothing subject-sized
+   * past the token min. Returns (n_docs, vocab, beta, ln_k).
+   */
+  def heapsLaw(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ords = Dedup.globalRank(
+      df.select(col(idCol).as("__id")).distinct(), Seq("__id"), "__ord")
+    val firstOrd = df.select(col(idCol).as("__id"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= "")).as("__t"))
+      .join(ords, Seq("__id"))
+      .groupBy(col("__t")).agg(min(col("__ord")).as("__fo"))
+    val newPerOrd = firstOrd.groupBy(col("__fo").as("__ord"))
+      .agg(count(lit(1)).as("__new"))
+    // every ordinal appears (docs with zero new tokens still advance n):
+    // right-join the ordinal frame, zero-fill, then cumulate
+    val curve = Dedup.globalOrderedCumsum(
+      ords.select(col("__ord")).join(newPerOrd, Seq("__ord"), "left")
+        .select(col("__ord"), coalesce(col("__new"), lit(0L)).as("__new")),
+      Seq(col("__ord").asc), "__new", "__r", "__v")
+    curve.agg(count(lit(1)).as("n_docs"), max(col("__v")).as("vocab"),
+      expr("round(regr_slope(ln(CAST(__v AS DOUBLE)), ln(CAST(__ord AS DOUBLE))), 6)")
+        .as("beta"),
+      expr("round(regr_intercept(ln(CAST(__v AS DOUBLE)), ln(CAST(__ord AS DOUBLE))), 6)")
+        .as("ln_k"))
+  }
+
   /** Register the custom text expressions for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -3730,6 +3730,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(last.getDouble(3) == 0.0)
   }
 
+  test("heapsLaw: all-new-token corpus fits beta = 1 exactly") {
+    import spark.implicits._
+    // doc n introduces exactly 2 brand-new tokens → V(n) = 2n →
+    // ln V = ln 2 + 1·ln n: the regression is exact
+    val docs = (1L to 40L).map(i => (i, s"tok${i}a tok${i}b")).toDF("doc_id", "text")
+    val r = Text.heapsLaw(docs, "text", "doc_id").collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(1) == 80L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
+  test("autocorrelation: alternating series gives acf(1) = -1, acf(2) = 1; gaps zero-fill") {
+    val S = 1000000L
+    // buckets 0..9 (1s each): counts alternate 2,1,2,1… via event rows;
+    // bucket 5 left EMPTY → zero-fill breaks the alternation there
+    val rows = (0 until 10).filter(_ != 5).flatMap { b =>
+      val n = if (b % 2 == 0) 2 else 1
+      (0 until n).map(j => (1L, b * S + j, (b * 10 + j).toLong, 0.0))
+    }
+    val out = Stats.autocorrelation(evFrame(rows), "ts",
+        bucketMicros = S, maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out(0)._2 == 9L && out(1)._2 == 8L) // pair counts over 10 buckets
+    // with the planted zero the series is 2,1,2,1,2,0,1,2,1,2 — the
+    // perfect ±1 alternation breaks, but lag-2 similarity still beats lag-1
+    assert(out(1)._3 > out(0)._3)
+    // and WITHOUT the gap the textbook values hold exactly
+    val full = (0 until 10).flatMap { b =>
+      val n = if (b % 2 == 0) 2 else 1
+      (0 until n).map(j => (1L, b * S + j, (b * 10 + j).toLong, 0.0))
+    }
+    val f = Stats.autocorrelation(evFrame(full), "ts", S, 2)
+      .orderBy("lag").collect().map(_.getDouble(2))
+    assert(math.abs(f(0) - (-1.0)) < 1e-9 && math.abs(f(1) - 1.0) < 1e-9)
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
