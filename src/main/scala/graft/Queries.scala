@@ -3202,6 +3202,17 @@ object Queries {
           bucketMicros = 3600000000L, maxLag = 24)
         .select(col("lag"), col("n_pairs"), round(col("acf"), 6).as("acf"))
         .orderBy("lag")
+    }),
+
+    "q197_theil_sen" -> ((s, d) => {
+      // robust trend of the hourly event-count series: Theil–Sen slope
+      // (median of all pairwise slopes) + median-residual intercept —
+      // outlier-immune where OLS is not. The pair space is span²/2
+      // (domain-sized, corpus-independent); medians ride
+      // exactQuantileCol, so the whole result is BIT-identical across
+      // engines — certified UNROUNDED.
+      graft.pipeline.Stats.theilSen(events(s, d), "ts",
+          bucketMicros = 3600000000L)
     })
   )
 
@@ -6939,6 +6950,49 @@ object Queries {
         JOIN s c2 ON c2.bk = a.bk + l.lag)
       SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
              round(corr(xa, xb), 6) AS acf
-      FROM pairs GROUP BY lag ORDER BY lag"""
+      FROM pairs GROUP BY lag ORDER BY lag""",
+
+    "q197_theil_sen" -> """
+      WITH b AS (
+        SELECT epoch_us(ts) // 3600000000 AS bk, count(*) AS c
+        FROM events GROUP BY 1),
+      sp AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+      grid AS (SELECT unnest(generate_series(lo, hi)) AS bk FROM sp),
+      s AS (SELECT grid.bk, CAST(coalesce(b.c, 0) AS DOUBLE) AS x
+            FROM grid LEFT JOIN b USING (bk)),
+      sl AS (
+        SELECT (b2.x - a.x) / CAST(b2.bk - a.bk AS DOUBLE) AS sv
+        FROM s a JOIN s b2 ON b2.bk > a.bk),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                    list(sv ORDER BY sv) AS arr FROM sl),
+      med AS (
+        SELECT n_pairs,
+               CASE WHEN CAST((len(arr) - 1) AS DOUBLE) * 0.5 -
+                         floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5) = 0.0
+                    THEN CAST(arr[CAST(floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE)
+                    ELSE CAST(arr[CAST(floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE) +
+                         (CAST((len(arr) - 1) AS DOUBLE) * 0.5 - floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5)) *
+                         (CAST(arr[CAST(floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5) AS INT) + 2] AS DOUBLE) -
+                          CAST(arr[CAST(floor(CAST((len(arr) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE))
+               END AS slope
+        FROM ag),
+      res AS (
+        SELECT med.n_pairs, med.slope,
+               s.x - med.slope * CAST(s.bk AS DOUBLE) AS r
+        FROM s, med),
+      ag2 AS (
+        SELECT n_pairs, slope, CAST(count(*) AS BIGINT) AS n_points,
+               list(r ORDER BY r) AS ra
+        FROM res GROUP BY 1, 2)
+      SELECT n_points, n_pairs, slope,
+             CASE WHEN CAST((len(ra) - 1) AS DOUBLE) * 0.5 -
+                       floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) = 0.0
+                  THEN CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE)
+                  ELSE CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE) +
+                       (CAST((len(ra) - 1) AS DOUBLE) * 0.5 - floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5)) *
+                       (CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 2] AS DOUBLE) -
+                        CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE))
+             END AS intercept
+      FROM ag2"""
   )
 }

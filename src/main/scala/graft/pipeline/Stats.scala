@@ -846,18 +846,25 @@ object Stats {
    * lag is one corr aggregate — metadata-scale after the first
    * aggregate (the q194 ladder stance). Returns (lag, n_pairs, acf).
    */
-  def autocorrelation(df: DataFrame, tsCol: String, bucketMicros: Long,
-                      maxLag: Int): DataFrame = {
-    require(maxLag >= 1 && bucketMicros > 0)
+  /** Zero-filled bucketed count series over the [min, max] span —
+    * shared by [[autocorrelation]] and [[theilSen]]. One corpus-sized
+    * aggregate; the grid explode is a one-row span. */
+  private def bucketSeries(df: DataFrame, tsCol: String,
+                           bucketMicros: Long): DataFrame = {
     val buckets = df
       .select(Time.tsMicros(col(tsCol)).as("__us"))
       .withColumn("__b", expr(s"__us DIV $bucketMicros"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
     val span = buckets.agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
     val grid = span.select(explode(sequence(col("__lo"), col("__hi"))).as("__b"))
-    val series = grid.join(buckets, Seq("__b"), "left")
+    grid.join(buckets, Seq("__b"), "left")
       .select(col("__b"), coalesce(col("__c"), lit(0L)).cast("double").as("__x"))
-      .persist()
+  }
+
+  def autocorrelation(df: DataFrame, tsCol: String, bucketMicros: Long,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && bucketMicros > 0)
+    val series = bucketSeries(df, tsCol, bucketMicros).persist()
     val w = Window.orderBy(col("__b"))
     val withLeads = series.select(col("__b") +: col("__x") +:
       (1 to maxLag).map(k => lead(col("__x"), k).over(w).as(s"__x$k")): _*)
@@ -867,6 +874,41 @@ object Stats {
         count(col(s"__x$k")).as("n_pairs"),
         corr(col("__x"), col(s"__x$k")).as("acf"))
     }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Theil–Sen robust trend of a bucketed count series: slope = the
+   * MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept = the
+   * median residual at that slope — immune to outlier buckets that
+   * would drag an OLS line (up to ~29% contamination). Runs on the
+   * same zero-filled [[bucketSeries]] as [[autocorrelation]], so the
+   * pair space is span²/2 — domain-sized, independent of corpus rows
+   * (720 hourly buckets → 259k pairs). Medians use
+   * [[exactQuantileCol]] over sorted slope/residual arrays — the
+   * engine-bit-identical interpolation (the q184 lesson; builtin
+   * percentile vs quantile_cont differ in the last ulp).
+   * Returns (n_points, n_pairs, slope, intercept).
+   */
+  def theilSen(df: DataFrame, tsCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0)
+    val s = bucketSeries(df, tsCol, bucketMicros).persist()
+    val a = s.select(col("__b").as("__bi"), col("__x").as("__yi"))
+    val b = s.select(col("__b").as("__bj"), col("__x").as("__yj"))
+    val slopes = a.join(b, col("__bj") > col("__bi"))
+      .select(((col("__yj") - col("__yi")) /
+        (col("__bj") - col("__bi")).cast("double")).as("__s"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("__s"))).as("__arr"))
+      .select(col("n_pairs"),
+        exactQuantileCol(col("__arr"), 0.5).as("slope"))
+    s.crossJoin(broadcast(slopes))
+      .select(col("n_pairs"), col("slope"),
+        (col("__x") - col("slope") * col("__b").cast("double")).as("__r"))
+      .groupBy(col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_points"),
+        sort_array(collect_list(col("__r"))).as("__ra"))
+      .select(col("n_points"), col("n_pairs"), col("slope"),
+        exactQuantileCol(col("__ra"), 0.5).as("intercept"))
   }
 
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,

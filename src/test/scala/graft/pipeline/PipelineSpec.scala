@@ -3767,6 +3767,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(f(0) - (-1.0)) < 1e-9 && math.abs(f(1) - 1.0) < 1e-9)
   }
 
+  test("theilSen: outlier-immune where OLS is dragged") {
+    val S = 1000000L
+    // perfect slope-2 line over 11 buckets, one wild outlier bucket:
+    // counts 1,3,5,…,21 with bucket 5 spiked to 100 events
+    val rows = (0 until 11).flatMap { b =>
+      val n = if (b == 5) 100 else 2 * b + 1
+      (0 until n).map(j => (1L, b * S + j, (b * 100 + j).toLong, 0.0))
+    }
+    val r = Stats.theilSen(evFrame(rows), "ts", bucketMicros = S).collect()(0)
+    assert(r.getLong(0) == 11L && r.getLong(1) == 55L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)  // median slope holds at 2
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)  // median residual → y₀ = 1
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
