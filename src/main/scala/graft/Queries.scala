@@ -3213,6 +3213,34 @@ object Queries {
       // engines — certified UNROUNDED.
       graft.pipeline.Stats.theilSen(events(s, d), "ts",
           bucketMicros = 3600000000L)
+    }),
+
+    "q198_odds_ratio" -> ((s, d) => {
+      // effect size for the A/B readout: odds ratio of purchasing for
+      // users who clicked vs those who didn't, with the Woolf logit CI
+      // — one subject rollup + ONE conditional-aggregate pass (the
+      // welch shape: no join, single scan of the subject frame).
+      val subj = events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchased"))
+      graft.pipeline.Stats.oddsRatio(subj,
+          col("clicked") === 1, col("purchased") === 1)
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(col("odds_ratio"), 6).as("odds_ratio"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
+    "q199_wow_overlap" -> ((s, d) => {
+      // audience stickiness: Jaccard overlap of consecutive weeks'
+      // distinct active users. One (user, week) distinct is the only
+      // corpus shuffle; the intersection is a shifted equi-self-join
+      // of that slim frame. Exact ints, UNROUNDED.
+      graft.pipeline.Sessions.weekOverWeekOverlap(events(s, d),
+          "user_id", "ts")
+        .orderBy("week")
     })
   )
 
@@ -6993,6 +7021,59 @@ object Queries {
                        (CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 2] AS DOUBLE) -
                         CAST(ra[CAST(floor(CAST((len(ra) - 1) AS DOUBLE) * 0.5) AS INT) + 1] AS DOUBLE))
              END AS intercept
-      FROM ag2"""
+      FROM ag2""",
+
+    "q198_odds_ratio" -> """
+      WITH subj AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS clicked,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS purchased
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(CASE WHEN clicked = 1 AND purchased = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN clicked = 1 AND purchased = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN clicked = 0 AND purchased = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN clicked = 0 AND purchased = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM subj)
+      SELECT a, b, c, d,
+             round((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5) /
+               ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)), 6)
+               AS odds_ratio,
+             round(exp(ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5) /
+                 ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))) -
+               1.959964 * sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(b AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(c AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(d AS DOUBLE) + 0.5))), 6) AS ci_lo,
+             round(exp(ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5) /
+                 ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))) +
+               1.959964 * sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(b AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(c AS DOUBLE) + 0.5) +
+                 1.0 / (CAST(d AS DOUBLE) + 0.5))), 6) AS ci_hi
+      FROM t""",
+
+    "q199_wow_overlap" -> """
+      WITH kw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        FROM events),
+      sizes AS (SELECT w, count(*) AS n FROM kw GROUP BY 1),
+      inter AS (
+        SELECT a.w, count(*) AS i
+        FROM kw a JOIN kw b ON a.user_id = b.user_id AND b.w = a.w + 1
+        GROUP BY a.w)
+      SELECT s1.w AS week, s1.n AS n_prev, s2.n AS n_next,
+             CAST(coalesce(i.i, 0) AS BIGINT) AS n_both,
+             CAST(coalesce(i.i, 0) AS DOUBLE) /
+               CAST(s1.n + s2.n - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+      FROM sizes s1 JOIN sizes s2 ON s2.w = s1.w + 1
+      LEFT JOIN inter i ON i.w = s1.w
+      ORDER BY week"""
   )
 }

@@ -187,6 +187,39 @@ object Sessions {
   }
 
   /**
+   * Week-over-week audience overlap: Jaccard similarity of consecutive
+   * weeks' DISTINCT active-key sets — the stickiness curve ("how much
+   * of last week's audience came back"). Weeks are ⌊epoch-days / 7⌋
+   * (the retentionCohorts grid — engine-replayable integer math).
+   *
+   * Shape: one distinct over (key, week) — the only corpus-sized
+   * shuffle — then the consecutive-week intersection is an equi-join
+   * of that slim frame with itself SHIFTED one week (join on key and
+   * week+1), and per-week set sizes join in by week. All exact
+   * integers; jaccard is one division — UNROUNDED. NTZ-proof.
+   */
+  def weekOverWeekOverlap(events: DataFrame, keyCol: String,
+                          tsCol: String): DataFrame = {
+    val kw = events
+      .select(col(keyCol).as("__k"), Time.tsMicros(col(tsCol)).as("__us"))
+      .withColumn("__w", expr("__us DIV 604800000000"))
+      .select(col("__k"), col("__w")).distinct().persist()
+    val sizes = kw.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val inter = kw.select(col("__k"), col("__w"))
+      .join(kw.select(col("__k"), (col("__w") - 1).as("__w")), Seq("__k", "__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__i"))
+    sizes.select(col("__w"), col("__n").as("n_prev"))
+      .join(sizes.select((col("__w") - 1).as("__w"), col("__n").as("n_next")),
+        Seq("__w"))
+      .join(inter, Seq("__w"), "left")
+      .select(col("__w").as("week"), col("n_prev"), col("n_next"),
+        coalesce(col("__i"), lit(0L)).as("n_both"),
+        (coalesce(col("__i"), lit(0L)).cast("double") /
+          (col("n_prev") + col("n_next") - coalesce(col("__i"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
+
+  /**
    * First-order Markov entropy of the event-type process, per source
    * state: H(s) = −Σ_t p(t|s)·ln p(t|s) over the observed transition
    * distribution ([[transitionMatrix]]), plus each state's share of

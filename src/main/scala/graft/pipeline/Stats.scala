@@ -911,6 +911,37 @@ object Stats {
         exactQuantileCol(col("__ra"), 0.5).as("intercept"))
   }
 
+  /**
+   * Odds ratio of a binary outcome between two slices (the 2×2
+   * epidemiology/experimentation table) with the Woolf logit
+   * confidence interval, under the Haldane–Anscombe +0.5 correction
+   * (every cell gets +0.5 — the standard zero-cell-safe estimator;
+   * with any cell empty the raw OR/CI are 0/∞-degenerate):
+   * OR = (a⁺·d⁺)/(b⁺·c⁺), CI = exp(ln OR ± z·√Σ 1/x⁺).
+   * ONE conditional-aggregate pass — the [[welchT]] shape: no join,
+   * single scan. Returns (a, b, c, d, odds_ratio, ci_lo, ci_hi) with
+   * raw cells and corrected estimates; a/b = exposed successes/
+   * failures, c/d unexposed.
+   */
+  def oddsRatio(df: DataFrame, exposedCol: Column, outcomeCol: Column,
+                z: Double = 1.959964): DataFrame = {
+    val e = exposedCol; val o = outcomeCol
+    def h(c: Column) = c.cast("double") + lit(0.5)
+    df.agg(
+        sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+      .withColumn("odds_ratio",
+        h(col("a")) * h(col("d")) / (h(col("b")) * h(col("c"))))
+      .withColumn("__se", sqrt(
+        lit(1.0) / h(col("a")) + lit(1.0) / h(col("b")) +
+          lit(1.0) / h(col("c")) + lit(1.0) / h(col("d"))))
+      .withColumn("ci_lo", exp(log(col("odds_ratio")) - lit(z) * col("__se")))
+      .withColumn("ci_hi", exp(log(col("odds_ratio")) + lit(z) * col("__se")))
+      .drop("__se")
+  }
+
   private def exploded(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        pcts: Seq[Double], exact: Boolean, accuracy: Int): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0))

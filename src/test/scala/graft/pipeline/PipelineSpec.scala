@@ -3781,6 +3781,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)  // median residual → y₀ = 1
   }
 
+  test("oddsRatio: Haldane-corrected cells, CI brackets the point estimate") {
+    import spark.implicits._
+    // exposed: 8/2 success/fail; unexposed: 2/8 → raw OR = 16
+    val rows = Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false))
+    val r = Stats.oddsRatio(rows.toDF("e", "o"), col("e"), col("o")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 2L, 2L, 8L)))
+    val exp = (8.5 * 8.5) / (2.5 * 2.5)
+    assert(math.abs(r.getDouble(4) - exp) < 1e-12)
+    assert(r.getDouble(5) < exp && exp < r.getDouble(6))
+    // zero cell: corrected estimator stays finite
+    val z = Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, false))
+    val rz = Stats.oddsRatio(z.toDF("e", "o"), col("e"), col("o")).collect()(0)
+    assert(!rz.getDouble(4).isInfinite && !rz.getDouble(6).isInfinite)
+  }
+
+  test("weekOverWeekOverlap: shifted-join Jaccard with disjoint and identical weeks") {
+    val W = 604800000000L
+    val df = evFrame(Seq(
+      // week 0: {1,2,3}; week 1: {2,3,4}; week 2: {9}
+      (1L, 0 * W, 1L, 0.0), (2L, 0 * W + 5, 2L, 0.0), (3L, 0 * W + 9, 3L, 0.0),
+      (2L, 1 * W, 4L, 0.0), (3L, 1 * W + 5, 5L, 0.0), (4L, 1 * W + 9, 6L, 0.0),
+      (9L, 2 * W, 7L, 0.0)))
+    val out = Sessions.weekOverWeekOverlap(df, "user_id", "ts")
+      .orderBy("week").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // week 0→1: |{2,3}| / |{1,2,3,4}| = 0.5; week 1→2: disjoint → 0
+    assert(out(0) == ((0L, 3L, 3L, 2L, 0.5)))
+    assert(out(1) == ((1L, 3L, 1L, 0L, 0.0)))
+  }
+
   test("lastTouchAttribution: recency, ties, lookback, unattributed") {
     import spark.implicits._
     val S = 1000000L
