@@ -46,6 +46,13 @@ object Queries {
     }
   }
 
+  /** Layout-artifact dir shared between q128_zorder_prune and its DuckDB
+    * oracle: both engines must read the SAME parquet footers, and oracle
+    * SQL is a static string — so the path is a fixed absolute location
+    * under the repo build dir, overwritten on every run and left in place
+    * for the post-run `parquet_metadata()` replay. */
+  val Q128Dir = "/root/repo/target/q128_layout"
+
   private def prep(spark: SparkSession, sfDir: String, names: String*): Unit = {
     graft.spatial.functions.register(spark)
     graft.pipeline.Text.register(spark)
@@ -1662,20 +1669,22 @@ object Queries {
     }),
 
     "q128_zorder_prune" -> ((s, d) => {
-      // Z-order layout made driver-visible (it was suite-only): write
-      // events clustered on (user_id, ts µs) via zorderWrite vs a
-      // round-robin baseline with the SAME file count, then read back
-      // ONLY parquet footers and count row groups whose min/max
-      // rectangles survive a selective two-sided band predicate — the
-      // exact keep/skip decision a 100 TB scan's row-group filter makes.
-      // Returns one row per layout; no SQL oracle (a file-layout
-      // property), so the driver records the rows-only check and the
-      // suite asserts zorder prunes strictly better (LayoutSpec).
+      // Z-order layout made driver-visible AND hard-oracled: write events
+      // clustered on (user_id, ts µs) via zorderWrite vs a round-robin
+      // baseline with the SAME file count, then read back ONLY parquet
+      // footers and count row groups whose min/max rectangles survive a
+      // selective two-sided band predicate — the exact keep/skip decision
+      // a 100 TB scan's row-group filter makes. The written layouts stay
+      // at a deterministic path under the repo's build dir so DuckDB can
+      // replay the SAME keep/skip decision from the SAME footers via
+      // parquet_metadata() — the oracle certifies pruning semantics
+      // (parquet-format min/max stats), not a number we asserted; bands
+      // come from `percentile` ≡ `quantile_cont` (q51 parity) so both
+      // engines derive identical [lo, hi] longs.
       import s.implicits._
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         graft.pipeline.Time.tsMicros(col("ts")).as("tsu"), col("value"))
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q128_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      val base = Q128Dir
       graft.pipeline.Layout.zorderWrite(ev, Seq("user_id", "tsu"), s"$base/z", 16)
       ev.repartition(16).write.mode("overwrite").parquet(s"$base/rr")
       // one user band × one time band, ~5% selective each side — the
@@ -1690,7 +1699,6 @@ object Queries {
       val matched = s.read.parquet(s"$base/z")
         .filter(col("user_id").between(qs(0), qs(1)) &&
           col("tsu").between(qs(2), qs(3))).count()
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
       Seq(("roundrobin", rk, rt, matched), ("zorder", zk, zt, matched))
         .toDF("layout", "groups_kept", "groups_total", "rows_matched")
         .orderBy("layout")
@@ -4757,6 +4765,54 @@ object Queries {
       JOIN sz sb ON id_b = sb.doc_id
       WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.9
       ORDER BY id_a, id_b""",
+
+    // The row-group keep/skip decision replayed from the SAME footers the
+    // Spark side wrote (left in place under the repo build dir): DuckDB's
+    // parquet_metadata() exposes per-row-group min/max stats, the bands
+    // re-derive via quantile_cont ≡ percentile (q51 parity) with the same
+    // truncate-to-long, and a row group survives iff its [min,max]
+    // intervals intersect BOTH bands — parquet-format pruning semantics,
+    // certified end-to-end rather than rows-only.
+    "q128_zorder_prune" -> """
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      b AS (
+        SELECT CAST(floor(quantile_cont(user_id, 0.40)) AS BIGINT) AS ulo,
+               CAST(floor(quantile_cont(user_id, 0.45)) AS BIGINT) AS uhi,
+               CAST(floor(quantile_cont(tsu, 0.40)) AS BIGINT) AS tlo,
+               CAST(floor(quantile_cont(tsu, 0.45)) AS BIGINT) AS thi
+        FROM ev),
+      rg AS (
+        SELECT 'zorder' AS layout, file_name, row_group_id, path_in_schema,
+               stats_min_value, stats_max_value
+        FROM parquet_metadata('/root/repo/target/q128_layout/z/*.parquet')
+        UNION ALL
+        SELECT 'roundrobin', file_name, row_group_id, path_in_schema,
+               stats_min_value, stats_max_value
+        FROM parquet_metadata('/root/repo/target/q128_layout/rr/*.parquet')),
+      g AS (
+        SELECT layout, file_name, row_group_id,
+               max(CASE WHEN path_in_schema = 'user_id'
+                   THEN CAST(stats_min_value AS BIGINT) END) AS umin,
+               max(CASE WHEN path_in_schema = 'user_id'
+                   THEN CAST(stats_max_value AS BIGINT) END) AS umax,
+               max(CASE WHEN path_in_schema = 'tsu'
+                   THEN CAST(stats_min_value AS BIGINT) END) AS tmin,
+               max(CASE WHEN path_in_schema = 'tsu'
+                   THEN CAST(stats_max_value AS BIGINT) END) AS tmax
+        FROM rg GROUP BY 1, 2, 3),
+      k AS (
+        SELECT layout,
+               CAST(sum(CASE WHEN umin <= b.uhi AND b.ulo <= umax
+                              AND tmin <= b.thi AND b.tlo <= tmax
+                        THEN 1 ELSE 0 END) AS BIGINT) AS groups_kept,
+               count(*) AS groups_total
+        FROM g, b GROUP BY layout),
+      m AS (
+        SELECT count(*) AS rows_matched FROM ev, b
+        WHERE user_id BETWEEN b.ulo AND b.uhi
+          AND tsu BETWEEN b.tlo AND b.thi)
+      SELECT layout, groups_kept, groups_total, rows_matched
+      FROM k, m ORDER BY layout""",
 
     // Stupid Backoff replayed in SQL: same tokenizer, same even-half
     // training counts, same S(w2|w1) formula (parallel unnests zip in
