@@ -393,13 +393,68 @@ object Graph {
    * pointer-jumping lesson — an unpersisted loop doubles the plan per
    * round). Driver work per round is ONE count action; nothing
    * data-sized is ever collected.
+   *
+   * SIZE-GATED like [[connectedComponentsExact]]: when the (integral-id)
+   * edge list fits under `collectThreshold` undirected edges (ONE count
+   * job to decide), the peel runs as driver bucket-queue cascade — exact,
+   * O(m), zero iterative jobs. At bench scale the distributed loop's
+   * 8-10 driver-synchronized rounds are pure fixed cost (plan, schedule,
+   * checkpoint) against sub-second real work; the gate removes exactly
+   * that, the way the planner collapses a small join side into a
+   * broadcast. Both paths produce the identical fixpoint (suite-pinned
+   * on seeded random graphs), so the gate affects time only; the
+   * distributed path stays the 100 TB shape.
    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxIters: Int = 50): DataFrame = {
+            maxIters: Int = 50, collectThreshold: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      e0.schema("src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    // nbr is the symmetric closure: exactly 2 rows per undirected edge
+    if (integralIds && nbr.count() <= 2L * collectThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val srcType = e0.schema("src").dataType
+      val und = nbr.where(col("src") < col("dst"))
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      nbr.unpersist()
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      und.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+      adj.foreach { case (v, ns) => deg(v) = ns.size }
+      val removed = scala.collection.mutable.HashSet.empty[Long]
+      val queue = scala.collection.mutable.ArrayDeque.empty[Long]
+      adj.keysIterator.filter(deg(_) < k).foreach(queue.append)
+      while (queue.nonEmpty) {
+        val v = queue.removeHead()
+        if (!removed(v) && deg(v) < k) {
+          removed += v
+          adj(v).foreach { u =>
+            if (!removed(u)) {
+              deg(u) -= 1
+              if (deg(u) == k - 1) queue.append(u)
+            }
+          }
+        }
+      }
+      val rows = adj.keysIterator.filterNot(removed)
+        .map(v => (v, deg(v).toLong)).toSeq
+      return spark.createDataset(rows).toDF("node", "degree")
+        .select(col("node").cast(srcType).as("node"), col("degree"))
+    }
     var alive = nbr.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var n = alive.count()

@@ -2748,9 +2748,15 @@ class PipelineSpec extends AnyFunSuite {
         alive = next
       }
       val expect = alive.map(v => (v, (adj(v) & alive).size.toLong)).toSet
+      // default gate → driver bucket-queue peel
       val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == expect, s"trial $trial")
+      assert(got == expect, s"trial $trial (driver path)")
+      // collectThreshold=0 forces the distributed loop → identical fixpoint
+      val dist = Graph.kCore(edges.toDF("a", "b"), "a", "b", k,
+          collectThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dist == expect, s"trial $trial (distributed path)")
     }
     // no edges at all → empty result, no column errors
     assert(Graph.kCore(Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", 2)
