@@ -1214,10 +1214,12 @@ object Queries {
 
     "q155_bootstrap_ci" -> ((s, d) => {
       // derandomized Bayesian-bootstrap error bars for mean quantity per
-      // return flag: 200 replicas, Exp(1) weights from md5(rowkey‖b) —
-      // the q113 derandomization, so every engine draws the SAME
-      // bootstrap. CI = type-7 percentiles over the 200 replica means
-      // (bounded buffer). 4dp absorbs Σ-order and ln-ulp drift.
+      // return flag: 200 replicas, Exp(1) weights from ONE md5 per row
+      // remixed per replica by the fixed a·h+b affine family (the
+      // q53/q113 construction — 200× less hashing than md5(rowkey‖b),
+      // same determinism; the oracle inlines the identical constants).
+      // CI = type-7 percentiles over the 200 replica means (bounded
+      // buffer). 4dp absorbs Σ-order and ln-ulp drift.
       prep(s, d, "lineitem")
       val li = t(s, d, "lineitem").withColumn("__k",
         concat(col("l_orderkey").cast("string"), lit("-"),
@@ -3343,6 +3345,41 @@ object Queries {
                  i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS g
         FROM gtoks)"""
 
+  /** q155's oracle: the same one-md5-per-row + per-replica a·h+b remix,
+    * constants inlined verbatim from [[graft.pipeline.Stats
+    * .bootstrapHashFamilies]] so both engines draw the identical
+    * bootstrap. a_j < 2³¹ keeps a_j·h+b_j under 2⁶³ — exact signed-64
+    * arithmetic both engines (the HUGEINT cast is belt-and-braces). */
+  private def bootstrapOracleSql(replicas: Int): String = {
+    val fam = graft.pipeline.Stats.bootstrapHashFamilies(replicas)
+      .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+    s"""
+      WITH fam(b, a, c) AS (VALUES $fam),
+      h AS (
+        SELECT l_returnflag,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 8)) AS UBIGINT) AS h32,
+               CAST(l_quantity AS DOUBLE) AS v
+        FROM lineitem),
+      reps AS (
+        SELECT l_returnflag, fam.b AS b,
+               -ln((CAST((CAST(fam.a AS HUGEINT) * h32 + fam.c)
+                     % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0) AS w,
+               v
+        FROM h, fam),
+      m AS (SELECT l_returnflag, b, sum(w * v) / sum(w) AS m
+            FROM reps GROUP BY 1, 2),
+      base AS (SELECT l_returnflag, count(*) AS n,
+                      avg(CAST(l_quantity AS DOUBLE)) AS mean
+               FROM lineitem GROUP BY 1)
+      SELECT m.l_returnflag, base.n, round(base.mean, 6) AS mean,
+             round(quantile_cont(m.m, 0.025), 4) AS ci_lo,
+             round(quantile_cont(m.m, 0.975), 4) AS ci_hi
+      FROM m JOIN base USING (l_returnflag)
+      GROUP BY m.l_returnflag, base.n, base.mean
+      ORDER BY m.l_returnflag"""
+  }
+
   /** q148's oracle: `rounds` unrolled peel iterations (degree recount
     * within survivors, drop under-k nodes). Past the fixpoint each extra
     * round is a no-op, so any Spark-side convergence ≤ `rounds` matches. */
@@ -4316,27 +4353,7 @@ object Queries {
              n_artifacts >= 2 AS flagged
       FROM counted ORDER BY doc_id""",
 
-    "q155_bootstrap_ci" -> """
-      WITH reps AS (
-        SELECT l_returnflag, b.b AS b,
-               -ln((CAST(('0x' || substr(md5(
-                   CAST(l_orderkey AS VARCHAR) || '-' ||
-                   CAST(l_linenumber AS VARCHAR) || '_' ||
-                   CAST(b.b AS VARCHAR)), 1, 8)) AS UBIGINT)
-                 + 0.5) / 4294967296.0) AS w,
-               CAST(l_quantity AS DOUBLE) AS v
-        FROM lineitem, generate_series(0, 199) b(b)),
-      m AS (SELECT l_returnflag, b, sum(w * v) / sum(w) AS m
-            FROM reps GROUP BY 1, 2),
-      base AS (SELECT l_returnflag, count(*) AS n,
-                      avg(CAST(l_quantity AS DOUBLE)) AS mean
-               FROM lineitem GROUP BY 1)
-      SELECT m.l_returnflag, base.n, round(base.mean, 6) AS mean,
-             round(quantile_cont(m.m, 0.025), 4) AS ci_lo,
-             round(quantile_cont(m.m, 0.975), 4) AS ci_hi
-      FROM m JOIN base USING (l_returnflag)
-      GROUP BY m.l_returnflag, base.n, base.mean
-      ORDER BY m.l_returnflag""",
+    "q155_bootstrap_ci" -> bootstrapOracleSql(replicas = 200),
 
     "q156_ab_welch" -> """
       WITH s AS (

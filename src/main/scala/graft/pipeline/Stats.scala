@@ -459,12 +459,23 @@ object Stats {
    * Derandomized Bayesian-bootstrap confidence interval for a per-group
    * MEAN — the error bar a metrics dashboard should carry: `replicas`
    * resampled means per group, CI = their [loP, hiP] percentiles.
-   * Replica weights are Exp(1) draws w = −ln(u) with u derived from
-   * md5(row key ‖ replica) (the [[Sampling.weightedKey]]
-   * derandomization — same sample every run, layout, engine, append);
-   * the Bayesian form (continuous Dirichlet weights, Rubin 1981)
-   * replaces integer multinomial resampling, so each replica mean is
-   * Σwx/Σw — pure aggregates, no per-replica sampling pass.
+   * Replica weights are Exp(1) draws w = −ln(u); u comes from ONE md5
+   * per ROW (32-bit slice h, the [[Sampling.weightedKey]]
+   * derandomization — same sample every run, layout, engine, append)
+   * remixed per REPLICA by the fixed affine family
+   * u_j = ((a_j·h + b_j) mod 2³²  + ½) / 2³² with splitmix64-derived
+   * odd multipliers ([[bootstrapHashFamilies]] — the q53/q113 a·h+b
+   * construction), so the `replicas`-fold explode costs integer
+   * multiply-adds, not `replicas` md5s per row (200× less hashing at
+   * 200 replicas). The Bayesian form (continuous Dirichlet weights,
+   * Rubin 1981) replaces integer multinomial resampling, so each
+   * replica mean is Σwx/Σw — pure aggregates, no per-replica sampling
+   * pass.
+   *
+   * Exactness across engines: a_j < 2³¹ and h < 2³², so a_j·h+b_j
+   * < 2⁶³ — exact signed-64 integer arithmetic with no overflow in any
+   * ANSI engine; `pmod(·, 2³²)` then lands both engines on the
+   * identical integer.
    *
    * Scale shape: the corpus explodes ×`replicas` (the honest cost of a
    * bootstrap — bound it by sampling first at 100 TB), partial-combines
@@ -474,23 +485,46 @@ object Stats {
    * order varies across engines (~1e-14 relative) — callers round (4dp
    * leaves ~10 orders of slack).
    */
+  /** The per-replica affine hash family (replica, a_j, b_j) shared by
+    * [[bootstrapMeanCI]] and its oracle builders: a_j an ODD 31-bit
+    * splitmix64 output (odd → a bijection mod 2³², so each replica's
+    * remix permutes the row-hash space; 31 bits so a_j·h + b_j with
+    * h < 2³² stays under 2⁶³ — exact in ANSI signed-64 arithmetic in
+    * ANY engine, no wrapping semantics involved), b_j a 32-bit
+    * splitmix64 offset. Fixed seeds — the family is a pure function of
+    * the replica index, reproducible by any engine that inlines the
+    * same constants. */
+  def bootstrapHashFamilies(replicas: Int): IndexedSeq[(Int, Long, Long)] =
+    (0 until replicas).map { j =>
+      (j,
+        (TextUtil.splitmix64(0x243f6a8885a308d3L + j) & 0x7FFFFFFFL) | 1L,
+        TextUtil.splitmix64(0x13198a2e03707344L ^ j.toLong) & 0xFFFFFFFFL)
+    }
+
   def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String], valueCol: String,
                       keyCol: String, replicas: Int = 200,
                       loP: Double = 0.025, hiP: Double = 0.975): DataFrame = {
     require(replicas >= 2, s"need at least 2 replicas, got $replicas")
     require(loP > 0 && hiP < 1 && loP < hiP, s"bad CI range [$loP, $hiP]")
     val v = col(valueCol).cast("double")
-    val h32 = conv(substring(md5(concat(col(keyCol).cast("string"), lit("_"),
-      col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
-    val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val fam = array(bootstrapHashFamilies(replicas).map { case (j, a, b) =>
+      struct(lit(j).as("b"), lit(a).as("a"), lit(b).as("c"))
+    }: _*)
+    val mixed = pmod(col("__f.a") * col("__h") + col("__f.c"),
+      lit(4294967296L))
+    val u = (mixed.cast("double") + lit(0.5)) / lit(4294967296.0)
     val w = -log(u)
-    // ×replicas explode + per-row md5 is compute-explosive: scale task
-    // count to the session before exploding (the Similarity.scaleOut
-    // rationale — a few-MB single-file input otherwise serializes the
-    // whole bootstrap through one task)
+    // ×replicas explode is compute-explosive: scale task count to the
+    // session before exploding (the Similarity.scaleOut rationale — a
+    // few-MB single-file input otherwise serializes the whole bootstrap
+    // through one task)
     val reps = Similarity.scaleOut(df.where(v.isNotNull)
         .select(groupCols.map(col) :+ col(keyCol) :+ v.as("__v"): _*))
-      .withColumn("__b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("__h", h32)
+      .withColumn("__f", explode(fam))
+      .withColumn("__b", col("__f.b"))
       .withColumn("__w", w)
       .groupBy(groupCols.map(col) :+ col("__b"): _*)
       .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__m"))
