@@ -27,11 +27,25 @@ object Dedup {
 
   /**
    * Exact dedup: keep the lowest-id row per identical content.
-   * One shuffle, on the digest.
+   *
+   * Implemented as keeper selection + LEFT SEMI join, NOT a
+   * `row_number` Window: the keeper per content key is a partial
+   * aggregate ([[exactDuplicateGroups]] — `min(id)` combines map-side,
+   * so a template spammed 10⁹× collapses to one row per map task before
+   * any shuffle), and the semi-join probes on (content_key, id) —
+   * unique combinations, no hot key. A Window would sort every
+   * duplicate of the hottest content key in ONE reducer partition: the
+   * classic single-task stall on spam-heavy corpora at 100 TB. The
+   * plan shape (no Window node) is suite-asserted.
    */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val keepers = exactDuplicateGroups(df, textCol, idCol)
+      .select(col("content_key").as("__ck"), col("keeper_id").as("__keep"))
+    val left = df.withColumn("__ck", contentKey(col(textCol)))
+    left.join(keepers,
+        left("__ck") === keepers("__ck") && left(idCol) === keepers("__keep"),
+        "left_semi")
+      .drop("__ck")
   }
 
   /** Exact duplicate groups: (content_key, dup_count, keeper_id). */

@@ -97,6 +97,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups(0).getAs[Long]("keeper_id") == 1L)
   }
 
+  test("dropExactDuplicates: no Window in the plan; equals the row_number formulation on spam clusters") {
+    // adversarial spam shape: one template with 5000 exact copies (the
+    // hot content key that would stall a Window's single reducer), plus
+    // a unique tail
+    val spam = (0 until 5000).map(i => (1000L + i) -> "BUY NOW template")
+    val uniq = (0 until 500).map(i => i.toLong -> s"unique doc $i")
+    val df = docs(spam ++ uniq)
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+    assert(!kept.queryExecution.executedPlan.toString.contains("Window"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ref = df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(kept) == rows(ref))
+    assert(rows(kept).size == 501) // 500 unique + 1 spam keeper
+    assert(rows(kept).contains(1000L -> "BUY NOW template"))
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
