@@ -6435,16 +6435,30 @@ object Queries {
                  AS hour_frac,
                CAST(value AS DOUBLE) AS value
         FROM events),
-      f AS (
+      mo AS (
         SELECT event_type AS g,
-               round(regr_slope(value, hour_frac), 6) AS b,
-               round(regr_intercept(value, hour_frac), 6) AS a,
-               round(stddev_pop(value) *
-                 sqrt(1.0 - corr(value, hour_frac) *
-                            corr(value, hour_frac)), 6) AS sres
+               var_pop(hour_frac) AS vx, var_pop(value) AS vy,
+               covar_pop(value, hour_frac) AS cxy,
+               avg(hour_frac) AS xbar, avg(value) AS my
         FROM ev
         WHERE hour_frac IS NOT NULL AND value IS NOT NULL
-        GROUP BY 1)
+        GROUP BY 1),
+      f0 AS (
+        SELECT g,
+               CASE WHEN vx > 0.0 THEN round(cxy / vx, 6) END AS b0,
+               CASE WHEN vx > 0.0
+                    THEN round(my - cxy / vx * xbar, 6) END AS a0,
+               CASE WHEN vx > 0.0
+                    THEN round(sqrt(greatest(vy - cxy * cxy / vx, 0.0)), 6)
+               END AS sres0,
+               round(sqrt(vy), 6) AS sy,
+               round(my, 6) AS ybar
+        FROM mo),
+      f AS (
+        SELECT g, coalesce(b0, 0.0) AS b, coalesce(a0, ybar) AS a,
+               CASE WHEN sres0 IS NULL OR sres0 = 0.0 THEN sy
+                    ELSE sres0 END AS sres
+        FROM f0)
       SELECT event_id, event_type,
              round(value - (a + b * hour_frac), 6) AS resid
       FROM ev JOIN f ON event_type = f.g

@@ -23,11 +23,24 @@ import org.apache.spark.sql.functions._
  * commutative — the textbook algebraic aggregate (partial bitsets
  * combine map-side; the exchange carries one bitset per task).
  *
- * Sizing: m bits / k hashes give fp ≈ (1 − e^(−kn/m))^k. The 2²⁰-bit
- * default is 128 KiB — broadcastable at any dim cardinality worth
- * pruning for; callers with 10⁸⁺ dim keys raise `nbits`.
+ * Sizing: m bits / k hashes give fp ≈ (1 − e^(−kn/m))^k — which means a
+ * FIXED m silently saturates once n ≈ m/10: at n = 10⁶ keys a 2²⁰-bit
+ * filter has fp ≈ (1−e⁻⁵)⁵ ≈ 0.97, so the probe prunes nothing and the
+ * broadcast + 5 hashes per fact row are pure overhead (correctness is
+ * preserved by the follow-up exact join, but the point of the pattern is
+ * lost). [[prune]] therefore SELF-SIZES by default: one
+ * `approx_count_distinct` over the dim keys picks m ≈ 10·n bits
+ * (fp ≈ 1% at k=5), floored at 2²⁰ (128 KiB) and capped at 2²⁷ (16 MiB
+ * — still a comfortable broadcast; beyond ~1.3·10⁷ keys the filter
+ * degrades gracefully toward pass-through and a caller who wants more
+ * should pass `nbits` explicitly, or reconsider whether the key set
+ * still qualifies as "a few MB").
  */
 object Bloom {
+
+  /** Sentinel for [[prune]]'s `nbits`: size the filter from the dim key
+    * cardinality (~10 bits/key) instead of a fixed constant. */
+  val AutoBits: Int = -1
 
   /** `numHashes` bit positions for `key` (builtin xxhash64 per seed —
     * identical codegen on build and probe sides). */
@@ -59,10 +72,17 @@ object Bloom {
    * negatives). The one-row filter arrives via broadcast.
    */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-            nbits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    val f = build(dim, dimKey, nbits, numHashes)
+            nbits: Int = AutoBits, numHashes: Int = 5): DataFrame = {
+    val m = if (nbits == AutoBits) {
+      // one metadata-sized aggregate sizes the filter from the data —
+      // the self-tuning discipline (cf. Dedup.AutoBound): ~10 bits/key,
+      // floor 2^20, cap 2^27 (16 MiB broadcast)
+      val n = dim.agg(approx_count_distinct(col(dimKey))).head().getLong(0)
+      math.min(math.max(n * 10L, 1L << 20), 1L << 27).toInt
+    } else nbits
+    val f = build(dim, dimKey, m, numHashes)
     fact.crossJoin(broadcast(f))
-      .where(mightContain(col(factKey), col("bits"), nbits, numHashes))
+      .where(mightContain(col(factKey), col("bits"), m, numHashes))
       .drop("bits")
   }
 }

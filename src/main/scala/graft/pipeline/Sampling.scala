@@ -294,6 +294,14 @@ object Sampling {
    * pick ranks (md5(id), id) via the bounded top-k aggregate — k =
    * totalN bounds every per-stratum buffer, no Window.
    *
+   * Degenerate inputs: when EVERY stratum is homogeneous (all σ_h = 0,
+   * so Σ N_h·σ_h = 0 and the Neyman weights are undefined) the
+   * allocation falls back to PROPORTIONAL (weight = N_h) instead of
+   * silently returning an empty sample; rows with a null `valueCol`
+   * are excluded from the pick pool, matching the stats frame — they
+   * contributed nothing to the allocation weights, so they must not
+   * consume allocations either.
+   *
    * Returns sampled rows: (stratum, id, rank, alloc).
    */
   def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
@@ -304,13 +312,19 @@ object Sampling {
       .agg(count(lit(1)).as("__nh"),
         round(stddev_pop(col(valueCol)), 6).as("__sh"))
       .withColumn("__w", col("__nh").cast("double") * col("__sh"))
-    val tot = stats.agg(sum(col("__w")).as("__tw"))
+    val tot = stats.agg(sum(col("__w")).as("__tw"),
+      sum(col("__nh")).as("__tn"))
     val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("__frac",
+        when(col("__tw").isNull || col("__tw") === 0.0,
+          col("__nh").cast("double") / col("__tn").cast("double"))
+          .otherwise(col("__w") / col("__tw")))
       .select(col(stratumCol),
-        least(floor(lit(totalN.toDouble) * col("__w") / col("__tw"))
+        least(floor(lit(totalN.toDouble) * col("__frac"))
           .cast("long"), col("__nh")).as("alloc"))
-    val base = df.select(col(stratumCol), col(idCol),
-      md5(col(idCol).cast("string")).as("__h"))
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(stratumCol), col(idCol),
+        md5(col(idCol).cast("string")).as("__h"))
     GroupedTopK.topK(base, Seq(stratumCol),
         Seq(("__h", true), (idCol, true)), totalN, rankCol = "rank")
       .join(broadcast(alloc), Seq(stratumCol))

@@ -584,19 +584,25 @@ object Sessions {
    * (the match is the latest touch; if the latest is stale, older ones
    * are staler), which keeps it a post-window projection. NTZ-proof:
    * the ts columns are normalized to µs before the join.
+   *
+   * `idCol` names the unique per-event id used for the conversion id
+   * and the same-instant touch tiebreak (defaults to "event_id" for the
+   * harness events table — parameterized like every other column so the
+   * operator works on any frame with a unique event key).
    */
   def lastTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
                            typeCol: String, conversionType: String,
                            touchTypes: Seq[String],
-                           lookbackMicros: Long): DataFrame = {
+                           lookbackMicros: Long,
+                           idCol: String = "event_id"): DataFrame = {
     val base = events.withColumn("__t", Time.tsMicros(col(tsCol)))
     val conversions = base.where(col(typeCol) === conversionType)
-      .select(col(keyCol), col("__t"), col("event_id").as("conv_id"))
-    // collapse same-instant touches (max event_id wins) so the as-of
+      .select(col(keyCol), col("__t"), col(idCol).as("conv_id"))
+    // collapse same-instant touches (max id wins) so the as-of
     // LOCF has a unique right row per (key, ts) — deterministic match
     val touches = base.where(col(typeCol).isin(touchTypes: _*))
       .groupBy(col(keyCol), col("__t"))
-      .agg(max(struct(col("event_id"), col(typeCol))).as("__w"))
+      .agg(max(struct(col(idCol), col(typeCol))).as("__w"))
       .select(col(keyCol), col("__t"),
         col("__w").getField(typeCol).as("__touch_type"),
         col("__t").as("__touch_t"))

@@ -633,21 +633,47 @@ object Stats {
    * are rounded to 6dp before the threshold comparison (the q162
    * determinism pin): the flag decision is the same IEEE chain in any
    * engine.
+   *
+   * Degenerate fits are handled explicitly rather than silently
+   * returning no rows: a constant-x group makes `corr` (and thus
+   * σ_res) NULL — the fit falls back to the group mean (b=0, a=ȳ) with
+   * spread σ_y, i.e. plain z-score outliers on y; a perfectly colinear
+   * group (|corr|=1, σ_res=0) also falls back to σ_y, under which its
+   * on-the-line residuals (all 0) flag nothing. Groups where y itself
+   * is constant have σ_y=0 and 0 residuals — genuinely outlier-free.
    */
   def residualOutliers(df: DataFrame, groupCols: Seq[String], xCol: String,
                        yCol: String, z: Double): DataFrame = {
     val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
-    val fits = rows.groupBy(groupCols.map(col): _*)
+    // moments, not regr_*/corr: ANSI corr on a constant-x group is a
+    // 0/0 DIVIDE_BY_ZERO error, while explicit var/cov moments guard
+    // cleanly (slope = cov/var_x, σ_res² = var_y − cov²/var_x)
+    val moments = rows.groupBy(groupCols.map(col): _*)
       .agg(
-        round(expr(s"regr_slope($yCol, $xCol)"), 6).as("__b"),
-        round(expr(s"regr_intercept($yCol, $xCol)"), 6).as("__a"),
-        round(expr(s"stddev_pop($yCol) * sqrt(1.0 - corr($yCol, $xCol) * corr($yCol, $xCol))"),
-          6).as("__sres"))
+        expr(s"var_pop(CAST($xCol AS DOUBLE))").as("__vx"),
+        expr(s"var_pop(CAST($yCol AS DOUBLE))").as("__vy"),
+        expr(s"covar_pop(CAST($yCol AS DOUBLE), CAST($xCol AS DOUBLE))").as("__cxy"),
+        expr(s"avg(CAST($xCol AS DOUBLE))").as("__xbar"),
+        expr(s"avg(CAST($yCol AS DOUBLE))").as("__my"))
+    val fits = moments.select(groupCols.map(col) ++ Seq(
+      when(col("__vx") > 0.0, round(col("__cxy") / col("__vx"), 6)).as("__b0"),
+      when(col("__vx") > 0.0,
+        round(col("__my") - col("__cxy") / col("__vx") * col("__xbar"), 6)).as("__a0"),
+      when(col("__vx") > 0.0,
+        round(sqrt(greatest(col("__vy") - col("__cxy") * col("__cxy") / col("__vx"),
+          lit(0.0))), 6)).as("__sres0"),
+      round(sqrt(col("__vy")), 6).as("__sy"),
+      round(col("__my"), 6).as("__ybar")): _*)
     rows.join(broadcast(fits), groupCols)
+      .withColumn("__b", coalesce(col("__b0"), lit(0.0)))
+      .withColumn("__a", coalesce(col("__a0"), col("__ybar")))
+      .withColumn("__sres",
+        when(col("__sres0").isNull || col("__sres0") === 0.0, col("__sy"))
+          .otherwise(col("__sres0")))
       .withColumn("resid",
         col(yCol).cast("double") - (col("__a") + col("__b") * col(xCol).cast("double")))
       .filter(abs(col("resid")) > lit(z) * col("__sres"))
-      .drop("__a", "__b", "__sres")
+      .drop("__a0", "__b0", "__sres0", "__sy", "__ybar", "__a", "__b", "__sres")
   }
 
   /**

@@ -3240,6 +3240,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.count() < fact.count())
   }
 
+  test("bloom prune: auto-sizing keeps fp low at cardinalities that saturate a fixed filter") {
+    import spark.implicits._
+    // 300k dim keys: a fixed 2^20-bit filter at k=5 gives fp ≈ 25% here
+    // (and ≈ 97% at 10^6 keys) — auto-sizing (~10 bits/key) holds ≈ 1%
+    val dim = (0L until 300000L).toDF("k")
+    val miss = (1000000L until 1050000L).map(i => (i, i)).toDF("id", "fk")
+    val kept = Bloom.prune(miss, dim, "fk", "k").count()
+    assert(kept < 2500L, s"fp too high with auto-sizing: $kept / 50000") // < 5%
+  }
+
   // ----------------------------------------- wave 15: global rank / SNM
 
   test("globalRank matches a single-partition row_number") {
@@ -3374,6 +3384,21 @@ class PipelineSpec extends AnyFunSuite {
     val out = Stats.residualOutliers(rows.toDF("id", "g", "x", "y"),
       Seq("g"), "x", "y", z = 4.0).select("id").as[Long].collect().toSet
     assert(out == Set(99L))
+  }
+
+  test("residualOutliers: degenerate groups fall back instead of silently dropping") {
+    import spark.implicits._
+    // constant-x group: corr is NULL → old path dropped everything; new
+    // path fits the mean and flags the z-score outlier on y
+    val constX = (1L to 40L).map(i =>
+      (i, "cx", 7.0, if (i == 13L) 500.0 else (i % 5).toDouble))
+    // perfectly colinear group (|corr| = 1, σ_res = 0): on-the-line
+    // residuals are 0 — nothing flags, but nothing errors either
+    val colinear = (101L to 140L).map(i => (i, "col", i.toDouble, 3.0 * i))
+    val out = Stats.residualOutliers((constX ++ colinear).toDF("id", "g", "x", "y"),
+      Seq("g"), "x", "y", z = 4.0)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(13L), out.toString)
   }
 
   test("topPaths orders within session and truncates the prefix") {
@@ -3695,6 +3720,26 @@ class PipelineSpec extends AnyFunSuite {
     val ids2 = Sampling.neymanSample(rows.toDF("lang", "id", "v"),
       "lang", "id", "v", totalN = 20).select("id").as[Long].collect().toSet
     assert(ids1 == ids2)
+  }
+
+  test("neymanSample: all-homogeneous strata fall back to proportional; null values excluded from pick pool") {
+    import spark.implicits._
+    // every stratum constant → Σ N_h·σ_h = 0: proportional fallback
+    // (old behavior: `rank <= null` → silently EMPTY)
+    val flat = (1L to 60L).map(i => ("A", i, 5.0)) ++
+      (61L to 90L).map(i => ("B", i, 7.0))
+    val out = Sampling.neymanSample(flat.toDF("lang", "id", "v"),
+      "lang", "id", "v", totalN = 30)
+    val byStratum = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("A") == 20L && byStratum("B") == 10L, byStratum.toString)
+    // null-value rows must not consume allocations: stratum of size 4
+    // with 2 null rows allocates from (and picks from) the 2 real rows
+    val withNulls = Seq(("A", 1L, Some(1.0)), ("A", 2L, Some(9.0)),
+      ("A", 3L, None), ("A", 4L, None))
+    val out2 = Sampling.neymanSample(withNulls.toDF("lang", "id", "v"),
+      "lang", "id", "v", totalN = 2)
+    assert(out2.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("imageFeaturesBatched: hand-computed TV and distinct counts") {
