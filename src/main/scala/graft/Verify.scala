@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist slim reused frames that the returned lazy plan
+      // references (pageRank edge lists, CF weight frames, …); once the
+      // result is written nothing depends on them — clear per query so a
+      // 199-query run doesn't accumulate session-lifetime cache entries
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

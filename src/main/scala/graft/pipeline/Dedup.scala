@@ -921,14 +921,17 @@ object Dedup {
     val sc = sortCols.map(col)
     val parted = df.repartitionByRange(sc: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
-    // persist the slim per-partition-ranked frame: BOTH the offset
-    // aggregation and the final offset join read it — without the cache
-    // the whole scan+sort pipeline runs twice
+    // the offsets aggregate over `parted` (pre-window — counts don't
+    // need the local ranks), so the ranked frame is referenced ONCE and
+    // needs no persist: both branches share the range Exchange
+    // (ReusedExchange dedups the shuffle within the one plan, and the
+    // range sampler is seed-deterministic, so even an unreused exchange
+    // reproduces identical boundaries). No session-lifetime cache to
+    // leak across a many-operator run.
     val local = parted.withColumn("__lr",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(sc: _*))
         .cast("long"))
-      .persist()
-    val offs = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offs = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -956,12 +959,14 @@ object Dedup {
     val parted = df.repartitionByRange(sc: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(sc: _*)
+    // offsets from `parted`, not the windowed frame — one reference to
+    // the ranked frame, shared range Exchange, no persist (see
+    // globalRank)
     val local = parted
       .withColumn("__lr", row_number().over(w).cast("long"))
       .withColumn("__ls", sum(col(valueCol))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-      .persist()
-    val offs = local.groupBy(col("__pid"))
+    val offs = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"),
         sum(col(valueCol).cast("long")).as("__tot"))
       .withColumn("__roff", coalesce(
@@ -993,11 +998,12 @@ object Dedup {
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    // offsets from `parted` — one reference to the windowed frame,
+    // shared range Exchange, no persist (see globalRank)
     val local = parted
       .withColumn("__lm", max(col(valueCol))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .persist()
-    val offs = local.groupBy(col("__pid"))
+    val offs = parted.groupBy(col("__pid"))
       .agg(max(col(valueCol)).as("__pm"))
       .withColumn("__off",
         max(col("__pm")).over(Window.orderBy(col("__pid"))
