@@ -23,28 +23,60 @@ import graft.pipeline.{Clustering, Curate, Dedup, Graph, GroupedTopK, Materializ
  */
 object Queries {
 
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Timestamp-carrying columns per harness table: every one is
+    * normalized defensively at load (the round-6 NTZ episode
+    * generalized — the only thing that has ever turned the board red was
+    * an upstream physical-dtype change, so every plausible encoding maps
+    * back to today's logical type at the loader). */
+  private[graft] val TsCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
 
-  /** The events table's `ts` has shipped as parquet TIMESTAMP(NANOS)
-    * (Spark 4 rejects it unless read as long), as `timestamp[us]` without
-    * a timezone (→ TIMESTAMP_NTZ, the pandas/pyarrow default), and as a
-    * zoned `timestamp[us, tz=UTC]` — normalize all three to TimestampType
-    * µs UTC instants. The NTZ case is a physical no-op reinterpretation
-    * ([[graft.pipeline.NtzToUtc]]), NOT a session-timezone-dependent
-    * cast, so correctness does not depend on caller config. */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Defensive load — tolerate the plausible physical-encoding drifts of
+    * the harness generator per column family:
+    *  - timestamps as TIMESTAMP(NANOS) (Spark 4 rejects them unless read
+    *    as long via `nanosAsLong`), naked `timestamp[us]` (→ NTZ, the
+    *    pandas/pyarrow default today), or zoned `timestamp[us, tz=UTC]`.
+    *    `events.ts` normalizes to TimestampType µs UTC instants, the
+    *    date columns to the TIMESTAMP_NTZ they ship as today — in all
+    *    cases via physical µs reinterpretation
+    *    ([[graft.pipeline.NtzToUtc]] / [[graft.pipeline.UtcToNtz]]), NOT
+    *    session-timezone-dependent casts, so correctness does not depend
+    *    on caller config.
+    *  - `string` vs `large_string` and int32 vs int64 keys need no
+    *    rewrite: Spark reads both to the same logical families, and
+    *    keeping the source width keeps Spark outputs dtype-identical to
+    *    what DuckDB reads from the same file (suite-pinned by LoaderSpec
+    *    over variant-encoded fixtures).
+    *  - `embeddings.embedding` as `list<float>` (today) or
+    *    `list<double>` both flow through the vector expressions, which
+    *    compute in double either way (matching the oracles'
+    *    `CAST(embedding AS DOUBLE[])`).
+    */
+  private[graft] def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer division — ns epochs exceed double's exact range
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", graft.pipeline.Time.ntzToUtc(col("ts")))
-      case _ => df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    TsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      import org.apache.spark.sql.types._
+      val toUtc = name == "events"
+      df.schema(c).dataType match {
+        case LongType => // TIMESTAMP(NANOS) read as long epoch-ns
+          // integer division — ns epochs exceed double's exact range
+          val us = timestamp_micros(expr(s"$c DIV 1000"))
+          df.withColumn(c,
+            if (toUtc) us else graft.pipeline.Time.utcToNtz(us))
+        case TimestampNTZType if toUtc =>
+          df.withColumn(c, graft.pipeline.Time.ntzToUtc(col(c)))
+        case TimestampType if !toUtc =>
+          df.withColumn(c, graft.pipeline.Time.utcToNtz(col(c)))
+        case _ => df
+      }
     }
   }
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
 
   /** Layout-artifact dir shared between q128_zorder_prune and its DuckDB
     * oracle: both engines must read the SAME parquet footers, and oracle

@@ -59,6 +59,25 @@ case class NtzToUtc(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** utc_to_ntz(ts) → TIMESTAMP_NTZ; reinterprets a TIMESTAMP instant as
+  * its UTC wall clock (session-timezone-independent — the inverse
+  * reinterpretation of [[NtzToUtc]]). TIMESTAMP_NTZ input passes through
+  * unchanged, so it can be applied unconditionally to normalize a column
+  * of either flavour to the NTZ the harness tables ship today. */
+case class UtcToNtz(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"utc_to_ntz requires TIMESTAMP or TIMESTAMP_NTZ, got ${other.sql}")
+  }
+  override def dataType: DataType = TimestampNTZType
+  override def prettyName: String = "utc_to_ntz"
+  override protected def nullSafeEval(v: Any): Any = v
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level helpers for the library operators (Sessions, AsOf,
   * Materialize, …): use these instead of `unix_micros`/`cast` so every
   * event-time operator accepts either timestamp flavour. */
@@ -71,4 +90,8 @@ object Time {
   /** Normalize TIMESTAMP_NTZ → TIMESTAMP (wall clock read as UTC);
     * TIMESTAMP passes through. */
   def ntzToUtc(c: Column): Column = toCol(NtzToUtc(toExpr(c)))
+
+  /** Normalize TIMESTAMP → TIMESTAMP_NTZ (instant read as its UTC wall
+    * clock); TIMESTAMP_NTZ passes through. */
+  def utcToNtz(c: Column): Column = toCol(UtcToNtz(toExpr(c)))
 }

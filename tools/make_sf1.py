@@ -19,19 +19,25 @@ an adversarial max-duplication corpus where near-dup/ANN/grid queries do
 quadratically more LEGITIMATE work (every copy-group is a true near-dup
 clique); both corpora are useful stress shapes.
 
-Usage: python3 tools/make_sf1.py [--perturb] [src_dir] [dst_dir]
-       (defaults: /root/testdata/sf0.1 -> ./benchdata-sf1)
+Usage: python3 tools/make_sf1.py [--perturb] [--factor N] [src_dir] [dst_dir]
+       (defaults: /root/testdata/sf0.1 -> ./benchdata-sf1, factor 10;
+        --factor 100 from sf0.1 gives an sf10-equivalent 100x stress set)
 """
 import sys
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-args = [a for a in sys.argv[1:] if a != "--perturb"]
-PERTURB = "--perturb" in sys.argv[1:]
+argv = sys.argv[1:]
+COPIES = 10
+if "--factor" in argv:
+    i = argv.index("--factor")
+    COPIES = int(argv[i + 1])
+    argv = argv[:i] + argv[i + 2:]
+args = [a for a in argv if a != "--perturb"]
+PERTURB = "--perturb" in argv
 SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
 DST = args[1] if len(args) > 1 else "benchdata-sf1"
-COPIES = 10
 
 
 def perturb_text(text: str, i: int) -> str:
@@ -64,7 +70,15 @@ def perturb_columns(name: str, i: int, t: pa.Table) -> pa.Table:
         for v in t["embedding"]:
             vec = v.as_py()
             s = (7 * i) % len(vec)
-            vecs.append(vec[s:] + vec[:s])
+            vec = vec[s:] + vec[:s]
+            # beyond len(vec) copies the shift cycles back (7*64 ≡ 0 mod
+            # 64) — add a per-cycle sign-flip pattern, which also
+            # preserves every norm and within-copy inner product
+            # (<s⊙a, s⊙b> = Σ s_k² a_k b_k = <a,b>) while decorrelating
+            # the repeated-shift copies
+            if (i // len(vec)) % 2 == 1:
+                vec = [-x if k % 2 == 1 else x for k, x in enumerate(vec)]
+            vecs.append(vec)
         t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
                          pa.array(vecs, type=t.schema.field("embedding").type))
     elif name in ("supplier", "customer"):
