@@ -3840,7 +3840,8 @@ object Queries {
         JOIN tab t ON t.sub = c.sub AND t.code = c.code
         WHERE c.vec_id <> t.query_id
         GROUP BY 1, 2)
-      SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank
+      SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, dist,
+             CAST(rn AS INT) AS rank
       FROM (SELECT query_id, neighbor_id, round(dist, 4) AS dist,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY round(dist, 4), neighbor_id)
@@ -4360,7 +4361,7 @@ object Queries {
                         ELSE string_agg(CAST(b AS VARCHAR), '' ORDER BY i)
                    END AS h
         FROM bits GROUP BY id)
-      SELECT a.id AS id_a, b.id AS id_b,
+      SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
              CAST(hamming(a.h, b.h) AS BIGINT) AS hamming
       FROM hashes a JOIN hashes b ON a.id < b.id
       WHERE hamming(a.h, b.h) <= 3
@@ -4637,7 +4638,7 @@ object Queries {
                o.c_mktsegment AS om, n.c_mktsegment AS nm,
                o.c_acctbal AS ob, n.c_acctbal AS nb
         FROM cust o FULL JOIN today n ON o.c_custkey = n.c_custkey)
-      SELECT c_custkey,
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
              CASE WHEN NOT has_o THEN 'insert'
                   WHEN NOT has_n THEN 'delete'
                   ELSE 'update' END AS change_type,
@@ -4998,7 +4999,8 @@ object Queries {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY rrf DESC, neighbor_id) AS rank
         FROM fused)
-      SELECT query_id, rank, neighbor_id, rrf, n_systems FROM fin
+      SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             rrf, n_systems FROM fin
       WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // 1.4826e0 parses as DOUBLE (plain 1.4826 would be DECIMAL and its
@@ -5283,7 +5285,7 @@ object Queries {
                ABS(((p_partkey * 31 + i.i * 17) % 2003) - 1001) AS a
         FROM part, generate_series(0, 95) i(i)
         WHERE p_partkey % 9 = 0 AND i.i < 64 + (p_partkey % 32))
-      SELECT p_partkey AS media_id,
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
              CAST(8000 + (p_partkey % 4) * 4000 AS INT) AS sample_rate,
              CAST(64 + (p_partkey % 32) AS BIGINT) AS n_samples,
              CAST(SUM(a) AS BIGINT) AS sum_abs,
@@ -5301,7 +5303,7 @@ object Queries {
         SELECT s_suppkey, fr.f AS frame_idx, s_suppkey * 7 + fr.f AS x
         FROM supplier, generate_series(0, 3) fr(f)
         WHERE s_suppkey % 5 = 0 AND fr.f < 2 + (s_suppkey % 3) AND fr.f % 2 = 0)
-      SELECT f.s_suppkey AS media_id,
+      SELECT CAST(f.s_suppkey AS BIGINT) AS media_id,
              CAST(f.frame_idx AS INT) AS frame_idx,
              CAST(8 + (x % 9) AS INT) AS width,
              CAST(8 + (x % 7) AS INT) AS height,
@@ -5360,7 +5362,7 @@ object Queries {
         SELECT tw.w, SUM((tx.x * 255) // (tw.w - 1)) AS grow
         FROM generate_series(8, 16) tw(w), generate_series(0, 15) tx(x)
         WHERE tx.x < tw.w GROUP BY tw.w)
-      SELECT c_custkey AS media_id,
+      SELECT CAST(c_custkey AS BIGINT) AS media_id,
              CAST(8 + (c_custkey % 9) AS INT) AS width,
              CAST(8 + (c_custkey % 7) AS INT) AS height,
              CAST((8 + (c_custkey % 9)) * (8 + (c_custkey % 7)) AS BIGINT) AS n_pixels,
@@ -5901,7 +5903,8 @@ object Queries {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id) AS rank
         FROM scored)
-      SELECT query_id, rank, neighbor_id FROM ranked
+      SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id
+      FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Pure-SQL convex hull over the real per-order clouds (≤ 7 points per
@@ -6989,7 +6992,7 @@ object Queries {
       ORDER BY lang, rank""",
 
     "q192_image_features" -> """
-      SELECT c_custkey AS media_id,
+      SELECT CAST(c_custkey AS BIGINT) AS media_id,
              CAST(8 + (c_custkey % 9) AS INT) AS width,
              CAST(8 + (c_custkey % 7) AS INT) AS height,
              CAST(0 AS BIGINT) AS tv_r,
