@@ -1036,9 +1036,10 @@ object Dedup {
                               maxEd: Int): DataFrame = {
     require(w >= 1 && maxEd >= 0)
     val keyed = df.select(col(idCol).as("__id"), blockKey.as("__k"))
-    // both sides of the neighbor self-join read the ranked frame; the
-    // corpus-sized part is already cached inside globalRank, so the two
-    // reads only replay a cached-scan + broadcast join
+    // both sides of the neighbor self-join read the ranked frame; its
+    // range Exchange's shuffle files are shared across the two reads,
+    // and the range sampler is seed-deterministic, so the replayed
+    // ranks are identical (globalRank holds no session-lifetime cache)
     val ranked = globalRank(keyed, Seq("__k", "__id"), "__rank")
     val left = ranked.select(col("__id").as("id_a"), col("__k").as("__ka"),
         col("__rank").as("__ra"))

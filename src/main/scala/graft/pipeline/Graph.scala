@@ -172,7 +172,8 @@ object Graph {
    * Window, no driver actions. Returns (node, triangles) for nodes in at
    * least one triangle.
    */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
+  def triangleCounts(pairs: DataFrame,
+                     broadcastThreshold: Long = 2000000L): DataFrame = {
     val e0 = pairs.select(
         least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
@@ -198,11 +199,17 @@ object Graph {
     // when the edge set itself fits a broadcast, closing against it
     // in-map means wedges never shuffle at all — measured 20.6 s → (see
     // bench) on the sf0.1 co-order graph. Size-gated like the ≤2M-edge
-    // union-find (Graph.connectedComponents): beyond the gate the plain
-    // equi-join shuffles both sides on (b, c), which is the correct
-    // 100 TB shape (AQE skew-splits it).
+    // union-find (Graph.connectedComponents): beyond the gate the join
+    // shuffles both sides on (b, c) as a SHUFFLE-HASH join built on the
+    // EDGE side — never a SortMergeJoin, because SMJ would externally
+    // SORT the wedge stream, and at 100× scale that spill is the whole
+    // disk (found empirically: sf10 q120 died with SPILL_OUT_OF_MEMORY /
+    // no-space during the wedge sort; the hash build is edge-sized per
+    // partition and the wedges stream through unsorted). AQE still
+    // skew-splits the wedge exchange.
     val closing =
-      if (e0.count() <= 2000000L) broadcast(e0) else e0
+      if (e0.count() <= broadcastThreshold) broadcast(e0)
+      else e0.hint("shuffle_hash")
     val tri = wedges.join(closing,
       wedges("b") === closing("lo") && wedges("c") === closing("hi"))
     tri.select(explode(array(col("src"), col("b"), col("c"))).as("node"))

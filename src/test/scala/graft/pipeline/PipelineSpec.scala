@@ -2140,6 +2140,15 @@ class PipelineSpec extends AnyFunSuite {
     val s = Graph.triangleCounts(star.toDF("id_a", "id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(s == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // over-gate path (broadcastThreshold = 0): identical counts, and the
+    // closing join is a SHUFFLE-HASH join — never an SMJ, whose external
+    // sort of the wedge stream is the disk-killer at 100× (sf10 finding)
+    val big = Graph.triangleCounts(edges.toDF("id_a", "id_b"),
+      broadcastThreshold = 0L)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == out)
   }
 
   // -------------------------------------------------- funnel
