@@ -200,18 +200,32 @@ object Graph {
     // in-map means wedges never shuffle at all — measured 20.6 s → (see
     // bench) on the sf0.1 co-order graph. Size-gated like the ≤2M-edge
     // union-find (Graph.connectedComponents): beyond the gate the join
-    // shuffles both sides on (b, c) as a SHUFFLE-HASH join built on the
-    // EDGE side — never a SortMergeJoin, because SMJ would externally
-    // SORT the wedge stream, and at 100× scale that spill is the whole
-    // disk (found empirically: sf10 q120 died with SPILL_OUT_OF_MEMORY /
-    // no-space during the wedge sort; the hash build is edge-sized per
-    // partition and the wedges stream through unsorted). AQE still
-    // skew-splits the wedge exchange.
-    val closing =
-      if (e0.count() <= broadcastThreshold) broadcast(e0)
-      else e0.hint("shuffle_hash")
-    val tri = wedges.join(closing,
-      wedges("b") === closing("lo") && wedges("c") === closing("hi"))
+    // shuffles both sides on (b, c) / (lo, hi) as a SHUFFLE-HASH join
+    // built on the EDGE side — never a SortMergeJoin, because SMJ would
+    // externally SORT the wedge stream, and at 100× scale that spill is
+    // the whole disk (found empirically: sf10 q120 died with
+    // SPILL_OUT_OF_MEMORY / no-space during the wedge sort). The
+    // partition count self-tunes to ~500k build edges per partition
+    // (m/500k, floored at the session default) so each per-partition
+    // hash map stays tens of MB — a fixed session partition count would
+    // otherwise make the build maps grow WITH the graph and OOM (also
+    // found empirically at sf10 under 32 partitions).
+    val m = e0.count()
+    val tri =
+      if (m <= broadcastThreshold) {
+        val closing = broadcast(e0)
+        wedges.join(closing,
+          wedges("b") === closing("lo") && wedges("c") === closing("hi"))
+      } else {
+        val parts = math.max(
+          pairs.sparkSession.sessionState.conf.numShufflePartitions,
+          (m / 500000L).toInt + 1)
+        val w = wedges.repartition(parts, col("b"), col("c"))
+        val closing = e0.repartition(parts, col("lo"), col("hi"))
+          .hint("shuffle_hash")
+        w.join(closing,
+          w("b") === closing("lo") && w("c") === closing("hi"))
+      }
     tri.select(explode(array(col("src"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
