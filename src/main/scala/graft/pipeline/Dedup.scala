@@ -921,17 +921,18 @@ object Dedup {
     val sc = sortCols.map(col)
     val parted = df.repartitionByRange(sc: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
-    // the offsets aggregate over `parted` (pre-window — counts don't
-    // need the local ranks), so the ranked frame is referenced ONCE and
-    // needs no persist: both branches share the range Exchange
-    // (ReusedExchange dedups the shuffle within the one plan, and the
-    // range sampler is seed-deterministic, so even an unreused exchange
-    // reproduces identical boundaries). No session-lifetime cache to
-    // leak across a many-operator run.
+    // persist the slim per-partition-ranked frame: BOTH the offset
+    // aggregation and the final offset join read it — without the cache
+    // the whole scan+sort pipeline runs twice (measured: q174 0.31→0.55 s,
+    // q195 0.43→1.25 s at sf0.1 when this was briefly de-persisted; the
+    // range Exchange is NOT reliably reused across the two branches).
+    // Session-cache lifetime is a caller concern — see OPERATORS.md
+    // "Cache hygiene" (Verify clears per query).
     val local = parted.withColumn("__lr",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(sc: _*))
         .cast("long"))
-    val offs = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    val offs = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -959,14 +960,12 @@ object Dedup {
     val parted = df.repartitionByRange(sc: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(sc: _*)
-    // offsets from `parted`, not the windowed frame — one reference to
-    // the ranked frame, shared range Exchange, no persist (see
-    // globalRank)
     val local = parted
       .withColumn("__lr", row_number().over(w).cast("long"))
       .withColumn("__ls", sum(col(valueCol))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-    val offs = parted.groupBy(col("__pid"))
+      .persist() // both the offset agg and the final join read it (see globalRank)
+    val offs = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"),
         sum(col(valueCol).cast("long")).as("__tot"))
       .withColumn("__roff", coalesce(
@@ -998,12 +997,11 @@ object Dedup {
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    // offsets from `parted` — one reference to the windowed frame,
-    // shared range Exchange, no persist (see globalRank)
     val local = parted
       .withColumn("__lm", max(col(valueCol))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-    val offs = parted.groupBy(col("__pid"))
+      .persist() // both the offset agg and the final join read it (see globalRank)
+    val offs = local.groupBy(col("__pid"))
       .agg(max(col(valueCol)).as("__pm"))
       .withColumn("__off",
         max(col("__pm")).over(Window.orderBy(col("__pid"))
@@ -1036,10 +1034,9 @@ object Dedup {
                               maxEd: Int): DataFrame = {
     require(w >= 1 && maxEd >= 0)
     val keyed = df.select(col(idCol).as("__id"), blockKey.as("__k"))
-    // both sides of the neighbor self-join read the ranked frame; its
-    // range Exchange's shuffle files are shared across the two reads,
-    // and the range sampler is seed-deterministic, so the replayed
-    // ranks are identical (globalRank holds no session-lifetime cache)
+    // both sides of the neighbor self-join read the ranked frame; the
+    // corpus-sized part is already cached inside globalRank, so the two
+    // reads only replay a cached-scan + broadcast join
     val ranked = globalRank(keyed, Seq("__k", "__id"), "__rank")
     val left = ranked.select(col("__id").as("id_a"), col("__k").as("__ka"),
         col("__rank").as("__ra"))

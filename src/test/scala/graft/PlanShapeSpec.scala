@@ -468,11 +468,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 6, plan.take(3000))
   }
 
-  test("q168: vocab coverage — no global-order window") {
+  test("q168: vocab coverage — token counts cached, scanned once; no global-order window") {
     val plan = executedPlan("q168_vocab_coverage")
-    // the ranked frame is no longer persisted (rank offsets aggregate the
-    // pre-window frame and share its range Exchange — see globalRank), so
-    // no InMemoryTableScan is expected; the scale property that matters:
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // the only unpartitioned windows run over the numPartitions-sized
     // offset frame, never the vocab frame: every corpus-sized window
@@ -525,9 +523,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("q174_gini_skew")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
-    // rank offsets aggregate the pre-window frame (no persist — see
-    // globalRank); every corpus-sized Window partitions by __pid
-    assert(!plan.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(ASC.*"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
   }
 
   test("q175: mutual info — one cell aggregate, margins broadcast, no cross join") {
@@ -543,8 +539,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("q176_skyline")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
-    // the cummax frame is no longer persisted (offsets aggregate the
-    // pre-window frame and share its range Exchange — see globalRank)
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
   }
 
   test("q177: psi — nothing corpus-sized past the two bin aggregates") {
