@@ -4006,7 +4006,7 @@ object Queries {
                     sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
                    c.cid) AS rn
           FROM e CROSS JOIN c2 c) WHERE rn = 1)
-      SELECT cid AS cluster_id, count(*) AS n_members,
+      SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_members,
              min(id) AS min_id, max(id) AS max_id
       FROM af GROUP BY cid ORDER BY cluster_id""",
 
@@ -4074,7 +4074,8 @@ object Queries {
         WHERE list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b.v, b.v))) >= 0.9)
-      SELECT af.id, af.cid AS cluster_id, rm.rid IS NULL AS kept
+      SELECT af.id, CAST(af.cid AS BIGINT) AS cluster_id,
+             rm.rid IS NULL AS kept
       FROM af LEFT JOIN rm ON af.id = rm.rid
       ORDER BY id""",
 

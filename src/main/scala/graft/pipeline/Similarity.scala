@@ -218,7 +218,11 @@ object Similarity {
                     idCol: String, vecCol: String): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("centroid_id"), col("cvec"))).as("__cents"))
-    val cidType = corpus.schema(idCol).dataType
+    // the fold zero's cid slot must match the CENTROIDS' id type (the
+    // lambda carries centroid_id) — keying it off the corpus id type
+    // breaks when the two widths differ (found by the narrow-int32
+    // variant fixtures: kmeansFit always emits long centroid ids)
+    val cidType = centroids.schema("centroid_id").dataType
     corpus
       .crossJoin(broadcast(centArr))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("__cents"))

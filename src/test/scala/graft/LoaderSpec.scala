@@ -87,7 +87,9 @@ class LoaderSpec extends AnyFunSuite {
     "q26_cosine_topk",       // embeddings float32/float64
     "q112_funnel",           // event-time micros through ns/ntz/zoned ts
     "q148_kcore",            // key arithmetic ((a*31+b)%7) across widths
-    "q163_bloom_prune")      // orders month string-formatting + bloom probe
+    "q163_bloom_prune",      // orders month string-formatting + bloom probe
+    "q107_kmeans_clusters")  // id-typed fold zero vs long centroid ids
+                             // (caught the ivfAssignWith width bug)
 
   private def rows(dir: String, q: String): Seq[Seq[String]] =
     Queries.all(q)(spark, dir).collect().toSeq
