@@ -61,9 +61,20 @@ object Queries {
       import org.apache.spark.sql.types._
       val toUtc = name == "events"
       df.schema(c).dataType match {
-        case LongType => // TIMESTAMP(NANOS) read as long epoch-ns
-          // integer division — ns epochs exceed double's exact range
-          val us = timestamp_micros(expr(s"$c DIV 1000"))
+        case LongType =>
+          // TIMESTAMP(NANOS) read as long epoch-ns — but guard the
+          // magnitude before the DIV 1000 reinterpretation: if the
+          // generator ever ships plain int64 epoch-MICROS instead, a
+          // blind DIV would silently scale every timestamp 1000×.
+          // Plausible dates (1970–2200) are < 7.3e15 as µs and > 1e18 as
+          // ns (for any date past 1973) — 1e17 separates the regimes by
+          // >10× on each side. Decided per row inside the plan (codegen
+          // arithmetic, no extra job); a real column is uniformly one or
+          // the other.
+          val nsThreshold = 100000000000000000L // 1e17: ≥ ⇒ epoch-ns
+          val us = timestamp_micros(
+            when(abs(col(c)) >= lit(nsThreshold), expr(s"$c DIV 1000"))
+              .otherwise(col(c)))
           df.withColumn(c,
             if (toUtc) us else graft.pipeline.Time.utcToNtz(us))
         case TimestampNTZType if toUtc =>
@@ -4824,7 +4835,10 @@ object Queries {
     // truncate-to-long, and a row group survives iff its [min,max]
     // intervals intersect BOTH bands — parquet-format pruning semantics,
     // certified end-to-end rather than rows-only.
-    "q128_zorder_prune" -> """
+    // (s-interpolated so the two parquet_metadata paths are BUILT from
+    // Q128Dir — the Spark side writes there; drift would silently break
+    // the footer replay)
+    "q128_zorder_prune" -> s"""
       WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
       b AS (
         SELECT CAST(floor(quantile_cont(user_id, 0.40)) AS BIGINT) AS ulo,
@@ -4835,11 +4849,11 @@ object Queries {
       rg AS (
         SELECT 'zorder' AS layout, file_name, row_group_id, path_in_schema,
                stats_min_value, stats_max_value
-        FROM parquet_metadata('/root/repo/target/q128_layout/z/*.parquet')
+        FROM parquet_metadata('$Q128Dir/z/*.parquet')
         UNION ALL
         SELECT 'roundrobin', file_name, row_group_id, path_in_schema,
                stats_min_value, stats_max_value
-        FROM parquet_metadata('/root/repo/target/q128_layout/rr/*.parquet')),
+        FROM parquet_metadata('$Q128Dir/rr/*.parquet')),
       g AS (
         SELECT layout, file_name, row_group_id,
                max(CASE WHEN path_in_schema = 'user_id'

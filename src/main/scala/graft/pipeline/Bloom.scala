@@ -70,20 +70,45 @@ object Bloom {
    * Prune `fact` to rows whose `keyCol` might be in `dim`'s key set —
    * a semi-join with bounded false-positive slack (zero false
    * negatives). The one-row filter arrives via broadcast.
+   *
+   * EAGERNESS CONTRACT: with the default `nbits = AutoBits` this call
+   * runs Spark jobs NOW, not at the returned frame's first action — a
+   * sizing `approx_count_distinct` plus the filter build itself. `dim`
+   * is persisted across those two passes (and unpersisted before
+   * returning), so an expensive derived `dim` is computed once, not
+   * twice; the built one-row bitset is materialized, so the returned
+   * frame no longer references `dim` at all. With an explicit
+   * `nbits > 0` the call stays fully lazy (one `dim` pass at action
+   * time, unchanged).
    */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
             nbits: Int = AutoBits, numHashes: Int = 5): DataFrame = {
-    val m = if (nbits == AutoBits) {
+    require(nbits == AutoBits || nbits > 0,
+      s"nbits must be Bloom.AutoBits or positive, got $nbits")
+    if (nbits == AutoBits) {
       // one metadata-sized aggregate sizes the filter from the data —
       // the self-tuning discipline (cf. Dedup.AutoBound): ~10 bits/key,
-      // floor 2^20, cap 2^27 (16 MiB broadcast)
-      val n = dim.agg(approx_count_distinct(col(dimKey))).head().getLong(0)
-      math.min(math.max(n * 10L, 1L << 20), 1L << 27).toInt
-    } else nbits
-    val f = build(dim, dimKey, m, numHashes)
-    fact.crossJoin(broadcast(f))
-      .where(mightContain(col(factKey), col("bits"), m, numHashes))
-      .drop("bits")
+      // floor 2^20, cap 2^27 (16 MiB broadcast). dim stays cached across
+      // the sizing pass and the build pass, then the one-row bitset is
+      // collected so dim can be released immediately.
+      val d = dim.persist()
+      try {
+        val n = d.agg(approx_count_distinct(col(dimKey))).head().getLong(0)
+        val m = math.min(math.max(n * 10L, 1L << 20), 1L << 27).toInt
+        val f = build(d, dimKey, m, numHashes)
+        val row = f.head() // second (cached) dim pass; one row out
+        val fMat = dim.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(row), f.schema)
+        fact.crossJoin(broadcast(fMat))
+          .where(mightContain(col(factKey), col("bits"), m, numHashes))
+          .drop("bits")
+      } finally d.unpersist()
+    } else {
+      val f = build(dim, dimKey, nbits, numHashes)
+      fact.crossJoin(broadcast(f))
+        .where(mightContain(col(factKey), col("bits"), nbits, numHashes))
+        .drop("bits")
+    }
   }
 }
 

@@ -37,13 +37,19 @@ object Dedup {
    * duplicate of the hottest content key in ONE reducer partition: the
    * classic single-task stall on spam-heavy corpora at 100 TB. The
    * plan shape (no Window node) is suite-asserted.
+   *
+   * Null text: `md5(null)` is null, so null-text rows share the null
+   * content key. The semi-join probes with null-safe equality (`<=>`) so
+   * that group behaves like any other — the lowest-id null-text row is
+   * kept, the rest dropped (identical to the row_number-over-Window
+   * formulation, which groups nulls into one partition).
    */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keepers = exactDuplicateGroups(df, textCol, idCol)
       .select(col("content_key").as("__ck"), col("keeper_id").as("__keep"))
     val left = df.withColumn("__ck", contentKey(col(textCol)))
     left.join(keepers,
-        left("__ck") === keepers("__ck") && left(idCol) === keepers("__keep"),
+        (left("__ck") <=> keepers("__ck")) && left(idCol) === keepers("__keep"),
         "left_semi")
       .drop("__ck")
   }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Hard ceiling on any size-gated driver path's edge collect,
+    * independent of the caller-tunable `collectThreshold`: 8M undirected
+    * edges ≈ 1.2 GB at ~150 bytes/edge all-in (ids + HashMap/ArrayBuffer
+    * boxing) — safe on any reasonably-provisioned driver. A caller
+    * passing a larger threshold gets the distributed path, not a driver
+    * OOM. */
+  val DriverEdgeCap: Long = 8000000L
+
   /**
    * Connected components by fixed-round min-label propagation over an
    * UNDIRECTED pair list (`id_a`, `id_b` — each unordered edge once):
@@ -127,7 +135,10 @@ object Graph {
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
     val m = p.count()
-    if (m > collectThreshold) return connectedComponentsConverged(p, maxRounds)
+    // collectThreshold clamped to DriverEdgeCap — see kCore's
+    // driver-memory contract
+    if (m > math.min(collectThreshold, DriverEdgeCap))
+      return connectedComponentsConverged(p, maxRounds)
     val edgeArr = p.as[(Long, Long)].collect()
     p.unpersist()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -425,10 +436,20 @@ object Graph {
    * broadcast. Both paths produce the identical fixpoint (suite-pinned
    * on seeded random graphs), so the gate affects time only; the
    * distributed path stays the 100 TB shape.
+   *
+   * DRIVER-MEMORY CONTRACT: the gated path collects the undirected edge
+   * list and builds adjacency + degree maps on the driver — budget
+   * ≈150 bytes per undirected edge all-in (two 8-byte ids per direction
+   * plus ArrayBuffer/HashMap boxing overhead), i.e. ~300 MB at the
+   * default threshold. `collectThreshold` is additionally clamped to
+   * [[DriverEdgeCap]] (8M undirected edges ≈ 1.2 GB) so no caller value
+   * can push an unbounded collect onto the driver; above the clamp the
+   * distributed fixpoint runs regardless.
    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxIters: Int = 50, collectThreshold: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val gate = math.min(collectThreshold, DriverEdgeCap)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
@@ -440,7 +461,7 @@ object Graph {
       }
     }
     // nbr is the symmetric closure: exactly 2 rows per undirected edge
-    if (integralIds && nbr.count() <= 2L * collectThreshold) {
+    if (integralIds && nbr.count() <= 2L * gate) {
       val spark = edges.sparkSession
       import spark.implicits._
       val srcType = e0.schema("src").dataType

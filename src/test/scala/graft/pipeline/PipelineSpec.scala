@@ -117,6 +117,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(kept).contains(1000L -> "BUY NOW template"))
   }
 
+  test("dropExactDuplicates: null-text rows form one group, lowest id kept (no silent loss)") {
+    // md5(null) is null — the semi-join must use null-safe equality or
+    // every null-text row silently vanishes
+    val df = docs(Seq(1L -> "hello", 2L -> null, 3L -> "hello", 4L -> null, 5L -> null, 6L -> "tail"))
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 6L)) // null group keeps doc 2, like the Window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ref = df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == ref.toSeq)
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val near = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
