@@ -3294,6 +3294,49 @@ object Queries {
       graft.pipeline.Sessions.weekOverWeekOverlap(events(s, d),
           "user_id", "ts")
         .orderBy("week")
+    }),
+
+    "q200_pruned_range_join" -> ((s, d) => {
+      // the REALISTIC 100 TB range-join access path, certified end to
+      // end: event intervals land in an interval-bucketed layout (hive
+      // partitions on the start's epoch-day,
+      // Layout.intervalBucketedWrite), a ~2-day maintenance band prunes
+      // the read to ~4 of 31 directories at the DIRECTORY level
+      // (PartitionFilters — plan-asserted in PlanShapeSpec) BEFORE the
+      // binned equi-range-join runs against the 25 windows. The oracle
+      // replays the identical overlap join from the UNPARTITIONED events
+      // table: green certifies the prune lost nothing (the margin is the
+      // construction's max interval length). This is the q90 100×
+      // density argument as a query instead of prose.
+      prep(s, d, "nation")
+      val dayUs = 86400000000L
+      val maxLenUs = 7L * 60000000L // lengths are 1..7 min by construction
+      val jan10Us = 1704844800000000L // 2024-01-10T00:00:00Z, mid-corpus
+      val tsu = graft.pipeline.Time.tsMicros(col("ts"))
+      val ev = events(s, d).select(col("event_id"),
+        tsu.as("ev_start"),
+        (tsu + (pmod(col("user_id"), lit(7L)) + lit(1L)) * lit(60000000L))
+          .as("ev_end"),
+        col("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q200_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.pipeline.Layout.intervalBucketedWrite(ev, "ev_start", base, dayUs)
+      val nk = col("n_nationkey").cast("long")
+      val win = t(s, d, "nation").select(nk.as("win_id"),
+        (lit(jan10Us) + nk * lit(7200000000L)).as("w_start"),
+        (lit(jan10Us) + nk * lit(7200000000L) + lit(5400000000L)).as("w_end"))
+      val bandLo = jan10Us                                  // first w_start
+      val bandHi = jan10Us + 24L * 7200000000L + 5400000000L // last w_end
+      val slice = graft.pipeline.Layout.readIntervalBand(s, base, dayUs,
+        bandLo, bandHi, maxLenUs)
+      graft.pipeline.RangeJoin.overlapJoin(slice, "ev_start", "ev_end",
+          win, "w_start", "w_end")
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("pairs"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          sum(least(col("ev_end"), col("w_end")) -
+            greatest(col("ev_start"), col("w_start"))).as("overlap_us"))
+        .orderBy("win_id")
     })
   )
 
@@ -7211,6 +7254,26 @@ object Queries {
                CAST(s1.n + s2.n - coalesce(i.i, 0) AS DOUBLE) AS jaccard
       FROM sizes s1 JOIN sizes s2 ON s2.w = s1.w + 1
       LEFT JOIN inter i ON i.w = s1.w
-      ORDER BY week"""
+      ORDER BY week""",
+
+    // the same overlap join from the UNPARTITIONED events table — green
+    // certifies the Spark side's directory-level prune lost nothing
+    "q200_pruned_range_join" -> """
+      WITH ev AS (
+        SELECT epoch_us(ts) AS s,
+               epoch_us(ts) + (user_id % 7 + 1) * 60000000 AS e,
+               value
+        FROM events),
+      w AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS win_id,
+               1704844800000000 + CAST(n_nationkey AS BIGINT) * 7200000000 AS ws,
+               1704844800000000 + CAST(n_nationkey AS BIGINT) * 7200000000
+                 + 5400000000 AS we
+        FROM nation)
+      SELECT win_id, count(*) AS pairs,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(sum(least(e, we) - greatest(s, ws)) AS BIGINT) AS overlap_us
+      FROM ev JOIN w ON s <= we AND ws <= e
+      GROUP BY win_id ORDER BY win_id"""
   )
 }

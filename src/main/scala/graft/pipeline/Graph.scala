@@ -285,13 +285,63 @@ object Graph {
    * [[connectedComponentsConverged]]).
    */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              collectThreshold: Long = 2000000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
-    var dist = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0L))
+    val seed0 = seeds.select(col(seedCol).as("node")).distinct()
+    // the distributed path's union coerces the seed and edge id types —
+    // the gated path must land on the SAME node dtype (the ivfAssignWith
+    // id-width lesson), derived here from the zero-cost unioned schema
+    // (maxHops = 0 never unions, so the seed type stands)
+    val nodeType =
+      if (maxHops == 0) seed0.schema("node").dataType
+      else seed0.select(col("node"))
+        .union(sym.select(col("v").as("node"))).schema("node").dataType
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(e.schema("u").dataType, seed0.schema("node").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val gate = math.min(collectThreshold, DriverEdgeCap)
+    // SIZE-GATED like kCore: sym has 2 rows per undirected edge; at bench
+    // scale the unrolled rounds are driver-synchronized fixed cost. Both
+    // paths produce the identical (node, dist) fixpoint (suite-pinned);
+    // collectThreshold = 0 forces the distributed 100 TB shape.
+    if (integralIds && sym.count() <= 2L * gate) {
+      import spark.implicits._
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      sym.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        }
+      sym.unpersist()
+      val sd = seed0.select(col("node").cast("long")).as[Long].collect()
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      var frontier = sd.toSeq.distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = 0L)
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        val nf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { v =>
+          adj.getOrElse(v, Nil).foreach { w =>
+            if (!dist.contains(w)) { dist(w) = h + 1L; nf += w }
+          }
+        }
+        frontier = nf.toSeq
+        h += 1
+      }
+      return spark.createDataset(dist.toSeq).toDF("node", "dist")
+        .select(col("node").cast(nodeType).as("node"), col("dist"))
+    }
+    var dist = seed0.withColumn("dist", lit(0L))
     var h = 0
     while (h < maxHops) {
       val next = sym.join(dist.select(col("node").as("u"), col("dist")),
@@ -521,12 +571,58 @@ object Graph {
     else alive.select(col("node"), col("degree"))
   }
 
+  /** SIZE-GATED like [[kCore]]: under `collectThreshold` undirected
+    * integral-id edges (one count job to decide, clamped to
+    * [[DriverEdgeCap]]) the synchronous rounds run as a driver loop —
+    * identical semantics (simultaneous update from the previous round's
+    * labels; winner = max vote count, ties to the smallest label), zero
+    * per-round Spark jobs. Both paths produce identical labels
+    * (suite-pinned); `collectThreshold = 0` forces the distributed
+    * 100 TB shape. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       collectThreshold: Long = 2000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      e0.schema("src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val gate = math.min(collectThreshold, DriverEdgeCap)
+    if (integralIds && nbr.count() <= 2L * gate) {
+      import spark.implicits._
+      val srcType = e0.schema("src").dataType
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      nbr.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        }
+      nbr.unpersist()
+      var labels = adj.keysIterator.map(v => v -> v).toMap
+      var it = 0
+      while (it < iters) {
+        labels = adj.iterator.map { case (v, ns) =>
+          // winner = (max votes, min label) over the PREVIOUS round's
+          // neighbor labels — the distributed min(struct(-votes, label))
+          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+          ns.foreach { u => val l = labels(u); counts(l) = counts.getOrElse(l, 0L) + 1L }
+          val best = counts.minBy { case (l, c) => (-c, l) }._1
+          v -> best
+        }.toMap
+        it += 1
+      }
+      return spark.createDataset(labels.toSeq).toDF("node", "label")
+        .select(col("node").cast(srcType).as("node"),
+          col("label").cast(srcType).as("label"))
+    }
     val nodes = nbr.select(col("src").as("node")).distinct().persist()
     var labels = nodes.select(col("node"), col("node").as("label"))
     var it = 0

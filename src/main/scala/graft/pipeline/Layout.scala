@@ -136,6 +136,50 @@ object Layout {
   }
 
   /**
+   * Interval-bucketed layout: rows land in hive partition directories by
+   * the fixed-width bucket of their interval START (`__ibucket =
+   * floor(start / bucketWidth)`) — the write side of the 100 TB range-
+   * join access path. A band query then prunes at the DIRECTORY level
+   * (Spark `PartitionFilters`, no footer or data IO outside the band)
+   * before any join runs; see [[readIntervalBand]] for the exactness
+   * condition.
+   */
+  def intervalBucketedWrite(df: DataFrame, startCol: String, path: String,
+                            bucketWidth: Long): Unit = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val w = lit(bucketWidth)
+    val s = col(startCol).cast("long")
+    df.withColumn("__ibucket", ((s - pmod(s, w)) / w).cast("long"))
+      .write.mode("overwrite").partitionBy("__ibucket").parquet(path)
+  }
+
+  /**
+   * Read back the slice of an [[intervalBucketedWrite]] layout that can
+   * possibly overlap the closed band `[bandLo, bandHi]`: an interval
+   * overlaps iff `start <= bandHi && end >= bandLo`, and with interval
+   * length bounded by `maxIntervalLen` that implies
+   * `start >= bandLo - maxIntervalLen` — so the partition filter
+   * `__ibucket ∈ [floor((bandLo-maxIntervalLen)/w), floor(bandHi/w)]`
+   * loses NOTHING (certified by q200's oracle, which computes the same
+   * join from the unpartitioned table). The filter is on the partition
+   * column only: Spark resolves it against the directory listing —
+   * the scan's `PartitionFilters` — so a 30-day corpus queried for a
+   * 3-day band reads ~4 directories, which is the density-comparable
+   * slice the q90 100× analysis assumes. Callers then apply the exact
+   * overlap predicate (e.g. [[RangeJoin.overlapJoin]]) on the slice.
+   */
+  def readIntervalBand(spark: org.apache.spark.sql.SparkSession, path: String,
+                       bucketWidth: Long, bandLo: Long, bandHi: Long,
+                       maxIntervalLen: Long): DataFrame = {
+    require(bucketWidth > 0 && maxIntervalLen >= 0 && bandHi >= bandLo)
+    val lo = Math.floorDiv(bandLo - maxIntervalLen, bucketWidth)
+    val hi = Math.floorDiv(bandHi, bucketWidth)
+    spark.read.parquet(path)
+      .where(col("__ibucket") >= lo && col("__ibucket") <= hi)
+      .drop("__ibucket")
+  }
+
+  /**
    * Write `df` as a BUCKETED (and per-bucket sorted) table on `keyCol` —
    * the co-location layout for joins that repeat across a pipeline: when
    * both sides of a key-equi-join carry the same bucket spec, Spark's

@@ -884,9 +884,17 @@ object Similarity {
                           itemCol: String, k: Int,
                           minTogether: Long = 2L,
                           neighborhoodSize: Int = 10): DataFrame = {
+    // ONE pass over the (possibly expensive — q187 feeds a fact⋈fact
+    // join) input: distinct (user, basket, item) materializes once and
+    // BOTH downstream distincts (basket-item inside itemCooccurrence,
+    // user-item for `owned`) re-shuffle the cached sliver instead of
+    // re-running the input plan. The basket-distinct frame dominated
+    // the profile before this reuse.
+    val ubi = df.select(col(userCol).as("__u"), col(basketCol).as("__bk"),
+        col(itemCol).as("__it")).distinct().persist()
     // persist: the symmetrizing union reads the weight frame twice, and
     // each uncached read would re-run the whole co-occurrence join
-    val w = itemCooccurrence(df, basketCol, itemCol, minTogether)
+    val w = itemCooccurrence(ubi, "__bk", "__it", minTogether)
       .select(col("item_a"), col("item_b"), col("cosine")).persist()
     // bounded item neighborhood — THE scale knob of item-based CF: only
     // each item's top `neighborhoodSize` neighbors (cosine desc, id)
@@ -900,7 +908,7 @@ object Similarity {
           col("cosine"))),
       Seq("__i"), Seq(("cosine", false), ("__j", true)), neighborhoodSize,
       rankCol = "__nrank").drop("__nrank")
-    val owned = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+    val owned = ubi.select(col("__u"), col("__it").as("__i"))
       .distinct().persist()
     val scores = owned.join(sym, Seq("__i"))
       .groupBy(col("__u"), col("__j"))

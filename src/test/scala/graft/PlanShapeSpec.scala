@@ -298,6 +298,19 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.substring(pf).take(300))
   }
 
+  test("q200: the interval band prunes layout directories; range join stays binned") {
+    val plan = executedPlan("q200_pruned_range_join")
+    // the band reaches the interval-bucketed scan as a PartitionFilter on
+    // __ibucket — directory-level pruning before any join work
+    val pf = plan.indexOf("PartitionFilters")
+    assert(pf >= 0, plan.take(1500))
+    val filters = plan.substring(pf).takeWhile(_ != ']')
+    assert(filters.contains("__ibucket"), filters.take(300))
+    assert(filters.contains(">=") && filters.contains("<="), filters.take(300))
+    // and the overlap join itself is the binned equi-join, not a product
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   // ---- eleventh wave (round 7) ----
 
   test("q145: histogram windows run over STATE cells only — after the bin aggregate") {

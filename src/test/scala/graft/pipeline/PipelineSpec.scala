@@ -2090,6 +2090,22 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == labels(3))
   }
 
+  test("labelPropagation: gated driver path equals the distributed path on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 25
+      val edges = (0 until n * 3)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("a", "b")
+      val gated = Graph.labelPropagation(edges, "a", "b", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graph.labelPropagation(edges, "a", "b", 3, collectThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gated == dist, s"trial $trial")
+    }
+  }
+
   test("pageRank matches a sequential reference; undirected mass conserves") {
     import spark.implicits._
     // star (center 0, leaves 1-3) + a 2-cycle (10, 11), symmetrized
@@ -3650,6 +3666,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 20L -> 0L))
     // 5 needs 4 hops → absent; the 10-11 component unreached → absent
+  }
+
+  test("bfsHops: gated driver path equals the distributed path on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9393)
+    for (trial <- 0 until 3) {
+      val n = 50 + trial * 30
+      val edges = (0 until n * 2)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("u", "v")
+      val seeds = (0 until 5).map(_ => rnd.nextInt(n + 10).toLong).toDF("s")
+      val gated = Graph.bfsHops(edges, "u", "v", seeds, "s", maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graph.bfsHops(edges, "u", "v", seeds, "s", maxHops = 4,
+          collectThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gated == dist, s"trial $trial")
+    }
+    // mixed id widths: int seeds over long edges — gated output dtype must
+    // match the distributed union-coerced dtype
+    val eL = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val sI = Seq(1).toDF("s")
+    val g = Graph.bfsHops(eL, "u", "v", sI, "s", maxHops = 2)
+    val d = Graph.bfsHops(eL, "u", "v", sI, "s", maxHops = 2, collectThreshold = 0L)
+    assert(g.schema("node").dataType == d.schema("node").dataType)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   // ------------------------------------------------------ wave 21
