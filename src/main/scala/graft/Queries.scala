@@ -56,7 +56,20 @@ object Queries {
     */
   private[graft] def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw0 = spark.read.parquet(s"$sfDir/$name.parquet")
+    // decimal drift: money columns shipped as decimal(p,2) normalize to
+    // today's DOUBLE logical type (lossless — the generator's prices are
+    // exact 2dp, far inside double's exact range). Without this the 199
+    // queries' output dtypes would follow the file, and engines diverge
+    // on decimal-typed percentile/geometry arithmetic (the decimal
+    // variant gate's q142/q17 finding).
+    val raw = raw0.schema.fields.foldLeft(raw0) { (df, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          df.withColumn(f.name, col(f.name).cast("double"))
+        case _ => df
+      }
+    }
     TsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       import org.apache.spark.sql.types._
       val toUtc = name == "events"
@@ -81,6 +94,14 @@ object Queries {
           df.withColumn(c, graft.pipeline.Time.ntzToUtc(col(c)))
         case TimestampType if !toUtc =>
           df.withColumn(c, graft.pipeline.Time.utcToNtz(col(c)))
+        case DateType =>
+          // date32 drift: the date-semantic columns ship as plain dates —
+          // widen to midnight. date→NTZ is a pure calendar op (no session
+          // tz); events.ts would additionally need the NTZ→UTC
+          // reinterpretation to stay a µs instant.
+          val ntz = col(c).cast(TimestampNTZType)
+          df.withColumn(c,
+            if (toUtc) graft.pipeline.Time.ntzToUtc(ntz) else ntz)
         case _ => df
       }
     }
@@ -3692,9 +3713,14 @@ object Queries {
        AND CAST(sp.s_nationkey AS DOUBLE) BETWEEN b.ymin AND b.ymax
       GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment""",
 
+    // CAST AS DOUBLE: no-op on double files; on decimal-typed files it
+    // keeps DuckDB's coordinate arithmetic in doubles like the
+    // (normalized) Spark side — decimal multiplies round differently in
+    // the last ulp (decimal variant gate finding; same in q19/q38)
     "q17_st_distance" -> """
       SELECT l_orderkey, l_linenumber,
-             sqrt(l_extendedprice * l_extendedprice + l_quantity * l_quantity) AS dist
+             sqrt(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                  + l_quantity * l_quantity) AS dist
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q18_st_geometrytype" -> """
@@ -4616,18 +4642,26 @@ object Queries {
       JOIN mad USING (event_type)
       ORDER BY h.event_type, h.hour""",
 
+    // l_extendedprice enters as CAST(... AS DOUBLE): on today's double
+    // files a no-op; on decimal-typed files it pins DuckDB to the same
+    // double interpolation/comparison arithmetic the (normalized) Spark
+    // side uses — quantile_cont over DECIMAL stays in decimal and lands
+    // 2dp-truncated (the decimal variant gate's finding)
     "q142_winsorize" -> """
-      WITH cuts AS (
+      WITH li AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price
+        FROM lineitem),
+      cuts AS (
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.05) AS clo,
-               quantile_cont(l_extendedprice, 0.95) AS chi
-        FROM lineitem GROUP BY 1)
+               quantile_cont(price, 0.05) AS clo,
+               quantile_cont(price, 0.95) AS chi
+        FROM li GROUP BY 1)
       SELECT l.l_returnflag, count(*) AS n,
-             CAST(count(*) FILTER (l_extendedprice < clo) AS BIGINT) AS n_lo,
-             CAST(count(*) FILTER (l_extendedprice > chi) AS BIGINT) AS n_hi,
-             min(least(greatest(l_extendedprice, clo), chi)) AS lo,
-             max(least(greatest(l_extendedprice, clo), chi)) AS hi
-      FROM lineitem l JOIN cuts USING (l_returnflag)
+             CAST(count(*) FILTER (price < clo) AS BIGINT) AS n_lo,
+             CAST(count(*) FILTER (price > chi) AS BIGINT) AS n_hi,
+             min(least(greatest(price, clo), chi)) AS lo,
+             max(least(greatest(price, clo), chi)) AS hi
+      FROM li l JOIN cuts USING (l_returnflag)
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
     "q141_gram_matrix" -> """
@@ -5186,11 +5220,24 @@ object Queries {
         SELECT id_a AS src, id_b AS dst FROM ce
         UNION ALL
         SELECT id_b, id_a FROM ce),
+      seeds AS (
+        -- labels seed only from LOCAL-MINIMUM core ids (no core neighbor
+        -- with a smaller id): the component minimum is always a local
+        -- minimum and reaches every member, and min-over-reaching-labels
+        -- is unchanged — but the closure shrinks from Σ k² pairs (every
+        -- member × every member: infeasible once one giant cluster
+        -- appears, as at sf0.1) to Σ k·L_c with L_c ≪ k seeds
+        SELECT c.id FROM cores c WHERE NOT EXISTS (
+          SELECT 1 FROM ced e WHERE e.src = c.id AND e.dst < c.id)),
       reach(id, lab) AS (
-        SELECT id, id FROM cores
+        SELECT id, id FROM seeds
         UNION
         SELECT e.src, r.lab FROM reach r JOIN ced e ON e.dst = r.id),
-      clab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id),
+      clab0 AS (SELECT id, min(lab) AS label FROM reach GROUP BY id),
+      -- cores not reached by any seed cannot exist (a strictly descending
+      -- neighbor chain from any core ends at a local minimum), but keep
+      -- the join total on cores for form's sake
+      clab AS (SELECT c.id, cl.label FROM cores c JOIN clab0 cl ON c.id = cl.id),
       blab AS (
         SELECT s.id, min(c.label) AS blabel
         FROM sym s JOIN clab c ON s.nbr = c.id
@@ -5981,7 +6028,8 @@ object Queries {
     // (1,473 / 14,743 / 147,236 orders).
     "q19_st_hull_centroid" -> """
       WITH pts AS (
-        SELECT DISTINCT l_orderkey AS k, l_extendedprice AS x, l_quantity AS y
+        SELECT DISTINCT l_orderkey AS k,
+               CAST(l_extendedprice AS DOUBLE) AS x, l_quantity AS y
         FROM lineitem),
       verts AS (
         SELECT p.k, p.x, p.y FROM pts p
@@ -6220,8 +6268,8 @@ object Queries {
     "q38_boundary_length" -> """
       WITH b AS (
         SELECT l_orderkey,
-               min(l_extendedprice) AS x0, min(l_quantity) AS y0,
-               max(l_extendedprice) AS x1, max(l_quantity) AS y1
+               min(CAST(l_extendedprice AS DOUBLE)) AS x0, min(l_quantity) AS y0,
+               max(CAST(l_extendedprice AS DOUBLE)) AS x1, max(l_quantity) AS y1
         FROM lineitem GROUP BY l_orderkey)
       SELECT l_orderkey,
              (x1 - x0) + (y1 - y0) + (x1 - x0) + (y1 - y0) AS boundary_len

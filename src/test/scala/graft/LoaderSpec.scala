@@ -20,10 +20,12 @@ import org.scalatest.funsuite.AnyFunSuite
  *     the column families (int keys narrow+wide, large_string text,
  *     ns/zoned timestamps, float64 embeddings).
  *
- * Variant encodings per table (≥3): narrow int32 keys; wide int64 +
+ * Variant encodings per table (≥6): narrow int32 keys; wide int64 +
  * large_string + list<double> embeddings + timestamp[ns]; zoned
- * timestamp[us, tz=UTC]. The full-board equivalent runs builder-side via
- * Verify + the DuckDB oracle gate on each variant dir.
+ * timestamp[us, tz=UTC]; decimal(18,2) money columns; date32
+ * date-semantic columns; all-non-null columns flipped to parquet
+ * `required`. The full-board equivalent runs builder-side via Verify +
+ * the DuckDB oracle gate on each variant dir.
  */
 class LoaderSpec extends AnyFunSuite {
 
@@ -42,7 +44,8 @@ class LoaderSpec extends AnyFunSuite {
   private val base = "/root/testdata/sf0.001"
   private val variantRoot =
     new java.io.File("src/test/resources/graft/variants").getAbsolutePath
-  private val variants = Seq("narrow", "wide", "zoned")
+  private val variants =
+    Seq("narrow", "wide", "zoned", "decimal", "date32", "required")
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -91,9 +94,18 @@ class LoaderSpec extends AnyFunSuite {
     "q107_kmeans_clusters")  // id-typed fold zero vs long centroid ids
                              // (caught the ivfAssignWith width bug)
 
+  // decimal-variant outputs render with fixed scale ("342468.60") where
+  // the base double renders "342468.6" — same VALUE, different dtype
+  // rendering (output dtype follows the input by design). Normalize
+  // decimal-looking strings through BigDecimal before comparing.
+  private val num = """-?\d+\.\d+""".r
+  private def norm(s: String): String = s match {
+    case num() => BigDecimal(s).underlying.stripTrailingZeros.toPlainString
+    case _ => s
+  }
   private def rows(dir: String, q: String): Seq[Seq[String]] =
     Queries.all(q)(spark, dir).collect().toSeq
-      .map(_.toSeq.map(x => String.valueOf(x)))
+      .map(_.toSeq.map(x => norm(String.valueOf(x))))
 
   for (q <- slice) test(s"$q: identical values on every variant encoding") {
     val expect = rows(base, q)

@@ -4,14 +4,20 @@ tables — the dtype-drift insurance fixtures (the round-6 NTZ episode
 generalized: every physical encoding the generator could plausibly ship
 must flow through the loaders unchanged in VALUE).
 
-Three variants, each a full table set:
+Six variants, each a full table set:
 
-  narrow  every int64 column whose values fit → int32
-  wide    every int32 column → int64; string → large_string;
-          list<float> embeddings → list<double>;
-          naked timestamp[us] → timestamp[ns] (Spark 4 reads these only
-          via the nanosAsLong escape hatch — the exact round-6 trap)
-  zoned   naked timestamp[us] → timestamp[us, tz=UTC]
+  narrow   every int64 column whose values fit → int32
+  wide     every int32 column → int64; string → large_string;
+           list<float> embeddings → list<double>;
+           naked timestamp[us] → timestamp[ns] (Spark 4 reads these only
+           via the nanosAsLong escape hatch — the exact round-6 trap)
+  zoned    naked timestamp[us] → timestamp[us, tz=UTC]
+  decimal  money columns (l_extendedprice, o_totalprice — verified exact
+           2dp in the source) double → decimal128(18,2)
+  date32   midnight-only date-semantic timestamps (l_shipdate,
+           o_orderdate — verified all-midnight) → date32
+  required every column with zero nulls flipped optional → required
+           (nullable=False) in the parquet schema
 
 All conversions are value-preserving, so any query result on a variant
 dir must equal the result on the base dir (modulo output integer WIDTH,
@@ -52,18 +58,36 @@ def convert_col(col: pa.ChunkedArray, f: pa.Field, variant: str):
         if pa.types.is_timestamp(t) and t.tz is None:
             return col.cast(pa.timestamp(t.unit, tz="UTC"))
         return col
+    if variant == "decimal":
+        if f.name in ("l_extendedprice", "o_totalprice"):
+            return col.cast(pa.decimal128(18, 2))
+        return col
+    if variant == "date32":
+        if f.name in ("l_shipdate", "o_orderdate"):
+            return col.cast(pa.date32())
+        return col
+    if variant == "required":
+        return col  # schema-level change, handled below
     raise ValueError(variant)
 
 
-for variant in ("narrow", "wide", "zoned"):
+for variant in ("narrow", "wide", "zoned", "decimal", "date32", "required"):
     outdir = os.path.join(DST, variant)
     os.makedirs(outdir, exist_ok=True)
     for p in sorted(glob.glob(f"{SRC}/*.parquet")):
         tbl = pq.read_table(p)
         cols = [convert_col(tbl.column(i), tbl.schema.field(i), variant)
                 for i in range(tbl.num_columns)]
-        out = pa.table(
-            {tbl.schema.field(i).name: cols[i] for i in range(tbl.num_columns)})
+        if variant == "required":
+            fields = [pa.field(tbl.schema.field(i).name, cols[i].type,
+                               nullable=cols[i].null_count > 0)
+                      for i in range(tbl.num_columns)]
+            out = pa.Table.from_arrays(
+                [c.combine_chunks() for c in cols], schema=pa.schema(fields))
+        else:
+            out = pa.table(
+                {tbl.schema.field(i).name: cols[i]
+                 for i in range(tbl.num_columns)})
         pq.write_table(out, os.path.join(outdir, os.path.basename(p)),
                        version="2.6", compression="zstd")
     print(f"{variant}: {len(glob.glob(f'{outdir}/*.parquet'))} tables")
