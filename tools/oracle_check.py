@@ -5,7 +5,11 @@ Runs each oracle_sql.json query in DuckDB over the sf tables, loads the
 Spark-side parquet result, and compares schema/rows/values (column-name-
 sorted, like the driver). Usage:
 
-    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out \
+        [--skip name1,name2,...]
+
+--skip resumes a long (e.g. full-board sf0.1) run past queries a previous
+invocation already passed — skipped queries are not counted.
 """
 import sys, json, glob, math
 import duckdb
@@ -36,7 +40,7 @@ def values_equal(a, b):
         pass
     return a == b
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, skip=()):
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
@@ -45,6 +49,8 @@ def main(sfdir, outdir):
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(glob.glob(f"{outdir}/q*")):
         qname = name.split("/")[-1]
+        if qname in skip:
+            continue
         spark_df = load_spark(outdir, qname)
         if spark_df is None:
             print(f"{qname}: MISSING spark result"); n_fail += 1; continue
@@ -90,4 +96,10 @@ def main(sfdir, outdir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    skip = ()
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = frozenset(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], skip))
