@@ -3452,6 +3452,34 @@ object Queries {
                  i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2])) AS g
         FROM gtoks)"""
 
+  /** Thresholded all-pairs 3-gram Jaccard as a POSTINGS equi-join
+    * (explode grams → join on the gram → count shared), not a quadratic
+    * `grams a JOIN grams b ON a.doc_id < b.doc_id` scan: for any
+    * threshold > 0 a qualifying pair shares ≥1 gram, so the candidate
+    * set (pairs with intersection ≥ 1) is exhaustive and the Jaccard
+    * |∩|/(n_a+n_b−|∩|) over the DISTINCT gram lists is identical — the
+    * same rewrite the Spark side ships as its set-sim join. The
+    * quadratic formulation stops being runnable around sf0.1 (50k docs →
+    * 1.25×10⁹ list-intersections); this one is posting-list-bounded
+    * (~1.3M candidate slots at sf0.1). Emits
+    * `dpairs(id_a, id_b, jaccard)`, id_a < id_b. */
+  private def gramPairCtes(from: String, threshold: Double): String = s"""
+      ${gramCtes(from)},
+      gpost AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+      gsz AS (SELECT doc_id, len(g) AS n FROM grams),
+      gpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM gpost a JOIN gpost b USING (gr)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dpairs AS (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM gpairs
+        JOIN gsz sa ON id_a = sa.doc_id
+        JOIN gsz sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold)"""
+
   /** q155's oracle: the same one-md5-per-row + per-replica a·h+b remix,
     * constants inlined verbatim from [[graft.pipeline.Stats
     * .bootstrapHashFamilies]] so both engines draw the identical
@@ -3780,13 +3808,7 @@ object Queries {
     // doc = min id reachable in the undirected pair graph, computed by a
     // recursive reachability CTE (UNION dedups, so it terminates).
     "q56_dup_clusters" -> s"""
-      WITH RECURSIVE ${gramCtes("documents")},
-      dpairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
-          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      WITH RECURSIVE ${gramPairCtes("documents", 0.8)},
       dedges AS (
         SELECT id_a AS src, id_b AS dst FROM dpairs
         UNION ALL
@@ -4489,13 +4511,7 @@ object Queries {
     "q150_bpe_train" -> bpeOracleSql(merges = 5),
 
     "q151_dedup_survivors" -> s"""
-      WITH RECURSIVE ${gramCtes("documents")},
-      dpairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
-          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      WITH RECURSIVE ${gramPairCtes("documents", 0.8)},
       dedges AS (
         SELECT id_a AS src, id_b AS dst FROM dpairs
         UNION ALL
@@ -5448,14 +5464,8 @@ object Queries {
     // bound exceeds every bucket occupancy, so the guarded default's
     // output must equal the exact unguarded pair set
     "q86_neardup_autoguard" -> s"""
-      WITH ${gramCtes("documents")}
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-             len(list_distinct(list_cat(a.g, b.g))) AS jaccard
-      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-      WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
-        AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-            len(list_distinct(list_cat(a.g, b.g))) >= 0.8
+      WITH ${gramPairCtes("documents", 0.8)}
+      SELECT id_a, id_b, jaccard FROM dpairs
       ORDER BY id_a, id_b""",
 
     // closed forms of Multimodal.pngPayload: w = 8+id%9, h = 8+id%7,
@@ -5874,14 +5884,8 @@ object Queries {
     // miss probability < 1e-5 per pair at the fixture's ≥0.85 similarities)
     // covers every qualifying pair, so candidates ∩ verify ≡ all-pairs.
     "q25_minhash_neardup" -> s"""
-      WITH ${gramCtes("documents")}
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-             len(list_distinct(list_cat(a.g, b.g))) AS jaccard
-      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-      WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
-        AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-            len(list_distinct(list_cat(a.g, b.g))) >= 0.8
+      WITH ${gramPairCtes("documents", 0.8)}
+      SELECT id_a, id_b, jaccard FROM dpairs
       ORDER BY id_a, id_b""",
 
     // Full SQL mirror of the MinHash signature: shingle bases are fnv1a64
@@ -5938,13 +5942,8 @@ object Queries {
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents),
       keep_exact AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
-      ${gramCtes("keep_exact")},
-      losers AS (
-        SELECT DISTINCT b.doc_id AS doc_id
-        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        WHERE len(list_distinct(list_cat(a.g, b.g))) > 0
-          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-              len(list_distinct(list_cat(a.g, b.g))) >= 0.8),
+      ${gramPairCtes("keep_exact", 0.8)},
+      losers AS (SELECT DISTINCT id_b AS doc_id FROM dpairs),
       deduped AS (
         SELECT k.doc_id, k.text FROM keep_exact k
         WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)),
