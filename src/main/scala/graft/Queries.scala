@@ -7028,11 +7028,26 @@ object Queries {
                  AS DOUBLE) AS gap
         FROM events),
       m AS (
-        SELECT user_id, count(*) AS n_gaps, avg(gap) AS mu,
+        -- mu from the EXACT integer µs sum, not avg(): gaps are integer
+        -- µs, so sum is exact in both engines and the single division
+        -- reproduces Spark's sum/count bit-for-bit — DuckDB's avg()
+        -- accumulates differently and at 1e10-µs magnitudes the 6dp
+        -- round can straddle a boundary (caught by the sf0.1 gate)
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(CAST(gap AS BIGINT)) AS DOUBLE) / count(*) AS mu,
                stddev_pop(gap) AS sigma
         FROM g WHERE gap IS NOT NULL GROUP BY 1)
       SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-             round(mu / 1000000.0, 6) AS mean_gap_s,
+             -- Spark's round() on a double rounds the SHORTEST decimal
+             -- repr (BigDecimal.valueOf), not the full binary expansion:
+             -- an exact-ratio tie like 2469680517145/74/1e6 prints
+             -- "...0425" and rounds UP even though the raw double sits
+             -- just below the tie. VARCHAR→DECIMAL reproduces exactly
+             -- that (DuckDB's double→VARCHAR is shortest-round-trip;
+             -- decimal round is half-away like HALF_UP for positives).
+             -- Found by the sf0.1 gate on user 1124.
+             CAST(round(CAST(CAST(mu / 1000000.0 AS VARCHAR)
+                             AS DECIMAL(30,15)), 6) AS DOUBLE) AS mean_gap_s,
              round((sigma - mu) / (sigma + mu), 6) AS burstiness
       FROM m WHERE n_gaps >= 2 ORDER BY user_id""",
 
