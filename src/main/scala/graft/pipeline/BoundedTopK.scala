@@ -109,8 +109,16 @@ case class BoundedTopK(
   override def eval(buf: ArrayBuffer[InternalRow]): Any =
     new GenericArrayData(buf.toArray[Any])
 
+  // ONE projection per aggregate instance, NOT per serialize() call:
+  // serialize runs once per GROUP at the partial→exchange boundary, and
+  // UnsafeProjection.create is a codegen-cache lookup (~0.5 ms) — built
+  // per call it dominated the whole aggregation (measured ~75 s CPU for
+  // 168k groups in q187's final top-k; ~0 hoisted).
+  @transient private lazy val serializeProj: UnsafeProjection =
+    UnsafeProjection.create(structType)
+
   override def serialize(buf: ArrayBuffer[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serializeProj
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)

@@ -19,6 +19,64 @@ object Graph {
     * OOM. */
   val DriverEdgeCap: Long = 8000000L
 
+  /** Primitive CSR over collected DIRECTED edge rows (a symmetrized list
+    * carries each undirected edge twice): node ids sorted-deduped,
+    * neighbors as index ranges — zero boxing, ~20 bytes/edge, built in
+    * O(m log m). The driver-gated graph loops run on this instead of
+    * HashMap[Long, ArrayBuffer[Long]] (measured ~1 µs/edge boxed vs
+    * ~50 ns/edge here — the gate crossover moves up an order). */
+  private[pipeline] final class Csr(src: Array[Long], dst: Array[Long]) {
+    val ids: Array[Long] = {
+      val all = new Array[Long](src.length * 2)
+      System.arraycopy(src, 0, all, 0, src.length)
+      System.arraycopy(dst, 0, all, src.length, dst.length)
+      java.util.Arrays.sort(all)
+      var n = 0
+      var i = 0
+      while (i < all.length) {
+        if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, n)
+    }
+    val n: Int = ids.length
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+    val offsets: Array[Int] = {
+      val deg = new Array[Int](n + 1)
+      var i = 0
+      while (i < src.length) { deg(idx(src(i)) + 1) += 1; i += 1 }
+      var j = 1
+      while (j <= n) { deg(j) += deg(j - 1); j += 1 }
+      deg
+    }
+    val adj: Array[Int] = {
+      val fill = offsets.clone()
+      val out = new Array[Int](src.length)
+      var i = 0
+      while (i < src.length) {
+        val s = idx(src(i)); out(fill(s)) = idx(dst(i)); fill(s) += 1; i += 1
+      }
+      out
+    }
+    def maxDegree: Int = {
+      var m = 0; var j = 0
+      while (j < n) { m = math.max(m, offsets(j + 1) - offsets(j)); j += 1 }
+      m
+    }
+  }
+
+  private[pipeline] def collectEdges(
+      sym: org.apache.spark.sql.DataFrame): (Array[Long], Array[Long]) = {
+    val rows = sym.collect()
+    val a = new Array[Long](rows.length)
+    val b = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      a(i) = rows(i).getLong(0); b(i) = rows(i).getLong(1); i += 1
+    }
+    (a, b)
+  }
+
   /**
    * Connected components by fixed-round min-label propagation over an
    * UNDIRECTED pair list (`id_a`, `id_b` — each unordered edge once):
@@ -286,7 +344,7 @@ object Graph {
    */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: DataFrame, seedCol: String, maxHops: Int,
-              collectThreshold: Long = 2000000L): DataFrame = {
+              collectThreshold: Long = 250000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
@@ -312,33 +370,60 @@ object Graph {
     // SIZE-GATED like kCore: sym has 2 rows per undirected edge; at bench
     // scale the unrolled rounds are driver-synchronized fixed cost. Both
     // paths produce the identical (node, dist) fixpoint (suite-pinned);
-    // collectThreshold = 0 forces the distributed 100 TB shape.
+    // collectThreshold = 0 forces the distributed 100 TB shape. The
+    // driver loop runs on a primitive [[Csr]] (not boxed maps), so the
+    // collect dominates; measured ~1.1 µs/collected row against a
+    // ~0.6-0.9 s distributed fixed cost, the crossover sits near 250k
+    // undirected edges — the default gate (kCore peels in O(m) with no
+    // per-round rebuild, hence its higher 2M gate). sym
+    // stays cached (the house convention — pageRank etc.): the edge
+    // derivation is often an expensive upstream join a caller will
+    // drive again; sessions clear via spark.catalog.clearCache().
     if (integralIds && sym.count() <= 2L * gate) {
       import spark.implicits._
-      val adj = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-      sym.select(col("u").cast("long"), col("v").cast("long"))
-        .as[(Long, Long)].collect()
-        .foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-        }
-      sym.unpersist()
+      val (ea, eb) = collectEdges(
+        sym.select(col("u").cast("long"), col("v").cast("long")))
+      val g = new Csr(ea, eb)
       val sd = seed0.select(col("node").cast("long")).as[Long].collect()
-      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
-      var frontier = sd.toSeq.distinct.filterNot(dist.contains)
-      frontier.foreach(dist(_) = 0L)
-      var h = 0
-      while (h < maxHops && frontier.nonEmpty) {
-        val nf = scala.collection.mutable.ArrayBuffer.empty[Long]
-        frontier.foreach { v =>
-          adj.getOrElse(v, Nil).foreach { w =>
-            if (!dist.contains(w)) { dist(w) = h + 1L; nf += w }
-          }
+      val dist = new Array[Int](g.n)
+      java.util.Arrays.fill(dist, -1)
+      var frontier = new Array[Int](g.n)
+      var fn = 0
+      // isolated seeds (absent from the edge list) still emit dist 0
+      val isolated = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      sd.foreach { s =>
+        if (seen.add(s)) {
+          val i = g.idx(s)
+          if (i >= 0) { dist(i) = 0; frontier(fn) = i; fn += 1 }
+          else isolated += s
         }
-        frontier = nf.toSeq
-        h += 1
       }
-      return spark.createDataset(dist.toSeq).toDF("node", "dist")
+      var h = 0
+      while (h < maxHops && fn > 0) {
+        val next = new Array[Int](g.n)
+        var nn = 0
+        var f = 0
+        while (f < fn) {
+          val v = frontier(f)
+          var p = g.offsets(v)
+          val end = g.offsets(v + 1)
+          while (p < end) {
+            val w = g.adj(p)
+            if (dist(w) < 0) { dist(w) = h + 1; next(nn) = w; nn += 1 }
+            p += 1
+          }
+          f += 1
+        }
+        frontier = next; fn = nn; h += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var j = 0
+      while (j < g.n) {
+        if (dist(j) >= 0) out += ((g.ids(j), dist(j).toLong)); j += 1
+      }
+      isolated.foreach(s => out += ((s, 0L)))
+      return spark.createDataset(out.toSeq).toDF("node", "dist")
         .select(col("node").cast(nodeType).as("node"), col("dist"))
     }
     var dist = seed0.withColumn("dist", lit(0L))
@@ -581,7 +666,7 @@ object Graph {
     * 100 TB shape. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3,
-                       collectThreshold: Long = 2000000L): DataFrame = {
+                       collectThreshold: Long = 250000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = edges.sparkSession
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -598,28 +683,52 @@ object Graph {
     if (integralIds && nbr.count() <= 2L * gate) {
       import spark.implicits._
       val srcType = e0.schema("src").dataType
-      val adj = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-      nbr.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-        .foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-        }
-      nbr.unpersist()
-      var labels = adj.keysIterator.map(v => v -> v).toMap
+      // primitive CSR loop (see Csr) — the collect dominates; 250k
+      // default gate (see bfsHops). nbr stays cached (house convention).
+      val (ea, eb) = collectEdges(
+        nbr.select(col("src").cast("long"), col("dst").cast("long")))
+      val g = new Csr(ea, eb)
+      var labels = new Array[Long](g.n)
+      var j = 0
+      while (j < g.n) { labels(j) = g.ids(j); j += 1 }
+      val scratch = new Array[Long](math.max(g.maxDegree, 1))
       var it = 0
       while (it < iters) {
-        labels = adj.iterator.map { case (v, ns) =>
+        val next = new Array[Long](g.n)
+        var v = 0
+        while (v < g.n) {
           // winner = (max votes, min label) over the PREVIOUS round's
-          // neighbor labels — the distributed min(struct(-votes, label))
-          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-          ns.foreach { u => val l = labels(u); counts(l) = counts.getOrElse(l, 0L) + 1L }
-          val best = counts.minBy { case (l, c) => (-c, l) }._1
-          v -> best
-        }.toMap
-        it += 1
+          // neighbor labels — the distributed min(struct(-votes, label)):
+          // gather, sort, scan runs
+          val start = g.offsets(v); val end = g.offsets(v + 1)
+          val d = end - start
+          if (d == 0) next(v) = labels(v)
+          else {
+            var p = start
+            while (p < end) { scratch(p - start) = labels(g.adj(p)); p += 1 }
+            java.util.Arrays.sort(scratch, 0, d)
+            var best = scratch(0); var bestCnt = 0
+            var runVal = scratch(0); var runCnt = 0
+            var k = 0
+            while (k < d) {
+              if (scratch(k) == runVal) runCnt += 1
+              else {
+                if (runCnt > bestCnt) { best = runVal; bestCnt = runCnt }
+                runVal = scratch(k); runCnt = 1
+              }
+              k += 1
+            }
+            if (runCnt > bestCnt) { best = runVal; bestCnt = runCnt }
+            next(v) = best
+          }
+          v += 1
+        }
+        labels = next; it += 1
       }
-      return spark.createDataset(labels.toSeq).toDF("node", "label")
+      val out = new Array[(Long, Long)](g.n)
+      var i = 0
+      while (i < g.n) { out(i) = (g.ids(i), labels(i)); i += 1 }
+      return spark.createDataset(out.toSeq).toDF("node", "label")
         .select(col("node").cast(srcType).as("node"),
           col("label").cast(srcType).as("label"))
     }

@@ -845,9 +845,18 @@ object Similarity {
   def itemCooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                        minTogether: Long = 2L): DataFrame = {
     // persist: both self-join sides AND the item-frequency count read
-    // this frame — uncached, the distinct (a scan + shuffle) runs 3×
+    // this frame — uncached, the distinct (a scan + shuffle) runs 3×.
+    // The explicit basket-keyed repartition at session parallelism does
+    // two jobs: (a) the self-join below meets co-partitioned inputs →
+    // ZERO exchange under the join; (b) it defeats AQE's byte-based
+    // coalescing, which otherwise squeezed the cached frame to ~3
+    // partitions and serialized the compute-explosive per-basket pair
+    // product through 3 tasks (measured 4.8 s of a 6.7 s q187 run in
+    // one 3-task stage — the scaleOut lesson on a keyed join).
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct().persist()
+      .distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("__b"))
+      .persist()
     val freq = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = bi.select(col("__b"), col("__i").as("item_a"))
       .join(bi.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
@@ -886,14 +895,20 @@ object Similarity {
                           neighborhoodSize: Int = 10): DataFrame = {
     // ONE pass over the (possibly expensive — q187 feeds a fact⋈fact
     // join) input: distinct (user, basket, item) materializes once and
-    // BOTH downstream distincts (basket-item inside itemCooccurrence,
-    // user-item for `owned`) re-shuffle the cached sliver instead of
-    // re-running the input plan. The basket-distinct frame dominated
-    // the profile before this reuse.
+    // BOTH downstream consumers (basket-item inside itemCooccurrence,
+    // user-item for `owned`) reuse the materialized sliver instead of
+    // re-running the input plan. localCheckpoint (EAGER), not persist:
+    // this frame is referenced from MANY subtrees of the final plan
+    // (cooc self-join sides, frequency join, owned join, anti join), and
+    // with lazy persist each reference duplicates the full upstream
+    // lineage syntactically — measured 544 FileScans / 797 Exchanges in
+    // one q187 plan, executing ~5 s warm; checkpointing truncates every
+    // reference to a leaf (plan → a handful of scans, ~3x faster).
     val ubi = df.select(col(userCol).as("__u"), col(basketCol).as("__bk"),
         col(itemCol).as("__it")).distinct().persist()
-    // persist: the symmetrizing union reads the weight frame twice, and
-    // each uncached read would re-run the whole co-occurrence join
+    // the weight frame is item-pair-sized (bounded by co-occurrence
+    // support); checkpoint it too — the symmetrizing union and the
+    // scoring join each reference it
     val w = itemCooccurrence(ubi, "__bk", "__it", minTogether)
       .select(col("item_a"), col("item_b"), col("cosine")).persist()
     // bounded item neighborhood — THE scale knob of item-based CF: only
@@ -910,12 +925,28 @@ object Similarity {
       rankCol = "__nrank").drop("__nrank")
     val owned = ubi.select(col("__u"), col("__it").as("__i"))
       .distinct().persist()
+    // explicit (user, candidate)-keyed repartition at session
+    // parallelism: it satisfies the aggregation's distribution (no
+    // second exchange) and, being user-specified, is exempt from AQE
+    // partition coalescing — which otherwise squeezes this byte-light
+    // but compute-dense stage (candidate-sum agg + owned anti-probe +
+    // top-k partials) into ~3 tasks (measured 5.0 s of a 6.7 s q187
+    // run in that one stage)
     val scores = owned.join(sym, Seq("__i"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__u"), col("__j"))
       .groupBy(col("__u"), col("__j"))
       .agg(round(sum(col("cosine")), 6).as("score"),
         count(lit(1)).as("n_sources"))
+      // owned-exclusion as a co-partitioned SHUFFLE-HASH anti probe: the
+      // candidate side already carries the explicit (u, j) partitioning,
+      // so the owned side shuffles once and the join needs no further
+      // exchange — and no size-based broadcast of the |owned| frame
+      // (building a 500k-row HashedRelation on the driver cost ~1 s per
+      // drive of the plan)
       .join(owned.select(col("__u"), col("__i").as("__j"))
-        .withColumn("__own", lit(1)), Seq("__u", "__j"), "left")
+        .withColumn("__own", lit(1)).hint("SHUFFLE_HASH"),
+        Seq("__u", "__j"), "left")
       .where(col("__own").isNull).drop("__own")
     GroupedTopK.topK(
         scores.select(col("__u").as(userCol), col("__j").as("item"),

@@ -276,10 +276,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q135: label propagation — vote argmax is a struct-min aggregate, no Window") {
-    val plan = executedPlan("q135_label_prop")
+    // the sf0.001 face takes the size-gated driver path (a local result);
+    // the DISTRIBUTED 100 TB shape is what needs pinning — force it
+    import org.apache.spark.sql.functions.col
+    val li = Queries.t(spark, sf, "lineitem")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_a"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_b"))
+    val pairs = a.join(b, "ok").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val plan = graft.pipeline.Graph
+      .labelPropagation(pairs, "id_a", "id_b", iters = 3, collectThreshold = 0L)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(2500))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2500))
+    // and the gated face stays Window/cartesian-free too
+    val gated = executedPlan("q135_label_prop")
+    assert(!gated.contains("Window") && !gated.contains("CartesianProduct"))
   }
 
   test("q136: retention — no Window; per-user min partial-aggregates") {
@@ -436,16 +449,26 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q163: bloom probe filters the fact side BELOW the dim join") {
     val plan = executedPlan("q163_bloom_prune")
-    // the bitset is built by a partial ObjectHashAggregate (bitsets merge
-    // map-side; the exchange carries one bitset per task, not positions)
-    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(3500))
-    // probe arrives via broadcast (one-row NLJ) and the real join is hash
+    // AutoBits builds the bitset EAGERLY (sizing + build run at
+    // construction; the dialog plan carries the materialized one-row
+    // filter) — the final plan shows the probe (shiftright bit test)
+    // below the real hash join, plus the one-row broadcast NLJ carrier
+    assert(plan.contains("shiftright"), plan.take(3500))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3500))
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("SortMergeJoin"), plan.take(3500))
-    // pushdown still reaches both scans
-    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
-      plan.take(3500))
+    // pushdown still reaches both scans (the join's IsNotNull(c_custkey)
+    // may append to the pushed list)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") &&
+      plan.contains("IsNotNull(c_mktsegment)"), plan.take(3500))
+    // the bitset BUILD plan (now executed eagerly inside prune) keeps the
+    // map-side partial ObjectHashAggregate merge shape
+    val dim = Queries.t(spark, sf, "customer")
+      .where(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+    val buildPlan = graft.pipeline.Bloom.build(dim, "c_custkey", 1 << 20, 5)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(buildPlan).length >= 2, buildPlan.take(3500))
   }
 
   test("q164: SNM neighbor join is an equi-join on rank — no cartesian, no range join") {
@@ -618,10 +641,21 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q186: bfs rounds are equi-joins of node-sized vectors with cached edges") {
-    val plan = executedPlan("q186_bfs_hops")
+    // the sf0.001 face takes the size-gated driver path; pin the
+    // DISTRIBUTED shape by forcing collectThreshold = 0
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.pipeline.Similarity.itemCooccurrence(
+      Queries.t(spark, sf, "lineitem"), "l_orderkey", "l_partkey", minTogether = 2L)
+    val seeds = Queries.t(spark, sf, "part").where(col("p_partkey") <= 10)
+    val plan = graft.pipeline.Graph
+      .bfsHops(pairs, "item_a", "item_b", seeds, "p_partkey", maxHops = 3,
+        collectThreshold = 0L)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("InMemoryTableScan"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val gated = executedPlan("q186_bfs_hops")
+    assert(!gated.contains("CartesianProduct"))
   }
 
   // ---- twenty-first wave (round 7) ----
