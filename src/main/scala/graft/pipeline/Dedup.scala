@@ -834,10 +834,19 @@ object Dedup {
     val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
     val prefix = ordered.select(col("__id"),
       explode(slice(col("__toks"), lit(1), prefLen)).as("__t"))
+    // the explicit repartition pins the VERIFY stage's parallelism: the
+    // candidate frame is byte-light (two ids/row) so AQE's byte-based
+    // coalescing squeezes it to ~1 partition, but each row then pays an
+    // array_intersect over full token arrays — compute-dense (measured
+    // 2×1.2 s single-task stages in q130's 3.9 s). User-specified
+    // shuffles are exempt from coalescing; the extra exchange moves
+    // 16-byte rows, noise next to the verify work at any scale.
     val cands = prefix.select(col("__id").as("id_a"), col("__t"))
       .join(prefix.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
     val sets = ordered.select(col("__id"), col("__toks"), col("__n"))
     cands
       .join(sets.select(col("__id").as("id_a"), col("__toks").as("__ta"),

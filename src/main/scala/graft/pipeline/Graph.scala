@@ -242,7 +242,7 @@ object Graph {
    * least one triangle.
    */
   def triangleCounts(pairs: DataFrame,
-                     broadcastThreshold: Long = 2000000L): DataFrame = {
+                     broadcastThreshold: Long = 200000L): DataFrame = {
     val e0 = pairs.select(
         least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
@@ -257,17 +257,30 @@ object Graph {
       .join(deg.select(col("node").as("hi"), col("d").as("__dhi")), "hi")
     val fwd = col("__dlo") < col("__dhi") ||
       (col("__dlo") === col("__dhi") && col("lo") < col("hi"))
+    // src-keyed repartition at session parallelism: co-partitions the
+    // wedge self-join below (both aliases of the cached frame carry the
+    // partitioning — no exchange under the join) and pins the
+    // compute-dense wedge-explode stage's parallelism — AQE's byte-based
+    // coalescing otherwise squeezes the slim edge frame to a handful of
+    // tasks that then pay Σ outdeg² wedge work (measured 48 s CPU
+    // through 16 tasks = 3.1 s of q120's 4.9 s warm wall).
     val o = withDeg.select(
         when(fwd, col("lo")).otherwise(col("hi")).as("src"),
         when(fwd, col("hi")).otherwise(col("lo")).as("dst"))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
       .persist() // self-joined for wedges
     val wedges = o.select(col("src"), col("dst").as("b"))
       .join(o.select(col("src"), col("dst").as("c")), "src")
       .filter(col("b") < col("c"))
     // closing join: the WEDGE stream is the big side (Σ outdeg² rows);
-    // when the edge set itself fits a broadcast, closing against it
-    // in-map means wedges never shuffle at all — measured 20.6 s → (see
-    // bench) on the sf0.1 co-order graph. Size-gated like the ≤2M-edge
+    // when the edge set itself fits a SMALL broadcast, closing against
+    // it in-map means wedges never shuffle at all. The default
+    // crossover is 200k edges — NOT the shuffle gate's 2M: a 1.2M-edge
+    // broadcast map is ~40 MB and every wedge probe misses cache, and
+    // the round-9 A/B measured the partitioned shuffle-hash build
+    // FASTER there (2.0 s vs 3.15 s warm on the sf0.1 co-order graph)
+    // despite shuffling the wedge stream. Size-gated like the ≤2M-edge
     // union-find (Graph.connectedComponents): beyond the gate the join
     // shuffles both sides on (b, c) / (lo, hi) as a SHUFFLE-HASH join
     // built on the EDGE side — never a SortMergeJoin, because SMJ would
