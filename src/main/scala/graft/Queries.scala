@@ -75,19 +75,17 @@ object Queries {
       val toUtc = name == "events"
       df.schema(c).dataType match {
         case LongType =>
-          // TIMESTAMP(NANOS) read as long epoch-ns — but guard the
-          // magnitude before the DIV 1000 reinterpretation: if the
-          // generator ever ships plain int64 epoch-MICROS instead, a
-          // blind DIV would silently scale every timestamp 1000×.
-          // Plausible dates (1970–2200) are < 7.3e15 as µs and > 1e18 as
-          // ns (for any date past 1973) — 1e17 separates the regimes by
-          // >10× on each side. Decided per row inside the plan (codegen
-          // arithmetic, no extra job); a real column is uniformly one or
-          // the other.
-          val nsThreshold = 100000000000000000L // 1e17: ≥ ⇒ epoch-ns
+          // int64 timestamp column: either TIMESTAMP(NANOS) read as long
+          // epoch-ns (Spark 4's `nanosAsLong` escape hatch — the only
+          // reader path that annotates ns) or plain unannotated int64
+          // epoch-µs. Decided per COLUMN from the parquet footer's
+          // logical-type annotation (a driver-side metadata read, cached
+          // per path) — a magnitude heuristic decided per row would
+          // misread genuinely-annotated ns instants before ~1973-03 as
+          // µs and scale them 1000×.
+          val ns = isNanosAnnotated(spark, s"$sfDir/$name.parquet", c)
           val us = timestamp_micros(
-            when(abs(col(c)) >= lit(nsThreshold), expr(s"$c DIV 1000"))
-              .otherwise(col(c)))
+            if (ns) expr(s"$c DIV 1000") else col(c))
           df.withColumn(c,
             if (toUtc) us else graft.pipeline.Time.utcToNtz(us))
         case TimestampNTZType if toUtc =>
@@ -105,6 +103,48 @@ object Queries {
         case _ => df
       }
     }
+  }
+
+  /** Per-(path, column) cache of "is this int64 column annotated
+    * TIMESTAMP(NANOS) in the parquet footer" — one footer read per
+    * table path per JVM, no data job. */
+  private val nanosAnnotatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def isNanosAnnotated(spark: SparkSession, path: String,
+                               colName: String): Boolean = {
+    val key = path + "#" + colName
+    val cached = nanosAnnotatedCache.get(key)
+    if (cached != null) return cached.booleanValue()
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val file =
+      if (st.isFile) p
+      else fs.listStatus(p).iterator
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map(_.getPath).toSeq.sortBy(_.getName).headOption
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no data files under $path"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val res = try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField(colName) && {
+        val ty = schema.getType(Seq(colName): _*)
+        ty.isPrimitive && (ty.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
+    nanosAnnotatedCache.put(key, java.lang.Boolean.valueOf(res))
+    res
   }
 
   private def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -1029,9 +1069,13 @@ object Queries {
       // fuzzy self-join at edit distance ≤ 1 over part names: SymSpell
       // deletion-neighborhood blocking (recall 1 by construction) + exact
       // levenshtein verify, certified against the quadratic oracle.
-      // Distances are exact integers.
+      // Distances are exact integers. Pins the UNGUARDED plan
+      // (hotStringBound = Int.MaxValue) for round-over-round bench
+      // comparability; the guarded default is certified by
+      // q201_fuzzy_join_guarded's planted hot cluster.
       prep(s, d, "part")
-      Dedup.fuzzyPairsEd1(t(s, d, "part"), "p_partkey", "p_name")
+      Dedup.fuzzyPairsEd1(t(s, d, "part"), "p_partkey", "p_name",
+          hotStringBound = Int.MaxValue)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3339,8 +3383,16 @@ object Queries {
         (tsu + (pmod(col("user_id"), lit(7L)) + lit(1L)) * lit(60000000L))
           .as("ev_end"),
         col("value"))
+      // NOTE: building this DataFrame RUNS the layout write (a Spark
+      // job) at construction time — the partitioned directory must
+      // exist before readIntervalBand can plan the pruned scan. The
+      // path is keyed by applicationId so concurrent runs (parallel
+      // suites, two drivers on one host) never race overwrite-vs-read
+      // on a shared directory; within one app the overwrite is
+      // idempotent for a given (dataset, width).
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q200_" + d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+        "graft_q200_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       graft.pipeline.Layout.intervalBucketedWrite(ev, "ev_start", base, dayUs)
       val nk = col("n_nationkey").cast("long")
       val win = t(s, d, "nation").select(nk.as("win_id"),
@@ -3358,6 +3410,27 @@ object Queries {
           sum(least(col("ev_end"), col("w_end")) -
             greatest(col("ev_start"), col("w_start"))).as("overlap_us"))
         .orderBy("win_id")
+    }),
+
+    "q201_fuzzy_join_guarded" -> ((s, d) => {
+      // the GUARDED fuzzy join face (q119's scale twin): a planted
+      // template-spam cluster (every 10th part renamed to one constant —
+      // 10% of the corpus in ONE duplicate group, the shape that makes
+      // the unguarded ed-0 output quadratic) exercises the hub-star
+      // guard: the hot group emits member→keeper pairs (linear) and
+      // joins the ed-1 expansion through its keeper row alone, while
+      // cold groups keep exact all-pairs semantics. The bound is
+      // EXPLICIT (8) so the DuckDB oracle replays the identical
+      // star-vs-all-pairs rule bit-for-bit (the AutoBound default's
+      // in-plan approx_percentile has no exact SQL mirror).
+      prep(s, d, "part")
+      val spammed = t(s, d, "part").select(col("p_partkey"),
+        when(pmod(col("p_partkey"), lit(10)) === 0,
+            lit("template spam part name"))
+          .otherwise(col("p_name")).as("p_name"))
+      Dedup.fuzzyPairsEd1(spammed, "p_partkey", "p_name",
+          hotStringBound = 8)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -7336,6 +7409,35 @@ object Queries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              CAST(sum(least(e, we) - greatest(s, ws)) AS BIGINT) AS overlap_us
       FROM ev JOIN w ON s <= we AND ws <= e
-      GROUP BY win_id ORDER BY win_id"""
+      GROUP BY win_id ORDER BY win_id""",
+
+    // replays the explicit-bound hub-star rule exactly: groups over the
+    // bound emit member→min(id) pairs and enter the ed-1 expansion via
+    // the keeper row only; cold groups keep all-pairs + full expansion
+    "q201_fuzzy_join_guarded" -> """
+      WITH base AS (
+        SELECT p_partkey AS id,
+               CASE WHEN p_partkey % 10 = 0 THEN 'template spam part name'
+                    ELSE p_name END AS s
+        FROM part),
+      occ AS (SELECT s, count(*) AS c, min(id) AS keeper
+              FROM base GROUP BY s),
+      ann AS (SELECT b.id, b.s, o.c, o.keeper
+              FROM base b JOIN occ o ON b.s = o.s),
+      ed0 AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS dist
+        FROM ann a JOIN ann b ON a.s = b.s AND a.id < b.id
+        WHERE a.c <= 8
+        UNION ALL
+        SELECT keeper AS id_a, id AS id_b, CAST(0 AS BIGINT) AS dist
+        FROM ann WHERE c > 8 AND id <> keeper),
+      rep AS (SELECT id, s FROM ann WHERE c <= 8 OR id = keeper),
+      ed1 AS (
+        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+               CAST(1 AS BIGINT) AS dist
+        FROM rep a JOIN rep b ON a.s < b.s AND levenshtein(a.s, b.s) = 1)
+      SELECT id_a, id_b, dist FROM ed0
+      UNION ALL SELECT id_a, id_b, dist FROM ed1
+      ORDER BY id_a, id_b"""
   )
 }

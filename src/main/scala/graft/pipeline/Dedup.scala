@@ -886,16 +886,78 @@ object Dedup {
    * Every stage is candidates→verify with a deterministic, recall-1
    * blocking key; nothing exceeds output size except the distinct-string
    * variant shuffle (|distinct| · (len+1) slim rows).
+   *
+   * @param hotStringBound per-string duplicate-group guard (the OUTPUT
+   *        itself is quadratic in a string's multiplicity — a 10⁷-copy
+   *        template name means 10¹⁴ ed-0 pairs; the sf1 stress measured
+   *        313M pairs / 100× output growth for 10× data). A string held
+   *        by more rows than the bound emits HUB-STAR pairs only: every
+   *        member against the group's minimum id (c−1 pairs, dist 0),
+   *        and the group participates in the ed-1 expansion through its
+   *        KEEPER row alone (a hot string ⋈ a c-copy neighbor would
+   *        otherwise emit hot·c pairs). Connectivity for keep-lowest
+   *        consumers is preserved: every member reaches the keeper, and
+   *        the keeper carries the group's edit-distance edges. The
+   *        default [[AutoBound]] derives the bound in-plan from the
+   *        group-size distribution (`greatest(64, 16 × p99.9(occ))` as a
+   *        broadcast one-row aggregate — the [[hotBuckets]] shape): on
+   *        corpora without template spam no group reaches it and the
+   *        OUTPUT equals the unguarded path's. `Int.MaxValue` disables
+   *        the guard with a plan byte-identical to the historical
+   *        unguarded shape (no occupancy aggregate at all — q119 pins
+   *        this for bench comparability).
    */
-  def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String,
+                    hotStringBound: Int = AutoBound): DataFrame = {
+    require(hotStringBound > 0 || hotStringBound == AutoBound,
+      s"hotStringBound must be positive or AutoBound, got $hotStringBound")
     val base = df.select(col(idCol).as("__fid"), col(strCol).as("__fs"))
       .where(col("__fs").isNotNull)
-    // ed-0: all id pairs sharing the exact string — output-sized
-    val ed0 = base.select(col("__fid").as("id_a"), col("__fs"))
-      .join(base.select(col("__fid").as("id_b"), col("__fs")), Seq("__fs"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
-    // ed-1: deletion-neighborhood blocking over DISTINCT strings
+    val guarded = hotStringBound != Int.MaxValue
+    // Annotate every row with its group's keeper + hot flag in ONE
+    // string-keyed shuffle; all downstream faces derive from this slim
+    // frame. Persisted because four branches consume it (both ed-0
+    // faces and both sides of the ed-1 id expansion) and the
+    // aggregate+join upstream is not reliably exchange-reused across
+    // them (the globalRank precedent). Unguarded path skips all of it.
+    val baseM = if (!guarded) base else {
+      val occ = base.groupBy("__fs")
+        .agg(count(lit(1)).as("__occ"), min(col("__fid")).as("__keeper"))
+      val marked =
+        if (hotStringBound == AutoBound) {
+          val bf = occ.agg(
+            coalesce(greatest(lit(64L),
+                lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
+              lit(64L)).as("__bound"))
+          occ.crossJoin(broadcast(bf))
+            .withColumn("__hot", col("__occ") > col("__bound"))
+        } else occ.withColumn("__hot", col("__occ") > lit(hotStringBound.toLong))
+      base.join(marked.select(col("__fs"), col("__keeper"), col("__hot")),
+          Seq("__fs"))
+        .persist()
+    }
+    // ed-0: all id pairs sharing the exact string — output-sized for
+    // cold groups; hot groups collapse to the member→keeper star.
+    val ed0 = if (!guarded) {
+      base.select(col("__fid").as("id_a"), col("__fs"))
+        .join(base.select(col("__fid").as("id_b"), col("__fs")), Seq("__fs"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
+    } else {
+      val cold = baseM.filter(!col("__hot"))
+      val coldPairs = cold.select(col("__fid").as("id_a"), col("__fs"))
+        .join(cold.select(col("__fid").as("id_b"), col("__fs")), Seq("__fs"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0L).as("dist"))
+      val hotStar = baseM.filter(col("__hot") && col("__fid") =!= col("__keeper"))
+        .select(col("__keeper").as("id_a"), col("__fid").as("id_b"),
+          lit(0L).as("dist"))
+      coldPairs.unionByName(hotStar)
+    }
+    // ed-1: deletion-neighborhood blocking over DISTINCT strings (the
+    // distinct-string stage is multiplicity-free — the guard changes
+    // only the id EXPANSION below, where hot groups contribute their
+    // keeper row alone).
     val names = base.select(col("__fs")).distinct()
     val s = col("__fs")
     val deletes = when(length(s) > 0,
@@ -909,9 +971,12 @@ object Dedup {
       .filter(col("__sa") < col("__sb"))
       .select(col("__sa"), col("__sb")).distinct()
       .filter(levenshtein(col("__sa"), col("__sb")) === 1)
+    val rep = if (!guarded) base
+      else baseM.filter(!col("__hot") || col("__fid") === col("__keeper"))
+        .select(col("__fid"), col("__fs"))
     val ed1 = namePairs
-      .join(base.select(col("__fid").as("__ida"), col("__fs").as("__sa")), Seq("__sa"))
-      .join(base.select(col("__fid").as("__idb"), col("__fs").as("__sb")), Seq("__sb"))
+      .join(rep.select(col("__fid").as("__ida"), col("__fs").as("__sa")), Seq("__sa"))
+      .join(rep.select(col("__fid").as("__idb"), col("__fs").as("__sb")), Seq("__sb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), lit(1L).as("dist"))
     ed0.unionByName(ed1)

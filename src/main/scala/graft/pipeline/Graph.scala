@@ -601,9 +601,11 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
+    // both id columns integral + union-coerced output dtype — see
+    // labelPropagation/bfsHops (the mixed-id-width lesson)
     val integralIds = {
       import org.apache.spark.sql.types._
-      e0.schema("src").dataType match {
+      Seq(e0.schema("src").dataType, e0.schema("dst").dataType).forall {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
@@ -612,7 +614,7 @@ object Graph {
     if (integralIds && nbr.count() <= 2L * gate) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val srcType = e0.schema("src").dataType
+      val srcType = nbr.schema("src").dataType
       val und = nbr.where(col("src") < col("dst"))
         .select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
@@ -685,9 +687,13 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     val nbr = e0.union(e0.select(col("dst"), col("src"))).distinct().persist()
+    // BOTH id columns must be integral (a non-integral dst would
+    // null-cast in collectEdges), and the gated output lands on the
+    // UNION-COERCED node dtype — the same type the distributed path's
+    // symmetrizing union produces (the bfsHops mixed-id-width lesson)
     val integralIds = {
       import org.apache.spark.sql.types._
-      e0.schema("src").dataType match {
+      Seq(e0.schema("src").dataType, e0.schema("dst").dataType).forall {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
@@ -695,7 +701,7 @@ object Graph {
     val gate = math.min(collectThreshold, DriverEdgeCap)
     if (integralIds && nbr.count() <= 2L * gate) {
       import spark.implicits._
-      val srcType = e0.schema("src").dataType
+      val srcType = nbr.schema("src").dataType
       // primitive CSR loop (see Csr) — the collect dominates; 250k
       // default gate (see bfsHops). nbr stays cached (house convention).
       val (ea, eb) = collectEdges(

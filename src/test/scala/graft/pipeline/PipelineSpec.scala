@@ -2104,6 +2104,19 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(gated == dist, s"trial $trial")
     }
+    // mixed id widths: int src over long dst — gated output dtype must
+    // match the distributed path's union-coerced dtype (the bfsHops pin)
+    val mixed = Seq((1, 2L), (2, 3L), (3, 1L)).toDF("a", "b")
+    val g = Graph.labelPropagation(mixed, "a", "b", 3)
+    val d = Graph.labelPropagation(mixed, "a", "b", 3, collectThreshold = 0L)
+    assert(g.schema("node").dataType == d.schema("node").dataType)
+    assert(g.schema("label").dataType == d.schema("label").dataType)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // non-integral ids: must take the distributed path, not a driver
+    // collect that null-casts to long
+    val strIds = Seq(("n1", "n2"), ("n2", "n3")).toDF("a", "b")
+    assert(Graph.labelPropagation(strIds, "a", "b", 1).count() == 3)
   }
 
   test("pageRank matches a sequential reference; undirected mass conserves") {
@@ -2721,6 +2734,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect)
     assert(!got.exists(p => p._1 == 7L && p._2 == 8L)) // "ab"/"ba" rejected
     assert(got.contains((9L, 10L, 1L)))                // "" vs "a"
+  }
+
+  test("fuzzyPairsEd1 hot-string guard: spam group emits hub star, cold groups stay exact") {
+    import spark.implicits._
+    // 400-clone template-spam name (the LSH spam-graph mirror), two cold
+    // exact dups, an ed-1 neighbor of the cold pair, and an ed-1 neighbor
+    // of the SPAM string itself
+    val rows = Seq((1L, "widget"), (2L, "widget"), (3L, "widgets"),
+        (5L, "spamnames")) ++
+      (1000L until 1400L).map(i => (i, "spamname"))
+    val df = rows.toDF("id", "s")
+    val got = Dedup.fuzzyPairsEd1(df, "id", "s", hotStringBound = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hot ed-0: exactly 399 member→keeper pairs, not 79,800 all-pairs
+    val star = (1001L until 1400L).map(x => (1000L, x, 0L)).toSet
+    assert(got.filter(p => p._1 >= 1000L && p._3 == 0L) == star)
+    // hot ed-1: the spam group meets its ed-1 neighbor through the
+    // KEEPER row alone — one pair, not 400
+    assert(got.filter(p => p._2 >= 1000L && p._3 == 1L) == Set((5L, 1000L, 1L)))
+    // cold groups keep exact semantics: the dup pair + both ed-1 pairs
+    assert(got.filter(_._1 < 5L) == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    assert(got.size == 399 + 1 + 3)
+  }
+
+  test("fuzzyPairsEd1 auto bound: spam degrades to linear with NO knob; spam-free equals unguarded") {
+    import spark.implicits._
+    // spam among 2000 distinct names: p99.9 group size stays 1, the
+    // derived bound sits at the floor of 64 — under the 400-clone group
+    val normal = (0 until 2000).map(d => (d.toLong, s"name_$d"))
+    val near = Seq((5000L, "name_7x")) // ed-1 of name_7
+    val spam = (10000L until 10400L).map(i => (i, "template spam"))
+    val auto = Dedup.fuzzyPairsEd1((normal ++ near ++ spam).toDF("id", "s"),
+        "id", "s") // DEFAULT — no bound argument anywhere
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val spamPairs = auto.filter(_._1 >= 10000L).toSet
+    assert(spamPairs == (10001L until 10400L).map(x => (10000L, x, 0L)).toSet,
+      s"n=${spamPairs.size}")
+    assert(auto.contains((7L, 5000L, 1L))) // cold ed-1 still exact
+    // spam-free corpus: the auto-bound OUTPUT equals the unguarded plan's
+    val cleanRows = ((0 until 300).map(d => (d.toLong, s"name_$d")) ++
+      Seq((5000L, "name_7x"), (6000L, "name_7"))).toDF("id", "s")
+    val a = Dedup.fuzzyPairsEd1(cleanRows, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val u = Dedup.fuzzyPairsEd1(cleanRows, "id", "s",
+        hotStringBound = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == u && a.contains((7L, 6000L, 0L)))
   }
 
   test("wordEntropy: closed-form entropies") {
