@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -678,9 +679,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), p2.take(3000))
   }
 
-  test("q190: weighted pagerank rounds join cached strength-edges, no cartesian") {
+  test("q190: weighted pagerank gated at test scale (LocalTableScan); distributed rounds join cached strength-edges") {
+    // at sf0.001 the co-occurrence graph sits far under the 250k gate:
+    // the returned plan is the driver loop's local result, no cartesian
     val plan = executedPlan("q190_weighted_pagerank")
     assert(!plan.contains("CartesianProduct"), plan.take(3500))
-    assert(plan.contains("InMemoryTableScan"), plan.take(3500))
+    assert(plan.contains("LocalTableScan"), plan.take(3500))
+    // the distributed shape (collectThreshold = 0) keeps the cached
+    // strength-edge rounds: InMemoryTableScan, still no cartesian
+    val pairs = graft.pipeline.Similarity.itemCooccurrence(
+      Queries.t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+      minTogether = 2L)
+    val edges = pairs.select(col("item_a").as("src"),
+        col("item_b").as("dst"), col("n_together").as("w"))
+      .unionByName(pairs.select(col("item_b").as("src"),
+        col("item_a").as("dst"), col("n_together").as("w")))
+    val dist = graft.pipeline.Graph.pageRankWeighted(edges, "src", "dst",
+        "w", iters = 3, collectThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!dist.contains("CartesianProduct"), dist.take(3500))
+    assert(dist.contains("InMemoryTableScan"), dist.take(3500))
   }
 }

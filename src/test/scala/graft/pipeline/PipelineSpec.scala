@@ -2119,6 +2119,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(Graph.labelPropagation(strIds, "a", "b", 1).count() == 3)
   }
 
+  test("pageRank/pageRankWeighted: gated driver loop equals the distributed path at 10dp") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7171)
+    def cmp(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.get(0).toString -> BigDecimal(r.getDouble(1))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 25
+      // STRING ids — the q111 shape the gate must cover
+      val edges = (0 until n * 3)
+        .map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .toDF("a", "b")
+      assert(cmp(Graph.pageRank(edges, "a", "b", iters = 3)) ==
+        cmp(Graph.pageRank(edges, "a", "b", iters = 3, collectThreshold = 0L)),
+        s"trial $trial")
+      val wEdges = (0 until n * 3)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1.0 + rnd.nextInt(5)))
+        .toDF("a", "b", "w")
+      assert(cmp(Graph.pageRankWeighted(wEdges, "a", "b", "w", iters = 3)) ==
+        cmp(Graph.pageRankWeighted(wEdges, "a", "b", "w", iters = 3,
+          collectThreshold = 0L)), s"weighted trial $trial")
+    }
+    // mixed id widths: int src over long dst — the gated dictionary must
+    // encode int 2 and long 2 as ONE node (union-coerced cast before
+    // collect) and land on the distributed output dtype
+    val mixed = Seq((1, 2L), (2, 3L), (3, 1L)).toDF("a", "b")
+    val g = Graph.pageRank(mixed, "a", "b", iters = 2)
+    val d = Graph.pageRank(mixed, "a", "b", iters = 2, collectThreshold = 0L)
+    assert(g.schema("node").dataType == d.schema("node").dataType)
+    assert(cmp(g) == cmp(d))
+    assert(g.count() == 3)
+  }
+
   test("pageRank matches a sequential reference; undirected mass conserves") {
     import spark.implicits._
     // star (center 0, leaves 1-3) + a 2-cycle (10, 11), symmetrized
