@@ -1911,15 +1911,29 @@ object Queries {
       // group — the bounded-memory corpus-monitoring move (exact DISTINCT
       // shuffles every key; the sketch is a fixed-size buffer per group).
       // The oracle recomputes the exact counts and asserts the same bound.
+      // The sketch runs in its OWN aggregation, not beside the
+      // count(DISTINCT): mixed distinct+sketch plans through Expand and
+      // allocates one rsd-0.01 HLL buffer (~16 KB) per PARTIAL DISTINCT
+      // GROUP — 7500 sketches / ~1.2 s of merge CPU in one coalesced
+      // task at sf0.1, and it grows with user count; separated, partials
+      // are per-partition-per-group (~#groups × #partitions buffers,
+      // corpus-size-independent). The HLL estimate is identical either
+      // way (register maxima depend only on the input SET).
       graft.spatial.functions.register(s)
       events(s, d).createOrReplaceTempView("events")
       s.sql("""
-        SELECT event_type,
-               count(DISTINCT user_id) AS exact_users,
-               (abs(cast(approx_count_distinct(user_id, 0.01) AS DOUBLE) -
-                    count(DISTINCT user_id))
-                  <= 0.05 * count(DISTINCT user_id)) AS approx_ok
-        FROM events GROUP BY event_type ORDER BY event_type""")
+        WITH ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY event_type),
+        ap AS (
+          SELECT event_type,
+                 approx_count_distinct(user_id, 0.01) AS approx_users
+          FROM events GROUP BY event_type)
+        SELECT ex.event_type, ex.exact_users,
+               (abs(CAST(ap.approx_users AS DOUBLE) - ex.exact_users)
+                  <= 0.05 * ex.exact_users) AS approx_ok
+        FROM ex JOIN ap ON ex.event_type = ap.event_type
+        ORDER BY ex.event_type""")
     }),
 
     "q94_temperature_mix" -> ((s, d) => {
@@ -2365,7 +2379,17 @@ object Queries {
       // emails/phones replaced by typed placeholders + per-row match
       // counts. Patterns live in Text.EmailRe/PhoneRe (Java∩RE2 dialect)
       prep(s, d, "orders")
-      val synth = t(s, d, "orders").select(col("o_orderkey"),
+      // order BEFORE the regex work (the q63 shape): a trailing ORDER BY
+      // makes the range-sampling stage re-run the whole synth+scrub
+      // projection (profiled: two ~950 ms single-task stages at sf0.1);
+      // range-partitioning the slim raw columns first runs the regex
+      // pass ONCE, post-exchange, at session parallelism
+      val synth = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .select(col("o_orderkey"),
         concat(lit("Order note: contact user"), col("o_custkey").cast("string"),
           when(col("o_orderkey") % 2 === 0,
             concat(lit("@mail.example.com or +1-555-"),
@@ -2381,7 +2405,6 @@ object Queries {
             .as("n_email"),
           expr("CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) DIV 7 AS BIGINT)")
             .as("n_phone"))
-        .orderBy("o_orderkey")
     }),
 
     "q69_datetime_surface" -> ((s, d) => {
@@ -2474,8 +2497,23 @@ object Queries {
       // non-cheap so CollapseProject keeps it) — the per-path
       // get_json_object form re-parsed the JSON per extraction and cost
       // 5.2 s vs ~1 s at sf0.1. JSON synthesized from int/string columns
-      // only — a double would couple the test to float formatting
+      // only — a double would couple the test to float formatting.
+      // Order BEFORE parsing: range-partition + sort-within on the raw
+      // key, then parse post-exchange — a trailing ORDER BY makes the
+      // range sampling pass re-execute the whole parse projection
+      // (profiled: two ~1.1 s single-task stages each running the full
+      // synth+parse at sf0.1); this shape samples only the slim raw
+      // columns and runs the parse once, spread over the range
+      // partitions. Global order is preserved (range partitions are
+      // ordered, projections keep intra-partition order).
       prep(s, d, "orders")
+      val sorted = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      sorted.createOrReplaceTempView("orders_by_key")
       s.sql("""
         WITH parsed AS (
           SELECT o_orderkey,
@@ -2487,14 +2525,14 @@ object Queries {
                          ',"status":"', o_orderstatus, '"',
                          ',"tags":["a","', o_orderpriority, '"]',
                          ',"nested":{"pri":"', o_orderpriority, '"}}') AS j
-                FROM orders))
+                FROM orders_by_key))
         SELECT o_orderkey, cust_s,
                p.cust AS cust_i,
                p.status AS status,
                p.tags[1] AS tag2,
                p.nested.pri AS pri,
                CAST(size(p.tags) AS BIGINT) AS n_tags
-        FROM parsed ORDER BY o_orderkey""")
+        FROM parsed""")
     }),
 
     "q26_cosine_topk" -> ((s, d) => {

@@ -897,17 +897,19 @@ object Similarity {
     // join) input: distinct (user, basket, item) materializes once and
     // BOTH downstream consumers (basket-item inside itemCooccurrence,
     // user-item for `owned`) reuse the materialized sliver instead of
-    // re-running the input plan. localCheckpoint (EAGER), not persist:
-    // this frame is referenced from MANY subtrees of the final plan
-    // (cooc self-join sides, frequency join, owned join, anti join), and
-    // with lazy persist each reference duplicates the full upstream
-    // lineage syntactically — measured 544 FileScans / 797 Exchanges in
-    // one q187 plan, executing ~5 s warm; checkpointing truncates every
-    // reference to a leaf (plan → a handful of scans, ~3x faster).
+    // re-running the input plan. persist (LAZY), deliberately NOT
+    // localCheckpoint: the many references do duplicate the upstream
+    // lineage syntactically, but the CacheManager replaces every
+    // canonicalized match with one InMemoryRelation at planning, so the
+    // executed plan stays small — and because persist keys on the plan,
+    // a RE-construction of the same query hits the same cache, where an
+    // eager localCheckpoint re-runs its materialization jobs on every
+    // construction (measured round-10: warm drive 2.4 s with persist vs
+    // 5.9 s with localCheckpoint(true) on q187 at sf0.1).
     val ubi = df.select(col(userCol).as("__u"), col(basketCol).as("__bk"),
         col(itemCol).as("__it")).distinct().persist()
     // the weight frame is item-pair-sized (bounded by co-occurrence
-    // support); checkpoint it too — the symmetrizing union and the
+    // support); persist it too — the symmetrizing union and the
     // scoring join each reference it
     val w = itemCooccurrence(ubi, "__bk", "__it", minTogether)
       .select(col("item_a"), col("item_b"), col("cosine")).persist()

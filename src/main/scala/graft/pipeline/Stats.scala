@@ -207,9 +207,15 @@ object Stats {
                 pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile range [$pLo, $pHi]")
+    // BOTH cutpoints from ONE percentile aggregate (array form): two
+    // scalar percentile calls each build, merge, and sort their own
+    // per-group value-count buffer — the whole cost of this operator —
+    // while the array form pays it once (profiled 2× on q142's
+    // 600k-row/3-group shape; identical values, same interpolation)
     val cuts = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, ${pLo}D)").as("__lo"),
-        expr(s"percentile($valueCol, ${pHi}D)").as("__hi"))
+      .agg(expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))").as("__c"))
+      .select((groupCols.map(col) :+ col("__c").getItem(0).as("__lo") :+
+        col("__c").getItem(1).as("__hi")): _*)
     df.join(broadcast(cuts), groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))

@@ -633,9 +633,17 @@ object Text {
         val (l, rr, c) =
           (winner.head.getString(0), winner.head.getString(1), winner.head.getLong(2))
         traj += ((r + 1, l, rr, c))
+        // localCheckpoint (EAGER): materialize the merged state BEFORE
+        // dropping the previous round's cache. The earlier lazy
+        // persist-then-unpersist left `next` unmaterialized when its
+        // parent cache vanished, so EVERY round silently re-derived the
+        // vocabulary from the corpus scan and replayed all prior merges
+        // — O(rounds²) work (profiled: one corpus-scan stage per round
+        // in q160). Checkpointing also pins lineage at one leaf, so a
+        // real 10k-merge tokenizer doesn't accrete a 10k-replace plan.
         val next = state.select(
           replace(col("__s"), lit(s"[$l][$rr]"), lit(s"[$l$rr]")).as("__s"),
-          col("__f")).persist()
+          col("__f")).localCheckpoint(true)
         state.unpersist()
         state = next
         r += 1
