@@ -3469,6 +3469,93 @@ object Queries {
       Dedup.fuzzyPairsEd1(spammed, "p_partkey", "p_name",
           hotStringBound = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q202_stream_line_dedup" -> ((s, d) => {
+      // STREAMING correctness face: the whole documents corpus replayed
+      // through dedupLinesStream (foreachBatch + standing line-key
+      // index) in THREE id-ordered micro-batches from an EMPTY index.
+      // Under the append-only-id discipline the union of per-batch
+      // outputs equals batch dedupLines over the full corpus — q101's
+      // exact semantics — so the DuckDB oracle replays global
+      // first-occurrence selection and certifies the streaming path
+      // end-to-end (index append, cross-batch suppression, reassembly).
+      // NOTE: building this DataFrame RUNS the stream to completion
+      // (MemoryStream + processAllAvailable — the q200 construction-
+      // side-effect precedent); dirs are keyed by applicationId and
+      // wiped per construction so checkpoint state never leaks between
+      // runs.
+      prep(s, d, "documents")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), LineFoldRe, "$1\n").as("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q202_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      Dedup.writeLineIndex(lined.limit(0), "text", "doc_id",
+        s"$base/index", "\n", minChars = 12)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupLinesStream(s,
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$base/index", s"$base/out", s"$base/ckpt")
+      try {
+        val docs = lined.orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val per = math.max((docs.length + 2) / 3, 1)
+        docs.grouped(per).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out/data")
+        .select(col("doc_id"), col("text").as("text_dedup"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    "q203_pruned_grid_join" -> ((s, d) => {
+      // the SPATIAL partition-pruned access path, certified end to end
+      // (q200's planar twin): customer points land in a 2D grid-bucketed
+      // layout (hive partitions on __gx/__gy, Layout.gridBucketedWrite),
+      // five query windows prune the read to a band of cells at the
+      // DIRECTORY level in BOTH axes (PartitionFilters — plan-asserted
+      // in PlanShapeSpec) BEFORE the ST_Contains predicate join runs.
+      // The oracle replays the identical containment join from the
+      // UNPARTITIONED customer table: green certifies the prune lost
+      // nothing (points have zero extent, so the margin is 0).
+      // NOTE: building this DataFrame RUNS the layout write at
+      // construction time (the q200 precedent); path keyed by
+      // applicationId.
+      prep(s, d, "customer", "nation")
+      graft.spatial.functions.register(s)
+      val pts = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").as("x"), col("c_nationkey").cast("double").as("y"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q203_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.pipeline.Layout.gridBucketedWrite(pts, "x", "y", base,
+        cellW = 2000.0, cellH = 5.0)
+      // five windows inside x ∈ [1000, 4200], y ∈ [0, 14]: the prune
+      // reads gx ∈ {0,1,2} of {-1..4} × gy ∈ {0,1,2} of {0..4}
+      val rk = col("r_regionkey").cast("long")
+      prep(s, d, "region")
+      val win = t(s, d, "region").select(rk.as("win_id"),
+        (lit(1000.0) + rk * 600.0).as("x0"),
+        (lit(1800.0) + rk * 600.0).as("x1"),
+        (rk * 2.0).as("y0"), (rk * 2.0 + 6.0).as("y1"))
+      val slice = graft.pipeline.Layout.readGridWindow(s, base,
+        2000.0, 5.0, 1000.0, 4200.0, 0.0, 14.0)
+      slice.createOrReplaceTempView("grid_slice")
+      win.createOrReplaceTempView("grid_windows")
+      s.sql("""
+        SELECT /*+ BROADCAST(w) */ w.win_id, count(*) AS n_pts,
+               CAST(sum(CAST(p.x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+               min(p.c_custkey) AS min_cust
+        FROM grid_slice p JOIN grid_windows w
+          ON ST_Contains(ST_MakeEnvelope(w.x0, w.y0, w.x1, w.y1),
+                         ST_Point(p.x, p.y))
+        GROUP BY w.win_id ORDER BY w.win_id""")
     })
   )
 
@@ -7476,6 +7563,46 @@ object Queries {
         FROM rep a JOIN rep b ON a.s < b.s AND levenshtein(a.s, b.s) = 1)
       SELECT id_a, id_b, dist FROM ed0
       UNION ALL SELECT id_a, id_b, dist FROM ed1
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    // the streamed 3-batch replay must equal GLOBAL first-occurrence
+    // line dedup — q101's oracle verbatim
+    "q202_stream_line_dedup" -> s"""
+      WITH lined AS (
+        SELECT doc_id,
+               regexp_replace(text, '$LineFoldRe', '\\1' || chr(10), 'g') AS t
+        FROM documents),
+      ls AS (
+        SELECT doc_id, i.i AS pos, string_split(t, chr(10))[i.i + 1] AS line
+        FROM lined JOIN generate_series(0, 255) i(i)
+          ON i.i < len(string_split(t, chr(10)))),
+      k AS (
+        SELECT doc_id, pos, line, length(line) >= 12 AS elig,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM ls)
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT elig OR rn = 1), '') AS text_dedup,
+             count(*) FILTER (WHERE NOT elig OR rn = 1) AS n_kept,
+             count(*) FILTER (WHERE elig AND rn > 1) AS n_removed
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    // identical containment join from the UNPARTITIONED table — green
+    // certifies the grid-directory prune lost nothing
+    "q203_pruned_grid_join" -> """
+      WITH w AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS win_id,
+               1000.0 + CAST(r_regionkey AS BIGINT) * 600.0 AS x0,
+               1800.0 + CAST(r_regionkey AS BIGINT) * 600.0 AS x1,
+               CAST(r_regionkey AS BIGINT) * 2.0 AS y0,
+               CAST(r_regionkey AS BIGINT) * 2.0 + 6.0 AS y1
+        FROM region)
+      SELECT w.win_id, count(*) AS n_pts,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+             min(c.c_custkey) AS min_cust
+      FROM customer c JOIN w
+        ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
+       AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
+      GROUP BY w.win_id ORDER BY w.win_id"""
   )
 }

@@ -154,6 +154,53 @@ object Layout {
   }
 
   /**
+   * GRID-bucketed spatial layout: rows land in hive partition
+   * directories by the fixed-size 2D grid cell of their (x, y)
+   * coordinate (`__gx = floor(x / cellW)`, `__gy = floor(y / cellH)`) —
+   * the write side of the 100 TB SPATIAL access path (the planar twin
+   * of [[intervalBucketedWrite]]). A window query then prunes at the
+   * DIRECTORY level in BOTH axes before any spatial predicate runs; see
+   * [[readGridWindow]] for the exactness condition. For geometries with
+   * extent, key by the bbox MIN corner and pass the max extents as the
+   * read margins.
+   */
+  def gridBucketedWrite(df: DataFrame, xCol: String, yCol: String,
+                        path: String, cellW: Double, cellH: Double): Unit = {
+    require(cellW > 0 && cellH > 0, s"cell sizes must be positive: $cellW, $cellH")
+    df.withColumn("__gx", floor(col(xCol).cast("double") / cellW).cast("long"))
+      .withColumn("__gy", floor(col(yCol).cast("double") / cellH).cast("long"))
+      .write.mode("overwrite").partitionBy("__gx", "__gy").parquet(path)
+  }
+
+  /**
+   * Read back the slice of a [[gridBucketedWrite]] layout that can
+   * possibly intersect the closed window `[xLo, xHi] × [yLo, yHi]`: a
+   * geometry keyed by its bbox min corner intersects only if
+   * `minx ∈ [xLo − maxExtentX, xHi]` (same in y), so the partition
+   * filter `__gx ∈ [floor((xLo−maxExtentX)/cellW), floor(xHi/cellW)]`
+   * (and the y twin) loses NOTHING — points pass extent 0. Filters are
+   * on the partition columns only, resolved against the directory
+   * listing (`PartitionFilters` — plan-asserted); callers then apply
+   * the exact spatial predicate on the slice.
+   */
+  def readGridWindow(spark: org.apache.spark.sql.SparkSession, path: String,
+                     cellW: Double, cellH: Double,
+                     xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+                     maxExtentX: Double = 0.0,
+                     maxExtentY: Double = 0.0): DataFrame = {
+    require(cellW > 0 && cellH > 0 && xHi >= xLo && yHi >= yLo &&
+      maxExtentX >= 0 && maxExtentY >= 0)
+    val gxLo = math.floor((xLo - maxExtentX) / cellW).toLong
+    val gxHi = math.floor(xHi / cellW).toLong
+    val gyLo = math.floor((yLo - maxExtentY) / cellH).toLong
+    val gyHi = math.floor(yHi / cellH).toLong
+    spark.read.parquet(path)
+      .where(col("__gx") >= gxLo && col("__gx") <= gxHi &&
+        col("__gy") >= gyLo && col("__gy") <= gyHi)
+      .drop("__gx", "__gy")
+  }
+
+  /**
    * Read back the slice of an [[intervalBucketedWrite]] layout that can
    * possibly overlap the closed band `[bandLo, bandHi]`: an interval
    * overlaps iff `start <= bandHi && end >= bandLo`, and with interval

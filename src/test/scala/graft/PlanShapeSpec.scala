@@ -325,6 +325,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q203: the window band prunes grid directories in BOTH axes; no cartesian") {
+    val plan = executedPlan("q203_pruned_grid_join")
+    // the window reaches the grid-bucketed scan as PartitionFilters on
+    // __gx AND __gy — directory-level 2D pruning before the spatial join
+    val pf = plan.indexOf("PartitionFilters")
+    assert(pf >= 0, plan.take(1500))
+    val filters = plan.substring(pf).takeWhile(_ != ']')
+    assert(filters.contains("__gx") && filters.contains("__gy"),
+      filters.take(300))
+    assert(filters.contains(">=") && filters.contains("<="), filters.take(300))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   // ---- eleventh wave (round 7) ----
 
   test("q145: histogram windows run over STATE cells only — after the bin aggregate") {
