@@ -177,6 +177,14 @@ object Text {
       df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
         .groupBy(col(idCol), col("__g"))
         .agg(count(lit(1)).as("__c"), first(gramChars(n)).as("__w"))
+    // NOTE (round-10 audit): a single-scan variant (both gram orders
+    // tagged into one struct-array explode + one conditional-aggregate
+    // pass) was built and measured 6× SLOWER at sf0.1 (8.7 s vs 0.9 s
+    // for the generate stage) — the tagged-struct array materialization
+    // costs far more per row than the scan it saves. Two plain explodes
+    // of string arrays stay in codegen and win at every scale where the
+    // scan is not the bottleneck; at 100 TB the two scans read the slim
+    // (id, text) projection twice, the documented trade.
     val totals = df.select(col(idCol),
       aggregate(filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""),
         lit(0L), (acc, w) => acc + length(w)).as("__chars"))
@@ -307,14 +315,38 @@ object Text {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    // w is consumed four times (both posting-join sides, norms, and the
+    // final cosine projection) and each consumer would otherwise replay
+    // the whole tfidf pipeline (scan + explode + three aggregate layers
+    // — the formatted plan showed four copies of the subtree). The frame
+    // is SLIM — (doc, term, weight), already df-bounded by maxDf — so it
+    // persists MEMORY_AND_DISK; cache-hygiene contract as documented in
+    // OPERATORS.md (caller clears after materializing).
     val w = tfidf(df, textCol, idCol)
       .filter(col("df") <= maxDf)
       .select(col("doc_id").as("__id"), col("term"), col("tfidf").as("__w"))
+      .persist()
     val norms = w.groupBy("__id")
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
-    w.select(col("__id").as("id_a"), col("term"), col("__w").as("__wa"))
-      .join(w.select(col("__id").as("id_b"), col("term"), col("__w").as("__wb")),
-        Seq("term"))
+    // the posting self-join's inputs are byte-light (16-byte rows) but
+    // its output is the compute-dense pair expansion + dot partials —
+    // exactly the shape AQE's byte-based coalescing serializes (measured
+    // at sf0.1: the whole 124k-pair expansion in ONE 870 ms task, 30% of
+    // q133). Pin both sides on a term-keyed exchange at session
+    // parallelism: user-specified shuffles are exempt from coalescing,
+    // the two sides canonicalize to ONE reused exchange, and the join is
+    // co-partitioned so no further exchange precedes the expansion (the
+    // q130 set-sim verify fix).
+    val wKeyed = w.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("term"))
+    // shuffle_hash pins the join strategy too: AQE otherwise broadcasts
+    // the byte-small build side and runs the probe (and with it the
+    // whole expansion) inside the coalesced downstream stage — the
+    // repartition alone measured no width change. Co-partitioned SHJ
+    // executes the expansion at the exchange's 32 tasks.
+    wKeyed.select(col("__id").as("id_a"), col("term"), col("__w").as("__wa"))
+      .join(wKeyed.select(col("__id").as("id_b"), col("term"), col("__w").as("__wb"))
+        .hint("shuffle_hash"), Seq("term"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(sum(col("__wa") * col("__wb")).as("__dot"))
