@@ -3556,8 +3556,93 @@ object Queries {
           ON ST_Contains(ST_MakeEnvelope(w.x0, w.y0, w.x1, w.y1),
                          ST_Point(p.x, p.y))
         GROUP BY w.win_id ORDER BY w.win_id""")
+    }),
+
+    "q204_mix_to_budget" -> ((s, d) => {
+      // token-budget corpus mixing: the mixture DESIGNER hands down
+      // target weights (6 sources, 4:2:2:1:0.5:0.5) and a 4000-token
+      // budget; the solver turns them into per-domain keep rates
+      // (min(1, target/avail) in exact integer basis points) and samples
+      // deterministically by md5 bucket — the "hit the 1T-token mix"
+      // planning op, complementing q94's data-derived temperature rates.
+      // Summarized per domain so each certified row carries the whole
+      // audit: availability, target, rate, deficit (short domains are
+      // kept whole, never silently upsampled), and what was kept. The
+      // oracle replays the integer rate arithmetic (targets resolved to
+      // the same literals driver-side) and the bucket predicate
+      // bit-for-bit; token sums are exact integers.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      Sampling.mixToBudget(docs, "doc_id", "source",
+          Text.tokenCount(col("text")), MixBudgetTokens, MixWeights)
+        .groupBy(col("source"))
+        .agg(min(col("avail_tokens")).as("avail_tokens"),
+          min(col("target_tokens")).as("target_tokens"),
+          min(col("rate_bp")).as("rate_bp"),
+          min(col("deficit")).as("deficit"),
+          count(lit(1)).as("kept_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("kept_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source")
+    }),
+
+    "q205_cohen_kappa" -> ((s, d) => {
+      // inter-annotator agreement (Cohen's κ): annotator A = the stored
+      // lang label, annotator B = a deterministic noisy relabel (every
+      // 5th doc shifts one step around the en→de→fr→es→zh cycle, every
+      // 97th is unlabeled) — the label-quality gate before training on
+      // annotated data. κ reduces to exact DECIMAL integer arithmetic
+      // with ONE IEEE division (Stats.cohenKappa), so n/agree compare as
+      // integers and po/pe/kappa compare UNROUNDED; null labels are
+      // excluded on both sides like any un-annotated item.
+      prep(s, d, "documents")
+      val shifted = when(col("lang") === "en", lit("de"))
+        .when(col("lang") === "de", lit("fr"))
+        .when(col("lang") === "fr", lit("es"))
+        .when(col("lang") === "es", lit("zh"))
+        .when(col("lang") === "zh", lit("en"))
+        .otherwise(col("lang"))
+      val labeled = t(s, d, "documents").select(col("lang").as("a"),
+        when(pmod(col("doc_id"), lit(97)) === 0, lit(null).cast("string"))
+          .when(pmod(col("doc_id"), lit(5)) === 0, shifted)
+          .otherwise(col("lang")).as("b"))
+      Stats.cohenKappa(labeled, "a", "b")
+    }),
+
+    "q206_davies_bouldin" -> ((s, d) => {
+      // clustering-quality gate: Davies–Bouldin index over the SAME
+      // certified two-round kmeans trajectory as q107 (per-cluster
+      // scatter avg‖x−c‖₂, pairwise centroid separation, worst-ratio
+      // max, k-average) — the "is k right before SemDeDup/IVF trusts
+      // these clusters" check. The oracle replays the full trajectory
+      // AND the index arithmetic; 6dp absorbs the scatter mean's
+      // Σ-order drift and the engines' L2 summation order (ratios are
+      // separated by ≫1e-6, so the max cannot flip — the q107 margin-
+      // audit argument one level up).
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+      Clustering.daviesBouldin(emb, cents, "vec_id", "embedding")
+        .select(col("cluster_id"), col("n_members"),
+          round(col("scatter"), 6).as("scatter"),
+          round(col("r_max"), 6).as("r_max"),
+          round(col("db_index"), 6).as("db_index"))
+        .orderBy("cluster_id")
     })
   )
+
+  /** q204's mixture spec: weights and budget are DRIVER constants, with
+    * integer token targets resolved once in BigInt so the builder and
+    * the oracle SQL inline the same literals. */
+  private[graft] val MixBudgetTokens = 4000L
+  private[graft] val MixWeights: Seq[(String, Double)] = Seq(
+    "src3" -> 4.0, "src7" -> 2.0, "src11" -> 2.0,
+    "src8" -> 1.0, "src14" -> 0.5, "src19" -> 0.5)
+  private[graft] def mixTargets: Seq[(String, Long)] = {
+    val wI = MixWeights.map { case (dm, w) => dm -> BigInt(math.round(w * 1e6)) }
+    val sw = wI.map(_._2).sum
+    wI.map { case (dm, w) => dm -> (BigInt(MixBudgetTokens) * w / sw).toLong }
+  }
 
   // ================================================================ oracle
 
@@ -7603,6 +7688,161 @@ object Queries {
       FROM customer c JOIN w
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
-      GROUP BY w.win_id ORDER BY w.win_id"""
+      GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // integer token targets inlined from the SAME driver-side BigInt
+    // resolution the builder uses; rate arithmetic and md5 bucket
+    // predicate replay bit-for-bit (q49 idiom)
+    "q204_mix_to_budget" -> s"""
+      WITH tk AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS BIGINT) AS tk
+        FROM documents),
+      tgt(source, target_tokens) AS (VALUES
+        ${mixTargets.map { case (dm, t) =>
+          s"('$dm', CAST($t AS BIGINT))" }.mkString(",\n        ")}),
+      avail AS (
+        SELECT source, CAST(sum(tk) AS BIGINT) AS avail_tokens
+        FROM tk JOIN tgt USING (source) GROUP BY source),
+      rates AS (
+        SELECT a.source, a.avail_tokens, t.target_tokens,
+               LEAST(CAST(10000 AS BIGINT),
+                     (t.target_tokens * 10000) // a.avail_tokens) AS rate_bp,
+               GREATEST(t.target_tokens - a.avail_tokens,
+                        CAST(0 AS BIGINT)) AS deficit
+        FROM avail a JOIN tgt t USING (source))
+      SELECT k.source,
+             min(r.avail_tokens) AS avail_tokens,
+             min(r.target_tokens) AS target_tokens,
+             min(r.rate_bp) AS rate_bp,
+             min(r.deficit) AS deficit,
+             count(*) AS kept_docs,
+             CAST(sum(k.tk) AS BIGINT) AS kept_tokens,
+             min(k.doc_id) AS min_doc
+      FROM tk k JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 < r.rate_bp
+      GROUP BY k.source ORDER BY k.source""",
+
+    // κ as exact DECIMAL integer arithmetic + one IEEE division — the
+    // same reduction as Stats.cohenKappa, so po/pe/kappa compare
+    // unrounded
+    "q205_cohen_kappa" -> """
+      WITH l AS (
+        SELECT lang AS a,
+               CASE WHEN doc_id % 97 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN
+                      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'fr'
+                                WHEN 'fr' THEN 'es' WHEN 'es' THEN 'zh'
+                                WHEN 'zh' THEN 'en' ELSE lang END
+                    ELSE lang END AS b
+        FROM documents),
+      obs AS (
+        SELECT a, b, count(*) AS o FROM l
+        WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+      ma AS (SELECT a, sum(o) AS na FROM obs GROUP BY a),
+      mb AS (SELECT b, sum(o) AS nb FROM obs GROUP BY b),
+      pe AS (
+        SELECT coalesce(sum(CAST(na AS DECIMAL(19,0)) *
+                            CAST(nb AS DECIMAL(19,0))),
+                        CAST(0 AS DECIMAL(38,0))) AS penum
+        FROM ma JOIN mb ON ma.a = mb.b),
+      tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(coalesce(sum(o) FILTER (WHERE a = b), 0) AS BIGINT)
+                 AS agree
+        FROM obs)
+      SELECT n, agree AS n_agree,
+             CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             CAST(penum AS DOUBLE) /
+               CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                 AS DOUBLE) AS pe,
+             CASE WHEN CAST(CAST(n AS DECIMAL(19,0)) *
+                            CAST(n AS DECIMAL(19,0)) - penum AS DOUBLE) = 0
+                  THEN NULL
+                  ELSE CAST(CAST(agree AS DECIMAL(19,0)) *
+                            CAST(n AS DECIMAL(19,0)) - penum AS DOUBLE) /
+                       CAST(CAST(n AS DECIMAL(19,0)) *
+                            CAST(n AS DECIMAL(19,0)) - penum AS DOUBLE)
+             END AS kappa
+      FROM tot CROSS JOIN pe""",
+
+    // q107's unrolled two-round trajectory, then the Davies–Bouldin
+    // arithmetic over the final assignment + centroids
+    "q206_davies_bouldin" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      c0 AS (
+        SELECT id AS cid, v AS cvec FROM e
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      a1 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      n1 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a1 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c1 AS (
+        SELECT c0.cid, coalesce(n1.cvec, c0.cvec) AS cvec
+        FROM c0 LEFT JOIN n1 USING (cid)),
+      a2 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      n2 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a2 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid, coalesce(n2.cvec, c1.cvec) AS cvec
+        FROM c1 LEFT JOIN n2 USING (cid)),
+      af AS (
+        SELECT id, cid FROM (
+          SELECT e.id, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      scat AS (
+        SELECT af.cid, count(*) AS n_members,
+               avg(list_distance(e.v, c2.cvec)) AS scatter
+        FROM af JOIN e USING (id) JOIN c2 USING (cid)
+        GROUP BY af.cid),
+      pr AS (
+        SELECT i.cid AS cid,
+               max((i.scatter + j.scatter) /
+                   list_distance(ci.cvec, cj.cvec)) AS r_max
+        FROM scat i JOIN scat j ON i.cid <> j.cid
+        JOIN c2 ci ON ci.cid = i.cid
+        JOIN c2 cj ON cj.cid = j.cid
+        WHERE list_distance(ci.cvec, cj.cvec) > 0
+        GROUP BY i.cid),
+      db AS (
+        SELECT avg(p.r_max) AS db_index
+        FROM scat s LEFT JOIN pr p ON s.cid = p.cid)
+      SELECT CAST(s.cid AS BIGINT) AS cluster_id, s.n_members,
+             round(s.scatter, 6) AS scatter,
+             round(p.r_max, 6) AS r_max,
+             round(db.db_index, 6) AS db_index
+      FROM scat s LEFT JOIN pr p ON s.cid = p.cid CROSS JOIN db
+      ORDER BY cluster_id"""
   )
 }

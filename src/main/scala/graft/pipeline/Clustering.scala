@@ -181,4 +181,59 @@ object Clustering {
       .select(col("neighbor_id").as("id"), col("list_id").as("cluster_id"),
         col("__rid").isNull.as("kept"))
   }
+
+  /**
+   * Davies–Bouldin index — the clustering-quality gate run after
+   * [[kmeansFit]] before a clustering feeds SemDeDup or an IVF index
+   * (a bad k silently degrades both): per cluster i, scatter
+   * s_i = avg‖x − c_i‖₂ over members, separation d_ij = ‖c_i − c_j‖₂,
+   * and R_i = max_{j≠i} (s_i + s_j)/d_ij; DB = avg_i R_i (lower is
+   * better — tight, well-separated clusters).
+   *
+   * Returns one row per NON-EMPTY cluster: (cluster_id, n_members,
+   * scatter, r_max) plus the overall db_index (the same scalar on every
+   * row, riding a one-row broadcast). Empty clusters have no scatter and
+   * are excluded, the classical convention; with a single non-empty
+   * cluster r_max and db_index are null (no j≠i). Duplicate-centroid
+   * pairs (d_ij = 0) are excluded from the max rather than emitting a
+   * division by zero — callers with duplicated centroids have a k too
+   * large for their data, which the remaining ratios already scream.
+   *
+   * Scale shape: assignment is the exchange-free broadcast-centroid map
+   * of [[kmeansAssign]]; scatter is ONE partial-aggregated shuffle of
+   * k-sized keys; everything after is k²-sized driver-free broadcast
+   * arithmetic. Per-member distances are sequential left-to-right
+   * folds (engine-replayable); only the scatter avg carries Σ-order
+   * drift (~1e-15) — callers round (q107 precedent).
+   */
+  def daviesBouldin(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col("centroid_id"),
+      col("cvec").cast("array<double>").as("cvec"))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    val scatter = kmeansAssign(corpus, cents, idCol, vecCol)
+      .join(broadcast(cents), col("list_id") === col("centroid_id"))
+      .select(col("list_id"), l2(col("nvec"), col("cvec")).as("__d"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_members"), avg(col("__d")).as("scatter"))
+    val sc = scatter.join(broadcast(cents),
+      col("list_id") === col("centroid_id")).drop("centroid_id")
+    val rmax = sc.select(col("list_id").as("__i"), col("scatter").as("__si"),
+        col("cvec").as("__ci"))
+      .join(sc.select(col("list_id").as("__j"), col("scatter").as("__sj"),
+        col("cvec").as("__cj")), col("__i") =!= col("__j"))
+      .select(col("__i"), ((col("__si") + col("__sj")) /
+        l2(col("__ci"), col("__cj"))).as("__r"),
+        l2(col("__ci"), col("__cj")).as("__dij"))
+      .where(col("__dij") > 0.0)
+      .groupBy(col("__i")).agg(max(col("__r")).as("r_max"))
+    val perCluster = sc
+      .join(rmax, col("list_id") === col("__i"), "left").drop("__i")
+      .select(col("list_id").as("cluster_id"), col("n_members"),
+        col("scatter"), col("r_max"))
+    val db = perCluster.agg(avg(col("r_max")).as("db_index"))
+    perCluster.crossJoin(broadcast(db))
+  }
 }

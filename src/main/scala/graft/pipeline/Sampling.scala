@@ -90,6 +90,71 @@ object Sampling {
   }
 
   /**
+   * Token-budget corpus mixing: given a TARGET mixture specification
+   * (domain → relative weight) and a total token budget, compute each
+   * domain's keep rate and emit the deterministically sampled corpus —
+   * the "hit the 1T-token pretraining mix" solver. Complements
+   * [[temperatureSampleHash]] (whose weights derive from the data): here
+   * the weights are the PLAN, handed down from the mixture designer.
+   *
+   * Per listed domain d: target_d = ⌊budget · w_d / Σw⌋ tokens (weights
+   * quantized to integer micro-units driver-side — exact in any engine),
+   * avail_d = Σ tokens over d's rows (one tiny aggregate, broadcast
+   * back), rate = min(1, target_d / avail_d) applied as the md5-bucket
+   * predicate of [[stratifiedSampleHash]] in integer basis points
+   * (`target·10000 DIV avail` — pure integer arithmetic, no float
+   * boundary). Domains not listed are dropped; a domain with fewer
+   * available than target tokens is kept whole — the emitted `deficit`
+   * column reports the shortfall the designer must source elsewhere
+   * (upsampling/epoching is a separate decision, not silently applied).
+   *
+   * Sampling docs at a token-derived rate hits the token target in
+   * expectation (doc length is independent of the md5 bucket); the
+   * selection is a pure function of the key — stable across runs,
+   * layouts, and appends.
+   *
+   * Scale shape: one domain-sized aggregate + broadcast join + codegen'd
+   * filter; the corpus never shuffles.
+   *
+   * Returns the kept rows plus (target_tokens, avail_tokens, rate_bp,
+   * deficit) — per-domain audit columns riding the broadcast join.
+   */
+  def mixToBudget(df: DataFrame, keyCol: String, domainCol: String,
+                  tokensCol: Column, budgetTokens: Long,
+                  targetWeights: Seq[(String, Double)]): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 10000,
+      s"budgetTokens must be in (0, ${Long.MaxValue / 10000}], got $budgetTokens")
+    require(targetWeights.nonEmpty, "targetWeights must list at least one domain")
+    require(targetWeights.forall(_._2 > 0), "target weights must be positive")
+    require(targetWeights.map(_._1).distinct.size == targetWeights.size,
+      "duplicate domain in targetWeights")
+    // integer micro-unit weights, targets resolved driver-side in BigInt —
+    // both engines see the same literal token targets
+    val wI = targetWeights.map { case (dom, w) =>
+      dom -> BigInt(math.round(w * 1e6)) }
+    val sumW = wI.map(_._2).sum
+    val targets = wI.map { case (dom, w) =>
+      dom -> (BigInt(budgetTokens) * w / sumW).toLong }
+    val tgtCol = targets.foldRight(lit(0L)) { case ((dom, t), elseE) =>
+      when(col("__dom") === dom, lit(t)).otherwise(elseE) }
+    val avail = df
+      .filter(col(domainCol).isInCollection(targets.map(_._1)))
+      .groupBy(col(domainCol).as("__dom"))
+      .agg(sum(tokensCol.cast("long")).as("avail_tokens"))
+    val rates = avail
+      .withColumn("target_tokens", tgtCol)
+      // integer basis points: target·10000 fits a long (require above);
+      // DIV on positive longs is exact floor division in both engines
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("(target_tokens * 10000) DIV avail_tokens")))
+      .withColumn("deficit",
+        greatest(col("target_tokens") - col("avail_tokens"), lit(0L)))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(hashBucket(col(keyCol)) < col("rate_bp"))
+      .drop("__dom")
+  }
+
+  /**
    * Deterministic stratified sampling: keep a row iff its key's hash
    * bucket falls under the stratum's sampling rate (basis points of
    * 10000). The standard corpus-rebalancing move — downsample dominant

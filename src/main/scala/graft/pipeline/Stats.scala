@@ -741,6 +741,55 @@ object Stats {
   }
 
   /**
+   * Cohen's kappa — chance-corrected agreement between two categorical
+   * label columns (two annotators, model-vs-gold, two labeling-pipeline
+   * versions): the label-quality gate before training on annotated
+   * data. κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement
+   * rate and p_e the chance rate Σ_k p_a(k)·p_b(k).
+   *
+   * Cross-engine exactness: κ reduces to
+   * (agree·n − Σ na_k·nb_k) / (n² − Σ na_k·nb_k) — both sides exact
+   * DECIMAL(38,0) integer arithmetic (no n² long overflow at corpus
+   * scale), ONE IEEE division at the end; p_o and p_e are likewise
+   * single divisions of exact integers. Rows where either label is
+   * null are excluded (un-annotated items are not disagreements).
+   * Degenerate corpus (p_e = 1: both annotators constant and equal)
+   * returns null κ rather than 0/0.
+   *
+   * Plan skeleton = [[chiSquareIndependence]]: ONE corpus-sized cell
+   * aggregate (the K×K grid), marginals and totals derived from the
+   * grid (tiny), everything else broadcast arithmetic.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o")).persist()
+    val ma = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__na"))
+    val mb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__nb"))
+    // labels present in only one annotator's marginals contribute 0 to
+    // p_e — the inner join drops exactly those products
+    val peNum = ma.join(mb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na").cast("decimal(19,0)") *
+        col("__nb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__penum"))
+    val tot = obs.agg(sum(col("__o")).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__o"))), lit(0L))
+        .as("__agree"))
+    val n = col("__n").cast("decimal(19,0)")
+    val denom = (n * n - col("__penum")).cast("double")
+    tot.crossJoin(broadcast(peNum))
+      .select(col("__n").cast("long").as("n"),
+        col("__agree").cast("long").as("n_agree"),
+        (col("__agree").cast("double") / col("__n").cast("double")).as("po"),
+        (col("__penum").cast("double") /
+          (n * n).cast("double")).as("pe"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise((col("__agree").cast("decimal(19,0)") * n -
+            col("__penum")).cast("double") / denom).as("kappa"))
+  }
+
+  /**
    * Referential-integrity profile of a child→parent relation: child
    * row count, matched count, orphan count and rate — the pipeline
    * gate before any fact⋈dim assumption. One left join (parent side

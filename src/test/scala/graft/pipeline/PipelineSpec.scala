@@ -4072,4 +4072,106 @@ class PipelineSpec extends AnyFunSuite {
       (Some("click"), 1L, 1L),  // user 5 (same-instant)
       (None, 2L, 2L)))          // users 3 (stale) and 4 (none)
   }
+
+  test("mixToBudget: rates, caps, deficits, unlisted domains, determinism") {
+    import spark.implicits._
+    // a: 10 docs × 10 tokens = 100 avail; b: 4 × 10 = 40; c unlisted
+    val docs = ((1L to 10L).map(i => (i, "a")) ++
+      (11L to 14L).map(i => (i, "b")) ++
+      (15L to 19L).map(i => (i, "c"))).toDF("id", "dom")
+      .withColumn("tk", lit(10L))
+    val out = Sampling.mixToBudget(docs, "id", "dom", col("tk"),
+      budgetTokens = 100L, targetWeights = Seq("a" -> 1.0, "b" -> 1.0))
+    val audit = out.select("dom", "avail_tokens", "target_tokens",
+        "rate_bp", "deficit").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // targets 50/50; a samples at 5000 bp, b is capped whole (deficit 10)
+    assert(audit == Set(("a", 100L, 50L, 5000L, 0L),
+      ("b", 40L, 50L, 10000L, 10L)))
+    // kept set = exactly the md5-bucket predicate, and unlisted c is gone
+    val expected = docs.filter(col("dom") === "a" &&
+        Sampling.hashBucket(col("id")) < 5000 || col("dom") === "b")
+      .select("id").as[Long].collect().toSet
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept == expected && !kept.exists(id => id >= 15L))
+    // pure function of the key: a re-run is identical
+    assert(Sampling.mixToBudget(docs, "id", "dom", col("tk"), 100L,
+      Seq("a" -> 1.0, "b" -> 1.0)).select("id").as[Long].collect().toSet == kept)
+    // fractional weights quantize to micro-units: 3:1 over budget 80
+    val audit2 = Sampling.mixToBudget(docs, "id", "dom", col("tk"), 80L,
+        Seq("a" -> 1.5, "b" -> 0.5))
+      .select("dom", "target_tokens").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(audit2 == Set(("a", 60L), ("b", 20L)))
+    intercept[IllegalArgumentException](
+      Sampling.mixToBudget(docs, "id", "dom", col("tk"), 0L, Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.mixToBudget(docs, "id", "dom", col("tk"), 10L, Seq.empty))
+    intercept[IllegalArgumentException](Sampling.mixToBudget(docs, "id",
+      "dom", col("tk"), 10L, Seq("a" -> 1.0, "a" -> 2.0)))
+    intercept[IllegalArgumentException](Sampling.mixToBudget(docs, "id",
+      "dom", col("tk"), 10L, Seq("a" -> -1.0)))
+  }
+
+  test("cohenKappa: textbook 2x2, null exclusion, degenerate corpus") {
+    import spark.implicits._
+    // classic example: po=0.7, pe=0.5, kappa=0.4 — all exactly
+    // representable, so equality is exact
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    val out = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(out.getLong(0) == 50L && out.getLong(1) == 35L)
+    assert(out.getDouble(2) == 0.7 && out.getDouble(3) == 0.5 &&
+      out.getDouble(4) == 0.4)
+    // null labels are un-annotated items, not disagreements
+    val withNulls = (rows ++ Seq(("y", null), (null, "n"), (null, null)))
+      .toDF("a", "b")
+    val out2 = Stats.cohenKappa(withNulls, "a", "b").collect()(0)
+    assert(out2.getLong(0) == 50L && out2.getDouble(4) == 0.4)
+    // both annotators constant and equal: pe = 1 → kappa undefined (null)
+    val deg = Stats.cohenKappa(Seq.fill(7)(("x", "x")).toDF("a", "b"),
+      "a", "b").collect()(0)
+    assert(deg.getLong(0) == 7L && deg.getDouble(2) == 1.0 &&
+      deg.getDouble(3) == 1.0 && deg.isNullAt(4))
+    // disjoint label sets: pe = 0, kappa = po = 0
+    val dis = Stats.cohenKappa(Seq(("x", "y"), ("x", "y")).toDF("a", "b"),
+      "a", "b").collect()(0)
+    assert(dis.getDouble(3) == 0.0 && dis.getDouble(4) == 0.0)
+  }
+
+  test("daviesBouldin: hand-computed 2D case, empty cluster, single cluster") {
+    import spark.implicits._
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    // cosine assignment is unambiguous: a* align with c1, b* with c2
+    val pts = Seq((10L, Seq(2.0, 0.0)), (11L, Seq(4.0, 1.0)),
+      (20L, Seq(0.0, 3.0)), (21L, Seq(1.0, 4.0))).toDF("id", "v")
+    val out = Clustering.daviesBouldin(pts, cents, "id", "v")
+      .orderBy("cluster_id").collect()
+    val s1 = (1.0 + math.sqrt(10.0)) / 2 // ‖(2,0)−c1‖, ‖(4,1)−c1‖
+    val s2 = (2.0 + math.sqrt(10.0)) / 2 // ‖(0,3)−c2‖, ‖(1,4)−c2‖
+    val r = (s1 + s2) / math.sqrt(2.0)   // d(c1,c2) = √2, only pair
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - s1) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - s2) < 1e-12)
+    out.foreach { row =>
+      assert(math.abs(row.getDouble(3) - r) < 1e-12)
+      assert(math.abs(row.getDouble(4) - r) < 1e-12)
+    }
+    // an empty cluster (nothing assigns to a negative-direction centroid)
+    // is excluded from rows AND from the pairwise max
+    val cents3 = cents.unionByName(
+      Seq((3L, Seq(-1.0, -1.0))).toDF("centroid_id", "cvec"))
+    val out3 = Clustering.daviesBouldin(pts, cents3, "id", "v")
+      .orderBy("cluster_id").collect()
+    assert(out3.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out3(0).getDouble(4) - r) < 1e-12)
+    // a single non-empty cluster has no j≠i: r_max and db_index null
+    val one = Clustering.daviesBouldin(pts,
+      Seq((1L, Seq(1.0, 1.0))).toDF("centroid_id", "cvec"), "id", "v")
+      .collect()
+    assert(one.length == 1 && one(0).isNullAt(3) && one(0).isNullAt(4))
+  }
 }
