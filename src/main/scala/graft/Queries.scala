@@ -3558,6 +3558,34 @@ object Queries {
         GROUP BY w.win_id ORDER BY w.win_id""")
     }),
 
+    "q207_containment_join" -> ((s, d) => {
+      // asymmetric SPAN-containment dedup (3-gram |A∩B|/|A| ≥ 0.9): the
+      // snippet-in-page face Jaccard cannot see — every 20th doc's
+      // first-8-words snippet (id+200000) is planted next to a quarter
+      // of the corpus, and each must surface as contained in its source
+      // with containment 1.0 while the reverse direction stays absent.
+      // The unit is the word 3-GRAM, which only fires on genuinely
+      // embedded spans (unigram containment degenerates on this
+      // small-vocabulary fixture: 628k nested-vocab pairs vs 289 real
+      // span pairs at sf0.1). The prefix-filtered join (a's rarest
+      // grams ⋈ the full index) is recall-1 by the one-sided prefix
+      // lemma; the oracle brute-forces candidates from ANY shared gram —
+      // a SUPERSET of the prefix candidates — so a hash match certifies
+      // the filter lost nothing. Counts exact; containment an exact-int
+      // ratio.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val words = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+      val base = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"))
+      val snippets = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(words, 1, 8), " ").as("text"))
+      Dedup.containmentJoin(base.unionByName(snippets), "doc_id", "text",
+          threshold = 0.9, shingle = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q204_mix_to_budget" -> ((s, d) => {
       // token-budget corpus mixing: the mixture DESIGNER hands down
       // target weights (6 sources, 4:2:2:1:0.5:0.5) and a 4000-token
@@ -7689,6 +7717,44 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // candidates from ANY shared distinct token (a superset of the
+    // engine's prefix candidates) + the identical exact verify — a hash
+    // match certifies prefix filtering lost no qualifying pair
+    "q207_containment_join" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               array_to_string(list_filter(
+                 string_split_regex(trim(text), '\s+'),
+                 x -> x <> '')[1:8], ' ') AS text
+        FROM documents WHERE doc_id % 20 = 0),
+      w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM base),
+      g3 AS (
+        SELECT doc_id,
+               wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' || wt[i.i + 3] AS g
+        FROM w JOIN generate_series(0, 509) i(i) ON i.i <= len(wt) - 3),
+      tk AS (SELECT DISTINCT doc_id AS id, g AS t FROM g3),
+      sets AS (
+        SELECT id, list(t ORDER BY t) AS toks, count(*) AS n
+        FROM tk GROUP BY id),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM tk a JOIN tk b ON a.t = b.t AND a.id <> b.id)
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT)
+               AS intersection,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+               CAST(sa.n AS DOUBLE) AS containment
+      FROM cand c JOIN sets sa ON sa.id = c.id_a
+                  JOIN sets sb ON sb.id = c.id_b
+      WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+              CAST(sa.n AS DOUBLE) >= 0.9
+      ORDER BY id_a, id_b""",
 
     // integer token targets inlined from the SAME driver-side BigInt
     // resolution the builder uses; rate arithmetic and md5 bucket

@@ -865,6 +865,85 @@ object Dedup {
   }
 
   /**
+   * Exact set-CONTAINMENT self-join: ordered pairs (a, b) with
+   * |Tₐ ∩ T_b| / |Tₐ| ≥ `threshold` — "a is t-contained in b". The
+   * asymmetric sibling of [[setSimJoin]]: Jaccard misses a snippet
+   * embedded in a much larger page (the size mismatch drags J below any
+   * useful τ), but containment flags exactly that — quotes, aggregator
+   * pages, boilerplate-wrapped copies — the dedup view that decides
+   * which SIDE survives (drop the contained doc, keep the superset).
+   *
+   * Prefix principle, one-sided: order tokens rarest-first (df asc,
+   * token asc — the [[setSimJoin]] total order). If a misses more than
+   * |Tₐ| − ⌈t·|Tₐ|⌉ of its own tokens in b the containment is < t, so
+   * among a's first |Tₐ| − ⌈t·|Tₐ|⌉ + 1 tokens at least one is in b —
+   * candidates meet in an equi-join of a's PREFIX against b's FULL
+   * token index (containment puts no lower bound on where the shared
+   * token sits in b), recall 1 by the lemma. Both directions qualify
+   * independently ((a,b) from a's prefix, (b,a) from b's).
+   *
+   * Scale shape: the candidate fan-out per token is
+   * prefix-occurrences × posting-list length; prefixes hold each doc's
+   * rarest tokens, so hot stopwords enter only through docs so small
+   * (or thresholds so low) that hot tokens reach their prefix — the
+   * exact-guard argument of [[setSimJoin]] one side wider. The verify
+   * stage repartitions on the pair key at session parallelism (the
+   * byte-light/compute-dense AQE-coalescing fix, q130 precedent).
+   * Output: (id_a, id_b, intersection, n_a, n_b, containment) with
+   * id_a ≠ id_b; counts exact, containment an exact-int ratio.
+   *
+   * @param shingle containment unit: 1 = distinct words (pure
+   *        vocabulary nesting — degenerates on small-vocabulary/template
+   *        corpora where every doc's words nest in every longer doc;
+   *        measured 628k pairs at sf0.1 vs 289 with 3-grams on the same
+   *        fixture); n ≥ 2 = distinct word n-grams, which only fire on
+   *        genuinely embedded SPANS — the span-dedup primitive. Docs
+   *        shorter than `shingle` words have no units and emit nothing.
+   */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingle: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    val units =
+      if (shingle == 1)
+        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          t => t =!= ""))
+      else array_distinct(Text.wordShingles(col(textCol), shingle))
+    val toks = df.select(col(idCol).as("__id"), explode(units).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ordered = toks.join(dfreq, "__t")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__st"))
+      .select(col("__id"),
+        transform(col("__st"), s => s.getField("__t")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val prefix = ordered.select(col("__id"),
+      explode(slice(col("__toks"), lit(1), prefLen)).as("__t"))
+    val cands = prefix.select(col("__id").as("id_a"), col("__t"))
+      .join(toks.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+    val sets = ordered.select(col("__id"), col("__toks"), col("__n"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("intersection",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("containment",
+        col("intersection").cast("double") / col("__na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        col("containment"))
+  }
+
+  /**
    * Fuzzy self-join at edit distance ≤ 1 via SymSpell-style
    * DELETION-NEIGHBORHOOD blocking (Garbe's symmetric-delete idea): two
    * strings with ed ≤ 1 necessarily share a member of

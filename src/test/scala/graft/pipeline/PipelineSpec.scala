@@ -4073,6 +4073,49 @@ class PipelineSpec extends AnyFunSuite {
       (None, 2L, 2L)))          // users 3 (stale) and 4 (none)
   }
 
+  test("containmentJoin: prefix filter == brute force, direction, threshold edge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma"),                    // fully contained in 1
+      (3L, "beta gamma delta theta"),              // 3/4 = 0.75 toward 1
+      (4L, "kappa lambda"),                        // disjoint
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (6L, "zeta epsilon delta gamma beta alpha")) // set-equal to 1
+      .toDF("id", "text")
+    def brute(t: Double): Set[(Long, Long, Long, Long, Long, Double)] = {
+      val sets = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").toSet).toMap
+      (for {
+        (a, ta) <- sets; (b, tb) <- sets; if a != b
+        i = (ta & tb).size; if i.toDouble / ta.size >= t
+      } yield (a, b, i.toLong, ta.size.toLong, tb.size.toLong,
+        i.toDouble / ta.size)).toSet
+    }
+    for (t <- Seq(0.75, 0.9, 1.0)) {
+      val got = Dedup.containmentJoin(docs, "id", "text", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(got == brute(t), s"threshold $t") // incl. the >= edge at 0.75
+    }
+    // asymmetry: 2 ⊆ 1 at 1.0 while 1 → 2 is only 3/6
+    val hi = Dedup.containmentJoin(docs, "id", "text", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.contains((2L, 1L)) && !hi.contains((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Dedup.containmentJoin(docs, "id", "text", 0.0))
+    // 3-gram units: an embedded SPAN is contained; a scrambled doc with
+    // the same vocabulary is not (the unigram-degeneracy fix)
+    val span = Seq((1L, "a b c d e f"), (2L, "b c d"),
+      (3L, "f e d c b a")).toDF("id", "text")
+    val g3 = Dedup.containmentJoin(span, "id", "text", 0.9, shingle = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert(g3 == Set((2L, 1L, 1.0))) // 3 shares NO 3-gram with 1
+    // docs shorter than the shingle emit nothing
+    assert(Dedup.containmentJoin(Seq((1L, "a b"), (2L, "a b"))
+      .toDF("id", "text"), "id", "text", 0.9, shingle = 3).count() == 0L)
+  }
+
   test("mixToBudget: rates, caps, deficits, unlisted domains, determinism") {
     import spark.implicits._
     // a: 10 docs × 10 tokens = 100 avail; b: 4 × 10 = 40; c unlisted
