@@ -3586,6 +3586,23 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q208_truncation_recall" -> ((s, d) => {
+      // matryoshka truncation-recall: rank the corpus by cosine over the
+      // first 8/16/32 of 64 dimensions and score recall@10 against the
+      // full-dimension top-10 — the storage/quality curve that sizes an
+      // embedding column before the ANN index is built. Both rankings
+      // use the house (sim desc, id asc) rule, so the k-boundary is
+      // deterministic; hits and k_full are exact integers, recall an
+      // exact-int ratio. The oracle replays truncation as list slices
+      // and the identical cosine chain (q26 precedent).
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      Similarity.truncationRecall(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", k = 10, dims = Seq(8, 16, 32))
+        .orderBy("dim", "query_id")
+    }),
+
     "q204_mix_to_budget" -> ((s, d) => {
       // token-budget corpus mixing: the mixture DESIGNER hands down
       // target weights (6 sources, 4:2:2:1:0.5:0.5) and a 4000-token
@@ -7717,6 +7734,49 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // truncation as list slices + the identical cosine chain and
+    // (sim desc, id asc) ranking — recall fractions are exact-int ratios
+    "q208_truncation_recall" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 50 = 0),
+      full_r AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, e.id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.v, e.v))) DESC, e.id) AS rn
+          FROM q CROSS JOIN e WHERE e.id <> q.query_id)
+        WHERE rn <= 10),
+      fc AS (SELECT query_id, count(*) AS nf FROM full_r GROUP BY query_id),
+      dims(dim) AS (VALUES (8), (16), (32)),
+      tr AS (
+        SELECT dim, query_id, neighbor_id FROM (
+          SELECT dm.dim, q.query_id, e.id AS neighbor_id,
+                 row_number() OVER (PARTITION BY dm.dim, q.query_id
+                   ORDER BY
+                   list_dot_product(q.qv[1:dm.dim], e.v[1:dm.dim]) /
+                   (sqrt(list_dot_product(q.qv[1:dm.dim], q.qv[1:dm.dim])) *
+                    sqrt(list_dot_product(e.v[1:dm.dim], e.v[1:dm.dim])))
+                   DESC, e.id) AS rn
+          FROM dims dm CROSS JOIN q CROSS JOIN e
+          WHERE e.id <> q.query_id)
+        WHERE rn <= 10),
+      j AS (
+        SELECT t.dim, t.query_id,
+               CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tr t LEFT JOIN full_r f
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id)
+      SELECT j.dim, j.query_id, CAST(sum(j.hit) AS BIGINT) AS hits,
+             CAST(min(fc.nf) AS BIGINT) AS k_full,
+             CAST(sum(j.hit) AS DOUBLE) / CAST(min(fc.nf) AS DOUBLE)
+               AS recall
+      FROM j JOIN fc ON fc.query_id = j.query_id
+      GROUP BY j.dim, j.query_id
+      ORDER BY j.dim, j.query_id""",
 
     // candidates from ANY shared distinct token (a superset of the
     // engine's prefix candidates) + the identical exact verify — a hash

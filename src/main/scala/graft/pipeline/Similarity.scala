@@ -114,6 +114,56 @@ object Similarity {
   }
 
   /**
+   * Matryoshka truncation-recall eval: for each dimension prefix d in
+   * `dims`, rank the corpus by cosine over the FIRST d components and
+   * report recall@k against the full-dimension top-k — the storage/
+   * quality curve that decides how many dimensions an MRL-style
+   * embedding column actually needs before the ANN index is built
+   * (truncating 64→16 quarters index size and scan cost IF recall
+   * holds; this measures the IF). Both rankings use the house ranking
+   * rule (sim desc, neighbor id asc — [[bruteForceTopK]]), so the
+   * boundary set is deterministic and engine-replayable.
+   *
+   * Returns (dim, query_id, hits, k_full, recall): hits = overlap with
+   * the full top-k, k_full = that query's full top-k size (< k only
+   * when the corpus itself is smaller), recall = hits/k_full — an
+   * exact-int ratio.
+   *
+   * Scale shape: |dims|+1 broadcast-query brute-force passes over the
+   * corpus (queries are the small side by contract), a left join of
+   * k-bounded frames, and one (dim, query)-keyed aggregate. Truncation
+   * is a zero-copy array slice in codegen; at index-build scale the
+   * same eval runs over [[ivfTopKIndexed]] candidates instead.
+   */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      "dims must be a non-empty list of positive prefixes")
+    require(dims.distinct.size == dims.size, "dims must be distinct")
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val fullCnt = full.groupBy("query_id").agg(count(lit(1)).as("__nf"))
+    def truncate(df: DataFrame, d: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+    val truncated = dims.map { d =>
+      bruteForceTopK(truncate(corpus, d), truncate(queries, d), idCol,
+          vecCol, k)
+        .select(lit(d).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    truncated
+      .join(full.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .join(broadcast(fullCnt), Seq("query_id"))
+      .select(col("dim"), col("query_id"), col("hits"),
+        col("__nf").as("k_full"),
+        (col("hits").cast("double") / col("__nf").cast("double"))
+          .as("recall"))
+  }
+
+  /**
    * Reciprocal-rank fusion of several per-query rankings (hybrid
    * retrieval — e.g. lexical BM25 + dense cosine): each ranking
    * contributes 1/(k₀ + rank) per (query, neighbor) it lists; fused

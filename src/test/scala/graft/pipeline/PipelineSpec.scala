@@ -4116,6 +4116,30 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("id", "text"), "id", "text", 0.9, shingle = 3).count() == 0L)
   }
 
+  test("truncationRecall: identity at full dim, engineered flip, k_full < k") {
+    import spark.implicits._
+    // q=(1,0,0,1); full ranking: a(cos 1) > c(0.9487) > b(0.707);
+    // first-2-dims ranking: all cos 1 → ties by id → {a, b}
+    val corpus = Seq((1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.5, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val queries = Seq((100L, Seq(1.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val out = Similarity.truncationRecall(corpus, queries, "id", "v",
+        k = 2, dims = Seq(2, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set((2, 100L, 1L, 2L, 0.5),  // {1,2} ∩ {1,3} = {1}
+      (4, 100L, 2L, 2L, 1.0)))                 // full-length slice ≡ full
+    // corpus smaller than k: k_full is the real denominator
+    val small = Similarity.truncationRecall(corpus, queries, "id", "v",
+        k = 5, dims = Seq(4)).collect()(0)
+    assert(small.getLong(3) == 3L && small.getDouble(4) == 1.0)
+    intercept[IllegalArgumentException](Similarity.truncationRecall(
+      corpus, queries, "id", "v", 2, Seq(2, 2)))
+    intercept[IllegalArgumentException](Similarity.truncationRecall(
+      corpus, queries, "id", "v", 2, Seq.empty))
+  }
+
   test("mixToBudget: rates, caps, deficits, unlisted domains, determinism") {
     import spark.implicits._
     // a: 10 docs × 10 tokens = 100 avail; b: 4 × 10 = 40; c unlisted
