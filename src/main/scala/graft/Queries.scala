@@ -3586,6 +3586,27 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q209_embedding_drift" -> ((s, d) => {
+      // embedding-space drift: each vector's kmeans cell (the SAME
+      // certified two-round q107 trajectory) is the category, the
+      // corpus splits into reference (even ids) vs candidate (odd ids)
+      // slices, and categorical PSI over the cell mix is the drift
+      // scalar — the production monitoring gate for embedding
+      // pipelines. One-sided cells are reported, never smoothed. The
+      // oracle replays trajectory + counts + the PSI formula; 6dp
+      // absorbs the ln terms' Σ-order drift.
+      prep(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+      val assigned = Clustering.kmeansAssign(emb, cents, "vec_id", "embedding")
+        .select(col("neighbor_id").as("id"), col("list_id"))
+      Stats.psiCategorical(
+          assigned.filter(pmod(col("id"), lit(2)) === 0),
+          assigned.filter(pmod(col("id"), lit(2)) === 1), "list_id")
+        .select(col("n_a"), col("n_b"), col("n_keys_used"),
+          col("n_keys_onesided"), round(col("psi"), 6).as("psi"))
+    }),
+
     "q208_truncation_recall" -> ((s, d) => {
       // matryoshka truncation-recall: rank the corpus by cosine over the
       // first 8/16/32 of 64 dimensions and score recall@10 against the
@@ -7734,6 +7755,76 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // q107's unrolled trajectory, then slice counts + the PSI formula
+    // over the final cell assignment
+    "q209_embedding_drift" -> """
+      WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      c0 AS (
+        SELECT id AS cid, v AS cvec FROM e
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      a1 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      n1 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a1 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c1 AS (
+        SELECT c0.cid, coalesce(n1.cvec, c0.cvec) AS cvec
+        FROM c0 LEFT JOIN n1 USING (cid)),
+      a2 AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      n2 AS (
+        SELECT cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT cid, i.i AS pos, avg(v[i.i]) AS mv
+          FROM a2 CROSS JOIN generate_series(1, 64) i(i)
+          GROUP BY cid, i.i) GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid, coalesce(n2.cvec, c1.cvec) AS cvec
+        FROM c1 LEFT JOIN n2 USING (cid)),
+      af AS (
+        SELECT id, cid FROM (
+          SELECT e.id, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, c.cvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      ca AS (SELECT cid, count(*) AS c FROM af WHERE id % 2 = 0 GROUP BY cid),
+      cb AS (SELECT cid, count(*) AS c FROM af WHERE id % 2 = 1 GROUP BY cid),
+      tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS na,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS nb),
+      terms AS (
+        SELECT ca.c AS c_a, cb.c AS c_b
+        FROM ca FULL OUTER JOIN cb USING (cid))
+      SELECT t.na AS n_a, t.nb AS n_b,
+             CAST(count(*) FILTER (WHERE c_a IS NOT NULL AND c_b IS NOT NULL)
+               AS BIGINT) AS n_keys_used,
+             CAST(count(*) FILTER (WHERE c_a IS NULL OR c_b IS NULL)
+               AS BIGINT) AS n_keys_onesided,
+             round(sum(CASE WHEN c_a IS NOT NULL AND c_b IS NOT NULL THEN
+               (CAST(c_a AS DOUBLE) / t.na - CAST(c_b AS DOUBLE) / t.nb) *
+               ln((CAST(c_a AS DOUBLE) / t.na) /
+                  (CAST(c_b AS DOUBLE) / t.nb)) END), 6) AS psi
+      FROM terms CROSS JOIN tot t GROUP BY t.na, t.nb""",
 
     // truncation as list slices + the identical cosine chain and
     // (sim desc, id asc) ranking — recall fractions are exact-int ratios

@@ -856,6 +856,47 @@ object Stats {
   }
 
   /**
+   * PSI over a CATEGORICAL key — [[psi]]'s sibling for distributions
+   * that are already discrete: language mix, source mix, and above all
+   * EMBEDDING-SPACE drift, where each vector's IVF/kmeans cell id is
+   * the category and a shifted PSI means the new corpus lands in
+   * different regions of the space than the reference (the production
+   * drift gate for embedding pipelines — certified by q209 over the
+   * q107 kmeans cells). Same output contract as [[psi]]: one-sided
+   * keys (mass in only one slice) are REPORTED, not smoothed into the
+   * sum — smoothing choice belongs to the caller's policy, not the
+   * statistic.
+   *
+   * Shape: two key-sized aggregates, a full outer join of the count
+   * frames, one-row totals broadcast — the corpus shuffles once per
+   * side on the key.
+   */
+  def psiCategorical(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def cnt(df: DataFrame, c: String): DataFrame =
+      df.where(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as(c))
+    val ja = cnt(a, "__ca"); val jb = cnt(b, "__cb")
+    val tot = ja.agg(sum(col("__ca")).as("__na"))
+      .crossJoin(jb.agg(sum(col("__cb")).as("__nb")))
+    ja.join(jb, Seq("__k"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        when(col("__ca").isNotNull && col("__cb").isNotNull,
+          (col("__ca").cast("double") / col("__na").cast("double") -
+            col("__cb").cast("double") / col("__nb").cast("double")) *
+            log((col("__ca").cast("double") / col("__na").cast("double")) /
+              (col("__cb").cast("double") / col("__nb").cast("double"))))
+          .as("__term"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(sum(when(col("__term").isNotNull, 1L).otherwise(0L)).as("n_keys_used"),
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).as("n_keys_onesided"),
+        sum(col("__term")).as("psi"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("n_keys_used"), col("n_keys_onesided"), col("psi"))
+  }
+
+  /**
    * k-anonymity gate over a quasi-identifier tuple: every row whose
    * quasi-identifier group has fewer than k members is re-identifiable
    * to that group size. Reports group count, row count, the smallest

@@ -4116,6 +4116,27 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("id", "text"), "id", "text", 0.9, shingle = 3).count() == 0L)
   }
 
+  test("psiCategorical: hand-computed terms, one-sided keys, zero drift, nulls") {
+    import spark.implicits._
+    def frame(kv: (String, Int)*): org.apache.spark.sql.DataFrame =
+      kv.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val a = frame("x" -> 8, "y" -> 2)
+    val b = frame("x" -> 5, "y" -> 4, "z" -> 1)
+    val out = Stats.psiCategorical(a, b, "k").collect()(0)
+    val expected = (0.8 - 0.5) * math.log(0.8 / 0.5) +
+      (0.2 - 0.4) * math.log(0.2 / 0.4)
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 1L) // z is one-sided
+    assert(math.abs(out.getDouble(4) - expected) < 1e-12)
+    // identical mixes: every term is (p−p)·ln(1) = exactly 0
+    val same = Stats.psiCategorical(a, frame("x" -> 4, "y" -> 1), "k")
+      .collect()(0)
+    assert(same.getDouble(4) == 0.0 && same.getLong(3) == 0L)
+    // null keys are excluded from both counts and totals
+    val withNull = a.unionByName(Seq(null.asInstanceOf[String]).toDF("k"))
+    assert(Stats.psiCategorical(withNull, b, "k").collect()(0).getLong(0) == 10L)
+  }
+
   test("truncationRecall: identity at full dim, engineered flip, k_full < k") {
     import spark.implicits._
     // q=(1,0,0,1); full ranking: a(cos 1) > c(0.9487) > b(0.707);
