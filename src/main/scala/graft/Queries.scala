@@ -3586,6 +3586,19 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q210_ks_test" -> ((s, d) => {
+      // exact two-sample KS between purchase and view event values —
+      // q156's Welch-t sibling for SHAPE drift (slices with equal means
+      // pass a t-test and still fail KS). Cumulative counts are exact
+      // integers riding ONE distributed range-partitioned prefix-sum
+      // sweep (no single-reducer window); every F difference is two
+      // exact-int divisions, so D and λ certify UNROUNDED.
+      prep(s, d)
+      Stats.ksTest(
+        events(s, d).filter(col("event_type") === "purchase"),
+        events(s, d).filter(col("event_type") === "view"), "value")
+    }),
+
     "q209_embedding_drift" -> ((s, d) => {
       // embedding-space drift: each vector's kmeans cell (the SAME
       // certified two-round q107 trajectory) is the category, the
@@ -7755,6 +7768,35 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // the same cumulative-F construction over the merged distinct-value
+    // order; window default frame is fine (values are distinct in m)
+    "q210_ks_test" -> """
+      WITH va AS (
+        SELECT CAST(value AS DOUBLE) AS v, count(*) AS c FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+      vb AS (
+        SELECT CAST(value AS DOUBLE) AS v, count(*) AS c FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+      m AS (
+        SELECT coalesce(va.v, vb.v) AS v,
+               coalesce(va.c, 0) AS ca, coalesce(vb.c, 0) AS cb
+        FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+      cum AS (
+        SELECT sum(ca) OVER (ORDER BY v) AS cca,
+               sum(cb) OVER (ORDER BY v) AS ccb
+        FROM m),
+      tot AS (SELECT CAST((SELECT sum(ca) FROM m) AS BIGINT) AS na,
+                     CAST((SELECT sum(cb) FROM m) AS BIGINT) AS nb)
+      SELECT t.na AS n_a, t.nb AS n_b,
+             CAST(count(*) AS BIGINT) AS n_values,
+             max(abs(CAST(cca AS DOUBLE) / t.na -
+                     CAST(ccb AS DOUBLE) / t.nb)) AS d_stat,
+             max(abs(CAST(cca AS DOUBLE) / t.na -
+                     CAST(ccb AS DOUBLE) / t.nb)) *
+               sqrt(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb))
+               AS ks_lambda
+      FROM cum CROSS JOIN tot t GROUP BY t.na, t.nb""",
 
     // q107's unrolled trajectory, then slice counts + the PSI formula
     // over the final cell assignment

@@ -897,6 +897,65 @@ object Stats {
   }
 
   /**
+   * Exact two-sample Kolmogorov–Smirnov statistic — the
+   * distribution-shape drift gate for NUMERIC features ([[psi]] needs a
+   * binning policy; KS is binning-free): D = sup over values of
+   * |F_a(v) − F_b(v)|, evaluated after each distinct value (the
+   * tie-correct convention), plus λ = D·√(n_a·n_b/(n_a+n_b)), the
+   * scale-free statistic the asymptotic significance tables index.
+   *
+   * Scale shape: each side collapses to (distinct value, count) with
+   * map-side partials — the only corpus-sized shuffles — then BOTH
+   * cumulative counts ride ONE range-partitioned prefix-sum sweep over
+   * the merged value order ([[graft.pipeline.Dedup.globalOrderedCumsum]]'s
+   * pattern with two summands on one sort: per-partition window sums +
+   * a numPartitions-sized offset frame broadcast back — no
+   * single-reducer Window). Every F difference is two exact-integer
+   * divisions; D and λ certify UNROUNDED.
+   */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cnts(df: DataFrame, c: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as(c))
+    val merged = cnts(a, "__ca").join(cnts(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val parted = merged.repartitionByRange(col("__v"))
+      .withColumn("__pid",
+        org.apache.spark.sql.functions.spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = parted
+      .withColumn("__la", sum(col("__ca")).over(w))
+      .withColumn("__lb", sum(col("__cb")).over(w))
+      .persist() // offset agg + final sweep both read it (globalRank note)
+    val prev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("__pid"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+      .withColumn("__oa", coalesce(sum(col("__ta")).over(prev), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__tb")).over(prev), lit(0L)))
+      .select(col("__pid"), col("__oa"), col("__ob"))
+    val tot = merged.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        abs((col("__oa") + col("__la")).cast("double") /
+            col("__na").cast("double") -
+          (col("__ob") + col("__lb")).cast("double") /
+            col("__nb").cast("double")).as("__d"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_values"), max(col("__d")).as("d_stat"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"), col("n_values"), col("d_stat"),
+        (col("d_stat") * sqrt(col("__na").cast("double") *
+          col("__nb").cast("double") /
+          (col("__na") + col("__nb")).cast("double"))).as("ks_lambda"))
+  }
+
+  /**
    * k-anonymity gate over a quasi-identifier tuple: every row whose
    * quasi-identifier group has fewer than k members is re-identifiable
    * to that group size. Reports group count, row count, the smallest

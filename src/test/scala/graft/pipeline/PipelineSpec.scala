@@ -4116,6 +4116,27 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("id", "text"), "id", "text", 0.9, shingle = 3).count() == 0L)
   }
 
+  test("ksTest: hand-computed D, identical samples, disjoint supports, nulls") {
+    import spark.implicits._
+    // a={1,2,3}, b={2,3,4}: F diffs at 1,2,3,4 are 1/3,1/3,1/3,0 → D=1/3
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(2.0, 3.0, 4.0).toDF("x")
+    val out = Stats.ksTest(a, b, "x").collect()(0)
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L &&
+      out.getLong(2) == 4L)
+    assert(math.abs(out.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(out.getDouble(4) -
+      (1.0 / 3.0) * math.sqrt(9.0 / 6.0)) < 1e-15)
+    // identical samples: every F difference is exactly 0
+    assert(Stats.ksTest(a, a, "x").collect()(0).getDouble(3) == 0.0)
+    // disjoint supports: D = 1 exactly
+    assert(Stats.ksTest(a, Seq(10.0, 11.0).toDF("x"), "x")
+      .collect()(0).getDouble(3) == 1.0)
+    // nulls are excluded from counts and totals
+    val withNull = a.unionByName(Seq[Option[Double]](None).toDF("x"))
+    assert(Stats.ksTest(withNull, b, "x").collect()(0).getLong(0) == 3L)
+  }
+
   test("psiCategorical: hand-computed terms, one-sided keys, zero drift, nulls") {
     import spark.implicits._
     def frame(kv: (String, Int)*): org.apache.spark.sql.DataFrame =
