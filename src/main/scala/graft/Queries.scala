@@ -3586,6 +3586,21 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q211_mann_whitney" -> ((s, d) => {
+      // Mann–Whitney U between purchase and view event values — the
+      // rank-robust sibling of q156's Welch t (no normality assumption,
+      // outlier-immune) on the same slices. 2·R_a accumulates as exact
+      // DECIMAL integers over the same one-sweep substrate as q210, so
+      // U_a/U_b certify UNROUNDED; z rounds to 6dp (its σ chain is the
+      // only parenthesization-sensitive step).
+      prep(s, d)
+      Stats.mannWhitneyU(
+          events(s, d).filter(col("event_type") === "purchase"),
+          events(s, d).filter(col("event_type") === "view"), "value")
+        .select(col("n_a"), col("n_b"), col("u_a"), col("u_b"),
+          round(col("z"), 6).as("z"))
+    }),
+
     "q210_ks_test" -> ((s, d) => {
       // exact two-sample KS between purchase and view event values —
       // q156's Welch-t sibling for SHAPE drift (slices with equal means
@@ -7768,6 +7783,53 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // midranks double-counted to integers over the same merged
+    // distinct-value order as q210; U exact, z's sigma chain mirrored
+    // term for term
+    "q211_mann_whitney" -> """
+      WITH va AS (
+        SELECT CAST(value AS DOUBLE) AS v, count(*) AS c FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+      vb AS (
+        SELECT CAST(value AS DOUBLE) AS v, count(*) AS c FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+      m AS (
+        SELECT coalesce(va.v, vb.v) AS v,
+               coalesce(va.c, 0) AS ca, coalesce(vb.c, 0) AS cb
+        FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+      cum AS (
+        SELECT ca, cb, ca + cb AS t,
+               sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cbefore
+        FROM m),
+      agg AS (
+        SELECT sum(CAST(ca AS DECIMAL(19,0)) *
+                   CAST(cbefore * 2 + t + 1 AS DECIMAL(19,0))) AS r2s,
+               sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) *
+                   CAST(t AS DECIMAL(19,0)) - CAST(t AS DECIMAL(19,0)))
+                 AS ties
+        FROM cum),
+      tot AS (SELECT CAST((SELECT sum(ca) FROM m) AS BIGINT) AS na,
+                     CAST((SELECT sum(cb) FROM m) AS BIGINT) AS nb),
+      u AS (
+        SELECT t.na, t.nb,
+               CAST(a.r2s - CAST(t.na AS DECIMAL(19,0)) *
+                 CAST(t.na + 1 AS DECIMAL(19,0)) AS DOUBLE) / 2.0 AS u_a,
+               CAST(a.ties AS DOUBLE) AS ties
+        FROM agg a CROSS JOIN tot t)
+      SELECT na AS n_a, nb AS n_b, u_a,
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) - u_a AS u_b,
+             round(CASE WHEN sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / 12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - ties /
+                     (CAST(na + nb AS DOUBLE) *
+                      (CAST(na + nb AS DOUBLE) - 1.0)))) > 0
+               THEN (u_a - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
+                 sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                   ((CAST(na + nb AS DOUBLE) + 1.0) - ties /
+                    (CAST(na + nb AS DOUBLE) *
+                     (CAST(na + nb AS DOUBLE) - 1.0))))
+               END, 6) AS z
+      FROM u""",
 
     // the same cumulative-F construction over the merged distinct-value
     // order; window default frame is fine (values are distinct in m)

@@ -914,6 +914,30 @@ object Stats {
    * divisions; D and λ certify UNROUNDED.
    */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val (sweep, tot) = twoSampleSweep(a, b, valueCol)
+    sweep.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        abs(col("__cuma").cast("double") / col("__na").cast("double") -
+          col("__cumb").cast("double") / col("__nb").cast("double"))
+          .as("__d"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_values"), max(col("__d")).as("d_stat"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"), col("n_values"), col("d_stat"),
+        (col("d_stat") * sqrt(col("__na").cast("double") *
+          col("__nb").cast("double") /
+          (col("__na") + col("__nb")).cast("double"))).as("ks_lambda"))
+  }
+
+  /** Shared two-sample sweep: each side collapses to (distinct value,
+    * count), both CUMULATIVE counts ride one range-partitioned
+    * prefix-sum (per-partition window sums + a numPartitions-sized
+    * offset frame broadcast back — [[graft.pipeline.Dedup.globalOrderedCumsum]]'s
+    * pattern with two summands on a single sort). Returns
+    * ((__v, __ca, __cb, __cuma, __cumb), one-row (__na, __nb)) — the
+    * substrate of [[ksTest]] and [[mannWhitneyU]]. */
+  private def twoSampleSweep(a: DataFrame, b: DataFrame,
+                             valueCol: String): (DataFrame, DataFrame) = {
     def cnts(df: DataFrame, c: String): DataFrame =
       df.where(col(valueCol).isNotNull)
         .select(col(valueCol).cast("double").as("__v"))
@@ -939,20 +963,62 @@ object Stats {
       .select(col("__pid"), col("__oa"), col("__ob"))
     val tot = merged.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
-    local.join(broadcast(offs), Seq("__pid"))
-      .crossJoin(broadcast(tot))
-      .select(col("__na"), col("__nb"),
-        abs((col("__oa") + col("__la")).cast("double") /
-            col("__na").cast("double") -
-          (col("__ob") + col("__lb")).cast("double") /
-            col("__nb").cast("double")).as("__d"))
-      .groupBy(col("__na"), col("__nb"))
-      .agg(count(lit(1)).as("n_values"), max(col("__d")).as("d_stat"))
+    (local.join(broadcast(offs), Seq("__pid"))
+      .select(col("__v"), col("__ca"), col("__cb"),
+        (col("__oa") + col("__la")).as("__cuma"),
+        (col("__ob") + col("__lb")).as("__cumb")), tot)
+  }
+
+  /**
+   * Mann–Whitney U (Wilcoxon rank-sum) — the robust two-sample location
+   * test ([[welchT]]'s rank sibling: no normality assumption, immune to
+   * outliers): U_a counts pairs (x∈a, y∈b) with x > y (ties ½), with
+   * the tie-corrected normal approximation
+   * z = (U_a − n_a·n_b/2) / √(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))).
+   *
+   * Exactness: midranks double-count to INTEGERS — a value block of
+   * size t starting after C predecessors occupies ranks C+1..C+t, so
+   * 2·R_a accumulates a's exact contribution ca·(2C+t+1) in
+   * DECIMAL(38,0); U_a = (2R_a − n_a(n_a+1))/2 is exact (one halving in
+   * double), the tie term Σ(t³−t) is an exact decimal sum (t=1 blocks
+   * contribute 0 — no branch), and z is one fixed arithmetic chain —
+   * callers round z (6dp) against the σ chain's parenthesization only;
+   * U itself certifies unrounded. Degenerate σ = 0 (all values equal)
+   * returns null z.
+   *
+   * Scale shape: the same ONE-sweep substrate as [[ksTest]]
+   * ([[twoSampleSweep]]) plus a one-row aggregate — nothing beyond the
+   * (distinct value, count) collapse ever shuffles.
+   */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val (sweep, tot) = twoSampleSweep(a, b, valueCol)
+    val t = col("__ca") + col("__cb")
+    val cBefore = col("__cuma") + col("__cumb") - t
+    val dec = "decimal(19,0)"
+    val agg = sweep.select(
+        (col("__ca").cast(dec) * (cBefore * 2 + t + 1).cast(dec)).as("__r2"),
+        (t.cast(dec) * t.cast(dec) * t.cast(dec) - t.cast(dec)).as("__t3"))
+      .agg(sum(col("__r2")).as("__r2s"), sum(col("__t3")).as("__ties"))
+    agg.crossJoin(broadcast(tot))
       .select(col("__na").cast("long").as("n_a"),
-        col("__nb").cast("long").as("n_b"), col("n_values"), col("d_stat"),
-        (col("d_stat") * sqrt(col("__na").cast("double") *
-          col("__nb").cast("double") /
-          (col("__na") + col("__nb")).cast("double"))).as("ks_lambda"))
+        col("__nb").cast("long").as("n_b"),
+        ((col("__r2s") - col("__na").cast(dec) *
+          (col("__na") + 1).cast(dec)).cast("double") / 2.0).as("u_a"),
+        col("__na"), col("__nb"), col("__ties"))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        (col("__na").cast("double") * col("__nb").cast("double") -
+          col("u_a")).as("u_b"),
+        {
+          val naD = col("__na").cast("double")
+          val nbD = col("__nb").cast("double")
+          val nD = (col("__na") + col("__nb")).cast("double")
+          val sigma = sqrt(naD * nbD / 12.0 *
+            ((nD + 1.0) - col("__ties").cast("double") /
+              (nD * (nD - 1.0))))
+          when(sigma > 0.0,
+            (col("u_a") - naD * nbD / 2.0) / sigma)
+            .otherwise(lit(null).cast("double")).as("z")
+        })
   }
 
   /**

@@ -4137,6 +4137,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Stats.ksTest(withNull, b, "x").collect()(0).getLong(0) == 3L)
   }
 
+  test("containmentJoin: randomized brute-force parity (prefix lemma fuzz)") {
+    import spark.implicits._
+    // small vocabulary forces heavy unit collisions — the adversarial
+    // regime for prefix filtering; fixed seed keeps the fuzz replayable
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = ('a' to 'j').map(_.toString)
+    for (round <- 1 to 4) {
+      val shingle = if (round % 2 == 0) 2 else 1
+      val threshold = Seq(0.5, 0.7, 0.9, 1.0)(round - 1)
+      val docs = (1L to 20L).map { id =>
+        val len = 1 + rnd.nextInt(10)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.containmentJoin(docs.toDF("id", "text"), "id", "text",
+          threshold, shingle).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def units(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+").toSeq
+        if (shingle == 1) ws.toSet
+        else ws.sliding(shingle).filter(_.size == shingle)
+          .map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        (a, ta0) <- docs; (b, tb0) <- docs; if a != b
+        ta = units(ta0); tb = units(tb0); if ta.nonEmpty
+        i = (ta & tb).size
+        if i.toDouble / ta.size >= threshold
+      } yield (a, b, i.toLong)).toSet
+      assert(got == brute, s"round $round t=$threshold n=$shingle")
+    }
+  }
+
+  test("mannWhitneyU: hand-computed midranks, tie correction, degenerate sigma") {
+    import spark.implicits._
+    // a={1,2,3}, b={2,3,4}: midranks 1, 2.5, 4.5 → R_a=8 → U_a=2, U_b=7;
+    // ties: two t=2 blocks → Σ(t³−t)=12
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(2.0, 3.0, 4.0).toDF("x")
+    val out = Stats.mannWhitneyU(a, b, "x").collect()(0)
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.0 && out.getDouble(3) == 7.0)
+    val sigma = math.sqrt(9.0 / 12.0 * (7.0 - 12.0 / 30.0))
+    assert(math.abs(out.getDouble(4) - (2.0 - 4.5) / sigma) < 1e-12)
+    // U_a + U_b ≡ n_a·n_b also under heavy ties
+    val c = Seq(5.0, 5.0, 5.0, 6.0).toDF("x")
+    val o2 = Stats.mannWhitneyU(c, Seq(5.0, 6.0, 6.0).toDF("x"), "x")
+      .collect()(0)
+    assert(o2.getDouble(2) + o2.getDouble(3) == 12.0)
+    // all values equal: sigma = 0 → z null, U_a = ties/2 = n_a·n_b/2
+    val deg = Stats.mannWhitneyU(Seq(7.0, 7.0).toDF("x"),
+      Seq(7.0).toDF("x"), "x").collect()(0)
+    assert(deg.getDouble(2) == 1.0 && deg.isNullAt(4))
+  }
+
   test("psiCategorical: hand-computed terms, one-sided keys, zero drift, nulls") {
     import spark.implicits._
     def frame(kv: (String, Int)*): org.apache.spark.sql.DataFrame =
