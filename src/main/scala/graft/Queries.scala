@@ -3586,6 +3586,26 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q212_hits" -> ((s, d) => {
+      // HITS hubs & authorities (2 rounds) over the DIRECTED customer →
+      // supplier purchase graph — q111's bidirectional sibling: hub =
+      // "buys from many authoritative suppliers", authority = "bought
+      // from by many strong hubs" (on the bipartite graph customers get
+      // auth 0, suppliers hub 0). The iterations run unnormalized so
+      // every intermediate score is an exact integer sum (auth₁ is the
+      // in-degree), and the single end max-normalization is one exact
+      // division — the whole output certifies UNROUNDED. The oracle
+      // unrolls both rounds textually (the q111 trajectory discipline).
+      prep(s, d, "orders", "lineitem")
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.hits(pairs, "src", "dst", iters = 2).orderBy("node")
+    }),
+
     "q211_mann_whitney" -> ((s, d) => {
       // Mann–Whitney U between purchase and view event values — the
       // rank-robust sibling of q156's Welch t (no normality assumption,
@@ -7783,6 +7803,45 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // both HITS rounds unrolled textually; every score is an integer
+    // sum until the final exact max-division (unrounded equality)
+    "q212_hits" -> """
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (
+        SELECT src AS node FROM pairs UNION SELECT dst AS node FROM pairs),
+      a1 AS (
+        SELECT n.node, CAST(coalesce(i.cnt, 0) AS DOUBLE) AS s
+        FROM nodes n LEFT JOIN
+          (SELECT dst, count(*) AS cnt FROM pairs GROUP BY dst) i
+          ON i.dst = n.node),
+      h1 AS (
+        SELECT n.node, coalesce(x.s, 0.0) AS s
+        FROM nodes n LEFT JOIN
+          (SELECT p.src AS node, sum(a1.s) AS s
+           FROM pairs p JOIN a1 ON a1.node = p.dst GROUP BY p.src) x
+          ON x.node = n.node),
+      a2 AS (
+        SELECT n.node, coalesce(x.s, 0.0) AS s
+        FROM nodes n LEFT JOIN
+          (SELECT p.dst AS node, sum(h1.s) AS s
+           FROM pairs p JOIN h1 ON h1.node = p.src GROUP BY p.dst) x
+          ON x.node = n.node),
+      h2 AS (
+        SELECT n.node, coalesce(x.s, 0.0) AS s
+        FROM nodes n LEFT JOIN
+          (SELECT p.src AS node, sum(a2.s) AS s
+           FROM pairs p JOIN a2 ON a2.node = p.dst GROUP BY p.src) x
+          ON x.node = n.node),
+      mx AS (SELECT (SELECT max(s) FROM h2) AS mh,
+                    (SELECT max(s) FROM a2) AS ma)
+      SELECT h2.node,
+             CASE WHEN mx.mh > 0 THEN h2.s / mx.mh ELSE 0.0 END AS hub,
+             CASE WHEN mx.ma > 0 THEN a2.s / mx.ma ELSE 0.0 END AS auth
+      FROM h2 JOIN a2 ON a2.node = h2.node CROSS JOIN mx
+      ORDER BY h2.node""",
 
     // midranks double-counted to integers over the same merged
     // distinct-value order as q210; U exact, z's sigma chain mirrored

@@ -876,4 +876,74 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg) over a directed edge list —
+   * [[pageRank]]'s bidirectional sibling for link/citation/provenance
+   * graphs where "points at good pages" (hub) and "is pointed at by
+   * good hubs" (authority) are DIFFERENT qualities: auth ← Σ hub over
+   * in-edges, hub ← Σ auth over out-edges, `iters` full rounds from
+   * hub ≡ 1.
+   *
+   * Exactness by construction: the iterations run UNNORMALIZED — every
+   * intermediate score is a sum of integer-valued doubles, exact in
+   * any engine and any summation order (auth₁ is the in-degree, and
+   * each later score is an integer sum of integers) — and the single
+   * max-normalization at the end is scale-equivalent to the classical
+   * per-round normalization (the iteration is linear, so per-round
+   * scaling only changes scale, never ratios). The outputs therefore
+   * certify UNROUNDED: each is one exact-integer division. `iters` is
+   * capped so the growth (≤ degreeᵏ-ish) stays far below 2⁵³, where
+   * integer-double exactness would end.
+   *
+   * Returns (node, hub, auth) max-normalized to [0, 1]; nodes with no
+   * out-edges have hub 0, no in-edges auth 0.
+   *
+   * Scale shape: the [[pageRank]] discipline — slim cached edge/node
+   * frames, one edge⋈vector join + partial-aggregated sum per
+   * half-step, an unrolled lazy plan with no driver action beyond the
+   * one-row max frame.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6,
+      s"iters must be in [1, 6] (integer-exactness headroom), got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var hub: DataFrame = nodes.select(col("node"), lit(1.0).as("s"))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val h = hub.select(col("node").as("__hn"), col("s").as("__hv"))
+      auth = nodes
+        .join(e.join(h, col("src") === col("__hn"))
+          .groupBy(col("dst").as("node")).agg(sum(col("__hv")).as("__a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0.0)).as("s"))
+        .persist() // referenced by the hub half-step AND the output
+      val a = auth.select(col("node").as("__an"), col("s").as("__av"))
+      hub = nodes
+        .join(e.join(a, col("dst") === col("__an"))
+          .groupBy(col("src").as("node")).agg(sum(col("__av")).as("__h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0.0)).as("s"))
+        .persist()
+      it += 1
+    }
+    val joined = hub.select(col("node"), col("s").as("__hub"))
+      .join(auth.select(col("node"), col("s").as("__auth")), Seq("node"))
+      .persist()
+    // max of doubles is order-independent — the one deterministic
+    // corpus-wide normalizer (an L2 norm would reintroduce Σ-order drift)
+    val mx = joined.agg(max(col("__hub")).as("__mh"),
+      max(col("__auth")).as("__ma"))
+    joined.crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("__mh") > 0.0, col("__hub") / col("__mh"))
+          .otherwise(lit(0.0)).as("hub"),
+        when(col("__ma") > 0.0, col("__auth") / col("__ma"))
+          .otherwise(lit(0.0)).as("auth"))
+  }
 }

@@ -4169,6 +4169,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: hand-computed 2-round trajectory, zero-degree nodes, iters bound") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4: a1 = indeg {3:2, 4:1}; h1 = {1:2, 2:2, 3:1};
+    // a2 = {3:4, 4:1}; h2 = {1:4, 2:4, 3:1} → max-normalized exactly
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.hits(e, "s", "d", iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1.0, 0.0)) && out(2L) == ((1.0, 0.0)))
+    assert(out(3L) == ((0.25, 1.0)) && out(4L) == ((0.0, 0.25)))
+    intercept[IllegalArgumentException](Graph.hits(e, "s", "d", iters = 0))
+    intercept[IllegalArgumentException](Graph.hits(e, "s", "d", iters = 7))
+  }
+
   test("mannWhitneyU: hand-computed midranks, tie correction, degenerate sigma") {
     import spark.implicits._
     // a={1,2,3}, b={2,3,4}: midranks 1, 2.5, 4.5 → R_a=8 → U_a=2, U_b=7;
