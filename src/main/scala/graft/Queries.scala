@@ -3586,6 +3586,25 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q213_bh_fdr" -> ((s, d) => {
+      // Benjamini–Hochberg FDR over 300 per-segment pseudo p-values
+      // (md5-bucket uniforms keyed by customer id — the q49 determinism
+      // idiom, so both engines synthesize identical p's): the
+      // multiple-testing gate after a fleet of drift/AB tests. q-values
+      // are the fixed chain p·m/rank + order-independent suffix minima
+      // — the whole output certifies UNROUNDED; the step-up rejection
+      // set falls out as q ≤ 0.05.
+      prep(s, d, "customer")
+      val hyp = t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("test_id"),
+          (Sampling.hashBucket(col("c_custkey")).cast("double") / 10000.0)
+            .as("p0"))
+      Stats.benjaminiHochberg(hyp, "test_id", "p0", alpha = 0.05)
+        .select(col("test_id"), col("p"), col("rank"), col("q_value"),
+          col("rejected"))
+        .orderBy("rank")
+    }),
+
     "q212_hits" -> ((s, d) => {
       // HITS hubs & authorities (2 rounds) over the DIRECTED customer →
       // supplier purchase graph — q111's bidirectional sibling: hub =
@@ -7803,6 +7822,28 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // identical md5-bucket p synthesis (q49 idiom), rank + inclusive
+    // suffix-min window — q-values unrounded
+    "q213_bh_fdr" -> """
+      WITH hyp AS (
+        SELECT c_custkey AS test_id,
+               CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                 1, 8)) AS UBIGINT) % 10000 AS DOUBLE) / 10000.0 AS p
+        FROM customer WHERE c_custkey <= 300),
+      t AS (
+        SELECT test_id, p,
+               CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT)
+                 AS rank,
+               count(*) OVER () AS m
+        FROM hyp),
+      q AS (
+        SELECT test_id, p, rank,
+               least(min(p * m / rank) OVER (ORDER BY rank DESC), 1.0)
+                 AS q_value
+        FROM t)
+      SELECT test_id, p, rank, q_value, q_value <= 0.05 AS rejected
+      FROM q ORDER BY rank""",
 
     // both HITS rounds unrolled textually; every score is an integer
     // sum until the final exact max-division (unrounded equality)

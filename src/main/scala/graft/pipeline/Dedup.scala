@@ -1098,7 +1098,7 @@ object Dedup {
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offs), Seq("__pid"))
       .withColumn(rankCol, col("__off") + col("__lr"))
-      .drop("__pid", "__lr")
+      .drop("__pid", "__lr", "__off")
   }
 
   /**

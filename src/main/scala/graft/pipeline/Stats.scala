@@ -1022,6 +1022,39 @@ object Stats {
   }
 
   /**
+   * Benjamini–Hochberg FDR correction — the multiple-testing gate for
+   * the "ran one drift/AB test per segment, now which of the 10⁵
+   * p-values are real" workflow: rank p ascending (ties broken by id —
+   * deterministic), q_k = min(1, min_{j≥k} p_j·m/j), reject iff
+   * q ≤ alpha (the step-up rule, exactly). Returns every input row
+   * with (p, rank, q_value, rejected).
+   *
+   * Scale shape: rank via [[graft.pipeline.Dedup.globalRank]]
+   * (range-partitioned row_number — no single-reducer window), the
+   * suffix minimum via [[graft.pipeline.Dedup.globalOrderedCummaxExcl]]
+   * on the negated statistic over rank DESC (the frontier-sweep
+   * primitive), m as a one-row broadcast. Every q is the fixed chain
+   * p·m/rank followed by order-independent mins — certifies UNROUNDED.
+   */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val rows = df.where(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).cast("double").as("p"))
+    val ranked = Dedup.globalRank(rows, Seq("p", idCol))
+    val m = rows.agg(count(lit(1)).as("__m"))
+    val scored = ranked.crossJoin(broadcast(m))
+      .withColumn("__q", col("p") * col("__m") / col("rank"))
+      .withColumn("__negq", -col("__q"))
+    Dedup.globalOrderedCummaxExcl(scored, Seq(col("rank").desc), "__negq",
+        cummaxCol = "__cm")
+      .select(col(idCol), col("p"), col("rank"),
+        least(least(col("__q"), coalesce(-col("__cm"), col("__q"))),
+          lit(1.0)).as("q_value"))
+      .withColumn("rejected", col("q_value") <= alpha)
+  }
+
+  /**
    * k-anonymity gate over a quasi-identifier tuple: every row whose
    * quasi-identifier group has fewer than k members is re-identifiable
    * to that group size. Reports group count, row count, the smallest

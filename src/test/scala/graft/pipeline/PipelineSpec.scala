@@ -4169,6 +4169,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("benjaminiHochberg: textbook step-up, suffix-min monotonicity, ties") {
+    import spark.implicits._
+    // binary-exact p's (k/64) so the textbook expectation has no float
+    // boundary: raw q = p_k·5/k = {0.078125, 0.0390625, 0.0520833…,
+    // 0.0585937…, 0.8}; suffix minima → {.0390625 ×2, .0520833…,
+    // .0585937…, .8}; reject ranks 1-2 at α=.05 (classical step-up:
+    // largest k with p_k ≤ k·α/m is k=2)
+    val df = Seq((1L, 1.0 / 64), (2L, 1.0 / 64), (3L, 2.0 / 64),
+      (4L, 3.0 / 64), (5L, 0.8)).toDF("id", "p")
+    val out = Stats.benjaminiHochberg(df, "id", "p").orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // brute-force replica with the identical p·m/rank chain: exact
+    // double equality expected
+    val ps = Seq(1.0 / 64, 1.0 / 64, 2.0 / 64, 3.0 / 64, 0.8)
+    val raw = ps.zipWithIndex.map { case (p, i) => p * 5 / (i + 1) }
+    val qExp = raw.indices.map(i => raw.drop(i).min.min(1.0))
+    assert(out.map(_._3).toSeq == qExp)
+    assert(out.map(_._4).toSeq == qExp.map(_ <= 0.05))
+    assert(out.count(_._4) == 2)
+    // q is non-decreasing in rank and never exceeds 1
+    val rnd = new scala.util.Random(7L)
+    val big = (1L to 200L).map(i => (i, rnd.nextDouble())).toDF("id", "p")
+    val qs = Stats.benjaminiHochberg(big, "id", "p").orderBy("rank")
+      .select("q_value").collect().map(_.getDouble(0))
+    assert(qs.zip(qs.tail).forall { case (a2, b2) => a2 <= b2 } &&
+      qs.forall(_ <= 1.0))
+    // tied p's rank deterministically by id
+    val tied = Stats.benjaminiHochberg(
+      Seq((9L, 0.5), (3L, 0.5), (7L, 0.5)).toDF("id", "p"), "id", "p")
+      .orderBy("rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(3L, 7L, 9L))
+    intercept[IllegalArgumentException](
+      Stats.benjaminiHochberg(df, "id", "p", alpha = 0.0))
+  }
+
   test("hits: hand-computed 2-round trajectory, zero-degree nodes, iters bound") {
     import spark.implicits._
     // 1→3, 2→3, 3→4: a1 = indeg {3:2, 4:1}; h1 = {1:2, 2:2, 3:1};
