@@ -3586,6 +3586,17 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q214_truncation_budget" -> ((s, d) => {
+      // context-length design curve: docs truncated + token mass kept
+      // at caps 32/64/128/256 — all |caps| conditional sums ride ONE
+      // corpus scan and one one-row aggregate; counts exact integers,
+      // keep_frac one exact-int division (unrounded).
+      prep(s, d, "documents")
+      Text.truncationBudget(t(s, d, "documents"), "text",
+          lengths = Seq(32, 64, 128, 256))
+        .orderBy("max_len")
+    }),
+
     "q213_bh_fdr" -> ((s, d) => {
       // Benjamini–Hochberg FDR over 300 per-segment pseudo p-values
       // (md5-bucket uniforms keyed by customer id — the q49 determinism
@@ -7822,6 +7833,25 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // the q50 token-count idiom + per-cap conditional sums — exact
+    // integers, unrounded fraction
+    "q214_truncation_budget" -> """
+      WITH tk AS (
+        SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS BIGINT) AS tk
+        FROM documents),
+      caps(max_len) AS (VALUES (32), (64), (128), (256))
+      SELECT c.max_len,
+             CAST(sum(CASE WHEN tk.tk > c.max_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_truncated,
+             CAST(sum(least(tk.tk, c.max_len)) AS BIGINT) AS tokens_kept,
+             CAST(sum(tk.tk) AS BIGINT) AS tokens_total,
+             CAST(sum(least(tk.tk, c.max_len)) AS DOUBLE) /
+               CAST(sum(tk.tk) AS DOUBLE) AS keep_frac
+      FROM tk CROSS JOIN caps c
+      GROUP BY c.max_len ORDER BY c.max_len""",
 
     // identical md5-bucket p synthesis (q49 idiom), rank + inclusive
     // suffix-min window — q-values unrounded

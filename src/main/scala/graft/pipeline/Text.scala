@@ -849,6 +849,46 @@ object Text {
     toCol(MinHash(toExpr(text), numHashes, shingleSize))
 
   /**
+   * Truncation-budget curve — the context-length design telemetry
+   * [[vocabCoverage]]'s sibling asks of SEQUENCE length: for each
+   * candidate cap L, how many documents would truncate and what
+   * fraction of token mass survives if every document is cut at L
+   * tokens. "Is 2k context enough, or does 8k buy real data" is the
+   * first question of any packing/truncation policy; the answer is one
+   * scan.
+   *
+   * Returns one row per cap: (max_len, docs_truncated, tokens_kept,
+   * tokens_total, keep_frac). All counts exact integer sums
+   * (Σ min(tk, L) per cap rides the SAME single aggregate as the
+   * totals — |caps| conditional sums, one corpus scan, a one-row
+   * result exploded to |caps| rows); keep_frac is one exact-int
+   * division.
+   */
+  def truncationBudget(df: DataFrame, textCol: String,
+                       lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      "lengths must be a non-empty list of positive caps")
+    require(lengths.distinct.size == lengths.size, "lengths must be distinct")
+    val tk = tokenCount(col(textCol)).cast("long")
+    val aggs = sum(tk).as("__tot") +: lengths.flatMap { l =>
+      Seq(sum(least(tk, lit(l.toLong))).as(s"__kept_$l"),
+        sum(when(tk > l, 1L).otherwise(0L)).as(s"__trunc_$l"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = lengths.map { l =>
+      struct(lit(l).as("max_len"), col(s"__trunc_$l").as("docs_truncated"),
+        col(s"__kept_$l").as("tokens_kept"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"), col("__tot"))
+      .select(col("__r.max_len").as("max_len"),
+        col("__r.docs_truncated").as("docs_truncated"),
+        col("__r.tokens_kept").as("tokens_kept"),
+        col("__tot").as("tokens_total"),
+        (col("__r.tokens_kept").cast("double") /
+          col("__tot").cast("double")).as("keep_frac"))
+  }
+
+  /**
    * Tokenizer-design telemetry: the vocabulary coverage curve. For each
    * requested coverage threshold t, the smallest frequency-ranked
    * vocabulary whose tokens account for ≥ t of all (lowercased,

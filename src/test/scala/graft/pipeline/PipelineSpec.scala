@@ -4169,6 +4169,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("truncationBudget: exact per-cap sums, empty text, guards") {
+    import spark.implicits._
+    // token counts 2, 5, 0 — at cap 3: kept 2+3+0=5, truncated 1;
+    // at cap 5: kept 7, truncated 0
+    val docs = Seq("a b", "a b c d e", " ").toDF("text")
+    val out = Text.truncationBudget(docs, "text", Seq(3, 5))
+      .orderBy("max_len").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out(0) == ((3, 1L, 5L, 7L, 5.0 / 7.0)))
+    assert(out(1) == ((5, 0L, 7L, 7L, 1.0)))
+    intercept[IllegalArgumentException](
+      Text.truncationBudget(docs, "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      Text.truncationBudget(docs, "text", Seq(3, 3)))
+  }
+
   test("benjaminiHochberg: textbook step-up, suffix-min monotonicity, ties") {
     import spark.implicits._
     // binary-exact p's (k/64) so the textbook expectation has no float
