@@ -3586,6 +3586,17 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q215_spearman" -> ((s, d) => {
+      // Spearman ρ between customer balance and nation key — the
+      // monotone-association monitor (heavy nation-key ties exercise
+      // the midrank path). Midranks double-count to integers over the
+      // same prefix-sum substrate as q210/q211, the moments are exact
+      // DECIMAL sums, and ρ is one fixed chain over their double casts
+      // — certifies UNROUNDED.
+      prep(s, d, "customer")
+      Stats.spearman(t(s, d, "customer"), "c_acctbal", "c_nationkey")
+    }),
+
     "q214_truncation_budget" -> ((s, d) => {
       // context-length design curve: docs truncated + token mass kept
       // at caps 32/64/128/256 — all |caps| conditional sums ride ONE
@@ -7833,6 +7844,48 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // midrank2 per column via window cumsum over (value, count), exact
+    // DECIMAL moments, the identical final chain — rho unrounded
+    "q215_spearman" -> """
+      WITH rows_ AS (
+        SELECT CAST(c_acctbal AS DOUBLE) AS x,
+               CAST(c_nationkey AS DOUBLE) AS y
+        FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),
+      mx AS (
+        SELECT v, (c2 - t) * 2 + t + 1 AS mr2 FROM (
+          SELECT x AS v, count(*) AS t,
+                 sum(count(*)) OVER (ORDER BY x) AS c2
+          FROM rows_ GROUP BY x)),
+      my AS (
+        SELECT v, (c2 - t) * 2 + t + 1 AS mr2 FROM (
+          SELECT y AS v, count(*) AS t,
+                 sum(count(*)) OVER (ORDER BY y) AS c2
+          FROM rows_ GROUP BY y)),
+      ranked AS (
+        SELECT CAST(mx.mr2 AS DECIMAL(19,0)) AS rx,
+               CAST(my.mr2 AS DECIMAL(19,0)) AS ry
+        FROM rows_ r JOIN mx ON mx.v = r.x JOIN my ON my.v = r.y),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM ranked)
+      SELECT n,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END AS rho
+      FROM m""",
 
     // the q50 token-count idiom + per-cap conditional sums — exact
     // integers, unrounded fraction

@@ -1022,6 +1022,63 @@ object Stats {
   }
 
   /**
+   * Spearman rank correlation — the monotone-association monitor
+   * (Pearson sees only linearity; Spearman catches "bigger x ⇒ bigger
+   * y" of any shape and shrugs at outliers): Pearson over MIDRANKS,
+   * the tie-correct definition.
+   *
+   * Exactness: midranks double-count to integers — a value block of
+   * size t after C predecessors has midrank2 = 2C+t+1 — so every
+   * moment (Σr, Σr², Σr_x·r_y) is an exact DECIMAL integer sum
+   * (doubled ranks leave ρ unchanged: correlation is scale-invariant),
+   * and ρ is one fixed arithmetic chain over their double casts —
+   * certifies UNROUNDED. Degenerate marginals (all x or all y equal)
+   * return null.
+   *
+   * Scale shape: per column, the (distinct value, count) collapse +
+   * the range-partitioned prefix-sum sweep
+   * ([[graft.pipeline.Dedup.globalOrderedCumsum]]) build a
+   * value→midrank map that joins back value-keyed; one moment
+   * aggregate ends it. No single-reducer window anywhere.
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .persist() // two rank joins + the moment pass read it
+    def midrank2(c: String): DataFrame = {
+      val cnt = rows.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__t"))
+      Dedup.globalOrderedCumsum(cnt, Seq(col("__v")), "__t",
+          rankCol = "__rr", cumCol = "__cum")
+        .select(col("__v"),
+          ((col("__cum") - col("__t")) * 2 + col("__t") + 1).as("__mr2"))
+    }
+    val dec = "decimal(19,0)"
+    val ranked = rows
+      .join(midrank2("__x").select(col("__v").as("__x"),
+        col("__mr2").as("__rx")), Seq("__x"))
+      .join(midrank2("__y").select(col("__v").as("__y"),
+        col("__mr2").as("__ry")), Seq("__y"))
+      .select(col("__rx").cast(dec).as("rx"), col("__ry").cast(dec).as("ry"))
+    val m = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("rx")).as("__sx"), sum(col("ry")).as("__sy"),
+      sum(col("rx") * col("rx")).as("__sxx"),
+      sum(col("ry") * col("ry")).as("__syy"),
+      sum(col("rx") * col("ry")).as("__sxy"))
+    val nD = col("__n").cast("double")
+    val vx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    m.select(col("__n").cast("long").as("n"),
+      when(vx > 0.0 && vy > 0.0,
+        (nD * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+          (sqrt(vx) * sqrt(vy)))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction — the multiple-testing gate for
    * the "ran one drift/AB test per segment, now which of the 10⁵
    * p-values are real" workflow: rank p ascending (ties broken by id —

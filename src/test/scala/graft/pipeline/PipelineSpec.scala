@@ -4169,6 +4169,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("spearman: perfect monotone, midrank ties vs Pearson-on-ranks, degenerate") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))
+      .toDF("x", "y")
+    // sqrt(vx)·sqrt(vy) re-rounds once vs the exact vx — ±1 up to 1 ulp
+    assert(math.abs(Stats.spearman(mono, "x", "y").collect()(0)
+      .getDouble(1) - 1.0) < 1e-12)
+    val anti = Seq((1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0))
+      .toDF("x", "y")
+    assert(math.abs(Stats.spearman(anti, "x", "y").collect()(0)
+      .getDouble(1) + 1.0) < 1e-12)
+    // ties: y = (2,2,5,4,5) → midranks (1.5, 1.5, 4.5, 3, 4.5);
+    // expected = Pearson over (1..5) × those midranks
+    val tied = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 4.0),
+      (5.0, 5.0)).toDF("x", "y")
+    val rx = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ry = Seq(1.5, 1.5, 4.5, 3.0, 4.5)
+    val n = 5.0
+    val exp = (n * rx.zip(ry).map { case (a2, b2) => a2 * b2 }.sum -
+      rx.sum * ry.sum) /
+      (math.sqrt(n * rx.map(v => v * v).sum - rx.sum * rx.sum) *
+        math.sqrt(n * ry.map(v => v * v).sum - ry.sum * ry.sum))
+    val got = Stats.spearman(tied, "x", "y").collect()(0).getDouble(1)
+    assert(math.abs(got - exp) < 1e-12)
+    // constant marginal: variance 0 → null
+    val deg = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(Stats.spearman(deg, "x", "y").collect()(0).isNullAt(1))
+  }
+
   test("truncationBudget: exact per-cap sums, empty text, guards") {
     import spark.implicits._
     // token counts 2, 5, 0 — at cap 3: kept 2+3+0=5, truncated 1;
