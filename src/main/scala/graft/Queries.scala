@@ -3586,6 +3586,24 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q216_roc_auc" -> ((s, d) => {
+      // ROC-AUC via the exact rank identity AUC = U⁺/(n⁺·n⁻): a
+      // deterministic md5-uniform score (q49 idiom) and a label
+      // correlated with it through pure integer arithmetic (labelBucket
+      // < 3000 + scoreBucket DIV 2 — replayed bit-for-bit), so the AUC
+      // lands mid-range (~0.64) with real score ties at half credit.
+      // Exact DECIMAL rank arithmetic end to end — auc certifies
+      // UNROUNDED.
+      prep(s, d, "customer")
+      val sb = Sampling.hashBucket(col("c_custkey"))
+      val lb = Sampling.hashBucket(
+        concat(lit("L"), col("c_custkey").cast("string")))
+      val scored = t(s, d, "customer").select(
+        (sb.cast("double") / 10000.0).as("score"),
+        (lb < lit(3000L) + (sb / lit(2)).cast("long")).as("label"))
+      Stats.rocAuc(scored, "score", "label")
+    }),
+
     "q215_spearman" -> ((s, d) => {
       // Spearman ρ between customer balance and nation key — the
       // monotone-association monitor (heavy nation-key ties exercise
@@ -7844,6 +7862,41 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // the q211 rank construction over label slices + the exact
+    // AUC = U+/(n+ * n-) identity — unrounded
+    "q216_roc_auc" -> """
+      WITH scored AS (
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                 1, 8)) AS UBIGINT) % 10000 AS DOUBLE) / 10000.0 AS score,
+               CAST(('0x' || substr(md5('L' || CAST(c_custkey AS VARCHAR)),
+                 1, 8)) AS UBIGINT) % 10000 <
+                 3000 + (CAST(('0x' || substr(md5(CAST(c_custkey
+                   AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000) // 2 AS label
+        FROM customer),
+      va AS (SELECT score AS v, count(*) AS c FROM scored
+             WHERE label GROUP BY 1),
+      vb AS (SELECT score AS v, count(*) AS c FROM scored
+             WHERE NOT label GROUP BY 1),
+      m AS (
+        SELECT coalesce(va.v, vb.v) AS v,
+               coalesce(va.c, 0) AS ca, coalesce(vb.c, 0) AS cb
+        FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+      cum AS (
+        SELECT ca, cb, ca + cb AS t,
+               sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cbefore
+        FROM m),
+      agg AS (
+        SELECT sum(CAST(ca AS DECIMAL(19,0)) *
+                   CAST(cbefore * 2 + t + 1 AS DECIMAL(19,0))) AS r2s
+        FROM cum),
+      tot AS (SELECT CAST((SELECT sum(ca) FROM m) AS BIGINT) AS na,
+                     CAST((SELECT sum(cb) FROM m) AS BIGINT) AS nb)
+      SELECT t.na AS n_pos, t.nb AS n_neg,
+             (CAST(a.r2s - CAST(t.na AS DECIMAL(19,0)) *
+                CAST(t.na + 1 AS DECIMAL(19,0)) AS DOUBLE) / 2.0) /
+               CAST(t.na * t.nb AS DOUBLE) AS auc
+      FROM agg a CROSS JOIN tot t""",
 
     // midrank2 per column via window cumsum over (value, count), exact
     // DECIMAL moments, the identical final chain — rho unrounded

@@ -1079,6 +1079,24 @@ object Stats {
   }
 
   /**
+   * ROC-AUC of a score column against a boolean label — the
+   * classifier/quality-filter eval staple ("does the quality score
+   * actually rank kept docs above dropped ones"), computed EXACTLY via
+   * the rank identity AUC = U⁺/(n⁺·n⁻) (ties at half credit — the
+   * probabilistic definition P(s⁺ > s⁻) + ½P(=)): one
+   * [[mannWhitneyU]] over the label slices, so the whole statistic
+   * inherits the exact-DECIMAL midrank arithmetic and certifies
+   * UNROUNDED — no thresholds, no trapezoid sums, no approximation.
+   * Null labels are excluded. Returns (n_pos, n_neg, auc).
+   */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("boolean")
+    mannWhitneyU(df.where(lbl === true), df.where(lbl === false), scoreCol)
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("u_a") / (col("n_a") * col("n_b")).cast("double")).as("auc"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction — the multiple-testing gate for
    * the "ran one drift/AB test per segment, now which of the 10⁵
    * p-values are real" workflow: rank p ascending (ties broken by id —

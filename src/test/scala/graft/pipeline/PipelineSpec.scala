@@ -4169,6 +4169,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rocAuc: separable, random, tie half-credit, inverted ranker") {
+    import spark.implicits._
+    // perfectly separable → 1.0; inverted → 0.0 (both exact)
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "l")
+    assert(Stats.rocAuc(sep, "s", "l").collect()(0).getDouble(2) == 1.0)
+    val inv = Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))
+      .toDF("s", "l")
+    assert(Stats.rocAuc(inv, "s", "l").collect()(0).getDouble(2) == 0.0)
+    // hand case with a tie: pos {0.8, 0.5}, neg {0.5, 0.3}:
+    // pairs: .8>.5, .8>.3, .5=.5 (½), .5>.3 → AUC = 3.5/4
+    val tie = Seq((0.8, true), (0.5, true), (0.5, false), (0.3, false))
+      .toDF("s", "l")
+    val o = Stats.rocAuc(tie, "s", "l").collect()(0)
+    assert(o.getLong(0) == 2L && o.getLong(1) == 2L &&
+      o.getDouble(2) == 3.5 / 4.0)
+    // constant score: every pair is a tie → exactly 0.5
+    val const = Seq((0.5, true), (0.5, false), (0.5, false)).toDF("s", "l")
+    assert(Stats.rocAuc(const, "s", "l").collect()(0).getDouble(2) == 0.5)
+  }
+
   test("spearman: perfect monotone, midrank ties vs Pearson-on-ranks, degenerate") {
     import spark.implicits._
     val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))
