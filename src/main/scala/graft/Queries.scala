@@ -3586,6 +3586,18 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q217_cramers_v" -> ((s, d) => {
+      // Cramér's V of lang × source — q159's χ² read as a scale-free
+      // effect size in [0,1], comparable across differently-sized
+      // slices (the corpus-mix drift dashboard number). Same
+      // single-cell-aggregate plan; 6dp absorbs the χ² Σ-order drift
+      // through the √ (q159 precedent).
+      prep(s, d, "documents")
+      graft.pipeline.Stats.cramersV(t(s, d, "documents"), "lang", "source")
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n"),
+          round(col("cramers_v"), 6).as("cramers_v"))
+    }),
+
     "q216_roc_auc" -> ((s, d) => {
       // ROC-AUC via the exact rank identity AUC = U⁺/(n⁺·n⁻): a
       // deterministic md5-uniform score (q49 idiom) and a label
@@ -7862,6 +7874,35 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // q159's chi2 construction + V = sqrt(chi2 / (n * min(r-1, c-1)))
+    "q217_cramers_v" -> """
+      WITH obs AS (
+        SELECT lang AS r, source AS c, count(*) AS o FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY r),
+      ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY c),
+      tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+                     count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+              FROM obs),
+      s AS (
+        SELECT sum((CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) *
+                 CAST(ct.ct AS DOUBLE) / tot.n) *
+               (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) *
+                 CAST(ct.ct AS DOUBLE) / tot.n) /
+               (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / tot.n) -
+               CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / tot.n)
+                 AS term,
+               min(tot.n) AS n, min(tot.nr) AS nr, min(tot.nc) AS nc
+        FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot)
+      SELECT round(term + n, 6) AS chi2,
+             CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+             CAST(n AS BIGINT) AS n,
+             CASE WHEN n > 0 AND least(nr - 1, nc - 1) > 0
+                  THEN round(sqrt((term + n) /
+                    (n * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6)
+             END AS cramers_v
+      FROM s""",
 
     // the q211 rank construction over label slices + the exact
     // AUC = U+/(n+ * n-) identity — unrounded

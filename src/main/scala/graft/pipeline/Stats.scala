@@ -561,6 +561,12 @@ object Stats {
    * in, one IEEE chain per cell, Σ-order drift ~1e-14 — callers round.
    */
   def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame =
+    chiSquareWide(df, rowCol, colCol).select("chi2", "dof", "n")
+
+  /** [[chiSquareIndependence]] plus the marginal cardinalities the
+    * effect-size statistics need — shared by [[cramersV]]. */
+  private def chiSquareWide(df: DataFrame, rowCol: String,
                             colCol: String): DataFrame = {
     val obs = df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
@@ -579,7 +585,8 @@ object Stats {
       .agg(sum(col("__term")).as("__s"))
       .select((col("__s") + col("__n")).as("chi2"),
         ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
-        col("__n").cast("long").as("n"))
+        col("__n").cast("long").as("n"),
+        col("__nr"), col("__nc"))
   }
 
   /**
@@ -1077,6 +1084,24 @@ object Stats {
           (sqrt(vx) * sqrt(vy)))
         .otherwise(lit(null).cast("double")).as("rho"))
   }
+
+  /**
+   * Cramér's V — the effect SIZE companion to
+   * [[chiSquareIndependence]] (χ² says "dependent", V says "how much",
+   * scale-free in [0,1]): V = √(χ² / (n · min(r−1, c−1))). A corpus-mix
+   * audit reads q159's χ² through this to compare drift strength
+   * across differently-sized slices. Same single-cell-aggregate plan;
+   * the extra arithmetic is one-row. Callers round (the χ² Σ-order
+   * drift propagates through the √).
+   */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquareWide(df, rowCol, colCol)
+      .select(col("chi2"), col("dof"), col("n"),
+        when(col("n") > 0 &&
+            least(col("__nr") - 1, col("__nc") - 1) > 0,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("__nr") - 1, col("__nc") - 1).cast("double"))))
+          .otherwise(lit(null).cast("double")).as("cramers_v"))
 
   /**
    * ROC-AUC of a score column against a boolean label — the

@@ -4169,6 +4169,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cramersV: perfect association, independence, degenerate 1-column") {
+    import spark.implicits._
+    // perfect 2×2 association: chi2 = n → V = 1 (within sqrt ulp)
+    val perfect = (Seq.fill(6)(("a", "x")) ++ Seq.fill(4)(("b", "y")))
+      .toDF("r", "c")
+    val p = Stats.cramersV(perfect, "r", "c").collect()(0)
+    assert(p.getLong(2) == 10L && math.abs(p.getDouble(3) - 1.0) < 1e-12)
+    // exact independence: every observed cell equals expected → V = 0
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y");
+      _ <- 1 to 5 } yield (r, c)).toDF("r", "c")
+    val i = Stats.cramersV(indep, "r", "c").collect()(0)
+    assert(math.abs(i.getDouble(3)) < 1e-12)
+    // single-column contingency: min(r−1, c−1) = 0 → null V
+    val deg = Seq(("a", "x"), ("b", "x")).toDF("r", "c")
+    assert(Stats.cramersV(deg, "r", "c").collect()(0).isNullAt(3))
+  }
+
   test("rocAuc: separable, random, tie half-credit, inverted ranker") {
     import spark.implicits._
     // perfectly separable → 1.0; inverted → 0.0 (both exact)
