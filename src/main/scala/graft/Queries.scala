@@ -3586,6 +3586,24 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q218_ngram_novelty" -> ((s, d) => {
+      // 3-gram novelty of an eval slice against the even-id reference
+      // corpus — the synthetic-data memorization gate. Planted verbatim
+      // copies of reference docs (every 20th, id+300000) must score
+      // novelty EXACTLY 0 while the odd-id docs score their true
+      // fractions; counts exact, novelty one exact-int division
+      // (unrounded), gram-less docs null.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val eval = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Text.ngramNovelty(eval, ref, "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
     "q217_cramers_v" -> ((s, d) => {
       // Cramér's V of lang × source — q159's χ² read as a scale-free
       // effect size in [0,1], comparable across differently-sized
@@ -7874,6 +7892,45 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // the q110/q207 3-gram construction both sides; novel grams from a
+    // NOT EXISTS anti-join — counts exact, novelty unrounded
+    "q218_ngram_novelty" -> """
+      WITH ref AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM documents WHERE doc_id % 2 = 0),
+      refg AS (
+        SELECT DISTINCT wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+               wt[i.i + 3] AS g
+        FROM ref JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 3),
+      ev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM documents
+        WHERE doc_id % 20 = 0),
+      evw AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM ev),
+      evg AS (
+        SELECT DISTINCT doc_id, wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+               wt[i.i + 3] AS g
+        FROM evw JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 3),
+      agg AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM refg WHERE refg.g = evg.g)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM evg GROUP BY doc_id)
+      SELECT e.doc_id,
+             CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+             CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN CAST(a.n_novel AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+             END AS novelty
+      FROM ev e LEFT JOIN agg a USING (doc_id)
+      ORDER BY e.doc_id""",
 
     // q159's chi2 construction + V = sqrt(chi2 / (n * min(r-1, c-1)))
     "q217_cramers_v" -> """

@@ -849,6 +849,46 @@ object Text {
     toCol(MinHash(toExpr(text), numHashes, shingleSize))
 
   /**
+   * N-gram novelty against a reference corpus — the memorization /
+   * novelty gate for GENERATED data (synthetic-data pipelines ask two
+   * opposite questions of the same number: "is this sample novel or
+   * memorized from the teacher corpus" and "is it so novel it's
+   * off-distribution"): per eval document, the fraction of its
+   * DISTINCT word n-grams absent from the reference corpus's global
+   * n-gram set. Exact counts; novelty is one exact-int division
+   * (null for documents with no n-grams — shorter than n words).
+   *
+   * Scale shape: the reference collapses to its DISTINCT gram set
+   * (map-side combined) once; eval grams meet it in one gram-keyed
+   * LEFT ANTI join (novel grams survive) — the corpus shuffles only
+   * on the gram key, and a reference this is run against repeatedly
+   * belongs in a persisted gram index (the writeLineIndex pattern).
+   * Returns (id, n_grams, n_novel, novelty) for every eval document.
+   */
+  def ngramNovelty(eval: DataFrame, reference: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, extra: Column*): DataFrame =
+      df.select(extra :+ explode(array_distinct(
+        wordShingles(col(textCol), n))).as("__g"): _*)
+    val refGrams = grams(reference).select(col("__g")).distinct()
+    val evalGrams = grams(eval, col(idCol))
+    val novel = evalGrams.join(refGrams, Seq("__g"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__novel"))
+    val totals = evalGrams.groupBy(col(idCol)).agg(count(lit(1)).as("__tot"))
+    eval.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__tot"), lit(0L)).as("n_grams"),
+        coalesce(col("__novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("__tot"), lit(0L)) > 0,
+          coalesce(col("__novel"), lit(0L)).cast("double") /
+            col("__tot").cast("double"))
+          .otherwise(lit(null).cast("double")).as("novelty"))
+  }
+
+  /**
    * Truncation-budget curve — the context-length design telemetry
    * [[vocabCoverage]]'s sibling asks of SEQUENCE length: for each
    * candidate cap L, how many documents would truncate and what

@@ -4169,6 +4169,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty: verbatim copy 0, disjoint 1, partial, gram-less null") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e")).toDF("id", "text")
+    val ev = Seq(
+      (10L, "a b c d e"),      // verbatim → novelty 0
+      (11L, "x y z w"),        // disjoint  → novelty 1
+      (12L, "a b c x y z"),    // grams: abc(seen), bcx, cxy, xyz → 3/4
+      (13L, "a b")).toDF("id", "text") // no 3-grams → null
+    val out = Text.ngramNovelty(ev, ref, "text", "id", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out(0) == ((10L, 3L, 0L, 0.0)))
+    assert(out(1) == ((11L, 2L, 2L, 1.0)))
+    assert(out(2) == ((12L, 4L, 3L, 0.75)))
+    assert(out(3) == ((13L, 0L, 0L, null)))
+  }
+
   test("cramersV: perfect association, independence, degenerate 1-column") {
     import spark.implicits._
     // perfect 2×2 association: chi2 = n → V = 1 (within sqrt ulp)
