@@ -3586,6 +3586,32 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "q219_mix_epochs" -> ((s, d) => {
+      // epoch-aware mixing (q204's upsampling complement): weights 6:1
+      // over two sources with an 8000-token budget push src3 past its
+      // availability — it repeats up to the EXPLICIT 3-epoch cap (full
+      // copies + a deterministic fractional epoch; post-cap deficit
+      // reported) while src8 lands near 1 epoch with a small fractional
+      // tail. Summarized per domain: the audit columns plus emitted
+      // row/token totals over all copies. All integer arithmetic
+      // replays bit-for-bit; token sums exact.
+      prep(s, d, "documents")
+      Sampling.mixToBudgetEpochs(t(s, d, "documents"), "doc_id", "source",
+          Text.tokenCount(col("text")), MixEpochBudget, MixEpochWeights,
+          maxEpochs = 3)
+        .groupBy(col("source"))
+        .agg(min(col("avail_tokens")).as("avail_tokens"),
+          min(col("target_tokens")).as("target_tokens"),
+          min(col("rate_bp_total")).as("rate_bp_total"),
+          min(col("full_epochs")).as("full_epochs"),
+          min(col("frac_bp")).as("frac_bp"),
+          min(col("deficit")).as("deficit"),
+          count(lit(1)).as("emitted_rows"),
+          max(col("epoch")).as("max_epoch"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("emitted_tokens"))
+        .orderBy("source")
+    }),
+
     "q218_ngram_novelty" -> ((s, d) => {
       // 3-gram novelty of an eval slice against the even-id reference
       // corpus — the synthetic-data memorization gate. Planted verbatim
@@ -3833,6 +3859,16 @@ object Queries {
         .orderBy("cluster_id")
     })
   )
+
+  /** q219's epoch-mix spec (same BigInt resolution discipline as q204). */
+  private[graft] val MixEpochBudget = 8000L
+  private[graft] val MixEpochWeights: Seq[(String, Double)] = Seq(
+    "src3" -> 6.0, "src8" -> 1.0)
+  private[graft] def mixEpochTargets: Seq[(String, Long)] = {
+    val wI = MixEpochWeights.map { case (dm, w) => dm -> BigInt(math.round(w * 1e6)) }
+    val sw = wI.map(_._2).sum
+    wI.map { case (dm, w) => dm -> (BigInt(MixEpochBudget) * w / sw).toLong }
+  }
 
   /** q204's mixture spec: weights and budget are DRIVER constants, with
     * integer token targets resolved once in BigInt so the builder and
@@ -7892,6 +7928,60 @@ object Queries {
         ON CAST(c.c_acctbal AS DOUBLE) BETWEEN w.x0 AND w.x1
        AND CAST(c.c_nationkey AS DOUBLE) BETWEEN w.y0 AND w.y1
       GROUP BY w.win_id ORDER BY w.win_id""",
+
+    // targets inlined from the same BigInt resolution; full copies via
+    // generate_series, fractional epoch via the md5 bucket — all
+    // integer arithmetic bit-for-bit
+    "q219_mix_epochs" -> s"""
+      WITH tk AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS BIGINT) AS tk
+        FROM documents),
+      tgt(source, target_tokens) AS (VALUES
+        ${mixEpochTargets.map { case (dm, t) =>
+          s"('$dm', CAST($t AS BIGINT))" }.mkString(",\n        ")}),
+      rates AS (
+        SELECT a.source, a.avail_tokens, t.target_tokens,
+               LEAST(CAST(30000 AS BIGINT),
+                     (t.target_tokens * 10000) // a.avail_tokens)
+                 AS rate_bp_total
+        FROM (SELECT source, CAST(sum(tk) AS BIGINT) AS avail_tokens
+              FROM tk JOIN tgt USING (source) GROUP BY source) a
+        JOIN tgt t USING (source)),
+      rates2 AS (
+        SELECT *, rate_bp_total // 10000 AS full_epochs,
+               rate_bp_total % 10000 AS frac_bp,
+               GREATEST(target_tokens - (avail_tokens *
+                 (rate_bp_total // 10000) +
+                 (avail_tokens * (rate_bp_total % 10000)) // 10000),
+                 CAST(0 AS BIGINT)) AS deficit
+        FROM rates),
+      emitted AS (
+        SELECT k.source, k.tk, r.avail_tokens, r.target_tokens,
+               r.rate_bp_total, r.full_epochs, r.frac_bp, r.deficit,
+               e.e AS epoch
+        FROM tk k JOIN rates2 r USING (source)
+        JOIN generate_series(0, 2999) e(e) ON e.e < r.full_epochs
+        UNION ALL
+        SELECT k.source, k.tk, r.avail_tokens, r.target_tokens,
+               r.rate_bp_total, r.full_epochs, r.frac_bp, r.deficit,
+               r.full_epochs AS epoch
+        FROM tk k JOIN rates2 r USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 10000 < r.frac_bp)
+      SELECT source,
+             min(avail_tokens) AS avail_tokens,
+             min(target_tokens) AS target_tokens,
+             min(rate_bp_total) AS rate_bp_total,
+             min(full_epochs) AS full_epochs,
+             min(frac_bp) AS frac_bp,
+             min(deficit) AS deficit,
+             count(*) AS emitted_rows,
+             max(epoch) AS max_epoch,
+             CAST(sum(tk) AS BIGINT) AS emitted_tokens
+      FROM emitted GROUP BY source ORDER BY source""",
 
     // the q110/q207 3-gram construction both sides; novel grams from a
     // NOT EXISTS anti-join — counts exact, novelty unrounded

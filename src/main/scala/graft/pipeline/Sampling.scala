@@ -155,6 +155,68 @@ object Sampling {
   }
 
   /**
+   * Epoch-aware mixing — [[mixToBudget]]'s upsampling complement and
+   * the shape real pretraining samplers take: a domain with fewer
+   * tokens than its target REPEATS, up to `maxEpochs` passes (the
+   * quality cliff beyond a few epochs is the designer's documented
+   * risk, so the cap is explicit, never implicit). Per listed domain
+   * the total rate r = target/avail quantizes to integer basis points
+   * capped at maxEpochs·10000: every doc emits ⌊r⌋ full copies
+   * (`epoch` 0..⌊r⌋−1) plus one more iff its md5 bucket falls under
+   * the fractional remainder — deterministic, append-stable, and
+   * engine-replayable like every sampler here. Rows carry `epoch` so
+   * downstream shuffling/packing can interleave copies, plus the
+   * audit columns (avail/target/rate_bp_total/full_epochs/frac_bp and
+   * the post-cap deficit).
+   *
+   * Scale shape: one domain-sized aggregate, broadcast back, and a
+   * bounded per-row explode (≤ maxEpochs) — the corpus never shuffles.
+   */
+  def mixToBudgetEpochs(df: DataFrame, keyCol: String, domainCol: String,
+                        tokensCol: Column, budgetTokens: Long,
+                        targetWeights: Seq[(String, Double)],
+                        maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 10000,
+      s"budgetTokens must be in (0, ${Long.MaxValue / 10000}], got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 1000,
+      s"maxEpochs must be in [1, 1000], got $maxEpochs")
+    require(targetWeights.nonEmpty, "targetWeights must list at least one domain")
+    require(targetWeights.forall(_._2 > 0), "target weights must be positive")
+    require(targetWeights.map(_._1).distinct.size == targetWeights.size,
+      "duplicate domain in targetWeights")
+    val wI = targetWeights.map { case (dom, w) =>
+      dom -> BigInt(math.round(w * 1e6)) }
+    val sumW = wI.map(_._2).sum
+    val targets = wI.map { case (dom, w) =>
+      dom -> (BigInt(budgetTokens) * w / sumW).toLong }
+    val tgtCol = targets.foldRight(lit(0L)) { case ((dom, t), elseE) =>
+      when(col("__dom") === dom, lit(t)).otherwise(elseE) }
+    val rates = df
+      .filter(col(domainCol).isInCollection(targets.map(_._1)))
+      .groupBy(col(domainCol).as("__dom"))
+      .agg(sum(tokensCol.cast("long")).as("avail_tokens"))
+      .withColumn("target_tokens", tgtCol)
+      .withColumn("rate_bp_total", least(lit(maxEpochs * 10000L),
+        expr("(target_tokens * 10000) DIV avail_tokens")))
+      .withColumn("full_epochs", expr("rate_bp_total DIV 10000"))
+      .withColumn("frac_bp", col("rate_bp_total") % 10000L)
+      // expected emitted tokens = avail·full + ⌊avail·frac/10000⌋ —
+      // pure integer arithmetic, exact floor in both engines (a decimal
+      // division here would round at engine-specific scales)
+      .withColumn("deficit", greatest(col("target_tokens") -
+        (col("avail_tokens") * col("full_epochs") +
+          expr("(avail_tokens * frac_bp) DIV 10000")), lit(0L)))
+    val emptyArr = array().cast("array<bigint>")
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .withColumn("epoch", explode(concat(
+        when(col("full_epochs") > 0,
+          sequence(lit(0L), col("full_epochs") - 1)).otherwise(emptyArr),
+        when(hashBucket(col(keyCol)) < col("frac_bp"),
+          array(col("full_epochs"))).otherwise(emptyArr))))
+      .drop("__dom")
+  }
+
+  /**
    * Deterministic stratified sampling: keep a row iff its key's hash
    * bucket falls under the stratum's sampling rate (basis points of
    * 10000). The standard corpus-rebalancing move — downsample dominant

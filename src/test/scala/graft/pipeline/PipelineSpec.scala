@@ -4429,6 +4429,38 @@ class PipelineSpec extends AnyFunSuite {
       "dom", col("tk"), 10L, Seq("a" -> -1.0)))
   }
 
+  test("mixToBudgetEpochs: full copies, fractional epoch, cap + deficit") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, "a")).toDF("id", "dom")
+      .withColumn("tk", lit(10L))
+    // target 100 over avail 40 → r = 2.5 epochs: full 2, frac 5000 bp
+    val out = Sampling.mixToBudgetEpochs(docs, "id", "dom", col("tk"),
+      budgetTokens = 100L, targetWeights = Seq("a" -> 1.0), maxEpochs = 3)
+    val audit = out.select("avail_tokens", "target_tokens",
+        "rate_bp_total", "full_epochs", "frac_bp", "deficit")
+      .distinct().collect()(0)
+    assert(audit.getLong(0) == 40L && audit.getLong(1) == 100L)
+    assert(audit.getLong(2) == 25000L && audit.getLong(3) == 2L &&
+      audit.getLong(4) == 5000L && audit.getLong(5) == 0L)
+    // every doc twice (epochs 0,1) + the md5-picked half once more
+    val picked = docs.filter(Sampling.hashBucket(col("id")) < 5000)
+      .select("id").as[Long].collect().toSet
+    val emitted = out.select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1L to 4L).flatMap(i => Seq((i, 0L), (i, 1L))).toSet ++
+      picked.map(i => (i, 2L))
+    assert(emitted == expected)
+    // the cap binds: maxEpochs 2 → no fractional epoch, deficit 20
+    val capped = Sampling.mixToBudgetEpochs(docs, "id", "dom", col("tk"),
+        100L, Seq("a" -> 1.0), maxEpochs = 2)
+      .select("rate_bp_total", "full_epochs", "frac_bp", "deficit")
+      .distinct().collect()(0)
+    assert(capped.getLong(0) == 20000L && capped.getLong(1) == 2L &&
+      capped.getLong(2) == 0L && capped.getLong(3) == 20L)
+    intercept[IllegalArgumentException](Sampling.mixToBudgetEpochs(
+      docs, "id", "dom", col("tk"), 100L, Seq("a" -> 1.0), maxEpochs = 0))
+  }
+
   test("cohenKappa: textbook 2x2, null exclusion, degenerate corpus") {
     import spark.implicits._
     // classic example: po=0.7, pe=0.5, kappa=0.4 — all exactly
