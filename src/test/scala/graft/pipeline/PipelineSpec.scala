@@ -4116,6 +4116,56 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("id", "text"), "id", "text", 0.9, shingle = 3).count() == 0L)
   }
 
+  test("rank family fuzz: ksTest/mannWhitneyU/rocAuc/spearman == brute force") {
+    import spark.implicits._
+    // heavy-tie regime on purpose: values drawn from a 7-point grid so
+    // every midrank/tie-correction path runs; fixed seed
+    val rnd = new scala.util.Random(20260815L)
+    def sample(n: Int): Seq[Double] =
+      Seq.fill(n)(rnd.nextInt(7).toDouble / 2.0)
+    def midranks(all: Seq[Double]): Map[Double, Double] =
+      all.groupBy(identity).map { case (v, g) =>
+        val before = all.count(_ < v)
+        v -> (2 * before + g.size + 1) / 2.0
+      }
+    for (round <- 1 to 3) {
+      val a = sample(20 + rnd.nextInt(30)); val b = sample(15 + rnd.nextInt(30))
+      val da = a.toDF("x"); val db = b.toDF("x")
+      // KS brute force
+      val values = (a ++ b).distinct.sorted
+      val dExp = values.map(v => math.abs(
+        a.count(_ <= v).toDouble / a.size -
+          b.count(_ <= v).toDouble / b.size)).max
+      val ks = Stats.ksTest(da, db, "x").collect()(0)
+      assert(math.abs(ks.getDouble(3) - dExp) < 1e-12, s"KS round $round")
+      // U brute force: pairs won + half ties
+      val uExp = (for { x <- a; y <- b } yield
+        if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+      val mw = Stats.mannWhitneyU(da, db, "x").collect()(0)
+      assert(math.abs(mw.getDouble(2) - uExp) < 1e-9, s"U round $round")
+      // AUC = U / (na*nb) with labels
+      val labeled = (a.map((_, true)) ++ b.map((_, false))).toDF("s", "l")
+      val auc = Stats.rocAuc(labeled, "s", "l").collect()(0).getDouble(2)
+      assert(math.abs(auc - uExp / (a.size * b.size)) < 1e-12,
+        s"AUC round $round")
+      // Spearman = Pearson over midranks (paired by index)
+      val n = math.min(a.size, b.size)
+      val xs = a.take(n); val ys = b.take(n)
+      val rx = { val m = midranks(xs); xs.map(m) }
+      val ry = { val m = midranks(ys); ys.map(m) }
+      val nD = n.toDouble
+      val num = nD * rx.zip(ry).map { case (p, q) => p * q }.sum -
+        rx.sum * ry.sum
+      val den = math.sqrt(nD * rx.map(v => v * v).sum - rx.sum * rx.sum) *
+        math.sqrt(nD * ry.map(v => v * v).sum - ry.sum * ry.sum)
+      val sp = Stats.spearman(xs.zip(ys).toDF("x", "y"), "x", "y")
+        .collect()(0)
+      if (den > 0)
+        assert(math.abs(sp.getDouble(1) - num / den) < 1e-9,
+          s"rho round $round")
+    }
+  }
+
   test("ksTest: hand-computed D, identical samples, disjoint supports, nulls") {
     import spark.implicits._
     // a={1,2,3}, b={2,3,4}: F diffs at 1,2,3,4 are 1/3,1/3,1/3,0 → D=1/3
