@@ -4358,6 +4358,34 @@ class PipelineSpec extends AnyFunSuite {
       Stats.benjaminiHochberg(df, "id", "p", alpha = 0.0))
   }
 
+  test("hits fuzz: random directed graphs == brute-force power iteration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    for (round <- 1 to 3) {
+      val nNodes = 6 + rnd.nextInt(6)
+      val edges = (1 to 25).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (s2, d2) => s2 != d2 }.distinct
+      val iters = 1 + rnd.nextInt(3)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var hub = nodes.map(_ -> 1.0).toMap
+      var auth = Map.empty[Long, Double]
+      for (_ <- 1 to iters) {
+        auth = nodes.map(n =>
+          n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+        hub = nodes.map(n =>
+          n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      }
+      val mh = hub.values.max; val ma = auth.values.max
+      val exp = nodes.map(n => (n,
+        if (mh > 0) hub(n) / mh else 0.0,
+        if (ma > 0) auth(n) / ma else 0.0)).toSet
+      val got = Graph.hits(edges.toDF("s", "d"), "s", "d", iters).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == exp, s"round $round iters=$iters") // integer-exact
+    }
+  }
+
   test("hits: hand-computed 2-round trajectory, zero-degree nodes, iters bound") {
     import spark.implicits._
     // 1→3, 2→3, 3→4: a1 = indeg {3:2, 4:1}; h1 = {1:2, 2:2, 3:1};
