@@ -4507,6 +4507,24 @@ class PipelineSpec extends AnyFunSuite {
       "dom", col("tk"), 10L, Seq("a" -> -1.0)))
   }
 
+  test("samplers are layout-independent: repartitioned input, identical output") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "dom").withColumn("tk", (col("id") % 7 + 1).cast("long"))
+    def kept(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Sampling.mixToBudgetEpochs(df, "id", "dom", col("tk"), 500L,
+        Seq("a" -> 2.0, "b" -> 1.0), maxEpochs = 3)
+        .select("id", "epoch").as[(Long, Long)].collect().toSet
+    val base = kept(docs)
+    assert(base == kept(docs.repartition(17)) &&
+      base == kept(docs.repartition(1)) &&
+      base == kept(docs.orderBy(col("id").desc)))
+    def kept2(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.mixToBudget(df, "id", "dom", col("tk"), 300L,
+        Seq("a" -> 1.0, "b" -> 1.0)).select("id").as[Long].collect().toSet
+    assert(kept2(docs) == kept2(docs.repartition(13)))
+  }
+
   test("mixToBudgetEpochs: full copies, fractional epoch, cap + deficit") {
     import spark.implicits._
     val docs = (1L to 4L).map(i => (i, "a")).toDF("id", "dom")
