@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * Dim-sized double buffers cross the shuffle, never member vectors. */
 case class VecMeanBuf(var sums: Array[Double], var n: Long)
 
+/** Literal centroid row for kmeansFit's per-round injected array — field
+  * names match [[Similarity.assignFold]]'s `__cents` struct contract. */
+case class CentroidLit(centroid_id: Long, cvec: Seq[Double])
+
 /**
  * Element-wise mean of `array<double>` vectors as ONE partial-aggregated
  * shuffle: `reduce` sums map-side into a dim-sized buffer, `merge` folds
@@ -103,8 +107,20 @@ object Clustering {
         .map { case (id, v, _) => (id, v) }
       var it = 0
       while (it < iters) {
-        val centDf = cents.toSeq.toDF("centroid_id", "cvec")
-        val means = Similarity.ivfAssignWith(vecs, centDf, "vid", "v")
+        // the k×dim centroid matrix is ALREADY on the driver — inject it
+        // as a literal array column instead of round-tripping through a
+        // LocalRelation + one-row aggregate + broadcast job per round
+        // (the old shape re-planned and re-broadcast the centroid frame
+        // every iteration; the fold, its visit order, and every double it
+        // computes are unchanged, so the trajectory is bit-identical —
+        // pinned by KmeansSpec). ONE driver action per round remains: the
+        // k-sized means collect.
+        val centsCol = typedLit(cents.toSeq.map { case (id, v) =>
+          CentroidLit(id, v) })
+        val means = Similarity.assignFold(
+            vecs.select(col("vid").as("neighbor_id"), col("v").as("nvec"))
+              .withColumn("__cents", centsCol),
+            org.apache.spark.sql.types.LongType)
           .groupBy(col("list_id"))
           .agg(vecMeanUdaf(col("nvec")).as("mean"))
           .where(col("mean").isNotNull)

@@ -88,14 +88,49 @@ object Dedup {
 
   /** `hotBucketBound` sentinel: derive the bound from the data, inside the
     * plan — no knob to go stale when the corpus shifts (the adaptive-pitch
-    * precedent). See [[occupancyBoundCol]] for the estimate. */
+    * precedent). See [[occupancyBoundFrame]] for the estimate. */
   val AutoBound: Int = -1
+
+  /**
+   * The [[AutoBound]] bound as a ONE-ROW frame:
+   * `greatest(64, 16 × p99.9(occupancy))` with the percentile computed
+   * EXACTLY — ANSI `percentile_disc` semantics via pure integer
+   * arithmetic (the value at 1-based rank `ceil(999·n/1000)` of the
+   * ascending occupancy order, i.e. the smallest value whose cumulative
+   * count reaches `(999·n + 999) DIV 1000`). An approx_percentile sketch
+   * here could drift with partitioning/merge order, letting a group
+   * sitting near the bound flip between hub-star and all-pairs output
+   * across layouts — the exact form is layout-independent AND
+   * SQL-replayable, so an external oracle can recompute the identical
+   * bound (q119 does).
+   *
+   * Scale shape: the input is the OCCUPANCY frame (one row per distinct
+   * string/bucket/span), and it collapses further to one row per distinct
+   * occupancy VALUE before any ordered pass — that frame is
+   * metadata-sized (occupancies repeat heavily), so the running-sum
+   * window over it is a bounded single-task pass, the globalRank
+   * offset-frame precedent.
+   */
+  private[pipeline] def occupancyBoundFrame(occ: DataFrame,
+                                            occCol: String = "__occ"): DataFrame = {
+    val vc = occ.groupBy(col(occCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__vn"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__vn")).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vc.agg(sum(col("__vn")).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >= expr("(999 * __n + 999) DIV 1000"))
+      .agg(coalesce(greatest(lit(64L), lit(16L) * min(col("__v"))),
+        lit(64L)).as("__bound"))
+  }
 
   /**
    * Buckets whose occupancy exceeds the (possibly self-tuned) bound.
    *
    * With [[AutoBound]] the bound is
-   * `greatest(64, 16 × approx_percentile(occupancy, 0.999))`, computed
+   * `greatest(64, 16 × p99.9(occupancy))` ([[occupancyBoundFrame]] —
+   * EXACT percentile, layout-independent), computed
    * inside the SAME query as a one-row aggregate broadcast back onto the
    * occupancy frame (the bm25 corpus-stats shape): natural LSH occupancy
    * is ~1 per bucket at any corpus size (a bucket collects near-dups and
@@ -117,10 +152,7 @@ object Dedup {
     require(hotBucketBound > 0 || hotBucketBound == AutoBound,
       s"hotBucketBound must be positive or AutoBound, got $hotBucketBound")
     if (hotBucketBound == AutoBound) {
-      val bf = occ.agg(
-        coalesce(greatest(lit(64L),
-            lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
-          lit(64L)).as("__bound"))
+      val bf = occupancyBoundFrame(occ)
       occ.crossJoin(broadcast(bf)).filter(col("__occ") > col("__bound"))
         .drop("__bound")
     } else occ.filter(col("__occ") > lit(hotBucketBound.toLong))
@@ -381,12 +413,9 @@ object Dedup {
         // one row per BUCKET (not per banded row — spam would drag the
         // row-weighted quantile up to its own occupancy) → one-row bound,
         // broadcast back (the bm25 corpus-stats shape)
-        val bf = withOcc
+        val bf = occupancyBoundFrame(withOcc
           .withColumn("__rn", row_number().over(w.orderBy("id")))
-          .filter(col("__rn") === 1)
-          .agg(coalesce(greatest(lit(64L),
-              lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
-            lit(64L)).as("__bound"))
+          .filter(col("__rn") === 1))
         withOcc.crossJoin(broadcast(bf))
       } else withOcc.withColumn("__bound", lit(hotBucketBound.toLong))
     val cold = guarded.filter(col("__occ") <= col("__bound"))
@@ -450,10 +479,7 @@ object Dedup {
       .agg(count(lit(1)).as("__occ"), min(col("id")).as("__hub"))
     val withBound =
       if (hotSpanBound == AutoBound) {
-        val bf = occ.agg(
-          coalesce(greatest(lit(64L),
-              lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
-            lit(64L)).as("__bound"))
+        val bf = occupancyBoundFrame(occ)
         occ.crossJoin(broadcast(bf))
       } else {
         require(hotSpanBound > 0,
@@ -831,7 +857,11 @@ object Dedup {
       .select(col("__id"),
         transform(col("__st"), s => s.getField("__t")).as("__toks"))
       .withColumn("__n", size(col("__toks")))
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    // exact-integer ⌈t·n⌉ — see containmentJoin's prefix-bound note (an
+    // IEEE ceil can overshoot an integer product and shorten the prefix)
+    val tBp = math.floor(threshold * 10000).toLong
+    val prefLen = (col("__n") -
+      expr(s"(CAST(__n AS BIGINT) * ${tBp}L + 9999L) DIV 10000L") + 1).cast("int")
     val prefix = ordered.select(col("__id"),
       explode(slice(col("__toks"), lit(1), prefLen)).as("__t"))
     // the explicit repartition pins the VERIFY stage's parallelism: the
@@ -918,7 +948,16 @@ object Dedup {
       .select(col("__id"),
         transform(col("__st"), s => s.getField("__t")).as("__toks"))
       .withColumn("__n", size(col("__toks")))
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    // required overlap ⌈t·n⌉ in EXACT integer arithmetic (floor-quantized
+    // basis points): IEEE `ceil(t * n)` can land just above an integer
+    // product (0.07·100 → 7.000000000000001 → ceil 8), shortening the
+    // prefix by one and voiding the recall-1 lemma for exactly-at-
+    // threshold pairs. The floor quantization can only LENGTHEN the
+    // prefix (more candidates, never fewer); the exact verify below
+    // keeps the output identical. Same discipline as mixToBudget.
+    val tBp = math.floor(threshold * 10000).toLong
+    val prefLen = (col("__n") -
+      expr(s"(CAST(__n AS BIGINT) * ${tBp}L + 9999L) DIV 10000L") + 1).cast("int")
     val prefix = ordered.select(col("__id"),
       explode(slice(col("__toks"), lit(1), prefLen)).as("__t"))
     val cands = prefix.select(col("__id").as("id_a"), col("__t"))
@@ -1004,10 +1043,7 @@ object Dedup {
         .agg(count(lit(1)).as("__occ"), min(col("__fid")).as("__keeper"))
       val marked =
         if (hotStringBound == AutoBound) {
-          val bf = occ.agg(
-            coalesce(greatest(lit(64L),
-                lit(16L) * expr("approx_percentile(__occ, 0.999D)")),
-              lit(64L)).as("__bound"))
+          val bf = occupancyBoundFrame(occ)
           occ.crossJoin(broadcast(bf))
             .withColumn("__hot", col("__occ") > col("__bound"))
         } else occ.withColumn("__hot", col("__occ") > lit(hotStringBound.toLong))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -892,9 +892,12 @@ object Graph {
    * max-normalization at the end is scale-equivalent to the classical
    * per-round normalization (the iteration is linear, so per-round
    * scaling only changes scale, never ratios). The outputs therefore
-   * certify UNROUNDED: each is one exact-integer division. `iters` is
-   * capped so the growth (≤ degreeᵏ-ish) stays far below 2⁵³, where
-   * integer-double exactness would end.
+   * certify UNROUNDED: each is one exact-integer division. Growth is
+   * DEGREE-DEPENDENT (scores grow roughly like maxdeg^(2·iters)), so the
+   * `iters ≤ 6` cap alone does not bound magnitude on dense graphs — the
+   * final max aggregate therefore ASSERTS max score < 2⁵³ and fails loudly
+   * rather than silently voiding the unrounded contract; callers hitting
+   * the assert should lower `iters` (ratios converge in few rounds).
    *
    * Returns (node, hub, auth) max-normalized to [0, 1]; nodes with no
    * out-edges have hub 0, no in-edges auth 0.
@@ -937,8 +940,20 @@ object Graph {
       .persist()
     // max of doubles is order-independent — the one deterministic
     // corpus-wide normalizer (an L2 norm would reintroduce Σ-order drift)
-    val mx = joined.agg(max(col("__hub")).as("__mh"),
-      max(col("__auth")).as("__ma"))
+    // integer-double exactness ends at 2^53: refuse to certify beyond it.
+    // The check is the VALUE-PRODUCING branch of each max column (a
+    // free-standing assert_true column gets null-folded away by the
+    // optimizer before it can ever run — IsNull over a NullType branch
+    // simplifies to true); raise_error in the otherwise branch cannot be
+    // elided because the expression's value is needed.
+    val lim = lit(9007199254740992.0) // 2^53
+    def checked(c: Column): Column =
+      when(coalesce(c, lit(0.0)) < lim, c)
+        .otherwise(raise_error(lit("hits: unnormalized score reached 2^53 " +
+          "— integer-double exactness void; reduce iters")).cast("double"))
+    val mx = joined.agg(max(col("__hub")).as("__mh0"),
+        max(col("__auth")).as("__ma0"))
+      .select(checked(col("__mh0")).as("__mh"), checked(col("__ma0")).as("__ma"))
     joined.crossJoin(broadcast(mx))
       .select(col("node"),
         when(col("__mh") > 0.0, col("__hub") / col("__mh"))

@@ -107,6 +107,9 @@ object Sampling {
    * available than target tokens is kept whole — the emitted `deficit`
    * column reports the shortfall the designer must source elsewhere
    * (upsampling/epoching is a separate decision, not silently applied).
+   * The limit case avail = 0 (every row zero/null tokens) follows the
+   * same rule: kept whole, deficit = the full target — never a silent
+   * disappearance.
    *
    * Sampling docs at a token-derived rate hits the token target in
    * expectation (doc length is independent of the md5 bucket); the
@@ -142,11 +145,20 @@ object Sampling {
       .groupBy(col(domainCol).as("__dom"))
       .agg(sum(tokensCol.cast("long")).as("avail_tokens"))
     val rates = avail
+      // a listed domain whose rows all carry zero/null token counts sums
+      // to 0 (or null): the DIV below would yield null, the rate filter
+      // would drop every row, and the domain would VANISH with no deficit
+      // audit — the documented contract is the opposite (fewer available
+      // than target ⇒ kept whole + deficit), and avail = 0 is just its
+      // limit: keep the rows (they add 0 tokens), report the full target
+      // as deficit
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("target_tokens", tgtCol)
       // integer basis points: target·10000 fits a long (require above);
       // DIV on positive longs is exact floor division in both engines
-      .withColumn("rate_bp", least(lit(10000L),
-        expr("(target_tokens * 10000) DIV avail_tokens")))
+      .withColumn("rate_bp", when(col("avail_tokens") === 0L, lit(10000L))
+        .otherwise(least(lit(10000L),
+          expr("(target_tokens * 10000) DIV avail_tokens"))))
       .withColumn("deficit",
         greatest(col("target_tokens") - col("avail_tokens"), lit(0L)))
     df.join(broadcast(rates), col(domainCol) === col("__dom"))
@@ -195,9 +207,16 @@ object Sampling {
       .filter(col(domainCol).isInCollection(targets.map(_._1)))
       .groupBy(col(domainCol).as("__dom"))
       .agg(sum(tokensCol.cast("long")).as("avail_tokens"))
+      // zero-availability guard (see mixToBudget): the rate caps out at
+      // maxEpochs — its limit as avail → 0 — so the rows survive (one
+      // copy per allowed epoch of 0 tokens) and the deficit below
+      // reports the full target instead of the domain silently vanishing
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("target_tokens", tgtCol)
-      .withColumn("rate_bp_total", least(lit(maxEpochs * 10000L),
-        expr("(target_tokens * 10000) DIV avail_tokens")))
+      .withColumn("rate_bp_total",
+        when(col("avail_tokens") === 0L, lit(maxEpochs * 10000L))
+          .otherwise(least(lit(maxEpochs * 10000L),
+            expr("(target_tokens * 10000) DIV avail_tokens"))))
       .withColumn("full_epochs", expr("rate_bp_total DIV 10000"))
       .withColumn("frac_bp", col("rate_bp_total") % 10000L)
       // expected emitted tokens = avail·full + ⌊avail·frac/10000⌋ —

@@ -273,9 +273,22 @@ object Similarity {
     // breaks when the two widths differ (found by the narrow-int32
     // variant fixtures: kmeansFit always emits long centroid ids)
     val cidType = centroids.schema("centroid_id").dataType
-    corpus
+    assignFold(corpus
       .crossJoin(broadcast(centArr))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("__cents"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"), col("__cents")),
+      cidType)
+  }
+
+  /** The argmax-centroid fold shared by [[ivfAssignWith]] (centroids as a
+    * broadcast one-row frame) and [[graft.pipeline.Clustering.kmeansFit]]'s
+    * Lloyd loop (centroids as a LITERAL array column — the driver already
+    * holds them, so re-planning a broadcast job per round is pure
+    * overhead). `withCents` must carry (neighbor_id, nvec, __cents);
+    * the fold visits `__cents` in array order but its result is
+    * order-independent (strict-max with lowest-cid tie-break). */
+  private[pipeline] def assignFold(withCents: DataFrame,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame =
+    withCents
       .withColumn("list_id",
         aggregate(col("__cents"),
           struct(lit(-3.0).as("best"), lit(null).cast(cidType).as("cid")),
@@ -288,7 +301,6 @@ object Similarity {
               .otherwise(acc)
           }).getField("cid"))
       .drop("__cents")
-  }
 
   /** Step 3: each query's nProbe nearest lists →
     * routed(query_id, qvec, list_id).

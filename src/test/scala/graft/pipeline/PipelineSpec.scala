@@ -4557,6 +4557,96 @@ class PipelineSpec extends AnyFunSuite {
       docs, "id", "dom", col("tk"), 100L, Seq("a" -> 1.0), maxEpochs = 0))
   }
 
+  test("mixToBudget: zero-availability domain is kept whole with full deficit") {
+    import spark.implicits._
+    // domain z: rows exist but every token count is 0 or null — the
+    // contract's limit case: kept whole (rate 10000), deficit = target,
+    // never a silent disappearance (the DIV would yield null and drop it)
+    val docs = ((1L to 20L).map(i => (i, "a", 10L: java.lang.Long)) ++
+      Seq((21L, "z", 0L: java.lang.Long), (22L, "z", null: java.lang.Long)))
+      .toDF("id", "dom", "tk")
+    val out = Sampling.mixToBudget(docs, "id", "dom", col("tk"),
+      budgetTokens = 160L, targetWeights = Seq("a" -> 1.0, "z" -> 1.0))
+    val audit = out.select("dom", "avail_tokens", "rate_bp", "deficit")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(audit == Set(("a", 200L, 4000L, 0L), ("z", 0L, 10000L, 80L)))
+    assert(out.filter(col("dom") === "z").select("id").as[Long]
+      .collect().toSet == Set(21L, 22L))
+    // epochs variant: rate caps at maxEpochs (the avail→0 limit), every
+    // z row emits maxEpochs copies, deficit = full target
+    val ep = Sampling.mixToBudgetEpochs(docs, "id", "dom", col("tk"),
+      160L, Seq("a" -> 1.0, "z" -> 1.0), maxEpochs = 2)
+    val zAudit = ep.filter(col("dom") === "z")
+      .select("rate_bp_total", "full_epochs", "deficit").distinct().collect()(0)
+    assert(zAudit.getLong(0) == 20000L && zAudit.getLong(1) == 2L &&
+      zAudit.getLong(2) == 80L)
+    assert(ep.filter(col("dom") === "z").select("id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((21L, 0L), (21L, 1L), (22L, 0L), (22L, 1L)))
+  }
+
+  test("hits: 2^53 magnitude assert fires instead of silently rounding") {
+    import spark.implicits._
+    // complete bipartite K(150,150) doubled both directions: scores grow
+    // as deg^(2·iters) → 150^8 ≈ 2.6e17 ≫ 2^53 at iters 4 — the degree-
+    // dependent growth the iters cap alone cannot bound
+    val l = (0L until 150L).map(i => i)
+    val r = (1000L until 1150L).map(i => i)
+    val e = (for { a <- l; b <- r } yield Seq((a, b), (b, a))).flatten
+      .toDF("s", "d")
+    val ex = intercept[Exception] {
+      Graph.hits(e, "s", "d", iters = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("2^53")), s"unexpected error: $ex")
+    // the same graph at iters 2 (150^4 ≈ 5e8, exact) passes
+    assert(Graph.hits(e, "s", "d", iters = 2).count() == 300L)
+  }
+
+  test("containmentJoin: exact integer prefix bound at an IEEE ceil boundary") {
+    import spark.implicits._
+    // t·n an exact integer (0.07 × 100 = 7) where IEEE multiplication
+    // lands at 7.000000000000001 → ceil 8 → a one-short prefix. The 7
+    // shared tokens are the corpus's HOTTEST (highest df — sorted last),
+    // so doc A's prefix must reach position 94 to touch any of them: the
+    // float bound missed this exactly-at-threshold pair, the integer
+    // bound finds it.
+    val shared = (1 to 7).map(i => f"zz$i%02d")
+    val aText = ((1 to 93).map(i => f"u$i%03d") ++ shared).mkString(" ")
+    // 9 filler docs make the shared tokens high-df (df 10 vs df 1)
+    val fillers = (1 to 9).map(i => (100L + i, shared.mkString(" ") +
+      s" f$i a$i b$i c$i d$i e$i g$i h$i j$i k$i l$i m$i n$i"))
+    val docs = (Seq((1L, aText)) ++ fillers).toDF("id", "text")
+    val out = Dedup.containmentJoin(docs, "id", "text", threshold = 0.07)
+      .filter(col("id_a") === 1L).collect()
+    assert(out.nonEmpty, "exactly-at-threshold pair missed by the prefix")
+    assert(out.forall(r => r.getLong(2) == 7L &&
+      r.getDouble(5) >= 0.07))
+  }
+
+  test("occupancyBoundFrame: exact percentile_disc rule, layout-independent") {
+    import spark.implicits._
+    // 1000 occupancy values: 999 ones + one 50 → rank ceil(999·1000/1000)
+    // = 999 → value 1 → bound = 64 (floor dominates)
+    val occ1 = ((1 to 999).map(_ => 1L) ++ Seq(50L)).toDF("__occ")
+    assert(Dedup.occupancyBoundFrame(occ1).collect()(0).getLong(0) == 64L)
+    // 1000 values: 998 ones + two 50s → rank 999 → value 50 → 16·50 = 800
+    val occ2 = ((1 to 998).map(_ => 1L) ++ Seq(50L, 50L)).toDF("__occ")
+    assert(Dedup.occupancyBoundFrame(occ2).collect()(0).getLong(0) == 800L)
+    // exact ⇒ identical under any partitioning (the approx sketch could
+    // drift with merge order)
+    assert(Dedup.occupancyBoundFrame(occ2.repartition(7)).collect()(0)
+      .getLong(0) == 800L)
+    assert(Dedup.occupancyBoundFrame(occ2.repartition(1)).collect()(0)
+      .getLong(0) == 800L)
+    // empty occupancy frame → the 64 floor
+    assert(Dedup.occupancyBoundFrame(occ1.limit(0)).collect()(0)
+      .getLong(0) == 64L)
+  }
+
   test("cohenKappa: textbook 2x2, null exclusion, degenerate corpus") {
     import spark.implicits._
     // classic example: po=0.7, pe=0.5, kappa=0.4 — all exactly
