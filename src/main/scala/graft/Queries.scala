@@ -163,6 +163,45 @@ object Queries {
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
   }
 
+  /**
+   * Write `df` as `n` ORDER-PARTITIONED parquet slice files under `dir`
+   * (every `orderExpr` value in slice k sorts at-or-before every value in
+   * slice k+1; mtimes strictly increasing) — the file feed for the
+   * streaming certification faces. A `readStream` over the directory with
+   * `maxFilesPerTrigger = 1` then replays the corpus as n ordered
+   * micro-batches. Unlike the round-10 MemoryStream feed, nothing ever
+   * collects on the driver: boundaries come from an exact quantile sketch
+   * (metadata-sized) and each slice is written by its own distributed
+   * filter+write job, so the face itself scales with the corpus. (The
+   * per-slice repartition(1) packs one file per batch for determinism of
+   * the BATCH BOUNDARIES only; production feeds use whatever file
+   * granularity the upstream writer produced.)
+   */
+  private def writeOrderedFeed(s: SparkSession, df: DataFrame,
+                               orderExpr: org.apache.spark.sql.Column,
+                               dir: String, n: Int): Unit = {
+    val tagged = df.withColumn("__ord", orderExpr.cast("double"))
+    val qs = tagged.stat.approxQuantile("__ord",
+      (1 until n).map(_.toDouble / n).toArray, 0.0) // relativeError 0 = exact
+    new java.io.File(dir).mkdirs()
+    for (k <- 0 until n) {
+      val cond = (if (k == 0) lit(true) else col("__ord") > lit(qs(k - 1))) &&
+        (if (k == n - 1) lit(true) else col("__ord") <= lit(qs(k)))
+      val stage = s"$dir/_stage_$k"
+      tagged.filter(cond).drop("__ord")
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val tgt = new java.io.File(dir, f"slice-$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // FileStreamSource drains oldest-mtime-first: pin the replay order
+      tgt.setLastModified(1700000000000L + k * 60000L)
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+    }
+  }
+
   // =============================================================== queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3485,14 +3524,16 @@ object Queries {
       // exact semantics — so the DuckDB oracle replays global
       // first-occurrence selection and certifies the streaming path
       // end-to-end (index append, cross-batch suppression, reassembly).
+      // The feed is a FILE SOURCE over id-ordered slices
+      // (writeOrderedFeed — no driver-side corpus collect, so this face
+      // itself scales past bench size; closes the round-10 MemoryStream
+      // ceiling). The oracle match doubles as the batch-ORDER check: an
+      // out-of-order replay would keep the wrong first occurrences.
       // NOTE: building this DataFrame RUNS the stream to completion
-      // (MemoryStream + processAllAvailable — the q200 construction-
-      // side-effect precedent); dirs are keyed by applicationId and
-      // wiped per construction so checkpoint state never leaks between
-      // runs.
+      // (the q200 construction-side-effect precedent); dirs are keyed by
+      // applicationId and wiped per construction so checkpoint state
+      // never leaks between runs.
       prep(s, d, "documents")
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val lined = t(s, d, "documents").select(col("doc_id"),
         regexp_replace(col("text"), LineFoldRe, "$1\n").as("text"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -3501,18 +3542,12 @@ object Queries {
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       Dedup.writeLineIndex(lined.limit(0), "text", "doc_id",
         s"$base/index", "\n", minChars = 12)
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamOps.dedupLinesStream(s,
-        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
-        s"$base/index", s"$base/out", s"$base/ckpt")
-      try {
-        val docs = lined.orderBy("doc_id")
-          .collect().map(r => (r.getLong(0), r.getString(1)))
-        val per = math.max((docs.length + 2) / 3, 1)
-        docs.grouped(per).foreach { b =>
-          input.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
+      writeOrderedFeed(s, lined, col("doc_id"), s"$base/feed", 3)
+      val stream = s.readStream.schema(lined.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.dedupLinesStream(s, stream,
+        "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$base/out/data")
         .select(col("doc_id"), col("text").as("text_dedup"),
           col("n_kept"), col("n_removed"))
@@ -3843,6 +3878,90 @@ object Queries {
       Stats.cohenKappa(labeled, "a", "b")
     }),
 
+    "q220_stream_interval_join" -> ((s, d) => {
+      // STREAM-STREAM interval join certified end-to-end (q90's
+      // streaming sibling): clicks and purchases replay as ts-ordered
+      // file-fed streams (writeOrderedFeed × 2, three micro-batches
+      // each), StreamOps.intervalJoin pairs each click with the same
+      // user's purchases inside [click.ts, click.ts + 30 min] — both
+      // sides watermarked, the range condition bounding state in both
+      // directions — and the appended parquet sink is summarized per
+      // user. Because both feeds are ts-ordered, no row is late and no
+      // buffered row is evicted before its last possible match (watermark
+      // = min(max ts seen) − delay ≤ every unseen ts), so the streamed
+      // pair set must equal the batch inequality join the DuckDB oracle
+      // computes — gap sums are exact integer microseconds.
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q220_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, clicks, expr("unix_micros(ts)"), s"$base/feedL", 3)
+      writeOrderedFeed(s, purch, expr("unix_micros(ts)"), s"$base/feedR", 3)
+      val ls = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feedL")
+      val rs = s.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feedR")
+      val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
+        Seq("user_id"), within = "30 minutes",
+        watermarkDelay = "30 minutes")
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("pairs"),
+          sum(unix_micros(col("ts_r")) - unix_micros(col("ts"))).as("gap_us"),
+          min(col("purchase_id_r")).as("first_purchase"),
+          max(col("click_id")).as("last_click"))
+        .orderBy("user_id")
+    }),
+
+    "q221_stream_curate" -> ((s, d) => {
+      // the COMPOSED curation pipeline as a stream (q54's streaming
+      // twin, the q202 replay pattern): the documents corpus replays in
+      // three id-ordered file-fed micro-batches through curateStream —
+      // per-batch exact dedup + LSH near-dup removal, cross-batch
+      // suppression via the growing sketch index with EXACT Jaccard
+      // verification against the standing survivors (exactVerify: the
+      // estimate gate can differ at threshold-adjacent pairs, and this
+      // corpus's planted ~0.85-similarity pairs sit near τ = 0.8), and
+      // per-shard pack offsets continued across batches. Under the
+      // append-only id discipline the union of batch outputs equals
+      // batch Curate.curate over the full corpus, so the oracle is
+      // q54's CTE chain verbatim.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q221_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      Dedup.writeMinhashIndex(docs.limit(0), "text", "doc_id", s"$base/index")
+      writeOrderedFeed(s, docs, col("doc_id"), s"$base/feed", 3)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.curateStream(s, stream,
+        "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt",
+        Curate.Config(minQuality = 0.5, langs = Seq("en"),
+          nearDupJaccard = 0.8,
+          splits = Seq(("train", 8000), ("val", 1000), ("test", 1000)),
+          packTokens = 512, shards = 8,
+          hotBucketBound = Int.MaxValue)) // q54's exact config
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out/data")
+        .select(col("doc_id"), col("quality"), col("lang"), col("split"),
+          col("shard").cast("long").as("shard"),
+          col("toks").cast("long").as("toks"),
+          col("pack_offset"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     "q206_davies_bouldin" -> ((s, d) => {
       // clustering-quality gate: Davies–Bouldin index over the SAME
       // certified two-round kmeans trajectory as q107 (per-cluster
@@ -4122,7 +4241,22 @@ object Queries {
       $out"""
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
+
+    // streamed interval join == the batch inequality join over the same
+    // click/purchase slices; gap sums exact integer microseconds
+    "q220_stream_interval_join" -> """
+      WITH c AS (SELECT event_id AS click_id, ts, user_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, ts, user_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, count(*) AS pairs,
+             CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us,
+             min(p.purchase_id) AS first_purchase,
+             max(c.click_id) AS last_click
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.user_id ORDER BY c.user_id""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
@@ -8621,4 +8755,11 @@ object Queries {
       FROM scat s LEFT JOIN pr p ON s.cid = p.cid CROSS JOIN db
       ORDER BY cluster_id"""
   )
+
+  /** q221 replays q54's batch pipeline through curateStream — under the
+    * append-only id discipline the streamed union must equal the batch
+    * run, so the oracle is q54's CTE chain VERBATIM (sharing the string
+    * keeps the two certifications provably identical). */
+  val oracle: Map[String, String] =
+    oracleBase + ("q221_stream_curate" -> oracleBase("q54_curate"))
 }

@@ -171,6 +171,15 @@ object StreamOps {
    * append-only — no update-mode aggregation state. Batch ids must follow
    * the append-only discipline (greater than every standing id).
    *
+   * `exactVerify` (default true): cross-corpus near-dup candidates verify
+   * with the EXACT Jaccard against the standing survivors at
+   * `outPath/data` — text is read for candidate ids only
+   * ([[graft.pipeline.Curate.curateIncrement]]'s broadcast semi-join
+   * prune), so the per-batch cost stays candidate-sized and the streamed
+   * union matches the batch run even for threshold-adjacent pairs (q221
+   * certifies this). `false` keeps the estimate gate: zero corpus access,
+   * classification can differ only near the threshold.
+   *
    * Delivery: foreachBatch is AT-LEAST-ONCE — on recovery a batch can
    * replay, re-appending its survivors. Production sinks wanting
    * exactly-once should key the data/index writes on the supplied batch id
@@ -179,7 +188,8 @@ object StreamOps {
   def curateStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                    textCol: String, idCol: String, indexPath: String,
                    outPath: String, checkpoint: String,
-                   cfg: graft.pipeline.Curate.Config = graft.pipeline.Curate.Config())
+                   cfg: graft.pipeline.Curate.Config = graft.pipeline.Curate.Config(),
+                   exactVerify: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val totalsPath = s"$outPath/_shard_totals"
     docs.writeStream
@@ -191,17 +201,30 @@ object StreamOps {
           if (fs.exists(new org.apache.hadoop.fs.Path(totalsPath)))
             Some(spark.read.parquet(totalsPath))
           else None
+        val dataPath = s"$outPath/data"
+        val corpus =
+          if (exactVerify &&
+              fs.exists(new org.apache.hadoop.fs.Path(dataPath)))
+            Some(spark.read.parquet(dataPath).select(col(idCol), col(textCol)))
+          else None
+        // localCheckpoint, NOT cache: the exact-verify plan READS
+        // outPath/data, and the data append below would invalidate a
+        // path-keyed cache entry — a recompute after the index append
+        // would then see the batch's own sketches and flag every
+        // survivor against itself. The eager checkpoint pins the rows
+        // once, immune to both path invalidations; it is batch-sized.
         val curated = graft.pipeline.Curate.curateIncrement(
-            spark, batch.toDF(), idCol, textCol, indexPath, base, cfg)
-          .cache() // consumed three times below; one row per surviving doc
-        curated.write.mode("append").parquet(s"$outPath/data")
+            spark, batch.toDF(), idCol, textCol, indexPath, base, cfg,
+            corpusDocs = corpus)
+          .localCheckpoint(true) // consumed three times below
+        curated.write.mode("append").parquet(dataPath)
         // totals of the incremented output are ALREADY cumulative (offsets
         // continued from base): touched shards take the batch value,
-        // untouched shards keep the standing one. COLLECTED (shards-sized)
-        // BEFORE the index append below: writing to the index path
-        // invalidates the cached `curated` (Spark recaches plans by path),
-        // and a recompute would see the batch's own just-appended sketches
-        // and flag every survivor against itself.
+        // untouched shards keep the standing one. Still COLLECTED
+        // (shards-sized) BEFORE the index append below — with the
+        // checkpoint the ordering is belt-and-braces, but it keeps the
+        // invariant obvious: nothing reads `curated` through the index
+        // path after the index has grown.
         val batchTotals = graft.pipeline.Curate.shardTokenTotals(curated)
         val newTotals = base match {
           case None => batchTotals
@@ -212,16 +235,17 @@ object StreamOps {
               coalesce(col("__bt"), col("base_tokens")).as("base_tokens"))
         }
         val snapshot = newTotals.collect() // one row per shard
-        // the index append goes LAST among curated readers: its own job
-        // still serves from the valid cache, and the invalidation it
-        // triggers has nothing left to re-run
+        // the index append goes LAST among curated readers: every reader
+        // above has drained before the index grows (the checkpointed
+        // rows can't be invalidated, but the ordering keeps the
+        // "nothing reads through a grown index" invariant obvious)
         graft.pipeline.Dedup.appendMinhashIndex(spark, indexPath,
           curated.select(col(idCol), col(textCol)), textCol, idCol)
         spark.createDataFrame(
             java.util.Arrays.asList(snapshot: _*), newTotals.schema)
           .write.mode("overwrite").parquet(totalsPath)
-        curated.unpersist()
-        ()
+        curated.unpersist() // checkpoint blocks are GC-reaped; this is
+        ()                  // the eager release for long-running streams
       }
       .start()
   }
