@@ -3878,6 +3878,77 @@ object Queries {
       Stats.cohenKappa(labeled, "a", "b")
     }),
 
+    "q222_grid_margin_join" -> ((s, d) => {
+      // the grid window read's LOSSLESS-MARGIN claim certified with real
+      // extents (q203 proved only the margin-0 point case): customer
+      // RECTANGLES keyed by their bbox MIN corner (extent up to 400×2)
+      // land in the grid layout; the window read widens BOTH partition
+      // filters by the max extent (xLo−400 and yLo−2 each cross a cell
+      // boundary, so the margin genuinely adds a directory row in each
+      // axis — PlanShapeSpec pins the widened bounds), and the ST
+      // intersects join runs on the pruned slice. The oracle replays the
+      // identical rectangle-window intersection from the UNPARTITIONED
+      // table: green certifies the margin rescued every rectangle whose
+      // min corner lies outside the window band but whose extent
+      // reaches in.
+      prep(s, d, "customer", "region")
+      graft.spatial.functions.register(s)
+      val rects = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").as("x"),
+        col("c_nationkey").cast("double").as("y"),
+        (col("c_custkey") % 5).cast("double") * 100.0).toDF(
+        "c_custkey", "x", "y", "ex")
+        .withColumn("ey", (col("c_custkey") % 3).cast("double"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q222_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.pipeline.Layout.gridBucketedWrite(rects, "x", "y", base,
+        cellW = 1000.0, cellH = 5.0)
+      val rk = col("r_regionkey").cast("long")
+      val win = t(s, d, "region").select(rk.as("win_id"),
+        (lit(2100.0) + rk * 300.0).as("x0"),
+        (lit(2900.0) + rk * 300.0).as("x1"),
+        (lit(6.0) + rk * 2.0).as("y0"), (lit(9.0) + rk * 2.0).as("y1"))
+      val slice = graft.pipeline.Layout.readGridWindow(s, base,
+        1000.0, 5.0, 2100.0, 4100.0, 6.0, 17.0,
+        maxExtentX = 400.0, maxExtentY = 2.0)
+      slice.createOrReplaceTempView("grid_margin_slice")
+      win.createOrReplaceTempView("grid_margin_windows")
+      s.sql("""
+        SELECT /*+ BROADCAST(w) */ w.win_id, count(*) AS n_rects,
+               CAST(sum(CAST(r.x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+               min(r.c_custkey) AS min_cust
+        FROM grid_margin_slice r JOIN grid_margin_windows w
+          ON ST_Intersects(
+               ST_MakeEnvelope(r.x, r.y, r.x + r.ex, r.y + r.ey),
+               ST_MakeEnvelope(w.x0, w.y0, w.x1, w.y1))
+        GROUP BY w.win_id ORDER BY w.win_id""")
+    }),
+
+    "q223_mix_zero_domain" -> ((s, d) => {
+      // the zero-availability limit of the budget mixer, certified
+      // (round-11 advisory): src5's text is blanked, so the listed
+      // domain has rows but ZERO available tokens — the contract's limit
+      // case keeps the domain whole (rate 10000) with deficit = the full
+      // target instead of letting the DIV-by-zero null silently drop it
+      // from the output AND the audit. The oracle replays the guard's
+      // CASE arm and the md5 bucket predicate bit-for-bit.
+      prep(s, d, "documents")
+      val docs0 = t(s, d, "documents").withColumn("text",
+        when(col("source") === "src5", lit("")).otherwise(col("text")))
+      Sampling.mixToBudget(docs0, "doc_id", "source",
+          Text.tokenCount(col("text")), MixZeroBudget, MixZeroWeights)
+        .groupBy(col("source"))
+        .agg(min(col("avail_tokens")).as("avail_tokens"),
+          min(col("target_tokens")).as("target_tokens"),
+          min(col("rate_bp")).as("rate_bp"),
+          min(col("deficit")).as("deficit"),
+          count(lit(1)).as("kept_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("kept_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source")
+    }),
+
     "q220_stream_interval_join" -> ((s, d) => {
       // STREAM-STREAM interval join certified end-to-end (q90's
       // streaming sibling): clicks and purchases replay as ts-ordered
@@ -3992,6 +4063,17 @@ object Queries {
     val wI = MixEpochWeights.map { case (dm, w) => dm -> BigInt(math.round(w * 1e6)) }
     val sw = wI.map(_._2).sum
     wI.map { case (dm, w) => dm -> (BigInt(MixEpochBudget) * w / sw).toLong }
+  }
+
+  /** q223's zero-availability spec (q204's discipline; src5 is blanked
+    * in the face, so its avail is 0 while src3 stays natural). */
+  private[graft] val MixZeroBudget = 3000L
+  private[graft] val MixZeroWeights: Seq[(String, Double)] = Seq(
+    "src3" -> 2.0, "src5" -> 1.0)
+  private[graft] def mixZeroTargets: Seq[(String, Long)] = {
+    val wI = MixZeroWeights.map { case (dm, w) => dm -> BigInt(math.round(w * 1e6)) }
+    val sw = wI.map(_._2).sum
+    wI.map { case (dm, w) => dm -> (BigInt(MixZeroBudget) * w / sw).toLong }
   }
 
   /** q204's mixture spec: weights and budget are DRIVER constants, with
@@ -4242,6 +4324,70 @@ object Queries {
   }
 
   private val oracleBase: Map[String, String] = Map(
+
+    // the zero-availability guard replayed: the CASE arm keeps the
+    // domain whole (rate 10000) with deficit = the full target
+    "q223_mix_zero_domain" -> s"""
+      WITH docs0 AS (
+        SELECT doc_id, source,
+               CASE WHEN source = 'src5' THEN '' ELSE text END AS text
+        FROM documents),
+      tk AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS BIGINT) AS tk
+        FROM docs0),
+      tgt(source, target_tokens) AS (VALUES
+        ${mixZeroTargets.map { case (dm, t) =>
+          s"('$dm', CAST($t AS BIGINT))" }.mkString(",\n        ")}),
+      avail AS (
+        SELECT source, CAST(coalesce(sum(tk), 0) AS BIGINT) AS avail_tokens
+        FROM tk JOIN tgt USING (source) GROUP BY source),
+      rates AS (
+        SELECT a.source, a.avail_tokens, t.target_tokens,
+               CASE WHEN a.avail_tokens = 0 THEN CAST(10000 AS BIGINT)
+                    ELSE LEAST(CAST(10000 AS BIGINT),
+                      (t.target_tokens * 10000) // a.avail_tokens) END AS rate_bp,
+               GREATEST(t.target_tokens - a.avail_tokens,
+                        CAST(0 AS BIGINT)) AS deficit
+        FROM avail a JOIN tgt t USING (source))
+      SELECT k.source,
+             min(r.avail_tokens) AS avail_tokens,
+             min(r.target_tokens) AS target_tokens,
+             min(r.rate_bp) AS rate_bp,
+             min(r.deficit) AS deficit,
+             count(*) AS kept_docs,
+             CAST(sum(k.tk) AS BIGINT) AS kept_tokens,
+             min(k.doc_id) AS min_doc
+      FROM tk k JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 10000 < r.rate_bp
+      GROUP BY k.source ORDER BY k.source""",
+
+    // identical rectangle-window intersection from the UNPARTITIONED
+    // table — green certifies the widened grid prune lost nothing
+    "q222_grid_margin_join" -> """
+      WITH r AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x,
+               CAST(c_nationkey AS DOUBLE) AS y,
+               CAST(c_custkey % 5 AS DOUBLE) * 100.0 AS ex,
+               CAST(c_custkey % 3 AS DOUBLE) AS ey
+        FROM customer),
+      w AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS win_id,
+               2100.0 + CAST(r_regionkey AS BIGINT) * 300.0 AS x0,
+               2900.0 + CAST(r_regionkey AS BIGINT) * 300.0 AS x1,
+               6.0 + CAST(r_regionkey AS BIGINT) * 2.0 AS y0,
+               9.0 + CAST(r_regionkey AS BIGINT) * 2.0 AS y1
+        FROM region)
+      SELECT w.win_id, count(*) AS n_rects,
+             CAST(sum(CAST(r.x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+             min(r.c_custkey) AS min_cust
+      FROM r JOIN w
+        ON r.x <= w.x1 AND r.x + r.ex >= w.x0
+       AND r.y <= w.y1 AND r.y + r.ey >= w.y0
+      GROUP BY w.win_id ORDER BY w.win_id""",
 
     // streamed interval join == the batch inequality join over the same
     // click/purchase slices; gap sums exact integer microseconds

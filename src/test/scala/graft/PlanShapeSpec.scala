@@ -338,6 +338,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q222: the margin WIDENS both grid partition filters by the max extent") {
+    val plan = executedPlan("q222_grid_margin_join")
+    val pf = plan.indexOf("PartitionFilters")
+    assert(pf >= 0, plan.take(1500))
+    val filters = plan.substring(pf).takeWhile(_ != ']')
+    // window band is x ∈ [2100, 4100], y ∈ [6, 17] on a 1000×5 grid:
+    // margin-0 bounds would be gx ∈ [2, 4], gy ∈ [1, 3]; the 400×2
+    // extents widen the LOW bounds to gx ≥ 1, gy ≥ 0 — one extra
+    // directory row in each axis, pinned here so a regression back to
+    // the unwidened read (silently lossy) cannot pass
+    assert(filters.contains("__gx") && filters.contains("__gy"),
+      filters.take(300))
+    // (the plan string elides the tail of long filter lists, so only the
+    // leading clauses — the two LOW bounds, which are what the margin
+    // widens — are asserted verbatim; the upper bounds are exercised by
+    // the oracle replay)
+    assert(filters.contains(">= 1") && !filters.contains(">= 2"),
+      filters.take(300))
+    assert(filters.contains(">= 0") && filters.contains("<= 4"),
+      filters.take(300))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   // ---- eleventh wave (round 7) ----
 
   test("q145: histogram windows run over STATE cells only — after the bin aggregate") {
