@@ -2754,8 +2754,21 @@ object Queries {
 
     "q40_st_crosses" -> ((s, d) => {
       // vertical line (x, 0)→(x, qty) vs the band y ∈ [10, 20]:
-      // crosses ⟺ the line's interior enters the band ⟺ qty > 10
+      // crosses ⟺ the line's interior enters the band ⟺ qty > 10.
+      // Order on the SLIM keys BELOW the geometry projection (the
+      // q63/q68 house pattern): a trailing ORDER BY above ST_Crosses
+      // would execute the line construction twice — once in the
+      // RangePartitioner's sampling pass, once in the exchange
+      // (measured 0.46 s + 0.58 s duplicate stages). repartitionByRange
+      // + sortWithinPartitions preserves the same total order; the
+      // explicit partition count pins it against AQE coalescing.
       prep(s, d, "lineitem")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .createOrReplaceTempView("li_ordered_q40")
       s.sql("""
         SELECT l_orderkey, l_linenumber,
                ST_Crosses(
@@ -2763,7 +2776,7 @@ object Queries {
                                    ST_Point(l_extendedprice, l_quantity))),
                  ST_GeomFromText('POLYGON ((0 10, 200000 10, 200000 20, 0 20, 0 10))')
                ) AS crosses
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+        FROM li_ordered_q40""")
     }),
 
     "q41_st_overlaps_disjoint" -> ((s, d) => {

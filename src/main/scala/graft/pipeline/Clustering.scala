@@ -234,8 +234,15 @@ object Clustering {
       .select(col("list_id"), l2(col("nvec"), col("cvec")).as("__d"))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_members"), avg(col("__d")).as("scatter"))
+    // persist the k-sized scatter frame: THREE consumers below (both
+    // sides of the pairwise-separation join and the per-cluster output)
+    // — without it each reference replays the corpus-sized assignment
+    // scan (measured 3× in=|corpus| stages in the q206 profile; the
+    // globalRank slim-frame precedent). Values unchanged — the q206
+    // oracle re-certified after this landed.
     val sc = scatter.join(broadcast(cents),
       col("list_id") === col("centroid_id")).drop("centroid_id")
+      .persist()
     val rmax = sc.select(col("list_id").as("__i"), col("scatter").as("__si"),
         col("cvec").as("__ci"))
       .join(sc.select(col("list_id").as("__j"), col("scatter").as("__sj"),
