@@ -187,19 +187,25 @@ object Queries {
     for (k <- 0 until n) {
       val cond = (if (k == 0) lit(true) else col("__ord") > lit(qs(k - 1))) &&
         (if (k == n - 1) lit(true) else col("__ord") <= lit(qs(k)))
-      val stage = s"$dir/_stage_$k"
-      tagged.filter(cond).drop("__ord")
-        .repartition(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-      val tgt = new java.io.File(dir, f"slice-$k%03d.parquet")
-      java.nio.file.Files.move(part.toPath, tgt.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // FileStreamSource drains oldest-mtime-first: pin the replay order
-      tgt.setLastModified(1700000000000L + k * 60000L)
-      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      publishFeedSlice(tagged.filter(cond).drop("__ord"), dir, k)
     }
+  }
+
+  /** Write one DataFrame as feed slice `k` of `dir` (single parquet file,
+    * mtime pinned so FileStreamSource — which drains oldest-mtime-first —
+    * replays slices in index order). Shared by [[writeOrderedFeed]] and
+    * the watermark-sentinel batches of the windowed streaming faces. */
+  private def publishFeedSlice(df: DataFrame, dir: String, k: Int): Unit = {
+    val stage = s"$dir/_stage_$k"
+    df.repartition(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+    val tgt = new java.io.File(dir, f"slice-$k%03d.parquet")
+    java.nio.file.Files.move(part.toPath, tgt.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tgt.setLastModified(1700000000000L + k * 60000L)
+    new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
   }
 
   // =============================================================== queries
@@ -3962,6 +3968,96 @@ object Queries {
         .orderBy("source")
     }),
 
+    "q224_stream_ewma" -> ((s, d) => {
+      // STATEFUL mapGroupsWithState certified end-to-end (q153's
+      // streaming twin): the event stream replays in three ts-ordered
+      // file-fed micro-batches through ewmaStream (state = one
+      // (last ts/tie, n, level) row per user; each batch folds its rows
+      // in (ts, tie) order with the identical α·x + (1−α)·acc IEEE
+      // chain). Because the feed is globally ts-ordered — equal-ts rows
+      // never split across slices (the quantile boundary is on the
+      // value) — no row is ever dropped as late, so each user's LAST
+      // emitted update equals the batch EWMA over the full series:
+      // q153's oracle verbatim, UNROUNDED. foreachBatch appends each
+      // update with its batch id; the final view is the per-key argmax
+      // on batch id (never a driver-side corpus collect).
+      prep(s, d, "events")
+      val obs = t(s, d, "events").where(col("value").isNotNull)
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("tie"), col("value").cast("double").as("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q224_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, obs, expr("unix_micros(ts)"), s"$base/feed", 3)
+      import s.implicits._
+      val stream = s.readStream.schema(obs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        .as[graft.streaming.StreamOps.Obs]
+      val q = graft.streaming.StreamOps.ewmaStream(stream, alpha = 0.25)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            b.withColumn("__b", lit(bid))
+              .write.mode("append").parquet(s"$base/out")
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("key"))
+        .agg(max(struct(col("__b"), col("n_events"), col("ewma"))).as("__w"))
+        .select(col("key").as("user_id"), col("__w.n_events").as("n_events"),
+          col("__w.ewma").as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    "q225_stream_psi" -> ((s, d) => {
+      // the WINDOWED streaming aggregate certified end-to-end (q177's
+      // live face): second-half event values replay ts-ordered through
+      // psiStream — per 7-day event-time window, one-hot histogram
+      // arrays element-wise-sum in ONE stateful aggregate and PSI
+      // evaluates against the broadcast first-half baseline shares. A
+      // far-future SENTINEL row (value in-domain, 30 days past the real
+      // maximum) rides the last feed slice purely to push the watermark
+      // past every real window's end so append mode finalizes them; its
+      // own window never emits and the face filters windows past the
+      // real maximum. The oracle recomputes per-window binned PSI from
+      // the raw table with the identical epoch-aligned integer window
+      // arithmetic; psi rounds to 6dp (ln libm), n / n_bins_used exact.
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+      val baseline = ev.where(dayofmonth(col("ts")) <= 15)
+      val secondHalf = ev
+        .where(dayofmonth(col("ts")) > 15 && col("value").isNotNull)
+        .select(col("ts"), col("value").cast("double").as("value"))
+      val maxTs = secondHalf.agg(max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0) // one-row boundary read, metadata-sized
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q225_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, secondHalf, expr("unix_micros(ts)"), s"$base/feed", 3)
+      publishFeedSlice(s.range(1).select(
+        timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
+        lit(250.0).as("value")), s"$base/feed", 3)
+      val stream = s.readStream.schema(secondHalf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val out = graft.streaming.StreamOps.psiStream(stream, baseline,
+        "value", lo = 0.0, hi = 500.0, nBins = 25,
+        windowLen = "7 days", watermarkDelay = "1 hour")
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .where(col("window.start") <= timestamp_micros(lit(maxTs)))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n"), col("n_bins_used"), round(col("psi"), 6).as("psi"))
+        .orderBy("win_start_us")
+    }),
+
     "q220_stream_interval_join" -> ((s, d) => {
       // STREAM-STREAM interval join certified end-to-end (q90's
       // streaming sibling): clicks and purchases replay as ts-ordered
@@ -4337,6 +4433,35 @@ object Queries {
   }
 
   private val oracleBase: Map[String, String] = Map(
+
+    // per-window binned PSI vs the first-half baseline, recomputed from
+    // the raw table with epoch-aligned integer window arithmetic —
+    // certifies the windowed stateful aggregate end to end
+    "q225_stream_psi" -> """
+      WITH bse AS (
+        SELECT least(greatest(CAST(floor(CAST(value AS DOUBLE) / 20.0)
+                 AS BIGINT), 0), 24) AS bin, count(*) AS bc
+        FROM events WHERE day(ts) <= 15 AND value IS NOT NULL GROUP BY 1),
+      bt AS (SELECT CAST(sum(bc) AS DOUBLE) AS btot FROM bse),
+      st AS (
+        SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS wus,
+               least(greatest(CAST(floor(CAST(value AS DOUBLE) / 20.0)
+                 AS BIGINT), 0), 24) AS bin
+        FROM events WHERE day(ts) > 15 AND value IS NOT NULL),
+      w AS (SELECT wus, bin, count(*) AS c FROM st GROUP BY 1, 2),
+      nn AS (SELECT wus, CAST(sum(c) AS BIGINT) AS n FROM w GROUP BY 1),
+      terms AS (
+        SELECT w.wus, count(*) AS used,
+               sum((CAST(w.c AS DOUBLE) / nn.n - bse.bc / bt.btot) *
+                   ln((CAST(w.c AS DOUBLE) / nn.n) / (bse.bc / bt.btot)))
+                 AS psi
+        FROM w JOIN bse USING (bin) JOIN nn USING (wus), bt
+        GROUP BY w.wus)
+      SELECT nn.wus AS win_start_us, nn.n,
+             coalesce(t.used, 0) AS n_bins_used,
+             round(coalesce(t.psi, 0.0), 6) AS psi
+      FROM nn LEFT JOIN terms t USING (wus)
+      ORDER BY win_start_us""",
 
     // the zero-availability guard replayed: the CASE arm keeps the
     // domain whole (rate 10000) with deficit = the full target
@@ -5851,7 +5976,8 @@ object Queries {
         FROM ann, bnd WHERE c > bnd.bound AND id <> keeper),
       rep AS (SELECT id, s FROM ann, bnd WHERE c <= bnd.bound OR id = keeper),
       ed1 AS (
-        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        SELECT CASE WHEN a.id < b.id THEN a.id ELSE b.id END AS id_a,
+               CASE WHEN a.id < b.id THEN b.id ELSE a.id END AS id_b,
                CAST(1 AS BIGINT) AS dist
         FROM rep a JOIN rep b ON a.s < b.s AND levenshtein(a.s, b.s) = 1)
       SELECT id_a, id_b, dist FROM ed0
@@ -8206,7 +8332,8 @@ object Queries {
         FROM ann WHERE c > 8 AND id <> keeper),
       rep AS (SELECT id, s FROM ann WHERE c <= 8 OR id = keeper),
       ed1 AS (
-        SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        SELECT CASE WHEN a.id < b.id THEN a.id ELSE b.id END AS id_a,
+               CASE WHEN a.id < b.id THEN b.id ELSE a.id END AS id_b,
                CAST(1 AS BIGINT) AS dist
         FROM rep a JOIN rep b ON a.s < b.s AND levenshtein(a.s, b.s) = 1)
       SELECT id_a, id_b, dist FROM ed0
@@ -8920,5 +9047,6 @@ object Queries {
     * run, so the oracle is q54's CTE chain VERBATIM (sharing the string
     * keeps the two certifications provably identical). */
   val oracle: Map[String, String] =
-    oracleBase + ("q221_stream_curate" -> oracleBase("q54_curate"))
+    oracleBase + ("q221_stream_curate" -> oracleBase("q54_curate")) +
+      ("q224_stream_ewma" -> oracleBase("q153_ewma"))
 }
