@@ -4005,11 +4005,14 @@ object Queries {
             ()
         }.start()
       try q.processAllAvailable() finally q.stop()
+      // the typed Obs encoder carries key as long; the certified output
+      // follows the INPUT's id width (the variant-axis convention)
+      val keyType = t(s, d, "events").schema("user_id").dataType
       s.read.parquet(s"$base/out")
         .groupBy(col("key"))
         .agg(max(struct(col("__b"), col("n_events"), col("ewma"))).as("__w"))
-        .select(col("key").as("user_id"), col("__w.n_events").as("n_events"),
-          col("__w.ewma").as("ewma"))
+        .select(col("key").cast(keyType).as("user_id"),
+          col("__w.n_events").as("n_events"), col("__w.ewma").as("ewma"))
         .orderBy("user_id")
     }),
 

@@ -1017,13 +1017,15 @@ object Dedup {
    *        consumers is preserved: every member reaches the keeper, and
    *        the keeper carries the group's edit-distance edges. The
    *        default [[AutoBound]] derives the bound in-plan from the
-   *        group-size distribution (`greatest(64, 16 × p99.9(occ))` as a
-   *        broadcast one-row aggregate — the [[hotBuckets]] shape): on
-   *        corpora without template spam no group reaches it and the
-   *        OUTPUT equals the unguarded path's. `Int.MaxValue` disables
-   *        the guard with a plan byte-identical to the historical
-   *        unguarded shape (no occupancy aggregate at all — q119 pins
-   *        this for bench comparability).
+   *        group-size distribution ([[occupancyBoundFrame]] — EXACT
+   *        `greatest(64, 16 × p99.9(occ))` as a broadcast one-row
+   *        aggregate, layout-independent and SQL-replayable; q119
+   *        certifies this default against an oracle that recomputes
+   *        the bound): on corpora without template spam no group
+   *        reaches it and the OUTPUT equals the unguarded path's.
+   *        `Int.MaxValue` disables the guard with a plan byte-identical
+   *        to the historical unguarded shape (no occupancy aggregate at
+   *        all — kept as a suite/BENCH_SF1 A/B artifact).
    */
   def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String,
                     hotStringBound: Int = AutoBound): DataFrame = {
