@@ -94,36 +94,33 @@ object Dedup {
   /**
    * The [[AutoBound]] bound as a ONE-ROW frame:
    * `greatest(64, 16 × p99.9(occupancy))` with the percentile computed
-   * EXACTLY — ANSI `percentile_disc` semantics via pure integer
-   * arithmetic (the value at 1-based rank `ceil(999·n/1000)` of the
-   * ascending occupancy order, i.e. the smallest value whose cumulative
-   * count reaches `(999·n + 999) DIV 1000`). An approx_percentile sketch
-   * here could drift with partitioning/merge order, letting a group
-   * sitting near the bound flip between hub-star and all-pairs output
-   * across layouts — the exact form is layout-independent AND
-   * SQL-replayable, so an external oracle can recompute the identical
-   * bound (q119 does).
-   *
-   * Scale shape: the input is the OCCUPANCY frame (one row per distinct
-   * string/bucket/span), and it collapses further to one row per distinct
-   * occupancy VALUE before any ordered pass — that frame is
-   * metadata-sized (occupancies repeat heavily), so the running-sum
-   * window over it is a bounded single-task pass, the globalRank
-   * offset-frame precedent.
+   * EXACTLY — the ANSI `percentile_disc` rule (the value at 1-based rank
+   * `ceil(999·n/1000)` of the ascending occupancy order, equivalently
+   * the smallest value whose cumulative count reaches
+   * `(999·n + 999) DIV 1000`, which is how the q119 oracle replays it
+   * in pure integer arithmetic). An approx_percentile sketch here could
+   * drift with partitioning/merge order, letting a group sitting near
+   * the bound flip between hub-star and all-pairs output across layouts
+   * — the exact form is layout-independent AND SQL-replayable.
    */
   private[pipeline] def occupancyBoundFrame(occ: DataFrame,
-                                            occCol: String = "__occ"): DataFrame = {
-    val vc = occ.groupBy(col(occCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__vn"))
-    val cum = vc.withColumn("__cum",
-      sum(col("__vn")).over(Window.orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = vc.agg(sum(col("__vn")).as("__n"))
-    cum.crossJoin(broadcast(tot))
-      .filter(col("__cum") >= expr("(999 * __n + 999) DIV 1000"))
-      .agg(coalesce(greatest(lit(64L), lit(16L) * min(col("__v"))),
-        lit(64L)).as("__bound"))
-  }
+                                            occCol: String = "__occ"): DataFrame =
+    // ONE exact aggregate (Spark's percentile_disc buffers a value→count
+    // map — bounded by the handful of DISTINCT occupancy values, with
+    // map-side partial merge; no extra shuffle, no window). Its ANSI
+    // selection rule — smallest value with cume_dist ≥ p — coincides
+    // with the integer rank rule above for p = 0.999 at any realistic n
+    // (cum/total = 0.999 exactly IEEE-divides to the double literal, and
+    // any smaller cum sits ≥ 1/n below it, dwarfing the ulp), which the
+    // randomized suite fuzz pins against an independent integer-rule
+    // reference. Occupancies are exact-in-double longs, so 16·v and the
+    // long cast are exact.
+    occ.agg(coalesce(
+      greatest(lit(64L),
+        (lit(16.0) * expr(
+          s"percentile_disc(0.999) WITHIN GROUP (ORDER BY $occCol)"))
+          .cast("long")),
+      lit(64L)).as("__bound"))
 
   /**
    * Buckets whose occupancy exceeds the (possibly self-tuned) bound.

@@ -4645,6 +4645,25 @@ class PipelineSpec extends AnyFunSuite {
     // empty occupancy frame → the 64 floor
     assert(Dedup.occupancyBoundFrame(occ1.limit(0)).collect()(0)
       .getLong(0) == 64L)
+    // randomized cross-check: the in-plan percentile_disc selection must
+    // equal the independent INTEGER rank rule (value at ascending rank
+    // (999·n + 999) DIV 1000) that the q119 oracle replays — including
+    // boundary-heavy shapes (n multiples of 1000, heavy ties)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 30) {
+      val n = Seq(50, 999, 1000, 1001, 2000, 5000)(rnd.nextInt(6))
+      val vals = Seq.fill(n)(
+        if (rnd.nextInt(4) == 0) rnd.nextInt(500).toLong + 1L
+        else rnd.nextInt(3).toLong + 1L)
+      val sorted = vals.sorted
+      val rank = ((999L * n + 999L) / 1000L).toInt
+      val expect = math.max(64L, 16L * sorted(rank - 1))
+      val got = Dedup.occupancyBoundFrame(
+        spark.createDataset(vals)(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("__occ").repartition(1 + rnd.nextInt(8)))
+        .collect()(0).getLong(0)
+      assert(got == expect, s"n=$n got=$got expect=$expect")
+    }
   }
 
   test("cohenKappa: textbook 2x2, null exclusion, degenerate corpus") {
