@@ -4022,6 +4022,117 @@ object Queries {
         .orderBy("user_id")
     }),
 
+    "q226_stream_sessionize" -> ((s, d) => {
+      // flatMapGroupsWithState + EVENT-TIME TIMEOUT certified end-to-end
+      // (q10's streaming twin, the last hard streaming surface): events
+      // replay ts-ordered through StreamOps.sessionize (gap 30 min —
+      // sessions close inline when a later event opens the next one, or
+      // via the event-time timeout when the watermark passes
+      // session_end + gap). A sentinel event for a user OUTSIDE the
+      // data (-1) rides the last slice purely to push the watermark
+      // past every real session's timeout so the final open sessions
+      // emit; its own session stays open and never appears in Append
+      // output. Closed sessions get session_seq by start order per user
+      // in the batch read-back, making the output — and therefore the
+      // oracle — q10's VERBATIM (session boundaries depend only on ts
+      // values, so intra-batch tie order is immaterial, and equal-ts
+      // rows never split across slices).
+      prep(s, d, "events")
+      import s.implicits._
+      // value is unused by the certified output (q10 excludes the
+      // order-dependent total) but the typed Event encoder needs it
+      // non-null; user ids re-take the INPUT width at the read-back
+      val uidType = t(s, d, "events").schema("user_id").dataType
+      val ev = t(s, d, "events")
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+      val maxTs = ev.agg(max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0) // one-row boundary read
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q226_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      publishFeedSlice(s.range(1).select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value")), s"$base/feed", 3)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        .as[graft.streaming.StreamOps.Event]
+      val closed = graft.streaming.StreamOps.sessionize(stream,
+        gapMinutes = 30).toDF()
+      // stateful parallelism sized to state volume (the q220 note)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = closed.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start", "session_end")
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0L)
+        .withColumn("session_seq", row_number().over(w).cast("long"))
+        .select(col("user_id").cast(uidType).as("user_id"),
+          col("session_seq"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q227_stream_latest_per_key" -> ((s, d) => {
+      // the CDC upsert view certified end-to-end — and deliberately fed
+      // OUT OF (event-time) ORDER: slices partition on event_id, which
+      // is uncorrelated with ts, so late arrivals land in every batch
+      // and the mapGroupsWithState head view must never regress (the
+      // operator's whole contract: state keeps the (ts, value)-maximum;
+      // a stale arrival re-emits the standing latest). Each key's LAST
+      // emitted update therefore equals the global (ts, value)-argmax,
+      // which the oracle computes directly from the raw table.
+      prep(s, d, "events")
+      import s.implicits._
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q227_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      val feedSrc = t(s, d, "events")
+        .select(col("user_id").cast("long").as("key"), col("ts"),
+          col("event_type").as("value"), col("event_id"))
+      writeOrderedFeed(s, feedSrc, col("event_id"), s"$base/feed", 3)
+      val stream = s.readStream.schema(feedSrc.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        .drop("event_id").as[graft.streaming.StreamOps.Change]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamOps.latestPerKey(stream)
+          .toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             bid: Long) =>
+              b.withColumn("__b", lit(bid))
+                .write.mode("append").parquet(s"$base/out")
+              ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val uidType = t(s, d, "events").schema("user_id").dataType
+      s.read.parquet(s"$base/out")
+        .groupBy(col("key"))
+        .agg(max(struct(col("__b"), col("ts"), col("value"))).as("__w"))
+        .select(col("key").cast(uidType).as("user_id"),
+          unix_micros(col("__w.ts")).as("ts_us"),
+          col("__w.value").as("latest_type"))
+        .orderBy("user_id")
+    }),
+
     "q225_stream_psi" -> ((s, d) => {
       // the WINDOWED streaming aggregate certified end-to-end (q177's
       // live face): second-half event values replay ts-ordered through
@@ -4461,6 +4572,19 @@ object Queries {
   }
 
   private val oracleBase: Map[String, String] = Map(
+
+    // the CDC head view: per key the (ts, value)-argmax over the raw
+    // table — the out-of-order streamed replay must converge to exactly
+    // this (binary string collation matches Scala's ASCII comparison on
+    // this corpus)
+    "q227_stream_latest_per_key" -> """
+      WITH r AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_type DESC) AS rn
+        FROM events)
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type AS latest_type
+      FROM r WHERE rn = 1 ORDER BY user_id""",
 
     // per-window binned PSI vs the first-half baseline, recomputed from
     // the raw table with epoch-aligned integer window arithmetic —
@@ -9076,5 +9200,6 @@ object Queries {
     * keeps the two certifications provably identical). */
   val oracle: Map[String, String] =
     oracleBase + ("q221_stream_curate" -> oracleBase("q54_curate")) +
-      ("q224_stream_ewma" -> oracleBase("q153_ewma"))
+      ("q224_stream_ewma" -> oracleBase("q153_ewma")) +
+      ("q226_stream_sessionize" -> oracleBase("q10_event_sessions"))
 }

@@ -305,6 +305,20 @@ object StreamOps {
       }
       .start()
 
+  /** java.sql.Timestamp carries MICROsecond (nano) precision, but
+    * `getTime` truncates to milliseconds — state arithmetic on getTime
+    * silently coarsened session boundaries / fold orders to the ms grid
+    * (found by q226's oracle: streamed session ends lost their µs
+    * fraction). All stateful operators below keep event time in µs. */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   case class Change(key: Long, ts: Timestamp, value: String)
 
   /**
@@ -325,7 +339,7 @@ object StreamOps {
       .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
           val best = (rows ++ state.getOption.iterator)
-            .maxBy(c => (c.ts.getTime, c.value))
+            .maxBy(c => (tsMicros(c.ts), c.value))
           state.update(best)
           best
       }
@@ -345,7 +359,7 @@ object StreamOps {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -357,19 +371,21 @@ object StreamOps {
             val s = state.get
             state.remove()
             Iterator.single(ClosedSession(userId,
-              new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+              microsToTs(s.start), microsToTs(s.end), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // state carries MICROsecond event time (tsMicros) — the ms
+            // grid of Timestamp.getTime coarsened session boundaries
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= ClosedSession(userId,
-                    new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                    microsToTs(s.start), microsToTs(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -377,7 +393,13 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // the timeout API takes MILLIS: round UP so the timer can
+              // never fire before end + gap (an event inside the lost
+              // sub-ms window must still be able to extend the session;
+              // a marginally-late timeout is harmless — an over-gap
+              // event closes the session inline anyway)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.end + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }
@@ -385,7 +407,7 @@ object StreamOps {
   }
 
   case class Obs(key: Long, ts: Timestamp, tie: Long, value: Double)
-  case class EwmaState(lastMs: Long, lastTie: Long, n: Long, ewma: Double)
+  case class EwmaState(lastUs: Long, lastTie: Long, n: Long, ewma: Double)
   case class EwmaRow(key: Long, n_events: Long, ewma: Double)
 
   /**
@@ -410,12 +432,15 @@ object StreamOps {
         (key: Long, rows: Iterator[Obs], state: GroupState[EwmaState]) =>
           var st = state.getOption
             .getOrElse(EwmaState(Long.MinValue, Long.MinValue, 0L, 0.0))
-          rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).foreach { o =>
-            val (ms, tie) = (o.ts.getTime, o.tie)
-            if (ms > st.lastMs || (ms == st.lastMs && tie > st.lastTie)) {
+          // MICROsecond event time (tsMicros): the ms grid of getTime
+          // could fold same-ms observations in tie order where the
+          // batch operator orders them by their true µs instants
+          rows.toSeq.sortBy(o => (tsMicros(o.ts), o.tie)).foreach { o =>
+            val (us, tie) = (tsMicros(o.ts), o.tie)
+            if (us > st.lastUs || (us == st.lastUs && tie > st.lastTie)) {
               val y = if (st.n == 0L) o.value
                       else alpha * o.value + (1.0 - alpha) * st.ewma
-              st = EwmaState(ms, tie, st.n + 1L, y)
+              st = EwmaState(us, tie, st.n + 1L, y)
             }
           }
           state.update(st)
