@@ -4133,6 +4133,93 @@ object Queries {
         .orderBy("user_id")
     }),
 
+    "q228_stream_window_stats" -> ((s, d) => {
+      // the CANONICAL streaming shape — readStream → watermark →
+      // tumbling event-time window → writeStream — certified end-to-end
+      // (q73's streaming twin): per-hour per-type event counts over the
+      // ts-ordered replay, finalized by the far-future sentinel (the
+      // q225 pattern; the sentinel's own window never emits and is
+      // filtered by the real-max cutoff). The certified columns are the
+      // order-INSENSITIVE ones (counts — q73's discipline: summing
+      // arbitrary doubles would couple the hash to reduction order);
+      // the oracle replays epoch-aligned hour buckets from the raw
+      // table.
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(col("ts"), col("event_type"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+      val maxTs = ev.agg(max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0) // one-row boundary read
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q228_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      publishFeedSlice(s.range(1).select(
+        timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value")),
+        s"$base/feed", 3)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val out = graft.streaming.StreamOps.windowedEventStats(stream,
+        windowLen = "1 hour", watermarkDelay = "1 hour")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .where(col("window.start") <= timestamp_micros(lit(maxTs)))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n_events"))
+        .orderBy("bucket_us", "event_type")
+    }),
+
+    "q229_stream_window_extent" -> ((s, d) => {
+      // the SPATIAL × STREAMING cross-section certified end-to-end: a
+      // geometry stream (points synthesized from event value/user — the
+      // identical expression on both engines) flows through
+      // windowedExtent — per tumbling day, the streaming ST_Extent
+      // (min/max of the WKB envelope accessors, order-insensitive by
+      // construction) — and the oracle replays the per-window bbox from
+      // the raw coordinates. Sentinel + sizing per the q225/q220 notes.
+      prep(s, d, "events")
+      graft.spatial.functions.register(s)
+      val ev = t(s, d, "events").select(col("ts"),
+        expr("ST_Point(CAST(value AS DOUBLE), CAST(user_id AS DOUBLE))")
+          .as("geom"))
+        .where(col("geom").isNotNull)
+      val maxTs = ev.agg(max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q229_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      publishFeedSlice(s.range(1).select(
+        timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
+        expr("ST_Point(0.0D, 0.0D)").as("geom")), s"$base/feed", 3)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val out = graft.streaming.StreamOps.windowedExtent(stream, "geom",
+        windowLen = "1 day", watermarkDelay = "1 hour")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .where(col("window.start") <= timestamp_micros(lit(maxTs)))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
     "q225_stream_psi" -> ((s, d) => {
       // the WINDOWED streaming aggregate certified end-to-end (q177's
       // live face): second-half event values replay ts-ordered through
@@ -4572,6 +4659,27 @@ object Queries {
   }
 
   private val oracleBase: Map[String, String] = Map(
+
+    // epoch-aligned hour buckets replayed from the raw table — the
+    // canonical watermark+window shape's oracle (order-insensitive
+    // columns only, the q73 discipline)
+    "q228_stream_window_stats" -> """
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             event_type, count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2 ORDER BY bucket_us, event_type""",
+
+    // per-day bbox of the synthesized point stream — the streaming
+    // ST_Extent face's oracle (min/max are order-insensitive)
+    "q229_stream_window_extent" -> """
+      SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             min(CAST(value AS DOUBLE)) AS xmin,
+             min(CAST(user_id AS DOUBLE)) AS ymin,
+             max(CAST(value AS DOUBLE)) AS xmax,
+             max(CAST(user_id AS DOUBLE)) AS ymax,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1 ORDER BY bucket_us""",
 
     // the CDC head view: per key the (ts, value)-argmax over the raw
     // table — the out-of-order streamed replay must converge to exactly
