@@ -383,6 +383,91 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized ordered replay fuzz: ewmaStream + sessionize equal batch on a µs-grained corpus") {
+    // MICROsecond-granular timestamps — the grid the round-11 ms-truncation
+    // bug hid on (every prior fixture was ms-aligned); random batch splits
+    // along the (ts, tie) order, including splits inside equal-ts groups
+    // (legal for both operators: ewma's late rule admits equal-ts larger-tie
+    // rows, session boundaries depend only on ts values)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def mkTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val rnd = new scala.util.Random(211)
+    for (_ <- 1 to 2) {
+      val events = (1 to 240).map { i =>
+        val us = 1704067200000000L + rnd.nextInt(7200).toLong * 1000000L +
+          rnd.nextInt(1000000) // random sub-ms fraction
+        (rnd.nextInt(5).toLong + 1L, mkTs(us), i.toLong,
+          rnd.nextInt(100).toDouble)
+      }
+      val ordered = events.sortBy(e => (micros(e._2), e._3))
+      val nB = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, ordered.length) ++
+        Seq.fill(nB - 1)(rnd.nextInt(ordered.length))).sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => ordered.slice(a, b) }
+
+      // --- ewmaStream: final view per key == the batch fold
+      val in1 = MemoryStream[StreamOps.Obs]
+      val q1 = StreamOps.ewmaStream(in1.toDS(), alpha = 0.25)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("fuzz_ewma").start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) {
+            in1.addData(b.map(e => StreamOps.Obs(e._1, e._2, e._3, e._4)))
+            q1.processAllAvailable()
+          }
+        }
+        val got = spark.sql("SELECT key, n_events, ewma FROM fuzz_ewma").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+        val batch = graft.pipeline.Sessions
+          .ewma(events.toDF("key", "ts", "tie", "value"),
+            "key", "ts", "tie", "value", alpha = 0.25)
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+        assert(got == batch, s"ewma fuzz: $got vs $batch")
+      } finally q1.stop()
+
+      // --- sessionize: closed sessions (after a far-future sentinel times
+      // everything out) == batch sessionization, to the exact microsecond
+      val in2 = MemoryStream[StreamOps.Event]
+      val q2 = StreamOps.sessionize(in2.toDS(), gapMinutes = 10,
+          watermarkDelay = "1 minute")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("fuzz_sessions").start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) {
+            in2.addData(b.map(e => StreamOps.Event(e._3, e._2, e._1, "t", e._4)))
+            q2.processAllAvailable()
+          }
+        }
+        in2.addData(StreamOps.Event(-1L,
+          mkTs(micros(ordered.last._2) + 86400000000L), -1L, "sentinel", 0.0))
+        q2.processAllAvailable()
+        val got = spark.sql(
+          """SELECT user_id, unix_micros(session_start), unix_micros(session_end),
+                    n_events FROM fuzz_sessions WHERE user_id > 0""").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val batch = graft.pipeline.Sessions
+          .sessionStats(events.map(e => (e._1, e._2, e._3, e._4))
+            .toDF("user_id", "ts", "event_id", "value"), gapMinutes = 10)
+          .select(col("user_id"), unix_micros(col("session_start")),
+            unix_micros(col("session_end")), col("n_events"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == batch,
+          s"sessionize fuzz: missing=${batch -- got} extra=${got -- batch}")
+      } finally q2.stop()
+    }
+  }
+
   test("latestPerKey: upsert view, out-of-order changes never regress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
