@@ -152,10 +152,15 @@ object Queries {
 
   /** Layout-artifact dir shared between q128_zorder_prune and its DuckDB
     * oracle: both engines must read the SAME parquet footers, and oracle
-    * SQL is a static string — so the path is a fixed absolute location
-    * under the repo build dir, overwritten on every run and left in place
-    * for the post-run `parquet_metadata()` replay. */
-  val Q128Dir = "/root/repo/target/q128_layout"
+    * SQL is a static string — so the path is an absolute location under
+    * the repo build dir, overwritten on every run and left in place for
+    * the post-run `parquet_metadata()` replay. Keyed by the JVM's pid
+    * (the q200/q202 applicationId pattern — a pid is available without a
+    * live session, so the oracle string interpolates the same value):
+    * the round-11 sf0.1 gate proved a FIXED path races with a concurrent
+    * suite run on the same host, which clobbered the directory mid-gate. */
+  val Q128Dir =
+    s"/root/repo/target/q128_layout_pid${ProcessHandle.current().pid()}"
 
   private def prep(spark: SparkSession, sfDir: String, names: String*): Unit = {
     graft.spatial.functions.register(spark)
@@ -181,6 +186,13 @@ object Queries {
                                orderExpr: org.apache.spark.sql.Column,
                                dir: String, n: Int): Unit = {
     val tagged = df.withColumn("__ord", orderExpr.cast("double"))
+    // a null order value fails every slice's comparison filter — the row
+    // would VANISH from the streamed face while staying in the batch
+    // oracle (a confusing red, or a silently smaller feed). Fail loudly
+    // instead: ordered replay is this helper's whole contract.
+    require(tagged.where(col("__ord").isNull).isEmpty,
+      s"writeOrderedFeed: order expression evaluates to null on some rows " +
+        s"of the feed for $dir — nulls cannot be ordered into a slice")
     val qs = tagged.stat.approxQuantile("__ord",
       (1 until n).map(_.toDouble / n).toArray, 0.0) // relativeError 0 = exact
     new java.io.File(dir).mkdirs()
@@ -204,8 +216,26 @@ object Queries {
     val tgt = new java.io.File(dir, f"slice-$k%03d.parquet")
     java.nio.file.Files.move(part.toPath, tgt.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    tgt.setLastModified(1700000000000L + k * 60000L)
+    // FileStreamSource drains oldest-mtime-first; a silently failed mtime
+    // pin would invalidate every ordered-replay certification, so fail
+    // loudly (the no-part-file guard's convention)
+    if (!tgt.setLastModified(1700000000000L + k * 60000L))
+      throw new IllegalStateException(
+        s"could not pin mtime of feed slice $tgt — ordered replay unsafe")
     new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+  }
+
+  /** Pin the STATEFUL operators' parallelism for the stream run inside
+    * `body` — one keyed state store per shuffle partition, and store
+    * open/commit per partition per micro-batch is pure overhead against
+    * small state (q220 measured 18.8 → 7.1 s at 32 → 8). The first
+    * micro-batch pins the value into the checkpoint, so the conf must
+    * stay set until the stream DRAINS; batch jobs and read-backs outside
+    * `body` keep the session default (restored in the finally). */
+  private def withStatefulParallelism[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   // =============================================================== queries
@@ -3994,11 +4024,8 @@ object Queries {
       val stream = s.readStream.schema(obs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
         .as[graft.streaming.StreamOps.Obs]
-      // stateful parallelism sized to state volume (the q220 note):
-      // one keyed state store per partition, key count ≈ users
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // stateful parallelism sized to state volume: key count ≈ users
+      withStatefulParallelism(s, 8) {
         val q = graft.streaming.StreamOps.ewmaStream(stream, alpha = 0.25)
           .toDF().writeStream.outputMode("update")
           .option("checkpointLocation", s"$base/ckpt")
@@ -4010,7 +4037,7 @@ object Queries {
               ()
           }.start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // the typed Obs encoder carries key as long; the certified output
       // follows the INPUT's id width (the variant-axis convention)
       val keyType = t(s, d, "events").schema("user_id").dataType
@@ -4064,15 +4091,12 @@ object Queries {
         .as[graft.streaming.StreamOps.Event]
       val closed = graft.streaming.StreamOps.sessionize(stream,
         gapMinutes = 30).toDF()
-      // stateful parallelism sized to state volume (the q220 note)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulParallelism(s, 8) {
         val q = closed.writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("session_start", "session_end")
       s.read.parquet(s"$base/out")
@@ -4108,9 +4132,7 @@ object Queries {
       val stream = s.readStream.schema(feedSrc.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
         .drop("event_id").as[graft.streaming.StreamOps.Change]
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulParallelism(s, 8) {
         val q = graft.streaming.StreamOps.latestPerKey(stream)
           .toDF().writeStream.outputMode("update")
           .option("checkpointLocation", s"$base/ckpt")
@@ -4122,7 +4144,7 @@ object Queries {
               ()
           }.start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val uidType = t(s, d, "events").schema("user_id").dataType
       s.read.parquet(s"$base/out")
         .groupBy(col("key"))
@@ -4162,14 +4184,12 @@ object Queries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
       val out = graft.streaming.StreamOps.windowedEventStats(stream,
         windowLen = "1 hour", watermarkDelay = "1 hour")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulParallelism(s, 8) {
         val q = out.writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(s"$base/out")
         .where(col("window.start") <= timestamp_micros(lit(maxTs)))
         .select(unix_micros(col("window.start")).as("bucket_us"),
@@ -4205,14 +4225,12 @@ object Queries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
       val out = graft.streaming.StreamOps.windowedExtent(stream, "geom",
         windowLen = "1 day", watermarkDelay = "1 hour")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulParallelism(s, 8) {
         val q = out.writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(s"$base/out")
         .where(col("window.start") <= timestamp_micros(lit(maxTs)))
         .select(unix_micros(col("window.start")).as("bucket_us"),
@@ -4254,17 +4272,14 @@ object Queries {
       val out = graft.streaming.StreamOps.psiStream(stream, baseline,
         "value", lo = 0.0, hi = 500.0, nBins = 25,
         windowLen = "7 days", watermarkDelay = "1 hour")
-      // stateful parallelism sized to state volume (the q220 note):
       // one windowed-aggregate store per partition, a handful of open
       // windows total
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatefulParallelism(s, 8) {
         val q = out.writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(s"$base/out")
         .where(col("window.start") <= timestamp_micros(lit(maxTs)))
         .select(unix_micros(col("window.start")).as("win_start_us"),
@@ -4304,22 +4319,14 @@ object Queries {
       val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
         Seq("user_id"), within = "30 minutes",
         watermarkDelay = "30 minutes")
-      // stateful parallelism is sized to state volume, the standard
-      // streaming deployment decision: a stream-stream join keeps FOUR
-      // state stores per partition, and store open/commit per partition
-      // per micro-batch is pure overhead against this state size
-      // (measured 18.8 → 7.1 s at 32 → 8). The first micro-batch pins
-      // it into the checkpoint, so the conf stays set until the stream
-      // DRAINS; batch jobs and the read-back aggregate keep the session
-      // default (restored below, planned after).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // a stream-stream join keeps FOUR state stores per partition — see
+      // withStatefulParallelism (this face measured 18.8 → 7.1 s at 32 → 8)
+      withStatefulParallelism(s, 8) {
         val q = joined.writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt").start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(s"$base/out")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("pairs"),
@@ -4365,6 +4372,127 @@ object Queries {
           col("shard").cast("long").as("shard"),
           col("toks").cast("long").as("toks"),
           col("pack_offset"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q230_stream_neardup_flags" -> ((s, d) => {
+      // the LAST stateful streaming dedup operator certified end-to-end:
+      // the documents corpus replays in THREE micro-batches through
+      // nearDupFlagsStream — each batch MinHash-sketches, bands, and
+      // equi-joins against the STANDING sketch index (flags appended),
+      // then its own sketches GROW the index for later batches. Batch
+      // membership must be SQL-replayable, so slices partition on
+      // doc_id mod 3 (not a data-dependent quantile): the flag set is
+      // exactly the cross-batch pair slice of the LSH candidate set,
+      // directed later-batch → earlier-batch. The oracle replays the
+      // ENTIRE sketch algebra from q53's signature mirror — banding =
+      // sub-signature equality (xxhash64 on the Spark side is injective
+      // up to a 2⁻⁶⁴ collision), est_jaccard = exact signature-agreement
+      // count / 64 — so the estimate FILTER itself is mirrored exactly,
+      // no separation argument needed. Batch-internal pairs are not
+      // flagged by contract (mod classes differ ⟺ cross-batch).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q230_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      Dedup.writeMinhashIndex(docs.limit(0), "text", "doc_id", s"$base/index")
+      for (k <- 0 to 2)
+        publishFeedSlice(docs.filter(col("doc_id") % 3 === k),
+          s"$base/feed", k)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.nearDupFlagsStream(s, stream,
+        "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt",
+        minEstJaccard = 0.5)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("id"), col("corpus_id"), col("est_jaccard"))
+        .orderBy("id", "corpus_id")
+    }),
+
+    "q231_stream_agg_state" -> ((s, d) => {
+      // the log-structured aggregate-state maintenance operator certified
+      // end-to-end: events replay in three ts-ordered micro-batches
+      // through aggStateStream (each batch appends ONE partial-aggregate
+      // row per touched key — the standing state is never read or
+      // rewritten), then readAggState recombines the log; the result
+      // must equal one batch aggregation over the union, which is the
+      // oracle. Values aggregate as DECIMAL(18,6): partial sums combine
+      // EXACTLY across batches and engines (a double sum would couple
+      // the hash to reduction order); the final projection casts back
+      // to double, exact on both sides.
+      prep(s, d, "events")
+      val rows = t(s, d, "events").select(col("ts"), col("event_type"),
+        (col("user_id") % 8).cast("long").as("uid_bucket"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q231_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, rows, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val stream = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        .drop("ts")
+      val q = graft.streaming.StreamOps.aggStateStream(s, stream,
+        Seq("event_type", "uid_bucket"), "v", s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.pipeline.Materialize.readAggState(s, s"$base/state",
+          Seq("event_type", "uid_bucket"))
+        .select(col("event_type"), col("uid_bucket"), col("n"),
+          col("total").cast("double").as("total"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+        .withColumn("avg_val", col("total") / col("n"))
+        .orderBy("event_type", "uid_bucket")
+    }),
+
+    "q232_stream_restart_recovery" -> ((s, d) => {
+      // checkpoint RESTART recovery — the production streaming contract
+      // no other face exercises: the q202 line-dedup replay is split
+      // across TWO StreamingQuery lifetimes sharing one checkpoint.
+      // Slices 0-1 are published and fully drained by query #1, which
+      // then STOPS; slice 2 is published and a NEW query starts from the
+      // same checkpoint, which must resume exactly after slice 1 —
+      // re-processing a committed slice would append duplicate documents
+      // (rows mismatch), skipping ahead would lose slice 2's output — and
+      // the combined appended output must equal the batch line-dedup over
+      // the full corpus: q202's oracle verbatim. Slices come from ONE
+      // writeOrderedFeed into a staging dir and are renamed into the
+      // watched dir per phase (rename preserves the pinned mtimes, so
+      // replay order stays certified).
+      prep(s, d, "documents")
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), LineFoldRe, "$1\n").as("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q232_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      Dedup.writeLineIndex(lined.limit(0), "text", "doc_id",
+        s"$base/index", "\n", minChars = 12)
+      writeOrderedFeed(s, lined, col("doc_id"), s"$base/stage", 3)
+      new java.io.File(s"$base/feed").mkdirs()
+      def publish(k: Int): Unit = {
+        val name = f"slice-$k%03d.parquet"
+        java.nio.file.Files.move(
+          new java.io.File(s"$base/stage", name).toPath,
+          new java.io.File(s"$base/feed", name).toPath)
+      }
+      def drainOnce(): Unit = {
+        val stream = s.readStream.schema(lined.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = graft.streaming.StreamOps.dedupLinesStream(s, stream,
+          "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      publish(0); publish(1)
+      drainOnce() // lifetime #1: batches 0-1 committed, query stopped
+      publish(2)
+      drainOnce() // lifetime #2: NEW query, SAME checkpoint — slice 2 only
+      s.read.parquet(s"$base/out/data")
+        .select(col("doc_id"), col("text").as("text_dedup"),
+          col("n_kept"), col("n_removed"))
         .orderBy("doc_id")
     }),
 
@@ -4543,6 +4671,54 @@ object Queries {
         JOIN gsz sb ON id_b = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold)"""
 
+  /**
+   * Full SQL mirror of the MinHash signature (certified value-exactly by
+   * q53): shingle bases are fnv1a64 folds over three consecutive
+   * full-64-bit token hashes, permutation j applies a_j·base + b_j mod
+   * 2^64 (split mulmod: a_j is up to 2^64, so a_j·base is computed as
+   * low32·base + ((high32·(base mod 2^32)) mod 2^32)·2^32 to stay inside
+   * HUGEINT), and sig_j is the SIGNED min. The a_j/b_j constants are
+   * generated from TextUtil.splitmix64 — the same pure function the Scala
+   * kernel uses, so they cannot drift. Emits CTEs ending in
+   * `sig(doc_id, j, sigval)` (one row per doc per permutation) and
+   * `sigs(doc_id, sg)` (sg = the 64-long signed-BIGINT signature list in
+   * permutation order) over `from`.
+   */
+  private def sigCtes(from: String): String = {
+    val aLit = (0 until 64).map(j =>
+      s"CAST(${java.lang.Long.toUnsignedString(
+        graft.pipeline.TextUtil.splitmix64(0x5851f42d4c957f2dL + j) | 1L)} AS HUGEINT)")
+      .mkString(", ")
+    val bLit = (0 until 64).map(j =>
+      s"CAST(${java.lang.Long.toUnsignedString(
+        graft.pipeline.TextUtil.splitmix64(0x14057b7ef767814fL ^ j))} AS HUGEINT)")
+      .mkString(", ")
+    val b0 = "CAST(14695981039346656037 AS HUGEINT)"
+    val b1 = fnvStep(b0, "hashes[i]")
+    val b2 = fnvStep(s"($b1)", "hashes[i+1]")
+    val b3 = fnvStep(s"($b2)", "hashes[i+2]")
+    val hv = s"""((((c.aj % 4294967296) * base) % $U64 +
+              ((((c.aj // 4294967296) * (base % 4294967296)) % 4294967296)
+               * 4294967296) % $U64 + c.bj) % $U64)"""
+    s"""${fnvTokenCtes(from)},
+      bases AS (
+        SELECT doc_id, len(t) AS ntk,
+          list_transform(range(1, greatest(len(t)-2, 0)+1), i -> $b3) AS bs
+        FROM th),
+      coef AS (
+        SELECT unnest(range(0, 64)) AS j,
+               unnest([$aLit]) AS aj,
+               unnest([$bLit]) AS bj),
+      sig AS (
+        SELECT b.doc_id, c.j,
+          CASE WHEN b.ntk < 3 THEN 9223372036854775807
+               ELSE list_min(list_transform(b.bs, base -> ${toSigned(hv)}))
+          END AS sigval
+        FROM bases b CROSS JOIN coef c),
+      sigs AS (
+        SELECT doc_id, list(sigval ORDER BY j) AS sg FROM sig GROUP BY doc_id)"""
+  }
+
   /** q155's oracle: the same one-md5-per-row + per-replica a·h+b remix,
     * constants inlined verbatim from [[graft.pipeline.Stats
     * .bootstrapHashFamilies]] so both engines draw the identical
@@ -4663,6 +4839,51 @@ object Queries {
     // epoch-aligned hour buckets replayed from the raw table — the
     // canonical watermark+window shape's oracle (order-insensitive
     // columns only, the q73 discipline)
+    // the WHOLE sketch algebra replayed from the signature mirror: banding
+    // = sub-signature (4-slice) equality, candidates = pairs sharing ≥ 1
+    // band across distinct mod-3 batches, est_jaccard = exact agreement
+    // count / 64 — so the ≥ 0.5 gate is mirrored EXACTLY (the only gap is
+    // an xxhash64 band collision on the Spark side, ~2⁻⁶⁴ per pair-band)
+    "q230_stream_neardup_flags" -> s"""
+      WITH ${sigCtes("documents")},
+      bnd AS (
+        SELECT doc_id, b.b AS band,
+               CAST(list_slice(sg, 4 * b.b + 1, 4 * b.b + 4) AS VARCHAR) AS sub
+        FROM sigs CROSS JOIN generate_series(0, 15) b(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bnd a JOIN bnd b ON a.band = b.band AND a.sub = b.sub
+        WHERE a.doc_id < b.doc_id AND (a.doc_id % 3) <> (b.doc_id % 3)),
+      est AS (
+        SELECT da, db,
+               len(list_filter(range(1, 65),
+                   i -> list_extract(sa.sg, i) = list_extract(sb.sg, i)))
+                 / 64.0 AS ej
+        FROM cand
+        JOIN sigs sa ON da = sa.doc_id
+        JOIN sigs sb ON db = sb.doc_id)
+      SELECT CASE WHEN da % 3 > db % 3 THEN da ELSE db END AS id,
+             CASE WHEN da % 3 > db % 3 THEN db ELSE da END AS corpus_id,
+             ej AS est_jaccard
+      FROM est WHERE ej >= 0.5
+      ORDER BY id, corpus_id""",
+
+    // one aggregation over the union — the log-structured state's
+    // contract; decimal sums are exact, the double cast identical on
+    // both engines
+    "q231_stream_agg_state" -> """
+      WITH v AS (
+        SELECT event_type, CAST(user_id % 8 AS BIGINT) AS uid_bucket,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events)
+      SELECT event_type, uid_bucket,
+             count(v) AS n,
+             CAST(sum(v) AS DOUBLE) AS total,
+             CAST(min(v) AS DOUBLE) AS min_val,
+             CAST(max(v) AS DOUBLE) AS max_val,
+             CAST(sum(v) AS DOUBLE) / count(v) AS avg_val
+      FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q228_stream_window_stats" -> """
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
              event_type, count(*) AS n_events
@@ -7127,41 +7348,10 @@ object Queries {
     // 2^32)·2^32 to stay inside HUGEINT), and sig_j is the SIGNED min.
     // The a_j/b_j constants are generated from TextUtil.splitmix64 — the
     // same pure function the Scala kernel uses, so they cannot drift.
-    "q53_minhash_sig" -> {
-      val aLit = (0 until 64).map(j =>
-        s"CAST(${java.lang.Long.toUnsignedString(
-          graft.pipeline.TextUtil.splitmix64(0x5851f42d4c957f2dL + j) | 1L)} AS HUGEINT)")
-        .mkString(", ")
-      val bLit = (0 until 64).map(j =>
-        s"CAST(${java.lang.Long.toUnsignedString(
-          graft.pipeline.TextUtil.splitmix64(0x14057b7ef767814fL ^ j))} AS HUGEINT)")
-        .mkString(", ")
-      val b0 = "CAST(14695981039346656037 AS HUGEINT)"
-      val b1 = fnvStep(b0, "hashes[i]")
-      val b2 = fnvStep(s"($b1)", "hashes[i+1]")
-      val b3 = fnvStep(s"($b2)", "hashes[i+2]")
-      val hv = s"""((((c.aj % 4294967296) * base) % $U64 +
-                ((((c.aj // 4294967296) * (base % 4294967296)) % 4294967296)
-                 * 4294967296) % $U64 + c.bj) % $U64)"""
-      s"""
-      WITH ${fnvTokenCtes("documents")},
-      bases AS (
-        SELECT doc_id, len(t) AS ntk,
-          list_transform(range(1, greatest(len(t)-2, 0)+1), i -> $b3) AS bs
-        FROM th),
-      coef AS (
-        SELECT unnest(range(0, 64)) AS j,
-               unnest([$aLit]) AS aj,
-               unnest([$bLit]) AS bj),
-      sig AS (
-        SELECT b.doc_id, c.j,
-          CASE WHEN b.ntk < 3 THEN 9223372036854775807
-               ELSE list_min(list_transform(b.bs, base -> ${toSigned(hv)}))
-          END AS sigval
-        FROM bases b CROSS JOIN coef c)
+    "q53_minhash_sig" -> s"""
+      WITH ${sigCtes("documents")}
       SELECT doc_id, CAST(j AS BIGINT) AS perm, sigval
-      FROM sig ORDER BY doc_id, perm"""
-    },
+      FROM sig ORDER BY doc_id, perm""",
 
     // End-to-end Curate mirror: every pipeline stage recomputed in one CTE
     // chain — exact dedup (keep lowest id per md5), near-dup removal (the
@@ -9309,5 +9499,8 @@ object Queries {
   val oracle: Map[String, String] =
     oracleBase + ("q221_stream_curate" -> oracleBase("q54_curate")) +
       ("q224_stream_ewma" -> oracleBase("q153_ewma")) +
-      ("q226_stream_sessionize" -> oracleBase("q10_event_sessions"))
+      ("q226_stream_sessionize" -> oracleBase("q10_event_sessions")) +
+      // restart recovery must reassemble EXACTLY the single-lifetime
+      // stream's output — q202's oracle verbatim
+      ("q232_stream_restart_recovery" -> oracleBase("q202_stream_line_dedup"))
 }

@@ -234,15 +234,19 @@ object Clustering {
       .select(col("list_id"), l2(col("nvec"), col("cvec")).as("__d"))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_members"), avg(col("__d")).as("scatter"))
-    // persist the k-sized scatter frame: THREE consumers below (both
-    // sides of the pairwise-separation join and the per-cluster output)
-    // — without it each reference replays the corpus-sized assignment
-    // scan (measured 3× in=|corpus| stages in the q206 profile; the
-    // globalRank slim-frame precedent). Values unchanged — the q206
-    // oracle re-certified after this landed.
+    // materialize the k-sized scatter frame EAGERLY: THREE consumers below
+    // (both sides of the pairwise-separation join and the per-cluster
+    // output) — without it each reference replays the corpus-sized
+    // assignment scan (measured 3× in=|corpus| stages in the q206 profile;
+    // the globalRank slim-frame precedent). localCheckpoint, NOT persist:
+    // the method returns before any consumer drains, so a persist() here
+    // had no natural unpersist point and leaked one cache entry per call
+    // in a long-lived session; checkpoint blocks are reference-tracked and
+    // GC-reaped with the plan. Values unchanged — the scatter job merely
+    // runs at call time instead of first action (q206 re-certified).
     val sc = scatter.join(broadcast(cents),
       col("list_id") === col("centroid_id")).drop("centroid_id")
-      .persist()
+      .localCheckpoint(true)
     val rmax = sc.select(col("list_id").as("__i"), col("scatter").as("__si"),
         col("cvec").as("__ci"))
       .join(sc.select(col("list_id").as("__j"), col("scatter").as("__sj"),

@@ -321,8 +321,18 @@ object Dedup {
    * broadcast prune and the verify join) — both index-sized, never
    * corpus-sized.
    *
-   * Output: (id_a corpus id, id_b batch id, jaccard exact) with
-   * jaccard ≥ threshold.
+   * Output: (id_a corpus id, id_b batch id, jaccard ≥ threshold) —
+   * `jaccard` is the exact n-gram value for pairs whose corpus text is
+   * present in `corpusDocs`. A candidate whose corpus id has NO text row
+   * (the caller seeded the index beyond the corpus frame — e.g. a
+   * pre-built index over documents that were never appended to the data
+   * dir) cannot verify exactly; it falls back to the ESTIMATE gate
+   * (`est_jaccard ≥ threshold`, the no-corpusDocs behavior) instead of
+   * being silently dropped by the inner verify join — dropping it would
+   * KEEP near-dups of pre-existing corpus docs, strictly worse than the
+   * estimate gate this method upgrades. For such pairs `jaccard` carries
+   * the estimate. Under the curateStream/curateIncrement append
+   * discipline index ⊆ corpus holds and the fallback branch is empty.
    */
   def nearDuplicatePairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                      path: String, batch: DataFrame,
@@ -331,9 +341,11 @@ object Dedup {
                                      threshold: Double, n: Int = 3,
                                      hotBucketBound: Int = AutoBound): DataFrame = {
     val cand0 = minhashCandidatePairsAgainstIndex(spark, path, batch, textCol,
-      idCol, n, hotBucketBound).select("id_a", "id_b")
+      idCol, n, hotBucketBound)
     // the guarded run can emit a pair from both the hot and cold path —
-    // dedup before the verify join (same rule as nearDuplicatePairs)
+    // dedup before the verify join (same rule as nearDuplicatePairs); the
+    // kept est_jaccard is identical across duplicates (a pure function of
+    // the two signatures), so the arbitrary-row keep is deterministic
     val candidates =
       if (hotBucketBound == Int.MaxValue) cand0
       else cand0.dropDuplicates("id_a", "id_b")
@@ -345,13 +357,24 @@ object Dedup {
       array_distinct(Text.wordShingles(col("__text_a"), n)).as("grams_a"))
     val gramsB = batch.select(col(idCol).as("id_b"),
       array_distinct(Text.wordShingles(col(textCol), n)).as("grams_b"))
-    candidates
+    val exact = candidates
       .join(gramsA, Seq("id_a"))
       .join(gramsB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
           size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // index-only candidates (no corpus text) → estimate gate. The anti
+    // join's RIGHT side is the candidate-pruned corpus id set
+    // (candidate-sized, broadcast) — never the corpus itself; the branch
+    // costs one extra candidate-pruned scan of the corpus id column and
+    // emits nothing when index ⊆ corpus.
+    val orphans = candidates
+      .join(broadcast(corpusCand.select("id_a").dropDuplicates("id_a")),
+        Seq("id_a"), "left_anti")
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard").as("jaccard"))
+    exact.unionByName(orphans)
   }
 
   /** Banded bucket join + first-shared-band emission over (id, sig).

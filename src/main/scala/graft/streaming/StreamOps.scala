@@ -156,6 +156,42 @@ object StreamOps {
   }
 
   /**
+   * [[nearDupFlags]] with the corpus index GROWING as the stream arrives —
+   * the production shape when the standing corpus IS the stream's own
+   * past: each micro-batch flags against the sketches of every EARLIER
+   * batch (appending flag rows to `outPath`), then its own sketches join
+   * the index ([[graft.pipeline.Dedup.appendMinhashIndex]]) so later
+   * batches flag against it. Batch-internal pairs are not flagged (run
+   * [[graft.pipeline.Dedup.minhashCandidatePairs]] per batch if needed);
+   * the flag set over an append-only-id replay therefore equals the
+   * cross-batch slice of the batch near-dup pair set, directed later →
+   * earlier — which is what q230 certifies against the signature-exact
+   * oracle. Same foreachBatch at-least-once caveats as [[curateStream]].
+   *
+   * The flags frame is pinned eagerly (localCheckpoint) BEFORE the index
+   * append — a lazy plan re-evaluated after the append would see the
+   * batch's own sketches and flag every document against itself.
+   */
+  def nearDupFlagsStream(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame, textCol: String, idCol: String,
+                         indexPath: String, outPath: String, checkpoint: String,
+                         minEstJaccard: Double, shingle: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val flags = nearDupFlags(spark, b, textCol, idCol, indexPath,
+          minEstJaccard, shingle).localCheckpoint(true)
+        flags.write.mode("append").parquet(outPath)
+        graft.pipeline.Dedup.appendMinhashIndex(spark, indexPath, b,
+          textCol, idCol, shingle)
+        flags.unpersist()
+        ()
+      }
+      .start()
+
+  /**
    * Streaming incremental curation: each micro-batch of documents is
    * curated against the STANDING corpus with the exact batch semantics of
    * [[graft.pipeline.Curate.curateIncrement]] (gates, batch-internal
@@ -177,8 +213,15 @@ object StreamOps {
    * ([[graft.pipeline.Curate.curateIncrement]]'s broadcast semi-join
    * prune), so the per-batch cost stays candidate-sized and the streamed
    * union matches the batch run even for threshold-adjacent pairs (q221
-   * certifies this). `false` keeps the estimate gate: zero corpus access,
-   * classification can differ only near the threshold.
+   * certifies this). Within this sink's own append discipline the index
+   * is always a subset of `outPath/data`; if a caller seeds `indexPath`
+   * with a PRE-BUILT index over documents never appended to the data dir,
+   * those candidates cannot verify exactly and fall back to the estimate
+   * gate per pair ([[graft.pipeline.Dedup.nearDuplicatePairsAgainstIndex]]
+   * routes index-only candidates through `est_jaccard ≥ τ` instead of
+   * dropping them). `false` keeps the estimate gate for ALL cross-corpus
+   * candidates: zero corpus access, classification can differ only near
+   * the threshold.
    *
    * Delivery: foreachBatch is AT-LEAST-ONCE — on recovery a batch can
    * replay, re-appending its survivors. Production sinks wanting

@@ -1279,6 +1279,44 @@ class PipelineSpec extends AnyFunSuite {
       new java.io.File(idxPath).getParentFile)
   }
 
+  test("exact verify against an index seeded BEYOND the corpus: " +
+       "index-only candidates fall back to the estimate gate, not a drop") {
+    import spark.implicits._
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango")
+    val ghost = ("one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    val ghostVar = ghost.split(' ').dropRight(2).mkString(" ") + " extra words"
+    // corpus text table holds doc 10 only; the INDEX additionally holds
+    // doc 12 (a pre-built index over documents never written to the data
+    // dir — the exactVerify caveat ADVICE flagged)
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val indexed = Seq((10L, base), (12L, ghost)).toDF("doc_id", "text")
+    val batch = Seq((1000L, base + " tail"), (1001L, ghostVar))
+      .toDF("doc_id", "text")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_orphan_idx").toString + "/idx"
+    Dedup.writeMinhashIndex(indexed, "text", "doc_id", idxPath)
+    val got = Dedup.nearDuplicatePairsAgainstIndex(spark, idxPath, batch,
+        corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10, 1000): exact verify (text present). (12, 1001): corpus text is
+    // absent — must STILL flag via the estimate gate rather than silently
+    // keeping the near-dup
+    assert(got == Set((10L, 1000L), (12L, 1001L)), got.toString)
+    // and the estimate value rides the jaccard column for the orphan pair
+    val orphanJ = Dedup.nearDuplicatePairsAgainstIndex(spark, idxPath, batch,
+        corpus, "text", "doc_id", threshold = 0.5)
+      .filter(col("id_a") === 12L).select("jaccard").head().getDouble(0)
+    val estJ = Dedup.minhashCandidatePairsAgainstIndex(spark, idxPath, batch,
+        "text", "doc_id")
+      .filter(col("id_a") === 12L && col("id_b") === 1001L)
+      .select("est_jaccard").head().getDouble(0)
+    assert(orphanJ == estJ && estJ >= 0.5)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idxPath).getParentFile)
+  }
+
   test("sessionization splits on gap") {
     import java.sql.Timestamp
     val rows = Seq(

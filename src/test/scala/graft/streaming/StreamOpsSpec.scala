@@ -128,6 +128,80 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupFlagsStream: the index GROWS with the stream — later batches " +
+       "flag against earlier ones, never against themselves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ndfs").toString
+    val docs = Seq((1L, ""), (2L, "")).toDF("doc_id", "text").limit(0)
+    graft.pipeline.Dedup.writeMinhashIndex(docs, "text", "doc_id", s"$base/idx")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupFlagsStream(spark,
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$base/idx", s"$base/out", s"$base/ckpt", minEstJaccard = 0.8)
+    try {
+      val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+      // batch 0: empty standing index → nothing flags, even though the
+      // batch contains an internal near-identical pair (batch-internal
+      // pairs are out of contract); both docs' sketches then join the index
+      input.addData((1L, a), (2L, "another document about completely unrelated query planning topics"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 0)
+      // batch 1: a dup of batch-0's doc 1 must flag against the GROWN index
+      input.addData((10L, a))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/out").collect()
+      assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("corpus_id"))).toSeq
+        == Seq((10L, 1L)))
+      assert(rows.head.getAs[Double]("est_jaccard") >= 0.99)
+      // the eager flag pin means no document ever flags against itself
+      // (the index append happens after); index now holds all three
+      assert(spark.read.parquet(s"$base/idx").count() == 3)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("checkpoint restart recovery: a NEW query over the same checkpoint " +
+       "resumes after the committed batches, never re-appending them") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val docs = Seq((1L, ""), (2L, "")).toDF("doc_id", "text").limit(0)
+    graft.pipeline.Dedup.writeLineIndex(docs, "text", "doc_id",
+      s"$base/idx", "\n", minChars = 5)
+    new java.io.File(s"$base/feed").mkdirs()
+    def slice(k: Int, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$base/stage$k"
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      assert(tgt.setLastModified(1700000000000L + k * 60000L))
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = StreamOps.dedupLinesStream(spark, stream, "text", "doc_id",
+        s"$base/idx", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    slice(0, Seq((1L, "shared line alpha\nunique to one")))
+    drain() // lifetime #1 commits batch 0
+    slice(1, Seq((2L, "shared line alpha\nsecond doc line")))
+    drain() // lifetime #2: must process ONLY slice 1
+    val out = spark.read.parquet(s"$base/out/data")
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 1 exactly once: no re-append
+    assert(out(1L) == ("shared line alpha\nunique to one", 0L))
+    assert(out(2L) == ("second doc line", 1L)) // cross-LIFETIME suppression
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("streaming incremental curate: cross-batch dedup + continued offsets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
