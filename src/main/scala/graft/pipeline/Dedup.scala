@@ -267,9 +267,39 @@ object Dedup {
                                         hotBucketBound: Int = AutoBound): DataFrame = {
     val corpus = spark.read.parquet(path)
     val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
-    val bands = corpus.schema("bh").metadata.getLong("bands").toInt
     val batchSig = batch.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig"))
+    pairsSketchedAgainstIndex(corpus, batchSig, hotBucketBound)
+  }
+
+  /** Sketch a batch under an index's RECORDED parameters — the one-scan
+    * input shared by [[minhashCandidatePairsSketchedAgainstIndex]] and a
+    * plain `.write.mode("append")` onto the index (schema + metadata are
+    * the index's own): callers that both flag against an index and grow
+    * it ([[graft.streaming.StreamOps.nearDupFlagsStream]]) tokenize the
+    * batch ONCE instead of once per consumer. */
+  def sketchForIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, textCol: String, idCol: String,
+                     shingle: Int = 3): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    sketchFrame(batch, textCol, idCol,
+      schema("sig").metadata.getLong("numHashes").toInt,
+      schema("bh").metadata.getLong("bands").toInt, shingle)
+  }
+
+  /** [[minhashCandidatePairsAgainstIndex]] over an ALREADY-SKETCHED batch
+    * ([[sketchForIndex]]) — no text scan at all. */
+  def minhashCandidatePairsSketchedAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchSketch: DataFrame,
+      hotBucketBound: Int = AutoBound): DataFrame =
+    pairsSketchedAgainstIndex(spark.read.parquet(path),
+      batchSketch.select(col("id"), col("sig")), hotBucketBound)
+
+  private def pairsSketchedAgainstIndex(corpus: DataFrame, batchSig: DataFrame,
+                                        hotBucketBound: Int): DataFrame = {
+    val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
+    val bands = corpus.schema("bh").metadata.getLong("bands").toInt
     // bands explode as inline expressions over the sig attribute (never an
     // aliased column) — see pairsFromSketches for why
     def explodeSide(df: DataFrame, suffix: String): DataFrame =

@@ -168,9 +168,13 @@ object StreamOps {
    * earlier — which is what q230 certifies against the signature-exact
    * oracle. Same foreachBatch at-least-once caveats as [[curateStream]].
    *
-   * The flags frame is pinned eagerly (localCheckpoint) BEFORE the index
-   * append — a lazy plan re-evaluated after the append would see the
-   * batch's own sketches and flag every document against itself.
+   * The batch is tokenized and sketched ONCE
+   * ([[graft.pipeline.Dedup.sketchForIndex]], pinned eagerly): the flags
+   * derive from the pinned sketch frame and are fully WRITTEN before the
+   * same frame appends to the index — so no plan ever reads the index
+   * after its own batch joined it (which would flag every document
+   * against itself), and the per-batch text scan cost is paid once, not
+   * once per consumer.
    */
   def nearDupFlagsStream(spark: org.apache.spark.sql.SparkSession,
                          docs: DataFrame, textCol: String, idCol: String,
@@ -180,13 +184,16 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF()
-        val flags = nearDupFlags(spark, b, textCol, idCol, indexPath,
-          minEstJaccard, shingle).localCheckpoint(true)
-        flags.write.mode("append").parquet(outPath)
-        graft.pipeline.Dedup.appendMinhashIndex(spark, indexPath, b,
-          textCol, idCol, shingle)
-        flags.unpersist()
+        val sk = graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
+          batch.toDF(), textCol, idCol, shingle).localCheckpoint(true)
+        graft.pipeline.Dedup
+          .minhashCandidatePairsSketchedAgainstIndex(spark, indexPath, sk)
+          .filter(col("est_jaccard") >= minEstJaccard)
+          .select(col("id_b").as("id"), col("id_a").as("corpus_id"),
+            col("est_jaccard"))
+          .write.mode("append").parquet(outPath)
+        sk.write.mode("append").parquet(indexPath)
+        sk.unpersist()
         ()
       }
       .start()
