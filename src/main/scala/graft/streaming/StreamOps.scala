@@ -532,12 +532,19 @@ object StreamOps {
         i => when(i === bin(c), 1L).otherwise(0L))
     val vecSum = udaf(new LongVecSumAgg(nBins),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    // the baseline fold is PINNED at construction (eager localCheckpoint):
+    // a raw batch subtree inside a streaming plan re-executes on EVERY
+    // micro-batch — profiled as one full baseline scan per trigger — and
+    // at production baseline sizes that is the whole cost of the monitor.
+    // One distributed aggregate runs once; every trigger broadcasts the
+    // checkpointed one-row result. Values unchanged (q225 re-certified).
     val baseShares = baseline.where(col(valueCol).isNotNull)
       .select(oneHot(col(valueCol)).as("__h"))
       .agg(vecSum(col("__h")).as("__bc"))
       .select(transform(col("__bc"), c => c.cast("double") /
         aggregate(col("__bc"), lit(0L), (a, x) => a + x).cast("double"))
         .as("__q"))
+      .localCheckpoint(true)
     val counts = stream
       .where(col(valueCol).isNotNull)
       .withWatermark("ts", watermarkDelay)

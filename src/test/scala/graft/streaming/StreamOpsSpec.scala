@@ -626,17 +626,22 @@ class StreamOpsSpec extends AnyFunSuite {
     val baseline = (0 until 5).flatMap(b => Seq.fill(10)(b + 0.5)).toDF("value")
     val input = MemoryStream[(Long, Timestamp, Double)]
     val stream = input.toDF().toDF("event_id", "ts", "value")
-    val q = StreamOps.psiStream(stream, baseline, "value",
-        lo = 0.0, hi = 5.0, nBins = 5, windowLen = "10 minutes")
-      .writeStream.outputMode("update").format("memory")
+    val psi = StreamOps.psiStream(stream, baseline, "value",
+      lo = 0.0, hi = 5.0, nBins = 5, windowLen = "10 minutes")
+    // ALL data lands before the query starts → exactly one micro-batch,
+    // so each window updates once (a started query polls continuously,
+    // and update mode re-emits a window per batch that touches it — the
+    // memory sink would then hold both partial and final rows, a
+    // timing-dependent flake under load)
+    // window 1: same uniform shape → PSI 0
+    (0 until 5).zipWithIndex.foreach { case (b, i) =>
+      input.addData((i.toLong, ts("2024-01-01 10:01:00"), b + 0.5)) }
+    // window 2: all mass in bin 0 → strong drift
+    (0 until 10).foreach { i =>
+      input.addData((100L + i, ts("2024-01-01 10:11:00"), 0.5)) }
+    val q = psi.writeStream.outputMode("update").format("memory")
       .queryName("psi_view").start()
     try {
-      // window 1: same uniform shape → PSI 0
-      (0 until 5).zipWithIndex.foreach { case (b, i) =>
-        input.addData((i.toLong, ts("2024-01-01 10:01:00"), b + 0.5)) }
-      // window 2: all mass in bin 0 → strong drift
-      (0 until 10).foreach { i =>
-        input.addData((100L + i, ts("2024-01-01 10:11:00"), 0.5)) }
       q.processAllAvailable()
       val rows = spark.sql(
         "SELECT window.start, n, n_bins_used, psi FROM psi_view ORDER BY 1")
