@@ -619,6 +619,71 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // STATE-STORE restart recovery — the stateful complement of the q232
+  // board face (which certifies the foreachBatch/file-source side): a
+  // mapGroupsWithState query is stopped after committed batches and a NEW
+  // query resumes from the same checkpoint — the reloaded per-key state
+  // must continue the EWMA fold exactly where lifetime #1 left it (a
+  // reload that lost or coarsened state would change the IEEE chain).
+  // Run on both providers: the HDFS on-heap store and RocksDB (whose
+  // checkpoint format + reload path are entirely different code).
+  for (provider <- Seq("hdfs-onheap", "rocksdb"))
+    test(s"stateful restart recovery [$provider]: reloaded mapGroupsWithState " +
+         "state continues the fold across query lifetimes") {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_strestart").toString
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      if (provider == "rocksdb")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def slice(k: Int, rows: Seq[StreamOps.Obs]): Unit = {
+          val stage = s"$base/stage$k"
+          rows.toDS().toDF().repartition(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+          tgt.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, tgt.toPath)
+          assert(tgt.setLastModified(1700000000000L + k * 60000L))
+        }
+        def drain(): Unit = {
+          val stream = spark.readStream
+            .schema(implicitly[org.apache.spark.sql.Encoder[StreamOps.Obs]].schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+            .as[StreamOps.Obs]
+          val q = StreamOps.ewmaStream(stream, alpha = 0.25)
+            .toDF().writeStream.outputMode("update")
+            .option("checkpointLocation", s"$base/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+                b.withColumn("__b", lit(bid)).write.mode("append").parquet(s"$base/out")
+                ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        slice(0, Seq(StreamOps.Obs(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+          StreamOps.Obs(1L, ts("2024-01-01 10:01:00"), 2L, 20.0)))
+        drain() // lifetime #1: state(key 1) = fold(10, 20), committed
+        slice(1, Seq(StreamOps.Obs(1L, ts("2024-01-01 10:02:00"), 3L, 40.0),
+          StreamOps.Obs(2L, ts("2024-01-01 10:00:00"), 1L, 7.5)))
+        drain() // lifetime #2: NEW query, reloaded state continues the chain
+        val last = spark.read.parquet(s"$base/out")
+          .groupBy("key").agg(max(struct(col("__b"), col("n_events"), col("ewma"))).as("w"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getStruct(1).getLong(1), r.getStruct(1).getDouble(2))).toMap
+        val expect1 = 0.25 * 40.0 + 0.75 * (0.25 * 20.0 + 0.75 * 10.0)
+        assert(last(1L) == ((3L, expect1))) // exact IEEE chain across the restart
+        assert(last(2L) == ((1L, 7.5)))
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      }
+    }
+
   test("psiStream: windowed drift vs a static baseline matches the batch PSI arithmetic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
