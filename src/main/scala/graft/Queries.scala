@@ -4496,6 +4496,247 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "q233_duplicate_spans" -> ((s, d) => {
+      // EXACT-SUBSTRING duplicate spans at 8-token resolution — the
+      // suffix-array training-data dedup operator's Spark-first
+      // equivalence (any duplicated run of >= l tokens contains a
+      // duplicated l-gram; flag positions whose gram occurs >= 2 times
+      // corpus-wide, merge overlapping/adjacent windows per doc). The
+      // corpus plants a verbatim copy of every 7th document (id+700000):
+      // whole-doc spans must surface in BOTH the original and the copy at
+      // identical offsets, and the synthetic corpus's natural repeated
+      // runs flag wherever they truly recur. Output is all exact
+      // integers — 1-based inclusive token indices, maximal spans only.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      Dedup.duplicateSpans(corpus, "text", "doc_id", l = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q234_stream_interval_left_join" -> ((s, d) => {
+      // the LEFT-OUTER stream-stream interval join — q220's face
+      // certifies matched pairs; this one certifies the NULL-AUGMENTED
+      // rows ("click never converted"), which only emit when the
+      // watermark passes each left row's match horizon, i.e. state
+      // EXPIRY is part of the certified semantics. A far-future sentinel
+      // slice on BOTH feeds (left user -1, right user -2 — they can
+      // never match anything) pushes both watermarks past every real
+      // horizon so all outer rows flush; the batch LEFT JOIN oracle then
+      // has to agree row-for-row on matched counts, unmatched counts,
+      // and the matched-only gap sums (NULL where a user never
+      // converted — sum over no rows on both engines).
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val maxTs = ev.agg(max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0) // one-row boundary read
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q234_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, clicks, expr("unix_micros(ts)"), s"$base/feedL", 3)
+      writeOrderedFeed(s, purch, expr("unix_micros(ts)"), s"$base/feedR", 3)
+      // sentinel columns take the INPUT widths (the narrow-int variant
+      // axis reads event ids as int32 — a bare -1L would widen the slice
+      // file and fail the stream's schema)
+      val sentinelTs = timestamp_micros(lit(maxTs + 30L * 86400000000L))
+      publishFeedSlice(s.range(1).select(
+        lit(-1L).cast(clicks.schema("click_id").dataType).as("click_id"),
+        sentinelTs.as("ts"), lit(-1L).cast(clicks.schema("user_id").dataType)
+          .as("user_id")), s"$base/feedL", 3)
+      publishFeedSlice(s.range(1).select(
+        lit(-1L).cast(purch.schema("purchase_id").dataType).as("purchase_id"),
+        sentinelTs.as("ts"), lit(-2L).cast(purch.schema("user_id").dataType)
+          .as("user_id")), s"$base/feedR", 3)
+      val ls = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feedL")
+      val rs = s.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feedR")
+      val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
+        Seq("user_id"), within = "30 minutes",
+        watermarkDelay = "30 minutes", joinType = "left_outer")
+      withStatefulParallelism(s, 8) {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .where(col("user_id") >= 0L) // the sentinel click's own outer row
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id_r")).as("n_matched"),
+          sum(when(col("purchase_id_r").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          sum(unix_micros(col("ts_r")) - unix_micros(col("ts"))).as("gap_us"),
+          min(col("purchase_id_r")).as("first_purchase"),
+          countDistinct(col("click_id")).as("n_clicks"))
+        .orderBy("user_id")
+    }),
+
+    "q235_stream_dedup_redeliveries" -> ((s, d) => {
+      // at-least-once redelivery dedup (dropDuplicatesWithinWatermark —
+      // retries re-stamped with a NEW event time, so the id columns alone
+      // key the state): slice 0 replays every original event, slices 1-2
+      // replay re-stamped redeliveries (every 3rd event at +2 min, every
+      // 6th at +4 min — the +4 copy a SECOND retry of an already-retried
+      // id). Every redelivery must drop — by live state within the
+      // horizon, by the watermark's late filter beyond it (the two
+      // eviction regimes partition the id space; both must end in a
+      // drop) — so the streamed output is EXACTLY the original event set
+      // and the oracle reads the raw table.
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q235_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      publishFeedSlice(ev, s"$base/feed", 0)
+      publishFeedSlice(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 120000000L)),
+        s"$base/feed", 1)
+      publishFeedSlice(ev.filter(pmod(col("event_id"), lit(6)) === 0)
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 240000000L)),
+        s"$base/feed", 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val deduped = graft.streaming.StreamOps.dedupRedeliveries(
+        stream, Seq("event_id"))
+      withStatefulParallelism(s, 8) {
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    "q236_stream_spatial_enrich" -> ((s, d) => {
+      // streaming spatial enrichment (grid-bucketed stream-static join —
+      // the streaming face of q33's SpatialJoin): events become a point
+      // stream (x = value, y = user_id mod 50), the static side is one
+      // rectangle per nation, and each micro-batch equi-joins on covering
+      // cells with the exact st_contains as the residual filter. The
+      // operator is stateless, so the streamed union over any batch split
+      // must equal the batch join — the oracle's inclusive BETWEEN
+      // rectangle test (boundary-coincident points included on both
+      // engines, the q33 precedent).
+      prep(s, d, "events", "nation")
+      val pts = t(s, d, "events").select(col("event_id"), col("ts"),
+        G.st_point(col("value"),
+          pmod(col("user_id"), lit(50)).cast("double")).as("pt"))
+      val rects = t(s, d, "nation").select(col("n_nationkey"),
+        G.st_makeenvelope(
+          col("n_nationkey").cast("double") * 20.0,
+          col("n_nationkey").cast("double") - 3.0,
+          col("n_nationkey").cast("double") * 20.0 + 50.0,
+          col("n_nationkey").cast("double") + 3.0).as("rect"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q236_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, pts, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val stream = s.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val joined = graft.streaming.StreamOps.spatialEnrich(stream, rects,
+        col("pt"), col("rect"), (sg, dg) => G.st_contains(dg, sg),
+        cellSize = 25.0)
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("n_nationkey")
+    }),
+
+    "q237_stream_dedup_events" -> ((s, d) => {
+      // exact-redelivery dedup (dropDuplicates on id + event time — the
+      // retry carries the ORIGINAL stamp, unlike q235's re-stamped
+      // retries): slices 1-2 replay byte-identical copies of every 4th /
+      // 8th event. A copy is either deduped by live (id, ts) state or
+      // dropped late by the watermark — the streamed output must be
+      // exactly the original event set under either regime.
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q237_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      publishFeedSlice(ev, s"$base/feed", 0)
+      publishFeedSlice(ev.filter(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/feed", 1)
+      publishFeedSlice(ev.filter(pmod(col("event_id"), lit(8)) === 0),
+        s"$base/feed", 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val deduped = graft.streaming.StreamOps.dedupEvents(
+        stream, Seq("event_id"))
+      withStatefulParallelism(s, 8) {
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    "q238_stream_enrich" -> ((s, d) => {
+      // stream-static LEFT enrichment: the event stream joins a customer
+      // dimension re-planned per micro-batch (broadcast at this size).
+      // The dim keeps only custkeys < 100, so users 100+ exercise the
+      // null-extension arm (the '∅' segment) — stateless, so the union
+      // over batches must equal the batch left join.
+      prep(s, d, "events", "customer")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val dim = t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey").cast(ev.schema("user_id").dataType)
+          .as("user_id"), col("c_mktsegment"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q238_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val enriched = graft.streaming.StreamOps.enrich(stream, dim,
+        Seq("user_id"))
+      val q = enriched.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy(coalesce(col("c_mktsegment"), lit("∅")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("segment")
+    }),
+
     "q206_davies_bouldin" -> ((s, d) => {
       // clustering-quality gate: Davies–Bouldin index over the SAME
       // certified two-round kmeans trajectory as q107 (per-cluster
@@ -4883,6 +5124,106 @@ object Queries {
              CAST(max(v) AS DOUBLE) AS max_val,
              CAST(sum(v) AS DOUBLE) / count(v) AS avg_val
       FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the q218 tokenization idiom (trim + \s+ split) at l=8, hashes
+    // compared within-engine only; flagged windows [p, p+7] island-merge
+    // per doc (the q118 gaps-islands idiom over the running max end)
+    "q233_duplicate_spans" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000 AS doc_id, text FROM documents
+        WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+      hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m)
+      SELECT doc_id,
+             CAST(min(p) + 1 AS BIGINT) AS span_start,
+             CAST(max(p) + 8 AS BIGINT) AS span_end,
+             CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
+
+    // q220's join with the left-outer arm: unmatched clicks contribute a
+    // null-extended row; matched-only sums null-skip identically on both
+    // engines (a never-converting user's gap_us is NULL — sum over no rows)
+    "q234_stream_interval_left_join" -> """
+      WITH c AS (SELECT event_id AS click_id, ts, user_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, ts, user_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id,
+             count(*) AS n_rows,
+             count(p.purchase_id) AS n_matched,
+             CAST(sum(CASE WHEN p.purchase_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unmatched,
+             CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us,
+             min(p.purchase_id) AS first_purchase,
+             count(DISTINCT c.click_id) AS n_clicks
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.user_id ORDER BY c.user_id""",
+
+    // every redelivery must have been dropped → the streamed output IS
+    // the raw original event set
+    "q235_stream_dedup_redeliveries" -> """
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // q33's inclusive rectangle-containment test over the event point
+    // stream (x = value, y = user_id mod 50)
+    "q236_stream_spatial_enrich" -> """
+      SELECT n.n_nationkey, count(*) AS n_pts,
+             min(e.event_id) AS first_event,
+             max(e.event_id) AS last_event
+      FROM nation n JOIN events e
+        ON e.value BETWEEN CAST(n.n_nationkey AS DOUBLE) * 20.0
+                       AND CAST(n.n_nationkey AS DOUBLE) * 20.0 + 50.0
+       AND CAST(e.user_id % 50 AS DOUBLE)
+             BETWEEN CAST(n.n_nationkey AS DOUBLE) - 3.0
+                 AND CAST(n.n_nationkey AS DOUBLE) + 3.0
+      GROUP BY n.n_nationkey ORDER BY n.n_nationkey""",
+
+    "q237_stream_dedup_events" -> """
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q238_stream_enrich" -> """
+      SELECT coalesce(c.c_mktsegment, '∅') AS segment,
+             count(*) AS n_events,
+             count(DISTINCT e.user_id) AS n_users,
+             CAST(sum(e.event_id) AS BIGINT) AS id_sum
+      FROM events e LEFT JOIN
+        (SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey < 100) c
+        ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY segment""",
 
     "q228_stream_window_stats" -> """
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,

@@ -1302,4 +1302,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("__d").cast("long").as("pos_gap"),
         col("edit_dist"))
   }
+
+  /**
+   * Exact-substring duplicate spans — the "remove repeated training data at
+   * the substring level" operator (the published suffix-array formulation
+   * finds substrings of ≥ L tokens occurring more than once in the corpus;
+   * a suffix array is a sequential construction, so the Spark-first
+   * equivalence is used instead): any duplicated token run of length ≥ l
+   * contains a duplicated l-gram, so flagging every token position whose
+   * l-gram occurs ≥ `minCount` times corpus-wide and merging the
+   * overlapping/adjacent flagged windows per document yields exactly the
+   * maximal duplicated spans at l-token resolution.
+   *
+   * Plan shape at 100 TB: the corpus tokenizes via the native
+   * [[graft.pipeline.Text.wordShingles]] expression and explodes to
+   * (id, pos, md5(gram)) — the shuffle key is the FIXED-WIDTH digest, never
+   * the gram text, so the corpus-token-sized exchange carries 32-byte keys
+   * regardless of token length. The occurrence count is a partial-agg
+   * groupBy (map-side combine collapses within-partition repeats); the
+   * duplicated-hash set joins back by hash (AQE broadcasts it when the
+   * duplicated vocabulary is small, the common case); the island merge is
+   * one per-document window over the surviving positions only — documents
+   * with no duplicated grams never reach the window, and the two windows
+   * plus the island aggregate all ride ONE doc-keyed sort/exchange.
+   * The tokenize+hash projection deliberately runs TWICE (once under the
+   * count, once under the flag join) rather than once: the one-scan
+   * alternative — `collect_list` of (id, pos) per hash, filter, explode —
+   * would put every occurrence of a hot boilerplate gram into a single
+   * task's array (the exact hub blow-up the LSH `hotBucketBound` guard
+   * exists for), while the recompute is embarrassingly parallel scan CPU
+   * and no corpus-sized frame is ever cached or skew-collected.
+   *
+   * @param l        span resolution in tokens (the published pipelines use
+   *                 50 BPE tokens; any duplicated run shorter than l is
+   *                 below resolution and unreported)
+   * @param minCount flag grams occurring at least this many times
+   *                 corpus-wide (2 = "appears more than once", counting
+   *                 within-document repeats — self-repetition is duplication)
+   * @return one row per maximal duplicated span:
+   *         (id, span_start, span_end, span_len) with 1-based inclusive
+   *         token indices, span_len = span_end − span_start + 1 ≥ l
+   */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     l: Int, minCount: Long = 2L): DataFrame = {
+    require(l >= 1, s"span resolution l must be >= 1, got $l")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val grams = df.select(col(idCol),
+        posexplode(graft.pipeline.Text.wordShingles(col(textCol), l))
+          .as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p").cast("long").as("__p"),
+        md5(col("__g")).as("__h"))
+    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    val hits = grams.join(dup, Seq("__h")).select(col(idCol), col("__p"))
+    // island merge over flagged windows [p, p+l-1]: a window starts a new
+    // span iff its first token lies beyond (running max end) + 1 — merging
+    // both overlapping and back-to-back windows into one contiguous span
+    val w = Window.partitionBy(idCol).orderBy("__p")
+    val spans = hits
+      .withColumn("__pe", max(col("__p") + lit(l.toLong - 1L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pe").isNull || col("__p") > col("__pe") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(w))
+    spans.groupBy(col(idCol), col("__isl"))
+      .agg((min("__p") + 1L).as("span_start"),
+        (max("__p") + lit(l.toLong)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
 }

@@ -4764,4 +4764,87 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(one.length == 1 && one(0).isNullAt(3) && one(0).isNullAt(4))
   }
+
+  // ---------------------------------------------------- duplicate spans
+
+  /** Brute-force reference for duplicateSpans: same definition, no Spark —
+    * global l-gram occurrence counts, flagged windows, island merge. */
+  private def bruteSpans(docs: Seq[(Long, String)], l: Int,
+                         minCount: Int): Seq[(Long, Long, Long, Long)] = {
+    def toks(s: String) = s.trim.split("\\s+", -1).toSeq
+    val grams = docs.flatMap { case (id, t) =>
+      toks(t).sliding(l).zipWithIndex.collect {
+        case (g, p) if g.size == l => (id, p, g.mkString(" "))
+      }
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.flatMap { case (id, t) =>
+      val hits = grams.filter(g => g._1 == id && counts(g._3) >= minCount)
+        .map(_._2).sorted
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      hits.foreach { p =>
+        spans.lastOption match {
+          case Some((s0, e0)) if p <= e0 + 1 =>
+            spans(spans.length - 1) = (s0, math.max(e0, p + l - 1))
+          case _ => spans += ((p, p + l - 1))
+        }
+      }
+      spans.map { case (s0, e0) =>
+        (id, s0 + 1L, e0 + 1L, (e0 - s0 + 1).toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("duplicateSpans: planted cross-doc + within-doc spans, merge, edges") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      // cross-doc duplicate: the 8-token run appears in docs 1 and 2 at
+      // different offsets (expect one l=4-resolution span covering it)
+      1L -> s"one two three $shared tail1 tail2",
+      2L -> s"$shared middle unrelated words here",
+      // within-doc repetition: the same 4 tokens twice in one doc
+      3L -> "rep a b c rep a b c distinct ending tokens",
+      // too short for any l-gram
+      4L -> "tiny doc",
+      // no duplicated grams at all
+      5L -> "entirely unique vocabulary without any repeated window at all")
+    val out = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", l = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == bruteSpans(docs, 4, 2))
+    // the shared run is found in BOTH docs, span length == 8 (maximal,
+    // windows merged), positioned at each doc's own offset
+    assert(out.contains((1L, 4L, 11L, 8L)))
+    assert(out.contains((2L, 1L, 8L, 8L)))
+    // within-doc repeat flags both occurrences (merged into ONE span here:
+    // windows [1..4] and [5..8] are back-to-back → one 8-token span)
+    assert(out.filter(_._1 == 3L) == Seq((3L, 1L, 8L, 8L)))
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    // span_len always >= l and == end - start + 1
+    out.foreach { case (_, s0, e0, len) =>
+      assert(len >= 4 && len == e0 - s0 + 1)
+    }
+  }
+
+  test("duplicateSpans fuzz: random small-vocab corpora == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 6) {
+      val vocab = Vector("aa", "bb", "cc", "dd") // tiny → dense collisions
+      val docs = (0 until 12).map { id =>
+        val n = 3 + rnd.nextInt(15)
+        id.toLong -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val l = 2 + rnd.nextInt(3)
+      val got = Dedup.duplicateSpans(
+          docs.toDF("doc_id", "text").repartition(3 + trial % 3),
+          "text", "doc_id", l = l)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == bruteSpans(docs, l, 2),
+        s"trial $trial l=$l: $got vs ${bruteSpans(docs, l, 2)}")
+    }
+  }
 }
