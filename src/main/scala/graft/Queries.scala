@@ -4511,8 +4511,44 @@ object Queries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs
         .filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")))
       Dedup.duplicateSpans(corpus, "text", "doc_id", l = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q239_remove_duplicate_spans" -> ((s, d) => {
+      // the span-REMOVAL arm over q233's corpus: every duplicated span is
+      // cut from the text and the per-doc token savings reported — the
+      // operator the published substring-dedup pipelines actually run.
+      // Cleaned text certifies VERBATIM (whitespace-normalized token
+      // reassembly, identical on both engines), so a mis-merged island or
+      // off-by-one cut cannot hide in the counts.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+      Dedup.removeDuplicateSpans(corpus, "text", "doc_id", l = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q240_contamination_spans" -> ((s, d) => {
+      // exact-substring DECONTAMINATION localization: q233's span algebra
+      // pointed at a reference corpus — WHERE does a training document
+      // verbatim-overlap the benchmark (q218's novelty face tells how
+      // much; this tells where, span-precise). Same eval construction as
+      // q218: reference = even ids, train = odd ids + planted verbatim
+      // copies of every 20th doc — the plants must contaminate end to
+      // end, the odd docs only where they truly share 8-token runs.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      val train = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.contaminationSpans(train, ref, "text", "doc_id", l = 8)
         .orderBy("doc_id", "span_start")
     }),
 
@@ -5147,6 +5183,118 @@ object Queries {
           ON i.i <= len(wt) - 8),
       dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
       hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m)
+      SELECT doc_id,
+             CAST(min(p) + 1 AS BIGINT) AS span_start,
+             CAST(max(p) + 8 AS BIGINT) AS span_end,
+             CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
+
+    // q233's span chain continued through the cut: covered positions
+    // explode from the spans, kept tokens reassemble in position order
+    // (string_agg ORDER BY == the array filter's stable order)
+    "q239_remove_duplicate_spans" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000 AS doc_id, text FROM documents
+        WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+      hits AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m),
+      spans AS (
+        SELECT doc_id, min(p) AS s0, max(p) + 7 AS e0
+        FROM isl GROUP BY doc_id, grp),
+      ss AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(e0 - s0 + 1) AS removed
+        FROM spans GROUP BY doc_id),
+      cov AS (
+        SELECT doc_id, unnest(generate_series(s0, e0)) AS cp FROM spans),
+      tokpos AS (
+        SELECT doc_id, i.i AS p, wt[i.i + 1] AS tk
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 1),
+      kept AS (
+        SELECT tp.doc_id, tp.p, tp.tk
+        FROM tokpos tp LEFT JOIN cov
+          ON tp.doc_id = cov.doc_id AND tp.p = cov.cp
+        WHERE cov.cp IS NULL),
+      reasm AS (
+        SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(coalesce(ss.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(ss.removed, 0) AS BIGINT) AS tokens_removed,
+             CAST(len(t.wt) - coalesce(ss.removed, 0) AS BIGINT)
+               AS tokens_kept,
+             coalesce(r.text_clean, '') AS text_clean
+      FROM tok t
+      LEFT JOIN ss ON t.doc_id = ss.doc_id
+      LEFT JOIN reasm r ON t.doc_id = r.doc_id
+      ORDER BY t.doc_id""",
+
+    // q233's chain with the duplicated-gram set replaced by the
+    // reference corpus's distinct gram hashes (q218's eval construction)
+    "q240_contamination_spans" -> """
+      WITH ref AS (
+        SELECT string_split_regex(trim(text), '\s+') AS wt
+        FROM documents WHERE doc_id % 2 = 0),
+      refg AS (
+        SELECT DISTINCT
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM ref JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM documents
+        WHERE doc_id % 20 = 0),
+      ttok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS wt
+        FROM train),
+      tgrams AS (
+        SELECT doc_id, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM ttok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      hits AS (SELECT tg.doc_id, tg.p FROM tgrams tg JOIN refg USING (h)),
       m AS (
         SELECT doc_id, p,
                max(p + 7) OVER (PARTITION BY doc_id ORDER BY p

@@ -1347,29 +1347,107 @@ object Dedup {
                      l: Int, minCount: Long = 2L): DataFrame = {
     require(l >= 1, s"span resolution l must be >= 1, got $l")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
-    val grams = df.select(col(idCol),
+    val grams = gramHashes(df, textCol, idCol, l)
+    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__h")
+    mergeIslands(grams.join(dup, Seq("__h")).select(col(idCol), col("__p")),
+      idCol, l)
+  }
+
+  /** (id, pos, md5(l-gram)) frame — the shared substrate of the span
+    * operators (fixed-width digests keep the shuffle key 32 bytes). */
+  private def gramHashes(df: DataFrame, textCol: String, idCol: String,
+                         l: Int): DataFrame =
+    df.select(col(idCol),
         posexplode(graft.pipeline.Text.wordShingles(col(textCol), l))
           .as(Seq("__p", "__g")))
       .select(col(idCol), col("__p").cast("long").as("__p"),
         md5(col("__g")).as("__h"))
-    val dup = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__h")
-    val hits = grams.join(dup, Seq("__h")).select(col(idCol), col("__p"))
-    // island merge over flagged windows [p, p+l-1]: a window starts a new
-    // span iff its first token lies beyond (running max end) + 1 — merging
-    // both overlapping and back-to-back windows into one contiguous span
+
+  /** Island merge over flagged windows [p, p+l-1]: a window starts a new
+    * span iff its first token lies beyond (running max end) + 1 — merging
+    * both overlapping and back-to-back windows into one contiguous span.
+    * One per-document window over flagged positions only. */
+  private def mergeIslands(hits: DataFrame, idCol: String, l: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__p")
-    val spans = hits
+    hits
       .withColumn("__pe", max(col("__p") + lit(l.toLong - 1L))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
         when(col("__pe").isNull || col("__p") > col("__pe") + 1L, 1L)
           .otherwise(0L))
       .withColumn("__isl", sum("__new").over(w))
-    spans.groupBy(col(idCol), col("__isl"))
+      .groupBy(col(idCol), col("__isl"))
       .agg((min("__p") + 1L).as("span_start"),
         (max("__p") + lit(l.toLong)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /**
+   * Exact-substring CONTAMINATION spans: positions of `df` whose l-gram
+   * occurs anywhere in `reference` — [[duplicateSpans]] pointed at an eval
+   * corpus instead of at the training corpus itself, localizing WHERE a
+   * training document verbatim-overlaps a benchmark (the span-level
+   * complement of the document-level n-gram decontamination flags). The
+   * reference's distinct gram-hash set is typically benchmark-sized —
+   * AQE broadcasts it and the training corpus never shuffles.
+   *
+   * @return one row per maximal contaminated span of `df`:
+   *         (id, span_start, span_end, span_len), 1-based inclusive.
+   */
+  def contaminationSpans(df: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"span resolution l must be >= 1, got $l")
+    val refHashes = reference
+      .select(explode(array_distinct(
+        graft.pipeline.Text.wordShingles(col(textCol), l))).as("__g"))
+      .select(md5(col("__g")).as("__h")).distinct()
+    val hits = gramHashes(df, textCol, idCol, l)
+      .join(refHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__p"))
+    mergeIslands(hits, idCol, l)
+  }
+
+  /**
+   * Apply [[duplicateSpans]]: cut every duplicated span out of the text
+   * and report the per-document token savings — the operator the
+   * published substring-dedup pipelines actually run over the training
+   * corpus. Cleaned text is reassembled with single spaces (whitespace
+   * NORMALIZES — runs of whitespace in the source collapse, the
+   * tokenization's inherent resolution).
+   *
+   * The spans frame per doc is span-count-sized (bounded by
+   * tokens/l), collected into one array per document via a groupBy —
+   * never corpus-token-sized — and the cut itself is a codegen'd
+   * higher-order filter over the token array: no second shuffle of the
+   * corpus beyond the [[duplicateSpans]] plan and one doc-keyed join.
+   *
+   * @return `df`'s id column + (n_spans, tokens_removed, tokens_kept,
+   *         text_clean)
+   */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           l: Int, minCount: Long = 2L): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, l, minCount)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"),
+        col("span_end")))).as("__spans"))
+    val toks = graft.pipeline.Text.wordShingles(col(textCol), 1)
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(size(col("__spans")), lit(0)).cast("long").as("n_spans"),
+        coalesce(aggregate(col("__spans"), lit(0L),
+          (a, s) => a + s.getField("span_end") - s.getField("span_start")
+            + 1L), lit(0L)).as("tokens_removed"),
+        toks.as("__t"), col("__spans"))
+      .select(col(idCol), col("n_spans"), col("tokens_removed"),
+        (size(col("__t")).cast("long") - col("tokens_removed"))
+          .as("tokens_kept"),
+        array_join(
+          when(col("__spans").isNull, col("__t")).otherwise(
+            filter(col("__t"), (t, i) => !exists(col("__spans"), s =>
+              i + 1 >= s.getField("span_start") &&
+                i + 1 <= s.getField("span_end")))),
+          " ").as("text_clean"))
   }
 }

@@ -4828,6 +4828,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicateSpans: cut text, savings, no-span and full-cover docs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "x1 x2 a b c d e f g h y1 y2",   // shared 8-run mid-doc
+      2L -> "a b c d e f g h",                // the whole doc IS the run
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")     // untouched
+    val out = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", l = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: tokens 3..10 cut; doc 2: everything cut (empty clean text);
+    // doc 3: no spans, text reassembles whitespace-normalized
+    assert(out == Seq(
+      (1L, 1L, 8L, 4L, "x1 x2 y1 y2"),
+      (2L, 1L, 8L, 0L, ""),
+      (3L, 0L, 0L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    // savings identity vs the spans view itself
+    val spans = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", l = 8)
+      .groupBy("doc_id").agg(sum("span_len").as("rm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, removed, _, _) =>
+      assert(removed == spans.getOrElse(id, 0L))
+    }
+  }
+
+  test("contaminationSpans: planted eval copy contaminates end to end; " +
+       "clean docs silent") {
+    import spark.implicits._
+    val ref = Seq(
+      100L -> "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10",
+      101L -> "f1 f2 f3 f4 f5 f6 f7 f8").toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "pre1 pre2 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 post1", // full eval run
+      2L -> "f1 f2 f3 f4 f5 f6 f7 DIFFERENT",                 // 7-overlap: below l
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9")                     // clean
+    val out = Dedup.contaminationSpans(train.toDF("doc_id", "text"), ref,
+        "text", "doc_id", l = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: positions 3..12 (the ten eval tokens) — windows at p=2,3,4
+    // (0-based) merge to [2, 11] → 1-based (3, 12); docs 2-3 silent
+    assert(out == Seq((1L, 3L, 12L, 10L)))
+    // and symmetric sanity: pointing at an empty reference flags nothing
+    assert(Dedup.contaminationSpans(train.toDF("doc_id", "text"),
+      ref.limit(0), "text", "doc_id", l = 8).isEmpty)
+  }
+
   test("duplicateSpans fuzz: random small-vocab corpora == brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)
