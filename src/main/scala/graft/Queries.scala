@@ -4552,6 +4552,34 @@ object Queries {
         .orderBy("doc_id", "span_start")
     }),
 
+    "q241_stream_contamination" -> ((s, d) => {
+      // the decontamination gate LIVE: q240's train corpus replays as an
+      // id-ordered file feed against the same fixed benchmark (the even
+      // docs), the pinned gram-digest probe appends each batch's
+      // contaminated spans, and the union must hash-match the BATCH
+      // operator on the whole corpus — q240's oracle verbatim (spans are
+      // per-document, so batch boundaries cannot move them).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      val train = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q241_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      writeOrderedFeed(s, train, col("doc_id"), s"$base/feed", 3)
+      val stream = s.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.contaminationSpansStream(s, stream,
+        ref, "text", "doc_id", 8, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("doc_id", "span_start")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -9991,5 +10019,8 @@ object Queries {
       ("q226_stream_sessionize" -> oracleBase("q10_event_sessions")) +
       // restart recovery must reassemble EXACTLY the single-lifetime
       // stream's output — q202's oracle verbatim
-      ("q232_stream_restart_recovery" -> oracleBase("q202_stream_line_dedup"))
+      ("q232_stream_restart_recovery" -> oracleBase("q202_stream_line_dedup")) +
+      // spans are per-document — the streamed union must equal the batch
+      // operator on the whole corpus, q240's oracle verbatim
+      ("q241_stream_contamination" -> oracleBase("q240_contamination_spans"))
 }

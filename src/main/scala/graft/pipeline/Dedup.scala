@@ -1397,12 +1397,29 @@ object Dedup {
    *         (id, span_start, span_end, span_len), 1-based inclusive.
    */
   def contaminationSpans(df: DataFrame, reference: DataFrame,
-                         textCol: String, idCol: String, l: Int): DataFrame = {
+                         textCol: String, idCol: String, l: Int): DataFrame =
+    contaminationSpansWith(df,
+      referenceGramHashes(reference, textCol, l), textCol, idCol, l)
+
+  /** The reference corpus's distinct l-gram digest set — benchmark-sized,
+    * the broadcastable right side of [[contaminationSpansWith]]. Compute
+    * once (and pin, e.g. `localCheckpoint(true)`) when probing many
+    * batches against the same benchmark — the streaming face's shape. */
+  def referenceGramHashes(reference: DataFrame, textCol: String,
+                          l: Int): DataFrame = {
     require(l >= 1, s"span resolution l must be >= 1, got $l")
-    val refHashes = reference
+    reference
       .select(explode(array_distinct(
         graft.pipeline.Text.wordShingles(col(textCol), l))).as("__g"))
       .select(md5(col("__g")).as("__h")).distinct()
+  }
+
+  /** [[contaminationSpans]] against a precomputed `__h` digest frame
+    * ([[referenceGramHashes]]). */
+  def contaminationSpansWith(df: DataFrame, refHashes: DataFrame,
+                             textCol: String, idCol: String,
+                             l: Int): DataFrame = {
+    require(l >= 1, s"span resolution l must be >= 1, got $l")
     val hits = gramHashes(df, textCol, idCol, l)
       .join(refHashes, Seq("__h"), "left_semi")
       .select(col(idCol), col("__p"))

@@ -334,6 +334,41 @@ object StreamOps {
   }
 
   /**
+   * Streaming exact-substring decontamination localization: each
+   * micro-batch of documents is probed against a FIXED benchmark corpus
+   * ([[graft.pipeline.Dedup.contaminationSpans]]'s algebra) and the
+   * contaminated spans append to `outPath` — the live gate that tells a
+   * training-data intake WHERE an incoming document verbatim-overlaps an
+   * eval set. Spans are per-document (no cross-batch state), so the
+   * streamed union over any batch split equals the batch operator on the
+   * union; `foreachBatch` is required only because the island merge is a
+   * window, which streaming plans cannot host directly.
+   *
+   * The benchmark's distinct gram-digest frame is computed ONCE at
+   * construction and pinned (eager localCheckpoint) — a raw batch subtree
+   * inside the loop would re-tokenize the whole benchmark on every
+   * trigger (the psiStream baseline lesson, applied from the start); each
+   * batch joins the pinned benchmark-sized digest set (broadcast).
+   */
+  def contaminationSpansStream(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, reference: DataFrame,
+                               textCol: String, idCol: String, l: Int,
+                               outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refHashes = graft.pipeline.Dedup
+      .referenceGramHashes(reference, textCol, l).localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Dedup.contaminationSpansWith(batch.toDF(), refHashes,
+            textCol, idCol, l)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming maintenance of the log-structured aggregate state
    * ([[graft.pipeline.Materialize]]): each micro-batch appends its
    * per-key partials; any reader combines the log via `readAggState` at

@@ -684,6 +684,49 @@ class StreamOpsSpec extends AnyFunSuite {
       }
     }
 
+  test("contaminationSpansStream: streamed spans across batches == batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_contamstr").toString
+    try {
+      val ref = Seq(100L -> "e1 e2 e3 e4 e5 e6 e7 e8 e9").toDF("doc_id", "text")
+      val docs = Seq(
+        1L -> "a1 a2 e1 e2 e3 e4 e5 e6 e7 e8 e9 a3",  // contaminated, batch 0
+        2L -> "clean c1 c2 c3 c4 c5 c6 c7 c8 c9",     // clean, batch 0
+        3L -> "e1 e2 e3 e4 e5 e6 e7 e8 tail")          // contaminated, batch 1
+      // two slice files so the operator provably accumulates across batches
+      for ((k, ids) <- Seq(0 -> Set(1L, 2L), 1 -> Set(3L))) {
+        val stage = s"$base/stage$k"
+        docs.filter(d => ids(d._1)).toDF("doc_id", "text")
+          .repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      val stream = spark.readStream
+        .schema(docs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = StreamOps.contaminationSpansStream(spark, stream, ref,
+        "text", "doc_id", 8, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(s"$base/out")
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val batch = graft.pipeline.Dedup.contaminationSpans(
+          docs.toDF("doc_id", "text"), ref, "text", "doc_id", l = 8)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      // and the spans are the expected ones: doc 1 covers the 9 eval
+      // tokens (windows p=2,3 merge), doc 3 its 8-token prefix
+      assert(streamed == Seq((1L, 3L, 11L, 9L), (3L, 1L, 8L, 8L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   test("psiStream: windowed drift vs a static baseline matches the batch PSI arithmetic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
