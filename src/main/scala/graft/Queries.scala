@@ -190,7 +190,10 @@ object Queries {
     // would VANISH from the streamed face while staying in the batch
     // oracle (a confusing red, or a silently smaller feed). Fail loudly
     // instead: ordered replay is this helper's whole contract.
-    require(tagged.where(col("__ord").isNull).isEmpty,
+    // projected to the single order column BEFORE the filter so the
+    // guard's scan is column-pruned (the guard is one narrow pass, not a
+    // full-width corpus read)
+    require(tagged.select(col("__ord")).where(col("__ord").isNull).isEmpty,
       s"writeOrderedFeed: order expression evaluates to null on some rows " +
         s"of the feed for $dir — nulls cannot be ordered into a slice")
     val qs = tagged.stat.approxQuantile("__ord",
@@ -1871,6 +1874,21 @@ object Queries {
       // come from `percentile` ≡ `quantile_cont` (q51 parity) so both
       // engines derive identical [lo, hi] longs.
       import s.implicits._
+      // pid-keyed dirs accumulate across JVM runs (each run writes two
+      // full event-table layouts and nothing overwrites another pid's
+      // dir) — reap siblings whose owning process is GONE before writing
+      // ours; live pids are left alone, so the concurrent-suite race the
+      // pid keying fixed stays fixed
+      val layoutParent = new java.io.File(Q128Dir).getParentFile
+      Option(layoutParent.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val m = "q128_layout_pid(\\d+)".r.findFirstMatchIn(f.getName)
+        m.foreach { mm =>
+          val alive = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"/proc/${mm.group(1)}"))
+          if (!alive && f.getAbsolutePath != Q128Dir)
+            new scala.reflect.io.Directory(f).deleteRecursively()
+        }
+      }
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         graft.pipeline.Time.tsMicros(col("ts")).as("tsu"), col("value"))
       val base = Q128Dir
@@ -4397,7 +4415,6 @@ object Queries {
         "graft_q230_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      Dedup.writeMinhashIndex(docs.limit(0), "text", "doc_id", s"$base/index")
       for (k <- 0 to 2)
         publishFeedSlice(docs.filter(col("doc_id") % 3 === k),
           s"$base/feed", k)
@@ -4407,6 +4424,21 @@ object Queries {
         "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt",
         minEstJaccard = 0.5)
       try q.processAllAvailable() finally q.stop()
+      // oracle-alignment precondition, asserted rather than assumed: the
+      // operator's DEFAULT hot-bucket guard (AutoBound, floor 64) must
+      // never trip on this corpus or the hub-star pairs would diverge
+      // from the oracle's full band algebra. Max band-bucket occupancy
+      // of the final index stays far under the floor — fail loudly here
+      // (not as a silent hash red) if a future corpus changes that.
+      val maxOcc = s.read.parquet(s"$base/index")
+        .select(posexplode(col("bh")).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      require(maxOcc <= 64L,
+        s"q230: band-bucket occupancy $maxOcc exceeds the AutoBound floor " +
+          "(64) — the default hub guard would trip and the oracle does " +
+          "not replay hub-star pairs; replay the bound in SQL (q119's " +
+          "pattern) before certifying this corpus")
       s.read.parquet(s"$base/out")
         .select(col("id"), col("corpus_id"), col("est_jaccard"))
         .orderBy("id", "corpus_id")

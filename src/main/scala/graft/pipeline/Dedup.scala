@@ -212,13 +212,16 @@ object Dedup {
     * from the index metadata so old and new rows band identically. */
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, textCol: String, idCol: String,
-                         shingle: Int = 3): Unit = {
-    val schema = spark.read.parquet(path).schema
-    val numHashes = schema("sig").metadata.getLong("numHashes").toInt
-    val bands = schema("bh").metadata.getLong("bands").toInt
-    sketchFrame(batch, textCol, idCol, numHashes, bands, shingle)
+                         shingle: Int = 3): Unit =
+    sketchForIndex(spark, path, batch, textCol, idCol, shingle)
       .write.mode("append").parquet(path)
-  }
+
+  /** [[sketchForIndex]] with EXPLICIT parameters — for callers creating a
+    * fresh index (no standing schema to recover them from). */
+  def sketchBatch(df: DataFrame, textCol: String, idCol: String,
+                  numHashes: Int = 64, bands: Int = 16,
+                  shingle: Int = 3): DataFrame =
+    sketchFrame(df, textCol, idCol, numHashes, bands, shingle)
 
   private def sketchFrame(df: DataFrame, textCol: String, idCol: String,
                           numHashes: Int, bands: Int, shingle: Int): DataFrame = {
@@ -294,6 +297,18 @@ object Dedup {
       batchSketch: DataFrame,
       hotBucketBound: Int = AutoBound): DataFrame =
     pairsSketchedAgainstIndex(spark.read.parquet(path),
+      batchSketch.select(col("id"), col("sig")), hotBucketBound)
+
+  /** [[minhashCandidatePairsSketchedAgainstIndex]] against an
+    * ALREADY-LOADED (possibly filtered) corpus sketch frame — the hook for
+    * callers that must restrict the standing side, e.g. the streaming
+    * flags sink excluding its own batch's partition on replay. The frame
+    * must carry the index's `sig`/`bh` field metadata (any projection or
+    * filter of an index read does). */
+  def minhashCandidatePairsSketched(corpusSketches: DataFrame,
+                                    batchSketch: DataFrame,
+                                    hotBucketBound: Int = AutoBound): DataFrame =
+    pairsSketchedAgainstIndex(corpusSketches,
       batchSketch.select(col("id"), col("sig")), hotBucketBound)
 
   private def pairsSketchedAgainstIndex(corpus: DataFrame, batchSig: DataFrame,

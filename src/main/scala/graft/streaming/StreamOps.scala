@@ -159,41 +159,70 @@ object StreamOps {
    * [[nearDupFlags]] with the corpus index GROWING as the stream arrives —
    * the production shape when the standing corpus IS the stream's own
    * past: each micro-batch flags against the sketches of every EARLIER
-   * batch (appending flag rows to `outPath`), then its own sketches join
-   * the index ([[graft.pipeline.Dedup.appendMinhashIndex]]) so later
-   * batches flag against it. Batch-internal pairs are not flagged (run
+   * batch, then its own sketches join the index so later batches flag
+   * against it. Batch-internal pairs are not flagged (run
    * [[graft.pipeline.Dedup.minhashCandidatePairs]] per batch if needed);
    * the flag set over an append-only-id replay therefore equals the
    * cross-batch slice of the batch near-dup pair set, directed later →
    * earlier — which is what q230 certifies against the signature-exact
-   * oracle. Same foreachBatch at-least-once caveats as [[curateStream]].
+   * oracle.
+   *
+   * EXACTLY-ONCE under foreachBatch replay: both the index and the flag
+   * output are partitioned by the Spark batch id and written with
+   * DYNAMIC partition overwrite, and the probe reads only index
+   * partitions `__batch < bid`. A replayed batch (crash after the index
+   * write, before the checkpoint commit) therefore (a) never sees its
+   * own half-written partition — a flat append here would make every
+   * replayed document flag against itself and its batch-mates — and
+   * (b) overwrites its own partitions with identical deterministic
+   * content instead of duplicating rows. The happy path is unchanged:
+   * `__batch < bid` is exactly "the index as of the previous batch".
+   * The index is OWNED by this sink (created on the first batch with
+   * `numHashes`/`bands`; do not seed it with the flat
+   * [[graft.pipeline.Dedup.writeMinhashIndex]] layout — mixed
+   * partitioned/flat dirs don't read back); batch consumers can still
+   * probe it through the `*Sketched` entry points, which carry the
+   * field metadata through any filter.
    *
    * The batch is tokenized and sketched ONCE
-   * ([[graft.pipeline.Dedup.sketchForIndex]], pinned eagerly): the flags
-   * derive from the pinned sketch frame and are fully WRITTEN before the
-   * same frame appends to the index — so no plan ever reads the index
-   * after its own batch joined it (which would flag every document
-   * against itself), and the per-batch text scan cost is paid once, not
-   * once per consumer.
+   * ([[graft.pipeline.Dedup.sketchForIndex]], pinned eagerly — the
+   * checkpoint blocks are reaped by the ContextCleaner when the batch's
+   * frames go out of scope): flags and the index write both consume the
+   * pinned frame, so the per-batch text scan cost is paid once.
    */
   def nearDupFlagsStream(spark: org.apache.spark.sql.SparkSession,
                          docs: DataFrame, textCol: String, idCol: String,
                          indexPath: String, outPath: String, checkpoint: String,
-                         minEstJaccard: Double, shingle: Int = 3)
+                         minEstJaccard: Double, shingle: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sk = graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
-          batch.toDF(), textCol, idCol, shingle).localCheckpoint(true)
-        graft.pipeline.Dedup
-          .minhashCandidatePairsSketchedAgainstIndex(spark, indexPath, sk)
-          .filter(col("est_jaccard") >= minEstJaccard)
-          .select(col("id_b").as("id"), col("id_a").as("corpus_id"),
-            col("est_jaccard"))
-          .write.mode("append").parquet(outPath)
-        sk.write.mode("append").parquet(indexPath)
-        sk.unpersist()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+        val sk = (if (exists)
+            graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
+              batch.toDF(), textCol, idCol, shingle)
+          else graft.pipeline.Dedup.sketchBatch(batch.toDF(), textCol, idCol,
+            numHashes, bands, shingle)).localCheckpoint(true)
+        if (exists) {
+          val standing = spark.read.parquet(indexPath)
+            .filter(col("__batch") < lit(bid))
+          graft.pipeline.Dedup.minhashCandidatePairsSketched(standing, sk)
+            .filter(col("est_jaccard") >= minEstJaccard)
+            .select(col("id_b").as("id"), col("id_a").as("corpus_id"),
+              col("est_jaccard"))
+            .withColumn("__batch", lit(bid))
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        }
+        sk.withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(indexPath)
         ()
       }
       .start()
@@ -294,8 +323,12 @@ object StreamOps {
         spark.createDataFrame(
             java.util.Arrays.asList(snapshot: _*), newTotals.schema)
           .write.mode("overwrite").parquet(totalsPath)
-        curated.unpersist() // checkpoint blocks are GC-reaped; this is
-        ()                  // the eager release for long-running streams
+        // the localCheckpoint blocks are released by the ContextCleaner
+        // once `curated` goes out of scope at the end of this batch
+        // (Dataset.unpersist is a no-op for checkpoint blocks — it only
+        // clears CacheManager entries); long-running streams hold at
+        // most the current batch's pin
+        ()
       }
       .start()
   }

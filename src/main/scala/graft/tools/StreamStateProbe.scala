@@ -38,32 +38,35 @@ object StreamStateProbe {
       if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
         "rocksdb" else "hdfs-onheap"
 
-    // (operatorName -> (max rows, max bytes)) for the face being run;
-    // progress events post asynchronously on the listener bus
-    val stats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        e.progress.stateOperators.foreach { so =>
-          stats.merge(so.operatorName,
-            (so.numRowsTotal, so.memoryUsedBytes),
-            (a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
-        }
-    })
-
     args.drop(1).foreach { q =>
-      stats.clear()
+      // a FRESH listener (and stats map) per face, registered before the
+      // run and removed after the drain sleep: a progress event arriving
+      // late on the async bus can at worst be dropped — it can never be
+      // attributed to the NEXT face, which a shared cleared map allowed
+      val stats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          e.progress.stateOperators.foreach { so =>
+            stats.merge(so.operatorName,
+              (so.numRowsTotal, so.memoryUsedBytes),
+              (a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
+          }
+      }
+      spark.streams.addListener(listener)
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // drain the async listener bus before reading the map
-      Thread.sleep(2000)
-      import scala.jdk.CollectionConverters._
-      val ops = stats.asScala.toSeq.sortBy(_._1).map { case (op, (rows, bytes)) =>
-        s""""$op":{"max_state_rows":$rows,"max_state_bytes":$bytes}"""
-      }.mkString("{", ",", "}")
-      println(f"""{"query":"$q","provider":"$provider","wall_sec":$wall%.1f,"state_operators":$ops}""")
+      try {
+        graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus before reading the map
+        Thread.sleep(5000)
+        import scala.jdk.CollectionConverters._
+        val ops = stats.asScala.toSeq.sortBy(_._1).map { case (op, (rows, bytes)) =>
+          s""""$op":{"max_state_rows":$rows,"max_state_bytes":$bytes}"""
+        }.mkString("{", ",", "}")
+        println(f"""{"query":"$q","provider":"$provider","wall_sec":$wall%.1f,"state_operators":$ops}""")
+      } finally spark.streams.removeListener(listener)
     }
     spark.stop()
   }

@@ -133,20 +133,19 @@ class StreamOpsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_ndfs").toString
-    val docs = Seq((1L, ""), (2L, "")).toDF("doc_id", "text").limit(0)
-    graft.pipeline.Dedup.writeMinhashIndex(docs, "text", "doc_id", s"$base/idx")
     val input = MemoryStream[(Long, String)]
     val q = StreamOps.nearDupFlagsStream(spark,
       input.toDF().toDF("doc_id", "text"), "text", "doc_id",
       s"$base/idx", s"$base/out", s"$base/ckpt", minEstJaccard = 0.8)
     try {
       val a = "the quick brown fox jumps over the lazy dog near the river bank today"
-      // batch 0: empty standing index → nothing flags, even though the
+      // batch 0: no standing index yet → nothing flags, even though the
       // batch contains an internal near-identical pair (batch-internal
-      // pairs are out of contract); both docs' sketches then join the index
+      // pairs are out of contract); both docs' sketches then seed the index
       input.addData((1L, a), (2L, "another document about completely unrelated query planning topics"))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$base/out").count() == 0)
+      assert(!new java.io.File(s"$base/out").exists() ||
+        spark.read.parquet(s"$base/out").count() == 0)
       // batch 1: a dup of batch-0's doc 1 must flag against the GROWN index
       input.addData((10L, a))
       q.processAllAvailable()
@@ -154,13 +153,66 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("corpus_id"))).toSeq
         == Seq((10L, 1L)))
       assert(rows.head.getAs[Double]("est_jaccard") >= 0.99)
-      // the eager flag pin means no document ever flags against itself
-      // (the index append happens after); index now holds all three
+      // the batch-partition probe discipline means no document ever flags
+      // against itself or a batch-mate; index now holds all three
       assert(spark.read.parquet(s"$base/idx").count() == 3)
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
+  }
+
+  test("nearDupFlagsStream: an at-least-once REPLAY of a committed batch " +
+       "changes nothing — no self-flags, no duplicate index or flag rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ndfsrp").toString
+    try {
+      val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val slices = Seq(
+        0 -> Seq((1L, a), (2L, "a document about query planners and join reordering costs")),
+        1 -> Seq((10L, a), (11L, "fresh material on parquet footers and row group statistics")))
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("doc_id", "text").repartition(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.nearDupFlagsStream(spark, stream, "text", "doc_id",
+          s"$base/idx", s"$base/out", s"$base/ckpt", minEstJaccard = 0.8)
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      val flags1 = spark.read.parquet(s"$base/out")
+        .select("id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val idx1 = spark.read.parquet(s"$base/idx").count()
+      assert(flags1 == Seq((10L, 1L)) && idx1 == 4)
+      // simulate the at-least-once crash window: batch 1's INDEX write
+      // completed but its checkpoint commit did not — delete the commit
+      // marker, restart, and the engine replays batch 1 against an index
+      // that already contains batch 1's own sketches. The flat-append
+      // design flagged 10→10/10→11 self/batch pairs here and doubled the
+      // index; the batch-partitioned probe must reproduce EXACTLY the
+      // first run's state.
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete() // checksum twin
+      drain()
+      val flags2 = spark.read.parquet(s"$base/out")
+        .select("id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(flags2 == flags1, s"replay changed flags: $flags2 vs $flags1")
+      assert(spark.read.parquet(s"$base/idx").count() == idx1,
+        "replay duplicated index rows")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
   }
 
   test("checkpoint restart recovery: a NEW query over the same checkpoint " +
