@@ -4425,20 +4425,25 @@ object Queries {
         minEstJaccard = 0.5)
       try q.processAllAvailable() finally q.stop()
       // oracle-alignment precondition, asserted rather than assumed: the
-      // operator's DEFAULT hot-bucket guard (AutoBound, floor 64) must
-      // never trip on this corpus or the hub-star pairs would diverge
-      // from the oracle's full band algebra. Max band-bucket occupancy
-      // of the final index stays far under the floor — fail loudly here
-      // (not as a silent hash red) if a future corpus changes that.
-      val maxOcc = s.read.parquet(s"$base/index")
+      // operator's DEFAULT hot-bucket guard must never trip on this
+      // corpus or the hub-star pairs would diverge from the oracle's
+      // full band algebra. Asserted against the EXACT self-tuned bound
+      // (greatest(64, 16·p99.9 occupancy) — Dedup.occupancyBound, the
+      // operators' own arithmetic; the sf10 corpus holds max occupancy
+      // 153 under a p99.9-driven bound of 320, so the floor alone would
+      // be too strict). Fails loudly (not as a silent hash red) if a
+      // future corpus crosses its bound.
+      val occ = s.read.parquet(s"$base/index")
         .select(posexplode(col("bh")).as(Seq("band", "bucket")))
-        .groupBy("band", "bucket").count()
-        .agg(max("count")).collect()(0).getLong(0)
-      require(maxOcc <= 64L,
-        s"q230: band-bucket occupancy $maxOcc exceeds the AutoBound floor " +
-          "(64) — the default hub guard would trip and the oracle does " +
-          "not replay hub-star pairs; replay the bound in SQL (q119's " +
-          "pattern) before certifying this corpus")
+        .groupBy("band", "bucket").agg(count(lit(1)).as("__occ"))
+      val occStats = occ.agg(max("__occ").as("__max"))
+        .crossJoin(Dedup.occupancyBound(occ)).collect()(0)
+      require(occStats.getLong(0) <= occStats.getLong(1),
+        s"q230: band-bucket occupancy ${occStats.getLong(0)} exceeds the " +
+          s"self-tuned AutoBound ${occStats.getLong(1)} — the default hub " +
+          "guard would trip and the oracle does not replay hub-star " +
+          "pairs; replay the bound in SQL (q119's pattern) before " +
+          "certifying this corpus")
       s.read.parquet(s"$base/out")
         .select(col("id"), col("corpus_id"), col("est_jaccard"))
         .orderBy("id", "corpus_id")

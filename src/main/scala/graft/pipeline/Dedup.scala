@@ -145,6 +145,12 @@ object Dedup {
    * The broadcast one-row join keeps every reference inside one AQE
    * query, where the identical occupancy exchanges are reused.
    */
+  /** The exact AutoBound rule as a one-row frame (`__bound`) — public so
+    * certification faces can ASSERT the guard's no-trip precondition
+    * against the same arithmetic the operators run. */
+  def occupancyBound(occ: DataFrame, occCol: String = "__occ"): DataFrame =
+    occupancyBoundFrame(occ, occCol)
+
   private[pipeline] def hotBuckets(occ: DataFrame, hotBucketBound: Int): DataFrame = {
     require(hotBucketBound > 0 || hotBucketBound == AutoBound,
       s"hotBucketBound must be positive or AutoBound, got $hotBucketBound")
