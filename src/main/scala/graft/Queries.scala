@@ -4617,6 +4617,36 @@ object Queries {
       s.read.parquet(s"$base/out").orderBy("doc_id", "span_start")
     }),
 
+    "q242_stream_duplicate_spans" -> ((s, d) => {
+      // the flagship substring-dedup operator LIVE with a GROWING gram
+      // index: the corpus replays in three doc_id-mod-3 micro-batches;
+      // a position flags iff its 8-gram repeats within its own batch or
+      // appeared in any EARLIER batch (arrival-time semantics — a later
+      // duplicate never retroactively flags the first copy). Batch
+      // membership is SQL-replayable (mod 3), so the oracle computes the
+      // same rule from per-(gram, batch) counts and first-sighting
+      // batches, then runs q233's island merge. Exactly-once plumbing is
+      // the q230 batch-partition discipline, suite-pinned separately.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q242_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        publishFeedSlice(docs.filter(col("doc_id") % 3 === k),
+          s"$base/feed", k)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.duplicateSpansStream(s, stream,
+        "text", "doc_id", 8, s"$base/index", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5360,6 +5390,48 @@ object Queries {
         FROM ttok JOIN generate_series(0, 509) i(i)
           ON i.i <= len(wt) - 8),
       hits AS (SELECT tg.doc_id, tg.p FROM tgrams tg JOIN refg USING (h)),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m)
+      SELECT doc_id,
+             CAST(min(p) + 1 AS BIGINT) AS span_start,
+             CAST(max(p) + 8 AS BIGINT) AS span_end,
+             CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
+
+    // q233's span algebra under ARRIVAL-TIME knowledge: a position flags
+    // iff its gram repeats within its own batch (per-(h, b) count >= 2)
+    // or was first sighted in an earlier batch (min batch < its batch);
+    // batch = doc_id mod 3, mirrored exactly
+    "q242_stream_duplicate_spans" -> """
+      WITH tok AS (
+        SELECT doc_id, doc_id % 3 AS b,
+               string_split_regex(trim(text), '\s+') AS wt
+        FROM documents),
+      grams AS (
+        SELECT doc_id, b, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      bc AS (SELECT h, b, count(*) AS c FROM grams GROUP BY h, b),
+      firstb AS (SELECT h, min(b) AS b0 FROM grams GROUP BY h),
+      hits AS (
+        SELECT g.doc_id, g.p
+        FROM grams g
+        JOIN bc ON bc.h = g.h AND bc.b = g.b
+        JOIN firstb f ON f.h = g.h
+        WHERE bc.c >= 2 OR f.b0 < g.b),
       m AS (
         SELECT doc_id, p,
                max(p + 7) OVER (PARTITION BY doc_id ORDER BY p

@@ -1376,9 +1376,12 @@ object Dedup {
   }
 
   /** (id, pos, md5(l-gram)) frame — the shared substrate of the span
-    * operators (fixed-width digests keep the shuffle key 32 bytes). */
-  private def gramHashes(df: DataFrame, textCol: String, idCol: String,
-                         l: Int): DataFrame =
+    * operators (fixed-width digests keep the shuffle key 32 bytes).
+    * `private[graft]` so the streaming face
+    * ([[graft.streaming.StreamOps.duplicateSpansStream]]) builds on the
+    * same tokenization. */
+  private[graft] def gramHashes(df: DataFrame, textCol: String, idCol: String,
+                                l: Int): DataFrame =
     df.select(col(idCol),
         posexplode(graft.pipeline.Text.wordShingles(col(textCol), l))
           .as(Seq("__p", "__g")))
@@ -1389,7 +1392,7 @@ object Dedup {
     * span iff its first token lies beyond (running max end) + 1 — merging
     * both overlapping and back-to-back windows into one contiguous span.
     * One per-document window over flagged positions only. */
-  private def mergeIslands(hits: DataFrame, idCol: String, l: Int): DataFrame = {
+  private[graft] def mergeIslands(hits: DataFrame, idCol: String, l: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__p")
     hits
       .withColumn("__pe", max(col("__p") + lit(l.toLong - 1L))

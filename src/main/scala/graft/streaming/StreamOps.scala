@@ -402,6 +402,71 @@ object StreamOps {
   }
 
   /**
+   * Streaming exact-substring duplicate spans with the gram index GROWING
+   * as the stream arrives — the live form of
+   * [[graft.pipeline.Dedup.duplicateSpans]] when the corpus to dedup
+   * against is the stream's own past (fixed at `minCount = 2`, the
+   * published "appears more than once" rule): a batch position flags iff
+   * its l-gram occurs ≥ 2 times WITHIN the batch or at all in any
+   * EARLIER batch; flagged windows island-merge per document exactly as
+   * in the batch operator. Arrival-time semantics by design: a document
+   * is judged against what the stream has seen when it arrives — a later
+   * duplicate does not retroactively flag the first copy (run the batch
+   * operator for hindsight dedup).
+   *
+   * Existence, not counts: total ≥ 2 ⟺ (batch count ≥ 2) ∨ (hash seen in
+   * an earlier batch), so the index stores one DISTINCT digest row per
+   * (hash, batch) and the per-batch probe is a scan of the standing
+   * digest set with the batch's (batch-sized) hash set broadcast — no
+   * corpus-sized shuffle per trigger, the same cost class as
+   * [[dedupLinesStream]]'s line-key probe.
+   *
+   * EXACTLY-ONCE via the [[nearDupFlagsStream]] discipline: spans and
+   * digests partition by batch id with dynamic partition overwrite, the
+   * probe reads only `__batch < bid` — a replayed batch reproduces its
+   * partitions bit-identically instead of double-counting its own
+   * half-written digests (which would flag every replayed position).
+   */
+  def duplicateSpansStream(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, textCol: String, idCol: String,
+                           l: Int, indexPath: String, outPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val grams = graft.pipeline.Dedup
+          .gramHashes(batch.toDF(), textCol, idCol, l)
+          .localCheckpoint(true) // tokenize once: probe + digest append
+        val batchHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+        val withinDup = batchHashes.filter(col("__c") >= 2L).select("__h")
+        val standingDup =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+            spark.read.parquet(indexPath)
+              .filter(col("__batch") < lit(bid)).select("__h")
+              .join(broadcast(batchHashes.select("__h")), Seq("__h"),
+                "left_semi")
+          else withinDup.limit(0)
+        val dup = withinDup.unionByName(standingDup).distinct()
+        val hits = grams.join(broadcast(dup), Seq("__h"))
+          .select(col(idCol), col("__p"))
+        graft.pipeline.Dedup.mergeIslands(hits, idCol, l)
+          .withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outPath)
+        grams.select("__h").distinct()
+          .withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(indexPath)
+        ()
+      }
+      .start()
+
+  /**
    * Streaming maintenance of the log-structured aggregate state
    * ([[graft.pipeline.Materialize]]): each micro-batch appends its
    * per-key partials; any reader combines the log via `readAggState` at

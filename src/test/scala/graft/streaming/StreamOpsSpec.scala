@@ -736,6 +736,70 @@ class StreamOpsSpec extends AnyFunSuite {
       }
     }
 
+  test("duplicateSpansStream: arrival-time spans — within-batch repeats and " +
+       "earlier-batch hits flag, later duplicates never flag backwards; " +
+       "replay changes nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dspstr").toString
+    try {
+      val run = "w1 w2 w3 w4 w5 w6 w7 w8" // the shared 8-token run
+      val slices = Seq(
+        // batch 0: doc 1 holds the run ONCE (must NOT flag — nothing
+        // earlier, no within-batch repeat); doc 2 repeats its own 8-gram
+        // back-to-back (within-batch self-repetition MUST flag)
+        0 -> Seq(
+          1L -> s"a1 a2 $run a3",
+          2L -> "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+        // batch 1: doc 10 carries the run seen in batch 0 → flags here;
+        // doc 1 is NOT retroactively flagged
+        1 -> Seq(10L -> s"$run tail1 tail2"))
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("doc_id", "text").repartition(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.duplicateSpansStream(spark, stream, "text",
+          "doc_id", 8, s"$base/index", s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def spans() = spark.read.parquet(s"$base/out")
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val first = spans()
+      // doc 2: 16 tokens, gram[r1..r8] at p=0 and p=8 → merged [1, 16];
+      // doc 10: the 8-token prefix flags against batch 0's sighting;
+      // doc 1 absent (its copy arrived FIRST)
+      assert(first == Seq((2L, 1L, 16L, 16L), (10L, 1L, 8L, 8L)))
+      // at-least-once replay of committed batch 1: index already holds
+      // batch 1's own digests — the __batch < bid probe must not let
+      // them flag the replayed positions (doc 10's tail grams are unique;
+      // a self-counting probe would flag the whole doc)
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(spans() == first, "replay changed the span set")
+      // digests are unique per (hash, batch) — a hash legitimately
+      // recurs across batches (the run is in batch 0 AND batch 1), but a
+      // replayed append would duplicate rows WITHIN batch 1's partition
+      assert(spark.read.parquet(s"$base/index")
+        .select("__h", "__batch").distinct().count() ==
+        spark.read.parquet(s"$base/index").count(),
+        "replay duplicated index digests")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   test("contaminationSpansStream: streamed spans across batches == batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
