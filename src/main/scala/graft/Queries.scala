@@ -4647,6 +4647,103 @@ object Queries {
         .orderBy("doc_id", "span_start")
     }),
 
+    "q243_stream_heavy_hitters" -> ((s, d) => {
+      // streaming EXACT heavy hitters with log-structured count-min
+      // state: lineitem part keys replay in three micro-batches, each
+      // appending only its own batch-sized cell/data partitions (the
+      // standing log is never read inside the loop — the aggStateStream
+      // cost class); the read view merges the cell log (cells ADD) and
+      // runs the exact pass, so the answer is q134's brute-force result
+      // over everything streamed and the plain HAVING oracle certifies
+      // it. Batch membership (l_orderkey mod 3) is output-invisible —
+      // exactness over the union is the contract.
+      prep(s, d, "lineitem")
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q243_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        publishFeedSlice(rows.filter(col("ok") % 3 === k).select("pk"),
+          s"$base/feed", k)
+      val stream = s.readStream.schema("pk LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.heavyHittersStream(s, stream, "pk",
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamOps.readHeavyHitters(s, s"$base/state", "pk",
+          support = 0.00075)
+        .orderBy("pk")
+    }),
+
+    "q244_hll_distinct" -> ((s, d) => {
+      // deterministic HyperLogLog distinct counting, exercised through
+      // the log-structured index path: even part keys seed the register
+      // index, odd keys append (zero reads of standing state), the
+      // reader max-merges. The md5-derived bucket/rank algebra is pure
+      // SQL, so the oracle replays the ENTIRE sketch — registers,
+      // integer-exact harmonic sum Σ2^(49−M) (order-independent BIGINT,
+      // the float-sum hash coupling designed out), α·m²/Z raw estimate,
+      // and the published small-range correction m·ln(m/V), which arm
+      // fires depending on SF (raw at sf0.1's ~20k distinct keys,
+      // linear-counting below 2.5m at the smaller SFs) — both engines
+      // take the same branch from the same integers.
+      prep(s, d, "lineitem")
+      val pk = t(s, d, "lineitem").select(col("l_partkey").cast("long").as("pk"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q244_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      graft.pipeline.Stats.writeHllIndex(pk.filter(col("pk") % 2 === 0),
+        "pk", s"$base/idx")
+      graft.pipeline.Stats.appendHllIndex(s, s"$base/idx",
+        pk.filter(col("pk") % 2 === 1), "pk")
+      graft.pipeline.Stats.readHllDistinct(s, s"$base/idx")
+        .select(col("m"), col("registers_set"), col("harmonic_sum"),
+          round(col("est_raw"), 6).as("est_raw"),
+          round(col("distinct_est"), 6).as("distinct_est"))
+    }),
+
+    "q245_stream_distinct_count" -> ((s, d) => {
+      // the streaming cardinality monitor: events replay in three
+      // user_id-mod-3 micro-batches — sliced by USER so every batch
+      // introduces new keys and the cumulative trajectory GROWS (an
+      // event-sliced feed would put every user in every batch, making a
+      // broken merge indistinguishable from a correct one: registers are
+      // a pure function of the distinct value set). Each batch appends
+      // its own HLL register partition (max-mergeable — the log is never
+      // read inside the loop); the face folds every batch PREFIX of the
+      // log, so the certified object is the cumulative "distinct users
+      // seen so far" trajectory, not just the final point. Batch
+      // membership is SQL-replayable (mod 3) and the register algebra is
+      // the q244 oracle's, evaluated at each prefix.
+      prep(s, d, "events")
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("long").as("uid"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q245_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        publishFeedSlice(ev.filter(col("uid") % 3 === k), s"$base/feed", k)
+      val stream = s.readStream.schema("uid LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.distinctCountStream(s, stream, "uid",
+        s"$base/idx", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val idx = s.read.parquet(s"$base/idx")
+      (0 to 2).map(b => graft.pipeline.Stats
+          .hllEstimate(idx.filter(col("__batch") <= b), p = 12)
+          .select(lit(b.toLong).as("upto_batch"), col("m"),
+            col("registers_set"), col("harmonic_sum"),
+            round(col("est_raw"), 6).as("est_raw"),
+            round(col("distinct_est"), 6).as("distinct_est")))
+        .reduce(_.unionByName(_))
+        .orderBy("upto_batch")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5448,6 +5545,92 @@ object Queries {
              CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
       FROM isl GROUP BY doc_id, grp
       ORDER BY doc_id, span_start""",
+
+    // the streamed log-structured CMS state serves an EXACT answer over
+    // everything streamed (count-min never undercounts; the exact pass
+    // drops its false positives), so q134's plain HAVING oracle certifies
+    // the whole stream+merge machinery
+    "q243_stream_heavy_hitters" -> """
+      WITH tot AS (SELECT count(*) AS n FROM lineitem)
+      SELECT CAST(l_partkey AS BIGINT) AS pk, count(*) AS cnt
+      FROM lineitem, tot
+      GROUP BY 1, tot.n
+      HAVING count(*) >= CAST(ceil(0.00075 * tot.n) AS BIGINT)
+      ORDER BY pk""",
+
+    // full replay of the deterministic HLL register algebra: md5 buckets
+    // (first 3 hex chars) and 48-bit ranks (next 12), rho = 49 − bitlen,
+    // integer-exact harmonic sum Σ2^(49−M) in BIGINT (order-independent),
+    // α·m²/Z raw estimate and the published m·ln(m/V) small-range arm —
+    // every double op mirrors the Spark expression shape left-to-right
+    "q244_hll_distinct" -> """
+      WITH h AS (
+        SELECT md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      bits AS (
+        SELECT CAST(('0x' || substr(h, 1, 3)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 4, 12)) AS UBIGINT) AS x
+        FROM h),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(*) AS rset,
+               sum(CAST(power(2, 49 - mr) AS BIGINT)) AS s1
+        FROM regs),
+      est AS (
+        SELECT rset,
+               CAST(s1 + (4096 - rset) * 562949953421312 AS BIGINT) AS hs,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                 (CAST(s1 + (4096 - rset) * 562949953421312 AS DOUBLE) /
+                   562949953421312.0) AS raw
+        FROM agg)
+      SELECT CAST(4096 AS BIGINT) AS m,
+             rset AS registers_set,
+             hs AS harmonic_sum,
+             round(raw, 6) AS est_raw,
+             round(CASE WHEN raw <= 2.5 * 4096.0 AND rset < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
+                   ELSE raw END, 6) AS distinct_est
+      FROM est""",
+
+    // q244's register algebra at every batch PREFIX (batch = user mod 3):
+    // the cumulative distinct-users trajectory
+    "q245_stream_distinct_count" -> """
+      WITH pre AS (SELECT 0 AS ub UNION ALL SELECT 1 UNION ALL SELECT 2),
+      vals AS (
+        SELECT CAST(user_id AS BIGINT) % 3 AS sl,
+               md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)) AS h
+        FROM events WHERE user_id IS NOT NULL),
+      bits AS (
+        SELECT sl, CAST(('0x' || substr(h, 1, 3)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 4, 12)) AS UBIGINT) AS x
+        FROM vals),
+      regs AS (
+        SELECT pre.ub, bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits JOIN pre ON bits.sl <= pre.ub GROUP BY pre.ub, bkt),
+      agg AS (
+        SELECT ub, count(*) AS rset,
+               sum(CAST(power(2, 49 - mr) AS BIGINT)) AS s1
+        FROM regs GROUP BY ub),
+      est AS (
+        SELECT ub, rset,
+               CAST(s1 + (4096 - rset) * 562949953421312 AS BIGINT) AS hs,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                 (CAST(s1 + (4096 - rset) * 562949953421312 AS DOUBLE) /
+                   562949953421312.0) AS raw
+        FROM agg)
+      SELECT CAST(ub AS BIGINT) AS upto_batch,
+             CAST(4096 AS BIGINT) AS m,
+             rset AS registers_set,
+             hs AS harmonic_sum,
+             round(raw, 6) AS est_raw,
+             round(CASE WHEN raw <= 2.5 * 4096.0 AND rset < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
+                   ELSE raw END, 6) AS distinct_est
+      FROM est ORDER BY upto_batch""",
 
     // q220's join with the left-outer arm: unmatched clicks contribute a
     // null-extended row; matched-only sums null-skip identically on both

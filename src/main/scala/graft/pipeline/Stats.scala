@@ -191,6 +191,121 @@ object Stats {
       support, depth, width)
   }
 
+  /** The (d, b, c) cell frame + (d = −1) total row with the sketch shape
+    * stamped as column metadata — the unit [[writeCmsIndex]] persists and
+    * [[appendCmsIndex]] appends. Public so log-structured maintainers
+    * (e.g. the streaming heavy-hitter state in
+    * [[graft.streaming.StreamOps.heavyHittersStream]]) can write
+    * per-batch cell partitions themselves: cells are MERGEABLE (they
+    * add), so any union of these frames is a valid index. */
+  def cmsCellFrame(df: DataFrame, valueCol: String,
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("depth", depth.toLong).putLong("width", width.toLong).build()
+    cellsWithTotal(values(df, valueCol), depth, width)
+      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+  }
+
+  // ---- HyperLogLog distinct counting (Flajolet–Fuchs–Gandouet–Meunier
+  // 2007) with a fully DETERMINISTIC, engine-portable register algebra:
+  // the md5-derived bucket/rank mean a DuckDB oracle can replay the
+  // whole sketch in SQL, and the estimate is a pure function of the
+  // register maxima — no RNG, no JVM-private hashing. The cardinality
+  // telemetry op for the 100 TB regime: distinct URLs / users / grams
+  // without a value-keyed shuffle (the register frame, ≤ 2^p rows, is
+  // the only thing that ever moves), mergeable across shards and time
+  // (max of maxes), so the persisted register log grows batch-by-batch
+  // without reading standing state.
+
+  /** Present-bucket HLL registers of `df[valueCol]`: (__b, __m) with
+    * __b = first p bits of md5 (p/4 hex chars → p ≡ 0 (mod 4)) and
+    * __m = max over the bucket of rho(next 48 bits) where
+    * rho(x) = leading-zeros + 1 = 49 − bitlength(x) (x = 0 → 49, a
+    * 2⁻⁴⁸ tail folded into the same CASE both engines evaluate).
+    * Absent buckets are implicit zeros — [[hllEstimate]] accounts them. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0,
+      "p must be 4, 8, or 12 (hex-digit buckets; p <= 12 keeps the " +
+        s"integer harmonic sum m*2^49 <= 2^61 inside BIGINT), got $p")
+    val h = md5(col("__v").cast("string"))
+    val x = conv(substring(h, p / 4 + 1, 12), 16, 10).cast("long")
+    values(df, valueCol)
+      .select(conv(substring(h, 1, p / 4), 16, 10).cast("int").as("__b"),
+        when(x === 0L, lit(49)).otherwise(lit(49) - length(bin(x)))
+          .cast("int").as("__m"))
+      .groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+  }
+
+  /** One-row estimate from a register frame (any union of
+    * [[hllRegisters]] outputs — merge = max per bucket, done here).
+    * The harmonic sum is INTEGER-exact: Σ 2^(49−M_j) as BIGINT
+    * (≤ 2^61 at p ≤ 16), so reduction order cannot move the hash; the
+    * small-range correction m·ln(m/V) applies below 2.5m with empty
+    * registers, per the published estimator. Emits (m, registers_set,
+    * harmonic_sum, est_raw, distinct_est). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
+    val m = 1 << p
+    // published bias constants: α₁₆ = 0.673 (p = 4); the closed form
+    // covers m ≥ 128 (p = 8 and 12 here)
+    val alpha = if (m == 16) 0.673 else 0.7213 / (1.0 + 1.079 / m)
+    val two49 = 562949953421312.0          // 2^49, exact in binary64
+    registers.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+      .agg(count(lit(1)).as("registers_set"),
+        sum(pow(lit(2.0), lit(49) - col("__m")).cast("long")).as("__s1"))
+      .select(lit(m).cast("long").as("m"),
+        coalesce(col("registers_set"), lit(0L)).as("registers_set"),
+        (coalesce(col("__s1"), lit(0L)) +
+          (lit(m.toLong) - coalesce(col("registers_set"), lit(0L))) *
+            lit(two49.toLong)).as("harmonic_sum"))
+      .withColumn("est_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("harmonic_sum").cast("double") / lit(two49)))
+      .withColumn("distinct_est",
+        when(col("est_raw") <= lit(2.5 * m) && col("registers_set") < lit(m.toLong),
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toLong) - col("registers_set"))
+              .cast("double")))
+          .otherwise(col("est_raw")))
+  }
+
+  /** Estimated distinct count of `df[valueCol]` — [[hllRegisters]] +
+    * [[hllEstimate]]: ~1.04/√m relative error (1.6% at p = 12), one
+    * register-keyed aggregate instead of a value-keyed distinct shuffle. */
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, p), p)
+
+  /** Persist the register frame with p stamped as column metadata.
+    * Registers are mergeable (max), so growth never reads the index. */
+  def writeHllIndex(df: DataFrame, valueCol: String, path: String,
+                    p: Int = 12): Unit =
+    hllRegisters(df, valueCol, p)
+      .select(col("__b").as("__b", hllMeta(p)), col("__m"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Log-structured append of a batch's registers — zero reads of
+    * standing state (readers max-merge); the [[appendCmsIndex]] shape. */
+  def appendHllIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, valueCol: String): Unit = {
+    val p = spark.read.parquet(path).schema("__b").metadata.getLong("p").toInt
+    hllRegisters(batch, valueCol, p)
+      // re-stamp: a metadata-less appended file would win the read-time
+      // schema merge and blank p for every reader (the CMS lesson)
+      .select(col("__b").as("__b", hllMeta(p)), col("__m"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Distinct estimate over the whole persisted register log. */
+  def readHllDistinct(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    hllEstimate(idx, idx.schema("__b").metadata.getLong("p").toInt)
+  }
+
+  private def hllMeta(p: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("p", p.toLong).build()
+
   /**
    * Per-group winsorization — clamp a value column to its group's
    * [pLo, pHi] exact percentiles (type-7, the [[groupedPercentiles]]

@@ -475,6 +475,88 @@ object StreamOps {
    * the standard foreachBatch contract shared by curateStream /
    * dedupLinesStream.
    */
+  /**
+   * Streaming EXACT heavy hitters with log-structured count-min state —
+   * the live form of [[graft.pipeline.Stats.heavyHitters]]: each
+   * micro-batch appends its own (batch-sized) CMS cell partition and its
+   * raw rows; NOTHING standing is ever read inside the loop, so the
+   * per-trigger cost is the batch, not the corpus — the
+   * [[aggStateStream]] cost class. Any reader combines the cell log
+   * (cells ADD across batches — the mergeability that makes the sketch a
+   * log) via [[readHeavyHitters]] for an exact as-of-the-last-batch
+   * answer: the merged sketch prunes pass 2 and the exact pass drops its
+   * false positives, so the OUTPUT is the brute-force answer over
+   * everything streamed so far.
+   *
+   * EXACTLY-ONCE via the [[nearDupFlagsStream]] discipline: both the
+   * data and cms logs partition by batch id with dynamic partition
+   * overwrite — a replayed batch reproduces its partitions
+   * bit-identically instead of double-counting its cells.
+   */
+  def heavyHittersStream(spark: org.apache.spark.sql.SparkSession,
+                         rows: DataFrame, valueCol: String, statePath: String,
+                         checkpoint: String, depth: Int = 4,
+                         width: Int = 8192)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF().localCheckpoint(true) // one scan: cells + data
+        b.withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$statePath/data")
+        graft.pipeline.Stats.cmsCellFrame(b, valueCol, depth, width)
+          .withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$statePath/cms")
+        ()
+      }
+      .start()
+
+  /** Exact heavy hitters over everything [[heavyHittersStream]] has
+    * committed: merged cell log serves pass 1, the data log is scanned
+    * once for the exact pass. */
+  def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String, valueCol: String,
+                       support: Double): DataFrame =
+    graft.pipeline.Stats.heavyHittersFromIndex(spark, s"$statePath/cms",
+      spark.read.parquet(s"$statePath/data"), valueCol, support)
+
+  /**
+   * Streaming distinct-count telemetry with log-structured HyperLogLog
+   * state ([[graft.pipeline.Stats.hllRegisters]]): each micro-batch
+   * appends its own register partition — registers are mergeable (max
+   * per bucket), so the standing log is never read; per-trigger cost is
+   * one batch-sized aggregate over ≤ 2^p register rows. Readers fold any
+   * prefix of the log through [[graft.pipeline.Stats.hllEstimate]]
+   * ("distinct URLs/users seen so far", the 100 TB cardinality monitor
+   * that never shuffles values). Exactly-once via per-batch dynamic
+   * partition overwrite; p is stamped as column metadata on every
+   * partition (a metadata-less file would blank it at schema merge).
+   */
+  def distinctCountStream(spark: org.apache.spark.sql.SparkSession,
+                          rows: DataFrame, valueCol: String,
+                          indexPath: String, checkpoint: String,
+                          p: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("p", p.toLong).build()
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.pipeline.Stats.hllRegisters(batch.toDF(), valueCol, p)
+          .select(col("__b").as("__b", meta), col("__m"))
+          .withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(indexPath)
+        ()
+      }
+      .start()
+  }
+
   def aggStateStream(spark: org.apache.spark.sql.SparkSession,
                      rows: DataFrame, keyCols: Seq[String], valCol: String,
                      statePath: String, checkpoint: String)

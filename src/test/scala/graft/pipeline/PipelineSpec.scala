@@ -2000,6 +2000,52 @@ class PipelineSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("hll: estimate within the published error envelope, exact merge " +
+       "algebra, correction arm on small cardinalities") {
+    import spark.implicits._
+    // 50k distinct keys at p=12 (m=4096): published σ = 1.04/√m ≈ 1.6%;
+    // assert within 5% (≈ 3σ — deterministic given md5, not a flaky bound)
+    val n = 50000
+    val corpus = (0 until n).map(i => s"url-$i").toDF("k")
+    val est = Stats.hllDistinct(corpus, "k")
+      .select("distinct_est").as[Double].head()
+    assert(math.abs(est - n) / n < 0.05, s"estimate $est vs true $n")
+    // duplicates are invisible by construction: registers are a pure
+    // function of the distinct value set
+    val dup = Stats.hllDistinct(corpus.union(corpus).union(corpus), "k")
+      .select("distinct_est").as[Double].head()
+    assert(dup == est)
+    // small cardinality → linear-counting arm (est_raw ≤ 2.5m with empty
+    // registers): m·ln(m/V) is near-exact down here
+    val small = Stats.hllDistinct((0 until 100).map(i => s"u$i").toDF("k"), "k")
+      .select(col("est_raw"), col("distinct_est"))
+      .as[(Double, Double)].head()
+    assert(small._1 <= 2.5 * 4096 && math.abs(small._2 - 100) < 5,
+      s"correction arm: $small")
+    // p=4 exercises the α₁₆ = 0.673 table constant
+    val p4 = Stats.hllDistinct(corpus, "k", p = 4)
+      .select("distinct_est").as[Double].head()
+    assert(math.abs(p4 - n) / n < 0.6, s"p=4 estimate $p4") // σ = 26%
+  }
+
+  test("hll index: log-structured appends max-merge; read equals " +
+       "from-scratch over the union bit-identically") {
+    import spark.implicits._
+    val b1 = (0 until 3000).map(i => s"u-$i").toDF("k")
+    val b2 = (1500 until 4500).map(i => s"u-$i").toDF("k") // overlaps b1
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hll").toString + "/idx"
+    Stats.writeHllIndex(b1, "k", path)
+    Stats.appendHllIndex(spark, path, b2, "k")
+    val merged = Stats.readHllDistinct(spark, path).collect()
+    val scratch = Stats.hllDistinct(b1.union(b2), "k").collect()
+    // max-of-maxes merge is EXACT: the merged log yields the identical
+    // register maxima, hence the identical one-row estimate frame
+    assert(merged.toSeq == scratch.toSeq)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("validate: null rule outcomes fail closed; violations keep rule order") {
     import spark.implicits._
     val rows = Seq(

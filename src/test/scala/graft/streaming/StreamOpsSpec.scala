@@ -843,6 +843,105 @@ class StreamOpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(base))
   }
 
+  test("heavyHittersStream: log-structured CMS state — read view is the " +
+       "exact batch answer over everything streamed; replay changes nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_hhstr").toString
+    try {
+      val slices = Seq(
+        0 -> (Seq.fill(60)("hot") ++ Seq.fill(10)("warm") ++
+          (0 until 20).map(i => s"c$i")),
+        1 -> (Seq.fill(40)("hot") ++ Seq.fill(40)("warm") ++
+          (20 until 40).map(i => s"c$i")))
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("k").repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("k STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.heavyHittersStream(spark, stream, "k",
+          s"$base/state", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def hh() = StreamOps.readHeavyHitters(spark, s"$base/state", "k", 0.2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = hh()
+      // exact over the union (N=190, thresh ⌈38⌉): cnt("hot")=100, "warm"=50
+      assert(got == Map("hot" -> 100L, "warm" -> 50L))
+      assert(got == graft.pipeline.Stats.heavyHitters(
+          slices.flatMap(_._2).toDF("k"), "k", 0.2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // at-least-once replay of committed batch 1: per-batch partition
+      // overwrite must reproduce, not double-count, its cells and rows
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(hh() == got, "replay changed the heavy-hitter set")
+      assert(spark.read.parquet(s"$base/state/data").count() == 190L,
+        "replay duplicated data rows")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
+  test("distinctCountStream: per-batch register partitions max-merge to " +
+       "the batch HLL bit-identically; prefixes are valid; replay changes nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dcstr").toString
+    try {
+      val slices = Seq(
+        0 -> (0 until 2000).map(i => s"u-$i"),
+        1 -> (1000 until 3000).map(i => s"u-$i")) // overlaps slice 0
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("k").repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("k STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.distinctCountStream(spark, stream, "k",
+          s"$base/idx", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      // whole-log estimate == from-scratch over the union, bit-identical
+      val union = slices.flatMap(_._2).toDF("k")
+      assert(graft.pipeline.Stats.readHllDistinct(spark, s"$base/idx")
+          .collect().toSeq ==
+        graft.pipeline.Stats.hllDistinct(union, "k").collect().toSeq)
+      // any batch PREFIX of the log is a valid register state: the
+      // cumulative estimate after batch 0 equals batch HLL over slice 0
+      val idx = spark.read.parquet(s"$base/idx")
+      assert(graft.pipeline.Stats
+          .hllEstimate(idx.filter(col("__batch") <= 0), 12)
+          .collect().toSeq ==
+        graft.pipeline.Stats.hllDistinct(slices(0)._2.toDF("k"), "k")
+          .collect().toSeq)
+      // replay of committed batch 1 reproduces its register partition
+      val before = idx.orderBy("__batch", "__b").collect().toSeq
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(spark.read.parquet(s"$base/idx")
+        .orderBy("__batch", "__b").collect().toSeq == before,
+        "replay changed the register log")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   test("psiStream: windowed drift vs a static baseline matches the batch PSI arithmetic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
