@@ -4744,6 +4744,25 @@ object Queries {
         .orderBy("upto_batch")
     }),
 
+    "q246_hll_distinct_by_group" -> ((s, d) => {
+      // grouped HLL — the daily-active-users telemetry: distinct users
+      // per epoch-day (the q75 tz-proof integer day index) from one
+      // grouped register aggregate over ≤ |days|·4096 rows, never a
+      // value-keyed distinct shuffle. The fixture's per-day user sets
+      // genuinely differ (15, 14, 11, … at sf0.001), so a register
+      // frame leaking across groups cannot hash-match; the oracle
+      // replays the q244 algebra per group.
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("user_id").cast("long").as("uid"))
+      graft.pipeline.Stats.hllDistinctByGroup(ev, Seq("day"), "uid")
+        .select(col("day"), col("m"), col("registers_set"),
+          col("harmonic_sum"), round(col("est_raw"), 6).as("est_raw"),
+          round(col("distinct_est"), 6).as("distinct_est"))
+        .orderBy("day")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5631,6 +5650,41 @@ object Queries {
                    THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
                    ELSE raw END, 6) AS distinct_est
       FROM est ORDER BY upto_batch""",
+
+    // q244's register algebra per epoch-day group: daily-active-users
+    "q246_hll_distinct_by_group" -> """
+      WITH vals AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)) AS h
+        FROM events WHERE user_id IS NOT NULL),
+      bits AS (
+        SELECT day, CAST(('0x' || substr(h, 1, 3)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 4, 12)) AS UBIGINT) AS x
+        FROM vals),
+      regs AS (
+        SELECT day, bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits GROUP BY day, bkt),
+      agg AS (
+        SELECT day, count(*) AS rset,
+               sum(CAST(power(2, 49 - mr) AS BIGINT)) AS s1
+        FROM regs GROUP BY day),
+      est AS (
+        SELECT day, rset,
+               CAST(s1 + (4096 - rset) * 562949953421312 AS BIGINT) AS hs,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                 (CAST(s1 + (4096 - rset) * 562949953421312 AS DOUBLE) /
+                   562949953421312.0) AS raw
+        FROM agg)
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(4096 AS BIGINT) AS m,
+             rset AS registers_set,
+             hs AS harmonic_sum,
+             round(raw, 6) AS est_raw,
+             round(CASE WHEN raw <= 2.5 * 4096.0 AND rset < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
+                   ELSE raw END, 6) AS distinct_est
+      FROM est ORDER BY day""",
 
     // q220's join with the left-outer arm: unmatched clicks contribute a
     // null-extended row; matched-only sums null-skip identically on both

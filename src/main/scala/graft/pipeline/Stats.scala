@@ -303,6 +303,60 @@ object Stats {
     hllEstimate(idx, idx.schema("__b").metadata.getLong("p").toInt)
   }
 
+  /** Per-group HLL registers: ([[hllRegisters]] keyed by `groupCols`) —
+    * the realistic telemetry shape (distinct users per segment, distinct
+    * URLs per domain) with state ≤ |groups|·2^p rows, never a
+    * value-keyed shuffle. Same mergeability: max per (group, bucket). */
+  def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, p: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
+    val h = md5(col(valueCol).cast("string"))
+    val x = conv(substring(h, p / 4 + 1, 12), 16, 10).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        conv(substring(h, 1, p / 4), 16, 10).cast("int").as("__b") :+
+        when(x === 0L, lit(49)).otherwise(lit(49) - length(bin(x)))
+          .cast("int").as("__m"): _*)
+      .groupBy((groupCols :+ "__b").map(col): _*).agg(max(col("__m")).as("__m"))
+  }
+
+  /** Per-group [[hllEstimate]] over a (grouped) register frame. */
+  def hllEstimateByGroup(registers: DataFrame, groupCols: Seq[String],
+                         p: Int): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
+    val m = 1 << p
+    val alpha = if (m == 16) 0.673 else 0.7213 / (1.0 + 1.079 / m)
+    val two49 = 562949953421312.0
+    registers.groupBy((groupCols :+ "__b").map(col): _*)
+      .agg(max(col("__m")).as("__m"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("registers_set"),
+        sum(pow(lit(2.0), lit(49) - col("__m")).cast("long")).as("__s1"))
+      .select(groupCols.map(col) :+ lit(m).cast("long").as("m") :+
+        col("registers_set") :+
+        (col("__s1") + (lit(m.toLong) - col("registers_set")) *
+          lit(two49.toLong)).as("harmonic_sum"): _*)
+      .withColumn("est_raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("harmonic_sum").cast("double") / lit(two49)))
+      .withColumn("distinct_est",
+        when(col("est_raw") <= lit(2.5 * m) && col("registers_set") < lit(m.toLong),
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toLong) - col("registers_set"))
+              .cast("double")))
+          .otherwise(col("est_raw")))
+  }
+
+  /** Estimated distinct `valueCol` per group — one grouped aggregate over
+    * ≤ |groups|·2^p register rows. The COUNT(DISTINCT)-at-100 TB
+    * replacement when groups are few and values are many. */
+  def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, p: Int = 12): DataFrame =
+    hllEstimateByGroup(hllRegistersByGroup(df, groupCols, valueCol, p),
+      groupCols, p)
+
   private def hllMeta(p: Int) = new org.apache.spark.sql.types.MetadataBuilder()
     .putLong("p", p.toLong).build()
 

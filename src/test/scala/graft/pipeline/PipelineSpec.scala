@@ -2046,6 +2046,23 @@ class PipelineSpec extends AnyFunSuite {
       new java.io.File(path).getParentFile)
   }
 
+  test("hll by group: each group's estimate equals the ungrouped HLL over " +
+       "that group's slice — no register leakage across groups") {
+    import spark.implicits._
+    val rows = ((0 until 900).map(i => ("a", s"u-${i % 300}")) ++
+      (0 until 50).map(i => ("b", s"u-$i")) ++
+      (0 until 10).map(i => ("c", s"w-$i"))).toDF("g", "k")
+    val grouped = Stats.hllDistinctByGroup(rows, Seq("g"), "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Stats.hllDistinct(rows.filter(col("g") === g), "k")
+        .collect().head
+      assert(grouped(g) == ((solo.getLong(1), solo.getLong(2),
+        solo.getDouble(4))), s"group $g diverges from its solo sketch")
+    }
+  }
+
   test("validate: null rule outcomes fail closed; violations keep rule order") {
     import spark.implicits._
     val rows = Seq(
