@@ -4763,6 +4763,28 @@ object Queries {
         .orderBy("day")
     }),
 
+    "q247_hll_overlap" -> ((s, d) => {
+      // cross-corpus overlap estimation — the pre-mixing question ("how
+      // many keys do these two sources share?") answered from registers
+      // alone: |A∩B| = |A| + |B| − |A∪B| over three HLL estimates, no
+      // value-keyed join. Sides are mod-3 key classes (A = classes
+      // {0,1}, B = {1,2}; true Jaccard exactly 1/3) because the
+      // fixture's natural splits fully overlap — every part ships in
+      // every date half — and identical register sets would certify
+      // nothing: the sides must DIFFER for a broken union-merge or a
+      // side-swap to move the hash.
+      prep(s, d, "lineitem")
+      val pk = t(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("pk"))
+      graft.pipeline.Stats.hllOverlap(
+          pk.filter(col("pk") % 3 =!= 2), pk.filter(col("pk") % 3 =!= 0), "pk")
+        .select(col("m"), round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_intersection"), 6).as("est_intersection"),
+          round(col("jaccard_est"), 6).as("jaccard_est"))
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5685,6 +5707,72 @@ object Queries {
                    THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
                    ELSE raw END, 6) AS distinct_est
       FROM est ORDER BY day""",
+
+    // three q244 register estimates (side A, side B, max-merged union)
+    // + inclusion-exclusion; sides are mod-3 classes with true Jaccard 1/3
+    "q247_hll_overlap" -> """
+      WITH rows_ AS (
+        SELECT md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h,
+               CAST(l_partkey AS BIGINT) % 3 AS c
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      bits AS (
+        SELECT c <> 2 AS in_a, c <> 0 AS in_b,
+               CAST(('0x' || substr(h, 1, 3)) AS UBIGINT) AS bkt,
+               CASE WHEN CAST(('0x' || substr(h, 4, 12)) AS UBIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(
+                      CAST(('0x' || substr(h, 4, 12)) AS UBIGINT)))
+               END AS rho
+        FROM rows_ WHERE c <> 2 OR c <> 0),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN in_a THEN rho END) AS ma,
+               max(CASE WHEN in_b THEN rho END) AS mb,
+               max(rho) AS mu
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(ma) AS ra,
+               sum(CASE WHEN ma IS NOT NULL
+                   THEN CAST(power(2, 49 - ma) AS BIGINT) END) AS sa,
+               count(mb) AS rb,
+               sum(CASE WHEN mb IS NOT NULL
+                   THEN CAST(power(2, 49 - mb) AS BIGINT) END) AS sb,
+               count(mu) AS ru,
+               sum(CAST(power(2, 49 - mu) AS BIGINT)) AS su
+        FROM regs),
+      est AS (
+        SELECT
+          CASE WHEN (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(sa,0)+(4096-ra)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) <= 2.5*4096.0 AND ra < 4096
+               THEN 4096.0 * ln(4096.0 / CAST(4096 - ra AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(sa,0)+(4096-ra)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) END AS est_a,
+          CASE WHEN (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(sb,0)+(4096-rb)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) <= 2.5*4096.0 AND rb < 4096
+               THEN 4096.0 * ln(4096.0 / CAST(4096 - rb AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(sb,0)+(4096-rb)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) END AS est_b,
+          CASE WHEN (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(su,0)+(4096-ru)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) <= 2.5*4096.0 AND ru < 4096
+               THEN 4096.0 * ln(4096.0 / CAST(4096 - ru AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/4096.0))*4096.0*4096.0/
+                 (CAST(COALESCE(su,0)+(4096-ru)*562949953421312 AS DOUBLE)/
+                   562949953421312.0) END AS est_union
+        FROM agg)
+      SELECT CAST(4096 AS BIGINT) AS m,
+             round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+             round(est_union, 6) AS est_union,
+             round(greatest(est_a + est_b - est_union, 0.0), 6)
+               AS est_intersection,
+             round(CASE WHEN est_union > 0.0
+                   THEN greatest(est_a + est_b - est_union, 0.0) / est_union
+                   ELSE 0.0 END, 6) AS jaccard_est
+      FROM est""",
 
     // q220's join with the left-outer arm: unmatched clicks contribute a
     // null-extended row; matched-only sums null-skip identically on both

@@ -357,6 +357,36 @@ object Stats {
     hllEstimateByGroup(hllRegistersByGroup(df, groupCols, valueCol, p),
       groupCols, p)
 
+  /**
+   * Cross-corpus overlap telemetry — the question asked before MIXING two
+   * sources ("how many users/URLs/docs do these crawls share?") answered
+   * without a value-keyed join: HLL registers are max-mergeable, so
+   * |A ∪ B| estimates from the merged registers and
+   * |A ∩ B| = |A| + |B| − |A ∪ B| (inclusion–exclusion, clamped at 0 —
+   * three ~1.6%-error estimates can subtract slightly negative on
+   * near-disjoint sets). One row: (m, est_a, est_b, est_union,
+   * est_intersection, jaccard_est). Each side costs one register
+   * aggregate; the overlay is arithmetic over ≤ 3·2^p register rows.
+   * Deterministic like the rest of the family — the whole algebra is
+   * SQL-replayable.
+   */
+  def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 p: Int = 12): DataFrame = {
+    val ra = hllRegisters(a, valueCol, p)
+    val rb = hllRegisters(b, valueCol, p)
+    def e(regs: DataFrame, tag: String) =
+      hllEstimate(regs, p).select(col("distinct_est").as(s"est_$tag"))
+    e(ra, "a").crossJoin(e(rb, "b"))
+      .crossJoin(e(ra.unionByName(rb), "union"))
+      .select(lit(1L << p).as("m"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
+          .as("est_intersection"))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0.0,
+          col("est_intersection") / col("est_union")).otherwise(lit(0.0)))
+  }
+
   private def hllMeta(p: Int) = new org.apache.spark.sql.types.MetadataBuilder()
     .putLong("p", p.toLong).build()
 

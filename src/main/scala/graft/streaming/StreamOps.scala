@@ -501,12 +501,20 @@ object StreamOps {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val b = batch.toDF().localCheckpoint(true) // one scan: cells + data
-        b.withColumn("__batch", lit(bid))
+        // the data write and the cell aggregate each scan the batch —
+        // two COLUMNAR scans of the micro-batch's source (for a file
+        // feed, the slice parquet). Deliberately NOT pinned: a
+        // localCheckpoint would materialize the whole batch row-format
+        // in the block manager (measured at sf10: +17 s GC per 20M-row
+        // batch), and per-batch caching is exactly the memory hazard a
+        // log-structured operator exists to avoid. The nearDupFlags pin
+        // is different — there the reuse saves re-SKETCHING, real
+        // compute; here it would save only a scan.
+        batch.toDF().withColumn("__batch", lit(bid))
           .write.partitionBy("__batch")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$statePath/data")
-        graft.pipeline.Stats.cmsCellFrame(b, valueCol, depth, width)
+        graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol, depth, width)
           .withColumn("__batch", lit(bid))
           .write.partitionBy("__batch")
           .option("partitionOverwriteMode", "dynamic")

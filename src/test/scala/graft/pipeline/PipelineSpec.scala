@@ -2063,6 +2063,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hllOverlap: inclusion-exclusion tracks true overlap; disjoint and " +
+       "identical sets hit the envelope edges") {
+    import spark.implicits._
+    val a = (0 until 6000).map(i => s"k-$i").toDF("k")      // |A| = 6000
+    val b = (3000 until 9000).map(i => s"k-$i").toDF("k")   // |B| = 6000, ∩ = 3000
+    val r = Stats.hllOverlap(a, b, "k").collect().head
+    val (ea, eb, eu, ei, j) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(ea - 6000) / 6000 < 0.05 && math.abs(eb - 6000) / 6000 < 0.05)
+    assert(math.abs(eu - 9000) / 9000 < 0.05)
+    // intersection subtracts three ~1.6% estimates — wider envelope
+    assert(math.abs(ei - 3000) / 3000 < 0.15, s"intersection $ei")
+    assert(math.abs(j - 3000.0 / 9000) < 0.05, s"jaccard $j")
+    // identical sets: union registers == side registers, J ≈ 1 exactly
+    // (est_a == est_union bit-identically, so inclusion-exclusion is exact)
+    val same = Stats.hllOverlap(a, a, "k").collect().head
+    assert(same.getDouble(1) == same.getDouble(3) &&
+      same.getDouble(5) == 1.0)
+    // disjoint sets: intersection clamps at >= 0
+    val disj = Stats.hllOverlap(a,
+      (20000 until 26000).map(i => s"k-$i").toDF("k"), "k").collect().head
+    assert(disj.getDouble(4) >= 0.0 &&
+      disj.getDouble(4) / disj.getDouble(3) < 0.05)
+  }
+
   test("validate: null rule outcomes fail closed; violations keep rule order") {
     import spark.implicits._
     val rows = Seq(
