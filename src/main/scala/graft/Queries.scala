@@ -4785,6 +4785,39 @@ object Queries {
           round(col("jaccard_est"), 6).as("jaccard_est"))
     }),
 
+    "q248_stream_grouped_topk" -> ((s, d) => {
+      // the maintained leaderboard: top-5 events by value per type, kept
+      // current as the stream arrives. Order statistics are mergeable —
+      // global top-k ⊆ union of per-batch top-k partials — so each batch
+      // appends ≤ k·|groups| rows (skew-safe bounded top-k, no window)
+      // and the read view re-ranks the tiny partial log; the standing
+      // log is never read inside the loop. Batch membership (event_id
+      // mod 3) is output-invisible: exactness over the union is the
+      // contract, and the unique-eid tiebreak makes ranks deterministic
+      // on both engines.
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("user_id").cast("long").as("uid"), col("value"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q248_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        publishFeedSlice(ev.filter(col("eid") % 3 === k), s"$base/feed", k)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val ord = Seq(("value", false), ("eid", true))
+      val q = graft.streaming.StreamOps.groupedTopKStream(s, stream,
+        Seq("event_type"), ord, k = 5, s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamOps.readGroupedTopK(s, s"$base/state",
+          Seq("event_type"), ord, k = 5)
+        .select(col("event_type"), col("rank").cast("long").as("rnk"),
+          col("eid"), col("uid"), col("value"))
+        .orderBy("event_type", "rnk")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5773,6 +5806,18 @@ object Queries {
                    THEN greatest(est_a + est_b - est_union, 0.0) / est_union
                    ELSE 0.0 END, 6) AS jaccard_est
       FROM est""",
+
+    // the streamed partial log re-ranks to the plain window answer
+    "q248_stream_grouped_topk" -> """
+      SELECT event_type, rnk, eid, uid, value FROM (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+               CAST(event_id AS BIGINT) AS eid,
+               CAST(user_id AS BIGINT) AS uid, value
+        FROM events) t
+      WHERE rnk <= 5
+      ORDER BY event_type, rnk""",
 
     // q220's join with the left-outer arm: unmatched clicks contribute a
     // null-extended row; matched-only sums null-skip identically on both

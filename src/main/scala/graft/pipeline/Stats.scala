@@ -149,14 +149,9 @@ object Stats {
     * column metadata. Sketches are MERGEABLE (cells add), so growing the
     * index never reads it — see [[appendCmsIndex]]. */
   def writeCmsIndex(df: DataFrame, valueCol: String, path: String,
-                    depth: Int = 4, width: Int = 8192): Unit = {
-    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("depth", depth.toLong).putLong("width", width.toLong).build()
-    cellsWithTotal(values(df, valueCol), depth, width)
-      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+                    depth: Int = 4, width: Int = 8192): Unit =
+    cmsCellFrame(df, valueCol, depth, width)
       .write.mode("overwrite").parquet(path)
-  }
 
   /** Log-structured append: write the BATCH's cells (same shape, read
     * from the index metadata) — zero reads of standing state; the reader
@@ -164,11 +159,10 @@ object Stats {
   def appendCmsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, valueCol: String): Unit = {
     val meta = spark.read.parquet(path).schema("__d").metadata
-    cellsWithTotal(values(batch, valueCol),
+    // cmsCellFrame re-stamps the shape metadata: a metadata-less appended
+    // file would win the read-time schema merge and blank it for readers
+    cmsCellFrame(batch, valueCol,
         meta.getLong("depth").toInt, meta.getLong("width").toInt)
-      // re-stamp the shape metadata: a metadata-less appended file would
-      // win the read-time schema merge and blank it for every reader
-      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
       .write.mode("append").parquet(path)
   }
 
@@ -372,8 +366,12 @@ object Stats {
    */
   def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String,
                  p: Int = 12): DataFrame = {
-    val ra = hllRegisters(a, valueCol, p)
-    val rb = hllRegisters(b, valueCol, p)
+    // pin each side's register frame (≤ 2^p rows): est_a and the union
+    // estimate both consume ra — unpinned, the second reference would
+    // re-run the full corpus-A scan (the psiStream lesson: one
+    // distributed aggregate ever, reuse the tiny result)
+    val ra = hllRegisters(a, valueCol, p).localCheckpoint(true)
+    val rb = hllRegisters(b, valueCol, p).localCheckpoint(true)
     def e(regs: DataFrame, tag: String) =
       hllEstimate(regs, p).select(col("distinct_est").as(s"est_$tag"))
     e(ra, "a").crossJoin(e(rb, "b"))

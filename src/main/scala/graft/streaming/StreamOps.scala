@@ -497,7 +497,9 @@ object StreamOps {
                          rows: DataFrame, valueCol: String, statePath: String,
                          checkpoint: String, depth: Int = 4,
                          width: Int = 8192)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(depth >= 1 && width >= 1,
+      s"bad sketch shape ${depth}x$width") // fail at construction
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
@@ -522,6 +524,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /** Exact heavy hitters over everything [[heavyHittersStream]] has
     * committed: merged cell log serves pass 1, the data log is scanned
@@ -549,6 +552,8 @@ object StreamOps {
                           indexPath: String, checkpoint: String,
                           p: Int = 12)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(p >= 4 && p <= 12 && p % 4 == 0,
+      s"bad p $p") // fail at construction, not inside the first trigger
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("p", p.toLong).build()
     rows.writeStream
@@ -564,6 +569,48 @@ object StreamOps {
       }
       .start()
   }
+
+  /**
+   * Streaming grouped top-k (the maintained leaderboard view: "top
+   * products per category so far") with log-structured partials — order
+   * statistics are MERGEABLE: a group's global top-k is contained in
+   * the union of per-batch top-k sets, so each micro-batch appends only
+   * its own ≤ k·|groups| partial rows (skew-safe
+   * [[graft.pipeline.GroupedTopK]] — map-side bounded, no window) and
+   * [[readGroupedTopK]] re-ranks the tiny union. Standing state is
+   * never read inside the loop; per-trigger cost is the batch.
+   * Exactly-once via per-batch dynamic partition overwrite. Include a
+   * unique key in `order` for deterministic ties (the batch operator's
+   * caveat, inherited).
+   */
+  def groupedTopKStream(spark: org.apache.spark.sql.SparkSession,
+                        rows: DataFrame, groupCols: Seq[String],
+                        order: Seq[(String, Boolean)], k: Int,
+                        statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1, s"k must be >= 1, got $k") // fail at construction
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.pipeline.GroupedTopK.topK(batch.toDF(), groupCols, order, k)
+          .drop("rank") // partials re-rank at read; batch-local ranks lie
+          .withColumn("__batch", lit(bid))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+  }
+
+  /** Exact grouped top-k over everything [[groupedTopKStream]] has
+    * committed: one more bounded top-k over the ≤ k·|groups|·batches
+    * partial log. */
+  def readGroupedTopK(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String, groupCols: Seq[String],
+                      order: Seq[(String, Boolean)], k: Int): DataFrame =
+    graft.pipeline.GroupedTopK.topK(
+      spark.read.parquet(statePath).drop("__batch"), groupCols, order, k)
 
   def aggStateStream(spark: org.apache.spark.sql.SparkSession,
                      rows: DataFrame, keyCols: Seq[String], valCol: String,

@@ -942,6 +942,63 @@ class StreamOpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(base))
   }
 
+  test("groupedTopKStream: per-batch partials re-rank to the exact batch " +
+       "top-k; later batches displace earlier leaders; replay changes nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_gtkstr").toString
+    try {
+      val slices = Seq(
+        // batch 0: group g1 leaders are (id 1, 9.0), (id 2, 7.0)
+        0 -> Seq((1L, "g1", 9.0), (2L, "g1", 7.0), (3L, "g1", 1.0),
+          (4L, "g2", 5.0)),
+        // batch 1: id 10 takes g1's top spot, id 11 displaces id 2;
+        // value tie with id 1 (9.0) resolves by id — 1 < 12
+        1 -> Seq((10L, "g1", 20.0), (11L, "g1", 8.0), (12L, "g1", 9.0)))
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("id", "g", "v").repartition(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      val ord = Seq(("v", false), ("id", true))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("id LONG, g STRING, v DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.groupedTopKStream(spark, stream, Seq("g"), ord,
+          k = 3, s"$base/state", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def view() = StreamOps.readGroupedTopK(spark, s"$base/state",
+          Seq("g"), ord, k = 3)
+        .select("g", "rank", "id", "v")
+        .orderBy("g", "rank").as[(String, Int, Long, Double)].collect().toSeq
+      val got = view()
+      assert(got == Seq(
+        ("g1", 1, 10L, 20.0), ("g1", 2, 1L, 9.0), ("g1", 3, 12L, 9.0),
+        ("g2", 1, 4L, 5.0)))
+      // equals the batch operator over the union
+      val batch = graft.pipeline.GroupedTopK.topK(
+          slices.flatMap(_._2).toDF("id", "g", "v"), Seq("g"), ord, 3)
+        .select("g", "rank", "id", "v")
+        .orderBy("g", "rank").as[(String, Int, Long, Double)].collect().toSeq
+      assert(got == batch)
+      // replay of committed batch 1 reproduces its partial partition
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(view() == got, "replay changed the leaderboard")
+      assert(spark.read.parquet(s"$base/state").count() == 7L,
+        "replay duplicated partial rows") // 4 from batch 0 (g1 top-3 + g2) + 3 from batch 1
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   test("psiStream: windowed drift vs a static baseline matches the batch PSI arithmetic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
