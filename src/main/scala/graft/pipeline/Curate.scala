@@ -151,21 +151,31 @@ object Curate {
    *    (corpus ids sort before batch ids, so the union's per-shard prefix
    *    sums decompose exactly into corpus totals + batch-internal sums).
    */
+  /** @param indexFrame when given, the standing sketch set probed for
+    *        cross-corpus near-dups INSTEAD of reading `indexPath` — the
+    *        hook for the exactly-once streaming sink, whose standing
+    *        side is a read-only seed index unioned with its own
+    *        batch-partitioned growth zone restricted to `__batch < bid`
+    *        (a path read would see the replayed batch's OWN first-attempt
+    *        sketches and drop every replayed survivor as a self-dup).
+    *        Must carry the index's `sig`/`bh` field metadata. */
   def curateIncrement(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                       idCol: String, textCol: String, indexPath: String,
                       shardBase: Option[DataFrame] = None,
                       cfg: Config = Config(),
-                      corpusDocs: Option[DataFrame] = None): DataFrame = {
+                      corpusDocs: Option[DataFrame] = None,
+                      indexFrame: Option[DataFrame] = None): DataFrame = {
     val exact = Dedup.dropExactDuplicates(batch, textCol, idCol)
     val losersIn = Dedup.nearDuplicatePairs(exact, textCol, idCol, cfg.nearDupJaccard,
       hotBucketBound = cfg.hotBucketBound)
       .select(col("id_b").as(idCol))
+    val sketches = indexFrame.getOrElse(spark.read.parquet(indexPath))
     val losersX = (corpusDocs match {
       case Some(corpus) =>
-        Dedup.nearDuplicatePairsAgainstIndex(spark, indexPath, exact, corpus,
+        Dedup.nearDuplicatePairsAgainstSketchFrame(sketches, exact, corpus,
           textCol, idCol, cfg.nearDupJaccard, hotBucketBound = cfg.hotBucketBound)
       case None =>
-        Dedup.minhashCandidatePairsAgainstIndex(spark, indexPath, exact,
+        Dedup.minhashCandidatePairsAgainstSketchFrame(sketches, exact,
           textCol, idCol, hotBucketBound = cfg.hotBucketBound)
           .filter(col("est_jaccard") >= cfg.nearDupJaccard)
     }).select(col("id_b").as(idCol))

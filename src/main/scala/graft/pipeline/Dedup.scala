@@ -273,12 +273,27 @@ object Dedup {
                                         path: String, batch: DataFrame,
                                         textCol: String, idCol: String,
                                         shingle: Int = 3,
-                                        hotBucketBound: Int = AutoBound): DataFrame = {
-    val corpus = spark.read.parquet(path)
-    val numHashes = corpus.schema("sig").metadata.getLong("numHashes").toInt
+                                        hotBucketBound: Int = AutoBound): DataFrame =
+    minhashCandidatePairsAgainstSketchFrame(spark.read.parquet(path), batch,
+      textCol, idCol, shingle, hotBucketBound)
+
+  /** [[minhashCandidatePairsAgainstIndex]] against an ALREADY-LOADED
+    * (possibly filtered or unioned) corpus sketch frame carrying the
+    * index's `sig`/`bh` field metadata — the hook for callers whose
+    * standing side spans more than one directory or must exclude
+    * partitions (the exactly-once streaming sinks' `__batch < bid`
+    * probe). The batch is sketched here under the frame's recorded
+    * parameters. */
+  def minhashCandidatePairsAgainstSketchFrame(corpusSketches: DataFrame,
+                                              batch: DataFrame,
+                                              textCol: String, idCol: String,
+                                              shingle: Int = 3,
+                                              hotBucketBound: Int = AutoBound): DataFrame = {
+    val numHashes = corpusSketches.schema("sig").metadata
+      .getLong("numHashes").toInt
     val batchSig = batch.select(col(idCol).as("id"),
         Text.minhash(col(textCol), numHashes, shingle).as("sig"))
-    pairsSketchedAgainstIndex(corpus, batchSig, hotBucketBound)
+    pairsSketchedAgainstIndex(corpusSketches, batchSig, hotBucketBound)
   }
 
   /** Sketch a batch under an index's RECORDED parameters — the one-scan
@@ -390,9 +405,22 @@ object Dedup {
                                      corpusDocs: DataFrame,
                                      textCol: String, idCol: String,
                                      threshold: Double, n: Int = 3,
-                                     hotBucketBound: Int = AutoBound): DataFrame = {
-    val cand0 = minhashCandidatePairsAgainstIndex(spark, path, batch, textCol,
-      idCol, n, hotBucketBound)
+                                     hotBucketBound: Int = AutoBound): DataFrame =
+    nearDuplicatePairsAgainstSketchFrame(spark.read.parquet(path), batch,
+      corpusDocs, textCol, idCol, threshold, n, hotBucketBound)
+
+  /** [[nearDuplicatePairsAgainstIndex]] against an ALREADY-LOADED corpus
+    * sketch frame (see [[minhashCandidatePairsAgainstSketchFrame]]) —
+    * identical semantics including the estimate-gate fallback for
+    * index-only candidates. */
+  def nearDuplicatePairsAgainstSketchFrame(corpusSketches: DataFrame,
+                                           batch: DataFrame,
+                                           corpusDocs: DataFrame,
+                                           textCol: String, idCol: String,
+                                           threshold: Double, n: Int = 3,
+                                           hotBucketBound: Int = AutoBound): DataFrame = {
+    val cand0 = minhashCandidatePairsAgainstSketchFrame(corpusSketches, batch,
+      textCol, idCol, n, hotBucketBound)
     // the guarded run can emit a pair from both the hot and cold path —
     // dedup before the verify join (same rule as nearDuplicatePairs); the
     // kept est_jaccard is identical across duplicates (a pure function of
@@ -802,10 +830,13 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Distinct eligible (length ≥ minChars) line keys of a corpus. */
-  private def lineKeys(df: DataFrame, textCol: String, idCol: String,
-                       separator: String, minChars: Int,
-                       normalize: Option[Column => Column]): DataFrame = {
+  /** Distinct eligible (length ≥ minChars) line keys of a corpus —
+    * `private[graft]` so the exactly-once streaming sink
+    * ([[graft.streaming.StreamOps.dedupLinesStream]]) derives its
+    * growth-zone partition prefixes from the same split. */
+  private[graft] def lineKeys(df: DataFrame, textCol: String, idCol: String,
+                              separator: String, minChars: Int,
+                              normalize: Option[Column => Column]): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(separator)
     df.select(posexplode(split(col(textCol), sepRe, -1)).as(Seq("__pos", "__line")))
       .filter(length(col("__line")) >= minChars)
@@ -827,8 +858,18 @@ object Dedup {
    */
   def dedupLinesIncrement(spark: org.apache.spark.sql.SparkSession, path: String,
                           batch: DataFrame, textCol: String, idCol: String,
-                          normalize: Option[Column => Column] = None): DataFrame = {
-    val idx = spark.read.parquet(path)
+                          normalize: Option[Column => Column] = None): DataFrame =
+    dedupLinesIncrementWith(spark.read.parquet(path), batch, textCol, idCol,
+      normalize)
+
+  /** [[dedupLinesIncrement]] against an ALREADY-LOADED key frame (any
+    * filter/union of index reads that preserves the `key` field
+    * metadata) — the hook for the exactly-once streaming sink, whose
+    * standing key set spans a read-only seed index plus its own
+    * batch-partitioned growth zone restricted to `__batch < bid`. */
+  def dedupLinesIncrementWith(idx: DataFrame,
+                              batch: DataFrame, textCol: String, idCol: String,
+                              normalize: Option[Column => Column] = None): DataFrame = {
     val meta = idx.schema("key").metadata
     val separator = meta.getString("separator")
     val minChars = meta.getLong("minChars").toInt
@@ -858,8 +899,18 @@ object Dedup {
     * the batch plus one anti-join probe of the index. */
   def appendLineIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       batch: DataFrame, textCol: String, idCol: String,
-                      normalize: Option[Column => Column] = None): Unit = {
-    val idx = spark.read.parquet(path)
+                      normalize: Option[Column => Column] = None): Unit =
+    newLineKeys(spark.read.parquet(path), batch, textCol, idCol, normalize)
+      .write.mode("append").parquet(path)
+
+  /** The batch's eligible distinct line keys NOT already present in the
+    * standing key frame — the rows [[appendLineIndex]] appends, exposed
+    * so the exactly-once streaming sink can write them under its own
+    * batch-partitioned layout instead of a flat append. Metadata
+    * (separator/minChars/normalized) re-stamps from the standing frame. */
+  def newLineKeys(idx: DataFrame,
+                  batch: DataFrame, textCol: String, idCol: String,
+                  normalize: Option[Column => Column] = None): DataFrame = {
     val meta = idx.schema("key").metadata
     require(meta.getBoolean("normalized") == normalize.isDefined,
       "index was built with a different normalize setting")
@@ -867,7 +918,6 @@ object Dedup {
         meta.getLong("minChars").toInt, normalize)
       .join(idx, col("__key") === idx("key"), "left_anti")
       .select(col("__key").as("key", meta))
-      .write.mode("append").parquet(path)
   }
 
   /**

@@ -199,30 +199,21 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+        val exists = LogStructuredSink.exists(spark, indexPath)
         val sk = (if (exists)
             graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
               batch.toDF(), textCol, idCol, shingle)
           else graft.pipeline.Dedup.sketchBatch(batch.toDF(), textCol, idCol,
             numHashes, bands, shingle)).localCheckpoint(true)
-        if (exists) {
-          val standing = spark.read.parquet(indexPath)
-            .filter(col("__batch") < lit(bid))
-          graft.pipeline.Dedup.minhashCandidatePairsSketched(standing, sk)
+        LogStructuredSink.readBefore(spark, indexPath, bid).foreach { standing =>
+          val flags = graft.pipeline.Dedup
+            .minhashCandidatePairsSketched(standing, sk)
             .filter(col("est_jaccard") >= minEstJaccard)
             .select(col("id_b").as("id"), col("id_a").as("corpus_id"),
               col("est_jaccard"))
-            .withColumn("__batch", lit(bid))
-            .write.partitionBy("__batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite").parquet(outPath)
+          LogStructuredSink.write(flags, outPath, bid)
         }
-        sk.withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(indexPath)
+        LogStructuredSink.write(sk, indexPath, bid)
         ()
       }
       .start()
@@ -259,10 +250,27 @@ object StreamOps {
    * candidates: zero corpus access, classification can differ only near
    * the threshold.
    *
-   * Delivery: foreachBatch is AT-LEAST-ONCE — on recovery a batch can
-   * replay, re-appending its survivors. Production sinks wanting
-   * exactly-once should key the data/index writes on the supplied batch id
-   * (e.g. partition the output by it and overwrite that partition).
+   * EXACTLY-ONCE via the [[LogStructuredSink]] discipline, across ALL
+   * THREE state writes a batch performs:
+   *
+   *  - `outPath/data` (survivors) and `outPath/_index` (their sketches)
+   *    partition by batch id with dynamic overwrite, and the standing
+   *    side each batch curates against is the caller's SEED index at
+   *    `indexPath` (read-only — never written by this sink) unioned with
+   *    growth partitions `__batch < bid`. A flat append here is the
+   *    WORST failure of the class: a replayed batch would probe an index
+   *    already holding its own first-attempt sketches, estimate every
+   *    survivor at jaccard 1.0 against itself, and drop them ALL —
+   *    silently losing the batch instead of duplicating it.
+   *  - `outPath/_shard_totals` holds one CUMULATIVE per-shard snapshot
+   *    partition per batch; batch `bid` continues pack offsets from the
+   *    newest snapshot `__batch < bid`, so a replay re-derives the same
+   *    base instead of stacking its own offsets twice.
+   *
+   * The seed index still fixes the sketch parameters (numHashes/bands)
+   * and may be empty (`writeMinhashIndex(docs.limit(0), …)`) or a
+   * standing corpus; batch consumers probing "this stream's index" must
+   * union `indexPath` with `outPath/_index` (dropping `__batch`).
    */
   def curateStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                    textCol: String, idCol: String, indexPath: String,
@@ -271,39 +279,43 @@ object StreamOps {
                    exactVerify: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val totalsPath = s"$outPath/_shard_totals"
+    val growthPath = s"$outPath/_index"
+    val dataPath = s"$outPath/data"
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val base =
-          if (fs.exists(new org.apache.hadoop.fs.Path(totalsPath)))
-            Some(spark.read.parquet(totalsPath))
-          else None
-        val dataPath = s"$outPath/data"
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val seed = spark.read.parquet(indexPath)
+        val standing = LogStructuredSink.readBefore(spark, growthPath, bid)
+          .map(g => seed.unionByName(
+            g.select(seed.columns.map(col): _*))) // drops __batch, keeps
+          .getOrElse(seed)                        // the seed's metadata
+        // newest committed totals snapshot (snapshots are cumulative, so
+        // only the latest applies); the max-batch probe is a one-row read
+        val base = LogStructuredSink.readBefore(spark, totalsPath, bid)
+          .flatMap { t =>
+            Option(t.agg(max(col("__batch"))).collect()(0).get(0)).map(mx =>
+              t.filter(col("__batch") === lit(mx)).drop("__batch"))
+          }
         val corpus =
-          if (exactVerify &&
-              fs.exists(new org.apache.hadoop.fs.Path(dataPath)))
-            Some(spark.read.parquet(dataPath).select(col(idCol), col(textCol)))
+          if (exactVerify)
+            LogStructuredSink.readBefore(spark, dataPath, bid)
+              .map(_.select(col(idCol), col(textCol)))
           else None
         // localCheckpoint, NOT cache: the exact-verify plan READS
-        // outPath/data, and the data append below would invalidate a
-        // path-keyed cache entry — a recompute after the index append
+        // outPath/data, and the data write below would invalidate a
+        // path-keyed cache entry — a recompute after the index write
         // would then see the batch's own sketches and flag every
         // survivor against itself. The eager checkpoint pins the rows
         // once, immune to both path invalidations; it is batch-sized.
         val curated = graft.pipeline.Curate.curateIncrement(
             spark, batch.toDF(), idCol, textCol, indexPath, base, cfg,
-            corpusDocs = corpus)
+            corpusDocs = corpus, indexFrame = Some(standing))
           .localCheckpoint(true) // consumed three times below
-        curated.write.mode("append").parquet(dataPath)
+        LogStructuredSink.write(curated, dataPath, bid)
         // totals of the incremented output are ALREADY cumulative (offsets
         // continued from base): touched shards take the batch value,
-        // untouched shards keep the standing one. Still COLLECTED
-        // (shards-sized) BEFORE the index append below — with the
-        // checkpoint the ordering is belt-and-braces, but it keeps the
-        // invariant obvious: nothing reads `curated` through the index
-        // path after the index has grown.
+        // untouched shards keep the standing one. COLLECTED (shards-sized)
+        // so the snapshot write never reads the path it overwrites.
         val batchTotals = graft.pipeline.Curate.shardTokenTotals(curated)
         val newTotals = base match {
           case None => batchTotals
@@ -314,15 +326,14 @@ object StreamOps {
               coalesce(col("__bt"), col("base_tokens")).as("base_tokens"))
         }
         val snapshot = newTotals.collect() // one row per shard
-        // the index append goes LAST among curated readers: every reader
-        // above has drained before the index grows (the checkpointed
-        // rows can't be invalidated, but the ordering keeps the
-        // "nothing reads through a grown index" invariant obvious)
-        graft.pipeline.Dedup.appendMinhashIndex(spark, indexPath,
-          curated.select(col(idCol), col(textCol)), textCol, idCol)
-        spark.createDataFrame(
-            java.util.Arrays.asList(snapshot: _*), newTotals.schema)
-          .write.mode("overwrite").parquet(totalsPath)
+        LogStructuredSink.write(
+          graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
+            curated.select(col(idCol), col(textCol)), textCol, idCol),
+          growthPath, bid)
+        LogStructuredSink.write(
+          spark.createDataFrame(
+            java.util.Arrays.asList(snapshot: _*), newTotals.schema),
+          totalsPath, bid)
         // the localCheckpoint blocks are released by the ContextCleaner
         // once `curated` goes out of scope at the end of this batch
         // (Dataset.unpersist is a no-op for checkpoint blocks — it only
@@ -335,13 +346,31 @@ object StreamOps {
 
   /**
    * Streaming corpus-wide line dedup: each micro-batch dedups against the
-   * standing line-key index ([[graft.pipeline.Dedup.writeLineIndex]]) plus
-   * itself, appends surviving documents to `outPath/data`, then grows the
-   * index with the batch's new keys — so later batches drop lines first
-   * seen in earlier ones. Same foreachBatch shape and at-least-once
-   * caveats as [[curateStream]]; batch ids must stay append-only. The
-   * standing corpus text is never re-read — only the one-row-per-
-   * distinct-line index.
+   * standing line-key set plus itself, writes surviving documents under
+   * `outPath/data`, then grows the key set with the batch's new keys —
+   * so later batches drop lines first seen in earlier ones. The standing
+   * corpus text is never re-read — only the one-row-per-distinct-line
+   * key set.
+   *
+   * EXACTLY-ONCE via the [[LogStructuredSink]] discipline: the caller's
+   * index at `indexPath` ([[graft.pipeline.Dedup.writeLineIndex]], may
+   * be empty) becomes a read-only SEED this sink never writes; the
+   * sink's own growth lives at `outPath/_lineindex`, partitioned by
+   * batch id (dynamic overwrite) so a replayed batch overwrites its own
+   * key partition instead of re-appending — and probes only
+   * `__batch < bid`, so a replay never dedups the batch against its own
+   * first-attempt keys (a flat append here silently CUT every eligible
+   * line of a replayed batch). Separator/minChars/normalize semantics
+   * still ride as the seed's field metadata.
+   *
+   * The growth zone sub-partitions on `__pfx` = the first two hex chars
+   * of md5(key): a batch's probe filters the standing read to its own
+   * prefix set, so directory-level pruning (PartitionFilters) bounds the
+   * per-trigger index read by |batch prefixes|/256 of the standing
+   * growth zone — sublinear in corpus size for the steady-state shape
+   * (micro-batches small against a large standing index). Batches with
+   * ≳1.5k distinct keys cover all 256 prefixes and degrade gracefully to
+   * the full scan the flat layout always paid.
    */
   def dedupLinesStream(spark: org.apache.spark.sql.SparkSession,
                        docs: DataFrame, textCol: String, idCol: String,
@@ -349,18 +378,40 @@ object StreamOps {
                        normalize: Option[org.apache.spark.sql.Column =>
                          org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val growthPath = s"$outPath/_lineindex"
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val b = batch.toDF()
-        graft.pipeline.Dedup.dedupLinesIncrement(spark, indexPath, b,
-            textCol, idCol, normalize)
-          .write.mode("append").parquet(s"$outPath/data")
-        // index append goes last: the new keys derive from the RAW batch
-        // (identical to the surviving winners' key set), so the data write
-        // above never races the index it reads
-        graft.pipeline.Dedup.appendLineIndex(spark, indexPath, b,
-          textCol, idCol, normalize)
+        val seed = spark.read.parquet(indexPath)
+        val meta = seed.schema("key").metadata
+        // batch prefixes (≤ 256 two-hex-char strings) drive the
+        // directory-level prune of the growth zone; the collect is
+        // bounded and batch-derived
+        val bKeys = graft.pipeline.Dedup.lineKeys(b, textCol, idCol,
+            meta.getString("separator"), meta.getLong("minChars").toInt,
+            normalize)
+          .localCheckpoint(true) // split once: prefixes + growth anti-join
+        val pfxs = bKeys
+          .select(substring(md5(col("__key")), 1, 2).as("p"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val standing = LogStructuredSink.readBefore(spark, growthPath, bid)
+          .map(g => seed.unionByName(
+            g.filter(col("__pfx").isin(pfxs: _*)).select(col("key"))))
+          .getOrElse(seed)
+        LogStructuredSink.write(
+          graft.pipeline.Dedup.dedupLinesIncrementWith(standing, b,
+            textCol, idCol, normalize),
+          s"$outPath/data", bid)
+        // pin before writing: the new-key anti-join READS the growth zone
+        // this write overwrites; the pinned frame is batch-keys-sized
+        val newKeys = bKeys
+          .join(standing.select(col("key")), col("__key") === col("key"),
+            "left_anti")
+          .select(col("__key").as("key", meta),
+            substring(md5(col("__key")), 1, 2).as("__pfx"))
+          .localCheckpoint(true)
+        LogStructuredSink.write(newKeys, growthPath, bid, Seq("__pfx"))
         ()
       }
       .start()
@@ -416,16 +467,26 @@ object StreamOps {
    *
    * Existence, not counts: total ≥ 2 ⟺ (batch count ≥ 2) ∨ (hash seen in
    * an earlier batch), so the index stores one DISTINCT digest row per
-   * (hash, batch) and the per-batch probe is a scan of the standing
-   * digest set with the batch's (batch-sized) hash set broadcast — no
-   * corpus-sized shuffle per trigger, the same cost class as
-   * [[dedupLinesStream]]'s line-key probe.
+   * (hash, batch) and the per-batch probe is a PRUNED scan of the
+   * standing digest set with the batch's (batch-sized) hash set
+   * broadcast — no corpus-sized shuffle per trigger, the same cost class
+   * as [[dedupLinesStream]]'s line-key probe.
    *
-   * EXACTLY-ONCE via the [[nearDupFlagsStream]] discipline: spans and
+   * EXACTLY-ONCE via the [[LogStructuredSink]] discipline: spans and
    * digests partition by batch id with dynamic partition overwrite, the
    * probe reads only `__batch < bid` — a replayed batch reproduces its
    * partitions bit-identically instead of double-counting its own
    * half-written digests (which would flag every replayed position).
+   *
+   * Probe pruning: the digest index sub-partitions on `__pfx` = the
+   * first two hex chars of `__h`, and each trigger filters the standing
+   * read to the batch's own prefix set (≤ 256 values, collected
+   * batch-side) — parquet stats cannot prune random md5 digests, but the
+   * DIRECTORY level can, bounding the per-trigger read by
+   * |batch prefixes|/256 of the standing index. Steady-state
+   * micro-batches against a grown corpus read sublinearly in corpus
+   * size; batches with ≳1.5k distinct grams cover all prefixes and
+   * degrade to the full columnar scan the flat layout always paid.
    */
   def duplicateSpansStream(spark: org.apache.spark.sql.SparkSession,
                            docs: DataFrame, textCol: String, idCol: String,
@@ -435,46 +496,34 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val grams = graft.pipeline.Dedup
           .gramHashes(batch.toDF(), textCol, idCol, l)
           .localCheckpoint(true) // tokenize once: probe + digest append
         val batchHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
         val withinDup = batchHashes.filter(col("__c") >= 2L).select("__h")
-        val standingDup =
-          if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-            spark.read.parquet(indexPath)
-              .filter(col("__batch") < lit(bid)).select("__h")
-              .join(broadcast(batchHashes.select("__h")), Seq("__h"),
-                "left_semi")
-          else withinDup.limit(0)
+        // batch prefix set (≤ 256 strings) for the directory-level prune
+        // of the standing digest read; bounded, batch-derived collect
+        val pfxs = batchHashes
+          .select(substring(col("__h"), 1, 2).as("p"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val standingDup = LogStructuredSink.readBefore(spark, indexPath, bid)
+          .map(_.filter(col("__pfx").isin(pfxs: _*)).select("__h")
+            .join(broadcast(batchHashes.select("__h")), Seq("__h"),
+              "left_semi"))
+          .getOrElse(withinDup.limit(0))
         val dup = withinDup.unionByName(standingDup).distinct()
         val hits = grams.join(broadcast(dup), Seq("__h"))
           .select(col(idCol), col("__p"))
-        graft.pipeline.Dedup.mergeIslands(hits, idCol, l)
-          .withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(outPath)
-        grams.select("__h").distinct()
-          .withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(indexPath)
+        LogStructuredSink.write(
+          graft.pipeline.Dedup.mergeIslands(hits, idCol, l), outPath, bid)
+        LogStructuredSink.write(
+          grams.select("__h").distinct()
+            .withColumn("__pfx", substring(col("__h"), 1, 2)),
+          indexPath, bid, Seq("__pfx"))
         ()
       }
       .start()
 
-  /**
-   * Streaming maintenance of the log-structured aggregate state
-   * ([[graft.pipeline.Materialize]]): each micro-batch appends its
-   * per-key partials; any reader combines the log via `readAggState` at
-   * any time for an exactly-up-to-date (as of the last batch) view.
-   * The append is idempotent per BATCH only through the checkpoint —
-   * the standard foreachBatch contract shared by curateStream /
-   * dedupLinesStream.
-   */
   /**
    * Streaming EXACT heavy hitters with log-structured count-min state —
    * the live form of [[graft.pipeline.Stats.heavyHitters]]: each
@@ -512,15 +561,10 @@ object StreamOps {
         // log-structured operator exists to avoid. The nearDupFlags pin
         // is different — there the reuse saves re-SKETCHING, real
         // compute; here it would save only a scan.
-        batch.toDF().withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$statePath/data")
-        graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol, depth, width)
-          .withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$statePath/cms")
+        LogStructuredSink.write(batch.toDF(), s"$statePath/data", bid)
+        LogStructuredSink.write(
+          graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol, depth,
+            width), s"$statePath/cms", bid)
         ()
       }
       .start()
@@ -559,12 +603,10 @@ object StreamOps {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        graft.pipeline.Stats.hllRegisters(batch.toDF(), valueCol, p)
-          .select(col("__b").as("__b", meta), col("__m"))
-          .withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(indexPath)
+        LogStructuredSink.write(
+          graft.pipeline.Stats.hllRegisters(batch.toDF(), valueCol, p)
+            .select(col("__b").as("__b", meta), col("__m")),
+          indexPath, bid)
         ()
       }
       .start()
@@ -592,12 +634,10 @@ object StreamOps {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        graft.pipeline.GroupedTopK.topK(batch.toDF(), groupCols, order, k)
-          .drop("rank") // partials re-rank at read; batch-local ranks lie
-          .withColumn("__batch", lit(bid))
-          .write.partitionBy("__batch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(statePath)
+        LogStructuredSink.write(
+          graft.pipeline.GroupedTopK.topK(batch.toDF(), groupCols, order, k)
+            .drop("rank"), // partials re-rank at read; batch-local ranks lie
+          statePath, bid)
         ()
       }
       .start()
@@ -612,15 +652,32 @@ object StreamOps {
     graft.pipeline.GroupedTopK.topK(
       spark.read.parquet(statePath).drop("__batch"), groupCols, order, k)
 
+  /**
+   * Streaming maintenance of the log-structured aggregate state
+   * ([[graft.pipeline.Materialize]]): each micro-batch writes its
+   * per-key partials as its own log partition; any reader combines the
+   * log via [[graft.pipeline.Materialize.readAggState]] at any time for
+   * an exactly-up-to-date (as of the last batch) view (`readAggState`
+   * groups on the key columns only, so the `__batch` partition column
+   * rides along invisibly).
+   *
+   * EXACTLY-ONCE via the [[LogStructuredSink]] discipline — and this is
+   * the sink where it matters MOST: sum/count partials are not
+   * idempotent, so the round-12 flat append double-counted a batch
+   * whose crash fell between the append and the checkpoint commit. A
+   * replayed batch now overwrites its own partition with identical
+   * deterministic content instead.
+   */
   def aggStateStream(spark: org.apache.spark.sql.SparkSession,
                      rows: DataFrame, keyCols: Seq[String], valCol: String,
                      statePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.pipeline.Materialize.appendAggState(spark, statePath,
-          batch.toDF(), keyCols, valCol)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        LogStructuredSink.write(
+          graft.pipeline.Materialize.aggPartials(batch.toDF(), keyCols,
+            valCol), statePath, bid)
         ()
       }
       .start()

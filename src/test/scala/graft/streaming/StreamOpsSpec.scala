@@ -1041,4 +1041,175 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(math.abs(batch.getDouble(4) - rows(1).getDouble(3)) < 1e-12)
     } finally q.stop()
   }
+
+  // shared scaffolding for the commit-marker-deletion replay tests: write
+  // id-ordered parquet slices with pinned mtimes into a watched feed dir
+  private def publishSlices[T <: org.apache.spark.sql.Dataset[_]](
+      base: String, slices: Seq[(Int, T)]): Unit =
+    for ((k, df) <- slices) {
+      val stage = s"$base/stage$k"
+      df.repartition(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+      tgt.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      assert(tgt.setLastModified(1700000000000L + k * 60000L))
+    }
+
+  private def dropCommit(base: String, bid: Int): Unit = {
+    assert(new java.io.File(s"$base/ckpt/commits/$bid").delete())
+    new java.io.File(s"$base/ckpt/commits/.$bid.crc").delete() // checksum twin
+  }
+
+  test("aggStateStream: an at-least-once REPLAY of a committed batch never " +
+       "double-counts its partials") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_aggrp").toString
+    try {
+      publishSlices(base, Seq(
+        0 -> Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v"),
+        1 -> Seq(("a", 10.0), ("c", 5.0)).toDF("k", "v")))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("k STRING, v DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.aggStateStream(spark, stream, Seq("k"), "v",
+          s"$base/state", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def view() = graft.pipeline.Materialize
+        .readAggState(spark, s"$base/state", Seq("k"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val got = view()
+      assert(got == Map("a" -> (3L, 14.0), "b" -> (1L, 2.0), "c" -> (1L, 5.0)))
+      // crash window: batch 1's partials landed but its checkpoint commit
+      // did not — the round-12 flat append double-counted a and c here
+      dropCommit(base, 1)
+      drain()
+      assert(view() == got, "replay double-counted a batch's partials")
+      assert(spark.read.parquet(s"$base/state")
+        .filter(col("__batch") === 1).count() == 2L,
+        "replay duplicated partial rows inside the batch partition")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
+  test("dedupLinesStream: an at-least-once REPLAY of a committed batch " +
+       "never dedups the batch against its own first-attempt keys") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dlsrp").toString
+    try {
+      graft.pipeline.Dedup.writeLineIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id",
+        s"$base/idx", "\n", minChars = 5)
+      publishSlices(base, Seq(
+        0 -> Seq((1L, "shared line alpha\nunique to one")).toDF("doc_id", "text"),
+        1 -> Seq((2L, "shared line alpha\nsecond doc line")).toDF("doc_id", "text")))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.dedupLinesStream(spark, stream, "text", "doc_id",
+          s"$base/idx", s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def view() = spark.read.parquet(s"$base/out/data")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = view()
+      assert(got == Map(1L -> "shared line alpha\nunique to one",
+        2L -> "second doc line"))
+      // crash window: batch 1's keys landed in the growth zone but the
+      // commit did not — a flat append would cut "second doc line" from
+      // the replayed batch (its own first-attempt key suppresses it)
+      dropCommit(base, 1)
+      drain()
+      assert(view() == got, "replay deduped a batch against itself")
+      assert(spark.read.parquet(s"$base/out/_lineindex")
+        .select("key").distinct().count() ==
+        spark.read.parquet(s"$base/out/_lineindex").count(),
+        "replay duplicated growth-zone keys")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
+  test("curateStream: an at-least-once REPLAY of a committed batch never " +
+       "drops its survivors as self-dups or stacks pack offsets") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_curp").toString
+    try {
+      graft.pipeline.Dedup.writeMinhashIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id",
+        s"$base/idx")
+      val cfg = graft.pipeline.Curate.Config(minQuality = 0.2, shards = 1)
+      publishSlices(base, Seq(
+        0 -> Seq(
+          (1L, "it was the best of times and it was the worst of times for all of us"))
+          .toDF("doc_id", "text"),
+        1 -> Seq(
+          (10L, "it was the best of times and it was the worst of times for all of us"), // dup of 1
+          (11L, "we were all going direct to heaven and we were all going direct the other way"))
+          .toDF("doc_id", "text")))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.curateStream(spark, stream, "text", "doc_id",
+          s"$base/idx", s"$base/out", s"$base/ckpt", cfg)
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def view() = spark.read.parquet(s"$base/out/data")
+        .select("doc_id", "pack_offset").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = view()
+      // doc 10 suppressed cross-batch; doc 11's offset continues doc 1's
+      // 17-token shard stream
+      assert(got == Map(1L -> 0L, 11L -> 17L))
+      // crash window: batch 1's data/index/totals all landed but the
+      // commit did not — a flat index append would estimate the replayed
+      // doc 11 at jaccard 1.0 against its own first-attempt sketch and
+      // DROP it; a flat totals overwrite would restart doc 11's offset
+      // from the post-batch totals (34 instead of 17)
+      dropCommit(base, 1)
+      drain()
+      assert(view() == got, "replay changed the curated output")
+      assert(spark.read.parquet(s"$base/out/_index")
+        .select("id").distinct().count() == 2L,
+        "replay duplicated growth-zone sketches")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
+  test("duplicateSpansStream/dedupLinesStream growth zones: the standing " +
+       "probe prunes at the directory level (PartitionFilters on __pfx)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    try {
+      publishSlices(base, Seq(
+        0 -> Seq((1L, "alpha beta gamma delta alpha beta gamma delta"))
+          .toDF("doc_id", "text"),
+        1 -> Seq((2L, "alpha beta gamma delta epsilon zeta eta theta"))
+          .toDF("doc_id", "text")))
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = StreamOps.duplicateSpansStream(spark, stream, "text", "doc_id",
+        l = 4, s"$base/idx", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      // layout: __batch=N/__pfx=XX directories
+      val b0 = new java.io.File(s"$base/idx/__batch=0")
+      assert(b0.isDirectory &&
+        b0.listFiles().exists(_.getName.startsWith("__pfx=")))
+      // the probe the sink runs: standing read filtered to the batch's
+      // prefix set must show a __pfx PartitionFilter in the scan
+      val probe = spark.read.parquet(s"$base/idx")
+        .filter(col("__batch") < 1 && col("__pfx").isin("a1", "b2"))
+        .select("__h")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__pfx"),
+        s"expected a __pfx PartitionFilter in:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
 }
