@@ -4818,6 +4818,120 @@ object Queries {
         .orderBy("event_type", "rnk")
     }),
 
+    "q249_hll_p16" -> ((s, d) => {
+      // HLL at p = 16 — the production cardinality-gate accuracy
+      // (σ ≈ 0.4%): the integer harmonic sum's worst case m·2^49 = 2^65
+      // overflows BIGINT, so the estimator accumulates in DECIMAL(38,0)
+      // — still exact, still order-independent — and the oracle replays
+      // the identical algebra in HUGEINT arithmetic cast to the same
+      // DECIMAL(38,0). Both engines take the same small-range branch
+      // from the same integers (q244's contract at 16× the registers).
+      prep(s, d, "lineitem")
+      graft.pipeline.Stats.hllDistinct(
+          t(s, d, "lineitem").select(col("l_partkey").cast("long").as("pk")),
+          "pk", p = 16)
+        .select(col("m"), col("registers_set"),
+          // surfaced as a STRING: the exact 2^65-scale integer survives
+          // both engines' pandas lowering (DuckDB floats wide decimals)
+          col("harmonic_sum").cast("string").as("harmonic_sum"),
+          round(col("est_raw"), 6).as("est_raw"),
+          round(col("distinct_est"), 6).as("distinct_est"))
+    }),
+
+    "q250_compacted_hll_log" -> ((s, d) => {
+      // register-log COMPACTION certified end to end: three custkey
+      // slices append one register partition each (q244's log path),
+      // compactHllIndex folds the log back to one row per bucket in O(1)
+      // files — asserted in-face, the compaction's whole point — and the
+      // READ VIEW of the compacted log must equal the full sketch over
+      // the union, which the oracle replays from scratch. Max-merge is
+      // the reader's own algebra, so compaction is bit-invisible.
+      prep(s, d, "orders")
+      val ck = t(s, d, "orders").select(col("o_custkey").cast("long").as("ck"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q250_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      graft.pipeline.Stats.writeHllIndex(ck.filter(col("ck") % 3 === 0),
+        "ck", s"$base/idx")
+      for (k <- 1 to 2)
+        graft.pipeline.Stats.appendHllIndex(s, s"$base/idx",
+          ck.filter(col("ck") % 3 === k), "ck")
+      graft.pipeline.Stats.compactHllIndex(s, s"$base/idx", s"$base/idx2")
+      val files = new java.io.File(s"$base/idx2").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(files == 1, s"compaction left $files data files, expected 1")
+      graft.pipeline.Stats.readHllDistinct(s, s"$base/idx2")
+        .select(col("m"), col("registers_set"), col("harmonic_sum"),
+          round(col("est_raw"), 6).as("est_raw"),
+          round(col("distinct_est"), 6).as("distinct_est"))
+    }),
+
+    "q251_compacted_cms_log" -> ((s, d) => {
+      // CMS cell-log compaction certified end to end: three part-key
+      // slices append their cell partitions, compactCmsIndex folds the
+      // log to one row per (d, b) cell in O(1) files (asserted), and the
+      // exact heavy-hitter read over the compacted index must equal
+      // q243's brute-force oracle — cells ADD, so the summed frame
+      // serves pass 1 identically and the exact pass drops any false
+      // positives either way.
+      prep(s, d, "lineitem")
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q251_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      graft.pipeline.Stats.writeCmsIndex(
+        rows.filter(col("ok") % 3 === 0).select("pk"), "pk", s"$base/idx")
+      for (k <- 1 to 2)
+        graft.pipeline.Stats.appendCmsIndex(s, s"$base/idx",
+          rows.filter(col("ok") % 3 === k).select("pk"), "pk")
+      graft.pipeline.Stats.compactCmsIndex(s, s"$base/idx", s"$base/idx2")
+      val files = new java.io.File(s"$base/idx2").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(files == 1, s"compaction left $files data files, expected 1")
+      graft.pipeline.Stats.heavyHittersFromIndex(s, s"$base/idx2",
+          rows.select("pk"), "pk", support = 0.00075)
+        .orderBy("pk")
+    }),
+
+    "q252_compacted_topk_log" -> ((s, d) => {
+      // grouped-top-k partial-log compaction certified end to end: three
+      // event slices write their ≤ k·|groups| partial partitions (the
+      // q248 log layout, built batch-side — the stream itself is q248's
+      // certification), compactTopKLog re-ranks the union down to ≤ k
+      // rows per group in O(1) files (asserted), and the read view over
+      // the compacted log must equal the global leaderboard — q248's
+      // oracle verbatim. Order statistics are mergeable, so one more
+      // bounded top-k IS the compaction.
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("user_id").cast("long").as("uid"), col("value"))
+      val ord = Seq(("value", false), ("eid", true))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q252_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        graft.streaming.LogStructuredSink.write(
+          graft.pipeline.GroupedTopK.topK(ev.filter(col("eid") % 3 === k),
+            Seq("event_type"), ord, 5).drop("rank"),
+          s"$base/log", k.toLong)
+      graft.pipeline.GroupedTopK.compactTopKLog(s, s"$base/log",
+        s"$base/log2", Seq("event_type"), ord, 5)
+      val files = new java.io.File(s"$base/log2/__batch=2").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(files == 1, s"compaction left $files data files, expected 1")
+      graft.streaming.StreamOps.readGroupedTopK(s, s"$base/log2",
+          Seq("event_type"), ord, k = 5)
+        .select(col("event_type"), col("rank").cast("long").as("rnk"),
+          col("eid"), col("uid"), col("value"))
+        .orderBy("event_type", "rnk")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5686,9 +5800,13 @@ object Queries {
                max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
         FROM bits JOIN pre ON bits.sl <= pre.ub GROUP BY pre.ub, bkt),
       agg AS (
-        SELECT ub, count(*) AS rset,
-               sum(CAST(power(2, 49 - mr) AS BIGINT)) AS s1
-        FROM regs GROUP BY ub),
+        -- LEFT join from pre: a degenerate fixture with an empty user
+        -- slice must still emit that prefix's row (registers_set = 0,
+        -- distinct_est = 0), matching the Spark face's empty-frame
+        -- estimate
+        SELECT pre.ub, count(regs.bkt) AS rset,
+               coalesce(sum(CAST(power(2, 49 - mr) AS BIGINT)), 0) AS s1
+        FROM pre LEFT JOIN regs ON regs.ub = pre.ub GROUP BY pre.ub),
       est AS (
         SELECT ub, rset,
                CAST(s1 + (4096 - rset) * 562949953421312 AS BIGINT) AS hs,
@@ -5705,6 +5823,80 @@ object Queries {
                    THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
                    ELSE raw END, 6) AS distinct_est
       FROM est ORDER BY upto_batch""",
+
+    // q244's register algebra at p = 16: 4-hex-char buckets, HUGEINT
+    // harmonic sum cast to DECIMAL(38,0) — the same exact integer the
+    // Spark side carries in decimal
+    "q249_hll_p16" -> """
+      WITH h AS (
+        SELECT md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      bits AS (
+        SELECT CAST(('0x' || substr(h, 1, 4)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 5, 12)) AS UBIGINT) AS x
+        FROM h),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(*) AS rset,
+               coalesce(sum(CAST(power(2, 49 - mr) AS HUGEINT)),
+                        CAST(0 AS HUGEINT)) AS s1
+        FROM regs),
+      est AS (
+        SELECT rset,
+               s1 + CAST(65536 - rset AS HUGEINT) *
+                 CAST(562949953421312 AS HUGEINT) AS hsi
+        FROM agg)
+      SELECT CAST(65536 AS BIGINT) AS m,
+             rset AS registers_set,
+             CAST(hsi AS VARCHAR) AS harmonic_sum,
+             round((0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 * 65536.0 /
+               (CAST(hsi AS DOUBLE) / 562949953421312.0), 6) AS est_raw,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 *
+                     65536.0 / (CAST(hsi AS DOUBLE) / 562949953421312.0)
+                     <= 2.5 * 65536.0 AND rset < 65536
+                   THEN 65536.0 * ln(65536.0 / CAST(65536 - rset AS DOUBLE))
+                   ELSE (0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 *
+                     65536.0 / (CAST(hsi AS DOUBLE) / 562949953421312.0)
+                   END, 6) AS distinct_est
+      FROM est""",
+
+    // q244's register algebra over o_custkey — the compacted-log read
+    // view must equal the from-scratch sketch (compaction is max-merge,
+    // the reader's own algebra)
+    "q250_compacted_hll_log" -> """
+      WITH h AS (
+        SELECT md5(CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)) AS h
+        FROM orders WHERE o_custkey IS NOT NULL),
+      bits AS (
+        SELECT CAST(('0x' || substr(h, 1, 3)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 4, 12)) AS UBIGINT) AS x
+        FROM h),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(*) AS rset,
+               sum(CAST(power(2, 49 - mr) AS BIGINT)) AS s1
+        FROM regs),
+      est AS (
+        SELECT rset,
+               CAST(s1 + (4096 - rset) * 562949953421312 AS BIGINT) AS hs,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                 (CAST(s1 + (4096 - rset) * 562949953421312 AS DOUBLE) /
+                   562949953421312.0) AS raw
+        FROM agg)
+      SELECT CAST(4096 AS BIGINT) AS m,
+             rset AS registers_set,
+             hs AS harmonic_sum,
+             round(raw, 6) AS est_raw,
+             round(CASE WHEN raw <= 2.5 * 4096.0 AND rset < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - rset AS DOUBLE))
+                   ELSE raw END, 6) AS distinct_est
+      FROM est""",
 
     // q244's register algebra per epoch-day group: daily-active-users
     "q246_hll_distinct_by_group" -> """
@@ -10501,5 +10693,10 @@ object Queries {
       ("q232_stream_restart_recovery" -> oracleBase("q202_stream_line_dedup")) +
       // spans are per-document — the streamed union must equal the batch
       // operator on the whole corpus, q240's oracle verbatim
-      ("q241_stream_contamination" -> oracleBase("q240_contamination_spans"))
+      ("q241_stream_contamination" -> oracleBase("q240_contamination_spans")) +
+      // compaction is bit-invisible to the read views: the compacted CMS
+      // and top-k logs must answer exactly what the uncompacted operators
+      // answer — q243's / q248's oracles verbatim
+      ("q251_compacted_cms_log" -> oracleBase("q243_stream_heavy_hitters")) +
+      ("q252_compacted_topk_log" -> oracleBase("q248_stream_grouped_topk"))
 }

@@ -39,4 +39,20 @@ object GroupedTopK {
       .select(col("__e.__row.*") +:
         Seq((col("__pos") + lit(1)).cast("int").as(rankCol)): _*)
   }
+
+  /** Fold a [[graft.streaming.StreamOps.groupedTopKStream]] partial log
+    * back to ≤ k rows per group — order statistics are mergeable, so one
+    * more bounded top-k over the log IS the compaction, and
+    * [[graft.streaming.StreamOps.readGroupedTopK]] over the compacted
+    * log re-ranks to the identical leaderboard (suite-pinned). Same
+    * layout/committed-prefix contract as
+    * [[Materialize.writeCompacted]]; output is O(1) files. Returns the
+    * kept partial count. */
+  def compactTopKLog(spark: org.apache.spark.sql.SparkSession,
+                     path: String, outPath: String, groupCols: Seq[String],
+                     order: Seq[(String, Boolean)], k: Int): Long = {
+    val log = spark.read.parquet(path)
+    val folded = topK(log.drop("__batch"), groupCols, order, k).drop("rank")
+    Materialize.writeCompacted(folded, log, outPath)
+  }
 }

@@ -234,14 +234,40 @@ object Materialize {
 
   def compactAggState(spark: SparkSession, path: String, outPath: String,
                       keyCols: Seq[String]): Long = {
-    val folded = spark.read.parquet(path)
+    val log = spark.read.parquet(path)
+    val folded = log
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"),
         min(col("__min")).as("__min"), max(col("__max")).as("__max"))
-      .persist()
-    val n = folded.count()
-    folded.write.mode("overwrite").parquet(outPath)
-    folded.unpersist()
+    writeCompacted(folded, log, outPath, coalesceTo = 0)
+  }
+
+  /** Shared compaction writer for the log-structured state families
+    * ([[compactAggState]], [[Stats.compactHllIndex]],
+    * [[Stats.compactCmsIndex]], [[GroupedTopK.compactTopKLog]]): writes
+    * the folded frame to `outPath`, PRESERVING a streaming sink's
+    * batch-partitioned layout — if the source log carries `__batch`, the
+    * compacted rows land as one partition stamped with the NEWEST batch
+    * id they cover, so the exactly-once probe/append discipline
+    * (`__batch < bid`, dynamic overwrite of later ids) keeps holding
+    * across a swapped-in compaction. Callers must compact only COMMITTED
+    * prefixes: a compaction that swallowed an uncommitted batch's
+    * partition would survive that batch's replay-overwrite and
+    * double-count it. `coalesceTo` 0 keeps the fold's own partitioning
+    * (key-proportional states); n > 0 forces O(1) files (sketch-sized
+    * states). Returns the folded row count. */
+  private[pipeline] def writeCompacted(folded: DataFrame, srcLog: DataFrame,
+                                       outPath: String,
+                                       coalesceTo: Int = 1): Long = {
+    val sized = if (coalesceTo > 0) folded.coalesce(coalesceTo) else folded
+    val pinned = sized.persist()
+    val n = pinned.count()
+    if (srcLog.columns.contains("__batch")) {
+      val mx = srcLog.agg(max(col("__batch"))).collect()(0).get(0)
+      pinned.withColumn("__batch", lit(mx))
+        .write.partitionBy("__batch").mode("overwrite").parquet(outPath)
+    } else pinned.write.mode("overwrite").parquet(outPath)
+    pinned.unpersist()
     n
   }
 }

@@ -171,10 +171,16 @@ object Stats {
     * standing data is scanned ONCE (the exact pass) instead of twice. */
   def heavyHittersFromIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, corpus: DataFrame, valueCol: String,
-                            support: Double): DataFrame = {
+                            support: Double): DataFrame =
+    heavyHittersFromCells(spark.read.parquet(path), corpus, valueCol, support)
+
+  /** [[heavyHittersFromIndex]] over an ALREADY-LOADED (possibly filtered)
+    * cell frame — the hook for readers that must restrict the index to a
+    * committed prefix (the streaming read view's common-batch gate). */
+  def heavyHittersFromCells(idx: DataFrame, corpus: DataFrame,
+                            valueCol: String, support: Double): DataFrame = {
     require(support > 0.0 && support <= 1.0,
       s"support must be in (0, 1], got $support")
-    val idx = spark.read.parquet(path)
     val meta = idx.schema("__d").metadata
     val (depth, width) = (meta.getLong("depth").toInt, meta.getLong("width").toInt)
     val cells = idx.where(col("__d") >= 0)
@@ -217,11 +223,13 @@ object Stats {
     * __m = max over the bucket of rho(next 48 bits) where
     * rho(x) = leading-zeros + 1 = 49 − bitlength(x) (x = 0 → 49, a
     * 2⁻⁴⁸ tail folded into the same CASE both engines evaluate).
-    * Absent buckets are implicit zeros — [[hllEstimate]] accounts them. */
+    * Absent buckets are implicit zeros — [[hllEstimate]] accounts them.
+    * p = 16 (~0.4% error, the production cardinality-gate accuracy)
+    * accumulates its harmonic sum in DECIMAL(38,0) — see
+    * [[hllEstimate]]. */
   def hllRegisters(df: DataFrame, valueCol: String, p: Int = 12): DataFrame = {
-    require(p >= 4 && p <= 12 && p % 4 == 0,
-      "p must be 4, 8, or 12 (hex-digit buckets; p <= 12 keeps the " +
-        s"integer harmonic sum m*2^49 <= 2^61 inside BIGINT), got $p")
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"p must be 4, 8, 12, or 16 (hex-digit buckets), got $p")
     val h = md5(col("__v").cast("string"))
     val x = conv(substring(h, p / 4 + 1, 12), 16, 10).cast("long")
     values(df, valueCol)
@@ -233,26 +241,53 @@ object Stats {
 
   /** One-row estimate from a register frame (any union of
     * [[hllRegisters]] outputs — merge = max per bucket, done here).
-    * The harmonic sum is INTEGER-exact: Σ 2^(49−M_j) as BIGINT
-    * (≤ 2^61 at p ≤ 16), so reduction order cannot move the hash; the
-    * small-range correction m·ln(m/V) applies below 2.5m with empty
-    * registers, per the published estimator. Emits (m, registers_set,
-    * harmonic_sum, est_raw, distinct_est). */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
-    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
+    * The harmonic sum is INTEGER-exact — Σ 2^(49−M_j) plus the empty
+    * buckets' m·2^49 term, as BIGINT for p ≤ 12 (worst case m·2^49 ≤
+    * 2^61) and as DECIMAL(38,0) for p = 16 (worst case 2^65 overflows
+    * BIGINT; decimal is still exact, still order-independent, and still
+    * SQL-replayable — DuckDB mirrors it as DECIMAL/HUGEINT arithmetic) —
+    * so reduction order cannot move the hash; the small-range correction
+    * m·ln(m/V) applies below 2.5m with empty registers, per the
+    * published estimator. Emits (m, registers_set, harmonic_sum,
+    * est_raw, distinct_est). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateFrom(
+      registers.groupBy(col("__b")).agg(max(col("__m")).as("__m")), Nil, p)
+
+  /** The shared estimate-column construction behind [[hllEstimate]] and
+    * [[hllEstimateByGroup]] (ONE definition — a bias-correction tweak
+    * cannot desync the grouped and ungrouped estimates): takes the
+    * already max-merged register frame, appends (m, registers_set,
+    * harmonic_sum, est_raw, distinct_est) per group (global when
+    * `groupCols` is empty). */
+  private def hllEstimateFrom(merged: DataFrame, groupCols: Seq[String],
+                              p: Int): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0, s"bad p $p")
     val m = 1 << p
     // published bias constants: α₁₆ = 0.673 (p = 4); the closed form
-    // covers m ≥ 128 (p = 8 and 12 here)
+    // covers m ≥ 128 (p = 8, 12, 16 here)
     val alpha = if (m == 16) 0.673 else 0.7213 / (1.0 + 1.079 / m)
     val two49 = 562949953421312.0          // 2^49, exact in binary64
-    registers.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
-      .agg(count(lit(1)).as("registers_set"),
-        sum(pow(lit(2.0), lit(49) - col("__m")).cast("long")).as("__s1"))
-      .select(lit(m).cast("long").as("m"),
-        coalesce(col("registers_set"), lit(0L)).as("registers_set"),
-        (coalesce(col("__s1"), lit(0L)) +
-          (lit(m.toLong) - coalesce(col("registers_set"), lit(0L))) *
-            lit(two49.toLong)).as("harmonic_sum"))
+    val rset = coalesce(col("registers_set"), lit(0L))
+    // the exact integer accumulator: BIGINT while it fits, DECIMAL(38,0)
+    // at p = 16 — identical values, wider carrier
+    val (s1, hs) =
+      if (p <= 12)
+        (sum(pow(lit(2.0), lit(49) - col("__m")).cast("long")),
+          coalesce(col("__s1"), lit(0L)) +
+            (lit(m.toLong) - rset) * lit(two49.toLong))
+      else
+        (sum(pow(lit(2.0), lit(49) - col("__m")).cast("decimal(38,0)")),
+          coalesce(col("__s1"), lit(0L).cast("decimal(38,0)")) +
+            ((lit(m.toLong) - rset).cast("decimal(38,0)") *
+              lit(two49.toLong).cast("decimal(38,0)")))
+    merged
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("registers_set"), s1.as("__s1"))
+      .select(groupCols.map(col) ++ Seq(
+        lit(m).cast("long").as("m"),
+        rset.as("registers_set"),
+        hs.as("harmonic_sum")): _*)
       .withColumn("est_raw",
         lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
           (col("harmonic_sum").cast("double") / lit(two49)))
@@ -297,6 +332,46 @@ object Stats {
     hllEstimate(idx, idx.schema("__b").metadata.getLong("p").toInt)
   }
 
+  /**
+   * Fold an HLL register log back to ONE row per bucket (max-merge — the
+   * same algebra every reader runs) into `outPath`, bounding the
+   * file-listing/small-file tax a log that grows one partition per batch
+   * pays after ~10⁵ triggers. The read view is preserved EXACTLY:
+   * registers max-merge, so [[hllEstimate]] over the compacted frame
+   * equals the estimate over the raw log bit for bit (suite-pinned, the
+   * [[Materialize.compactAggState]] contract). Output is O(1) files
+   * (≤ 2^p rows); `p` metadata re-stamps. If the log is a streaming
+   * sink's batch-partitioned layout ([[graft.streaming.StreamOps
+   * .distinctCountStream]]), the compacted rows keep that layout under
+   * `__batch = max(__batch compacted)` so the sink can keep appending
+   * later partitions to a swapped-in compaction — compact only COMMITTED
+   * prefixes (the swap is the caller's atomic-rename concern, the
+   * [[Layout.compactFiles]] convention). Returns the register count.
+   */
+  def compactHllIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, outPath: String): Long = {
+    val idx = spark.read.parquet(path)
+    val p = idx.schema("__b").metadata.getLong("p").toInt
+    val folded = idx.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+      .select(col("__b").as("__b", hllMeta(p)), col("__m"))
+    Materialize.writeCompacted(folded, idx, outPath)
+  }
+
+  /** Fold a CMS cell log back to ONE row per (d, b) cell — cells ADD, so
+    * the summed frame serves [[heavyHittersFromIndex]] identically
+    * (suite-pinned); the (d = −1) total row folds by the same sum. Same
+    * layout/commit contract as [[compactHllIndex]]; output ≤
+    * depth·width + 1 rows in O(1) files. Returns the cell count. */
+  def compactCmsIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, outPath: String): Long = {
+    val idx = spark.read.parquet(path)
+    val meta = idx.schema("__d").metadata
+    val folded = idx.groupBy(col("__d"), col("__b"))
+      .agg(sum(col("__c")).as("__c"))
+      .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+    Materialize.writeCompacted(folded, idx, outPath)
+  }
+
   /** Per-group HLL registers: ([[hllRegisters]] keyed by `groupCols`) —
     * the realistic telemetry shape (distinct users per segment, distinct
     * URLs per domain) with state ≤ |groups|·2^p rows, never a
@@ -304,7 +379,7 @@ object Stats {
   def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
                           valueCol: String, p: Int = 12): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
+    require(p >= 4 && p <= 16 && p % 4 == 0, s"bad p $p")
     val h = md5(col(valueCol).cast("string"))
     val x = conv(substring(h, p / 4 + 1, 12), 16, 10).cast("long")
     df.where(col(valueCol).isNotNull)
@@ -315,32 +390,15 @@ object Stats {
       .groupBy((groupCols :+ "__b").map(col): _*).agg(max(col("__m")).as("__m"))
   }
 
-  /** Per-group [[hllEstimate]] over a (grouped) register frame. */
+  /** Per-group [[hllEstimate]] over a (grouped) register frame — the
+    * same [[hllEstimateFrom]] columns, keyed. */
   def hllEstimateByGroup(registers: DataFrame, groupCols: Seq[String],
                          p: Int): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    require(p >= 4 && p <= 12 && p % 4 == 0, s"bad p $p")
-    val m = 1 << p
-    val alpha = if (m == 16) 0.673 else 0.7213 / (1.0 + 1.079 / m)
-    val two49 = 562949953421312.0
-    registers.groupBy((groupCols :+ "__b").map(col): _*)
-      .agg(max(col("__m")).as("__m"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("registers_set"),
-        sum(pow(lit(2.0), lit(49) - col("__m")).cast("long")).as("__s1"))
-      .select(groupCols.map(col) :+ lit(m).cast("long").as("m") :+
-        col("registers_set") :+
-        (col("__s1") + (lit(m.toLong) - col("registers_set")) *
-          lit(two49.toLong)).as("harmonic_sum"): _*)
-      .withColumn("est_raw",
-        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
-          (col("harmonic_sum").cast("double") / lit(two49)))
-      .withColumn("distinct_est",
-        when(col("est_raw") <= lit(2.5 * m) && col("registers_set") < lit(m.toLong),
-          lit(m.toDouble) *
-            log(lit(m.toDouble) / (lit(m.toLong) - col("registers_set"))
-              .cast("double")))
-          .otherwise(col("est_raw")))
+    hllEstimateFrom(
+      registers.groupBy((groupCols :+ "__b").map(col): _*)
+        .agg(max(col("__m")).as("__m")),
+      groupCols, p)
   }
 
   /** Estimated distinct `valueCol` per group — one grouped aggregate over

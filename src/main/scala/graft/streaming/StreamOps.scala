@@ -572,12 +572,26 @@ object StreamOps {
 
   /** Exact heavy hitters over everything [[heavyHittersStream]] has
     * committed: merged cell log serves pass 1, the data log is scanned
-    * once for the exact pass. */
+    * once for the exact pass. The sink writes the data log BEFORE the
+    * cms log each batch, so a read racing an in-flight trigger could see
+    * data rows whose cells are not yet written — an underestimating
+    * pass-1 prune that can transiently drop a true heavy hitter. The
+    * data log is therefore gated to `__batch ≤ max(cms.__batch)`: given
+    * the write order, that is exactly the newest fully-committed prefix
+    * — and the bound survives a [[graft.pipeline.Stats.compactCmsIndex]]
+    * pass, whose single stamped partition carries the newest covered id.
+    * Cost: one one-row max over the cell log's partition column. */
   def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                        statePath: String, valueCol: String,
-                       support: Double): DataFrame =
-    graft.pipeline.Stats.heavyHittersFromIndex(spark, s"$statePath/cms",
-      spark.read.parquet(s"$statePath/data"), valueCol, support)
+                       support: Double): DataFrame = {
+    val data = spark.read.parquet(s"$statePath/data")
+    val cms = spark.read.parquet(s"$statePath/cms")
+    val covered = cms.agg(max(col("__batch")).as("__mx"))
+    graft.pipeline.Stats.heavyHittersFromCells(cms,
+      data.crossJoin(broadcast(covered))
+        .filter(col("__batch") <= col("__mx")).drop("__mx"),
+      valueCol, support)
+  }
 
   /**
    * Streaming distinct-count telemetry with log-structured HyperLogLog
@@ -596,7 +610,7 @@ object StreamOps {
                           indexPath: String, checkpoint: String,
                           p: Int = 12)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(p >= 4 && p <= 12 && p % 4 == 0,
+    require(p >= 4 && p <= 16 && p % 4 == 0,
       s"bad p $p") // fail at construction, not inside the first trigger
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("p", p.toLong).build()

@@ -2063,6 +2063,103 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hll p=16: decimal harmonic sum is exact and order-independent, " +
+       "~0.4% envelope, grouped shares the ungrouped estimator") {
+    import spark.implicits._
+    val n = 500000 // > 2.5m = 163840 so the RAW estimator arm runs
+    val corpus = (0 until n).map(i => s"url-$i").toDF("k")
+    val est = Stats.hllDistinct(corpus, "k", p = 16)
+    // the wide accumulator is DECIMAL(38,0) — BIGINT would overflow at
+    // m·2^49 = 2^65 worst case
+    assert(est.schema("harmonic_sum").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val e = est.select("distinct_est").as[Double].head()
+    // published σ = 1.04/√65536 ≈ 0.41%; 1.5% ≈ 3.7σ, deterministic
+    assert(math.abs(e - n) / n < 0.015, s"p=16 estimate $e vs true $n")
+    // duplicates invisible; estimate is a pure function of the value set
+    assert(Stats.hllDistinct(corpus.union(corpus), "k", p = 16)
+      .select("distinct_est").as[Double].head() == e)
+    // grouped and ungrouped share hllEstimateFrom: identical columns
+    val rows = corpus.withColumn("g", lit("a"))
+    val grouped = Stats.hllDistinctByGroup(rows, Seq("g"), "k", p = 16)
+      .select("registers_set", "harmonic_sum", "distinct_est").collect().head
+    val solo = est.select("registers_set", "harmonic_sum", "distinct_est")
+      .collect().head
+    assert(grouped == solo)
+  }
+
+  test("compactHllIndex/compactCmsIndex: read views preserved " +
+       "bit-identically, O(1) files, streaming layout keeps __batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // flat batch-side HLL log
+    val b1 = (0 until 3000).map(i => s"u-$i").toDF("k")
+    val b2 = (1500 until 4500).map(i => s"u-$i").toDF("k")
+    Stats.writeHllIndex(b1, "k", s"$base/hll")
+    Stats.appendHllIndex(spark, s"$base/hll", b2, "k")
+    val before = Stats.readHllDistinct(spark, s"$base/hll").collect().toSeq
+    val nRegs = Stats.compactHllIndex(spark, s"$base/hll", s"$base/hll2")
+    assert(Stats.readHllDistinct(spark, s"$base/hll2").collect().toSeq ==
+      before)
+    assert(nRegs <= 4096L && dataFiles(s"$base/hll2") == 1)
+    // streaming-layout HLL log: compaction keeps the __batch layout,
+    // stamped with the newest id it covers, so later appends compose
+    val pMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("p", 12L).build() // the distinctCountStream stamp
+    for ((b, i) <- Seq(b1, b2).zipWithIndex)
+      graft.streaming.LogStructuredSink.write(
+        Stats.hllRegisters(b, "k")
+          .select(col("__b").as("__b", pMeta), col("__m")),
+        s"$base/hllb", i.toLong)
+    val beforeB = Stats.readHllDistinct(spark, s"$base/hllb").collect().toSeq
+    Stats.compactHllIndex(spark, s"$base/hllb", s"$base/hllb2")
+    assert(new java.io.File(s"$base/hllb2/__batch=1").isDirectory)
+    assert(Stats.readHllDistinct(spark, s"$base/hllb2").collect().toSeq ==
+      beforeB)
+    // CMS cell log: summed cells serve the exact pass identically
+    val corpus = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (0 until 40).map(i => s"c$i")).toDF("k")
+    Stats.writeCmsIndex(corpus, "k", s"$base/cms")
+    Stats.appendCmsIndex(spark, s"$base/cms", corpus, "k")
+    val both = corpus.union(corpus)
+    val hhBefore = Stats.heavyHittersFromIndex(spark, s"$base/cms", both,
+      "k", 0.2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Stats.compactCmsIndex(spark, s"$base/cms", s"$base/cms2")
+    val hhAfter = Stats.heavyHittersFromIndex(spark, s"$base/cms2", both,
+      "k", 0.2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hhAfter == hhBefore && hhAfter == Map("hot" -> 120L, "warm" -> 60L))
+    assert(dataFiles(s"$base/cms2") == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("compactTopKLog: folded partials re-rank to the identical " +
+       "leaderboard; O(1) files under the kept __batch layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tkc").toString
+    val order = Seq(("score", false), ("id", true))
+    val b0 = Seq(("g1", 1L, 9.0), ("g1", 2L, 7.0), ("g1", 3L, 5.0),
+      ("g2", 4L, 1.0)).toDF("g", "id", "score")
+    val b1 = Seq(("g1", 5L, 8.0), ("g2", 6L, 2.0)).toDF("g", "id", "score")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex)
+      graft.streaming.LogStructuredSink.write(
+        GroupedTopK.topK(b, Seq("g"), order, 2).drop("rank"),
+        s"$base/log", i.toLong)
+    def view(p: String) = spark.read.parquet(p).drop("__batch")
+    val before = GroupedTopK.topK(view(s"$base/log"), Seq("g"), order, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    val kept = GroupedTopK.compactTopKLog(spark, s"$base/log",
+      s"$base/log2", Seq("g"), order, 2)
+    assert(kept == 4L) // ≤ k per group after the fold
+    assert(new java.io.File(s"$base/log2/__batch=1").isDirectory)
+    val after = GroupedTopK.topK(view(s"$base/log2"), Seq("g"), order, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(after == before &&
+      after == Set(("g1", 1L, 1), ("g1", 5L, 2), ("g2", 6L, 1), ("g2", 4L, 2)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("hllOverlap: inclusion-exclusion tracks true overlap; disjoint and " +
        "identical sets hit the envelope edges") {
     import spark.implicits._
