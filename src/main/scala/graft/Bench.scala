@@ -63,8 +63,9 @@ object Bench {
     names.foreach(run) // warmup pass (untimed)
 
     val r1 = names.map(n => n -> timed(n)).toMap
+    val r2 = names.map(n => n -> timed(n)).toMap
     val results = names.map { n =>
-      val (t2, ok2) = timed(n)
+      val (t2, ok2) = r2(n)
       val (t1, ok1) = r1(n)
       n -> (math.min(t1, t2), ok1 && ok2)
     }
@@ -72,9 +73,15 @@ object Bench {
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, true)) => v }.sum
+    // the raw per-pass totals expose the host's ambient run-to-run spread
+    // (measured 0.85–1.2× between identical passes across rounds 11-12) so
+    // round-over-round reads can separate drift from plan regressions
+    def passTotal(m: Map[String, (Double, Boolean)]) =
+      names.collect { case n if m(n)._2 => m(n)._1 }.sum
+    val passes = s"[${passTotal(r1)},${passTotal(r2)}]"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"timing":"min_of_2_after_warmup","pass_totals":$passes,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_RESULT.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

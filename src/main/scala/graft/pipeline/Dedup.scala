@@ -1488,6 +1488,33 @@ object Dedup {
       .select(md5(col("__g")).as("__h")).distinct()
   }
 
+  /**
+   * Fold a [[graft.streaming.StreamOps.duplicateSpansStream]] gram-digest
+   * log to ONE row per distinct digest, re-laid at a FINER hash prefix —
+   * the steady-state probe structure: per-batch writes partition on a
+   * 2-hex prefix (256 dirs — bounded small-file tax per trigger), and
+   * compaction pays the finer 3-hex layout (4096 dirs) ONCE, so every
+   * later trigger's probe reads ≈ |batch prefixes|/4096 of the standing
+   * digest bytes instead of /256. Existence is the only signal the probe
+   * needs, so the distinct fold preserves the read semantics exactly;
+   * the output keeps the `__batch = max(__batch)` layout
+   * ([[Materialize.writeCompacted]] contract — compact only COMMITTED
+   * prefixes, swap by rename). The stream's probe prunes on the union of
+   * its batch's 2- and 3-hex prefix sets, so mixed compacted + later
+   * per-batch partitions prune correctly side by side.
+   */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, outPath: String,
+                       pfxLen: Int = 3): Long = {
+    require(pfxLen == 2 || pfxLen == 3,
+      s"supported prefix lengths are 2 and 3 hex chars, got $pfxLen")
+    val log = spark.read.parquet(path)
+    val folded = log.select("__h").distinct()
+      .withColumn("__pfx", substring(col("__h"), 1, pfxLen))
+    Materialize.writeCompacted(folded, log, outPath,
+      subPartitionCols = Seq("__pfx"))
+  }
+
   /** [[contaminationSpans]] against a precomputed `__h` digest frame
     * ([[referenceGramHashes]]). */
   def contaminationSpansWith(df: DataFrame, refHashes: DataFrame,

@@ -258,15 +258,24 @@ object Materialize {
     * states). Returns the folded row count. */
   private[pipeline] def writeCompacted(folded: DataFrame, srcLog: DataFrame,
                                        outPath: String,
-                                       coalesceTo: Int = 1): Long = {
-    val sized = if (coalesceTo > 0) folded.coalesce(coalesceTo) else folded
+                                       coalesceTo: Int = 1,
+                                       subPartitionCols: Seq[String] = Nil): Long = {
+    val sized =
+      if (subPartitionCols.nonEmpty)
+        folded.repartition(subPartitionCols.map(col): _*) // O(1) files/dir
+      else if (coalesceTo > 0) folded.coalesce(coalesceTo)
+      else folded
     val pinned = sized.persist()
     val n = pinned.count()
     if (srcLog.columns.contains("__batch")) {
       val mx = srcLog.agg(max(col("__batch"))).collect()(0).get(0)
       pinned.withColumn("__batch", lit(mx))
-        .write.partitionBy("__batch").mode("overwrite").parquet(outPath)
-    } else pinned.write.mode("overwrite").parquet(outPath)
+        .write.partitionBy("__batch" +: subPartitionCols: _*)
+        .mode("overwrite").parquet(outPath)
+    } else if (subPartitionCols.nonEmpty)
+      pinned.write.partitionBy(subPartitionCols: _*)
+        .mode("overwrite").parquet(outPath)
+    else pinned.write.mode("overwrite").parquet(outPath)
     pinned.unpersist()
     n
   }

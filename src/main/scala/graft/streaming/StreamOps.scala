@@ -501,11 +501,17 @@ object StreamOps {
           .localCheckpoint(true) // tokenize once: probe + digest append
         val batchHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
         val withinDup = batchHashes.filter(col("__c") >= 2L).select("__h")
-        // batch prefix set (≤ 256 strings) for the directory-level prune
-        // of the standing digest read; bounded, batch-derived collect
-        val pfxs = batchHashes
-          .select(substring(col("__h"), 1, 2).as("p"))
-          .distinct().collect().map(_.getString(0)).toSeq
+        // batch prefix sets (2- AND 3-hex, ≤ 256 + 4096 strings) for the
+        // directory-level prune of the standing digest read: per-batch
+        // partitions carry 2-hex __pfx values, a compacted prefix
+        // ([[graft.pipeline.Dedup.compactSpanIndex]]) carries 3-hex —
+        // the union prunes both layouts exactly. Bounded collect.
+        val pfxRows = batchHashes
+          .select(substring(col("__h"), 1, 2).as("p2"),
+            substring(col("__h"), 1, 3).as("p3"))
+          .distinct().collect()
+        val pfxs = (pfxRows.map(_.getString(0)) ++
+          pfxRows.map(_.getString(1))).distinct.toSeq
         val standingDup = LogStructuredSink.readBefore(spark, indexPath, bid)
           .map(_.filter(col("__pfx").isin(pfxs: _*)).select("__h")
             .join(broadcast(batchHashes.select("__h")), Seq("__h"),
@@ -722,18 +728,59 @@ object StreamOps {
    * unchanged (ties on ts break to the larger value — deterministic
    * under any arrival order). State is one row per key — bounded by the
    * DIMENSION's cardinality, not the change volume, which is the CDC
-   * contract; add a TTL timeout when keys themselves churn out.
+   * contract.
+   *
+   * `ttl` bounds state when keys themselves CHURN OUT (deleted users,
+   * retired SKUs): a key's state expires once the event-time watermark
+   * passes its latest change's timestamp + ttl (event-time timeout —
+   * wall-clock pauses never evict), vanishing from the store; a change
+   * arriving after expiry restarts the key's view cleanly from that
+   * change. Emitted VALUES are unchanged by the knob — a non-late
+   * arrival always outranks the expired state it replaces (its event
+   * time exceeds the watermark that evicted it), so TTL is purely the
+   * state-size bound, which the suite asserts through the state-store
+   * row metric. Default None keeps the round-12 NoTimeout plan verbatim.
    */
-  def latestPerKey(changes: Dataset[Change]): Dataset[Change] = {
+  def latestPerKey(changes: Dataset[Change],
+                   ttl: Option[scala.concurrent.duration.Duration] = None,
+                   watermarkDelay: String = "10 minutes"): Dataset[Change] = {
     import changes.sparkSession.implicits._
-    changes.groupByKey(_.key)
-      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
-          val best = (rows ++ state.getOption.iterator)
-            .maxBy(c => (tsMicros(c.ts), c.value))
-          state.update(best)
-          best
-      }
+    ttl match {
+      case None =>
+        changes.groupByKey(_.key)
+          .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+              val best = (rows ++ state.getOption.iterator)
+                .maxBy(c => (tsMicros(c.ts), c.value))
+              state.update(best)
+              best
+          }
+      case Some(d) =>
+        val ttlMs = d.toMillis
+        require(ttlMs > 0, s"ttl must be positive, got $d")
+        changes.withWatermark("ts", watermarkDelay)
+          .groupByKey(_.key)
+          .flatMapGroupsWithState[Change, Change](
+            OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+            (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+              if (state.hasTimedOut) {
+                state.remove() // churned-out key: the view forgets it
+                Iterator.empty
+              } else {
+                val best = (rows ++ state.getOption.iterator)
+                  .maxBy(c => (tsMicros(c.ts), c.value))
+                state.update(best)
+                // expire one ttl after the LATEST change's event time
+                // (ceil to the ms grid like sessionize); clamp above the
+                // current watermark — a straggler-refreshed key must
+                // still set a legal timer
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(tsMicros(best.ts) + 999L, 1000L) + ttlMs,
+                  state.getCurrentWatermarkMs() + 1L))
+                Iterator.single(best)
+              }
+          }
+    }
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -1469,13 +1469,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(5) == h.toLong * grow)
       assert(r.getLong(6) == w.toLong * h * ((x * 31) % 256))
     }
-    // a JPEG-frame AVI decodes through the same path (dims exact)
-    val img = new java.awt.image.BufferedImage(12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val jb = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", jb)
-    val javi = Multimodal.aviFromFrames(Seq(jb.toByteArray))
-    val jd = new Multimodal.ImageDecoder().decode(Multimodal.aviFrames(javi).head).get
-    assert(jd.width == 12 && jd.height == 10)
+    // the MJPEG arm: JPEG-frame AVIs decode through the same path. Dims
+    // are exact; pixels of a solid-color frame come back UNIFORM and
+    // within ±1 per channel (YCbCr round-trip rounding — measured: the
+    // sole deviation shape across all 256 gray levels; exact closed-form
+    // pixel oracles are therefore out of reach for lossy MJPEG, which is
+    // why the board face q88 certifies on the lossless PNG-frame family
+    // and MJPEG is pinned here)
+    for (c <- Seq(0, 7, 128, 255)) {
+      val rgb = (c << 16) | (((c * 59) % 256) << 8) | ((c * 83) % 256)
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 12) img.setRGB(x, y, rgb)
+      val jb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", jb)
+      val javi = Multimodal.aviFromFrames(Seq(jb.toByteArray))
+      val jd = new Multimodal.ImageDecoder()
+        .decode(Multimodal.aviFrames(javi).head).get
+      assert(jd.width == 12 && jd.height == 10)
+      val n = 12L * 10L
+      for ((sum, want) <- Seq(jd.sumR -> ((rgb >> 16) & 0xFF),
+          jd.sumG -> ((rgb >> 8) & 0xFF), jd.sumB -> (rgb & 0xFF)))
+        assert(math.abs(sum - n * want) <= n,
+          s"MJPEG channel drifted >1/px (c=$c): sum=$sum want=${n * want}")
+    }
   }
 
   test("real WAV decode: PCM16 round-trip stats, corruption handling") {

@@ -626,6 +626,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestPerKey with ttl: churned-out keys expire from the state " +
+       "store; re-arriving keys restart cleanly; values unchanged") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Change]
+    val q = StreamOps.latestPerKey(input.toDS(), ttl = Some(30.minutes),
+        watermarkDelay = "1 minute")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_ttl").start()
+    def stateRows() = q.lastProgress.stateOperators(0).numRowsTotal
+    def view() = spark.sql("SELECT key, value FROM latest_ttl").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    try {
+      input.addData(
+        StreamOps.Change(1L, ts("2024-01-01 10:00:00"), "v1"),
+        StreamOps.Change(2L, ts("2024-01-01 10:00:00"), "v2"))
+      q.processAllAvailable()
+      assert(view() == Map(1L -> "v1", 2L -> "v2"))
+      // advance the watermark past key 1's (ts + ttl) horizon via key 2
+      // alone: 12:00 − 1 min delay = 11:59 ≫ 10:30; key 1's state row
+      // must vanish (the state-size bound the knob exists for)
+      input.addData(StreamOps.Change(2L, ts("2024-01-01 12:00:00"), "v2b"))
+      q.processAllAvailable()
+      // one empty trigger so the timeout fires under the advanced
+      // watermark (timeouts process on the batch AFTER the watermark
+      // moves)
+      input.addData(StreamOps.Change(2L, ts("2024-01-01 12:00:30"), "v2c"))
+      q.processAllAvailable()
+      assert(stateRows() == 1L, s"expired key still in store: ${stateRows()}")
+      // re-arrival restarts the key cleanly (fresh fold from this change)
+      input.addData(StreamOps.Change(1L, ts("2024-01-01 12:30:00"), "v1new"))
+      q.processAllAvailable()
+      assert(view()(1L) == "v1new")
+      assert(stateRows() == 2L)
+    } finally q.stop()
+  }
+
   test("ewmaStream: in-order batches equal the batch fold; late stragglers dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1178,6 +1217,65 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$base/out/_index")
         .select("id").distinct().count() == 2L,
         "replay duplicated growth-zone sketches")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
+  test("duplicateSpansStream: a compactSpanIndex swap between query " +
+       "lifetimes is invisible — later batches probe the compacted " +
+       "prefix identically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_spcmp").toString
+    try {
+      val slices = Seq(
+        0 -> Seq((1L, "alpha beta gamma delta one two three four")),
+        1 -> Seq((2L, "alpha beta gamma delta five six seven eight")),
+        2 -> Seq((3L, "five six seven eight nine ten eleven twelve")))
+      def spans(tag: String) = spark.read.parquet(s"$base/$tag/out")
+        .select("doc_id", "span_start", "span_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // run A: straight through, no compaction — the reference behavior
+      // run B: stop after batch 1, compact+swap the digest index, resume
+      for (tag <- Seq("a", "b")) {
+        val dir = s"$base/$tag"
+        new java.io.File(s"$dir/feed").mkdirs()
+        def publish(k: Int): Unit = {
+          val stage = s"$dir/stage$k"
+          slices.find(_._1 == k).get._2.toDF("doc_id", "text")
+            .repartition(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val tgt = new java.io.File(s"$dir/feed", f"slice-$k%03d.parquet")
+          java.nio.file.Files.move(part.toPath, tgt.toPath)
+          assert(tgt.setLastModified(1700000000000L + k * 60000L))
+        }
+        def drain(): Unit = {
+          val stream = spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+          val q = StreamOps.duplicateSpansStream(spark, stream, "text",
+            "doc_id", l = 4, s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        }
+        publish(0); publish(1)
+        drain()
+        if (tag == "b") {
+          val n = graft.pipeline.Dedup.compactSpanIndex(spark, s"$dir/idx",
+            s"$dir/idx2") // 3-hex re-layout
+          assert(n == spark.read.parquet(s"$dir/idx")
+            .select("__h").distinct().count())
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(s"$dir/idx"))
+          assert(new java.io.File(s"$dir/idx2")
+            .renameTo(new java.io.File(s"$dir/idx")))
+          assert(new java.io.File(s"$dir/idx/__batch=1").listFiles()
+            .exists(f => f.getName.startsWith("__pfx=") &&
+              f.getName.length == "__pfx=".length + 3)) // finer layout
+        }
+        publish(2)
+        drain() // batch 2: doc 3 repeats doc 2's "five six seven eight"
+      }
+      assert(spans("b") == spans("a"), "compaction changed the span set")
+      assert(spans("a").exists(_._1 == 3L), "cross-batch hit missing")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base))
   }
