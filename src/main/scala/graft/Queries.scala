@@ -4614,7 +4614,9 @@ object Queries {
       val q = graft.streaming.StreamOps.contaminationSpansStream(s, stream,
         ref, "text", "doc_id", 8, s"$base/out", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/out").orderBy("doc_id", "span_start")
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
     }),
 
     "q242_stream_duplicate_spans" -> ((s, d) => {

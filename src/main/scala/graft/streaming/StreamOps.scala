@@ -433,6 +433,11 @@ object StreamOps {
    * inside the loop would re-tokenize the whole benchmark on every
    * trigger (the psiStream baseline lesson, applied from the start); each
    * batch joins the pinned benchmark-sized digest set (broadcast).
+   *
+   * EXACTLY-ONCE via the [[LogStructuredSink]] discipline (no standing
+   * state to probe — the benchmark is fixed — but a flat append would
+   * still DUPLICATE a replayed batch's span rows; the per-batch
+   * partition overwrite makes the replay reproduce them instead).
    */
   def contaminationSpansStream(spark: org.apache.spark.sql.SparkSession,
                                docs: DataFrame, reference: DataFrame,
@@ -443,10 +448,10 @@ object StreamOps {
       .referenceGramHashes(reference, textCol, l).localCheckpoint(true)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.pipeline.Dedup.contaminationSpansWith(batch.toDF(), refHashes,
-            textCol, idCol, l)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        LogStructuredSink.write(
+          graft.pipeline.Dedup.contaminationSpansWith(batch.toDF(), refHashes,
+            textCol, idCol, l), outPath, bid)
         ()
       }
       .start()

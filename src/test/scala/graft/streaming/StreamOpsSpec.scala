@@ -861,23 +861,34 @@ class StreamOpsSpec extends AnyFunSuite {
         java.nio.file.Files.move(part.toPath, tgt.toPath)
         assert(tgt.setLastModified(1700000000000L + k * 60000L))
       }
-      val stream = spark.readStream
-        .schema(docs.toDF("doc_id", "text").schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
-      val q = StreamOps.contaminationSpansStream(spark, stream, ref,
-        "text", "doc_id", 8, s"$base/out", s"$base/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      val streamed = spark.read.parquet(s"$base/out")
+      def drain(): Unit = {
+        val stream = spark.readStream
+          .schema(docs.toDF("doc_id", "text").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.contaminationSpansStream(spark, stream, ref,
+          "text", "doc_id", 8, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      def streamed() = spark.read.parquet(s"$base/out")
+        .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
         .as[(Long, Long, Long, Long)].collect().toSeq
+      val got = streamed()
       val batch = graft.pipeline.Dedup.contaminationSpans(
           docs.toDF("doc_id", "text"), ref, "text", "doc_id", l = 8)
         .orderBy("doc_id", "span_start")
         .as[(Long, Long, Long, Long)].collect().toSeq
-      assert(streamed == batch)
+      assert(got == batch)
       // and the spans are the expected ones: doc 1 covers the 9 eval
       // tokens (windows p=2,3 merge), doc 3 its 8-token prefix
-      assert(streamed == Seq((1L, 3L, 11L, 9L), (3L, 1L, 8L, 8L)))
+      assert(got == Seq((1L, 3L, 11L, 9L), (3L, 1L, 8L, 8L)))
+      // at-least-once replay of committed batch 1 reproduces its span
+      // partition instead of appending duplicates (the flat append did)
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(streamed() == got, "replay duplicated span rows")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base))
   }
