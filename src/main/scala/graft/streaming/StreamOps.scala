@@ -363,14 +363,14 @@ object StreamOps {
    * line of a replayed batch). Separator/minChars/normalize semantics
    * still ride as the seed's field metadata.
    *
-   * The growth zone sub-partitions on `__pfx` = the first two hex chars
-   * of md5(key): a batch's probe filters the standing read to its own
-   * prefix set, so directory-level pruning (PartitionFilters) bounds the
-   * per-trigger index read by |batch prefixes|/256 of the standing
-   * growth zone — sublinear in corpus size for the steady-state shape
-   * (micro-batches small against a large standing index). Batches with
-   * ≳1.5k distinct keys cover all 256 prefixes and degrade gracefully to
-   * the full scan the flat layout always paid.
+   * The growth zone sub-partitions on `__pfx` = the first hex char of
+   * md5(key) (16 dirs — a per-trigger write costs the flat layout's
+   * file count; finer per-batch prefixes were profiled at ~3 s/trigger
+   * of writer-open overhead in the span sink): a batch's probe filters
+   * the standing read to its own prefix set, so directory-level pruning
+   * (PartitionFilters) bounds the per-trigger index read for small
+   * triggers, and the probe also carries the 3-hex set so a future
+   * compacted re-layout of the growth zone prunes the same way.
    */
   def dedupLinesStream(spark: org.apache.spark.sql.SparkSession,
                        docs: DataFrame, textCol: String, idCol: String,
@@ -385,16 +385,18 @@ object StreamOps {
         val b = batch.toDF()
         val seed = spark.read.parquet(indexPath)
         val meta = seed.schema("key").metadata
-        // batch prefixes (≤ 256 two-hex-char strings) drive the
+        // batch prefixes (1- and 3-hex unions, bounded) drive the
         // directory-level prune of the growth zone; the collect is
         // bounded and batch-derived
         val bKeys = graft.pipeline.Dedup.lineKeys(b, textCol, idCol,
             meta.getString("separator"), meta.getLong("minChars").toInt,
             normalize)
           .localCheckpoint(true) // split once: prefixes + growth anti-join
-        val pfxs = bKeys
-          .select(substring(md5(col("__key")), 1, 2).as("p"))
-          .distinct().collect().map(_.getString(0)).toSeq
+        val pfxRows = bKeys
+          .select(substring(md5(col("__key")), 1, 1).as("p1"),
+            substring(md5(col("__key")), 1, 3).as("p3"))
+          .distinct().collect()
+        val pfxs = (0 to 1).flatMap(i => pfxRows.map(_.getString(i))).distinct
         val standing = LogStructuredSink.readBefore(spark, growthPath, bid)
           .map(g => seed.unionByName(
             g.filter(col("__pfx").isin(pfxs: _*)).select(col("key"))))
@@ -409,7 +411,7 @@ object StreamOps {
           .join(standing.select(col("key")), col("__key") === col("key"),
             "left_anti")
           .select(col("__key").as("key", meta),
-            substring(md5(col("__key")), 1, 2).as("__pfx"))
+            substring(md5(col("__key")), 1, 1).as("__pfx"))
           .localCheckpoint(true)
         LogStructuredSink.write(newKeys, growthPath, bid, Seq("__pfx"))
         ()
@@ -483,15 +485,17 @@ object StreamOps {
    * partitions bit-identically instead of double-counting its own
    * half-written digests (which would flag every replayed position).
    *
-   * Probe pruning: the digest index sub-partitions on `__pfx` = the
-   * first two hex chars of `__h`, and each trigger filters the standing
-   * read to the batch's own prefix set (≤ 256 values, collected
-   * batch-side) — parquet stats cannot prune random md5 digests, but the
-   * DIRECTORY level can, bounding the per-trigger read by
-   * |batch prefixes|/256 of the standing index. Steady-state
-   * micro-batches against a grown corpus read sublinearly in corpus
-   * size; batches with ≳1.5k distinct grams cover all prefixes and
-   * degrade to the full columnar scan the flat layout always paid.
+   * Probe pruning: the digest index sub-partitions on `__pfx` — ONE hex
+   * char of `__h` for per-batch partitions (16 dirs: a per-trigger write
+   * costs the same file count as the round-12 flat layout; profiled, a
+   * 256-dir per-trigger write spent ~3 s/trigger opening writers), three
+   * hex chars after a [[graft.pipeline.Dedup.compactSpanIndex]] pass
+   * (4096 dirs, paid once at compaction — where the standing bytes
+   * live). Each trigger filters the standing read to the union of its
+   * batch's 1-/2-/3-hex prefix sets, so every layout generation prunes
+   * side by side: the compacted zone (most of the corpus) reads
+   * ≈ |batch prefixes|/4096 of its bytes for a small trigger, and the
+   * uncompacted tail — small by the compaction cadence — at worst scans.
    */
   def duplicateSpansStream(spark: org.apache.spark.sql.SparkSession,
                            docs: DataFrame, textCol: String, idCol: String,
@@ -506,17 +510,18 @@ object StreamOps {
           .localCheckpoint(true) // tokenize once: probe + digest append
         val batchHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
         val withinDup = batchHashes.filter(col("__c") >= 2L).select("__h")
-        // batch prefix sets (2- AND 3-hex, ≤ 256 + 4096 strings) for the
-        // directory-level prune of the standing digest read: per-batch
-        // partitions carry 2-hex __pfx values, a compacted prefix
-        // ([[graft.pipeline.Dedup.compactSpanIndex]]) carries 3-hex —
-        // the union prunes both layouts exactly. Bounded collect.
+        // batch prefix sets (1-, 2- AND 3-hex; ≤ 16 + 256 + 4096
+        // strings) for the directory-level prune of the standing digest
+        // read: per-batch partitions carry 1-hex __pfx values, a
+        // compacted prefix ([[graft.pipeline.Dedup.compactSpanIndex]])
+        // carries 2- or 3-hex — the union prunes every layout
+        // generation exactly. Bounded collect.
         val pfxRows = batchHashes
-          .select(substring(col("__h"), 1, 2).as("p2"),
+          .select(substring(col("__h"), 1, 1).as("p1"),
+            substring(col("__h"), 1, 2).as("p2"),
             substring(col("__h"), 1, 3).as("p3"))
           .distinct().collect()
-        val pfxs = (pfxRows.map(_.getString(0)) ++
-          pfxRows.map(_.getString(1))).distinct.toSeq
+        val pfxs = (0 to 2).flatMap(i => pfxRows.map(_.getString(i))).distinct
         val standingDup = LogStructuredSink.readBefore(spark, indexPath, bid)
           .map(_.filter(col("__pfx").isin(pfxs: _*)).select("__h")
             .join(broadcast(batchHashes.select("__h")), Seq("__h"),
@@ -529,7 +534,7 @@ object StreamOps {
           graft.pipeline.Dedup.mergeIslands(hits, idCol, l), outPath, bid)
         LogStructuredSink.write(
           grams.select("__h").distinct()
-            .withColumn("__pfx", substring(col("__h"), 1, 2)),
+            .withColumn("__pfx", substring(col("__h"), 1, 1)),
           indexPath, bid, Seq("__pfx"))
         ()
       }

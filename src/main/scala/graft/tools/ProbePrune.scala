@@ -56,7 +56,7 @@ object ProbePrune {
       graft.streaming.LogStructuredSink.write(
         graft.pipeline.Dedup.gramHashes(src, "text", "doc_id", l)
           .select("__h").distinct()
-          .withColumn("__pfx", substring(col("__h"), 1, 2)),
+          .withColumn("__pfx", substring(col("__h"), 1, 1)), // sink layout
         path, 0L, Seq("__pfx"))
 
     writeIdx(docs, s"$base/idx1")
@@ -77,7 +77,7 @@ object ProbePrune {
       val standing0 = spark.read.parquet(idxPath)
         .filter(col("__batch") < lit(99L))
       val standing = if (prune) {
-        val pr = bh.select(substring(col("__h"), 1, 2).as("p2"),
+        val pr = bh.select(substring(col("__h"), 1, 1).as("p1"),
           substring(col("__h"), 1, 3).as("p3")).distinct().collect()
         val pfxs = (pr.map(_.getString(0)) ++ pr.map(_.getString(1))).distinct.toSeq
         standing0.filter(col("__pfx").isin(pfxs: _*))
@@ -85,7 +85,7 @@ object ProbePrune {
       standing.select("__h").join(broadcast(bh), Seq("__h"), "left_semi").count()
     }
 
-    for ((idx, tag) <- Seq("idx1" -> "1x/pfx2", "idx10" -> "10x/pfx2",
+    for ((idx, tag) <- Seq("idx1" -> "1x/pfx1", "idx10" -> "10x/pfx1",
         "idx10c" -> "10x/pfx3-compacted");
         (b, bt) <- Seq(live -> "live-1doc-30tok", micro -> "micro-3docs");
         prune <- Seq(false, true))
