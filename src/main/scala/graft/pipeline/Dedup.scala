@@ -1492,16 +1492,18 @@ object Dedup {
    * Fold a [[graft.streaming.StreamOps.duplicateSpansStream]] gram-digest
    * log to ONE row per distinct digest, re-laid at a FINER hash prefix —
    * the steady-state probe structure: per-batch writes partition on a
-   * 2-hex prefix (256 dirs — bounded small-file tax per trigger), and
-   * compaction pays the finer 3-hex layout (4096 dirs) ONCE, so every
-   * later trigger's probe reads ≈ |batch prefixes|/4096 of the standing
-   * digest bytes instead of /256. Existence is the only signal the probe
-   * needs, so the distinct fold preserves the read semantics exactly;
-   * the output keeps the `__batch = max(__batch)` layout
-   * ([[Materialize.writeCompacted]] contract — compact only COMMITTED
-   * prefixes, swap by rename). The stream's probe prunes on the union of
-   * its batch's 2- and 3-hex prefix sets, so mixed compacted + later
-   * per-batch partitions prune correctly side by side.
+   * 1-hex prefix (16 dirs — a per-trigger write at the flat layout's
+   * file count; finer per-batch prefixes profiled at ~3 s/trigger of
+   * writer-open overhead, PLANS_r13), and compaction pays the finer
+   * 3-hex layout (4096 dirs) ONCE, so every later trigger's probe reads
+   * ≈ |batch prefixes|/4096 of the standing digest bytes. Existence is
+   * the only signal the probe needs, so the distinct fold preserves the
+   * read semantics exactly; the output keeps the `__batch =
+   * max(__batch)` layout ([[Materialize.writeCompacted]] contract —
+   * compact only COMMITTED prefixes, swap by rename). The stream's
+   * probe prunes on the union of its batch's 1-/2-/3-hex prefix sets,
+   * so mixed compacted + later per-batch partitions prune correctly
+   * side by side.
    */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, outPath: String,

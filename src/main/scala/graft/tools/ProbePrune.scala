@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
  *
  * Builds the gram-digest index at 1× and 10× corpus size (sf0.1
  * documents, 10× via per-copy marker tokens like make_sf1.py --perturb),
- * in both the per-batch 2-hex layout and the compacted 3-hex layout,
+ * in both the per-batch 1-hex layout and the compacted 3-hex layout,
  * then times/measures the probe for two trigger shapes (a 1-doc
  * truncated live-gate trigger and a 3-doc micro-batch) against a full
  * unpruned scan.
