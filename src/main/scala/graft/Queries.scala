@@ -4934,6 +4934,83 @@ object Queries {
         .orderBy("event_type", "rnk")
     }),
 
+    "q253_compacted_agg_state" -> ((s, d) => {
+      // aggregate-partial-log compaction under CONTINUED growth — the one
+      // log-structured family whose compaction predated the q250–q252
+      // certification shape: three orderkey slices append their per-key
+      // partials, compactAggState folds the log to one partial per key,
+      // then a FOURTH slice appends onto the compacted log — the read
+      // view must equal one aggregation over all four slices' union
+      // (partials are algebraic: fold-then-merge ≡ merge). Values
+      // aggregate as DECIMAL(18,6) so partial sums combine exactly
+      // across slices and engines (the q231 discipline).
+      prep(s, d, "orders")
+      val rows = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("ok"), col("o_orderpriority"),
+        (col("o_custkey") % 8).cast("long").as("ck_bucket"),
+        col("o_totalprice").cast("decimal(18,6)").as("v"))
+      val keys = Seq("o_orderpriority", "ck_bucket")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q253_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        graft.pipeline.Materialize.appendAggState(s, s"$base/log",
+          rows.filter(col("ok") % 4 === k).drop("ok"), keys, "v")
+      val n = graft.pipeline.Materialize.compactAggState(s, s"$base/log",
+        s"$base/log2", keys)
+      require(n > 0, "compaction folded zero keys")
+      graft.pipeline.Materialize.appendAggState(s, s"$base/log2",
+        rows.filter(col("ok") % 4 === 3).drop("ok"), keys, "v")
+      graft.pipeline.Materialize.readAggState(s, s"$base/log2", keys)
+        .select(col("o_orderpriority"), col("ck_bucket"), col("n"),
+          col("total").cast("double").as("total"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+        .withColumn("avg_val", col("total") / col("n"))
+        .orderBy("o_orderpriority", "ck_bucket")
+    }),
+
+    "q254_hll_group_p16" -> ((s, d) => {
+      // the q246 daily-active-users telemetry at PRODUCTION accuracy
+      // (p = 16, σ ≈ 0.4%): per-group register frames share
+      // hllEstimateFrom with the ungrouped q249 face, so the grouped
+      // DECIMAL(38,0) harmonic sum inherits the same exact integer
+      // algebra — the oracle replays it per group in HUGEINT, and the
+      // 2^65-scale integer crosses the engines as a string (pandas
+      // lowers wide decimals to float64 on both sides).
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("user_id").cast("long").as("uid"))
+      graft.pipeline.Stats.hllDistinctByGroup(ev, Seq("day"), "uid", p = 16)
+        .select(col("day"), col("m"), col("registers_set"),
+          col("harmonic_sum").cast("string").as("harmonic_sum"),
+          round(col("est_raw"), 6).as("est_raw"),
+          round(col("distinct_est"), 6).as("distinct_est"))
+        .orderBy("day")
+    }),
+
+    "q255_hll_overlap_p16" -> ((s, d) => {
+      // the q247 cross-corpus overlap at p = 16: three register sketches
+      // (A, B, max-merged union) on the DECIMAL(38,0) arm feed
+      // inclusion–exclusion; only doubles cross the engines — both cast
+      // the SAME exact integer harmonic sum, so the IEEE rounding
+      // matches bit for bit. Sides are the q247 mod-3 classes (true
+      // Jaccard exactly 1/3).
+      prep(s, d, "lineitem")
+      val pk = t(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("pk"))
+      graft.pipeline.Stats.hllOverlap(
+          pk.filter(col("pk") % 3 =!= 2), pk.filter(col("pk") % 3 =!= 0),
+          "pk", p = 16)
+        .select(col("m"), round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_intersection"), 6).as("est_intersection"),
+          round(col("jaccard_est"), 6).as("jaccard_est"))
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -5992,6 +6069,132 @@ object Queries {
                    562949953421312.0) END AS est_union
         FROM agg)
       SELECT CAST(4096 AS BIGINT) AS m,
+             round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+             round(est_union, 6) AS est_union,
+             round(greatest(est_a + est_b - est_union, 0.0), 6)
+               AS est_intersection,
+             round(CASE WHEN est_union > 0.0
+                   THEN greatest(est_a + est_b - est_union, 0.0) / est_union
+                   ELSE 0.0 END, 6) AS jaccard_est
+      FROM est""",
+
+    // one aggregation over the union — compaction + continued appends
+    // must be invisible to the read view (q231's exact-decimal contract)
+    "q253_compacted_agg_state" -> """
+      WITH v AS (
+        SELECT o_orderpriority, CAST(o_custkey % 8 AS BIGINT) AS ck_bucket,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        FROM orders)
+      SELECT o_orderpriority, ck_bucket,
+             count(v) AS n,
+             CAST(sum(v) AS DOUBLE) AS total,
+             CAST(min(v) AS DOUBLE) AS min_val,
+             CAST(max(v) AS DOUBLE) AS max_val,
+             CAST(sum(v) AS DOUBLE) / count(v) AS avg_val
+      FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q246's per-group register algebra at p = 16: 4-hex buckets,
+    // HUGEINT harmonic sums, the exact integer crossing as a string
+    "q254_hll_group_p16" -> """
+      WITH vals AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               md5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)) AS h
+        FROM events WHERE user_id IS NOT NULL),
+      bits AS (
+        SELECT day, CAST(('0x' || substr(h, 1, 4)) AS UBIGINT) AS bkt,
+               CAST(('0x' || substr(h, 5, 12)) AS UBIGINT) AS x
+        FROM vals),
+      regs AS (
+        SELECT day, bkt,
+               max(CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END) AS mr
+        FROM bits GROUP BY day, bkt),
+      agg AS (
+        SELECT day, count(*) AS rset,
+               sum(CAST(power(2, 49 - mr) AS HUGEINT)) AS s1
+        FROM regs GROUP BY day),
+      est AS (
+        SELECT day, rset,
+               s1 + CAST(65536 - rset AS HUGEINT) *
+                 CAST(562949953421312 AS HUGEINT) AS hsi
+        FROM agg)
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(65536 AS BIGINT) AS m,
+             rset AS registers_set,
+             CAST(hsi AS VARCHAR) AS harmonic_sum,
+             round((0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 * 65536.0 /
+               (CAST(hsi AS DOUBLE) / 562949953421312.0), 6) AS est_raw,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 *
+                     65536.0 / (CAST(hsi AS DOUBLE) / 562949953421312.0)
+                     <= 2.5 * 65536.0 AND rset < 65536
+                   THEN 65536.0 * ln(65536.0 / CAST(65536 - rset AS DOUBLE))
+                   ELSE (0.7213 / (1.0 + 1.079 / 65536.0)) * 65536.0 *
+                     65536.0 / (CAST(hsi AS DOUBLE) / 562949953421312.0)
+                   END, 6) AS distinct_est
+      FROM est ORDER BY day""",
+
+    // q247's three-sketch inclusion–exclusion at p = 16 — HUGEINT
+    // harmonic sums (m·2^49 = 2^65 overflows BIGINT), only doubles cross
+    "q255_hll_overlap_p16" -> """
+      WITH rows_ AS (
+        SELECT md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h,
+               CAST(l_partkey AS BIGINT) % 3 AS c
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      bits AS (
+        SELECT c <> 2 AS in_a, c <> 0 AS in_b,
+               CAST(('0x' || substr(h, 1, 4)) AS UBIGINT) AS bkt,
+               CASE WHEN CAST(('0x' || substr(h, 5, 12)) AS UBIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(
+                      CAST(('0x' || substr(h, 5, 12)) AS UBIGINT)))
+               END AS rho
+        FROM rows_ WHERE c <> 2 OR c <> 0),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN in_a THEN rho END) AS ma,
+               max(CASE WHEN in_b THEN rho END) AS mb,
+               max(rho) AS mu
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(ma) AS ra,
+               sum(CASE WHEN ma IS NOT NULL
+                   THEN CAST(power(2, 49 - ma) AS HUGEINT) END) AS sa,
+               count(mb) AS rb,
+               sum(CASE WHEN mb IS NOT NULL
+                   THEN CAST(power(2, 49 - mb) AS HUGEINT) END) AS sb,
+               count(mu) AS ru,
+               sum(CAST(power(2, 49 - mu) AS HUGEINT)) AS su
+        FROM regs),
+      hs AS (
+        SELECT ra, rb, ru,
+          CAST(COALESCE(sa, CAST(0 AS HUGEINT)) +
+            CAST(65536 - ra AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS ha,
+          CAST(COALESCE(sb, CAST(0 AS HUGEINT)) +
+            CAST(65536 - rb AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS hb,
+          CAST(COALESCE(su, CAST(0 AS HUGEINT)) +
+            CAST(65536 - ru AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS hu
+        FROM agg),
+      est AS (
+        SELECT
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (ha/562949953421312.0) <= 2.5*65536.0 AND ra < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - ra AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (ha/562949953421312.0) END AS est_a,
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hb/562949953421312.0) <= 2.5*65536.0 AND rb < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - rb AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hb/562949953421312.0) END AS est_b,
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hu/562949953421312.0) <= 2.5*65536.0 AND ru < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - ru AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hu/562949953421312.0) END AS est_union
+        FROM hs)
+      SELECT CAST(65536 AS BIGINT) AS m,
              round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
              round(est_union, 6) AS est_union,
              round(greatest(est_a + est_b - est_union, 0.0), 6)

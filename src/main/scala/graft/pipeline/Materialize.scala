@@ -269,6 +269,13 @@ object Materialize {
     val n = pinned.count()
     if (srcLog.columns.contains("__batch")) {
       val mx = srcLog.agg(max(col("__batch"))).collect()(0).get(0)
+      // a zero-row source still carries the column but max() is null —
+      // lit(null) would land the compacted rows under
+      // __HIVE_DEFAULT_PARTITION__, invisible to every `__batch < bid`
+      // probe. Nothing to compact is a caller error, not a silent write.
+      require(mx != null,
+        s"cannot compact an empty log into $outPath: no __batch partition" +
+          " holds rows")
       pinned.withColumn("__batch", lit(mx))
         .write.partitionBy("__batch" +: subPartitionCols: _*)
         .mode("overwrite").parquet(outPath)

@@ -195,17 +195,17 @@ object StreamOps {
                          indexPath: String, outPath: String, checkpoint: String,
                          minEstJaccard: Double, shingle: Int = 3,
                          numHashes: Int = 64, bands: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = new LogStructuredSink.PathMemo(indexPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val exists = LogStructuredSink.exists(spark, indexPath)
-        val sk = (if (exists)
+        val sk = (if (idx.exists(spark))
             graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
               batch.toDF(), textCol, idCol, shingle)
           else graft.pipeline.Dedup.sketchBatch(batch.toDF(), textCol, idCol,
             numHashes, bands, shingle)).localCheckpoint(true)
-        LogStructuredSink.readBefore(spark, indexPath, bid).foreach { standing =>
+        idx.readBefore(spark, bid).foreach { standing =>
           val flags = graft.pipeline.Dedup
             .minhashCandidatePairsSketched(standing, sk)
             .filter(col("est_jaccard") >= minEstJaccard)
@@ -217,6 +217,7 @@ object StreamOps {
         ()
       }
       .start()
+  }
 
   /**
    * Streaming incremental curation: each micro-batch of documents is
@@ -281,24 +282,27 @@ object StreamOps {
     val totalsPath = s"$outPath/_shard_totals"
     val growthPath = s"$outPath/_index"
     val dataPath = s"$outPath/data"
+    val growth = new LogStructuredSink.PathMemo(growthPath)
+    val data = new LogStructuredSink.PathMemo(dataPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val seed = spark.read.parquet(indexPath)
-        val standing = LogStructuredSink.readBefore(spark, growthPath, bid)
+        val standing = growth.readBefore(spark, bid)
           .map(g => seed.unionByName(
             g.select(seed.columns.map(col): _*))) // drops __batch, keeps
           .getOrElse(seed)                        // the seed's metadata
         // newest committed totals snapshot (snapshots are cumulative, so
-        // only the latest applies); the max-batch probe is a one-row read
-        val base = LogStructuredSink.readBefore(spark, totalsPath, bid)
-          .flatMap { t =>
-            Option(t.agg(max(col("__batch"))).collect()(0).get(0)).map(mx =>
-              t.filter(col("__batch") === lit(mx)).drop("__batch"))
-          }
+        // only the latest applies); the max-batch probe is ONE driver-side
+        // dir listing — this was a per-trigger agg+collect JOB until
+        // round 14 (~0.3 s of local-mode scheduling for a one-row answer
+        // the partition layout already holds)
+        val base = LogStructuredSink.maxBatchBefore(spark, totalsPath, bid)
+          .map(mx => spark.read.parquet(totalsPath)
+            .filter(col("__batch") === lit(mx)).drop("__batch"))
         val corpus =
           if (exactVerify)
-            LogStructuredSink.readBefore(spark, dataPath, bid)
+            data.readBefore(spark, bid)
               .map(_.select(col(idCol), col(textCol)))
           else None
         // localCheckpoint, NOT cache: the exact-verify plan READS
@@ -344,6 +348,19 @@ object StreamOps {
       .start()
   }
 
+  /** Committed-prefix read of a LIVE [[curateStream]]'s survivors: the
+    * sink commits THREE logs per trigger (data, sketch index, shard
+    * totals) as separate jobs, so all three gate to the common committed
+    * batch ([[LogStructuredSink.readCommitted]]) — an external reader
+    * between a trigger's data and totals writes must not see survivors
+    * whose pack offsets aren't accounted yet. None until the first
+    * trigger fully commits. */
+  def readCurated(spark: org.apache.spark.sql.SparkSession,
+                  outPath: String): Option[DataFrame] =
+    LogStructuredSink.readCommitted(spark,
+        Seq(s"$outPath/data", s"$outPath/_index", s"$outPath/_shard_totals"))
+      .map(_.head.drop("__batch"))
+
   /**
    * Streaming corpus-wide line dedup: each micro-batch dedups against the
    * standing line-key set plus itself, writes surviving documents under
@@ -379,9 +396,13 @@ object StreamOps {
                          org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val growthPath = s"$outPath/_lineindex"
+    val growth = new LogStructuredSink.PathMemo(growthPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+       // trigger section shares the growth zone's lease with
+       // [[graft.pipeline.Dedup.compactLineIndexLive]]
+       LogStructuredSink.withLease(spark, growthPath) {
         val b = batch.toDF()
         val seed = spark.read.parquet(indexPath)
         val meta = seed.schema("key").metadata
@@ -397,7 +418,7 @@ object StreamOps {
             substring(md5(col("__key")), 1, 3).as("p3"))
           .distinct().collect()
         val pfxs = (0 to 1).flatMap(i => pfxRows.map(_.getString(i))).distinct
-        val standing = LogStructuredSink.readBefore(spark, growthPath, bid)
+        val standing = growth.readBefore(spark, bid)
           .map(g => seed.unionByName(
             g.filter(col("__pfx").isin(pfxs: _*)).select(col("key"))))
           .getOrElse(seed)
@@ -414,10 +435,23 @@ object StreamOps {
             substring(md5(col("__key")), 1, 1).as("__pfx"))
           .localCheckpoint(true)
         LogStructuredSink.write(newKeys, growthPath, bid, Seq("__pfx"))
+       }
         ()
       }
       .start()
   }
+
+  /** Committed-prefix read of a LIVE [[dedupLinesStream]]'s surviving
+    * documents: data and the line-key growth zone are gated to the
+    * common committed batch — an external reader can never see a batch's
+    * survivors while its new keys are still in flight (it would
+    * otherwise treat their lines as never-seen). None until the first
+    * trigger fully commits. */
+  def readDedupedLines(spark: org.apache.spark.sql.SparkSession,
+                       outPath: String): Option[DataFrame] =
+    LogStructuredSink.readCommitted(spark,
+        Seq(s"$outPath/data", s"$outPath/_lineindex"))
+      .map(_.head.drop("__batch"))
 
   /**
    * Streaming exact-substring decontamination localization: each
@@ -501,10 +535,16 @@ object StreamOps {
                            docs: DataFrame, textCol: String, idCol: String,
                            l: Int, indexPath: String, outPath: String,
                            checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = new LogStructuredSink.PathMemo(indexPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+       // the trigger section shares the digest log's lease with
+       // [[graft.pipeline.Dedup.compactSpanIndexLive]]: a concurrent
+       // in-place re-lay must never delete files under a probe that has
+       // already listed them
+       LogStructuredSink.withLease(spark, indexPath) {
         val grams = graft.pipeline.Dedup
           .gramHashes(batch.toDF(), textCol, idCol, l)
           .localCheckpoint(true) // tokenize once: probe + digest append
@@ -522,7 +562,7 @@ object StreamOps {
             substring(col("__h"), 1, 3).as("p3"))
           .distinct().collect()
         val pfxs = (0 to 2).flatMap(i => pfxRows.map(_.getString(i))).distinct
-        val standingDup = LogStructuredSink.readBefore(spark, indexPath, bid)
+        val standingDup = idx.readBefore(spark, bid)
           .map(_.filter(col("__pfx").isin(pfxs: _*)).select("__h")
             .join(broadcast(batchHashes.select("__h")), Seq("__h"),
               "left_semi"))
@@ -536,9 +576,23 @@ object StreamOps {
           grams.select("__h").distinct()
             .withColumn("__pfx", substring(col("__h"), 1, 1)),
           indexPath, bid, Seq("__pfx"))
+       }
         ()
       }
       .start()
+  }
+
+  /** Committed-prefix read of a LIVE [[duplicateSpansStream]]'s span
+    * output for external consumers: the sink writes spans then digests
+    * per trigger, so both logs are gated to the common committed batch
+    * ([[LogStructuredSink.readCommitted]]) — a reader can never see a
+    * batch's spans while its digests are still in flight. None until the
+    * first trigger fully commits. */
+  def readDuplicateSpans(spark: org.apache.spark.sql.SparkSession,
+                         outPath: String,
+                         indexPath: String): Option[DataFrame] =
+    LogStructuredSink.readCommitted(spark, Seq(outPath, indexPath))
+      .map(_.head.drop("__batch"))
 
   /**
    * Streaming EXACT heavy hitters with log-structured count-min state —
@@ -590,23 +644,26 @@ object StreamOps {
     * committed: merged cell log serves pass 1, the data log is scanned
     * once for the exact pass. The sink writes the data log BEFORE the
     * cms log each batch, so a read racing an in-flight trigger could see
-    * data rows whose cells are not yet written — an underestimating
-    * pass-1 prune that can transiently drop a true heavy hitter. The
-    * data log is therefore gated to `__batch ≤ max(cms.__batch)`: given
-    * the write order, that is exactly the newest fully-committed prefix
-    * — and the bound survives a [[graft.pipeline.Stats.compactCmsIndex]]
-    * pass, whose single stamped partition carries the newest covered id.
-    * Cost: one one-row max over the cell log's partition column. */
+    * data rows whose cells are not yet written (an underestimating
+    * pass-1 prune that can transiently drop a true heavy hitter) — or,
+    * gating only the data side, cells (and the d = −1 total row,
+    * inflating the support threshold) whose data rows are excluded.
+    * BOTH logs are therefore gated to the same committed snapshot,
+    * `__batch ≤ min(max(data), max(cms))` via
+    * [[LogStructuredSink.readCommitted]] — exactly the newest
+    * fully-committed prefix, taken ONCE so pass-1 cells, the total row,
+    * and the exact pass cover the identical batch set. The bound
+    * survives a [[graft.pipeline.Stats.compactCmsIndex]] pass, whose
+    * single stamped partition carries the newest covered id. Cost: two
+    * driver-side dir listings, zero Spark jobs. */
   def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
                        statePath: String, valueCol: String,
                        support: Double): DataFrame = {
-    val data = spark.read.parquet(s"$statePath/data")
-    val cms = spark.read.parquet(s"$statePath/cms")
-    val covered = cms.agg(max(col("__batch")).as("__mx"))
-    graft.pipeline.Stats.heavyHittersFromCells(cms,
-      data.crossJoin(broadcast(covered))
-        .filter(col("__batch") <= col("__mx")).drop("__mx"),
-      valueCol, support)
+    val Seq(data, cms) = LogStructuredSink.readCommitted(spark,
+        Seq(s"$statePath/data", s"$statePath/cms"))
+      .getOrElse(throw new IllegalStateException(
+        s"no fully-committed batch under $statePath yet")): @unchecked
+    graft.pipeline.Stats.heavyHittersFromCells(cms, data, valueCol, support)
   }
 
   /**
@@ -745,11 +802,20 @@ object StreamOps {
    * passes its latest change's timestamp + ttl (event-time timeout —
    * wall-clock pauses never evict), vanishing from the store; a change
    * arriving after expiry restarts the key's view cleanly from that
-   * change. Emitted VALUES are unchanged by the knob — a non-late
-   * arrival always outranks the expired state it replaces (its event
-   * time exceeds the watermark that evicted it), so TTL is purely the
-   * state-size bound, which the suite asserts through the state-store
-   * row metric. Default None keeps the round-12 NoTimeout plan verbatim.
+   * change. For NON-LATE arrivals emitted values are unchanged by the
+   * knob — a non-late arrival always outranks the expired state it
+   * replaces (its event time exceeds the watermark that evicted it) —
+   * so TTL is purely the state-size bound, which the suite asserts
+   * through the state-store row metric. LATE arrivals (event time at or
+   * below the watermark) are DROPPED, the standard watermark contract:
+   * `flatMapGroupsWithState` does not filter them itself, and folding
+   * them would make the view arrival-window-dependent — a straggler
+   * landing after its key expired would re-seed empty state and be
+   * emitted as the key's best, where the same straggler a trigger
+   * earlier would have lost to the standing state (suite-pinned). The
+   * NoTimeout arm has no watermark and folds everything; choose ttl
+   * only with a disciplined event-time feed. Default None keeps the
+   * round-12 NoTimeout plan verbatim.
    */
   def latestPerKey(changes: Dataset[Change],
                    ttl: Option[scala.concurrent.duration.Duration] = None,
@@ -777,17 +843,31 @@ object StreamOps {
                 state.remove() // churned-out key: the view forgets it
                 Iterator.empty
               } else {
-                val best = (rows ++ state.getOption.iterator)
-                  .maxBy(c => (tsMicros(c.ts), c.value))
-                state.update(best)
-                // expire one ttl after the LATEST change's event time
-                // (ceil to the ms grid like sessionize); clamp above the
-                // current watermark — a straggler-refreshed key must
-                // still set a legal timer
-                state.setTimeoutTimestamp(math.max(
-                  Math.floorDiv(tsMicros(best.ts) + 999L, 1000L) + ttlMs,
-                  state.getCurrentWatermarkMs() + 1L))
-                Iterator.single(best)
+                // drop LATE rows (event time at or below the watermark):
+                // the engine does not filter them for
+                // flatMapGroupsWithState, and a late straggler must not
+                // re-seed an expired key's empty state (it would be
+                // emitted as the best where a trigger earlier it would
+                // have lost to the standing state). getCurrentWatermarkMs
+                // is the PREVIOUS trigger's watermark — exactly the bound
+                // that decided expiry.
+                val wm = state.getCurrentWatermarkMs()
+                val live = rows.filter(c =>
+                  Math.floorDiv(tsMicros(c.ts), 1000L) > wm).toSeq
+                if (live.isEmpty) Iterator.empty // all late: state, timer,
+                else {                           // and view stay untouched
+                  val best = (live.iterator ++ state.getOption.iterator)
+                    .maxBy(c => (tsMicros(c.ts), c.value))
+                  state.update(best)
+                  // expire one ttl after the LATEST change's event time
+                  // (ceil to the ms grid like sessionize); clamp above
+                  // the current watermark — a watermark-adjacent refresh
+                  // must still set a legal timer
+                  state.setTimeoutTimestamp(math.max(
+                    Math.floorDiv(tsMicros(best.ts) + 999L, 1000L) + ttlMs,
+                    wm + 1L))
+                  Iterator.single(best)
+                }
               }
           }
     }

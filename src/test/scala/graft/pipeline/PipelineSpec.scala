@@ -2103,6 +2103,24 @@ class PipelineSpec extends AnyFunSuite {
     val solo = est.select("registers_set", "harmonic_sum", "distinct_est")
       .collect().head
     assert(grouped == solo)
+    // MULTI-group p=16: every group's estimate sits in the ~0.4% envelope
+    // (1.5% ≈ 3.7σ, deterministic given md5) — the q254 board shape
+    val multi = ((0 until 200000).map(i => ("a", s"u-$i")) ++
+      (0 until 40000).map(i => ("b", s"v-$i"))).toDF("g", "k")
+    val byG = Stats.hllDistinctByGroup(multi, Seq("g"), "k", p = 16)
+      .select("g", "distinct_est").as[(String, Double)].collect().toMap
+    assert(math.abs(byG("a") - 200000) / 200000 < 0.015, s"a: ${byG("a")}")
+    assert(math.abs(byG("b") - 40000) / 40000 < 0.015, s"b: ${byG("b")}")
+    // overlap at p=16: three ~0.4% estimates — inclusion–exclusion lands
+    // within a few σ of the exact |A∩B| (sides share 100k of 300k/200k)
+    val a = (0 until 300000).map(i => s"k-$i").toDF("k")
+    val b = (200000 until 400000).map(i => s"k-$i").toDF("k")
+    val ov = Stats.hllOverlap(a, b, "k", p = 16)
+      .select("est_intersection", "jaccard_est")
+      .as[(Double, Double)].head()
+    assert(math.abs(ov._1 - 100000) / 100000 < 0.05,
+      s"p=16 intersection ${ov._1} vs true 100000")
+    assert(math.abs(ov._2 - 0.25) < 0.02, s"p=16 jaccard ${ov._2} vs 0.25")
   }
 
   test("compactHllIndex/compactCmsIndex: read views preserved " +
@@ -5096,5 +5114,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == bruteSpans(docs, l, 2),
         s"trial $trial l=$l: $got vs ${bruteSpans(docs, l, 2)}")
     }
+  }
+
+  test("writeCompacted refuses an empty __batch-carrying log (a null max " +
+       "would land rows under __HIVE_DEFAULT_PARTITION__, invisible to " +
+       "every probe)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_wcempty").toString
+    try {
+      val log = Seq((1L, "a")).toDF("k", "v")
+        .withColumn("__batch", lit(0L)).limit(0)
+      val ex = intercept[IllegalArgumentException] {
+        Materialize.writeCompacted(log.groupBy("k").agg(count(lit(1)).as("n")),
+          log, s"$base/out")
+      }
+      assert(ex.getMessage.contains("cannot compact an empty log"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
   }
 }

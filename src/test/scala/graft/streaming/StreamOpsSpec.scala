@@ -992,6 +992,55 @@ class StreamOpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(base))
   }
 
+  test("distinctCountStream at p = 16: the DECIMAL(38,0) estimator arm " +
+       "replays through the register log bit-identically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dc16").toString
+    try {
+      val slices = Seq(
+        0 -> (0 until 2000).map(i => s"u-$i"),
+        1 -> (1000 until 3000).map(i => s"u-$i"))
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("k").repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("k STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+        val q = StreamOps.distinctCountStream(spark, stream, "k",
+          s"$base/idx", s"$base/ckpt", p = 16)
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      // the p stamp survives the log round trip and the wide-decimal
+      // estimate over the streamed log equals from-scratch p=16 HLL
+      val got = graft.pipeline.Stats.readHllDistinct(spark, s"$base/idx")
+      assert(got.schema("harmonic_sum").dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 0),
+        "p=16 log did not take the DECIMAL(38,0) arm")
+      val union = slices.flatMap(_._2).toDF("k")
+      assert(got.collect().toSeq ==
+        graft.pipeline.Stats.hllDistinct(union, "k", p = 16)
+          .collect().toSeq)
+      // replay of committed batch 1 reproduces its register partition
+      val before = spark.read.parquet(s"$base/idx")
+        .orderBy("__batch", "__b").collect().toSeq
+      assert(new java.io.File(s"$base/ckpt/commits/1").delete())
+      new java.io.File(s"$base/ckpt/commits/.1.crc").delete()
+      drain()
+      assert(spark.read.parquet(s"$base/idx")
+        .orderBy("__batch", "__b").collect().toSeq == before,
+        "replay changed the p=16 register log")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   test("groupedTopKStream: per-batch partials re-rank to the exact batch " +
        "top-k; later batches displace earlier leaders; replay changes nothing") {
     import spark.implicits._
