@@ -3615,7 +3615,10 @@ object Queries {
       val q = graft.streaming.StreamOps.dedupLinesStream(s, stream,
         "text", "doc_id", s"$base/index", s"$base/out", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/out/data")
+      // the external committed-prefix read view (after shutdown every
+      // batch is committed, so the gate is a no-op here — the view's
+      // contract matters for LIVE readers and is suite-raced separately)
+      graft.streaming.StreamOps.readDedupedLines(s, s"$base/out").get
         .select(col("doc_id"), col("text").as("text_dedup"),
           col("n_kept"), col("n_removed"))
         .orderBy("doc_id")
@@ -4385,7 +4388,8 @@ object Queries {
           packTokens = 512, shards = 8,
           hotBucketBound = Int.MaxValue)) // q54's exact config
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/out/data")
+      // external committed-prefix read view (q202's note applies)
+      graft.streaming.StreamOps.readCurated(s, s"$base/out").get
         .select(col("doc_id"), col("quality"), col("lang"), col("split"),
           col("shard").cast("long").as("shard"),
           col("toks").cast("long").as("toks"),
@@ -4643,7 +4647,9 @@ object Queries {
       val q = graft.streaming.StreamOps.duplicateSpansStream(s, stream,
         "text", "doc_id", 8, s"$base/index", s"$base/out", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/out")
+      // external committed-prefix read view (q202's note applies)
+      graft.streaming.StreamOps.readDuplicateSpans(s, s"$base/out",
+          s"$base/index").get
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_len"))
         .orderBy("doc_id", "span_start")
