@@ -235,10 +235,28 @@ object Materialize {
   def compactAggState(spark: SparkSession, path: String, outPath: String,
                       keyCols: Seq[String]): Long = {
     val log = spark.read.parquet(path)
-    val folded = log
+    val folded0 = log
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"),
         min(col("__min")).as("__min"), max(col("__max")).as("__max"))
+    // sum() over DECIMAL partials widens the type (p+10 capped at 38):
+    // left as-is, the compacted file's parquet decimal (wider
+    // FIXED_LEN_BYTE_ARRAY) and later appendAggState partials (original
+    // width) would MIX in one log — a read-time type mismatch whose
+    // direction depends on which footer schema inference happens to
+    // pick. Cast back to the log's own __sum type so every file in a
+    // compact-then-append lifecycle shares one physical type; an
+    // overflow (a fold too large for the partial type) must fail the
+    // compaction loudly, never null out silently.
+    val sumT = log.schema("__sum").dataType
+    val folded = folded0.withColumn("__sum", col("__sum").cast(sumT))
+    val overflowed = folded0
+      .filter(col("__sum").isNotNull && col("__sum").cast(sumT).isNull)
+      .limit(1).count()
+    require(overflowed == 0L,
+      s"compactAggState: folded __sum overflows the log's $sumT — widen " +
+        "the value column before appending (cast the input to a wider " +
+        "decimal) instead of compacting into a lossy type")
     writeCompacted(folded, log, outPath, coalesceTo = 0)
   }
 

@@ -55,6 +55,13 @@ object StreamCost {
         java.nio.file.Files.move(part.toPath, tgt.toPath)
         assert(tgt.setLastModified(1700000000000L + k * 60000L))
       }
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
       val t0 = System.nanoTime()
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
@@ -62,9 +69,57 @@ object StreamCost {
         "text", "doc_id", s"$base/idx", s"$base/out", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(counter)
       val out = spark.read.parquet(s"$base/out/data").count()
       println(f"SCOST scale=${scale}%2d docs=$n%8d out=$out%8d " +
-        f"wall=${wall}%7.2f s  per-trigger=${wall / 3}%6.2f s")
+        f"wall=${wall}%7.2f s  per-trigger=${wall / 3}%6.2f s  " +
+        f"jobs/trigger=${jobs.get / 3.0}%5.1f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+
+    // curateStream: the sink whose per-trigger driver-synced probes the
+    // round-14 fold targets (the totals max-batch agg+collect became a
+    // dir listing) — jobs/trigger is the crisp metric, wall the effect
+    {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_scost_curate").toString
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.pipeline.Dedup.writeMinhashIndex(docs.limit(0), "text",
+        "doc_id", s"$base/idx")
+      val n = docs.count()
+      for (k <- 0 to 2) {
+        val stage = s"$base/stage$k"
+        docs.filter(pmod(col("doc_id"), lit(3)) === k).repartition(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.curateStream(spark, stream,
+        "text", "doc_id", s"$base/idx", s"$base/out", s"$base/ckpt",
+        graft.pipeline.Curate.Config(minQuality = 0.5, langs = Seq("en"),
+          nearDupJaccard = 0.8, packTokens = 512, shards = 8))
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(counter)
+      val out = spark.read.parquet(s"$base/out/data").count()
+      println(f"SCOST curate docs=$n%8d out=$out%8d " +
+        f"wall=${wall}%7.2f s  per-trigger=${wall / 3}%6.2f s  " +
+        f"jobs/trigger=${jobs.get / 3.0}%5.1f")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
     spark.stop()

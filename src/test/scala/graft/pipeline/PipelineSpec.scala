@@ -5132,4 +5132,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base))
   }
+
+  test("compactAggState over DECIMAL partials: the fold casts back to the " +
+       "log's physical type so compacted files and later appends never " +
+       "mix parquet decimal widths") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_aggdec").toString
+    try {
+      val mk = (ks: Seq[(String, String)]) => ks.toDF("k", "raw")
+        .select(col("k"), col("raw").cast("decimal(18,6)").as("v"))
+      Materialize.appendAggState(spark, s"$base/log",
+        mk(Seq("a" -> "1.25", "b" -> "2.5")), Seq("k"), "v")
+      Materialize.appendAggState(spark, s"$base/log",
+        mk(Seq("a" -> "3.75")), Seq("k"), "v")
+      Materialize.compactAggState(spark, s"$base/log", s"$base/log2", Seq("k"))
+      // schema stable: the compacted __sum keeps the partials' decimal
+      val t = spark.read.parquet(s"$base/log2").schema("__sum").dataType
+      assert(t == org.apache.spark.sql.types.DecimalType(28, 6), t)
+      // append AFTER compaction and read the union — the q253 lifecycle
+      Materialize.appendAggState(spark, s"$base/log2",
+        mk(Seq("b" -> "0.5", "c" -> "9.0")), Seq("k"), "v")
+      val got = Materialize.readAggState(spark, s"$base/log2", Seq("k"))
+        .select(col("k"), col("n"), col("total").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("a", 2L, 5.0), ("b", 2L, 3.0), ("c", 1L, 9.0)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
 }
