@@ -357,6 +357,27 @@ object Stats {
     Materialize.writeCompacted(folded, idx, outPath)
   }
 
+  /** [[compactHllIndex]] while the
+    * [[graft.streaming.StreamOps.distinctCountStream]] that owns the log
+    * is LIVE — registers MAX-merge, so the in-place
+    * [[graft.streaming.LogStructuredSink.compactLive]] contract holds
+    * (every crash intermediate state at worst duplicates register rows,
+    * invisible to the max fold); the sink never reads standing state, so
+    * only the fold-vs-replay hazard applies and `compactLive`'s
+    * newest-partition exclusion closes it. The CMS/top-k/aggState logs
+    * stay EXCLUDED from in-place compaction by contract (sum/rank
+    * readers would double-count the fold window). Returns the register
+    * count, or None when fewer than two partitions exist. */
+  def compactHllIndexLive(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[Long] = {
+    if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
+    val p = spark.read.parquet(path).schema("__b").metadata
+      .getLong("p").toInt
+    graft.streaming.LogStructuredSink.compactLive(spark, path,
+      df => df.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+        .select(col("__b").as("__b", hllMeta(p)), col("__m")))
+  }
+
   /** Fold a CMS cell log back to ONE row per (d, b) cell — cells ADD, so
     * the summed frame serves [[heavyHittersFromIndex]] identically
     * (suite-pinned); the (d = −1) total row folds by the same sum. Same

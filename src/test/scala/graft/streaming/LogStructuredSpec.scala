@@ -303,6 +303,61 @@ class LogStructuredSpec extends AnyFunSuite {
     } finally { rm(plain); rm(live) }
   }
 
+  test("compactHllIndexLive DURING a running distinctCountStream: the " +
+       "register read view stays bit-identical") {
+    import spark.implicits._
+    def publish(base: String): Unit = {
+      val slices = (0 until 5).map(k =>
+        k -> (k * 800 until k * 800 + 1600).map(i => s"u-$i")) // overlaps
+      for ((k, rows) <- slices) {
+        val stage = s"$base/stage$k"
+        rows.toDF("k").repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val tgt = new java.io.File(s"$base/feed", f"slice-$k%03d.parquet")
+        tgt.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, tgt.toPath)
+        assert(tgt.setLastModified(1700000000000L + k * 60000L))
+      }
+    }
+    def drain(base: String, compactWhileLive: Boolean): Int = {
+      val stream = spark.readStream.schema("k STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = StreamOps.distinctCountStream(spark, stream, "k",
+        s"$base/idx", s"$base/ckpt")
+      @volatile var folds = 0
+      val ticker =
+        if (!compactWhileLive) None
+        else Some(new Thread(() =>
+          while (q.isActive) {
+            try {
+              if (graft.pipeline.Stats.compactHllIndexLive(spark,
+                  s"$base/idx").isDefined && q.isActive) folds += 1
+            } catch { case _: Throwable => () } // racing shutdown only
+            Thread.sleep(40)
+          }))
+      ticker.foreach(_.start())
+      try q.processAllAvailable()
+      finally { q.stop(); ticker.foreach(_.join()) }
+      folds
+    }
+    def view(base: String) = graft.pipeline.Stats
+      .readHllDistinct(spark, s"$base/idx").collect().toSeq
+    val plain = tmp("graft_hlllive_ref")
+    val live = tmp("graft_hlllive")
+    try {
+      publish(plain); publish(live)
+      drain(plain, compactWhileLive = false)
+      val folds = drain(live, compactWhileLive = true)
+      assert(folds >= 1, "no live fold ran — the race was not exercised")
+      assert(view(live) == view(plain),
+        "live register compaction changed the estimate frame")
+      // p metadata survived the re-lays
+      assert(spark.read.parquet(s"$live/idx").schema("__b").metadata
+        .getLong("p") == 12L)
+    } finally { rm(plain); rm(live) }
+  }
+
   test("latestPerKey ttl: a LATE straggler after expiry is dropped, " +
        "never re-seeded as the key's best") {
     import spark.implicits._
