@@ -1521,27 +1521,26 @@ object Dedup {
    * [[compactSpanIndex]] while the
    * [[graft.streaming.StreamOps.duplicateSpansStream]] that owns the log
    * is LIVE — the production shape, where a months-running intake stream
-   * cannot be stopped for maintenance. In-place via
-   * [[graft.streaming.LogStructuredSink.compactLive]]: the fold is safe
-   * here because the probe's algebra is EXISTENCE (distinct digests into
-   * a left-semi join — duplicate rows in any crash-window intermediate
-   * state are invisible), and the sink's trigger body and this compactor
-   * share the log's lease, so neither ever sees the other mid-layout.
-   * Folds the committed prefix (everything but the newest partition) to
-   * one row per distinct digest at a `pfxLen`-hex `__pfx` (the probe
-   * prunes 1-/2-/3-hex layouts side by side); stale coarser prefix dirs
-   * under the stamp partition are swept. Returns the folded digest
-   * count, or None when fewer than two partitions exist yet.
+   * cannot be stopped for maintenance. Via
+   * [[graft.streaming.LogStructuredSink.compactLive]]'s generation
+   * layout: the fold publishes with one atomic marker flip, superseded
+   * files outlive readers by the retention window, and the sink's
+   * trigger body and this compactor share the log's lease, so neither
+   * ever sees the other mid-layout. Folds the committed prefix
+   * (everything but the newest partition, plus the standing generation)
+   * to one row per distinct digest at a `pfxLen`-hex `__pfx` (the probe
+   * prunes 1-/2-/3-hex layouts side by side). Returns the folded digest
+   * count, or None when nothing new is safely foldable yet.
    */
   def compactSpanIndexLive(spark: org.apache.spark.sql.SparkSession,
-                           path: String, pfxLen: Int = 3): Option[Long] = {
+                           path: String, pfxLen: Int = 3,
+                           retainMs: Long = 600000L): Option[Long] = {
     require(pfxLen == 2 || pfxLen == 3,
       s"supported prefix lengths are 2 and 3 hex chars, got $pfxLen")
     graft.streaming.LogStructuredSink.compactLive(spark, path,
       df => df.select("__h").distinct()
         .withColumn("__pfx", substring(col("__h"), 1, pfxLen)),
-      subPartitionCols = Seq("__pfx"),
-      staleSubDir = n => n.length != "__pfx=".length + pfxLen)
+      subPartitionCols = Seq("__pfx"), retainMs = retainMs)
   }
 
   /**
@@ -1549,21 +1548,23 @@ object Dedup {
    * growth zone — the line-key sibling of [[compactSpanIndexLive]]: one
    * row per distinct key, re-laid at a `pfxLen`-hex md5(key) `__pfx`
    * (per-batch partitions write 1-hex; the probe prunes the 1-/3-hex
-   * union). Existence algebra again (keys feed a left-anti/semi join),
-   * so in-place is safe; the `key` field metadata (separator/minChars)
-   * re-stamps from the log so a schema merge never blanks it.
+   * union). The `key` field metadata (separator/minChars) re-stamps
+   * from the fold's own input frame — read INSIDE the leased section,
+   * so no unleased footer read can race a concurrent writer's layout
+   * change — and a schema merge never blanks it.
    */
   def compactLineIndexLive(spark: org.apache.spark.sql.SparkSession,
-                           path: String, pfxLen: Int = 3): Option[Long] = {
+                           path: String, pfxLen: Int = 3,
+                           retainMs: Long = 600000L): Option[Long] = {
     require(pfxLen == 2 || pfxLen == 3,
       s"supported prefix lengths are 2 and 3 hex chars, got $pfxLen")
-    if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
-    val meta = spark.read.parquet(path).schema("key").metadata
     graft.streaming.LogStructuredSink.compactLive(spark, path,
-      df => df.select(col("key").as("key", meta)).distinct()
-        .withColumn("__pfx", substring(md5(col("key")), 1, pfxLen)),
-      subPartitionCols = Seq("__pfx"),
-      staleSubDir = n => n.length != "__pfx=".length + pfxLen)
+      df => {
+        val meta = df.schema("key").metadata
+        df.select(col("key").as("key", meta)).distinct()
+          .withColumn("__pfx", substring(md5(col("key")), 1, pfxLen))
+      },
+      subPartitionCols = Seq("__pfx"), retainMs = retainMs)
   }
 
   /** [[contaminationSpans]] against a precomputed `__h` digest frame

@@ -55,4 +55,26 @@ object GroupedTopK {
     val folded = topK(log.drop("__batch"), groupCols, order, k).drop("rank")
     Materialize.writeCompacted(folded, log, outPath)
   }
+
+  /** [[compactTopKLog]] while the
+    * [[graft.streaming.StreamOps.groupedTopKStream]] that owns the
+    * partial log is LIVE — a rank-merged family the round-14 in-place
+    * fold excluded (a fold window racing a reader's re-rank could seat
+    * dropped partials beside their replacement fold). The generation
+    * layout ([[graft.streaming.LogStructuredSink.compactLive]])
+    * publishes the re-rank with one atomic marker flip, so
+    * [[graft.streaming.StreamOps.readGroupedTopK]] always re-ranks
+    * exactly one consistent log view. Top-k sets are mergeable (a
+    * group's global top-k lives in the union of partial top-k sets), so
+    * fold-then-merge ≡ merge. Returns the folded row count (≤
+    * k·|groups|), or None when nothing new is foldable. */
+  def compactTopKLogLive(spark: org.apache.spark.sql.SparkSession,
+                         path: String, groupCols: Seq[String],
+                         order: Seq[(String, Boolean)], k: Int,
+                         retainMs: Long = 600000L): Option[Long] = {
+    if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
+    graft.streaming.LogStructuredSink.compactLive(spark, path,
+      df => topK(df, groupCols, order, k).drop("rank"),
+      retainMs = retainMs)
+  }
 }

@@ -47,10 +47,12 @@ object Materialize {
   /** Current state: partials re-combined per key; adds derived `avg`.
     * The combine is the same algebra Spark's final-aggregation step runs,
     * so state after N appends ≡ one aggregation over the N batches'
-    * union. */
+    * union. Generation-aware: a log compacted under a live stream
+    * ([[compactAggStateLive]]) reads through its current marker, so the
+    * view never double-counts or misses a fold window. */
   def readAggState(spark: SparkSession, path: String,
                    keyCols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
+    graft.streaming.LogStructuredSink.readLogOrRaw(spark, path)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("n"), sum(col("__sum")).as("total"),
         min(col("__min")).as("min_val"), max(col("__max")).as("max_val"))
@@ -232,24 +234,24 @@ object Materialize {
       .select(keys.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
   }
 
-  def compactAggState(spark: SparkSession, path: String, outPath: String,
-                      keyCols: Seq[String]): Long = {
-    val log = spark.read.parquet(path)
+  /** The shared partial fold behind [[compactAggState]] and
+    * [[compactAggStateLive]], including the decimal-width discipline:
+    * sum() over DECIMAL partials widens the type (p+10 capped at 38) —
+    * left as-is, the compacted file's parquet decimal (wider
+    * FIXED_LEN_BYTE_ARRAY) and later appendAggState partials (original
+    * width) would MIX in one log — a read-time type mismatch whose
+    * direction depends on which footer schema inference happens to
+    * pick. Cast back to the log's own __sum type so every file in a
+    * compact-then-append lifecycle shares one physical type; an
+    * overflow (a fold too large for the partial type) must fail the
+    * compaction loudly, never null out silently. */
+  private def foldAggPartials(log: DataFrame,
+                              keyCols: Seq[String]): DataFrame = {
     val folded0 = log
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"),
         min(col("__min")).as("__min"), max(col("__max")).as("__max"))
-    // sum() over DECIMAL partials widens the type (p+10 capped at 38):
-    // left as-is, the compacted file's parquet decimal (wider
-    // FIXED_LEN_BYTE_ARRAY) and later appendAggState partials (original
-    // width) would MIX in one log — a read-time type mismatch whose
-    // direction depends on which footer schema inference happens to
-    // pick. Cast back to the log's own __sum type so every file in a
-    // compact-then-append lifecycle shares one physical type; an
-    // overflow (a fold too large for the partial type) must fail the
-    // compaction loudly, never null out silently.
     val sumT = log.schema("__sum").dataType
-    val folded = folded0.withColumn("__sum", col("__sum").cast(sumT))
     val overflowed = folded0
       .filter(col("__sum").isNotNull && col("__sum").cast(sumT).isNull)
       .limit(1).count()
@@ -257,7 +259,35 @@ object Materialize {
       s"compactAggState: folded __sum overflows the log's $sumT — widen " +
         "the value column before appending (cast the input to a wider " +
         "decimal) instead of compacting into a lossy type")
-    writeCompacted(folded, log, outPath, coalesceTo = 0)
+    folded0.withColumn("__sum", col("__sum").cast(sumT))
+  }
+
+  def compactAggState(spark: SparkSession, path: String, outPath: String,
+                      keyCols: Seq[String]): Long = {
+    val log = spark.read.parquet(path)
+    writeCompacted(foldAggPartials(log, keyCols), log, outPath,
+      coalesceTo = 0)
+  }
+
+  /** [[compactAggState]] while the
+    * [[graft.streaming.StreamOps.aggStateStream]] that owns the log is
+    * LIVE — the flagship SUM-merged family the round-14 in-place fold
+    * excluded by contract (a fold window would double-count partials
+    * under a racing [[readAggState]]). The generation layout
+    * ([[graft.streaming.LogStructuredSink.compactLive]]) closes that:
+    * the fold publishes with one atomic marker flip and readers resolve
+    * exactly one generation, so the view is never a double-counted mix;
+    * superseded files outlive in-flight scans by `retainMs`. The
+    * decimal-width cast discipline is [[compactAggState]]'s, verbatim
+    * (shared fold). Returns the folded key count, or None when nothing
+    * new is foldable. */
+  def compactAggStateLive(spark: SparkSession, path: String,
+                          keyCols: Seq[String],
+                          retainMs: Long = 600000L): Option[Long] = {
+    if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
+    graft.streaming.LogStructuredSink.compactLive(spark, path,
+      df => foldAggPartials(df, keyCols), retainMs = retainMs,
+      coalesceTo = 0) // key-proportional state keeps its partitioning
   }
 
   /** Shared compaction writer for the log-structured state families

@@ -172,7 +172,9 @@ object Stats {
   def heavyHittersFromIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, corpus: DataFrame, valueCol: String,
                             support: Double): DataFrame =
-    heavyHittersFromCells(spark.read.parquet(path), corpus, valueCol, support)
+    heavyHittersFromCells(
+      graft.streaming.LogStructuredSink.readLogOrRaw(spark, path),
+      corpus, valueCol, support)
 
   /** [[heavyHittersFromIndex]] over an ALREADY-LOADED (possibly filtered)
     * cell frame — the hook for readers that must restrict the index to a
@@ -325,10 +327,12 @@ object Stats {
       .write.mode("append").parquet(path)
   }
 
-  /** Distinct estimate over the whole persisted register log. */
+  /** Distinct estimate over the whole persisted register log
+    * (generation-aware: a live-compacted log reads through its current
+    * marker, so a concurrent [[compactHllIndexLive]] is invisible). */
   def readHllDistinct(spark: org.apache.spark.sql.SparkSession,
                       path: String): DataFrame = {
-    val idx = spark.read.parquet(path)
+    val idx = graft.streaming.LogStructuredSink.readLogOrRaw(spark, path)
     hllEstimate(idx, idx.schema("__b").metadata.getLong("p").toInt)
   }
 
@@ -359,23 +363,24 @@ object Stats {
 
   /** [[compactHllIndex]] while the
     * [[graft.streaming.StreamOps.distinctCountStream]] that owns the log
-    * is LIVE — registers MAX-merge, so the in-place
-    * [[graft.streaming.LogStructuredSink.compactLive]] contract holds
-    * (every crash intermediate state at worst duplicates register rows,
-    * invisible to the max fold); the sink never reads standing state, so
-    * only the fold-vs-replay hazard applies and `compactLive`'s
-    * newest-partition exclusion closes it. The CMS/top-k/aggState logs
-    * stay EXCLUDED from in-place compaction by contract (sum/rank
-    * readers would double-count the fold window). Returns the register
-    * count, or None when fewer than two partitions exist. */
+    * is LIVE — via [[graft.streaming.LogStructuredSink.compactLive]]'s
+    * generation layout (atomic marker flip, retention-deferred sweep);
+    * the sink never reads standing state, so only the fold-vs-replay
+    * hazard applies and `compactLive`'s newest-partition exclusion
+    * closes it. The p metadata re-stamps from the fold's own input
+    * frame — read INSIDE the leased section, never as a separate
+    * unleased footer probe. Returns the register count, or None when
+    * nothing new is foldable. */
   def compactHllIndexLive(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Option[Long] = {
+                          path: String,
+                          retainMs: Long = 600000L): Option[Long] = {
     if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
-    val p = spark.read.parquet(path).schema("__b").metadata
-      .getLong("p").toInt
     graft.streaming.LogStructuredSink.compactLive(spark, path,
-      df => df.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
-        .select(col("__b").as("__b", hllMeta(p)), col("__m")))
+      df => {
+        val p = df.schema("__b").metadata.getLong("p").toInt
+        df.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+          .select(col("__b").as("__b", hllMeta(p)), col("__m"))
+      }, retainMs = retainMs)
   }
 
   /** Fold a CMS cell log back to ONE row per (d, b) cell — cells ADD, so
@@ -391,6 +396,31 @@ object Stats {
       .agg(sum(col("__c")).as("__c"))
       .select(col("__d").as("__d", meta), col("__b"), col("__c"))
     Materialize.writeCompacted(folded, idx, outPath)
+  }
+
+  /** [[compactCmsIndex]] while the
+    * [[graft.streaming.StreamOps.heavyHittersStream]] that owns the cell
+    * log is LIVE — the SUM-merged family the round-14 in-place fold had
+    * to exclude by contract (an in-place fold window would double-count
+    * cells under a racing reader). The generation layout closes that:
+    * the summed fold publishes with one atomic marker flip, so every
+    * reader — [[graft.streaming.StreamOps.readHeavyHitters]]'s committed
+    * gate included — resolves either the old generation or the new one,
+    * never a double-counted mix; superseded files outlive in-flight
+    * scans by the retention window. The (d = −1) total row folds by the
+    * same sum. Shape metadata re-stamps from the fold's input frame,
+    * inside the lease. Returns the folded cell count, or None when
+    * nothing new is foldable. */
+  def compactCmsIndexLive(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          retainMs: Long = 600000L): Option[Long] = {
+    if (!graft.streaming.LogStructuredSink.exists(spark, path)) return None
+    graft.streaming.LogStructuredSink.compactLive(spark, path,
+      df => {
+        val meta = df.schema("__d").metadata
+        df.groupBy(col("__d"), col("__b")).agg(sum(col("__c")).as("__c"))
+          .select(col("__d").as("__d", meta), col("__b"), col("__c"))
+      }, retainMs = retainMs)
   }
 
   /** Per-group HLL registers: ([[hllRegisters]] keyed by `groupCols`) —
@@ -455,6 +485,49 @@ object Stats {
       hllEstimate(regs, p).select(col("distinct_est").as(s"est_$tag"))
     e(ra, "a").crossJoin(e(rb, "b"))
       .crossJoin(e(ra.unionByName(rb), "union"))
+      .select(lit(1L << p).as("m"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
+          .as("est_intersection"))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0.0,
+          col("est_intersection") / col("est_union")).otherwise(lit(0.0)))
+  }
+
+  /**
+   * [[hllOverlap]] when both sides are FILTERS OF ONE SOURCE — the
+   * common telemetry shape ("overlap between this table's segment A and
+   * segment B"), where the two-frame API pays two full scans of the same
+   * table. Here each row contributes its register update to every side
+   * it belongs to in ONE pass: the scan explodes a row into its (≤ 2)
+   * side tags and a single grouped aggregate builds both register
+   * frames keyed by (side, bucket) — one FileScan, one shuffle of
+   * ≤ 2·2^p register rows. The union registers max-merge from the side
+   * frames (max of maxes ≡ registers of A ∪ B, the HLL mergeability
+   * that defines the sketch), so est_a/est_b/est_union — and therefore
+   * every output column — equal [[hllOverlap]] on the same sides bit
+   * for bit. Keep the two-frame API for genuinely distinct corpora.
+   *
+   * @param inA boolean membership column for side A (over `df`'s cols)
+   * @param inB boolean membership column for side B (may overlap A)
+   */
+  def hllOverlapSingleSource(df: DataFrame, inA: Column, inB: Column,
+                             valueCol: String, p: Int = 12): DataFrame = {
+    val tagged = df
+      .where(col(valueCol).isNotNull && (inA || inB))
+      .withColumn("__side", explode(array_compact(array(
+        when(inA, lit("a")), when(inB, lit("b"))))))
+    // ≤ 2·2^p rows; pinned — est_a/est_b and the union merge all
+    // consume it, and unpinned each reference would re-run the scan
+    val regs = hllRegistersByGroup(tagged, Seq("__side"), valueCol, p)
+      .localCheckpoint(true)
+    def side(tag: String) =
+      regs.filter(col("__side") === tag).select(col("__b"), col("__m"))
+    def e(r: DataFrame, tag: String) =
+      hllEstimate(r, p).select(col("distinct_est").as(s"est_$tag"))
+    val union = regs.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+    e(side("a"), "a").crossJoin(e(side("b"), "b"))
+      .crossJoin(e(union, "union"))
       .select(lit(1L << p).as("m"), col("est_a"), col("est_b"),
         col("est_union"),
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))

@@ -30,6 +30,30 @@ import org.apache.spark.sql.functions._
  * [[StreamOps.duplicateSpansStream]]). Dynamic overwrite still keys on
  * the full partition tuple, which stays safe under replay because the
  * batch's content — hence its sub-partition set — is deterministic.
+ *
+ * == The generation layout (live compaction) ==
+ *
+ * A log compacted under a LIVE stream keeps TWO zones:
+ *
+ *  - the ROOT zone `path/__batch=N/…` — per-trigger appends, exactly
+ *    the layout above, owned by the sink;
+ *  - the COMPACTED zone `path/_compact/gen-K/…` — whole-prefix folds
+ *    written by [[compactLive]], invisible to a plain
+ *    `spark.read.parquet(path)` (leading underscore), made CURRENT by
+ *    an atomic marker file under `path/_compact/`.
+ *
+ * The marker (`m-<gen>-<stamp>-<flipMs>`) encodes everything a reader
+ * needs in its NAME, so publishing a fold is one atomic file create:
+ * generation K covers batches `__batch ≤ stamp`, and a consistent view
+ * of the log is always `gen-K ∪ root partitions > stamp` — readers
+ * resolve the newest marker once ([[readLog]]) and never observe a
+ * half-applied fold. Superseded state (older generations, root
+ * partitions ≤ stamp) is deleted only by a LATER compaction and only
+ * after `retainMs` has elapsed since the superseding flip, so an
+ * external reader's in-flight scan keeps its listed files — the
+ * snapshot-retention contract every table format uses for exactly this
+ * race. Readers therefore need NO lease; the lease serializes writers
+ * (sink trigger sections and compactors) only.
  */
 object LogStructuredSink {
 
@@ -38,7 +62,18 @@ object LogStructuredSink {
     * sub-partition columns the rows are first clustered on them so each
     * partition directory gets O(1) files, not one per upstream task —
     * 256 prefix dirs × 32 shuffle partitions of loose files per trigger
-    * is exactly the small-file tax the layout must not introduce. */
+    * is exactly the small-file tax the layout must not introduce.
+    *
+    * An EMPTY batch still commits: dynamic overwrite writes no
+    * partition for zero rows, which would leave this log's committed
+    * frontier ([[maxBatch]]) stuck and gate every
+    * [[readCommitted]]-based view to an ever-older snapshot (a healthy
+    * stream with no duplicate spans yet read as "nothing committed").
+    * So when no partition landed, the batch writes one zero-row parquet
+    * file into its own partition directory — schema preserved, rows
+    * none, replay-idempotent — and the frontier advances. String-typed
+    * sub-partition columns get a literal `__empty` directory level so
+    * partition discovery keeps one consistent depth. */
   def write(df: DataFrame, path: String, bid: Long,
             subPartitionCols: Seq[String] = Nil): Unit = {
     val clustered =
@@ -48,6 +83,16 @@ object LogStructuredSink {
       .write.partitionBy("__batch" +: subPartitionCols: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(df.sparkSession.sparkContext.hadoopConfiguration)
+    val partDir = new org.apache.hadoop.fs.Path(s"$path/__batch=$bid")
+    if (!fs.exists(partDir)) {
+      val leaf = subPartitionCols.foldLeft(s"$path/__batch=$bid") {
+        (d, c) => s"$d/$c=__empty"
+      }
+      df.limit(0).drop(subPartitionCols: _*).repartition(1)
+        .write.mode("overwrite").parquet(leaf)
+    }
   }
 
   def exists(spark: SparkSession, path: String): Boolean =
@@ -55,13 +100,14 @@ object LogStructuredSink {
       .get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
-  /** The batch ids present in a log's partition layout — ONE driver-side
-    * `listStatus`, NO Spark job (the point: per-trigger probes that only
-    * need existence or the newest id should not launch a distributed max
-    * over a one-column read — at local-mode latency each such job costs
-    * ~0.3 s of scheduling, and at cluster scale it is a pointless
-    * round-trip). None if the path does not exist yet; Some(empty) for an
-    * existing dir with no `__batch=` partitions. */
+  /** The batch ids present in a log's ROOT partition layout — ONE
+    * driver-side `listStatus`, NO Spark job (the point: per-trigger
+    * probes that only need existence or the newest id should not launch
+    * a distributed max over a one-column read — at local-mode latency
+    * each such job costs ~0.3 s of scheduling, and at cluster scale it
+    * is a pointless round-trip). None if the path does not exist yet;
+    * Some(empty) for an existing dir with no `__batch=` partitions.
+    * Does NOT account the compacted zone — see [[maxBatch]]. */
   def listBatches(spark: SparkSession, path: String): Option[Seq[Long]] = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
@@ -74,11 +120,54 @@ object LogStructuredSink {
         n.stripPrefix("__batch=").toLong })
   }
 
-  /** Newest batch id a log holds — driver-side, no job. None when the
-    * path is missing or holds no batch partitions. */
-  def maxBatch(spark: SparkSession, path: String): Option[Long] =
-    listBatches(spark, path).flatMap(ids =>
-      if (ids.isEmpty) None else Some(ids.max))
+  // ---------------------------------------------------------------------
+  // Generation markers (the compacted zone's commit record)
+  // ---------------------------------------------------------------------
+
+  /** A published compaction generation: `gen-<gen>` covers every batch
+    * `__batch ≤ stamp`; `at` is the flip's wall-clock ms (retention). */
+  final case class Gen(gen: Long, stamp: Long, at: Long)
+
+  private def compactDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_compact")
+
+  private[graft] def genDir(path: String, gen: Long): String =
+    s"$path/_compact/gen-$gen"
+
+  private def markerPath(path: String, g: Gen) =
+    new org.apache.hadoop.fs.Path(
+      f"$path%s/_compact/m-${g.gen}%08d-${g.stamp}%d-${g.at}%d")
+
+  /** All published generation markers of a log, unsorted. */
+  private def markers(spark: SparkSession, path: String): Seq[Gen] = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val dir = compactDir(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("m-") =>
+        val Array(g, s, a) = n.stripPrefix("m-").split('-')
+        Gen(g.toLong, s.toLong, a.toLong) }
+  }
+
+  /** The current (newest-published) generation, if the log has ever been
+    * live-compacted. A reader resolves this ONCE and the files it
+    * implies stay on disk for at least `retainMs` past the NEXT flip. */
+  def currentGen(spark: SparkSession, path: String): Option[Gen] = {
+    val ms = markers(spark, path)
+    if (ms.isEmpty) None else Some(ms.maxBy(_.gen))
+  }
+
+  /** Newest batch id a log holds — driver-side, no job; accounts both
+    * the root partitions and the compacted zone's stamp. None when the
+    * path is missing or holds neither. */
+  def maxBatch(spark: SparkSession, path: String): Option[Long] = {
+    val root = listBatches(spark, path).getOrElse(Seq.empty)
+    val stamp = currentGen(spark, path).map(_.stamp)
+    val all = root ++ stamp
+    if (all.isEmpty) None else Some(all.max)
+  }
 
   /** Newest COMMITTED batch id strictly before `bid` — the in-loop probe
     * for "the latest snapshot partition that applies to this batch"
@@ -86,11 +175,48 @@ object LogStructuredSink {
     * this replaces a per-trigger `agg(max(__batch)).collect()` job whose
     * local-mode scheduling alone cost ~0.3 s. */
   def maxBatchBefore(spark: SparkSession, path: String,
-                     bid: Long): Option[Long] =
-    listBatches(spark, path).flatMap { ids =>
-      val before = ids.filter(_ < bid)
-      if (before.isEmpty) None else Some(before.max)
+                     bid: Long): Option[Long] = {
+    val root = listBatches(spark, path).getOrElse(Seq.empty)
+    val stamp = currentGen(spark, path).map(_.stamp)
+    val before = (root ++ stamp).filter(_ < bid)
+    if (before.isEmpty) None else Some(before.max)
+  }
+
+  /**
+   * Generation-aware read of a whole log: the current compacted
+   * generation (its rows re-stamped `__batch = stamp`, where every
+   * probe and commit gate expects the folded prefix) unioned with the
+   * root partitions NEWER than the stamp. Without a marker this is a
+   * plain parquet read — logs that were never live-compacted behave
+   * exactly as before. None when the log does not exist at all.
+   *
+   * This is the ONLY correct way to read a possibly-live-compacted log:
+   * a plain `spark.read.parquet(path)` double-reads the fold window
+   * before the sweep and loses the folded prefix after it.
+   */
+  def readLog(spark: SparkSession, path: String): Option[DataFrame] =
+    currentGen(spark, path) match {
+      case None =>
+        if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+      case Some(g) =>
+        val genDf = spark.read.parquet(genDir(path, g.gen))
+          .withColumn("__batch", lit(g.stamp))
+        val newer = listBatches(spark, path).getOrElse(Seq.empty)
+          .filter(_ > g.stamp)
+        if (newer.isEmpty) Some(genDf)
+        else {
+          val rootDf = spark.read.parquet(path)
+            .filter(col("__batch") > lit(g.stamp))
+            .withColumn("__batch", col("__batch").cast("long"))
+          Some(genDf.unionByName(rootDf.select(genDf.columns.map(col): _*)))
+        }
     }
+
+  /** [[readLog]] with the plain-read error surface for callers that
+    * require the log to exist (missing path raises Spark's standard
+    * path-not-found analysis error). */
+  def readLogOrRaw(spark: SparkSession, path: String): DataFrame =
+    readLog(spark, path).getOrElse(spark.read.parquet(path))
 
   /** Per-sink positive-existence memo: a log path never un-exists within
     * one query lifetime, so after the first positive check the
@@ -106,19 +232,19 @@ object LogStructuredSink {
       known
     }
     def readBefore(spark: SparkSession, bid: Long): Option[DataFrame] =
-      if (exists(spark))
-        Some(spark.read.parquet(path).filter(col("__batch") < lit(bid)))
+      if (exists(spark)) LogStructuredSink.readBefore(spark, path, bid)
       else None
   }
 
   /** The committed standing prefix of the log as of batch `bid` —
-    * partitions strictly before `bid`; None before the first batch has
-    * ever written (the path does not exist yet). */
+    * partitions strictly before `bid`, generation-aware; None before the
+    * first batch has ever written (the path does not exist yet). The
+    * compacted stamp is always < any in-flight bid (a fold never touches
+    * the newest partition), so the folded prefix passes the filter
+    * whole. */
   def readBefore(spark: SparkSession, path: String,
                  bid: Long): Option[DataFrame] =
-    if (exists(spark, path))
-      Some(spark.read.parquet(path).filter(col("__batch") < lit(bid)))
-    else None
+    readLog(spark, path).map(_.filter(col("__batch") < lit(bid)))
 
   /**
    * Committed-prefix read of a MULTI-log sink for EXTERNAL readers — the
@@ -130,14 +256,18 @@ object LogStructuredSink {
    * counts without their totals. Batch N is fully committed exactly when
    * EVERY log holds its partition, so the consistent snapshot is each log
    * filtered to `__batch ≤ min over logs of max(__batch)` — one
-   * driver-side listing per log ([[listBatches]]), no Spark jobs.
+   * driver-side listing per log, no Spark jobs. Since every batch
+   * commits a partition even when it writes zero rows (see [[write]]),
+   * the gate tracks actual commits, not merely nonempty writes.
    *
    * In-loop probes don't need this ([[readBefore]]'s `__batch < bid` is
    * already consistent); this is the contract for ad-hoc reads of a LIVE
    * sink's output. Returns one gated frame per path, in order; None for
    * the whole read if any log is missing or empty (no batch has fully
    * committed yet — "data exists but its index doesn't" must read as
-   * nothing, not as ungated data).
+   * nothing, not as ungated data). Reads are generation-aware, so a
+   * concurrent [[compactLive]] is invisible: the marker flip is atomic
+   * and superseded files outlive any in-flight scan by `retainMs`.
    */
   def readCommitted(spark: SparkSession,
                     paths: Seq[String]): Option[Seq[DataFrame]] = {
@@ -146,29 +276,38 @@ object LogStructuredSink {
     if (maxes.exists(_.isEmpty)) None
     else {
       val committed = maxes.flatten.min
-      Some(paths.map(p =>
-        spark.read.parquet(p).filter(col("__batch") <= lit(committed))))
+      Some(paths.map(p => readLogOrRaw(spark, p)
+        .filter(col("__batch") <= lit(committed))))
     }
   }
 
   /**
    * Advisory lease serializing a live sink's trigger section against a
-   * concurrent in-place compaction of the same log ([[compactLive]]):
-   * without it, a compaction's partition deletes can invalidate files a
-   * mid-flight probe already listed (trigger fails, replays — correct
-   * but disruptive), and a probe could plan against a half-re-laid
-   * layout. The lease file is a SIBLING of the log dir (`<path>.__lease`)
-   * — inside it, its existence would flip a `readBefore` existence probe
-   * before the first batch ever writes.
+   * concurrent compaction of the same log ([[compactLive]]): without
+   * it, two compactors could interleave generation writes, and a
+   * compaction's retention sweep could delete files a mid-flight
+   * trigger probe already listed. EXTERNAL readers do not take the
+   * lease — the generation marker plus retention makes their reads
+   * atomic without it. The lease file is a SIBLING of the log dir
+   * (`<path>.__lease`) — inside it, its existence would flip a
+   * `readBefore` existence probe before the first batch ever writes.
    *
    * Protocol: atomic create-if-absent of the lease file — on the local
    * scheme via `File.createNewFile` (a single O_CREAT|O_EXCL, because
    * Hadoop's LocalFileSystem `create(overwrite = false)` is a racy
    * exists-then-create), on HDFS-like schemes via `create(path, false)`
-   * (atomic at the namenode) — and delete on release. A holder that dies
-   * leaves the lease file behind; a contender breaks it after `staleMs`
-   * of no modification (the holder's real work is bounded per
-   * trigger/compaction, so a stale lease means a crash, not a long job).
+   * (atomic at the namenode) — and a TOKEN-VERIFIED delete on release:
+   * the holder deletes the lease only if the file still carries its own
+   * token, so a holder whose lease was (wrongly or rightly) broken can
+   * never delete a successor's live lease. While the body runs, a
+   * daemon refresher touches the lease mtime every `staleMs / 3`, so a
+   * LIVE holder — however long its fold — never looks stale; a lease
+   * older than `staleMs` therefore means a crashed holder, and a
+   * contender breaks it by renaming the corpse aside (never deleting in
+   * place — two breakers deleting could remove a fresh winner's lease).
+   * Corpses a crashed BREAKER stranded (`.__lease.stale-*`) are swept
+   * on every successful acquisition — they are uniquely named and
+   * delete-safe by construction.
    *
    * Cost on the trigger path: two driver-side FS metadata ops per
    * trigger (create + delete) — noise against the trigger's 3–5 jobs.
@@ -220,86 +359,158 @@ object LogStructuredSink {
         Thread.sleep(retryMs)
       }
     }
+    // sweep corpses a crashed breaker stranded between rename and delete
+    try {
+      val parent = lease.getParent
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).foreach { s =>
+          if (s.isFile && s.getPath.getName.startsWith(
+              lease.getName + ".stale-"))
+            fs.delete(s.getPath, false)
+        }
+    } catch { case _: java.io.IOException => () }
+    // live-holder heartbeat: a long fold must never look stale
+    val refresher = new Thread(() =>
+      try {
+        while (true) {
+          Thread.sleep(math.max(staleMs / 3, 50L))
+          val now = System.currentTimeMillis()
+          if (fs.getScheme == "file")
+            new java.io.File(lease.toUri.getPath).setLastModified(now)
+          else fs.setTimes(lease, now, -1)
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => ()
+      })
+    refresher.setDaemon(true)
+    refresher.start()
     try body
-    finally fs.delete(lease, false)
+    finally {
+      refresher.interrupt()
+      refresher.join(1000L)
+      val owned =
+        try {
+          val in = fs.open(lease)
+          val buf = new Array[Byte](token.length)
+          val n = in.read(buf)
+          in.close()
+          n == token.length && new String(buf, "UTF-8") == token
+        } catch { case _: java.io.IOException => false }
+      if (owned) fs.delete(lease, false)
+    }
   }
 
   /**
-   * In-place compaction of a log-structured index UNDER A LIVE STREAM —
-   * for DUPLICATION-TOLERANT read algebras only (distinct/existence,
-   * max-merge): the fold lands INSIDE the live path, so there is no
-   * swap-by-rename to coordinate with the sink's appends, and every
-   * intermediate state a crash can leave behind reads correctly (at
-   * worst some rows exist twice — invisible to a distinct/semi-join/max
-   * reader — until a re-run cleans up). SUM-merged logs (CMS cells,
-   * aggregate partials, top-k ranks) must NOT use this: between the fold
-   * write and the stale-partition deletes a reader would double-count;
-   * they keep the compact-to-a-new-path + swap-between-lifetimes
-   * contract ([[graft.pipeline.Materialize.writeCompacted]]).
+   * Compaction of a log-structured state log UNDER A LIVE STREAM, for
+   * ANY re-foldable algebra — existence/distinct, max-merge, AND the
+   * sum-merged families (CMS cells, aggregate partials, top-k ranks)
+   * the round-14 in-place fold had to exclude. The fold is published
+   * atomically through the generation layout (see the object scaladoc):
    *
-   * Safety against the live sink, step by step (all under [[withLease]],
-   * shared with the sink's trigger body):
+   *  1. Fold only root partitions `__batch < max(listed)` (plus the
+   *     standing generation): the NEWEST partition is the only one that
+   *     can belong to an uncommitted (crashed, will-be-replayed)
+   *     attempt — batch N starts only after batch N−1 committed — so
+   *     the folded prefix can never be overwritten by a replay.
+   *  2. Write the fold to the NEXT generation dir
+   *     (`_compact/gen-(K+1)`) — invisible to every reader until
+   *     published; a crash here leaves the current generation intact
+   *     and the orphan dir is simply overwritten by the next fold.
+   *  3. Publish with ONE atomic marker-file create: every reader
+   *     resolves either generation K (old fold + all root partitions
+   *     > old stamp) or K+1 (new fold + root > new stamp) — both exact,
+   *     never a mix, never a window with rows missing or doubled. This
+   *     is what makes the layout safe for SUM algebras, where the
+   *     round-14 add-in-place fold had an unavoidable double-count
+   *     window.
+   *  4. Sweep SUPERSEDED state (generations < the newest marker older
+   *     than `retainMs`, and root partitions ≤ that marker's stamp) —
+   *     deletes trail publication by at least `retainMs`, so an
+   *     external reader's in-flight scan keeps its files with no lease.
+   *     `retainMs = 0` sweeps immediately (single-writer maintenance
+   *     windows); the default keeps ten minutes of grace.
    *
-   *  1. Fold only partitions `__batch < max(listed)`: the NEWEST
-   *     partition is the only one that can belong to an uncommitted
-   *     (crashed, will-be-replayed) attempt — batch N starts only after
-   *     batch N−1 committed — so the folded prefix can never be
-   *     overwritten by a replay. Folding the newest too would stamp the
-   *     fold with its id, and its replay's dynamic overwrite would then
-   *     REPLACE the entire fold with just that batch's rows.
-   *  2. Stamp the fold `__batch = max(folded ids)` — a committed id, ≥
-   *     every folded id and < every future bid, so `__batch < bid`
-   *     probes and `readCommitted` gates see the fold exactly where they
-   *     saw the raw prefix.
-   *  3. Write via dynamic partition overwrite (job-unique staging dir —
-   *     safe beside a concurrent trigger's write to a later partition,
-   *     which the lease excludes anyway).
-   *  4. Delete the folded raw partitions (`__batch < stamp`) and, inside
-   *     the stamp partition, stale sub-partition dirs the overwrite
-   *     could not match (`staleSubDir` — e.g. a coarser hash-prefix
-   *     generation). The lease guarantees no probe holds a file listing
-   *     across these deletes.
-   *
-   * Returns the folded row count, or None when fewer than two partitions
-   * exist (nothing is safely foldable yet).
+   * Runs under the log's [[withLease]], shared with the sink's trigger
+   * body where the sink probes standing state mid-trigger. Returns the
+   * folded row count, or None when nothing new is safely foldable
+   * (fewer than two root partitions, or none beyond the standing
+   * stamp); the retention sweep runs either way.
    */
   def compactLive(spark: SparkSession, path: String,
                   fold: DataFrame => DataFrame,
                   subPartitionCols: Seq[String] = Nil,
-                  staleSubDir: String => Boolean = _ => false,
-                  staleMs: Long = 600000L): Option[Long] =
+                  retainMs: Long = 600000L,
+                  staleMs: Long = 600000L,
+                  coalesceTo: Int = 1): Option[Long] =
     withLease(spark, path, staleMs) {
-      val ids = listBatches(spark, path).getOrElse(Seq.empty)
-      if (ids.size < 2) None
-      else {
-        val newest = ids.max
-        val foldable = ids.filter(_ < newest)
-        val stamp = foldable.max
-        val folded = fold(spark.read.parquet(path)
-          .filter(col("__batch") < lit(newest)).drop("__batch"))
-        val clustered =
-          if (subPartitionCols.isEmpty) folded.coalesce(1)
-          else folded.repartition(subPartitionCols.map(col): _*)
-        val pinned = clustered.persist()
-        val n = pinned.count()
-        pinned.withColumn("__batch", lit(stamp))
-          .write.partitionBy("__batch" +: subPartitionCols: _*)
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(path)
-        pinned.unpersist()
-        val fs = org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
-        foldable.filter(_ != stamp).foreach(id => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$path/__batch=$id"), true))
-        if (subPartitionCols.nonEmpty) {
-          val stampDir = new org.apache.hadoop.fs.Path(
-            s"$path/__batch=$stamp")
-          fs.listStatus(stampDir).foreach { s =>
-            if (s.isDirectory && staleSubDir(s.getPath.getName))
-              fs.delete(s.getPath, true)
+      val cur = currentGen(spark, path)
+      val stamp0 = cur.map(_.stamp).getOrElse(Long.MinValue)
+      val rootIds = listBatches(spark, path).getOrElse(Seq.empty)
+      val foldable =
+        if (rootIds.size < 2) Seq.empty[Long]
+        else rootIds.filter(id => id > stamp0 && id < rootIds.max)
+      val res =
+        if (foldable.isEmpty) None
+        else {
+          val newest = rootIds.max
+          val gen = cur.map(_.gen).getOrElse(0L)
+          val rootPart = spark.read.parquet(path)
+            .filter(col("__batch") > lit(stamp0) &&
+              col("__batch") < lit(newest))
+            .drop("__batch")
+          val input = cur match {
+            case Some(g) =>
+              val genDf = spark.read.parquet(genDir(path, g.gen))
+              genDf.unionByName(rootPart.select(genDf.columns.map(col): _*))
+            case None => rootPart
           }
+          val folded = fold(input)
+          // sketch-sized folds take O(1) files (coalesceTo, default 1);
+          // key-proportional states pass 0 to keep the fold's own
+          // partitioning; sub-partitioned layouts cluster per dir
+          val clustered =
+            if (subPartitionCols.nonEmpty)
+              folded.repartition(subPartitionCols.map(col): _*)
+            else if (coalesceTo > 0) folded.coalesce(coalesceTo)
+            else folded
+          val pinned = clustered.persist()
+          val n = pinned.count()
+          val out = genDir(path, gen + 1)
+          (if (subPartitionCols.isEmpty) pinned.write
+           else pinned.write.partitionBy(subPartitionCols: _*))
+            .mode("overwrite").parquet(out)
+          pinned.unpersist()
+          val fs = org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+          val m = Gen(gen + 1, foldable.max, System.currentTimeMillis())
+          val mOut = fs.create(markerPath(path, m), true)
+          mOut.close()
+          Some(n)
         }
-        Some(n)
-      }
+      sweepSuperseded(spark, path, retainMs)
+      res
     }
+
+  /** Delete state superseded by a flip at least `retainMs` old: older
+    * generations, their markers, and root partitions the expired
+    * marker's generation already covers. Callers hold the lease. */
+  private def sweepSuperseded(spark: SparkSession, path: String,
+                              retainMs: Long): Unit = {
+    val ms = markers(spark, path)
+    if (ms.isEmpty) return
+    val now = System.currentTimeMillis()
+    val expired = ms.filter(g => now - g.at >= retainMs)
+    if (expired.isEmpty) return
+    val e = expired.maxBy(_.gen)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    listBatches(spark, path).getOrElse(Seq.empty).filter(_ <= e.stamp)
+      .foreach(id => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/__batch=$id"), true))
+    ms.filter(_.gen < e.gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(path, g.gen)), true)
+      fs.delete(markerPath(path, g), false)
+    }
+  }
 }

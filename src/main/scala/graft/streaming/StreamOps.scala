@@ -732,12 +732,14 @@ object StreamOps {
 
   /** Exact grouped top-k over everything [[groupedTopKStream]] has
     * committed: one more bounded top-k over the ≤ k·|groups|·batches
-    * partial log. */
+    * partial log. Generation-aware, so a concurrent
+    * [[graft.pipeline.GroupedTopK.compactTopKLogLive]] is invisible. */
   def readGroupedTopK(spark: org.apache.spark.sql.SparkSession,
                       statePath: String, groupCols: Seq[String],
                       order: Seq[(String, Boolean)], k: Int): DataFrame =
     graft.pipeline.GroupedTopK.topK(
-      spark.read.parquet(statePath).drop("__batch"), groupCols, order, k)
+      LogStructuredSink.readLogOrRaw(spark, statePath).drop("__batch"),
+      groupCols, order, k)
 
   /**
    * Streaming maintenance of the log-structured aggregate state
