@@ -5017,6 +5017,253 @@ object Queries {
           round(col("jaccard_est"), 6).as("jaccard_est"))
     }),
 
+    "q256_hll_overlap_single_scan" -> ((s, d) => {
+      // q255's overlap telemetry when both sides are FILTERS OF ONE
+      // TABLE — the single-source variant that halves the dominant cost:
+      // hllOverlap scans each side separately (two full lineitem passes
+      // at p = 16, the q255 sf10 bottleneck), while
+      // hllOverlapSingleSource explodes each row into its (≤ 2) side
+      // tags and builds BOTH register frames in one grouped aggregate
+      // over one FileScan (plan-pinned in the suite). Register content
+      // is identical — max-merge over the same (side, bucket) updates —
+      // so every estimate matches q255 (and its oracle) bit for bit.
+      prep(s, d, "lineitem")
+      val pk = t(s, d, "lineitem")
+        .select(col("l_partkey").cast("long").as("pk"))
+      graft.pipeline.Stats.hllOverlapSingleSource(pk,
+          col("pk") % 3 =!= 2, col("pk") % 3 =!= 0, "pk", p = 16)
+        .select(col("m"), round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_intersection"), 6).as("est_intersection"),
+          round(col("jaccard_est"), 6).as("jaccard_est"))
+    }),
+
+    "q257_live_compacted_agg_state" -> ((s, d) => {
+      // q253's aggregate-partial compaction WHILE ITS STREAM RUNS — the
+      // SUM-merged family the round-14 in-place fold excluded by
+      // contract: orders replay through aggStateStream in four
+      // orderkey-mod slices while a 40 ms ticker live-compacts the
+      // partial log (generation layout — the fold publishes with one
+      // atomic marker flip, so no reader window ever double-counts).
+      // The face REQUIRES at least one fold to land mid-stream (the
+      // race must actually be exercised) and the read view must equal
+      // one aggregation over the union — partials are algebraic, so
+      // fold-then-merge ≡ merge, now certified under concurrency.
+      prep(s, d, "orders")
+      val rows = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("ok"), col("o_orderpriority"),
+        (col("o_custkey") % 8).cast("long").as("ck_bucket"),
+        col("o_totalprice").cast("decimal(18,6)").as("v"))
+      val keys = Seq("o_orderpriority", "ck_bucket")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q257_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 7)
+        publishFeedSlice(rows.filter(col("ok") % 8 === k).drop("ok"),
+          s"$base/feed", k)
+      val stream = s.readStream
+        .schema("o_orderpriority STRING, ck_bucket LONG, v DECIMAL(18,6)")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.aggStateStream(s, stream, keys, "v",
+        s"$base/state", s"$base/ckpt")
+      @volatile var folds = 0
+      val ticker = new Thread(() =>
+        while (q.isActive) {
+          // count a fold iff the stream was LIVE when it started — a
+          // fold that merely finishes after the drain is not the race
+          val live = q.isActive
+          try {
+            if (graft.pipeline.Materialize.compactAggStateLive(s,
+                s"$base/state", keys).isDefined && live) folds += 1
+          } catch { case _: Throwable => () } // racing shutdown only
+          Thread.sleep(40)
+        })
+      ticker.start()
+      try q.processAllAvailable()
+      finally { q.stop(); ticker.join() }
+      require(folds >= 1,
+        "no live fold landed while the stream ran — race not exercised")
+      graft.pipeline.Materialize.readAggState(s, s"$base/state", keys)
+        .select(col("o_orderpriority"), col("ck_bucket"), col("n"),
+          col("total").cast("double").as("total"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+        .withColumn("avg_val", col("total") / col("n"))
+        .orderBy("o_orderpriority", "ck_bucket")
+    }),
+
+    "q258_live_compacted_cms_log" -> ((s, d) => {
+      // q243's exact heavy hitters with the CMS CELL log live-compacting
+      // mid-stream — cells ADD, the other sum algebra the in-place fold
+      // excluded: a 40 ms ticker folds the cell log (including the
+      // d = −1 total row) under the generation layout while the three
+      // lineitem slices stream in; readHeavyHitters' committed gate
+      // resolves one marker generation, so pass 1 and the support
+      // threshold always see a consistent, never-double-counted sketch.
+      // Exactness over the union is the contract, so the plain HAVING
+      // oracle certifies the whole composition.
+      prep(s, d, "lineitem")
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q258_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 5)
+        publishFeedSlice(rows.filter(col("ok") % 6 === k).select("pk"),
+          s"$base/feed", k)
+      val stream = s.readStream.schema("pk LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.heavyHittersStream(s, stream, "pk",
+        s"$base/state", s"$base/ckpt")
+      @volatile var folds = 0
+      val ticker = new Thread(() =>
+        while (q.isActive) {
+          val live = q.isActive // count folds that STARTED while live
+          try {
+            if (graft.pipeline.Stats.compactCmsIndexLive(s,
+                s"$base/state/cms").isDefined && live) folds += 1
+          } catch { case _: Throwable => () } // racing shutdown only
+          Thread.sleep(40)
+        })
+      ticker.start()
+      try q.processAllAvailable()
+      finally { q.stop(); ticker.join() }
+      require(folds >= 1,
+        "no live CMS fold landed while the stream ran")
+      graft.streaming.StreamOps.readHeavyHitters(s, s"$base/state", "pk",
+          support = 0.00075)
+        .orderBy("pk")
+    }),
+
+    "q259_live_compacted_topk_log" -> ((s, d) => {
+      // q248's leaderboard with the partial log live-compacting
+      // mid-stream — the rank-merged family: a 40 ms ticker re-ranks the
+      // log to ≤ k rows per group under the generation layout while the
+      // event slices stream in; readGroupedTopK resolves one marker
+      // generation, so its re-rank never seats dropped partials beside
+      // their replacement fold. Top-k sets are mergeable, so the final
+      // view is q248's oracle verbatim.
+      prep(s, d, "events")
+      val ev = t(s, d, "events").select(
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("user_id").cast("long").as("uid"), col("value"))
+      val ord = Seq(("value", false), ("eid", true))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q259_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 5)
+        publishFeedSlice(ev.filter(col("eid") % 6 === k), s"$base/feed", k)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.groupedTopKStream(s, stream,
+        Seq("event_type"), ord, k = 5, s"$base/state", s"$base/ckpt")
+      @volatile var folds = 0
+      val ticker = new Thread(() =>
+        while (q.isActive) {
+          val live = q.isActive // count folds that STARTED while live
+          try {
+            if (graft.pipeline.GroupedTopK.compactTopKLogLive(s,
+                s"$base/state", Seq("event_type"), ord, 5)
+                .isDefined && live) folds += 1
+          } catch { case _: Throwable => () } // racing shutdown only
+          Thread.sleep(40)
+        })
+      ticker.start()
+      try q.processAllAvailable()
+      finally { q.stop(); ticker.join() }
+      require(folds >= 1,
+        "no live top-k fold landed while the stream ran")
+      graft.streaming.StreamOps.readGroupedTopK(s, s"$base/state",
+          Seq("event_type"), ord, k = 5)
+        .select(col("event_type"), col("rank").cast("long").as("rnk"),
+          col("eid"), col("uid"), col("value"))
+        .orderBy("event_type", "rnk")
+    }),
+
+    "q260_autocompact_span_stream" -> ((s, d) => {
+      // q242's growing-gram-index dedup with the sink's OPT-IN
+      // auto-compaction on (compactEvery = 2, immediate sweep): the
+      // trigger body itself folds the digest log every second batch, so
+      // a months-running intake stream bounds its per-trigger listing
+      // without any operator intervention — the face REQUIRES the root
+      // partition count to stay at ≤ compactEvery with a published
+      // generation standing in for the folded prefix. The span output
+      // must still be q242's oracle verbatim: compaction is read-
+      // invisible by the generation contract.
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q260_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      for (k <- 0 to 2)
+        publishFeedSlice(docs.filter(col("doc_id") % 3 === k),
+          s"$base/feed", k)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.duplicateSpansStream(s, stream,
+        "text", "doc_id", 8, s"$base/index", s"$base/out", s"$base/ckpt",
+        compactEvery = 2, compactRetainMs = 0L)
+      try q.processAllAvailable() finally q.stop()
+      val rootParts = graft.streaming.LogStructuredSink
+        .listBatches(s, s"$base/index").get
+      require(rootParts.size <= 2 && graft.streaming.LogStructuredSink
+          .currentGen(s, s"$base/index").isDefined,
+        s"auto-compaction did not bound the digest log: $rootParts")
+      graft.streaming.StreamOps.readDuplicateSpans(s, s"$base/out",
+          s"$base/index").get
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q261_stream_empty_batch_commit" -> ((s, d) => {
+      // the committed-prefix gate under an EMPTY batch: the middle
+      // micro-batch is one synthetic document with globally-unique
+      // tokens — zero duplicate spans — which before round 15 wrote NO
+      // span partition, leaving readDuplicateSpans gated behind the
+      // last nonempty write (a healthy stream read as less committed
+      // than it is). The sink now commits a zero-row marker partition,
+      // so the gate tracks actual commits: the face REQUIRES the empty
+      // batch's partition to exist, and the committed view must equal
+      // the batch-semantics oracle over the real documents (the
+      // synthetic doc shares no gram with the corpus, so it is
+      // output-invisible by construction).
+      prep(s, d, "documents")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q261_" + s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+      publishFeedSlice(docs.filter(col("doc_id") % 2 === 0),
+        s"$base/feed", 0)
+      publishFeedSlice(
+        s.range(1).select(lit(-1L).as("doc_id"),
+          lit("zzqa0 zzqa1 zzqa2 zzqa3 zzqa4 zzqa5 zzqa6 zzqa7 zzqa8")
+            .as("text")),
+        s"$base/feed", 1)
+      publishFeedSlice(docs.filter(col("doc_id") % 2 === 1),
+        s"$base/feed", 2)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+      val q = graft.streaming.StreamOps.duplicateSpansStream(s, stream,
+        "text", "doc_id", 8, s"$base/index", s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      require(graft.streaming.LogStructuredSink
+          .listBatches(s, s"$base/out").get.contains(1L),
+        "the empty batch did not commit its span partition")
+      graft.streaming.StreamOps.readDuplicateSpans(s, s"$base/out",
+          s"$base/index").get
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q234_stream_interval_left_join" -> ((s, d) => {
       // the LEFT-OUTER stream-stream interval join — q220's face
       // certifies matched pairs; this one certifies the NULL-AUGMENTED
@@ -6209,6 +6456,200 @@ object Queries {
                    THEN greatest(est_a + est_b - est_union, 0.0) / est_union
                    ELSE 0.0 END, 6) AS jaccard_est
       FROM est""",
+
+    // q256: the single-scan overlap variant produces IDENTICAL registers
+    // to q255 (same (side, bucket) max-merge updates from one pass), so
+    // the q255 oracle certifies it verbatim
+    "q256_hll_overlap_single_scan" -> """
+      WITH rows_ AS (
+        SELECT md5(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS h,
+               CAST(l_partkey AS BIGINT) % 3 AS c
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      bits AS (
+        SELECT c <> 2 AS in_a, c <> 0 AS in_b,
+               CAST(('0x' || substr(h, 1, 4)) AS UBIGINT) AS bkt,
+               CASE WHEN CAST(('0x' || substr(h, 5, 12)) AS UBIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(
+                      CAST(('0x' || substr(h, 5, 12)) AS UBIGINT)))
+               END AS rho
+        FROM rows_ WHERE c <> 2 OR c <> 0),
+      regs AS (
+        SELECT bkt,
+               max(CASE WHEN in_a THEN rho END) AS ma,
+               max(CASE WHEN in_b THEN rho END) AS mb,
+               max(rho) AS mu
+        FROM bits GROUP BY bkt),
+      agg AS (
+        SELECT count(ma) AS ra,
+               sum(CASE WHEN ma IS NOT NULL
+                   THEN CAST(power(2, 49 - ma) AS HUGEINT) END) AS sa,
+               count(mb) AS rb,
+               sum(CASE WHEN mb IS NOT NULL
+                   THEN CAST(power(2, 49 - mb) AS HUGEINT) END) AS sb,
+               count(mu) AS ru,
+               sum(CAST(power(2, 49 - mu) AS HUGEINT)) AS su
+        FROM regs),
+      hs AS (
+        SELECT ra, rb, ru,
+          CAST(COALESCE(sa, CAST(0 AS HUGEINT)) +
+            CAST(65536 - ra AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS ha,
+          CAST(COALESCE(sb, CAST(0 AS HUGEINT)) +
+            CAST(65536 - rb AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS hb,
+          CAST(COALESCE(su, CAST(0 AS HUGEINT)) +
+            CAST(65536 - ru AS HUGEINT) *
+            CAST(562949953421312 AS HUGEINT) AS DOUBLE) AS hu
+        FROM agg),
+      est AS (
+        SELECT
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (ha/562949953421312.0) <= 2.5*65536.0 AND ra < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - ra AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (ha/562949953421312.0) END AS est_a,
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hb/562949953421312.0) <= 2.5*65536.0 AND rb < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - rb AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hb/562949953421312.0) END AS est_b,
+          CASE WHEN (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hu/562949953421312.0) <= 2.5*65536.0 AND ru < 65536
+               THEN 65536.0 * ln(65536.0 / CAST(65536 - ru AS DOUBLE))
+               ELSE (0.7213/(1.0+1.079/65536.0))*65536.0*65536.0/
+                 (hu/562949953421312.0) END AS est_union
+        FROM hs)
+      SELECT CAST(65536 AS BIGINT) AS m,
+             round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+             round(est_union, 6) AS est_union,
+             round(greatest(est_a + est_b - est_union, 0.0), 6)
+               AS est_intersection,
+             round(CASE WHEN est_union > 0.0
+                   THEN greatest(est_a + est_b - est_union, 0.0) / est_union
+                   ELSE 0.0 END, 6) AS jaccard_est
+      FROM est""",
+
+    // q257: live compaction is read-invisible (fold-then-merge ≡ merge),
+    // so the q253 aggregate-over-the-union oracle certifies it verbatim
+    "q257_live_compacted_agg_state" -> """
+      WITH v AS (
+        SELECT o_orderpriority, CAST(o_custkey % 8 AS BIGINT) AS ck_bucket,
+               CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        FROM orders)
+      SELECT o_orderpriority, ck_bucket,
+             count(v) AS n,
+             CAST(sum(v) AS DOUBLE) AS total,
+             CAST(min(v) AS DOUBLE) AS min_val,
+             CAST(max(v) AS DOUBLE) AS max_val,
+             CAST(sum(v) AS DOUBLE) / count(v) AS avg_val
+      FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q258: exactness over the union survives the live cell fold — the
+    // q243 brute-force HAVING oracle, verbatim
+    "q258_live_compacted_cms_log" -> """
+      WITH tot AS (SELECT count(*) AS n FROM lineitem)
+      SELECT CAST(l_partkey AS BIGINT) AS pk, count(*) AS cnt
+      FROM lineitem, tot
+      GROUP BY 1, tot.n
+      HAVING count(*) >= CAST(ceil(0.00075 * tot.n) AS BIGINT)
+      ORDER BY pk""",
+
+    // q259: the live-compacted partial log re-ranks to the same global
+    // leaderboard — q248's window oracle, verbatim
+    "q259_live_compacted_topk_log" -> """
+      SELECT event_type, rnk, eid, uid, value FROM (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+               CAST(event_id AS BIGINT) AS eid,
+               CAST(user_id AS BIGINT) AS uid, value
+        FROM events) t
+      WHERE rnk <= 5
+      ORDER BY event_type, rnk""",
+
+    // q260: auto-compaction is read-invisible — q242's batch-semantics
+    // oracle, verbatim
+    "q260_autocompact_span_stream" -> """
+      WITH tok AS (
+        SELECT doc_id, doc_id % 3 AS b,
+               string_split_regex(trim(text), '\s+') AS wt
+        FROM documents),
+      grams AS (
+        SELECT doc_id, b, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      bc AS (SELECT h, b, count(*) AS c FROM grams GROUP BY h, b),
+      firstb AS (SELECT h, min(b) AS b0 FROM grams GROUP BY h),
+      hits AS (
+        SELECT g.doc_id, g.p
+        FROM grams g
+        JOIN bc ON bc.h = g.h AND bc.b = g.b
+        JOIN firstb f ON f.h = g.h
+        WHERE bc.c >= 2 OR f.b0 < g.b),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m)
+      SELECT doc_id,
+             CAST(min(p) + 1 AS BIGINT) AS span_start,
+             CAST(max(p) + 8 AS BIGINT) AS span_end,
+             CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
+
+    // q261: batches are (even docs, one gram-disjoint synthetic doc,
+    // odd docs) — the synthetic middle batch contributes nothing, so
+    // the q242 rule over the real documents with b = doc_id % 2
+    // certifies the committed view (the face separately REQUIRES the
+    // empty batch's partition to have committed)
+    "q261_stream_empty_batch_commit" -> """
+      WITH tok AS (
+        SELECT doc_id, doc_id % 2 AS b,
+               string_split_regex(trim(text), '\s+') AS wt
+        FROM documents),
+      grams AS (
+        SELECT doc_id, b, i.i AS p,
+               md5(wt[i.i + 1] || ' ' || wt[i.i + 2] || ' ' ||
+                   wt[i.i + 3] || ' ' || wt[i.i + 4] || ' ' ||
+                   wt[i.i + 5] || ' ' || wt[i.i + 6] || ' ' ||
+                   wt[i.i + 7] || ' ' || wt[i.i + 8]) AS h
+        FROM tok JOIN generate_series(0, 509) i(i)
+          ON i.i <= len(wt) - 8),
+      bc AS (SELECT h, b, count(*) AS c FROM grams GROUP BY h, b),
+      firstb AS (SELECT h, min(b) AS b0 FROM grams GROUP BY h),
+      hits AS (
+        SELECT g.doc_id, g.p
+        FROM grams g
+        JOIN bc ON bc.h = g.h AND bc.b = g.b
+        JOIN firstb f ON f.h = g.h
+        WHERE bc.c >= 2 OR f.b0 < g.b),
+      m AS (
+        SELECT doc_id, p,
+               max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM hits),
+      isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM m)
+      SELECT doc_id,
+             CAST(min(p) + 1 AS BIGINT) AS span_start,
+             CAST(max(p) + 8 AS BIGINT) AS span_end,
+             CAST(max(p) + 8 - min(p) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
 
     // the streamed partial log re-ranks to the plain window answer
     "q248_stream_grouped_topk" -> """

@@ -513,13 +513,9 @@ object Stats {
    */
   def hllOverlapSingleSource(df: DataFrame, inA: Column, inB: Column,
                              valueCol: String, p: Int = 12): DataFrame = {
-    val tagged = df
-      .where(col(valueCol).isNotNull && (inA || inB))
-      .withColumn("__side", explode(array_compact(array(
-        when(inA, lit("a")), when(inB, lit("b"))))))
     // ≤ 2·2^p rows; pinned — est_a/est_b and the union merge all
     // consume it, and unpinned each reference would re-run the scan
-    val regs = hllRegistersByGroup(tagged, Seq("__side"), valueCol, p)
+    val regs = overlapRegisters(df, inA, inB, valueCol, p)
       .localCheckpoint(true)
     def side(tag: String) =
       regs.filter(col("__side") === tag).select(col("__b"), col("__m"))
@@ -536,6 +532,18 @@ object Stats {
         when(col("est_union") > 0.0,
           col("est_intersection") / col("est_union")).otherwise(lit(0.0)))
   }
+
+  /** [[hllOverlapSingleSource]]'s register stage, exposed so the suite
+    * can pin the plan shape: BOTH sides' registers from ONE scan —
+    * exactly one FileScan feeds the grouped (side, bucket) aggregate. */
+  private[graft] def overlapRegisters(df: DataFrame, inA: Column,
+                                      inB: Column, valueCol: String,
+                                      p: Int): DataFrame =
+    hllRegistersByGroup(
+      df.where(col(valueCol).isNotNull && (inA || inB))
+        .withColumn("__side", explode(array_compact(array(
+          when(inA, lit("a")), when(inB, lit("b")))))),
+      Seq("__side"), valueCol, p)
 
   private def hllMeta(p: Int) = new org.apache.spark.sql.types.MetadataBuilder()
     .putLong("p", p.toLong).build()

@@ -393,7 +393,9 @@ object StreamOps {
                        docs: DataFrame, textCol: String, idCol: String,
                        indexPath: String, outPath: String, checkpoint: String,
                        normalize: Option[org.apache.spark.sql.Column =>
-                         org.apache.spark.sql.Column] = None)
+                         org.apache.spark.sql.Column] = None,
+                       compactEvery: Int = 0,
+                       compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val growthPath = s"$outPath/_lineindex"
     val growth = new LogStructuredSink.PathMemo(growthPath)
@@ -436,6 +438,12 @@ object StreamOps {
           .localCheckpoint(true)
         LogStructuredSink.write(newKeys, growthPath, bid, Seq("__pfx"))
        }
+        // opt-in auto-compaction of the growth zone (see
+        // [[duplicateSpansStream]] — same cadence contract, same
+        // outside-the-lease placement)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.Dedup.compactLineIndexLive(spark, growthPath,
+            retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -534,7 +542,8 @@ object StreamOps {
   def duplicateSpansStream(spark: org.apache.spark.sql.SparkSession,
                            docs: DataFrame, textCol: String, idCol: String,
                            l: Int, indexPath: String, outPath: String,
-                           checkpoint: String)
+                           checkpoint: String, compactEvery: Int = 0,
+                           compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = new LogStructuredSink.PathMemo(indexPath)
     docs.writeStream
@@ -577,6 +586,16 @@ object StreamOps {
             .withColumn("__pfx", substring(col("__h"), 1, 1)),
           indexPath, bid, Seq("__pfx"))
        }
+        // opt-in auto-compaction: every N triggers, fold the digest log
+        // in place (generation layout). OUTSIDE the trigger's lease —
+        // the compactor takes the same lease itself (non-reentrant);
+        // between release and re-acquire only another compactor could
+        // interleave, which the lease serializes anyway. Without a
+        // cadence nothing bounds the per-trigger listing: a
+        // 1-trigger/min stream leaves ~43k partition dirs/month/log.
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.Dedup.compactSpanIndexLive(spark, indexPath,
+            retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -615,7 +634,8 @@ object StreamOps {
   def heavyHittersStream(spark: org.apache.spark.sql.SparkSession,
                          rows: DataFrame, valueCol: String, statePath: String,
                          checkpoint: String, depth: Int = 4,
-                         width: Int = 8192)
+                         width: Int = 8192, compactEvery: Int = 0,
+                         compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(depth >= 1 && width >= 1,
       s"bad sketch shape ${depth}x$width") // fail at construction
@@ -635,6 +655,12 @@ object StreamOps {
         LogStructuredSink.write(
           graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol, depth,
             width), s"$statePath/cms", bid)
+        // opt-in auto-compaction of the CELL log only (the data log is
+        // the corpus the exact pass scans — it is content, not foldable
+        // state). The compactor takes the cms log's lease itself.
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.Stats.compactCmsIndexLive(spark,
+            s"$statePath/cms", retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -681,7 +707,8 @@ object StreamOps {
   def distinctCountStream(spark: org.apache.spark.sql.SparkSession,
                           rows: DataFrame, valueCol: String,
                           indexPath: String, checkpoint: String,
-                          p: Int = 12)
+                          p: Int = 12, compactEvery: Int = 0,
+                          compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(p >= 4 && p <= 16 && p % 4 == 0,
       s"bad p $p") // fail at construction, not inside the first trigger
@@ -694,6 +721,9 @@ object StreamOps {
           graft.pipeline.Stats.hllRegisters(batch.toDF(), valueCol, p)
             .select(col("__b").as("__b", meta), col("__m")),
           indexPath, bid)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.Stats.compactHllIndexLive(spark, indexPath,
+            retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -715,7 +745,9 @@ object StreamOps {
   def groupedTopKStream(spark: org.apache.spark.sql.SparkSession,
                         rows: DataFrame, groupCols: Seq[String],
                         order: Seq[(String, Boolean)], k: Int,
-                        statePath: String, checkpoint: String)
+                        statePath: String, checkpoint: String,
+                        compactEvery: Int = 0,
+                        compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k >= 1, s"k must be >= 1, got $k") // fail at construction
     rows.writeStream
@@ -725,6 +757,9 @@ object StreamOps {
           graft.pipeline.GroupedTopK.topK(batch.toDF(), groupCols, order, k)
             .drop("rank"), // partials re-rank at read; batch-local ranks lie
           statePath, bid)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.GroupedTopK.compactTopKLogLive(spark, statePath,
+            groupCols, order, k, retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -759,7 +794,9 @@ object StreamOps {
    */
   def aggStateStream(spark: org.apache.spark.sql.SparkSession,
                      rows: DataFrame, keyCols: Seq[String], valCol: String,
-                     statePath: String, checkpoint: String)
+                     statePath: String, checkpoint: String,
+                     compactEvery: Int = 0,
+                     compactRetainMs: Long = 600000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
@@ -767,6 +804,9 @@ object StreamOps {
         LogStructuredSink.write(
           graft.pipeline.Materialize.aggPartials(batch.toDF(), keyCols,
             valCol), statePath, bid)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.pipeline.Materialize.compactAggStateLive(spark, statePath,
+            keyCols, retainMs = compactRetainMs)
         ()
       }
       .start()

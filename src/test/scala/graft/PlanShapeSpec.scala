@@ -740,4 +740,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!dist.contains("CartesianProduct"), dist.take(3500))
     assert(dist.contains("InMemoryTableScan"), dist.take(3500))
   }
+
+  test("q256: single-source overlap builds BOTH register frames from ONE " +
+       "FileScan (hllOverlap's two-scan cost halved)") {
+    import org.apache.spark.sql.functions._
+    val pk = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").cast("long").as("pk"))
+    val plan = graft.pipeline.Stats.overlapRegisters(pk,
+        col("pk") % 3 =!= 2, col("pk") % 3 =!= 0, "pk", p = 16)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 FileScan, got $scans:\n" +
+      plan.take(3000))
+    // and the register build stays one partial/final aggregate pair —
+    // no join, no window
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }
