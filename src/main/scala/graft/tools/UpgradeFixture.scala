@@ -109,6 +109,153 @@ object UpgradeFixture {
       s"$root/spans/ckpt")
   }
 
+  // -------------------------------------------------------------------
+  // Fixture v2 — the remaining state-schema families
+  // (`upgrade_fixture_v2.zip`, generated by [[MakeUpgradeFixtureV2]]):
+  // latestPerKey with TTL (timer state), ewmaStream (running-fold
+  // state), intervalJoin left-outer (two-sided join state + watermark
+  // expiry mid-fixture), and the distinctCount p = 16 + aggState
+  // DECIMAL(18,6) log pair (layout + decimal width across the upgrade).
+  // Same contract as v1: slices 0–1 drained by the FIXTURE binary,
+  // slice 2 by the restarting binary; the continuation must match a
+  // fresh uninterrupted run.
+  // -------------------------------------------------------------------
+
+  /** latestPerKey (ttl = 30 min, watermark 1 min): slice 1 advances the
+    * watermark far past key 1's ttl horizon (its TIMER travels in the
+    * fixture checkpoint and fires after the RESTART); slice 2 carries a
+    * late ghost (must drop against the resumed watermark) and a fresh
+    * re-arrival (must restart the key cleanly). */
+  def changeSlices: Seq[Seq[(Long, Timestamp, String)]] = Seq(
+    Seq((1L, ts("2024-01-01 10:00:00"), "v1"),
+      (2L, ts("2024-01-01 10:00:00"), "v2")),
+    Seq((2L, ts("2024-01-01 12:00:00"), "v2b")),
+    Seq((2L, ts("2024-01-01 12:00:30"), "v2c"),
+      (1L, ts("2024-01-01 10:05:00"), "ghost"),
+      (1L, ts("2024-01-01 12:30:00"), "fresh")))
+
+  /** ewmaStream (α = 0.25): per-key running folds established by the
+    * fixture binary, continued by the restarting one — same-ms ties in
+    * slice 2 exercise the (ts, tie) order the state encodes. */
+  def obsSlices: Seq[Seq[(Long, Timestamp, Long, Double)]] = Seq(
+    Seq((1L, ts("2024-01-01 10:00:00"), 0L, 4.0),
+      (1L, ts("2024-01-01 10:01:00"), 0L, 8.0),
+      (2L, ts("2024-01-01 10:00:00"), 0L, 1.0)),
+    Seq((1L, ts("2024-01-01 10:02:00"), 0L, 16.0),
+      (2L, ts("2024-01-01 10:03:00"), 0L, 3.0)),
+    Seq((1L, ts("2024-01-01 10:04:00"), 1L, 32.0),
+      (1L, ts("2024-01-01 10:04:00"), 2L, 64.0),
+      (2L, ts("2024-01-01 10:05:00"), 0L, 5.0)))
+
+  /** intervalJoin left-outer (within 30 min, watermark 1 min): the
+    * fixture leaves left key 2 awaiting its outer emission — the right
+    * watermark passes its horizon only via slice 2, so the NULL-extended
+    * row must be produced by the restarted binary from fixture join
+    * state. */
+  def ijLeftSlices: Seq[Seq[(Long, Timestamp, Double)]] = Seq(
+    Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 2.0)),
+    Seq((1L, ts("2024-01-01 11:00:00"), 3.0)),
+    Seq((2L, ts("2024-01-01 13:00:00"), 4.0)))
+
+  def ijRightSlices: Seq[Seq[(Long, Timestamp, Double)]] = Seq(
+    Seq((1L, ts("2024-01-01 10:10:00"), 9.0)),
+    Seq((1L, ts("2024-01-01 11:05:00"), 7.0)),
+    Seq((2L, ts("2024-01-01 13:05:00"), 8.0)))
+
+  /** distinctCount p = 16 register-log slices (overlapping ranges). */
+  def dcSlices: Seq[Seq[String]] = Seq(
+    (0 until 800).map(i => s"u-$i"),
+    (400 until 1200).map(i => s"u-$i"),
+    (800 until 1600).map(i => s"u-$i"))
+
+  /** aggState DECIMAL(18,6) partial-log slices — the decimal parquet
+    * width must survive the upgrade and continued appends. */
+  def aggSlices: Seq[Seq[(String, java.math.BigDecimal)]] = {
+    def d(s: String) = new java.math.BigDecimal(s).setScale(6)
+    Seq(
+      Seq(("g0", d("10.5")), ("g1", d("2.25")), ("g0", d("0.125"))),
+      Seq(("g1", d("7.75")), ("g2", d("100.000001"))),
+      Seq(("g0", d("3.5")), ("g2", d("0.999999")), ("g3", d("42"))))
+  }
+
+  def startLatest(spark: SparkSession, root: String = root)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val changes = spark.readStream
+      .schema("key LONG, ts TIMESTAMP, value STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/latest/feed")
+      .as[graft.streaming.StreamOps.Change]
+    graft.streaming.StreamOps
+      .latestPerKey(changes, ttl = Some(30.minutes),
+        watermarkDelay = "1 minute")
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/latest/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         bid: Long) =>
+          graft.streaming.LogStructuredSink
+            .write(b.toDF(), s"$root/latest/out", bid)
+          ()
+      }
+      .start()
+  }
+
+  def startEwma(spark: SparkSession, root: String = root)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val obs = spark.readStream
+      .schema("key LONG, ts TIMESTAMP, tie LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/ewma/feed")
+      .as[graft.streaming.StreamOps.Obs]
+    graft.streaming.StreamOps.ewmaStream(obs, alpha = 0.25)
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ewma/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         bid: Long) =>
+          graft.streaming.LogStructuredSink
+            .write(b.toDF(), s"$root/ewma/out", bid)
+          ()
+      }
+      .start()
+  }
+
+  def startIntervalJoin(spark: SparkSession, root: String = root)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val left = spark.readStream.schema("k LONG, ts TIMESTAMP, lv DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/ij/left")
+    val right = spark.readStream.schema("k LONG, ts TIMESTAMP, rv DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/ij/right")
+    graft.streaming.StreamOps.intervalJoin(left, right, Seq("k"),
+        within = "30 minutes", watermarkDelay = "1 minute",
+        joinType = "left_outer")
+      .writeStream
+      .option("checkpointLocation", s"$root/ij/ckpt")
+      .outputMode("append")
+      .format("parquet").option("path", s"$root/ij/out")
+      .start()
+  }
+
+  def startDistinctCount(spark: SparkSession, root: String = root)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rows = spark.readStream.schema("k STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/dc/feed")
+    graft.streaming.StreamOps.distinctCountStream(spark, rows, "k",
+      s"$root/dc/idx", s"$root/dc/ckpt", p = 16)
+  }
+
+  def startAggState(spark: SparkSession, root: String = root)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rows = spark.readStream.schema("g STRING, v DECIMAL(18,6)")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/agg/feed")
+    graft.streaming.StreamOps.aggStateStream(spark, rows, Seq("g"), "v",
+      s"$root/agg/state", s"$root/agg/ckpt")
+  }
+
   /** Zip a directory tree with relative paths + mtimes (pure JVM — the
     * suite must extract without external binaries). */
   def zipTree(rootDir: String, outZip: String): Unit = {
@@ -134,6 +281,49 @@ object UpgradeFixture {
         }
       }
     } finally out.close()
+  }
+
+  /**
+   * Relocate an extracted fixture tree: file-source offsets, the
+   * FileStreamSourceLog entries (`ckpt/sources/…`), and the parquet
+   * sink's `_spark_metadata` log all embed the ABSOLUTE root the fixture
+   * was generated at. The generator keeps the fixed [[root]] (so the zip
+   * is deterministic); the SUITE extracts to a per-run unique directory
+   * — two concurrent test runs on a shared host must not clobber each
+   * other's checkpoints mid-run — and rewrites the baked root here.
+   * Byte-level search/replace, applied only to files that actually
+   * contain the pattern (the checkpoint/metadata logs are JSON text;
+   * state-store deltas are binary and embed no paths, so they are
+   * untouched).
+   */
+  def relocate(destRoot: String, bakedRoot: String = root): Unit = {
+    val pat = bakedRoot.getBytes("UTF-8")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(destRoot))
+      .forEach { p =>
+        val f = p.toFile
+        if (f.isFile && !f.getName.endsWith(".parquet") &&
+            !f.getName.endsWith(".crc")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          if (indexOf(bytes, pat) >= 0) {
+            val s = new String(bytes, "UTF-8")
+              .replace(bakedRoot, destRoot)
+            val mtime = f.lastModified
+            java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+            f.setLastModified(mtime)
+          }
+        }
+      }
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
   }
 
   /** Extract a [[zipTree]] zip under `destRoot`, restoring mtimes. */
@@ -205,6 +395,72 @@ object MakeUpgradeFixture {
     try q1.processAllAvailable() finally q1.stop()
     val q2 = UpgradeFixture.startSpans(spark)
     try q2.processAllAvailable() finally q2.stop()
+
+    new java.io.File(outZip).getParentFile.mkdirs()
+    UpgradeFixture.zipTree(root, outZip)
+    println(s"fixture written: $outZip (" +
+      new java.io.File(outZip).length() + " bytes)")
+    spark.stop()
+  }
+}
+
+/**
+ * Generate the v2 fixture (the remaining state-schema families —
+ * latestPerKey TTL timers, ewma folds, interval-join two-sided state,
+ * distinctCount p = 16 registers, aggState DECIMAL partials): drain
+ * slices 0–1 of all five streams at [[UpgradeFixture.root]], stop, zip
+ * checkpoints + logs + feeds (+ the third slices STAGED outside the
+ * watched dirs) into `src/test/resources/upgrade_fixture_v2.zip`.
+ *
+ * Run ONCE per deliberate state-schema version:
+ *   sbt "runMain graft.tools.MakeUpgradeFixtureV2"
+ */
+object MakeUpgradeFixtureV2 {
+  def main(args: Array[String]): Unit = {
+    val outZip = args.headOption
+      .getOrElse("src/test/resources/upgrade_fixture_v2.zip")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-make-upgrade-fixture-v2")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val root = UpgradeFixture.root
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+
+    // slices 0–1 into the watched feed; slice 2 STAGED beside it (the
+    // restarting suite moves it in) — one staging dir per feed, named
+    // `<feed>_stage2`, outside every watched path
+    def stage3(dfs: Seq[org.apache.spark.sql.DataFrame],
+               feed: String): Unit = {
+      for (k <- 0 to 1)
+        UpgradeFixture.publishSlice(dfs(k), s"$root/$feed", k)
+      UpgradeFixture.publishSlice(dfs(2), s"$root/${feed}_stage2", 2)
+    }
+    stage3(UpgradeFixture.changeSlices.map(_.toDF("key", "ts", "value")),
+      "latest/feed")
+    stage3(UpgradeFixture.obsSlices
+      .map(_.toDF("key", "ts", "tie", "value")), "ewma/feed")
+    stage3(UpgradeFixture.ijLeftSlices.map(_.toDF("k", "ts", "lv")),
+      "ij/left")
+    stage3(UpgradeFixture.ijRightSlices.map(_.toDF("k", "ts", "rv")),
+      "ij/right")
+    stage3(UpgradeFixture.dcSlices.map(_.toDF("k")), "dc/feed")
+    stage3(UpgradeFixture.aggSlices.map(_.toDF("g", "v")
+      .select($"g", $"v".cast("decimal(18,6)").as("v"))), "agg/feed")
+
+    for (start <- Seq(
+        UpgradeFixture.startLatest(_: SparkSession, root),
+        UpgradeFixture.startEwma(_: SparkSession, root),
+        UpgradeFixture.startIntervalJoin(_: SparkSession, root),
+        UpgradeFixture.startDistinctCount(_: SparkSession, root),
+        UpgradeFixture.startAggState(_: SparkSession, root))) {
+      val q = start(spark)
+      try q.processAllAvailable() finally q.stop()
+    }
 
     new java.io.File(outZip).getParentFile.mkdirs()
     UpgradeFixture.zipTree(root, outZip)
