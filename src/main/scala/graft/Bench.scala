@@ -43,6 +43,34 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.filter(only).toSeq.sorted
 
+    // per-face cost counters, so a streaming-band wall movement is
+    // adjudicable from the artifact alone: constant jobs/trigger with a
+    // moved wall = ambient host drift; a jobs/trigger step = a real plan
+    // regression. Jobs via SparkListener, triggers + per-trigger wall
+    // via StreamingQueryListener (both async buses — deltas are read
+    // after a short drain and are adjudication aids, not timings).
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val trigCount = new java.util.concurrent.atomic.AtomicLong
+    val trigWallMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          trigCount.incrementAndGet()
+          trigWallMs.addAndGet(e.progress.batchDuration)
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+
     // full materialization of the finalized physical plan; true on success
     def run(name: String): Boolean =
       try {
@@ -60,10 +88,24 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    final case class Cost(jobs: Long, triggers: Long, wallMs: Long)
+    // pass-2 instrumentation: snapshot the counters around each query;
+    // stream-running faces get a short listener-bus drain so their
+    // trigger events land inside their own window
+    def timedInstr(name: String): ((Double, Boolean), Cost) = {
+      val (j0, t0c, w0) = (jobCount.get, trigCount.get, trigWallMs.get)
+      val r = timed(name)
+      if (trigCount.get != t0c) Thread.sleep(50) // drain async bus tail
+      (r, Cost(jobCount.get - j0, trigCount.get - t0c,
+        trigWallMs.get - w0))
+    }
+
     names.foreach(run) // warmup pass (untimed)
 
     val r1 = names.map(n => n -> timed(n)).toMap
-    val r2 = names.map(n => n -> timed(n)).toMap
+    val instr = names.map(n => n -> timedInstr(n)).toMap
+    val r2 = instr.map { case (n, (t, _)) => n -> t }
+    val costs = instr.map { case (n, (_, c)) => n -> c }
     val results = names.map { n =>
       val (t2, ok2) = r2(n)
       val (t1, ok1) = r1(n)
@@ -80,8 +122,14 @@ object Bench {
       names.collect { case n if m(n)._2 => m(n)._1 }.sum
     val passes = s"[${passTotal(r1)},${passTotal(r2)}]"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-face pass-2 counters: jobs for every face; triggers +
+    // per-trigger wall for the stream-running ones (0 otherwise)
+    val costJson = names.map { n =>
+      val c = costs(n)
+      "\"" + n + s"""\":{"jobs":${c.jobs},"triggers":${c.triggers},"trigger_wall_ms":${c.wallMs}}"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"timing":"min_of_2_after_warmup","pass_totals":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"timing":"min_of_2_after_warmup","pass_totals":$passes,"cost":$costJson,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get("BENCH_RESULT.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
