@@ -5058,7 +5058,11 @@ object Queries {
       val keys = Seq("o_orderpriority", "ck_bucket")
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q257_" + s.sparkContext.applicationId + "_" +
-          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          System.nanoTime()).getAbsolutePath // unique per invocation: a
+        // raw delete-and-recreate of one path across bench passes can
+        // alias Spark's session file-status cache (stale listings of
+        // the previous pass's files)
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       for (k <- 0 to 7)
         publishFeedSlice(rows.filter(col("ok") % 8 === k).drop("ok"),
@@ -5110,7 +5114,11 @@ object Queries {
           col("l_partkey").cast("long").as("pk"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q258_" + s.sparkContext.applicationId + "_" +
-          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          System.nanoTime()).getAbsolutePath // unique per invocation: a
+        // raw delete-and-recreate of one path across bench passes can
+        // alias Spark's session file-status cache (stale listings of
+        // the previous pass's files)
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       for (k <- 0 to 5)
         publishFeedSlice(rows.filter(col("ok") % 6 === k).select("pk"),
@@ -5154,7 +5162,11 @@ object Queries {
       val ord = Seq(("value", false), ("eid", true))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q259_" + s.sparkContext.applicationId + "_" +
-          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          System.nanoTime()).getAbsolutePath // unique per invocation: a
+        // raw delete-and-recreate of one path across bench passes can
+        // alias Spark's session file-status cache (stale listings of
+        // the previous pass's files)
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       for (k <- 0 to 5)
         publishFeedSlice(ev.filter(col("eid") % 6 === k), s"$base/feed", k)
@@ -5199,7 +5211,11 @@ object Queries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q260_" + s.sparkContext.applicationId + "_" +
-          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          System.nanoTime()).getAbsolutePath // unique per invocation: a
+        // raw delete-and-recreate of one path across bench passes can
+        // alias Spark's session file-status cache (stale listings of
+        // the previous pass's files)
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       for (k <- 0 to 2)
         publishFeedSlice(docs.filter(col("doc_id") % 3 === k),
@@ -5238,7 +5254,11 @@ object Queries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q261_" + s.sparkContext.applicationId + "_" +
-          d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          System.nanoTime()).getAbsolutePath // unique per invocation: a
+        // raw delete-and-recreate of one path across bench passes can
+        // alias Spark's session file-status cache (stale listings of
+        // the previous pass's files)
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
       publishFeedSlice(docs.filter(col("doc_id") % 2 === 0),
         s"$base/feed", 0)

@@ -1535,8 +1535,8 @@ object Dedup {
   def compactSpanIndexLive(spark: org.apache.spark.sql.SparkSession,
                            path: String, pfxLen: Int = 3,
                            retainMs: Long = 600000L): Option[Long] = {
-    require(pfxLen == 2 || pfxLen == 3,
-      s"supported prefix lengths are 2 and 3 hex chars, got $pfxLen")
+    require(pfxLen >= 1 && pfxLen <= 3,
+      s"supported prefix lengths are 1-3 hex chars, got $pfxLen")
     graft.streaming.LogStructuredSink.compactLive(spark, path,
       df => df.select("__h").distinct()
         .withColumn("__pfx", substring(col("__h"), 1, pfxLen)),
@@ -1556,8 +1556,8 @@ object Dedup {
   def compactLineIndexLive(spark: org.apache.spark.sql.SparkSession,
                            path: String, pfxLen: Int = 3,
                            retainMs: Long = 600000L): Option[Long] = {
-    require(pfxLen == 2 || pfxLen == 3,
-      s"supported prefix lengths are 2 and 3 hex chars, got $pfxLen")
+    require(pfxLen >= 1 && pfxLen <= 3,
+      s"supported prefix lengths are 1-3 hex chars, got $pfxLen")
     graft.streaming.LogStructuredSink.compactLive(spark, path,
       df => {
         val meta = df.schema("key").metadata

@@ -505,12 +505,21 @@ object LogStructuredSink {
     val e = expired.maxBy(_.gen)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
-    listBatches(spark, path).getOrElse(Seq.empty).filter(_ <= e.stamp)
-      .foreach(id => fs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/__batch=$id"), true))
+    val sweptRoot = listBatches(spark, path).getOrElse(Seq.empty)
+      .filter(_ <= e.stamp)
+    sweptRoot.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/__batch=$id"), true))
     ms.filter(_.gen < e.gen).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(genDir(path, g.gen)), true)
       fs.delete(markerPath(path, g), false)
     }
+    // raw fs deletes do NOT invalidate Spark's session-shared
+    // FileStatusCache: a later read IN THIS SESSION could serve the
+    // swept files from a cached listing and fail FILE_NOT_EXIST —
+    // re-introducing exactly the race the retention window exists to
+    // prevent (the cache makes a listing look fresher than it is).
+    // Other sessions list for themselves; retention covers them.
+    if (sweptRoot.nonEmpty || ms.exists(_.gen < e.gen))
+      spark.catalog.refreshByPath(path)
   }
 }

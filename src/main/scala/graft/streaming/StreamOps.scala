@@ -395,7 +395,8 @@ object StreamOps {
                        normalize: Option[org.apache.spark.sql.Column =>
                          org.apache.spark.sql.Column] = None,
                        compactEvery: Int = 0,
-                       compactRetainMs: Long = 600000L)
+                       compactRetainMs: Long = 600000L,
+                       compactPfxLen: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val growthPath = s"$outPath/_lineindex"
     val growth = new LogStructuredSink.PathMemo(growthPath)
@@ -443,7 +444,7 @@ object StreamOps {
         // outside-the-lease placement)
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           graft.pipeline.Dedup.compactLineIndexLive(spark, growthPath,
-            retainMs = compactRetainMs)
+            pfxLen = compactPfxLen, retainMs = compactRetainMs)
         ()
       }
       .start()
@@ -543,7 +544,8 @@ object StreamOps {
                            docs: DataFrame, textCol: String, idCol: String,
                            l: Int, indexPath: String, outPath: String,
                            checkpoint: String, compactEvery: Int = 0,
-                           compactRetainMs: Long = 600000L)
+                           compactRetainMs: Long = 600000L,
+                           compactPfxLen: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = new LogStructuredSink.PathMemo(indexPath)
     docs.writeStream
@@ -593,9 +595,16 @@ object StreamOps {
         // interleave, which the lease serializes anyway. Without a
         // cadence nothing bounds the per-trigger listing: a
         // 1-trigger/min stream leaves ~43k partition dirs/month/log.
+        // cadence folds default to the 1-hex re-lay (16 dirs): the
+        // cadence's job is bounding FILE COUNTS, and a finer layout
+        // makes every fold and every per-trigger standing listing pay
+        // its dir count (a 3-hex auto-fold measured 6x the stream wall
+        // at cadence 10 — CompactionSoak). The 3-hex re-lay stays the
+        // MANUAL move for huge standing indexes where probe byte
+        // pruning dominates.
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           graft.pipeline.Dedup.compactSpanIndexLive(spark, indexPath,
-            retainMs = compactRetainMs)
+            pfxLen = compactPfxLen, retainMs = compactRetainMs)
         ()
       }
       .start()
