@@ -475,20 +475,68 @@ object Stats {
    */
   def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String,
                  p: Int = 12): DataFrame = {
-    // pin each side's register frame (≤ 2^p rows): est_a and the union
-    // estimate both consume ra — unpinned, the second reference would
-    // re-run the full corpus-A scan (the psiStream lesson: one
-    // distributed aggregate ever, reuse the tiny result)
-    val ra = hllRegisters(a, valueCol, p).localCheckpoint(true)
-    val rb = hllRegisters(b, valueCol, p).localCheckpoint(true)
-    def e(regs: DataFrame, tag: String) =
-      hllEstimate(regs, p).select(col("distinct_est").as(s"est_$tag"))
-    e(ra, "a").crossJoin(e(rb, "b"))
-      .crossJoin(e(ra.unionByName(rb), "union"))
-      .select(lit(1L << p).as("m"), col("est_a"), col("est_b"),
-        col("est_union"),
-        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
-          .as("est_intersection"))
+    // each side's register build is consumed exactly ONCE (the tagged
+    // union below), so nothing needs pinning: the round-14 shape pinned
+    // both frames with eager localCheckpoints and then ran THREE
+    // separate estimate aggregates plus two crossJoins over them — four
+    // more passes over the register rows than the algebra needs
+    // (optimization guide §1.2). All three estimates now come from one
+    // bucket-pivoted aggregate, bit-identical by construction.
+    overlapEstimates(
+      hllRegisters(a, valueCol, p).withColumn("__side", lit("a"))
+        .unionByName(
+          hllRegisters(b, valueCol, p).withColumn("__side", lit("b"))), p)
+  }
+
+  /** All three overlap estimates (side A, side B, union) from ONE pass
+    * over a (__side, __b, __m) register frame: pivot the two sides per
+    * bucket (union register = max of the sides — HLL mergeability), then
+    * a single global aggregate carries each side's (registers_set,
+    * harmonic-sum) pair. The per-column algebra replicates
+    * [[hllEstimateFrom]] expression for expression — same integer
+    * carriers (BIGINT ≤ p 12, DECIMAL(38,0) at p 16), same bias and
+    * small-range corrections — so the estimates are bit-identical to
+    * running [[hllEstimate]] three times, at one aggregate instead of
+    * three plus two crossJoins. */
+  private def overlapEstimates(regsTagged: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0, s"bad p $p")
+    val m = 1 << p
+    val alpha = if (m == 16) 0.673 else 0.7213 / (1.0 + 1.079 / m)
+    val two49 = 562949953421312.0 // 2^49, exact in binary64
+    val pivoted = regsTagged
+      .groupBy(col("__b"))
+      .agg(max(when(col("__side") === "a", col("__m"))).as("__ma"),
+        max(when(col("__side") === "b", col("__m"))).as("__mb"),
+        max(col("__m")).as("__mu"))
+    def s1(mc: Column) =
+      if (p <= 12) sum(pow(lit(2.0), lit(49) - mc).cast("long"))
+      else sum(pow(lit(2.0), lit(49) - mc).cast("decimal(38,0)"))
+    val g = pivoted.agg(
+      count(col("__ma")).as("rset_a"), s1(col("__ma")).as("s1_a"),
+      count(col("__mb")).as("rset_b"), s1(col("__mb")).as("s1_b"),
+      count(lit(1)).as("rset_u"), s1(col("__mu")).as("s1_u"))
+    def est(s1c: Column, rset: Column) = {
+      val hs =
+        if (p <= 12)
+          coalesce(s1c, lit(0L)) +
+            (lit(m.toLong) - rset) * lit(two49.toLong)
+        else
+          coalesce(s1c, lit(0L).cast("decimal(38,0)")) +
+            ((lit(m.toLong) - rset).cast("decimal(38,0)") *
+              lit(two49.toLong).cast("decimal(38,0)"))
+      val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+        (hs.cast("double") / lit(two49))
+      when(raw <= lit(2.5 * m) && rset < lit(m.toLong),
+        lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m.toLong) - rset).cast("double")))
+        .otherwise(raw)
+    }
+    g.select(lit(1L << p).as("m"),
+        est(col("s1_a"), col("rset_a")).as("est_a"),
+        est(col("s1_b"), col("rset_b")).as("est_b"),
+        est(col("s1_u"), col("rset_u")).as("est_union"))
+      .withColumn("est_intersection",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
       .withColumn("jaccard_est",
         when(col("est_union") > 0.0,
           col("est_intersection") / col("est_union")).otherwise(lit(0.0)))
@@ -512,26 +560,12 @@ object Stats {
    * @param inB boolean membership column for side B (may overlap A)
    */
   def hllOverlapSingleSource(df: DataFrame, inA: Column, inB: Column,
-                             valueCol: String, p: Int = 12): DataFrame = {
-    // ≤ 2·2^p rows; pinned — est_a/est_b and the union merge all
-    // consume it, and unpinned each reference would re-run the scan
-    val regs = overlapRegisters(df, inA, inB, valueCol, p)
-      .localCheckpoint(true)
-    def side(tag: String) =
-      regs.filter(col("__side") === tag).select(col("__b"), col("__m"))
-    def e(r: DataFrame, tag: String) =
-      hllEstimate(r, p).select(col("distinct_est").as(s"est_$tag"))
-    val union = regs.groupBy(col("__b")).agg(max(col("__m")).as("__m"))
-    e(side("a"), "a").crossJoin(e(side("b"), "b"))
-      .crossJoin(e(union, "union"))
-      .select(lit(1L << p).as("m"), col("est_a"), col("est_b"),
-        col("est_union"),
-        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
-          .as("est_intersection"))
-      .withColumn("jaccard_est",
-        when(col("est_union") > 0.0,
-          col("est_intersection") / col("est_union")).otherwise(lit(0.0)))
-  }
+                             valueCol: String, p: Int = 12): DataFrame =
+    // one FileScan (plan-pinned), one shuffle of ≤ 2·2^p register rows,
+    // one estimate aggregate — the round-15 build pinned the register
+    // frame with an eager localCheckpoint and re-read it through three
+    // estimate aggregates and two crossJoins (guide §1.2)
+    overlapEstimates(overlapRegisters(df, inA, inB, valueCol, p), p)
 
   /** [[hllOverlapSingleSource]]'s register stage, exposed so the suite
     * can pin the plan shape: BOTH sides' registers from ONE scan —

@@ -474,15 +474,20 @@ object LogStructuredSink {
               folded.repartition(subPartitionCols.map(col): _*)
             else if (coalesceTo > 0) folded.coalesce(coalesceTo)
             else folded
-          val pinned = clustered.persist()
-          val n = pinned.count()
+          // ONE write job. The round-14 in-place fold needed a
+          // persist+count materialization barrier before overwriting its
+          // own input; the generation layout writes to a FRESH dir the
+          // input never references, so the barrier was a pure extra job
+          // (and a cache pin) per fold. The folded row count — part of
+          // the return contract — comes from the written files' parquet
+          // footers: driver-side metadata, no Spark job.
           val out = genDir(path, gen + 1)
-          (if (subPartitionCols.isEmpty) pinned.write
-           else pinned.write.partitionBy(subPartitionCols: _*))
+          (if (subPartitionCols.isEmpty) clustered.write
+           else clustered.write.partitionBy(subPartitionCols: _*))
             .mode("overwrite").parquet(out)
-          pinned.unpersist()
           val fs = org.apache.hadoop.fs.FileSystem
             .get(spark.sparkContext.hadoopConfiguration)
+          val n = footerRowCount(spark, out)
           val m = Gen(gen + 1, foldable.max, System.currentTimeMillis())
           val mOut = fs.create(markerPath(path, m), true)
           mOut.close()
@@ -491,6 +496,26 @@ object LogStructuredSink {
       sweepSuperseded(spark, path, retainMs)
       res
     }
+
+  /** Total row count of every parquet file under `dir` (recursive), read
+    * from the file FOOTERS on the driver — exact, no Spark job. Used by
+    * [[compactLive]] for its folded-row-count return value. */
+  private def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
 
   /** Delete state superseded by a flip at least `retainMs` old: older
     * generations, their markers, and root partitions the expired
