@@ -182,9 +182,13 @@ object Queries {
    * the BATCH BOUNDARIES only; production feeds use whatever file
    * granularity the upstream writer produced.)
    */
+  /** @return the exact maximum of `orderExpr` over the feed (piggybacked
+    *         on the quantile pass at zero extra jobs) — the sentinel
+    *         faces previously paid a separate one-row agg+collect job
+    *         for it */
   private def writeOrderedFeed(s: SparkSession, df: DataFrame,
                                orderExpr: org.apache.spark.sql.Column,
-                               dir: String, n: Int): Unit = {
+                               dir: String, n: Int): Double = {
     val tagged = df.withColumn("__ord", orderExpr.cast("double"))
     // a null order value fails every slice's comparison filter — the row
     // would VANISH from the streamed face while staying in the batch
@@ -197,7 +201,8 @@ object Queries {
       s"writeOrderedFeed: order expression evaluates to null on some rows " +
         s"of the feed for $dir — nulls cannot be ordered into a slice")
     val qs = tagged.stat.approxQuantile("__ord",
-      (1 until n).map(_.toDouble / n).toArray, 0.0) // relativeError 0 = exact
+      ((1 until n).map(_.toDouble / n) :+ 1.0).toArray,
+      0.0) // relativeError 0 = exact; the appended 1.0 is the exact max
     new java.io.File(dir).mkdirs()
     // ONE shuffle+write job materializes every slice (optimization guide
     // §1.2/§2.4: the per-slice filter+write loop re-scanned the source n
@@ -214,6 +219,7 @@ object Queries {
     }
     writeSlicedFeed(tagged.withColumn("__slice", sliceId).drop("__ord"),
       dir, n)
+    qs.last
   }
 
   /** Write a frame carrying an integer `__slice` column in [0, n) as `n`
@@ -4140,13 +4146,12 @@ object Queries {
           col("user_id").cast("long").as("user_id"),
           col("event_type"),
           coalesce(col("value").cast("double"), lit(0.0)).as("value"))
-      val maxTs = ev.agg(max(unix_micros(col("ts"))))
-        .collect()(0).getLong(0) // one-row boundary read
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q226_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val maxTs = writeOrderedFeed(s, ev, expr("unix_micros(ts)"),
+        s"$base/feed", 3).toLong // exact feed max, no separate agg job
       publishFeedSlice(s.range(1).select(lit(-1L).as("event_id"),
         timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
@@ -4234,13 +4239,12 @@ object Queries {
       prep(s, d, "events")
       val ev = t(s, d, "events").select(col("ts"), col("event_type"),
         coalesce(col("value").cast("double"), lit(0.0)).as("value"))
-      val maxTs = ev.agg(max(unix_micros(col("ts"))))
-        .collect()(0).getLong(0) // one-row boundary read
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q228_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val maxTs = writeOrderedFeed(s, ev, expr("unix_micros(ts)"),
+        s"$base/feed", 3).toLong // exact feed max, no separate agg job
       publishFeedSlice(s.range(1).select(
         timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
         lit("sentinel").as("event_type"), lit(0.0).as("value")),
@@ -4276,13 +4280,12 @@ object Queries {
         expr("ST_Point(CAST(value AS DOUBLE), CAST(user_id AS DOUBLE))")
           .as("geom"))
         .where(col("geom").isNotNull)
-      val maxTs = ev.agg(max(unix_micros(col("ts"))))
-        .collect()(0).getLong(0)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q229_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      writeOrderedFeed(s, ev, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val maxTs = writeOrderedFeed(s, ev, expr("unix_micros(ts)"),
+        s"$base/feed", 3).toLong // exact feed max, no separate agg job
       publishFeedSlice(s.range(1).select(
         timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
         expr("ST_Point(0.0D, 0.0D)").as("geom")), s"$base/feed", 3)
@@ -4322,13 +4325,12 @@ object Queries {
       val secondHalf = ev
         .where(dayofmonth(col("ts")) > 15 && col("value").isNotNull)
         .select(col("ts"), col("value").cast("double").as("value"))
-      val maxTs = secondHalf.agg(max(unix_micros(col("ts"))))
-        .collect()(0).getLong(0) // one-row boundary read, metadata-sized
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q225_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      writeOrderedFeed(s, secondHalf, expr("unix_micros(ts)"), s"$base/feed", 3)
+      val maxTs = writeOrderedFeed(s, secondHalf, expr("unix_micros(ts)"),
+        s"$base/feed", 3).toLong // exact feed max, no separate agg job
       publishFeedSlice(s.range(1).select(
         timestamp_micros(lit(maxTs + 30L * 86400000000L)).as("ts"),
         lit(250.0).as("value")), s"$base/feed", 3)
@@ -5350,14 +5352,18 @@ object Queries {
         .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
-      val maxTs = ev.agg(max(unix_micros(col("ts"))))
-        .collect()(0).getLong(0) // one-row boundary read
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_q234_" + s.sparkContext.applicationId + "_" +
           d.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
-      writeOrderedFeed(s, clicks, expr("unix_micros(ts)"), s"$base/feedL", 3)
-      writeOrderedFeed(s, purch, expr("unix_micros(ts)"), s"$base/feedR", 3)
+      val maxL = writeOrderedFeed(s, clicks, expr("unix_micros(ts)"),
+        s"$base/feedL", 3)
+      val maxR = writeOrderedFeed(s, purch, expr("unix_micros(ts)"),
+        s"$base/feedR", 3)
+      // sentinel base = the max over BOTH feeds (the sentinel only needs
+      // to outrun every real horizon; its exact value never reaches the
+      // certified output — sentinel rows are filtered at read-back)
+      val maxTs = math.max(maxL, maxR).toLong
       // sentinel columns take the INPUT widths (the narrow-int variant
       // axis reads event ids as int32 — a bare -1L would widen the slice
       // file and fail the stream's schema)

@@ -559,7 +559,14 @@ object StreamOps {
         val grams = graft.pipeline.Dedup
           .gramHashes(batch.toDF(), textCol, idCol, l)
           .localCheckpoint(true) // tokenize once: probe + digest append
+        // the grouped hash frame feeds FOUR consumers (prefix collect,
+        // within-batch dups, the standing-probe broadcast, and — being
+        // one row per distinct digest — the digest append itself), so
+        // pin it too: unpinned, each action re-ran the groupBy shuffle
+        // over the pinned grams, and the digest write paid a separate
+        // distinct() for a frame this already is (guide §1.2)
         val batchHashes = grams.groupBy("__h").agg(count(lit(1)).as("__c"))
+          .localCheckpoint(true)
         val withinDup = batchHashes.filter(col("__c") >= 2L).select("__h")
         // batch prefix sets (1-, 2- AND 3-hex; ≤ 16 + 256 + 4096
         // strings) for the directory-level prune of the standing digest
@@ -578,13 +585,16 @@ object StreamOps {
             .join(broadcast(batchHashes.select("__h")), Seq("__h"),
               "left_semi"))
           .getOrElse(withinDup.limit(0))
-        val dup = withinDup.unionByName(standingDup).distinct()
-        val hits = grams.join(broadcast(dup), Seq("__h"))
+        // semi-join against the (possibly overlapping) dup-hash union:
+        // same row set as the old inner join against its distinct(),
+        // without the extra distinct shuffle per trigger
+        val dup = withinDup.unionByName(standingDup)
+        val hits = grams.join(broadcast(dup), Seq("__h"), "left_semi")
           .select(col(idCol), col("__p"))
         LogStructuredSink.write(
           graft.pipeline.Dedup.mergeIslands(hits, idCol, l), outPath, bid)
         LogStructuredSink.write(
-          grams.select("__h").distinct()
+          batchHashes.select("__h") // one row per distinct digest already
             .withColumn("__pfx", substring(col("__h"), 1, 1)),
           indexPath, bid, Seq("__pfx"))
        }
