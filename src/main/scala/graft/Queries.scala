@@ -237,10 +237,18 @@ object Queries {
       .write.partitionBy("__slice").mode("overwrite").parquet(stage)
     for (k <- 0 until n) {
       val sliceDir = new java.io.File(stage, s"__slice=$k")
-      val part = Option(sliceDir.listFiles())
-        .flatMap(_.find(_.getName.endsWith(".parquet")))
+      val parts = Option(sliceDir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+      // exactly-one-file is the move's correctness contract: a second
+      // part file (maxRecordsPerFile, committer drift) would be silently
+      // deleted with the staging dir — fail loudly instead (the
+      // publishFeedSlice zero-file convention)
+      if (parts.size > 1)
+        throw new IllegalStateException(
+          s"feed slice $k produced ${parts.size} part files under " +
+            s"$sliceDir — single-file move would drop rows")
       val tgt = new java.io.File(dir, f"slice-$k%03d.parquet")
-      part match {
+      parts.headOption match {
         case Some(p) =>
           java.nio.file.Files.move(p.toPath, tgt.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

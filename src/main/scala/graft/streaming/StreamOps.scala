@@ -19,6 +19,40 @@ import java.sql.Timestamp
  */
 object StreamOps {
 
+  /** Run INDEPENDENT per-trigger sink actions concurrently (optimization
+    * guide §2.6 — actions are only sequential because the driver calls
+    * them sequentially): a trigger that commits several logs pays each
+    * write's scheduling + commit latency back-to-back when the writes
+    * share no data dependency. Each body runs on its own thread; the
+    * trigger section blocks until ALL complete, so the foreachBatch
+    * contract (batch done ⇒ every log written) is unchanged, and the
+    * committed-prefix gate ([[LogStructuredSink.readCommitted]] — min
+    * over logs of max committed batch) is order-insensitive by
+    * construction, so external readers see the same consistent
+    * snapshots whichever write lands first. A failure in any body fails
+    * the whole trigger (rethrown after the others are awaited), which
+    * replays the batch — every log then overwrites its own partition,
+    * exactly the crash-between-writes story the sink already certifies. */
+  private def inParallel(bodies: (() => Unit)*): Unit = {
+    if (bodies.size <= 1) { bodies.foreach(_ ()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+    try {
+      val futs = bodies.map(b =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = b()
+        }))
+      var err: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (err == null) err = e.getCause
+        }
+      }
+      if (err != null) throw err
+    } finally pool.shutdown()
+  }
+
   /** Tumbling-window event counts + value sums per event_type.
     * Late data beyond `watermarkDelay` is dropped (state is bounded). */
   def windowedEventStats(events: DataFrame,
@@ -205,15 +239,22 @@ object StreamOps {
               batch.toDF(), textCol, idCol, shingle)
           else graft.pipeline.Dedup.sketchBatch(batch.toDF(), textCol, idCol,
             numHashes, bands, shingle)).localCheckpoint(true)
-        idx.readBefore(spark, bid).foreach { standing =>
+        // flags and index writes both consume the PINNED sketch frame and
+        // commit to different logs — no data dependency, so they overlap
+        // (inParallel): the flag probe's standing read resolved its file
+        // listing when the frame was built, and the index write publishes
+        // `__batch=bid` atomically, invisible to that resolved plan
+        val writeFlags = idx.readBefore(spark, bid).map { standing =>
           val flags = graft.pipeline.Dedup
             .minhashCandidatePairsSketched(standing, sk)
             .filter(col("est_jaccard") >= minEstJaccard)
             .select(col("id_b").as("id"), col("id_a").as("corpus_id"),
               col("est_jaccard"))
-          LogStructuredSink.write(flags, outPath, bid)
+          () => LogStructuredSink.write(flags, outPath, bid)
         }
-        LogStructuredSink.write(sk, indexPath, bid)
+        inParallel(Seq(
+          () => LogStructuredSink.write(sk, indexPath, bid)
+        ) ++ writeFlags: _*)
         ()
       }
       .start()
@@ -315,7 +356,6 @@ object StreamOps {
             spark, batch.toDF(), idCol, textCol, indexPath, base, cfg,
             corpusDocs = corpus, indexFrame = Some(standing))
           .localCheckpoint(true) // consumed three times below
-        LogStructuredSink.write(curated, dataPath, bid)
         // totals of the incremented output are ALREADY cumulative (offsets
         // continued from base): touched shards take the batch value,
         // untouched shards keep the standing one. COLLECTED (shards-sized)
@@ -329,15 +369,24 @@ object StreamOps {
             .select(col("shard"),
               coalesce(col("__bt"), col("base_tokens")).as("base_tokens"))
         }
-        val snapshot = newTotals.collect() // one row per shard
-        LogStructuredSink.write(
-          graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
-            curated.select(col(idCol), col(textCol)), textCol, idCol),
-          growthPath, bid)
-        LogStructuredSink.write(
-          spark.createDataFrame(
-            java.util.Arrays.asList(snapshot: _*), newTotals.schema),
-          totalsPath, bid)
+        // the three log commits all consume the PINNED curated frame (or
+        // its shards-sized totals) and share no data dependency — they
+        // overlap (inParallel; the committed-prefix gate is
+        // order-insensitive), instead of paying three write jobs'
+        // scheduling + commit latency back-to-back per trigger
+        inParallel(
+          () => LogStructuredSink.write(curated, dataPath, bid),
+          () => LogStructuredSink.write(
+            graft.pipeline.Dedup.sketchForIndex(spark, indexPath,
+              curated.select(col(idCol), col(textCol)), textCol, idCol),
+            growthPath, bid),
+          () => {
+            val snapshot = newTotals.collect() // one row per shard
+            LogStructuredSink.write(
+              spark.createDataFrame(
+                java.util.Arrays.asList(snapshot: _*), newTotals.schema),
+              totalsPath, bid)
+          })
         // the localCheckpoint blocks are released by the ContextCleaner
         // once `curated` goes out of scope at the end of this batch
         // (Dataset.unpersist is a no-op for checkpoint blocks — it only
@@ -425,19 +474,27 @@ object StreamOps {
           .map(g => seed.unionByName(
             g.filter(col("__pfx").isin(pfxs: _*)).select(col("key"))))
           .getOrElse(seed)
-        LogStructuredSink.write(
-          graft.pipeline.Dedup.dedupLinesIncrementWith(standing, b,
-            textCol, idCol, normalize),
-          s"$outPath/data", bid)
-        // pin before writing: the new-key anti-join READS the growth zone
-        // this write overwrites; the pinned frame is batch-keys-sized
+        // no pin on the new-key anti-join any more: the growth write
+        // lands in a hidden staging dir and publishes with one atomic
+        // rename ([[LogStructuredSink.write]]), so the plan's already-
+        // resolved standing-zone file listing is never overwritten
+        // mid-job — the round-15 write barrier (an extra localCheckpoint
+        // job per trigger) guarded a self-overwrite that no longer exists
         val newKeys = bKeys
           .join(standing.select(col("key")), col("__key") === col("key"),
             "left_anti")
           .select(col("__key").as("key", meta),
             substring(md5(col("__key")), 1, 1).as("__pfx"))
-          .localCheckpoint(true)
-        LogStructuredSink.write(newKeys, growthPath, bid, Seq("__pfx"))
+        // data and growth commits both derive from the pinned batch keys
+        // and the standing frame (file listings resolved above) — no
+        // dependency between them, so they overlap (inParallel)
+        inParallel(
+          () => LogStructuredSink.write(
+            graft.pipeline.Dedup.dedupLinesIncrementWith(standing, b,
+              textCol, idCol, normalize),
+            s"$outPath/data", bid),
+          () => LogStructuredSink.write(newKeys, growthPath, bid,
+            Seq("__pfx")))
        }
         // opt-in auto-compaction of the growth zone (see
         // [[duplicateSpansStream]] — same cadence contract, same
@@ -591,12 +648,18 @@ object StreamOps {
         val dup = withinDup.unionByName(standingDup)
         val hits = grams.join(broadcast(dup), Seq("__h"), "left_semi")
           .select(col(idCol), col("__p"))
-        LogStructuredSink.write(
-          graft.pipeline.Dedup.mergeIslands(hits, idCol, l), outPath, bid)
-        LogStructuredSink.write(
-          batchHashes.select("__h") // one row per distinct digest already
-            .withColumn("__pfx", substring(col("__h"), 1, 1)),
-          indexPath, bid, Seq("__pfx"))
+        // span and digest commits both consume the PINNED frames (the
+        // span probe's standing read resolved its listing above; the
+        // digest write publishes atomically, invisible to that plan) —
+        // no dependency, so they overlap (inParallel)
+        inParallel(
+          () => LogStructuredSink.write(
+            graft.pipeline.Dedup.mergeIslands(hits, idCol, l), outPath,
+            bid),
+          () => LogStructuredSink.write(
+            batchHashes.select("__h") // one row per distinct digest
+              .withColumn("__pfx", substring(col("__h"), 1, 1)),
+            indexPath, bid, Seq("__pfx")))
        }
         // opt-in auto-compaction: every N triggers, fold the digest log
         // in place (generation layout). OUTSIDE the trigger's lease —
@@ -670,10 +733,16 @@ object StreamOps {
         // log-structured operator exists to avoid. The nearDupFlags pin
         // is different — there the reuse saves re-SKETCHING, real
         // compute; here it would save only a scan.
-        LogStructuredSink.write(batch.toDF(), s"$statePath/data", bid)
-        LogStructuredSink.write(
-          graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol, depth,
-            width), s"$statePath/cms", bid)
+        // the data append and the cell aggregate are independent scans of
+        // the same micro-batch source committing to different logs — they
+        // overlap (inParallel; the readHeavyHitters gate covers BOTH
+        // orders by construction, see its scaladoc)
+        inParallel(
+          () => LogStructuredSink.write(batch.toDF(), s"$statePath/data",
+            bid),
+          () => LogStructuredSink.write(
+            graft.pipeline.Stats.cmsCellFrame(batch.toDF(), valueCol,
+              depth, width), s"$statePath/cms", bid))
         // opt-in auto-compaction of the CELL log only (the data log is
         // the corpus the exact pass scans — it is content, not foldable
         // state). The compactor takes the cms log's lease itself.
