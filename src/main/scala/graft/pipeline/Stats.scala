@@ -433,7 +433,10 @@ object Stats {
     require(p >= 4 && p <= 16 && p % 4 == 0, s"bad p $p")
     val h = md5(col(valueCol).cast("string"))
     val x = conv(substring(h, p / 4 + 1, 12), 16, 10).cast("long")
-    df.where(col(valueCol).isNotNull)
+    // spread the slim (group, value) projection before the per-row md5
+    // work — same single-row-group-input repair as [[values]]
+    Par.spread(df.where(col(valueCol).isNotNull)
+        .select((groupCols :+ valueCol).map(col): _*))
       .select(groupCols.map(col) :+
         conv(substring(h, 1, p / 4), 16, 10).cast("int").as("__b") :+
         when(x === 0L, lit(49)).otherwise(lit(49) - length(bin(x)))
@@ -613,8 +616,13 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  // the sketch builders' shared input projection: slim (one column), and
+  // spread across the session's cores when the source scan is
+  // parallelism-deficient (a single-row-group file = one task however it
+  // is split — [[Par.spread]]); the md5/xxhash per-row work and its
+  // partial aggregation otherwise serialize on one core
   private def values(df: DataFrame, valueCol: String): DataFrame =
-    df.select(col(valueCol).as("__v")).where(col("__v").isNotNull)
+    Par.spread(df.select(col(valueCol).as("__v")).where(col("__v").isNotNull))
 
   private def bucket(dd: Int, width: Int) =
     pmod(xxhash64(col("__v"), lit(dd)), lit(width.toLong))
